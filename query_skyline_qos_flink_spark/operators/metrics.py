@@ -1,0 +1,84 @@
+"""Skyline run metrics — the reference's observability surface, batch-exact.
+
+The reference's global aggregator emits per-query metrics: skyline size,
+the Optimality pruning-quality ratio and a latency decomposition
+(``/root/reference/java/org.main/FlinkSkyline.java:574-650``).  Optimality
+(``FlinkSkyline.java:590-608``): for each partition,
+``ratio = |global-skyline rows originating from it| / |its local skyline|``;
+``Optimality = sum(ratios) / P`` (never-reporting partitions count 0).
+
+``skyline_partition_stats`` returns the integer-valued building blocks
+``(pid, local_size, survivors)`` — one row per non-empty spatial partition —
+from which both skyline_size (= sum(survivors)) and Optimality
+(= sum(survivors/local_size)/P) derive.  Integer outputs make the duckdb
+oracle comparison exact (no float-summation-order hazards).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .partitioners import partition_id
+from .skyline import _grouped_skyline, _local_skyline_iter, _prep
+
+
+def with_data_domain(df: DataFrame, dim0: str, out_col: str = "__dom") -> DataFrame:
+    """Attach max(dim0) as a broadcast scalar column — the data-derived
+    domain (the reference's fixed ``--domain`` default silently collapses
+    MR-Dim when mis-set, SURVEY.md §2.1; we derive it instead)."""
+    dom = df.agg(F.max(F.col(dim0).cast("double")).alias(out_col))
+    return df.crossJoin(F.broadcast(dom))
+
+
+def skyline_partition_stats(
+    df: DataFrame,
+    dims: Sequence,
+    strategy: str = "dim",
+    num_partitions: int = 8,
+    domain: float | Column | None = None,
+) -> DataFrame:
+    """(pid, local_size, survivors) per non-empty spatial partition.
+
+    Two shuffles total: one exchange on pid for the local phase (the
+    reference's keyBy), one single-task merge over local survivors.  The
+    stats joins run over tiny aggregates (broadcast)."""
+    dim_names = [d if isinstance(d, str) else d[0] for d in dims]
+    if domain is None:
+        df = with_data_domain(df, dim_names[0])
+        domain_col: float | Column = F.col("__dom")
+    else:
+        domain_col = domain
+    pid = partition_id(strategy, dim_names, num_partitions, domain_col)
+    tagged = df.withColumn("pid", pid)
+    prepped, prep_cols = _prep(tagged, dims)
+    local = prepped.groupBy("pid").applyInPandas(
+        _grouped_skyline(prep_cols), schema=prepped.schema
+    )
+    local = local.persist()
+    local_sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("local_size"))
+    merged = local.repartition(1).mapInPandas(
+        _local_skyline_iter(prep_cols), schema=prepped.schema
+    )
+    survivors = merged.groupBy("pid").agg(F.count(F.lit(1)).alias("survivors"))
+    out = (
+        local_sizes.join(survivors, "pid", "left")
+        .select(
+            F.col("pid").cast("int").alias("pid"),
+            F.col("local_size").cast("bigint").alias("local_size"),
+            F.coalesce(F.col("survivors"), F.lit(0)).cast("bigint").alias("survivors"),
+        )
+    )
+    return out
+
+
+def optimality(stats: DataFrame, num_partitions: int) -> DataFrame:
+    """Scalar Optimality from :func:`skyline_partition_stats` output
+    (float; kept out of the oracle-compared surface by design)."""
+    return stats.agg(
+        (F.sum(F.col("survivors") / F.col("local_size")) / F.lit(float(num_partitions))).alias(
+            "optimality"
+        ),
+        F.sum("survivors").alias("skyline_size"),
+    )

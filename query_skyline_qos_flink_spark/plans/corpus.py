@@ -1,0 +1,379 @@
+"""Declared query corpus (SURVEY.md §2.4) — Spark callables + duckdb oracles.
+
+Every entry couples a PySpark implementation (``(spark, sf_dir) ->
+DataFrame``) with the ANSI-SQL oracle duckdb runs on the same parquet
+tables.  Column names are aliased identically on both sides — the driver's
+comparator sorts columns by name and hashes values (see ``__spark_entry__``
+docstring).
+
+Skyline oracles use the two-level bucketed NOT-EXISTS form
+(``functions/dominance.py``), semantically identical to the flat
+anti-join via skyline-merge associativity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.dominance import skyline_oracle_sql
+from ..operators.metrics import skyline_partition_stats
+from ..operators.partitioners import partition_id
+from ..operators.skyline import skyline, skyline_with_pid
+from ..session import load
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None -> driver falls back to rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Skyline corpus S1-S10 over the TPC-H-ish fixtures
+# ---------------------------------------------------------------------------
+
+_LI = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+
+
+def _li_oracle(dims, out_cols, table_sql="SELECT * FROM lineitem"):
+    return skyline_oracle_sql(table_sql, dims, out_cols, bucket_sql="l_orderkey")
+
+
+@register(
+    "s1_skyline_2d",
+    _li_oracle([("l_extendedprice", "min"), ("l_discount", "min")], _LI),
+    doc="Core 2-D skyline (reference O12/O16, FlinkSkyline.java:407-444,514-569)",
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(*_LI)
+    return skyline(li, ["l_extendedprice", "l_discount"])
+
+
+@register(
+    "s2_skyline_maxdir",
+    _li_oracle(
+        [("l_extendedprice", "min"), ("l_quantity", "max")],
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    ),
+    doc="Direction mixing via negation (MAX dims)",
+)
+def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    return skyline(li, [("l_extendedprice", "min"), ("l_quantity", "max")])
+
+
+@register(
+    "s3_skyline_3d",
+    _li_oracle(
+        ["l_extendedprice", "l_discount", "l_tax"],
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    ),
+    doc="3-D skyline",
+)
+def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"]
+    li = load(spark, sf_dir, "lineitem").select(*cols)
+    return skyline(li, ["l_extendedprice", "l_discount", "l_tax"])
+
+
+@register(
+    "s4_skyline_4d",
+    _li_oracle(
+        ["l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+    ),
+    doc="4-D skyline (curse-of-dimensionality regime, BASELINE.md)",
+)
+def s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity"]
+    li = load(spark, sf_dir, "lineitem").select(*cols)
+    return skyline(li, ["l_extendedprice", "l_discount", "l_tax", "l_quantity"])
+
+
+@register(
+    "s5_skyline_part",
+    skyline_oracle_sql(
+        "SELECT * FROM part",
+        [("p_retailprice", "min"), ("p_size", "max")],
+        ["p_partkey", "p_retailprice", "p_size"],
+        bucket_sql="p_partkey",
+    ),
+    doc="Second table, int dimension, MAX direction",
+)
+def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline(p, [("p_retailprice", "min"), ("p_size", "max")])
+
+
+@register(
+    "s6_skyline_events_ts",
+    skyline_oracle_sql(
+        "SELECT event_id, value, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS ts_d FROM events",
+        ["value", "ts_d"],
+        ["event_id", "value", "ts_d"],
+        bucket_sql="event_id",
+    ),
+    doc="Timestamp-derived dimension (epoch seconds; events.ts is parquet "
+    "TIMESTAMP(NANOS), read Spark-side as bigint nanos via "
+    "spark.sql.legacy.parquet.nanosAsLong)",
+)
+def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # duckdb coerces parquet TIMESTAMP(NANOS) to micros; truncate identically
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.expr("ts div 1000").cast("double") / F.lit(1e6)).alias("ts_d"),
+    )
+    return skyline(ev, ["value", "ts_d"])
+
+
+@register(
+    "s7_skyline_filtered",
+    _li_oracle(
+        ["l_extendedprice", "l_discount"],
+        _LI,
+        table_sql="SELECT * FROM lineitem WHERE l_orderkey % 4 = 0",
+    ),
+    doc="Pre-filter composition: predicate pushed to the parquet scan, then skyline",
+)
+def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select(*_LI)
+    )
+    return skyline(li, ["l_extendedprice", "l_discount"])
+
+
+@register(
+    "s8_skyline_groupwise",
+    skyline_oracle_sql(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, epoch(o_orderdate) AS odate_d FROM orders",
+        ["o_totalprice", "odate_d"],
+        ["o_orderkey", "o_orderpriority", "o_totalprice", "odate_d"],
+        bucket_sql="o_orderkey",
+        group_by=["o_orderpriority"],
+    ),
+    doc="Per-group skyline (groupBy + operator)",
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        # o_orderdate is TIMESTAMP_NTZ: hop through ltz (session tz = UTC)
+        # to epoch seconds, matching duckdb epoch()
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("odate_d"),
+    )
+    return skyline(o, ["o_totalprice", "odate_d"], group_by=["o_orderpriority"])
+
+
+def _s9(strategy: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select(*_LI)
+        dims = ["l_extendedprice", "l_discount"]
+        dom = li.agg(F.max(F.col("l_extendedprice").cast("double")).alias("__dom"))
+        tagged = li.crossJoin(F.broadcast(dom))
+        pid = partition_id(strategy, dims, 8, F.col("__dom"))
+        res = skyline_with_pid(tagged, dims, pid, 8)
+        return res.select(*_LI)
+
+    return fn
+
+
+for _st in ("dim", "grid", "angle"):
+    register(
+        f"s9_twophase_{_st}",
+        _li_oracle(["l_extendedprice", "l_discount"], _LI),
+        doc=f"Partition-equivalence: two-phase MR-{_st} result == single-phase skyline "
+        "(reference O5-O8/O12/O16; oracle is the plain skyline)",
+    )(_s9(_st))
+
+
+def _s10(n: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select(*_LI)
+        w = Window.orderBy("l_orderkey", "l_linenumber")
+        pre = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n).drop("rn")
+        return skyline(pre, ["l_extendedprice", "l_discount"])
+
+    return fn
+
+
+for _n in (1000, 10000):
+    register(
+        f"s10_snapshot_{_n}",
+        _li_oracle(
+            ["l_extendedprice", "l_discount"],
+            _LI,
+            table_sql=(
+                "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM ("
+                "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn "
+                f"FROM lineitem) WHERE rn <= {_n}"
+            ),
+        ),
+        doc="Snapshot barrier: skyline over an exact N-row prefix (reference O13 made "
+        "exact, SURVEY.md §3.3)",
+    )(_s10(_n))
+
+
+_M1_ORACLE = """
+WITH src AS (
+  SELECT l_orderkey, l_extendedprice AS d0, l_discount AS d1,
+         l_orderkey % 64 AS sub
+  FROM lineitem
+),
+dom AS (SELECT max(d0) AS m FROM src),
+pts AS (
+  SELECT src.*, LEAST(GREATEST(CAST(FLOOR(d0 / (dom.m / 8.0)) AS INTEGER), 0), 7) AS pid
+  FROM src, dom
+),
+loc0 AS (
+  SELECT p.* FROM pts p WHERE NOT EXISTS (
+    SELECT 1 FROM pts q WHERE q.pid = p.pid AND q.sub = p.sub
+      AND q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))
+),
+loc AS (
+  SELECT p.* FROM loc0 p WHERE NOT EXISTS (
+    SELECT 1 FROM loc0 q WHERE q.pid = p.pid
+      AND q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))
+),
+gsky AS (
+  SELECT p.* FROM loc p WHERE NOT EXISTS (
+    SELECT 1 FROM loc q
+      WHERE q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))
+),
+sizes AS (SELECT pid, count(*) AS local_size FROM loc GROUP BY pid),
+surv AS (SELECT pid, count(*) AS survivors FROM gsky GROUP BY pid)
+SELECT s.pid, s.local_size, COALESCE(v.survivors, 0) AS survivors
+FROM sizes s LEFT JOIN surv v ON s.pid = v.pid
+""".strip()
+
+
+@register(
+    "m1_partition_stats",
+    _M1_ORACLE,
+    doc="Optimality building blocks (reference O18-O19, FlinkSkyline.java:590-608): "
+    "per-partition local skyline size + global-skyline survivors, MR-Dim P=8, "
+    "data-derived domain. Integer-only output for exact oracle comparison; "
+    "Optimality = sum(survivors/local_size)/P.",
+)
+def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return skyline_partition_stats(
+        li, ["l_extendedprice", "l_discount"], strategy="dim", num_partitions=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star LLM-pipeline anchors E1-E3 (more in plans/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e1_dedup_exact",
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d "
+    "JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) g "
+    "ON d.text = g.text AND d.doc_id = g.m",
+    doc="Exact dedup on text keeping lowest doc_id (hash groupBy + semi-join; "
+    "one shuffle on the dedup key)",
+)
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return d.join(keep, ["text", "doc_id"], "left_semi").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_E2_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id BETWEEN 1 AND 5
+),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+          FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk
+  FROM pairs
+)
+SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 10
+""".strip()
+
+
+@register(
+    "e2_knn_bruteforce",
+    _E2_ORACLE,
+    doc="Brute-force top-10 squared-L2 neighbors for query vecs 1..5 (self "
+    "excluded, ties by vec_id). Distance computed with a sequential fold "
+    "(F.aggregate over zip_with) for bit-exact oracle parity; the scale "
+    "path is the blocked-matrix variant in operators/similarity.py.",
+)
+def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.aggregate(
+                F.zip_with(
+                    "qe",
+                    "embedding",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+@register(
+    "e3_text_stats",
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+    "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
+    doc="Per-language text aggregates (plain partial+final aggregation)",
+)
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Local-mode testing profile; the same settings are what we would ship as
+cluster defaults (AQE on, Arrow on, sane shuffle parallelism).  On a real
+cluster ``spark.sql.shuffle.partitions`` should be ~2-3x total cores and
+AQE coalescing handles the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Arrow batch size plays the role of the reference's 5,000-row BNL
+        # buffer (FlinkSkyline.java:232) for the mapInPandas skyline kernel.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.ts is parquet TIMESTAMP(NANOS); read as bigint nanos
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,102 @@
+"""DataFrame skyline operator tests: Spark result vs numpy brute force,
+directions, grouping, NULL policy, partitioner strategies, generators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from query_skyline_qos_flink_spark.operators.partitioners import partition_id
+from query_skyline_qos_flink_spark.operators.skyline import skyline, skyline_with_pid
+from query_skyline_qos_flink_spark.operators.skyline_kernel import skyline_mask_brute
+from query_skyline_qos_flink_spark.sources.generators import points
+
+
+def _brute(pdf: pd.DataFrame, dims, signs) -> set[tuple]:
+    pts = pdf[dims].to_numpy(dtype=float) * np.asarray(signs)
+    mask = skyline_mask_brute(pts)
+    return set(map(tuple, pdf.loc[mask].itertuples(index=False)))
+
+
+def test_skyline_matches_brute(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": range(800),
+            "x": np.random.default_rng(1).integers(0, 50, 800).astype(float),
+            "y": np.random.default_rng(2).integers(0, 50, 800).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = set(map(tuple, skyline(df, ["x", "y"]).toPandas().itertuples(index=False)))
+    assert got == _brute(pdf, ["x", "y"], [1, 1])
+
+
+def test_skyline_max_direction(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": range(500),
+            "x": np.random.default_rng(3).integers(0, 30, 500).astype(float),
+            "y": np.random.default_rng(4).integers(0, 30, 500).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = set(
+        map(tuple, skyline(df, [("x", "min"), ("y", "max")]).toPandas().itertuples(index=False))
+    )
+    assert got == _brute(pdf, ["x", "y"], [1, -1])
+
+
+def test_skyline_null_rows_excluded(spark):
+    pdf = pd.DataFrame({"x": [1.0, None, 0.5], "y": [1.0, 0.0, np.nan]})
+    df = spark.createDataFrame(pdf)
+    out = skyline(df, ["x", "y"]).toPandas()
+    assert len(out) == 1 and out.iloc[0]["x"] == 1.0
+
+
+def test_groupwise_skyline(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 1000),
+            "x": rng.integers(0, 40, 1000).astype(float),
+            "y": rng.integers(0, 40, 1000).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = set(
+        map(tuple, skyline(df, ["x", "y"], group_by=["g"]).toPandas().itertuples(index=False))
+    )
+    want = set()
+    for g, sub in pdf.groupby("g"):
+        want |= _brute(sub, ["x", "y"], [1, 1])
+    assert got == want
+
+
+def test_two_phase_strategies_equal_single_phase(spark):
+    """S9 property on all three generator distributions x strategies."""
+    for dist in ("uniform", "correlated", "anti_correlated"):
+        df = points(spark, 5000, 2, dist, domain=1000, seed=17).cache()
+        ref = set(map(tuple, skyline(df, ["v0", "v1"]).toPandas().itertuples(index=False)))
+        for st in ("dim", "grid", "angle"):
+            pid = partition_id(st, ["v0", "v1"], 8, 1000.0)
+            two = skyline_with_pid(df, ["v0", "v1"], pid, 8).drop("origin_partition")
+            got = set(map(tuple, two.toPandas().itertuples(index=False)))
+            assert got == ref, (dist, st)
+
+
+def test_generator_skyline_size_ordering(spark):
+    """PDF §5.1 sanity: anti-correlated >> correlated-or-uniform skylines."""
+    sizes = {}
+    for dist in ("uniform", "correlated", "anti_correlated"):
+        df = points(spark, 20000, 2, dist, domain=10000, seed=23)
+        sizes[dist] = skyline(df, ["v0", "v1"]).count()
+    assert sizes["anti_correlated"] > 10 * sizes["uniform"]
+    assert sizes["anti_correlated"] > sizes["correlated"]
+
+
+def test_tree_merge_path(spark):
+    df = points(spark, 20000, 2, "anti_correlated", domain=10000, seed=29).repartition(70)
+    ref = skyline(df, ["v0", "v1"], tree_merge=False).count()
+    got = skyline(df, ["v0", "v1"], tree_merge=True).count()
+    assert got == ref
