@@ -1,0 +1,79 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Workloads:
+* BASELINE shapes (BASELINE.md): skyline of 1M anti-correlated points at
+  d=2/3/4, domain [0,10000] — generated in-engine (sources/generators.py,
+  same distributions as the reference's producer).  Reference totals at the
+  same shape: ~17-19s (2-D), ~27s (3-D), ~700s (4-D).
+* Declared-corpus headliners at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_SKIP_1M=1 for a quick run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from query_skyline_qos_flink_spark.operators.skyline import skyline  # noqa: E402
+from query_skyline_qos_flink_spark.plans import corpus  # noqa: E402
+from query_skyline_qos_flink_spark.session import get_spark  # noqa: E402
+from query_skyline_qos_flink_spark.sources.generators import points  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_QUERIES = [
+    "s1_skyline_2d",
+    "s3_skyline_3d",
+    "s4_skyline_4d",
+    "s8_skyline_groupwise",
+    "s9_twophase_dim",
+    "m1_partition_stats",
+    "e1_dedup_exact",
+    "e2_knn_bruteforce",
+    "e3_text_stats",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="skyline-bench")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # BASELINE workload shapes (1M anti-correlated, domain [0,10000])
+    if not os.environ.get("BENCH_SKIP_1M"):
+        for d in (2, 3, 4):
+            df = points(spark, 1_000_000, d, "anti_correlated", domain=10000, seed=42)
+            dims = [f"v{i}" for i in range(d)]
+            timed(f"skyline_anti_{d}d_1m", lambda df=df, dims=dims: skyline(df, dims).count())
+
+    for name in CORPUS_QUERIES:
+        spec = corpus.REGISTRY[name]
+        timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,32 +1,41 @@
-"""DataFrame skyline operator — Spark-first two-phase execution.
+"""DataFrame skyline operator — Spark-first multi-strategy execution.
 
 The reference implements skyline as a two-phase Flink topology: spatial
 ``keyBy`` -> per-partition BNL -> single global BNL merge
 (``/root/reference/java/org.main/FlinkSkyline.java:110-174,407-444,514-569``).
 The structural insight (SURVEY.md §2.3) is that skyline-merge is an
 associative, commutative, idempotent monoid: ``SKY(A ∪ B) = SKY(SKY(A) ∪
-SKY(B))``.  On Spark this means:
+SKY(B))``.  This module picks a physical strategy the way Catalyst picks a
+join: by shape.
 
-* **Phase 1 needs no shuffle at all.**  ``mapInPandas`` computes a local
-  skyline per *input partition* (Arrow-batched, incremental), so the only
-  rows that ever hit the wire are local-skyline survivors.  The reference's
-  spatial partitioners exist to make local pruning effective despite the
-  keyBy shuffle it pays up front; reading partitioned Parquet we get the
-  pruning for free from data locality and pay zero shuffle.
-* **Phase 2 shuffles only survivors.**  A final merge on one task is fine
-  when locals prune well; for adversarial (anti-correlated, high-d) inputs
-  where local skylines are huge, an intermediate tree-merge round keeps any
-  single task's input bounded: local -> repartition(fanout) -> local ->
-  repartition(1) -> final.  This is the "logarithmic halving" upgrade over
-  the reference's single-threaded global BNL (SURVEY.md §4).
+* **d == 2 — pure relational plan, no Python.**  2-D skyline is "sort by
+  x, keep prefix-minima of y": ``groupBy(d0).min(d1)`` -> running strict-
+  predecessor min over the distinct d0 values -> broadcast semi-join back.
+  Whole-stage-codegen end to end, O(n log n), and the window runs over
+  *distinct* d0 values only.  (The global window is single-partition over
+  those distinct values; at extreme cardinality swap in a two-pass
+  range-partitioned prefix-min — noted in SCALE.md.)
 
-At 100 TB: phase 1 parallelism = input splits; the shuffle volume is
-``O(sum of local skyline sizes)``, not ``O(input)``; the tree merge bounds
-the final task.  No driver-side collect anywhere.
+* **d >= 3 — two-phase with broadcast-verify merge.**
+  Phase 1 needs no shuffle at all: ``mapInPandas`` computes a local
+  skyline per *input partition* (Arrow-batched, incremental), so only
+  local-skyline survivors ever hit the wire.  The merge then:
+  - tree-merges one round if survivors are huge (bounds any single task);
+  - **broadcast-verifies**: ship the survivor dim-matrix to every task and
+    drop dominated rows in parallel.  This replaces the reference's
+    single-threaded global BNL — the PDF's own bottleneck (§5.5) — with an
+    embarrassingly parallel pass, valid because every non-survivor is
+    dominated by some survivor (transitivity).
+
+At 100 TB: phase 1 parallelism = input splits; shuffle volume is
+``O(sum of local skyline sizes)``, not ``O(input)``; the broadcast is dims
+only (d doubles/row) and gated by ``_VERIFY_MAX_ROWS`` with a tree-merge
+fallback.  No driver-side collect of anything larger than the survivor
+dim-matrix.
 
 MAX dimensions are handled by negation; duplicates/ties are retained
-(§1.1 of SURVEY.md); rows with NULL/NaN in any skyline dimension are
-excluded (documented engine policy).
+(SURVEY.md §1.1); rows with NULL/NaN in any skyline dimension are excluded
+(documented engine policy).
 """
 
 from __future__ import annotations
@@ -35,17 +44,16 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .skyline_kernel import skyline_mask
+from .skyline_kernel import dominated_mask, skyline_mask
 
 _PREP = "__sk_"
 
-# Insert an intermediate tree-merge round when phase 1 has more partitions
-# than this (heuristic: more partitions -> more survivor volume into the
-# final merge task).
-_TREE_MERGE_PARTITIONS = 64
-_TREE_FANOUT = 16
+# Max survivor rows for the broadcast-verify merge; above this, run a
+# tree-merge round first (and as a last resort a single-task merge).
+_VERIFY_MAX_ROWS = 400_000
+_TREE_FANOUT = 32
 
 Direction = str  # 'min' | 'max'
 
@@ -100,9 +108,7 @@ def _local_skyline_iter(prep_cols: list[str]):
             allrows = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
             pts = allrows[prep_cols].to_numpy(dtype=np.float64)
             mask = skyline_mask(pts)
-            cur = allrows.loc[mask]
-            if len(cur) == len(allrows):
-                cur = allrows  # avoid needless copy
+            cur = allrows if mask.all() else allrows.loc[mask]
         if cur is not None and not cur.empty:
             yield cur
 
@@ -117,21 +123,65 @@ def _grouped_skyline(prep_cols: list[str]):
     return fn
 
 
+def _skyline_2d_relational(
+    prepped: DataFrame, prep_cols: list[str], group_by: Sequence[str] | None
+) -> DataFrame:
+    """Pure-SQL 2-D path: survivors are exactly the (d0, min-d1) pairs whose
+    strict-predecessor running min (in d0 order) is above their d1."""
+    d0, d1 = prep_cols
+    keys = list(group_by or [])
+    grp = prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1"))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(d0)
+    pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    surv = (
+        grp.withColumn("__pm", pm)
+        .where(F.col("__pm").isNull() | (F.col("__pm") > F.col("__m1")))
+        .select(*keys, F.col(d0), F.col("__m1").alias(d1))
+    )
+    return prepped.join(F.broadcast(surv), on=[*keys, d0, d1], how="left_semi")
+
+
+def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
+    """Parallel global merge: every task checks its rows against the full
+    survivor dim-matrix (self/duplicate pairs fail the strict test)."""
+    spark = cur.sparkSession
+    dims_pdf = cur.select(*prep_cols).toPandas()
+    arr = np.ascontiguousarray(dims_pdf.to_numpy(dtype=np.float64))
+    ssum = arr.sum(axis=1)
+    bc = spark.sparkContext.broadcast((arr, ssum))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sky, sky_sum = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            dom = dominated_mask(pts, pts.sum(axis=1), sky, sky_sum)
+            out = pdf.loc[~dom]
+            if not out.empty:
+                yield out
+
+    return cur.mapInPandas(verify, schema=cur.schema)
+
+
 def skyline(
     df: DataFrame,
     dims: Sequence,
     group_by: Sequence[str] | None = None,
-    tree_merge: bool | None = None,
 ) -> DataFrame:
     """Skyline (Pareto frontier) of ``df`` over ``dims``.
 
     ``dims``: list of column names (minimized) or ``(name, 'min'|'max')``
     pairs.  ``group_by``: optional grouping keys — skyline computed per
-    group (one shuffle on the keys).  Returns the original columns of
-    ``df`` (all of them), with non-skyline rows removed.
+    group.  Returns the original columns of ``df`` (all of them), with
+    non-skyline rows removed.
     """
     out_cols = df.columns
     prepped, prep_cols = _prep(df, dims)
+
+    if len(prep_cols) == 2:
+        return _skyline_2d_relational(prepped, prep_cols, group_by).select(*out_cols)
+
     if group_by:
         res = (
             prepped.groupBy(*[F.col(k) for k in group_by])
@@ -140,18 +190,20 @@ def skyline(
         return res.select(*out_cols)
 
     local = _local_skyline_iter(prep_cols)
-    phase1 = prepped.mapInPandas(local, schema=prepped.schema)
-
-    if tree_merge is None:
-        try:
-            tree_merge = prepped.rdd.getNumPartitions() > _TREE_MERGE_PARTITIONS
-        except Exception:  # pragma: no cover - plan conversion edge cases
-            tree_merge = False
-    merged = phase1
-    if tree_merge:
-        merged = merged.repartition(_TREE_FANOUT).mapInPandas(local, schema=prepped.schema)
-    final = merged.repartition(1).mapInPandas(local, schema=prepped.schema)
-    return final.select(*out_cols)
+    phase1 = prepped.mapInPandas(local, schema=prepped.schema).persist()
+    n = phase1.count()
+    cur = phase1
+    if n > _VERIFY_MAX_ROWS:
+        cur = cur.repartition(_TREE_FANOUT).mapInPandas(local, schema=prepped.schema).persist()
+        n = cur.count()
+        if n > _VERIFY_MAX_ROWS:
+            # pathological survivor volume: bounded-memory single-task merge
+            return (
+                cur.repartition(1)
+                .mapInPandas(local, schema=prepped.schema)
+                .select(*out_cols)
+            )
+    return _broadcast_verify(cur, prep_cols).select(*out_cols)
 
 
 def skyline_with_pid(
@@ -181,6 +233,5 @@ def skyline_with_pid(
     local = prepped.groupBy(origin_col).applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    merge = _local_skyline_iter(prep_cols)
-    final = local.repartition(1).mapInPandas(merge, schema=prepped.schema)
+    final = _broadcast_verify(local.persist(), prep_cols)
     return final.select(*out_cols)

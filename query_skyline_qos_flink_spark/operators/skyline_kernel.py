@@ -16,64 +16,77 @@ Algorithm: sort-by-sum BNL.  If p dominates q then sum(p) < sum(q)
 ascending by coordinate sum a point can only be dominated by a point that
 appears strictly earlier.  One forward pass with a growing skyline set and
 no deletions replaces the reference's insert-and-evict BNL loop
-(``FlinkSkyline.java:417-444``) and is fully vectorizable: candidates are
-processed in blocks, each block is first screened against the accumulated
-skyline with one broadcasted comparison, then intra-block dominance is
-resolved with a pairwise matrix.  Dominance is transitive, so testing
+(``FlinkSkyline.java:417-444``).  Dominance is transitive, so testing
 against *all* earlier points (not only survivors) is sound for the
 intra-block step.
 
-Rows containing NaN are excluded (engine policy: a null/NaN dimension
-excludes the row — the reference only ever drops fully-malformed CSV rows,
-see SURVEY.md §7 semantic landmines).
+All dominance tests are built from :func:`dominated_mask`, which works
+column-at-a-time over (cand x sky) chunk matrices — it never materializes a
+(m, k, d) tensor, and the strict-sum comparison goes first because it is
+the most selective predicate (encodes 'exists strictly smaller': all(<=)
+plus sum< implies some <; all(<=) with equal sums means equality, which
+does not dominate).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# Candidate block size for the forward pass.  Big enough to amortize numpy
-# dispatch, small enough that the (block x block x dims) intra-block tensor
-# stays cache/memory friendly.
-_BLOCK = 1024
-
-# Cap on elements of the (block x |skyline| x dims) screening tensor; the
-# skyline axis is chunked to stay below it (anti-correlated 4-D skylines can
-# hold 100k+ points).
-_SCREEN_ELEMS = 8_000_000
+# Candidate block size for the forward pass.
+_BLOCK = 2048
+# Sky-side chunk for dominated_mask (bounds temp bool matrices to
+# cand_chunk x _K_CHUNK elements).
+_K_CHUNK = 32768
+# Cand-side chunk when screening large candidate sets (verify path).
+_M_CHUNK = 4096
 
 
-def _dominated_by(sky: np.ndarray, sky_sum: np.ndarray, cand: np.ndarray,
-                  cand_sum: np.ndarray) -> np.ndarray:
+def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
+                   sky_sum: np.ndarray) -> np.ndarray:
     """Bool mask over ``cand``: dominated by some row of ``sky``.
 
-    Requires every sky row to have sum <= every cand row's sum is NOT
-    assumed; the strict-sum test encodes the 'exists strictly smaller'
-    condition (all(<=) and sum< implies at least one <; all(<=) with equal
-    sums means equality, which does not dominate).
-    """
-    m, d = cand.shape
-    if sky.shape[0] == 0 or m == 0:
-        return np.zeros(m, dtype=bool)
+    Safe when ``sky`` contains the candidate rows themselves (self-pairs
+    and duplicates fail the strict-sum test), which is what the
+    broadcast-verify merge phase relies on."""
+    m = cand.shape[0]
     out = np.zeros(m, dtype=bool)
-    step = max(1, _SCREEN_ELEMS // max(1, m * d))
-    for s in range(0, sky.shape[0], step):
-        S = sky[s:s + step]
-        ss = sky_sum[s:s + step]
-        # (m, k, d) broadcast; all dims <= and strictly smaller sum
-        dom = (S[None, :, :] <= cand[:, None, :]).all(axis=2)
-        dom &= ss[None, :] < cand_sum[:, None]
-        out |= dom.any(axis=1)
-        if out.all():
-            break
+    if sky.shape[0] == 0 or m == 0:
+        return out
+    d = cand.shape[1]
+    for ms in range(0, m, _M_CHUNK):
+        me = min(m, ms + _M_CHUNK)
+        sub = np.zeros(me - ms, dtype=bool)
+        C = cand[ms:me]
+        cs = cand_sum[ms:me]
+        for ks in range(0, sky.shape[0], _K_CHUNK):
+            alive = np.flatnonzero(~sub)
+            if alive.size == 0:
+                break
+            S = sky[ks:ks + _K_CHUNK]
+            ss = sky_sum[ks:ks + _K_CHUNK]
+            A = C[alive]
+            dom = ss[None, :] < cs[alive][:, None]
+            for j in range(d):
+                np.logical_and(dom, S[:, j][None, :] <= A[:, j][:, None], out=dom)
+            sub[alive] |= dom.any(axis=1)
+        out[ms:me] = sub
     return out
+
+
+def _intra_dominated(A: np.ndarray, As: np.ndarray) -> np.ndarray:
+    """Pairwise within one block: mask of rows dominated by another row."""
+    dom = As[:, None] < As[None, :]  # (l, k): sum_l < sum_k
+    for j in range(A.shape[1]):
+        np.logical_and(dom, A[:, j][:, None] <= A[:, j][None, :], out=dom)
+    return dom.any(axis=0)
 
 
 def skyline_mask(points: np.ndarray) -> np.ndarray:
     """Return a boolean mask selecting the skyline rows of ``points``.
 
-    ``points``: (n, d) float array, all dims minimized.  NaN rows -> False.
-    """
+    ``points``: (n, d) float array, all dims minimized.  Rows containing
+    NaN are excluded (engine policy: a null/NaN dimension excludes the
+    row — SURVEY.md §7 semantic landmines)."""
     pts = np.asarray(points, dtype=np.float64)
     if pts.ndim != 2:
         raise ValueError(f"points must be 2-D, got shape {pts.shape}")
@@ -99,22 +112,14 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
     for i in range(0, nv, _BLOCK):
         cand = sp[i:i + _BLOCK]
         csum = ssum[i:i + _BLOCK]
-        m = cand.shape[0]
-        dominated = _dominated_by(sky, sky_sum, cand, csum)
+        dominated = dominated_mask(cand, csum, sky, sky_sum)
         alive = np.flatnonzero(~dominated)
         if alive.size:
             A = cand[alive]
-            As = csum[alive]
-            # intra-block pairwise: dom[l, k] True iff A[l] <= A[k]
-            # componentwise with strictly smaller sum (the strictness test)
-            dom = (A[:, None, :] <= A[None, :, :]).all(axis=2)
-            dom &= As[:, None] < As[None, :]
-            intra_dominated = dom.any(axis=0)
-            surv = alive[~intra_dominated]
+            surv = alive[~_intra_dominated(A, csum[alive])]
             if surv.size:
                 keep_sorted[i + surv] = True
-                new = cand[surv]
-                sky_blocks.append(new)
+                sky_blocks.append(cand[surv])
                 sky = np.concatenate(sky_blocks, axis=0) if len(sky_blocks) > 1 else sky_blocks[0]
                 sky_sum = sky.sum(axis=1)
     keep[vidx[order[keep_sorted.nonzero()[0]]]] = True
@@ -123,11 +128,10 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
 
 def skyline_update(sky: np.ndarray | None, batch: np.ndarray) -> np.ndarray:
     """Merge ``batch`` into an existing skyline ``sky`` (or None) and return
-    the new skyline array.  Used by the streaming/incremental path and by
-    the per-partition mapInPandas accumulator: skyline-merge is associative
-    and commutative (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), the
-    structural fact the reference's two-phase topology relies on
-    (``FlinkSkyline.java:162-174``)."""
+    the new skyline array.  Used by the streaming/incremental path:
+    skyline-merge is associative and commutative (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))), the structural fact the reference's
+    two-phase topology relies on (``FlinkSkyline.java:162-174``)."""
     if sky is None or sky.shape[0] == 0:
         allpts = np.asarray(batch, dtype=np.float64)
     else:

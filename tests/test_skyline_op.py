@@ -95,8 +95,18 @@ def test_generator_skyline_size_ordering(spark):
     assert sizes["anti_correlated"] > sizes["correlated"]
 
 
-def test_tree_merge_path(spark):
-    df = points(spark, 20000, 2, "anti_correlated", domain=10000, seed=29).repartition(70)
-    ref = skyline(df, ["v0", "v1"], tree_merge=False).count()
-    got = skyline(df, ["v0", "v1"], tree_merge=True).count()
-    assert got == ref
+def test_generic_path_3d_matches_brute(spark):
+    """Force the d>=3 two-phase + broadcast-verify path and check it against
+    the numpy brute-force oracle."""
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "id": range(3000),
+            "x": rng.integers(0, 60, 3000).astype(float),
+            "y": rng.integers(0, 60, 3000).astype(float),
+            "z": rng.integers(0, 60, 3000).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = set(map(tuple, skyline(df, ["x", "y", "z"]).toPandas().itertuples(index=False)))
+    assert got == _brute(pdf, ["x", "y", "z"], [1, 1, 1])
