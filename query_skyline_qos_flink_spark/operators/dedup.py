@@ -1,0 +1,236 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five strategies, all DataFrame-native and shuffle-bounded:
+
+* :func:`exact_dedup` — hash groupBy on the key, keep min id, semi-join
+  back.  One shuffle on the dedup key; at 100 TB this is the canonical
+  pattern (no window sort over the full table needed).
+* :func:`jaccard_pairs` — EXACT n-gram Jaccard via an inverted shingle
+  index (explode -> self-join on shingle -> count).  Frequent-shingle
+  posting lists are quadratic, so ``max_df`` drops shingles appearing in
+  more than that many docs (standard trick; disabled by default so the
+  oracle stays exact).
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH candidate
+  generation + exact-Jaccard verification.  The hash family is
+  ``md5(perm_seed || shingle)`` with the *lexicographic min of fixed-width
+  hex strings* as the min-hash — portable bit-for-bit to duckdb SQL, which
+  is what makes the LSH pipeline oracle-checkable end to end.
+* :func:`simhash64` — 64-bit SimHash per doc (vectorized pandas UDF over
+  token md5 bit-vectors); near-dup = small Hamming distance.
+* embedding-cosine near-dup lives in ``operators/similarity.py``
+  (:func:`~.similarity.cosine_pairs`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .text import tokens, word_shingles
+
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep, per duplicate group, the row with the smallest ``id_col``."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [*key_cols, id_col], "left_semi")
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(tokens(F.col(text_col)), k).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with exact k-word-shingle Jaccard >= threshold.
+
+    Output: id_a, id_b, common, n_a, n_b (exact ints) + jac double."""
+    sh = _with_shingles(df, id_col, text_col, k)
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    posting = sh.select("__id", F.explode("__sh").alias("__s"))
+    if max_df is not None:
+        rare = (
+            posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("__s")
+        )
+        posting = posting.join(rare, "__s", "left_semi")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    out = (
+        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .withColumn("jac", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .where(F.col("jac") >= threshold)
+    )
+    return out.select("id_a", "id_b", "common", "n_a", "n_b", "jac")
+
+
+def minhash_signature_cols(sh_col, perms: int = MINHASH_PERMS) -> list:
+    """One min-hash column per permutation: min md5 hex of seed-prefixed
+    shingles (fixed-width lowercase hex => lexicographic min == numeric
+    min; identical in duckdb)."""
+    return [
+        F.array_min(
+            F.transform(sh_col, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}#"), s)))
+        ).alias(f"__sig{j}")
+        for j in range(perms)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    LSH generates candidates (any shared band); the verify stage joins the
+    two shingle sets and keeps exact Jaccard >= threshold.  Output:
+    id_a, id_b, common, n_a, n_b, jac."""
+    rows = perms // bands
+    sh = _with_shingles(df, id_col, text_col, k).persist()
+    sigs = sh.select("__id", "__sh", *minhash_signature_cols(F.col("__sh"), perms))
+    band_cols = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}@"),
+                *[F.col(f"__sig{b * rows + r}") for r in range(rows)],
+            )
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("__id", *band_cols)
+    melted = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"__band{b}").alias("bk")) for b in range(bands)])
+        ).alias("e"),
+    ).select("__id", F.col("e.bi").alias("__bi"), F.col("e.bk").alias("__bk"))
+    a = melted.alias("a")
+    b = melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__bi") == F.col("b.__bi"))
+            & (F.col("a.__bk") == F.col("b.__bk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).cast("bigint").alias("common"),
+            F.size("__sha").cast("bigint").alias("n_a"),
+            F.size("__shb").cast("bigint").alias("n_b"),
+        )
+        .withColumn("jac", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .where(F.col("jac") >= threshold)
+    )
+    return verified
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: md5-derived bit vectors per token,
+    +1/-1 vote per bit weighted by token multiplicity, sign -> bit."""
+    import re
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    pat = re.compile("[^a-z0-9]+")
+    for i, t in enumerate(texts):
+        toks = [x for x in pat.split((t or "").lower()) if x]
+        if not toks:
+            out[i] = 0
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            bits = np.unpackbits(
+                np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8),
+                bitorder="little",
+            ).astype(np.int64)
+            votes += 2 * bits - 1
+        packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little").tobytes()
+        out[i] = int.from_bytes(packed, "little", signed=True)
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash64_udf(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    (a pair within Hamming<=k for k<4*16 must share at least one of the 4
+    chunks — pigeonhole), so the join is equi on chunk value, not a cross
+    join."""
+    s = simhash64(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    chunks = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "simhash", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

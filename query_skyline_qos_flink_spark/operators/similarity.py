@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, by scale:
+
+* :func:`knn_exact_fold` — sequential-fold distance expressions
+  (``F.aggregate`` over ``zip_with``): bit-for-bit reproducible in duckdb,
+  used for oracle-gated queries.  JVM-side codegen, fine to ~1e7 pairs.
+* :func:`knn_blocked` — the scale path: broadcast the query matrix, one
+  numpy GEMM per Arrow batch (``||e||^2 + ||q||^2 - 2 e.q``), map-side
+  top-k, tiny shuffle on query id for the final top-k.  This is how you
+  brute-force 100 TB: compute is embarrassingly parallel, shuffle volume is
+  ``O(n_queries * k * n_partitions)``.
+* :func:`ann_bucketed` — IVF/LSH-style: deterministic sign-bit bucket code
+  over the first ``n_bits`` dimensions; candidates limited to the query's
+  bucket.  Recall < 1 by design; the bucket rule is a pure column expr so
+  the duckdb oracle replicates it exactly.
+
+:func:`cosine_pairs` is the embedding-cosine near-dup operator (dedup
+family); fold-based for oracle parity, with the blocked matrix path noted
+for scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+_D = "double"
+
+
+def _sq_l2_fold(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast(_D) - y.cast(_D)) * (x.cast(_D) - y.cast(_D))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_fold(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast(_D) * y.cast(_D)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_fold(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast(_D) * x.cast(_D)))
+
+
+def knn_exact_fold(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 for each query row (self excluded, ties by
+    neighbor id).  Output: q_id, n_id, rnk."""
+    q = query_df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q"))
+    pairs = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("n_id"),
+            _sq_l2_fold(F.col("__q"), F.col(vec_col)).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+def knn_blocked(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked-GEMM brute-force top-k (the 100 TB path).  Same contract as
+    :func:`knn_exact_fold`; float summation order differs (pairwise GEMM vs
+    sequential fold), so ranks can differ on near-exact ties — hence no SQL
+    oracle, property-tested against the fold path instead."""
+    qpdf = query_df.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qsq = (Q * Q).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, Q, qsq))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Q, qsq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            d2 = (E * E).sum(axis=1)[:, None] + qsq[None, :] - 2.0 * (E @ Q.T)
+            rows = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cand_ids = ids[mask]
+                cand_d = d2[mask, qi]
+                if cand_ids.size == 0:
+                    continue
+                top = np.argsort(cand_d, kind="stable")[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "n_id": cand_ids[top], "dist": cand_d[top]}
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    partial = df.mapInPandas(fn, schema="q_id long, n_id long, dist double")
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+def bucket_code(vec_col, n_bits: int = 8):
+    """Deterministic sign-bit bucket: bit i set iff vec[i] >= 0."""
+    code = F.lit(0)
+    for i in range(n_bits):
+        code = code + F.when(
+            F.element_at(vec_col, i + 1).cast(_D) >= 0.0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return code
+
+
+def ann_bucketed(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bit
+    bucket (equi-join on the bucket code -> shuffle only within buckets).
+    Output: q_id, n_id, rnk."""
+    base = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__e"),
+        bucket_code(F.col(vec_col), n_bits).alias("__bkt"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__q"),
+        bucket_code(F.col(vec_col), n_bits).alias("__bkt"),
+    )
+    pairs = (
+        base.join(F.broadcast(q), "__bkt")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _sq_l2_fold(F.col("__q"), F.col("__e")).alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    Output: id_a, id_b, cos_micro (floor(cos * 1e6) — integerized so the
+    oracle hash is immune to any downstream float formatting).  Fold-based
+    exact arithmetic; at scale, block the pair space and GEMM per block
+    (see knn_blocked), or prefilter candidates with ann buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = _dot_fold(F.col("__va"), F.col("__vb")) / (
+        _norm_fold(F.col("__va")) * _norm_fold(F.col("__vb"))
+    )
+    return (
+        pairs.withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.floor(F.col("__cos") * 1e6).cast("bigint").alias("cos_micro"))
+    )

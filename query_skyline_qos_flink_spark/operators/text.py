@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM-data pipelines — JVM-side expressions.
+
+Everything here is built from ``pyspark.sql.functions`` (whole-stage
+codegen, no Python in the hot path) so it scales to 100 TB document sets:
+tokenization, shingling, language-ID heuristics, quality scoring, token
+counting and document fingerprinting.  Each has a matching duckdb-SQL
+formulation in ``plans/pipeline.py`` for the oracle gate; md5 is used as
+the portable deterministic hash (identical hex output in Spark and duckdb).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+WS_RE = "\\s+"
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + deterministic: score = token matches with
+# multiplicity, argmax with lexicographic tie-break.
+LANG_LEXICON: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "auf"],
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "es": ["el", "los", "y", "es", "no", "por", "una", "para", "con", "se"],
+    "fr": ["le", "les", "et", "est", "pas", "pour", "que", "une", "dans", "du"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_LEXICON.values() for w in ws})
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alnum tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(col), TOKEN_RE), lambda x: x != "")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (empty if < k tokens)."""
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace / alnum / punctuation token counts per row."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.select(
+        *df.columns,
+        F.size(F.filter(F.split(c, WS_RE), lambda x: x != "")).cast("bigint").alias("n_ws"),
+        F.size(toks).cast("bigint").alias("n_alnum"),
+        F.coalesce(F.regexp_count(c, F.lit(PUNCT_RE)), F.lit(0)).cast("bigint").alias("n_punct"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a linear quality score.
+
+    Integer numerators are exact; ratios are single IEEE divisions and the
+    score is a fixed-order linear combination, so the duckdb oracle matches
+    bit-for-bit."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    out = df.select(
+        *df.columns,
+        F.length(c).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("sum_tok_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint").alias("n_stop"),
+        F.coalesce(F.regexp_count(c, F.lit(PUNCT_RE)), F.lit(0)).cast("bigint").alias("n_punct"),
+    )
+    nt = F.col("n_tok").cast("double")
+    return out.select(
+        *out.columns,
+        F.when(F.col("n_tok") > 0, F.col("sum_tok_len") / nt).otherwise(F.lit(0.0)).alias("avg_tok_len"),
+        F.when(F.col("n_tok") > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0)).alias("stop_ratio"),
+        F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars").cast("double"))
+        .otherwise(F.lit(0.0)).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-lexicon language ID; 'und' (undetermined) when no lexicon
+    token matches; ties break to the lexicographically smallest language."""
+    toks = tokens(F.col(text_col))
+
+    def contains(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, contains(words))) for lang, words in LANG_LEXICON.items()
+    }
+    langs = sorted(LANG_LEXICON)  # lexicographic order drives tie-break
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(*df.columns, pred.alias(out_col))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two deterministic document fingerprints:
+
+    * ``fp_md5`` — md5 of the whitespace-normalized token stream (robust to
+      spacing/punctuation; the exact-dedup key for 'same content').
+    * ``fp_minshingle`` — lexicographic min md5 over word-3-gram shingles,
+      i.e. a 1-permutation MinHash sketch (cheap near-dup prefilter key).
+    """
+    toks = tokens(F.col(text_col))
+    sh = word_shingles(toks, 3)
+    return df.select(
+        *df.columns,
+        F.md5(F.concat_ws(" ", toks)).alias("fp_md5"),
+        F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s))))
+        .otherwise(F.lit(None).cast("string")).alias("fp_minshingle"),
+    )

@@ -1,0 +1,329 @@
+"""LLM-data-pipeline query corpus — dedup / similarity / text / multimodal.
+
+Registered into the same REGISTRY as the declared corpus (``corpus.py``).
+Where the operator is deterministic and SQL-expressible, the duckdb oracle
+replicates the FULL pipeline (including MinHash-LSH candidate generation —
+possible because the hash family is md5-based and portable).  The two
+float-summation-order-sensitive scale paths (blocked-GEMM knn, SimHash
+pandas UDF) are registered without oracles -> driver rows-only check;
+property tests cross-validate them against their exact twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..session import load
+from .corpus import register
+
+# ---------------------------------------------------------------------------
+# Shared duckdb SQL fragments (mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHS = (
+    "list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+_TOK_CTE = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+_SH_CTE = (
+    f"{_TOK_CTE}, sh0 AS (SELECT doc_id, {_SHS} AS shs FROM t WHERE len(toks) >= 3)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_token_stats",
+    "SELECT doc_id, "
+    "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws, "
+    f"CAST(len({_TOKS}) AS BIGINT) AS n_alnum, "
+    "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct "
+    "FROM documents",
+    doc="Token counting: whitespace tokens, alnum tokens, punctuation chars "
+    "(pure column exprs, codegen'd)",
+)
+def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_stats(d).drop("text")
+
+
+@register(
+    "x_text_quality",
+    f"""
+{_TOK_CTE}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tok,
+  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_tok_len,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+  CASE WHEN len(toks) > 0
+       THEN COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END AS avg_tok_len,
+  CASE WHEN len(toks) > 0
+       THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END AS stop_ratio,
+  CASE WHEN length(text) > 0
+       THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(length(text) AS DOUBLE)
+       ELSE 0.0 END AS punct_ratio
+FROM t
+""".strip(),
+    doc="Quality features: integer numerators exact, ratios single IEEE divisions",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_features(d).drop("text")
+
+
+def _langid_oracle() -> str:
+    scores = {
+        lg: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in text.LANG_LEXICON.items()
+    }
+    langs = sorted(text.LANG_LEXICON)
+    best = "greatest(" + ", ".join(scores[lg] for lg in langs) + ")"
+    cases = " ".join(f"WHEN {scores[lg]} = __best THEN '{lg}'" for lg in langs)
+    return f"""
+{_TOK_CTE}, s AS (SELECT doc_id, toks, {best} AS __best FROM t)
+SELECT doc_id, CASE WHEN __best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred FROM s
+""".strip()
+
+
+@register(
+    "x_langid",
+    _langid_oracle(),
+    doc="Stopword-lexicon language ID (argmax with lexicographic tie-break)",
+)
+def x_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.lang_id(d).drop("text")
+
+
+@register(
+    "x_fingerprint",
+    f"""
+{_TOK_CTE}, s AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 3 THEN {_SHS} ELSE [] END AS shs
+  FROM t)
+SELECT doc_id,
+  md5(array_to_string(toks, ' ')) AS fp_md5,
+  CASE WHEN len(shs) > 0 THEN list_min(list_transform(shs, x -> md5(x)))
+       ELSE NULL END AS fp_minshingle
+FROM s
+""".strip(),
+    doc="Document fingerprints: md5 of normalized token stream + "
+    "1-perm MinHash sketch (min shingle md5)",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.fingerprint(d).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_normalized",
+    f"""
+{_TOK_CTE}, fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_md5 FROM t)
+SELECT min(doc_id) AS doc_id, fp_md5 FROM fp GROUP BY fp_md5
+""".strip(),
+    doc="Normalize-then-dedup: exact dedup on the normalized-content "
+    "fingerprint, keeping the lowest doc_id",
+)
+def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = text.fingerprint(d).select("doc_id", "fp_md5")
+    return dedup.exact_dedup(fp, ["fp_md5"], "doc_id")
+
+
+_JACCARD_ORACLE = f"""
+{_SH_CTE},
+post AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, CAST(p.common AS BIGINT) AS common,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       p.common / CAST(na.n + nb.n - p.common AS DOUBLE) AS jac
+FROM pairs p JOIN sizes na ON p.id_a = na.doc_id JOIN sizes nb ON p.id_b = nb.doc_id
+WHERE p.common / CAST(na.n + nb.n - p.common AS DOUBLE) >= 0.1
+""".strip()
+
+
+@register(
+    "x_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle "
+    "index (explode -> equi-join -> count); threshold 0.1",
+)
+def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, threshold=0.1)
+
+
+def _minhash_oracle(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
+    rows = perms // bands
+    sig_sql = ", ".join(
+        f"list_min(list_transform(shs, s -> md5('{j}#' || s))) AS sig{j}" for j in range(perms)
+    )
+    band_sql = ", ".join(
+        "md5('" + f"{b}@' || " + " || ".join(f"sig{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, band{b} AS bk FROM band" for b in range(bands)
+    )
+    return f"""
+{_SH_CTE},
+sig AS (SELECT doc_id, shs, {sig_sql} FROM sh0),
+band AS (SELECT doc_id, {band_sql} FROM sig),
+melt AS ({melt}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melt a JOIN melt b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
+         CAST(len(sa.shs) AS BIGINT) AS n_a, CAST(len(sb.shs) AS BIGINT) AS n_b
+  FROM cand c JOIN sh0 sa ON c.id_a = sa.doc_id JOIN sh0 sb ON c.id_b = sb.doc_id)
+SELECT id_a, id_b, common, n_a, n_b,
+       common / CAST(n_a + n_b - common AS DOUBLE) AS jac
+FROM ver WHERE common / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
+""".strip()
+
+
+@register(
+    "x_minhash_lsh_pairs",
+    _minhash_oracle(),
+    doc="MinHash (16 md5 perms) + banded LSH (4x4) candidates, exact-Jaccard "
+    "verified at 0.5 — the whole LSH pipeline is oracle-replicated in SQL",
+)
+def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@register(
+    "x_simhash_pairs",
+    None,  # pandas-UDF hash path; rows-only check, cross-validated in tests
+    doc="SimHash64 near-dup pairs (Hamming <= 8) with 16-bit chunk blocking "
+    "(pigeonhole: no cross join)",
+)
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=8)
+
+
+_COS_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+     FROM (SELECT unnest(a.embedding) AS u, unnest(b.embedding) AS v) x)
+    / (sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+             FROM (SELECT unnest(a.embedding) AS u) xa))
+     * sqrt((SELECT sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+             FROM (SELECT unnest(b.embedding) AS v) xb))) AS cos
+  FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM p WHERE cos >= 0.4
+""".strip()
+
+
+@register(
+    "x_cosine_neardup",
+    _COS_ORACLE,
+    doc="Embedding-cosine near-dup pairs (>= 0.4), sequential-fold arithmetic "
+    "for oracle parity; cos integerized to micro-units",
+)
+def x_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(col: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+_ANN_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM base WHERE vec_id BETWEEN 1 AND 5),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+    (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+     FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
+  FROM q JOIN base e ON q.bkt = e.bkt AND e.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
+SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5
+""".strip()
+
+
+@register(
+    "x_ann_bucketed",
+    _ANN_ORACLE,
+    doc="LSH/IVF-style ANN: sign-bit bucket over first 8 dims, search within "
+    "bucket only (equi-join) — deterministic, oracle-replicated",
+)
+def x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").between(1, 5))
+    return similarity.ann_bucketed(e, q, k=5)
+
+
+@register(
+    "x_ann_blocked",
+    None,  # GEMM summation order != fold order; rows-only + property test vs e2
+    doc="Blocked-GEMM brute-force top-10 (the 100 TB scale path): broadcast "
+    "query matrix, numpy matmul per Arrow batch, map-side top-k",
+)
+def x_ann_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").between(1, 5))
+    return similarity.knn_blocked(e, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_meta",
+    """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS m FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, m AS content_md5,
+       CAST(n % 640 AS BIGINT) AS fake_width,
+       CAST((n * 7) % 480 AS BIGINT) AS fake_height,
+       CAST(n % 16 + 1 AS BIGINT) AS fake_frames
+FROM b
+""".strip(),
+    doc="Multimodal binary plumbing: opaque payload column through Arrow "
+    "into mapInPandas, deterministic fake decode (real codecs stubbed — "
+    "operators/multimodal.py decode_image/decode_audio)",
+)
+def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_binary(d)
+    return multimodal.extract_media_meta(with_bin)

@@ -1,0 +1,130 @@
+"""LLM-pipeline operator tests: dedup family, similarity, text, multimodal.
+
+The oracle-gated queries are covered by test_corpus.py; here we test the
+operator APIs on controlled inputs (synthetic duplicates, known neighbors)
+and cross-validate the no-oracle scale paths against their exact twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from query_skyline_qos_flink_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "The quick  brown fox, jumps over the lazy dog!"),       # normalized dup
+        (4, "the quick brown fox jumps over the sleepy dog today"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, "ab"),                                                   # < 3 tokens
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id").toPandas()
+    assert sorted(out.doc_id) == [1, 3, 4, 5, 6]
+
+
+def test_normalized_dedup_collapses_punctuation_variants(spark, docs):
+    fp = text.fingerprint(docs).select("doc_id", "fp_md5")
+    out = dedup.exact_dedup(fp, ["fp_md5"], "doc_id").toPandas()
+    # 1,2,3 all normalize to the same token stream -> keep 1
+    assert sorted(out.doc_id) == [1, 4, 5, 6]
+
+
+def test_jaccard_pairs_finds_near_dups(spark, docs):
+    out = dedup.jaccard_pairs(docs, threshold=0.3).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs  # near dup above 0.3
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates_subset_of_exact(spark, docs):
+    exact = dedup.jaccard_pairs(docs, threshold=0.5).toPandas()
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    # verify stage makes LSH precision 1.0 (subset of exact-jaccard pairs);
+    # recall < 1.0 below jac==1 is inherent to b=4/r=4 banding
+    assert lsh_pairs <= exact_pairs
+    # identical shingle sets share every band -> always recovered
+    assert {(1, 2), (1, 3), (2, 3)} <= lsh_pairs
+    # verified stats must agree with the exact computation on shared pairs
+    merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert (merged.jac_l == merged.jac_e).all() and (merged.common_l == merged.common_e).all()
+
+
+def test_simhash_identical_and_near_texts(spark, docs):
+    out = dedup.simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+    assert out[1] == out[2]  # identical text -> identical hash
+    pairs = dedup.simhash_pairs(docs, max_hamming=8).toPandas()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs.itertuples()}
+
+
+def test_simhash_proximity_on_long_docs(spark):
+    # hamming is only meaningful with enough tokens to vote the bits
+    base = " ".join(f"token{i}" for i in range(60))
+    near = " ".join(f"token{i}" if i % 20 else "changed" for i in range(60))
+    other = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, base), (2, near), (3, other)], columns=["doc_id", "text"])
+    )
+    out = dedup.simhash64(df).toPandas().set_index("doc_id")["simhash"]
+    ham = lambda a, b: bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_blocked_knn_matches_fold_knn(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [rng.normal(size=16).astype(np.float32) for _ in range(300)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    q = df.where(F.col("vec_id") < 3)
+    fold = similarity.knn_exact_fold(df, q, k=8).toPandas()
+    blocked = similarity.knn_blocked(df, q, k=8).toPandas()
+    key = lambda d: sorted(map(tuple, d[["q_id", "n_id", "rnk"]].itertuples(index=False)))
+    assert key(fold) == key(blocked)
+
+
+def test_cosine_pairs_detects_duplicate_vectors(spark):
+    v = np.random.default_rng(8).normal(size=32).astype(np.float32)
+    rows = [(1, v), (2, v.copy()), (3, (v * 0.5).astype(np.float32)), (4, -v)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.cosine_pairs(df, threshold=0.99).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}  # scaled copies cosine==1; negated excluded
+
+
+def test_langid_on_real_language_samples(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy"),
+        (2, "der hund ist nicht mit der katze auf dem sofa"),
+        (3, "le chat est dans la maison et il est pour le mieux"),
+        (4, "el perro no es por una casa para los gatos"),
+        (5, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert list(out[[1, 2, 3, 4, 5]]) == ["en", "de", "fr", "es", "und"]
+
+
+def test_multimodal_stub_and_plumbing(spark, docs):
+    with_bin = multimodal.attach_binary(docs)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    meta = multimodal.extract_media_meta(with_bin).toPandas().set_index("doc_id")
+    assert meta.loc[1, "n_bytes"] == len(docs.toPandas().set_index("doc_id").loc[1, "text"].encode())
+    assert meta.loc[1, "content_md5"] == meta.loc[2, "content_md5"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
