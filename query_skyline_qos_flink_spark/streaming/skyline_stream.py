@@ -1,0 +1,245 @@
+"""Structured-Streaming skyline — the reference topology, Spark-native.
+
+Reference dataflow (``/root/reference/java/org.main/FlinkSkyline.java``):
+data keyBy spatial pid (O5-O8) -> CoProcess with a broadcast query/control
+stream (O9-O11) -> per-partition incremental BNL + record-ID barrier
+(O12-O13) -> per-query global merge + metrics (O15-O21).
+
+Spark translation:
+* Spark has no two-input CoProcessFunction; the idiomatic substitute is a
+  UNION of the data and trigger streams tagged by row shape into ONE
+  stateful operator (SURVEY.md §7 M3).  Triggers are fanned out to every
+  partition with ``explode(sequence(0, P-1))`` (the reference's O9
+  broadcast flatMap).
+* Keyed state via ``applyInPandasWithState``: each spatial partition keeps
+  {max_seen record id, its local skyline, pending queries}.  State is
+  CUMULATIVE across queries — the reference never clears the local skyline
+  (``FlinkSkyline.java:388-392``), each query answers "skyline of
+  everything ingested so far".
+* Record-ID barrier (O13): a trigger with ``required_count`` fires when
+  ``max_seen >= required_count`` (ref semantics: a superset snapshot, NOT
+  an exact prefix — the batch engine's S10 gives the exact version);
+  otherwise it parks in state and is re-checked every micro-batch.  A
+  partition that never saw data answers immediately with an empty partial
+  (the ref's ``maxId == -1`` path, ``FlinkSkyline.java:351``).
+* The global phase (O15-O21) is :func:`finalize_results` — a plain batch
+  groupBy over the emitted partials (a micro-batch boundary is a natural
+  barrier, so no arrival-countdown state is needed in ``availableNow``
+  replays; for continuous mode, run it inside ``foreachBatch``).
+
+Production note: at cluster scale the per-key state should move to
+``transformWithStateInPandas`` value-state handles (Spark 4.x) to avoid
+re-serializing the whole skyline tuple each batch; the operator body is
+identical.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.partitioners import partition_id
+from ..operators.skyline_kernel import skyline_mask, skyline_update
+
+OUTPUT_SCHEMA = (
+    "query_id string, pid int, id bigint, values array<double>, "
+    "local_size bigint, max_seen bigint, local_cpu_ms double"
+)
+STATE_SCHEMA = (
+    "max_seen bigint, ids array<bigint>, pts array<array<double>>, "
+    "pending_q array<string>, pending_req array<bigint>, cpu_ms double"
+)
+
+
+def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Union-tagged CoProcess: data rows have ``values``; trigger rows have
+    ``query_id``.  Batch order: ingest data, then evaluate triggers —
+    snapshot-at-batch semantics (SURVEY.md §3.3)."""
+    pid = int(key[0])
+    if state.exists:
+        max_seen, ids, pts, pend_q, pend_req, cpu_ms = state.get
+        ids = list(ids)
+        pts = [list(p) for p in pts]
+        pend = list(zip(pend_q, pend_req))
+    else:
+        max_seen, ids, pts, pend, cpu_ms = -1, [], [], [], 0.0
+
+    out_frames = []
+    for pdf in pdfs:
+        data = pdf[pdf["values"].notna()]
+        trig = pdf[pdf["query_id"].notna()]
+        if len(data):
+            t0 = time.perf_counter()
+            batch_ids = data["id"].to_numpy(dtype=np.int64)
+            batch_pts = np.array([np.asarray(v, dtype=np.float64) for v in data["values"]])
+            max_seen = max(max_seen, int(batch_ids.max()))
+            # incremental BNL over (current skyline + batch), keeping ids
+            all_ids = np.concatenate([np.asarray(ids, dtype=np.int64), batch_ids])
+            all_pts = (
+                np.concatenate([np.asarray(pts, dtype=np.float64), batch_pts])
+                if pts
+                else batch_pts
+            )
+            mask = skyline_mask(all_pts)
+            ids = all_ids[mask].tolist()
+            pts = all_pts[mask].tolist()
+            cpu_ms += (time.perf_counter() - t0) * 1000.0
+        for r in trig.itertuples():
+            pend.append((r.query_id, int(r.required_count)))
+
+        fired, still = [], []
+        for qid, req in pend:
+            # barrier: enough records ingested, immediate trigger (req<=0),
+            # or a partition that never saw data (ref maxId==-1 path)
+            if req <= 0 or max_seen >= req or max_seen == -1:
+                fired.append((qid, req))
+            else:
+                still.append((qid, req))
+        pend = still
+        for qid, _req in fired:
+            if ids:
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "pid": pid,
+                            "id": ids,
+                            "values": [list(p) for p in pts],
+                            "local_size": len(ids),
+                            "max_seen": max_seen,
+                            "local_cpu_ms": cpu_ms,
+                        }
+                    )
+                )
+            else:  # empty partial so the global latch still completes
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qid],
+                            "pid": [pid],
+                            "id": [None],
+                            "values": [None],
+                            "local_size": [0],
+                            "max_seen": [max_seen],
+                            "local_cpu_ms": [cpu_ms],
+                        }
+                    )
+                )
+
+    state.update(
+        (
+            max_seen,
+            ids,
+            [list(p) for p in pts],
+            [q for q, _ in pend],
+            [r for _, r in pend],
+            cpu_ms,
+        )
+    )
+    for f in out_frames:
+        yield f
+
+
+def build_skyline_stream(
+    data: DataFrame,
+    triggers: DataFrame,
+    d: int,
+    num_partitions: int = 8,
+    strategy: str = "dim",
+    domain: float = 10000.0,
+) -> DataFrame:
+    """Wire the union-tagged stateful topology.
+
+    ``data``: streaming (id bigint, values array<double>) — wire.parse_service_tuples.
+    ``triggers``: streaming (query_id string, required_count bigint).
+    Returns the stream of per-partition query partials (OUTPUT_SCHEMA).
+    """
+    dim_cols = [F.element_at("values", i + 1) for i in range(d)]
+    pid = partition_id(strategy, dim_cols, num_partitions, domain)
+    tagged_data = data.select(
+        pid.alias("pid"),
+        "id",
+        "values",
+        F.lit(None).cast("string").alias("query_id"),
+        F.lit(None).cast("bigint").alias("required_count"),
+    )
+    fanned = triggers.select(
+        F.explode(F.sequence(F.lit(0), F.lit(num_partitions - 1))).alias("pid"),
+        F.lit(None).cast("bigint").alias("id"),
+        F.lit(None).cast("array<double>").alias("values"),
+        "query_id",
+        "required_count",
+    )
+    unioned = tagged_data.unionByName(fanned)
+    return unioned.groupBy("pid").applyInPandasWithState(
+        _stateful_update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_results(partials: pd.DataFrame, num_partitions: int = 8) -> pd.DataFrame:
+    """Global phase (reference O15-O21) over collected partials: per-query
+    global skyline merge, Optimality, and the metrics record — including
+    ``query_latency_ms`` (always 0 in the reference's CSVs because it is
+    computed but never serialized; we emit the real value = total time)."""
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        t0 = time.perf_counter()
+        pts_rows = g[g["id"].notna()]
+        if len(pts_rows):
+            pts = np.array([np.asarray(v, dtype=np.float64) for v in pts_rows["values"]])
+            mask = skyline_mask(pts)
+            surv = pts_rows.loc[mask]
+            sky_size = int(mask.sum())
+            ratios = 0.0
+            for pid, pg in pts_rows.groupby("pid"):
+                local_size = int(pg["local_size"].iloc[0])
+                if local_size > 0:
+                    ratios += len(surv[surv["pid"] == pid]) / local_size
+            optimality = ratios / num_partitions
+        else:
+            sky_size, optimality = 0, 0.0
+        per_pid = g.drop_duplicates("pid")
+        # producer ids are 0-based global monotone (FIXTURES.md §2), so the
+        # ingested-record count at snapshot time is the max seen id + 1
+        record_count = int(per_pid["max_seen"].max() + 1)
+        local_ms = float(per_pid["local_cpu_ms"].max())
+        global_ms = (time.perf_counter() - t0) * 1000.0
+        rows.append(
+            {
+                "query_id": qid,
+                "record_count": record_count,
+                "skyline_size": sky_size,
+                "optimality": round(optimality, 4),
+                "ingestion_time_ms": 0.0,  # no wall/ingest split in replay mode
+                "local_processing_time_ms": local_ms,
+                "global_processing_time_ms": global_ms,
+                "total_processing_time_ms": local_ms + global_ms,
+                "query_latency_ms": local_ms + global_ms,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def incremental_skyline_state() -> "IncrementalSkyline":
+    return IncrementalSkyline()
+
+
+class IncrementalSkyline:
+    """Driver-side incremental skyline (the reference's per-partition state
+    object, reusable for custom sinks/foreachBatch pipelines)."""
+
+    def __init__(self) -> None:
+        self.sky: np.ndarray | None = None
+
+    def update(self, batch: np.ndarray) -> np.ndarray:
+        self.sky = skyline_update(self.sky, batch)
+        return self.sky

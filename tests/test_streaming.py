@@ -1,0 +1,159 @@
+"""Streaming-layer tests: wire codecs, stateful skyline with trigger
+barriers (file source, availableNow replay, memory sink), finalize metrics.
+
+Mirrors the reference's harness shape (Kafka topics replaced by file
+streams; SURVEY.md §7 M3 'rate-source harness replaces Kafka in CI').
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from query_skyline_qos_flink_spark.operators.skyline_kernel import skyline_mask_brute
+from query_skyline_qos_flink_spark.sources import wire
+from query_skyline_qos_flink_spark.streaming.skyline_stream import (
+    build_skyline_stream,
+    finalize_results,
+)
+
+
+def test_parse_service_tuples_drops_malformed(spark):
+    lines = ["1,10.5,20.0", "2,1,2", "", "abc,1,2", "3,xx,2", "4", "5,7.0"]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    out = wire.parse_service_tuples(df).toPandas().sort_values("id")
+    assert out["id"].tolist() == [1, 2, 5]
+    assert list(out["values"].tolist()[0]) == [10.5, 20.0]
+
+
+def test_parse_query_triggers_defaults(spark):
+    df = spark.createDataFrame([("q1,1000",), ("q2",), ("",)], "value string")
+    out = wire.parse_query_triggers(df).toPandas().sort_values("query_id")
+    assert out.values.tolist() == [["q1", 1000], ["q2", 0]]
+
+
+def test_roundtrip_encode_parse(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "values": [[1.0, 2.0], [3.5, 4.5]]})
+    )
+    back = wire.parse_service_tuples(wire.encode_service_tuples(df)).toPandas()
+    assert sorted(back["id"]) == [1, 2]
+
+
+def test_result_json_includes_fixed_latency(spark):
+    pdf = pd.DataFrame(
+        [
+            {
+                "query_id": "q1",
+                "record_count": 10,
+                "skyline_size": 3,
+                "optimality": 0.5,
+                "ingestion_time_ms": 0.0,
+                "local_processing_time_ms": 1.0,
+                "global_processing_time_ms": 2.0,
+                "total_processing_time_ms": 3.0,
+                "query_latency_ms": 3.0,
+            }
+        ]
+    )
+    out = wire.result_json(spark.createDataFrame(pdf)).collect()[0][0]
+    rec = json.loads(out)
+    assert rec["query_latency_ms"] == 3.0  # the reference drops this field; we don't
+    assert rec["skyline_size"] == 3
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = tmp_path / "data"
+    q = tmp_path / "queries"
+    c = tmp_path / "ckpt"
+    d.mkdir(), q.mkdir()
+    return str(d), str(q), str(c)
+
+
+def _run_stream(spark, data_dir, query_dir, ckpt, d=2, P=4, sink="skyline_results",
+                out_dir: str | None = None):
+    data = wire.parse_service_tuples(spark.readStream.schema("value string").text(data_dir))
+    trig = wire.parse_query_triggers(spark.readStream.schema("value string").text(query_dir))
+    out = build_skyline_stream(data, trig, d=d, num_partitions=P, strategy="dim", domain=100.0)
+    if out_dir:  # durable sink: supports checkpoint recovery across runs
+        writer = out.writeStream.format("json").option("path", out_dir)
+    else:
+        writer = out.writeStream.format("memory").queryName(sink)
+    q = (
+        writer.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if out_dir:
+        from query_skyline_qos_flink_spark.streaming.skyline_stream import OUTPUT_SCHEMA
+
+        return spark.read.schema(OUTPUT_SCHEMA).json(out_dir)
+    return spark.sql(f"SELECT * FROM {sink}")
+
+
+def test_streaming_skyline_end_to_end(spark, stream_dirs):
+    data_dir, query_dir, ckpt = stream_dirs
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 100, size=(500, 2)).astype(float)
+    with open(os.path.join(data_dir, "batch0.csv"), "w") as f:
+        for i, p in enumerate(pts):
+            f.write(f"{i},{p[0]},{p[1]}\n")
+    with open(os.path.join(query_dir, "q0.csv"), "w") as f:
+        f.write("q1,400\n")  # barrier satisfied: 500 records ingested
+
+    res = _run_stream(spark, data_dir, query_dir, ckpt).toPandas()
+    got = res[res["id"].notna()]
+    # the union of fired local skylines must reduce to the true skyline
+    merged = np.array([np.asarray(v) for v in got["values"]])
+    final = merged[skyline_mask_brute(merged)]
+    want = pts[skyline_mask_brute(pts)]
+    assert sorted(map(tuple, final)) == sorted(map(tuple, want))
+
+    metrics = finalize_results(res, num_partitions=4)
+    assert metrics.iloc[0]["skyline_size"] == len(want)
+    assert metrics.iloc[0]["record_count"] >= 500
+    assert 0 < metrics.iloc[0]["optimality"] <= 1.0
+
+
+def test_streaming_barrier_holds_until_enough_records(spark, stream_dirs):
+    data_dir, query_dir, ckpt = stream_dirs
+    rng = np.random.default_rng(11)
+    # batch 0: 10 records + a trigger requiring 50 -> must NOT fire
+    # (values are random so ids don't correlate with the spatial partition:
+    # the barrier is per-partition max-seen-id, reference O13 semantics)
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        for i in range(10):
+            f.write(f"{i},{rng.integers(0, 100)}.0,{rng.integers(0, 100)}.0\n")
+    with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+        f.write("q_wait,50\n")
+    out_dir = os.path.join(os.path.dirname(ckpt), "out")
+    res1 = _run_stream(spark, data_dir, query_dir, ckpt, out_dir=out_dir).toPandas()
+    fired1 = set(res1[res1["max_seen"] >= 0]["query_id"])
+    assert "q_wait" not in fired1  # parked: only empty partitions answered
+
+    # batch 1: 90 more records -> pending barrier releases on data arrival
+    with open(os.path.join(data_dir, "b1.csv"), "w") as f:
+        for i in range(10, 100):
+            f.write(f"{i},{rng.integers(0, 100)}.0,{rng.integers(0, 100)}.0\n")
+    res2 = _run_stream(spark, data_dir, query_dir, ckpt, out_dir=out_dir).toPandas()
+    assert "q_wait" in set(res2[res2["max_seen"] >= 0]["query_id"])
+
+
+def test_streaming_immediate_trigger_and_cumulative_state(spark, stream_dirs):
+    data_dir, query_dir, ckpt = stream_dirs
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        f.write("0,5.0,5.0\n1,3.0,9.0\n")
+    with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+        f.write("q_now\n")  # comma-less payload -> required_count 0 -> immediate
+    res = _run_stream(spark, data_dir, query_dir, ckpt, sink="skyline_imm").toPandas()
+    assert set(res["query_id"]) == {"q_now"}
+    got = res[res["id"].notna()]
+    assert sorted(got["id"]) == [0, 1]
