@@ -191,12 +191,13 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (a pair within Hamming<=k for k<4*16 must share at least one of the 4
-    chunks — pigeonhole), so the join is equi on chunk value, not a cross
-    join."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks:
+    by pigeonhole a pair with Hamming <= 3 differing bits cannot touch all
+    4 chunks, so it must share one -> the join is equi on chunk value, not a
+    cross join.  For ``max_hamming`` > 3 the blocking is a recall<1 filter
+    (guaranteeing k requires k+1 chunks)."""
     s = simhash64(df.select(id_col, text_col), text_col).select(id_col, "simhash")
     chunks = s.select(
         id_col,

@@ -219,12 +219,12 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_simhash_pairs",
     None,  # pandas-UDF hash path; rows-only check, cross-validated in tests
-    doc="SimHash64 near-dup pairs (Hamming <= 8) with 16-bit chunk blocking "
-    "(pigeonhole: no cross join)",
+    doc="SimHash64 near-dup pairs (Hamming <= 3) with 16-bit chunk blocking "
+    "(pigeonhole: guaranteed recall at <= 3, no cross join)",
 )
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=8)
+    return dedup.simhash_pairs(d, max_hamming=3)
 
 
 _COS_ORACLE = """

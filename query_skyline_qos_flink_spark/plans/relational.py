@@ -1,0 +1,144 @@
+"""General relational coverage — the operator classes the reference lacks
+entirely (SURVEY.md §2.3: joins, windows, top-k, set ops, grouping sets)
+and that this engine inherits from Spark SQL/Catalyst.
+
+Money/quantity aggregates are computed in integer cents
+(``round(x*100) -> bigint``): double summation is order-dependent and Spark
+partial aggregation would never hash-match duckdb's scan order, while
+integer sums are associative and exact.  The same trick keeps window frames
+and top-k ties deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..session import load
+from .corpus import register
+
+
+def _cents(col):
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+@register(
+    "r1_agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS n_rows,
+  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+  sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_c,
+  count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".strip(),
+    doc="TPC-H Q1-shaped aggregation (partial+final agg, count distinct); "
+    "integer-cents arithmetic for exact oracle parity",
+)
+def r1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(_cents("l_extendedprice")).alias("sum_price_c"),
+        F.sum(_cents("l_discount")).alias("sum_disc_c"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "r2_join_topk_revenue",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c,
+         count(DISTINCT o.o_orderkey) AS n_orders
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY c.c_custkey, c.c_mktsegment)
+SELECT c_custkey, c_mktsegment, revenue_c, n_orders FROM rev
+ORDER BY revenue_c DESC, c_custkey LIMIT 10
+""".strip(),
+    doc="3-way join + aggregate + deterministic top-k (broadcast join for "
+    "the small dim; ties broken by custkey)",
+)
+def r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("revenue_c"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return rev.orderBy(F.col("revenue_c").desc(), F.col("c_custkey")).limit(10)
+
+
+@register(
+    "r3_window_running",
+    """
+SELECT event_id, user_id,
+  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+  sum(CAST(round(value * 100) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_c
+FROM events
+""".strip(),
+    doc="Per-user running aggregates (window functions over event time)",
+)
+def r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    # ts read as bigint nanos (see s6); micro-precision ordering like epoch_us
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(_cents("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "run_value_c"
+        ),
+    )
+
+
+@register(
+    "r4_semi_anti_join",
+    """
+SELECT c.c_custkey, c.c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""".strip(),
+    doc="Semi-join + anti-join composition (EXISTS / NOT EXISTS): customers "
+    "with orders but none finalized",
+)
+def r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(
+            o.where(F.col("o_orderstatus") == "F"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "r5_rollup_counts",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip(),
+    doc="Grouping sets (ROLLUP) — multi-level aggregates in one pass",
+)
+def r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,44 @@
+"""Physical-plan regression tests: the Catalyst properties the engine
+relies on at scale must not silently regress (column pruning, predicate
+pushdown, broadcast join selection)."""
+
+from __future__ import annotations
+
+import pytest
+
+from query_skyline_qos_flink_spark.plans import corpus, pipeline, relational  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = corpus.REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_s1_scan_prunes_columns_and_broadcasts_semijoin(spark):
+    plan = _plan(spark, "s1_skyline_2d")
+    assert "l_shipdate" not in plan  # unused columns never reach the scan
+    assert "l_quantity" not in plan
+    assert "BroadcastHashJoin" in plan  # survivor semi-join stays broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_s7_filter_pushed_into_scan(spark):
+    plan = _plan(spark, "s7_skyline_filtered")
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines and all("% 4" in l for l in scan_lines)
+
+
+def test_r2_uses_broadcast_joins_not_cartesian(spark):
+    plan = _plan(spark, "r2_join_topk_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem scan must not read the unused money columns
+    li_scan = next(l for l in plan.splitlines() if "lineitem.parquet" in l)
+    assert "l_tax" not in li_scan and "l_comment" not in li_scan
+
+
+def test_e2_broadcasts_query_vectors(spark):
+    plan = _plan(spark, "e2_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
