@@ -46,7 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .skyline_kernel import dominated_mask, skyline_mask
+from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask
 
 _PREP = "__sk_"
 
@@ -54,6 +54,24 @@ _PREP = "__sk_"
 # tree-merge round first (and as a last resort a single-task merge).
 _VERIFY_MAX_ROWS = 400_000
 _TREE_FANOUT = 32
+
+# Survivor DataFrames are persisted between the count/strategy decision and
+# the verify pass; keep only the most recent few so back-to-back skyline
+# calls don't accumulate cached blocks (the verify's toPandas() has already
+# materialized the cache by the time an entry ages out).
+_PERSISTED: list = []
+_PERSIST_KEEP = 4
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_KEEP:
+        try:
+            _PERSISTED.pop(0).unpersist(blocking=False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return df
 
 Direction = str  # 'min' | 'max'
 
@@ -148,15 +166,23 @@ def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
     dims_pdf = cur.select(*prep_cols).toPandas()
     arr = np.ascontiguousarray(dims_pdf.to_numpy(dtype=np.float64))
     ssum = arr.sum(axis=1)
-    bc = spark.sparkContext.broadcast((arr, ssum))
+    order = np.argsort(ssum, kind="stable")
+    arr, ssum = arr[order], ssum[order]
+    # exact f32 fast path (integer-domain data): halves comparison traffic
+    f32 = exact_f32(arr)
+    if f32 is not None:
+        arr = np.ascontiguousarray(f32)
+    bc = spark.sparkContext.broadcast((arr, ssum, f32 is not None))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sky, sky_sum = bc.value
+        sky, sky_sum, use_f32 = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             pts = pdf[prep_cols].to_numpy(dtype=np.float64)
-            dom = dominated_mask(pts, pts.sum(axis=1), sky, sky_sum)
+            psum = pts.sum(axis=1)
+            cand = pts.astype(np.float32) if use_f32 else pts
+            dom = dominated_mask_vs_sorted(cand, psum, sky, sky_sum)
             out = pdf.loc[~dom]
             if not out.empty:
                 yield out
@@ -190,11 +216,11 @@ def skyline(
         return res.select(*out_cols)
 
     local = _local_skyline_iter(prep_cols)
-    phase1 = prepped.mapInPandas(local, schema=prepped.schema).persist()
+    phase1 = _persist(prepped.mapInPandas(local, schema=prepped.schema))
     n = phase1.count()
     cur = phase1
     if n > _VERIFY_MAX_ROWS:
-        cur = cur.repartition(_TREE_FANOUT).mapInPandas(local, schema=prepped.schema).persist()
+        cur = _persist(cur.repartition(_TREE_FANOUT).mapInPandas(local, schema=prepped.schema))
         n = cur.count()
         if n > _VERIFY_MAX_ROWS:
             # pathological survivor volume: bounded-memory single-task merge
@@ -233,5 +259,5 @@ def skyline_with_pid(
     local = prepped.groupBy(origin_col).applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    final = _broadcast_verify(local.persist(), prep_cols)
+    final = _broadcast_verify(_persist(local), prep_cols)
     return final.select(*out_cols)

@@ -53,23 +53,72 @@ def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
     if sky.shape[0] == 0 or m == 0:
         return out
     d = cand.shape[1]
+    sky_t = np.ascontiguousarray(sky.T)
     for ms in range(0, m, _M_CHUNK):
         me = min(m, ms + _M_CHUNK)
         sub = np.zeros(me - ms, dtype=bool)
-        C = cand[ms:me]
+        C_t = np.ascontiguousarray(cand[ms:me].T)
         cs = cand_sum[ms:me]
         for ks in range(0, sky.shape[0], _K_CHUNK):
             alive = np.flatnonzero(~sub)
             if alive.size == 0:
                 break
-            S = sky[ks:ks + _K_CHUNK]
-            ss = sky_sum[ks:ks + _K_CHUNK]
-            A = C[alive]
+            ke = min(ks + _K_CHUNK, sky.shape[0])
+            ss = sky_sum[ks:ke]
             dom = ss[None, :] < cs[alive][:, None]
             for j in range(d):
-                np.logical_and(dom, S[:, j][None, :] <= A[:, j][:, None], out=dom)
+                np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
             sub[alive] |= dom.any(axis=1)
         out[ms:me] = sub
+    return out
+
+
+def exact_f32(arr: np.ndarray) -> np.ndarray | None:
+    """float32 view of ``arr`` if every value is exactly representable
+    (true for integer-domain data like the reference's producers) — halves
+    the memory traffic of the comparison kernels without changing results;
+    None when lossy."""
+    f32 = arr.astype(np.float32)
+    return f32 if (f32.astype(np.float64) == arr).all() else None
+
+
+def dominated_mask_vs_sorted(cand: np.ndarray, cand_sum: np.ndarray,
+                             sky_sorted: np.ndarray, sky_sum_sorted: np.ndarray) -> np.ndarray:
+    """Like :func:`dominated_mask` but ``sky`` is pre-sorted ascending by
+    sum: a dominator has a strictly smaller sum, so each candidate chunk
+    only scans the sky prefix below its max sum (processing candidates in
+    sum order makes the average prefix half the sky, and far less on
+    spread-sum data).
+
+    Layout note: comparisons run on TRANSPOSED contiguous per-dim vectors —
+    column slices of a row-major (n, d) matrix are strided and memory-bound;
+    the transposed form keeps the inner (sky) axis sequential."""
+    m = cand.shape[0]
+    out = np.zeros(m, dtype=bool)
+    if sky_sorted.shape[0] == 0 or m == 0:
+        return out
+    order = np.argsort(cand_sum, kind="stable")
+    d = cand.shape[1]
+    sky_t = np.ascontiguousarray(sky_sorted.T)
+    for ms in range(0, m, _M_CHUNK):
+        sel = order[ms:ms + _M_CHUNK]
+        C_t = np.ascontiguousarray(cand[sel].T)
+        cs = cand_sum[sel]
+        kmax = int(np.searchsorted(sky_sum_sorted, cs.max(), side="left"))
+        if kmax == 0:
+            continue
+        sub = np.zeros(len(sel), dtype=bool)
+        for ks in range(0, kmax, _K_CHUNK):
+            alive = np.flatnonzero(~sub)
+            if alive.size == 0:
+                break
+            ke = min(ks + _K_CHUNK, kmax)
+            ss = sky_sum_sorted[ks:ke]
+            dom = ss[None, :] < cs[alive][:, None]
+            for j in range(d):
+                np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+            sub[alive] |= dom.any(axis=1)
+        out[sel] = sub
     return out
 
 
@@ -105,12 +154,16 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
     ssum = sums[order]
 
     nv = sp.shape[0]
+    # exact f32 fast path for the comparison kernels (sums stay f64)
+    sp32 = exact_f32(sp)
+    work = sp32 if sp32 is not None else sp
     keep_sorted = np.zeros(nv, dtype=bool)
     sky_blocks: list[np.ndarray] = []
-    sky = np.empty((0, d), dtype=np.float64)
+    sum_blocks: list[np.ndarray] = []
+    sky = np.empty((0, d), dtype=work.dtype)
     sky_sum = np.empty((0,), dtype=np.float64)
     for i in range(0, nv, _BLOCK):
-        cand = sp[i:i + _BLOCK]
+        cand = work[i:i + _BLOCK]
         csum = ssum[i:i + _BLOCK]
         dominated = dominated_mask(cand, csum, sky, sky_sum)
         alive = np.flatnonzero(~dominated)
@@ -120,8 +173,11 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
             if surv.size:
                 keep_sorted[i + surv] = True
                 sky_blocks.append(cand[surv])
+                sum_blocks.append(csum[surv])
                 sky = np.concatenate(sky_blocks, axis=0) if len(sky_blocks) > 1 else sky_blocks[0]
-                sky_sum = sky.sum(axis=1)
+                sky_sum = (
+                    np.concatenate(sum_blocks) if len(sum_blocks) > 1 else sum_blocks[0]
+                )
     keep[vidx[order[keep_sorted.nonzero()[0]]]] = True
     return keep
 
