@@ -46,7 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask
+from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask, sums_exact
 
 _PREP = "__sk_"
 
@@ -168,21 +168,22 @@ def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
     ssum = arr.sum(axis=1)
     order = np.argsort(ssum, kind="stable")
     arr, ssum = arr[order], ssum[order]
+    exact = sums_exact(arr)
     # exact f32 fast path (integer-domain data): halves comparison traffic
     f32 = exact_f32(arr)
     if f32 is not None:
         arr = np.ascontiguousarray(f32)
-    bc = spark.sparkContext.broadcast((arr, ssum, f32 is not None))
+    bc = spark.sparkContext.broadcast((arr, ssum, f32 is not None, exact))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sky, sky_sum, use_f32 = bc.value
+        sky, sky_sum, use_f32, exact_mode = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             pts = pdf[prep_cols].to_numpy(dtype=np.float64)
             psum = pts.sum(axis=1)
             cand = pts.astype(np.float32) if use_f32 else pts
-            dom = dominated_mask_vs_sorted(cand, psum, sky, sky_sum)
+            dom = dominated_mask_vs_sorted(cand, psum, sky, sky_sum, exact=exact_mode)
             out = pdf.loc[~dom]
             if not out.empty:
                 yield out

@@ -11,21 +11,33 @@ so every copy of a non-dominated point is retained — this matches the
 reference's BNL (``FlinkSkyline.java:407-444``) and the duckdb NOT-EXISTS
 oracle form.
 
-Algorithm: sort-by-sum BNL.  If p dominates q then sum(p) < sum(q)
-(at least one strictly smaller coordinate, none larger), so after sorting
-ascending by coordinate sum a point can only be dominated by a point that
-appears strictly earlier.  One forward pass with a growing skyline set and
-no deletions replaces the reference's insert-and-evict BNL loop
+Algorithm: sorted forward-pass BNL.  A dominator always precedes its victim
+under either sort order used here, so one pass with a growing skyline set
+and no deletions replaces the reference's insert-and-evict BNL loop
 (``FlinkSkyline.java:417-444``).  Dominance is transitive, so testing
 against *all* earlier points (not only survivors) is sound for the
 intra-block step.
 
-All dominance tests are built from :func:`dominated_mask`, which works
-column-at-a-time over (cand x sky) chunk matrices — it never materializes a
-(m, k, d) tensor, and the strict-sum comparison goes first because it is
-the most selective predicate (encodes 'exists strictly smaller': all(<=)
-plus sum< implies some <; all(<=) with equal sums means equality, which
-does not dominate).
+Two numeric modes, chosen per call:
+
+* **exact-sums fast path** — when every value is integral and small enough
+  that coordinate sums are exact in float64 (always true for the
+  reference's integer-domain producers): sort by coordinate sum; dominance
+  reduces to ``all(<=) AND sum< `` (strictly smaller sum encodes 'exists
+  strictly smaller'; equal exact sums with all(<=) means equality).
+* **general path** — arbitrary floats: computed sums can round two
+  different sums to equality (hypothesis found this: ``4.0 + 1e-45 ==
+  4.0``), which breaks both the strict-sum test and sum-order tie
+  handling.  Instead sort LEXICOGRAPHICALLY (exact: a dominator is
+  strictly lex-smaller) and test ``all(<=) AND any(!=)`` (given all(<=),
+  'exists strictly smaller' is exactly 'not identical').  Float addition
+  is monotone, so ``fl_sum(p) <= fl_sum(q)`` still holds for dominators —
+  the NON-strict sum comparison stays valid as a prefix-pruning bound.
+
+All dominance tests run column-at-a-time over transposed contiguous
+vectors (column slices of row-major matrices are strided and memory-bound);
+no (m, k, d) tensor is ever materialized.  Rows containing NaN are excluded
+(engine policy: a null/NaN dimension excludes the row — SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -34,25 +46,59 @@ import numpy as np
 
 # Candidate block size for the forward pass.
 _BLOCK = 2048
-# Sky-side chunk for dominated_mask (bounds temp bool matrices to
-# cand_chunk x _K_CHUNK elements).
+# Sky-side chunk for dominance masks (bounds temp bool matrices).
 _K_CHUNK = 32768
 # Cand-side chunk when screening large candidate sets (verify path).
 _M_CHUNK = 4096
 
 
+def sums_exact(arr: np.ndarray) -> bool:
+    """True when coordinate sums of ``arr`` are exact in float64: all
+    values integral with headroom for d additions (the reference's
+    integer-domain data always qualifies)."""
+    d = max(1, arr.shape[1])
+    bound = 2.0 ** 51 / d
+    return bool((np.abs(arr) < bound).all() and (arr == np.floor(arr)).all())
+
+
+def exact_f32(arr: np.ndarray) -> np.ndarray | None:
+    """float32 view of ``arr`` if every value is exactly representable
+    (true for integer-domain data) — halves the memory traffic of the
+    comparison kernels without changing results; None when lossy."""
+    f32 = arr.astype(np.float32)
+    return f32 if (f32.astype(np.float64) == arr).all() else None
+
+
+def _dom_chunk(sky_t: np.ndarray, ks: int, ke: int, ss: np.ndarray,
+               C_t: np.ndarray, alive: np.ndarray, cs: np.ndarray,
+               exact: bool) -> np.ndarray:
+    """(len(alive), ke-ks) bool: sky row dominates candidate row."""
+    d = sky_t.shape[0]
+    if exact:
+        dom = ss[None, :] < cs[alive][:, None]
+        for j in range(d):
+            np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+        return dom
+    dom = ss[None, :] <= cs[alive][:, None]
+    for j in range(d):
+        np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+    neq = np.zeros_like(dom)
+    for j in range(d):
+        np.logical_or(neq, sky_t[j][ks:ke][None, :] != C_t[j][alive][:, None], out=neq)
+    dom &= neq
+    return dom
+
+
 def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
-                   sky_sum: np.ndarray) -> np.ndarray:
+                   sky_sum: np.ndarray, exact: bool = False) -> np.ndarray:
     """Bool mask over ``cand``: dominated by some row of ``sky``.
 
-    Safe when ``sky`` contains the candidate rows themselves (self-pairs
-    and duplicates fail the strict-sum test), which is what the
-    broadcast-verify merge phase relies on."""
+    Safe when ``sky`` contains the candidate rows themselves (self and
+    duplicate pairs are never 'strictly smaller somewhere')."""
     m = cand.shape[0]
     out = np.zeros(m, dtype=bool)
     if sky.shape[0] == 0 or m == 0:
         return out
-    d = cand.shape[1]
     sky_t = np.ascontiguousarray(sky.T)
     for ms in range(0, m, _M_CHUNK):
         me = min(m, ms + _M_CHUNK)
@@ -64,47 +110,32 @@ def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
             if alive.size == 0:
                 break
             ke = min(ks + _K_CHUNK, sky.shape[0])
-            ss = sky_sum[ks:ke]
-            dom = ss[None, :] < cs[alive][:, None]
-            for j in range(d):
-                np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+            dom = _dom_chunk(sky_t, ks, ke, sky_sum[ks:ke], C_t, alive, cs, exact)
             sub[alive] |= dom.any(axis=1)
         out[ms:me] = sub
     return out
 
 
-def exact_f32(arr: np.ndarray) -> np.ndarray | None:
-    """float32 view of ``arr`` if every value is exactly representable
-    (true for integer-domain data like the reference's producers) — halves
-    the memory traffic of the comparison kernels without changing results;
-    None when lossy."""
-    f32 = arr.astype(np.float32)
-    return f32 if (f32.astype(np.float64) == arr).all() else None
-
-
 def dominated_mask_vs_sorted(cand: np.ndarray, cand_sum: np.ndarray,
-                             sky_sorted: np.ndarray, sky_sum_sorted: np.ndarray) -> np.ndarray:
+                             sky_sorted: np.ndarray, sky_sum_sorted: np.ndarray,
+                             exact: bool = False) -> np.ndarray:
     """Like :func:`dominated_mask` but ``sky`` is pre-sorted ascending by
-    sum: a dominator has a strictly smaller sum, so each candidate chunk
-    only scans the sky prefix below its max sum (processing candidates in
-    sum order makes the average prefix half the sky, and far less on
-    spread-sum data).
-
-    Layout note: comparisons run on TRANSPOSED contiguous per-dim vectors —
-    column slices of a row-major (n, d) matrix are strided and memory-bound;
-    the transposed form keeps the inner (sky) axis sequential."""
+    (computed) coordinate sum, so each candidate chunk only scans the sky
+    prefix up to its max sum — strict prefix in exact mode, inclusive in
+    general mode (float addition monotonicity makes the non-strict bound
+    sound)."""
     m = cand.shape[0]
     out = np.zeros(m, dtype=bool)
     if sky_sorted.shape[0] == 0 or m == 0:
         return out
     order = np.argsort(cand_sum, kind="stable")
-    d = cand.shape[1]
+    side = "left" if exact else "right"
     sky_t = np.ascontiguousarray(sky_sorted.T)
     for ms in range(0, m, _M_CHUNK):
         sel = order[ms:ms + _M_CHUNK]
         C_t = np.ascontiguousarray(cand[sel].T)
         cs = cand_sum[sel]
-        kmax = int(np.searchsorted(sky_sum_sorted, cs.max(), side="left"))
+        kmax = int(np.searchsorted(sky_sum_sorted, cs.max(), side=side))
         if kmax == 0:
             continue
         sub = np.zeros(len(sel), dtype=bool)
@@ -113,29 +144,36 @@ def dominated_mask_vs_sorted(cand: np.ndarray, cand_sum: np.ndarray,
             if alive.size == 0:
                 break
             ke = min(ks + _K_CHUNK, kmax)
-            ss = sky_sum_sorted[ks:ke]
-            dom = ss[None, :] < cs[alive][:, None]
-            for j in range(d):
-                np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+            dom = _dom_chunk(sky_t, ks, ke, sky_sum_sorted[ks:ke], C_t, alive, cs, exact)
             sub[alive] |= dom.any(axis=1)
         out[sel] = sub
     return out
 
 
-def _intra_dominated(A: np.ndarray, As: np.ndarray) -> np.ndarray:
+def _intra_dominated(A: np.ndarray, As: np.ndarray, exact: bool) -> np.ndarray:
     """Pairwise within one block: mask of rows dominated by another row."""
-    dom = As[:, None] < As[None, :]  # (l, k): sum_l < sum_k
-    for j in range(A.shape[1]):
-        np.logical_and(dom, A[:, j][:, None] <= A[:, j][None, :], out=dom)
+    d = A.shape[1]
+    A_t = np.ascontiguousarray(A.T)
+    if exact:
+        dom = As[:, None] < As[None, :]  # (l, k): sum_l < sum_k
+        for j in range(d):
+            np.logical_and(dom, A_t[j][:, None] <= A_t[j][None, :], out=dom)
+        return dom.any(axis=0)
+    dom = As[:, None] <= As[None, :]
+    for j in range(d):
+        np.logical_and(dom, A_t[j][:, None] <= A_t[j][None, :], out=dom)
+    neq = np.zeros_like(dom)
+    for j in range(d):
+        np.logical_or(neq, A_t[j][:, None] != A_t[j][None, :], out=neq)
+    dom &= neq
     return dom.any(axis=0)
 
 
 def skyline_mask(points: np.ndarray) -> np.ndarray:
     """Return a boolean mask selecting the skyline rows of ``points``.
 
-    ``points``: (n, d) float array, all dims minimized.  Rows containing
-    NaN are excluded (engine policy: a null/NaN dimension excludes the
-    row — SURVEY.md §7 semantic landmines)."""
+    ``points``: (n, d) float array, all dims minimized.  NaN rows -> False.
+    """
     pts = np.asarray(points, dtype=np.float64)
     if pts.ndim != 2:
         raise ValueError(f"points must be 2-D, got shape {pts.shape}")
@@ -149,14 +187,19 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
     vidx = np.flatnonzero(valid)
     vp = pts[vidx]
     sums = vp.sum(axis=1)
-    order = np.argsort(sums, kind="stable")
+    exact = sums_exact(vp)
+    if exact:
+        order = np.argsort(sums, kind="stable")
+    else:
+        # lexicographic: exact order, dominators strictly precede victims
+        order = np.lexsort(vp.T[::-1])
     sp = vp[order]
     ssum = sums[order]
-
-    nv = sp.shape[0]
     # exact f32 fast path for the comparison kernels (sums stay f64)
     sp32 = exact_f32(sp)
     work = sp32 if sp32 is not None else sp
+
+    nv = sp.shape[0]
     keep_sorted = np.zeros(nv, dtype=bool)
     sky_blocks: list[np.ndarray] = []
     sum_blocks: list[np.ndarray] = []
@@ -165,11 +208,11 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
     for i in range(0, nv, _BLOCK):
         cand = work[i:i + _BLOCK]
         csum = ssum[i:i + _BLOCK]
-        dominated = dominated_mask(cand, csum, sky, sky_sum)
+        dominated = dominated_mask(cand, csum, sky, sky_sum, exact=exact)
         alive = np.flatnonzero(~dominated)
         if alive.size:
             A = cand[alive]
-            surv = alive[~_intra_dominated(A, csum[alive])]
+            surv = alive[~_intra_dominated(A, csum[alive], exact)]
             if surv.size:
                 keep_sorted[i + surv] = True
                 sky_blocks.append(cand[surv])
