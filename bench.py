@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from query_skyline_qos_flink_spark.operators.skyline import skyline  # noqa: E402
 from query_skyline_qos_flink_spark.plans import corpus  # noqa: E402
+from query_skyline_qos_flink_spark.plans import pipeline, relational  # noqa: E402, F401  (register)
 from query_skyline_qos_flink_spark.session import get_spark  # noqa: E402
 from query_skyline_qos_flink_spark.sources.generators import points  # noqa: E402
 
@@ -35,6 +36,10 @@ CORPUS_QUERIES = [
     "e1_dedup_exact",
     "e2_knn_bruteforce",
     "e3_text_stats",
+    "x_minhash_lsh_pairs",
+    "x_token_stats",
+    "x_ann_blocked",
+    "r2_join_topk_revenue",
 ]
 
 

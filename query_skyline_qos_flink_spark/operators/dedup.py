@@ -42,6 +42,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    # small doc tables often arrive as one input split; the per-doc
+    # tokenize+shingle+md5 expressions are the dominant cost, so spread them
+    # before computing (a no-op shuffle relative to that cost; skipped when
+    # the scan already has enough splits)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    except Exception:  # pragma: no cover
+        pass
     return df.select(
         F.col(id_col).alias("__id"),
         word_shingles(tokens(F.col(text_col)), k).alias("__sh"),
@@ -89,11 +99,19 @@ def jaccard_pairs(
 def minhash_signature_cols(sh_col, perms: int = MINHASH_PERMS) -> list:
     """One min-hash column per permutation: min md5 hex of seed-prefixed
     shingles (fixed-width lowercase hex => lexicographic min == numeric
-    min; identical in duckdb)."""
+    min; identical in duckdb).
+
+    NOTE the closure factory: a ``lambda s, j=j`` two-parameter lambda would
+    make ``transform`` pass the ARRAY INDEX as the second argument, silently
+    replacing the permutation seed with a stringified lambda-variable Column
+    whose id varies per plan construction — nondeterministic signatures."""
+
+    def perm_hash(j: int):
+        prefix = F.lit(f"{j}#")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     return [
-        F.array_min(
-            F.transform(sh_col, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}#"), s)))
-        ).alias(f"__sig{j}")
+        F.array_min(F.transform(sh_col, perm_hash(j))).alias(f"__sig{j}")
         for j in range(perms)
     ]
 

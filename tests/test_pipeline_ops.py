@@ -63,6 +63,24 @@ def test_minhash_lsh_candidates_subset_of_exact(spark, docs):
     assert (merged.jac_l == merged.jac_e).all() and (merged.common_l == merged.common_e).all()
 
 
+def test_minhash_signatures_deterministic_across_plans(spark, docs):
+    """Regression: a two-parameter lambda in transform() receives the array
+    index as its second argument; with a defaulted seed arg this silently
+    embedded a per-plan lambda-variable id into the hash seeds, making LSH
+    candidates vary run to run."""
+    import pyspark.sql.functions as F
+
+    sigs = []
+    for _ in range(3):
+        sh = dedup._with_shingles(docs, "doc_id", "text", 3)
+        df = sh.select("__id", *dedup.minhash_signature_cols(F.col("__sh"), 8))
+        sigs.append(sorted(map(tuple, df.collect())))
+    assert sigs[0] == sigs[1] == sigs[2]
+    # seeds must actually differ across permutations (not all-equal sigs)
+    first = sigs[0][0]
+    assert len(set(first[1:])) > 1
+
+
 def test_simhash_identical_and_near_texts(spark, docs):
     out = dedup.simhash64(docs).toPandas().set_index("doc_id")["simhash"]
     assert out[1] == out[2]  # identical text -> identical hash

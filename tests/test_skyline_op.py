@@ -85,6 +85,21 @@ def test_two_phase_strategies_equal_single_phase(spark):
             assert got == ref, (dist, st)
 
 
+def test_grid_prefilter(spark):
+    """O23 (the reference ships it commented out): dropping the all->=mid
+    corner cell preserves the skyline when the dominating corner is
+    populated — uniform data at this size guarantees a point below mid in
+    every dim, which dominates the whole discarded cell."""
+    from query_skyline_qos_flink_spark.operators.partitioners import grid_dominance_prefilter
+
+    df = points(spark, 5000, 3, "uniform", domain=1000, seed=41)
+    dims = ["v0", "v1", "v2"]
+    full = skyline(df, dims).count()
+    pre = df.where(grid_dominance_prefilter(dims, 1000.0))
+    assert pre.count() < 5000  # it actually prunes
+    assert skyline(pre, dims).count() == full
+
+
 def test_generator_skyline_size_ordering(spark):
     """PDF §5.1 sanity: anti-correlated >> correlated-or-uniform skylines."""
     sizes = {}
