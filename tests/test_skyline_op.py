@@ -85,6 +85,12 @@ def test_two_phase_strategies_equal_single_phase(spark):
             assert got == ref, (dist, st)
 
 
+def test_skyline_1d_is_global_min_with_ties(spark):
+    pdf = pd.DataFrame({"id": range(6), "x": [3.0, 1.0, 1.0, 2.0, 5.0, 1.0]})
+    out = skyline(spark.createDataFrame(pdf), ["x"]).toPandas()
+    assert sorted(out.id) == [1, 2, 5]  # all copies of the minimum retained
+
+
 def test_grid_prefilter(spark):
     """O23 (the reference ships it commented out): dropping the all->=mid
     corner cell preserves the skyline when the dominating corner is
