@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .skyline import _persist
 from .text import tokens, word_shingles
 
 MINHASH_PERMS = 16
@@ -36,9 +37,16 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep, per duplicate group, the row with the smallest ``id_col``."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, [*key_cols, id_col], "left_semi")
+    """Keep, per duplicate group, the row with the smallest ``id_col``.
+
+    NULL keys form a normal dedup group (null-SAFE join equality — a plain
+    equi-join would silently drop every NULL-keyed row)."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).alias("__k")
+    left = df.alias("__d")
+    cond = F.col(f"__d.{id_col}") == F.col(f"__k.{id_col}")
+    for k in key_cols:
+        cond = cond & F.col(f"__d.{k}").eqNullSafe(F.col(f"__k.{k}"))
+    return left.join(keep, cond, "left_semi")
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -49,7 +57,10 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+            # persist boundary: without it Catalyst pushes the expensive
+            # projection BELOW the round-robin exchange (to shrink shuffle
+            # volume) and the shingling runs on the single scan task anyway
+            df = _persist(df.repartition(target))
     except Exception:  # pragma: no cover
         pass
     return df.select(
@@ -88,8 +99,10 @@ def jaccard_pairs(
     )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    # no broadcast hint: one row per doc is unbounded at scale; AQE promotes
+    # small sides to broadcast at runtime
     out = (
-        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a").join(nb, "id_b")
         .withColumn("jac", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
         .where(F.col("jac") >= threshold)
     )
@@ -131,7 +144,7 @@ def minhash_lsh_pairs(
     two shingle sets and keeps exact Jaccard >= threshold.  Output:
     id_a, id_b, common, n_a, n_b, jac."""
     rows = perms // bands
-    sh = _with_shingles(df, id_col, text_col, k).persist()
+    sh = _persist(_with_shingles(df, id_col, text_col, k))
     sigs = sh.select("__id", "__sh", *minhash_signature_cols(F.col("__sh"), perms))
     band_cols = [
         F.md5(

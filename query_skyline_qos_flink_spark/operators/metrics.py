@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .partitioners import partition_id
-from .skyline import _grouped_skyline, _local_skyline_iter, _prep
+from .skyline import _grouped_skyline, _local_skyline_iter, _persist, _prep
 
 
 def with_data_domain(df: DataFrame, dim0: str, out_col: str = "__dom") -> DataFrame:
@@ -56,7 +56,7 @@ def skyline_partition_stats(
     local = prepped.groupBy("pid").applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    local = local.persist()
+    local = _persist(local)
     local_sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("local_size"))
     merged = local.repartition(1).mapInPandas(
         _local_skyline_iter(prep_cols), schema=prepped.schema

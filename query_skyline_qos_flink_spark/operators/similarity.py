@@ -109,7 +109,9 @@ def knn_blocked(
                 cand_d = d2[mask, qi]
                 if cand_ids.size == 0:
                     continue
-                top = np.argsort(cand_d, kind="stable")[:k]
+                # lexsort keeps the (dist, n_id) contract at the map-side cut:
+                # exact distance ties at the k boundary must keep smallest id
+                top = np.lexsort((cand_ids, cand_d))[:k]
                 rows.append(
                     pd.DataFrame(
                         {"q_id": q_ids[qi], "n_id": cand_ids[top], "dist": cand_d[top]}

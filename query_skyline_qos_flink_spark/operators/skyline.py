@@ -156,7 +156,19 @@ def _skyline_2d_relational(
         .where(F.col("__pm").isNull() | (F.col("__pm") > F.col("__m1")))
         .select(*keys, F.col(d0), F.col("__m1").alias(d1))
     )
-    return prepped.join(F.broadcast(surv), on=[*keys, d0, d1], how="left_semi")
+    # null-SAFE equality on group keys (NULL is a normal group, matching the
+    # d>=3 groupBy path); d0/d1 are never null (filtered in _prep).  No
+    # broadcast hint: survivors are usually tiny and AQE promotes the join
+    # to broadcast at runtime, but high-cardinality d0 must not force an
+    # unbounded broadcast.
+    left = prepped.alias("__l")
+    surv_a = surv.alias("__surv")
+    cond = (F.col(f"__l.{d0}") == F.col(f"__surv.{d0}")) & (
+        F.col(f"__l.{d1}") == F.col(f"__surv.{d1}")
+    )
+    for k in keys:
+        cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__surv.{k}"))
+    return left.join(surv_a, on=cond, how="left_semi")
 
 
 def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
@@ -217,20 +229,24 @@ def skyline(
         return res.select(*out_cols)
 
     local = _local_skyline_iter(prep_cols)
-    phase1 = _persist(prepped.mapInPandas(local, schema=prepped.schema))
-    n = phase1.count()
-    cur = phase1
+    phase1 = prepped.mapInPandas(local, schema=prepped.schema)
+    return _merge_survivors(phase1, prep_cols).select(*out_cols)
+
+
+def _merge_survivors(local_df: DataFrame, prep_cols: list[str]) -> DataFrame:
+    """Global merge of local-skyline survivors: broadcast-verify when the
+    survivor set is bounded, tree-merge round (then single-task fallback)
+    otherwise."""
+    local = _local_skyline_iter(prep_cols)
+    cur = _persist(local_df)
+    n = cur.count()
     if n > _VERIFY_MAX_ROWS:
-        cur = _persist(cur.repartition(_TREE_FANOUT).mapInPandas(local, schema=prepped.schema))
+        cur = _persist(cur.repartition(_TREE_FANOUT).mapInPandas(local, schema=cur.schema))
         n = cur.count()
         if n > _VERIFY_MAX_ROWS:
             # pathological survivor volume: bounded-memory single-task merge
-            return (
-                cur.repartition(1)
-                .mapInPandas(local, schema=prepped.schema)
-                .select(*out_cols)
-            )
-    return _broadcast_verify(cur, prep_cols).select(*out_cols)
+            return cur.repartition(1).mapInPandas(local, schema=cur.schema)
+    return _broadcast_verify(cur, prep_cols)
 
 
 def skyline_with_pid(
@@ -260,5 +276,5 @@ def skyline_with_pid(
     local = prepped.groupBy(origin_col).applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    final = _broadcast_verify(_persist(local), prep_cols)
+    final = _merge_survivors(local, prep_cols)
     return final.select(*out_cols)

@@ -78,12 +78,34 @@ def run_pipeline(
         data, trig, d=d, num_partitions=num_partitions, strategy=strategy, domain=domain
     )
     collector = MetricsCollector(collector_csv) if collector_csv else None
+    # arrival-countdown latch (reference O17): a query's partials may span
+    # micro-batches AND restarts (a trigger can release on different
+    # partitions in different batches), so buffer per query until every
+    # partition reported — durably, next to the stream's own checkpoint
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    latch_path = os.path.join(checkpoint_dir, "pending_partials.parquet")
+    pending: list[pd.DataFrame] = (
+        [pd.read_parquet(latch_path)] if os.path.exists(latch_path) else []
+    )
 
     def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
         pdf = batch_df.toPandas()
-        if pdf.empty:
+        if pdf.empty and not pending:
             return
-        metrics = finalize_results(pdf, num_partitions=num_partitions)
+        allp = pd.concat([*pending, pdf], ignore_index=True) if pending else pdf
+        counts = allp.groupby("query_id")["pid"].nunique()
+        done = counts[counts >= num_partitions].index
+        complete = allp[allp["query_id"].isin(done)]
+        still = allp[~allp["query_id"].isin(done)]
+        pending.clear()
+        if len(still):
+            pending.append(still)
+            still.to_parquet(latch_path, index=False)
+        elif os.path.exists(latch_path):
+            os.remove(latch_path)
+        if complete.empty:
+            return
+        metrics = finalize_results(complete, num_partitions=num_partitions)
         if collector is not None:
             collector.append(metrics)
         if on_result is not None:

@@ -69,67 +69,84 @@ def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     else:
         max_seen, ids, pts, pend, cpu_ms = -1, [], [], [], 0.0
 
+    # Drain ALL Arrow chunks of the micro-batch before evaluating any
+    # trigger: chunk packing is an implementation detail, and a trigger
+    # evaluated mid-batch could see max_seen == -1 (fire an empty partial)
+    # while the partition's data sits in a later chunk of the same batch —
+    # snapshot-at-batch semantics require batch-level, not chunk-level,
+    # evaluation (SURVEY.md §3.3).
     out_frames = []
     for pdf in pdfs:
         data = pdf[pdf["values"].notna()]
         trig = pdf[pdf["query_id"].notna()]
         if len(data):
             t0 = time.perf_counter()
-            batch_ids = data["id"].to_numpy(dtype=np.int64)
-            batch_pts = np.array([np.asarray(v, dtype=np.float64) for v in data["values"]])
-            max_seen = max(max_seen, int(batch_ids.max()))
-            # incremental BNL over (current skyline + batch), keeping ids
-            all_ids = np.concatenate([np.asarray(ids, dtype=np.int64), batch_ids])
-            all_pts = (
-                np.concatenate([np.asarray(pts, dtype=np.float64), batch_pts])
-                if pts
-                else batch_pts
-            )
-            mask = skyline_mask(all_pts)
-            ids = all_ids[mask].tolist()
-            pts = all_pts[mask].tolist()
+            # rows whose arity disagrees with the state's dimensionality are
+            # malformed for this topology: drop them (DROPMALFORMED parity)
+            # instead of poisoning the query with a ragged concatenate
+            dim = len(pts[0]) if pts else None
+            arity = data["values"].map(len)
+            if dim is None and len(arity):
+                dim = int(arity.mode().iloc[0])
+            data = data[arity == dim]
+            if len(data):
+                batch_ids = data["id"].to_numpy(dtype=np.int64)
+                batch_pts = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in data["values"]]
+                )
+                max_seen = max(max_seen, int(batch_ids.max()))
+                # incremental BNL over (current skyline + batch), keeping ids
+                all_ids = np.concatenate([np.asarray(ids, dtype=np.int64), batch_ids])
+                all_pts = (
+                    np.concatenate([np.asarray(pts, dtype=np.float64), batch_pts])
+                    if pts
+                    else batch_pts
+                )
+                mask = skyline_mask(all_pts)
+                ids = all_ids[mask].tolist()
+                pts = all_pts[mask].tolist()
             cpu_ms += (time.perf_counter() - t0) * 1000.0
         for r in trig.itertuples():
             pend.append((r.query_id, int(r.required_count)))
 
-        fired, still = [], []
-        for qid, req in pend:
-            # barrier: enough records ingested, immediate trigger (req<=0),
-            # or a partition that never saw data (ref maxId==-1 path)
-            if req <= 0 or max_seen >= req or max_seen == -1:
-                fired.append((qid, req))
-            else:
-                still.append((qid, req))
-        pend = still
-        for qid, _req in fired:
-            if ids:
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "pid": pid,
-                            "id": ids,
-                            "values": [list(p) for p in pts],
-                            "local_size": len(ids),
-                            "max_seen": max_seen,
-                            "local_cpu_ms": cpu_ms,
-                        }
-                    )
+    fired, still = [], []
+    for qid, req in pend:
+        # barrier: enough records ingested, immediate trigger (req<=0),
+        # or a partition that never saw data (ref maxId==-1 path)
+        if req <= 0 or max_seen >= req or max_seen == -1:
+            fired.append((qid, req))
+        else:
+            still.append((qid, req))
+    pend = still
+    for qid, _req in fired:
+        if ids:
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "pid": pid,
+                        "id": ids,
+                        "values": [list(p) for p in pts],
+                        "local_size": len(ids),
+                        "max_seen": max_seen,
+                        "local_cpu_ms": cpu_ms,
+                    }
                 )
-            else:  # empty partial so the global latch still completes
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qid],
-                            "pid": [pid],
-                            "id": [None],
-                            "values": [None],
-                            "local_size": [0],
-                            "max_seen": [max_seen],
-                            "local_cpu_ms": [cpu_ms],
-                        }
-                    )
+            )
+        else:  # empty partial so the global latch still completes
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [qid],
+                        "pid": [pid],
+                        "id": [None],
+                        "values": [None],
+                        "local_size": [0],
+                        "max_seen": [max_seen],
+                        "local_cpu_ms": [cpu_ms],
+                    }
                 )
+            )
 
     state.update(
         (
@@ -161,6 +178,9 @@ def build_skyline_stream(
     """
     dim_cols = [F.element_at("values", i + 1) for i in range(d)]
     pid = partition_id(strategy, dim_cols, num_partitions, domain)
+    # arity guard: a lone '7,5' line in a d=3 stream must be dropped like
+    # any other malformed record, not poison the stateful operator
+    data = data.where(F.size("values") == d)
     tagged_data = data.select(
         pid.alias("pid"),
         "id",

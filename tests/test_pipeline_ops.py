@@ -33,6 +33,14 @@ def test_exact_dedup_keeps_min_id(spark, docs):
     assert sorted(out.doc_id) == [1, 3, 4, 5, 6]
 
 
+def test_exact_dedup_null_keys_form_a_group(spark):
+    """Regression: NULL dedup keys must keep one row (null-safe semi-join),
+    not silently vanish."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [None, None, "x", "x"]})
+    out = dedup.exact_dedup(spark.createDataFrame(pdf), ["text"], "doc_id").toPandas()
+    assert sorted(out.doc_id) == [1, 3]
+
+
 def test_normalized_dedup_collapses_punctuation_variants(spark, docs):
     fp = text.fingerprint(docs).select("doc_id", "fp_md5")
     out = dedup.exact_dedup(fp, ["fp_md5"], "doc_id").toPandas()

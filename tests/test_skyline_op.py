@@ -85,6 +85,23 @@ def test_two_phase_strategies_equal_single_phase(spark):
             assert got == ref, (dist, st)
 
 
+def test_groupwise_skyline_2d_null_group_key(spark):
+    """Regression: the 2-D relational path must treat NULL group keys as a
+    normal group (null-safe join), matching the d>=3 applyInPandas path."""
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", None, None, "b"],
+            "x": [1.0, 2.0, 5.0, 4.0, 3.0],
+            "y": [1.0, 0.5, 5.0, 6.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = skyline(df, ["x", "y"], group_by=["g"]).toPandas()
+    got = {(r.g if isinstance(r.g, str) else None, r.x, r.y) for r in out.itertuples()}
+    assert got == {("a", 1.0, 1.0), ("a", 2.0, 0.5), (None, 5.0, 5.0), (None, 4.0, 6.0),
+                   ("b", 3.0, 3.0)}
+
+
 def test_skyline_1d_is_global_min_with_ties(spark):
     pdf = pd.DataFrame({"id": range(6), "x": [3.0, 1.0, 1.0, 2.0, 5.0, 1.0]})
     out = skyline(spark.createDataFrame(pdf), ["x"]).toPandas()

@@ -147,6 +147,50 @@ def test_streaming_barrier_holds_until_enough_records(spark, stream_dirs):
     assert "q_wait" in set(res2[res2["max_seen"] >= 0]["query_id"])
 
 
+def test_streaming_survives_wrong_arity_record(spark, stream_dirs):
+    """Regression: a record with the wrong dimensionality must be dropped
+    like any malformed line, not crash the stateful operator."""
+    data_dir, query_dir, ckpt = stream_dirs
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        f.write("0,5.0,5.0\n1,7.0\n2,3.0,9.0,4.0\n3,4.0,6.0\n")  # arity 1 and 3 junk
+    with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+        f.write("q_now\n")
+    res = _run_stream(spark, data_dir, query_dir, ckpt, sink="skyline_arity").toPandas()
+    got = res[res["id"].notna()]
+    assert sorted(got["id"]) == [0, 3]
+
+
+def test_pipeline_query_spanning_batches_emits_once(spark, stream_dirs):
+    """Regression: a query whose partials span micro-batches must produce
+    exactly one finalized metrics row (arrival-countdown latch)."""
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.streaming.pipeline import run_pipeline
+
+    data_dir, query_dir, ckpt = stream_dirs
+    rng = np.random.default_rng(17)
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        for i in range(10):
+            f.write(f"{i},{rng.integers(0, 100)}.0,{rng.integers(0, 100)}.0\n")
+    with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+        f.write("q_span,60\n")  # parks on fed partitions, fires on empty ones
+    seen: list = []
+    raw = lambda d: spark.readStream.schema("value string").text(d)
+    q = run_pipeline(raw(data_dir), raw(query_dir), checkpoint_dir=ckpt, d=2,
+                     num_partitions=4, domain=100.0, on_result=seen.append)
+    q.awaitTermination(120)
+    assert not seen  # latch held: not all partitions reported yet
+
+    with open(os.path.join(data_dir, "b1.csv"), "w") as f:
+        for i in range(10, 100):
+            f.write(f"{i},{rng.integers(0, 100)}.0,{rng.integers(0, 100)}.0\n")
+    q = run_pipeline(raw(data_dir), raw(query_dir), checkpoint_dir=ckpt, d=2,
+                     num_partitions=4, domain=100.0, on_result=seen.append)
+    q.awaitTermination(120)
+    all_metrics = pd.concat(seen) if seen else pd.DataFrame(columns=["query_id"])
+    assert list(all_metrics["query_id"]) == ["q_span"]  # exactly once
+
+
 def test_streaming_immediate_trigger_and_cumulative_state(spark, stream_dirs):
     data_dir, query_dir, ckpt = stream_dirs
     with open(os.path.join(data_dir, "b0.csv"), "w") as f:
