@@ -56,13 +56,13 @@ STATE_SCHEMA = (
 )
 
 
-def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Union-tagged CoProcess: data rows have ``values``; trigger rows have
-    ``query_id``.  Batch order: ingest data, then evaluate triggers —
-    snapshot-at-batch semantics (SURVEY.md §3.3)."""
-    pid = int(key[0])
-    if state.exists:
-        max_seen, ids, pts, pend_q, pend_req, cpu_ms = state.get
+def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame]):
+    """Shared operator body for both state backends: union-tagged CoProcess
+    — data rows have ``values``; trigger rows have ``query_id``.  Batch
+    order: ingest data, then evaluate triggers — snapshot-at-batch
+    semantics (SURVEY.md §3.3).  Returns (new_state_tuple, out_frames)."""
+    if state_tuple is not None:
+        max_seen, ids, pts, pend_q, pend_req, cpu_ms = state_tuple
         ids = list(ids)
         pts = [list(p) for p in pts]
         pend = list(zip(pend_q, pend_req))
@@ -148,18 +148,55 @@ def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                 )
             )
 
-    state.update(
-        (
-            max_seen,
-            ids,
-            [list(p) for p in pts],
-            [q for q, _ in pend],
-            [r for _, r in pend],
-            cpu_ms,
-        )
+    new_state = (
+        max_seen,
+        ids,
+        [list(p) for p in pts],
+        [q for q, _ in pend],
+        [r for _, r in pend],
+        cpu_ms,
     )
+    return new_state, out_frames
+
+
+def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """applyInPandasWithState backend (Spark >= 3.4)."""
+    new_state, out_frames = _apply_batch(
+        int(key[0]), state.get if state.exists else None, pdfs
+    )
+    state.update(new_state)
     for f in out_frames:
         yield f
+
+
+class SkylineStatefulProcessor:
+    """transformWithStateInPandas backend (Spark >= 4.0): identical operator
+    body over a value-state handle — the production choice per SCALE.md
+    (RocksDB-backed state handles instead of whole-tuple re-serialization).
+
+    Requires ``google.protobuf`` in the Python workers (the TWS state-server
+    protocol); environments without it should use the ``classic`` backend.
+    Defined lazily against pyspark's StatefulProcessor so the module stays
+    importable on older runtimes."""
+
+    def __new__(cls):  # pragma: no cover - thin dispatch
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState("skyline_state", STATE_SCHEMA)
+
+            def handleInputRows(self, key, rows, timerValues):
+                cur = self._state.get() if self._state.exists() else None
+                new_state, out_frames = _apply_batch(int(key[0]), cur, rows)
+                self._state.update(new_state)
+                for f in out_frames:
+                    yield f
+
+            def close(self) -> None:
+                pass
+
+        return _Impl()
 
 
 def build_skyline_stream(
@@ -169,8 +206,12 @@ def build_skyline_stream(
     num_partitions: int = 8,
     strategy: str = "dim",
     domain: float = 10000.0,
+    state_api: str = "classic",
 ) -> DataFrame:
     """Wire the union-tagged stateful topology.
+
+    ``state_api``: ``classic`` = applyInPandasWithState (3.4+);
+    ``tws`` = transformWithStateInPandas (4.0+, value-state handles).
 
     ``data``: streaming (id bigint, values array<double>) — wire.parse_service_tuples.
     ``triggers``: streaming (query_id string, required_count bigint).
@@ -196,6 +237,13 @@ def build_skyline_stream(
         "required_count",
     )
     unioned = tagged_data.unionByName(fanned)
+    if state_api == "tws":
+        return unioned.groupBy("pid").transformWithStateInPandas(
+            SkylineStatefulProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
     return unioned.groupBy("pid").applyInPandasWithState(
         _stateful_update,
         outputStructType=OUTPUT_SCHEMA,

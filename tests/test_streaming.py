@@ -147,6 +147,30 @@ def test_streaming_barrier_holds_until_enough_records(spark, stream_dirs):
     assert "q_wait" in set(res2[res2["max_seen"] >= 0]["query_id"])
 
 
+def test_tws_backend_end_to_end(spark, stream_dirs):
+    """transformWithStateInPandas backend parity (skipped where the TWS
+    state-server protocol's protobuf dependency is unavailable)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    data_dir, query_dir, ckpt = stream_dirs
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        f.write("0,5.0,5.0\n1,3.0,9.0\n")
+    with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+        f.write("q_now\n")
+    from query_skyline_qos_flink_spark.streaming.skyline_stream import build_skyline_stream
+
+    data = wire.parse_service_tuples(spark.readStream.schema("value string").text(data_dir))
+    trig = wire.parse_query_triggers(spark.readStream.schema("value string").text(query_dir))
+    out = build_skyline_stream(data, trig, d=2, num_partitions=4, domain=100.0,
+                               state_api="tws")
+    q = (
+        out.writeStream.format("memory").queryName("tws_sink").outputMode("append")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM tws_sink").toPandas()
+    assert sorted(res[res["id"].notna()]["id"]) == [0, 1]
+
+
 def test_streaming_survives_wrong_arity_record(spark, stream_dirs):
     """Regression: a record with the wrong dimensionality must be dropped
     like any malformed line, not crash the stateful operator."""
