@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .skyline import _persist
+from .caching import persist_bounded as _persist
+from .joins import null_safe_semi_join
 from .text import tokens, word_shingles
 
 MINHASH_PERMS = 16
@@ -41,19 +42,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
     NULL keys form a normal dedup group (null-SAFE join equality — a plain
     equi-join would silently drop every NULL-keyed row)."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).alias("__k")
-    left = df.alias("__d")
-    cond = F.col(f"__d.{id_col}") == F.col(f"__k.{id_col}")
-    for k in key_cols:
-        cond = cond & F.col(f"__d.{k}").eqNullSafe(F.col(f"__k.{k}"))
-    return left.join(keep, cond, "left_semi")
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return null_safe_semi_join(df, keep, eq_cols=[id_col], null_safe_cols=key_cols)
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    # small doc tables often arrive as one input split; the per-doc
-    # tokenize+shingle+md5 expressions are the dominant cost, so spread them
-    # before computing (a no-op shuffle relative to that cost; skipped when
-    # the scan already has enough splits)
+    # project to the two needed columns FIRST (don't cache a wide corpus),
+    # then spread across cores: small doc tables often arrive as one input
+    # split, and the per-doc tokenize+shingle+md5 expressions are the
+    # dominant cost
+    df = df.select(id_col, text_col)
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         if df.rdd.getNumPartitions() < target:

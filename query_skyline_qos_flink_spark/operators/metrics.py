@@ -21,7 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .partitioners import partition_id
-from .skyline import _grouped_skyline, _local_skyline_iter, _persist, _prep
+from .caching import persist_bounded as _persist
+from .skyline import _grouped_skyline, _local_skyline_iter, _prep
 
 
 def with_data_domain(df: DataFrame, dim0: str, out_col: str = "__dom") -> DataFrame:

@@ -46,6 +46,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .caching import persist_bounded as _persist
+from .joins import null_safe_semi_join
 from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask, sums_exact
 
 _PREP = "__sk_"
@@ -55,23 +57,6 @@ _PREP = "__sk_"
 _VERIFY_MAX_ROWS = 400_000
 _TREE_FANOUT = 32
 
-# Survivor DataFrames are persisted between the count/strategy decision and
-# the verify pass; keep only the most recent few so back-to-back skyline
-# calls don't accumulate cached blocks (the verify's toPandas() has already
-# materialized the cache by the time an entry ages out).
-_PERSISTED: list = []
-_PERSIST_KEEP = 4
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _PERSIST_KEEP:
-        try:
-            _PERSISTED.pop(0).unpersist(blocking=False)
-        except Exception:  # pragma: no cover - session already stopped
-            pass
-    return df
 
 Direction = str  # 'min' | 'max'
 
@@ -161,14 +146,7 @@ def _skyline_2d_relational(
     # broadcast hint: survivors are usually tiny and AQE promotes the join
     # to broadcast at runtime, but high-cardinality d0 must not force an
     # unbounded broadcast.
-    left = prepped.alias("__l")
-    surv_a = surv.alias("__surv")
-    cond = (F.col(f"__l.{d0}") == F.col(f"__surv.{d0}")) & (
-        F.col(f"__l.{d1}") == F.col(f"__surv.{d1}")
-    )
-    for k in keys:
-        cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__surv.{k}"))
-    return left.join(surv_a, on=cond, how="left_semi")
+    return null_safe_semi_join(prepped, surv, eq_cols=[d0, d1], null_safe_cols=keys)
 
 
 def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:

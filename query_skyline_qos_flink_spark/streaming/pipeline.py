@@ -84,15 +84,23 @@ def run_pipeline(
     # partition reported — durably, next to the stream's own checkpoint
     os.makedirs(checkpoint_dir, exist_ok=True)
     latch_path = os.path.join(checkpoint_dir, "pending_partials.parquet")
-    pending: list[pd.DataFrame] = (
-        [pd.read_parquet(latch_path)] if os.path.exists(latch_path) else []
-    )
+    pending: list[pd.DataFrame] = []
+    if os.path.exists(latch_path):
+        try:
+            pending.append(pd.read_parquet(latch_path))
+        except Exception:  # pragma: no cover - corrupt latch: drop, don't crash-loop
+            os.remove(latch_path)
 
     def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
         pdf = batch_df.toPandas()
         if pdf.empty and not pending:
             return
         allp = pd.concat([*pending, pdf], ignore_index=True) if pending else pdf
+        # idempotent under foreachBatch replay: a crashed-then-replayed batch
+        # re-delivers partials already buffered durably; each partial point
+        # is unique per (query, partition, record id), markers per (query,
+        # partition) — drop the duplicates before counting arrivals
+        allp = allp.drop_duplicates(subset=["query_id", "pid", "id"], keep="first")
         counts = allp.groupby("query_id")["pid"].nunique()
         done = counts[counts >= num_partitions].index
         complete = allp[allp["query_id"].isin(done)]
@@ -100,7 +108,10 @@ def run_pipeline(
         pending.clear()
         if len(still):
             pending.append(still)
-            still.to_parquet(latch_path, index=False)
+            tmp = latch_path + ".tmp"
+            still.to_parquet(tmp, index=False)
+            os.replace(tmp, latch_path)  # atomic: a crash mid-write can't
+            # leave a truncated latch that poisons every restart
         elif os.path.exists(latch_path):
             os.remove(latch_path)
         if complete.empty:

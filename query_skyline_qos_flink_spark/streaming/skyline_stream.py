@@ -56,7 +56,7 @@ STATE_SCHEMA = (
 )
 
 
-def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame]):
+def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | None = None):
     """Shared operator body for both state backends: union-tagged CoProcess
     — data rows have ``values``; trigger rows have ``query_id``.  Batch
     order: ingest data, then evaluate triggers — snapshot-at-batch
@@ -81,14 +81,14 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame]):
         trig = pdf[pdf["query_id"].notna()]
         if len(data):
             t0 = time.perf_counter()
-            # rows whose arity disagrees with the state's dimensionality are
-            # malformed for this topology: drop them (DROPMALFORMED parity)
-            # instead of poisoning the query with a ragged concatenate
-            dim = len(pts[0]) if pts else None
+            # rows whose arity disagrees with the topology's declared
+            # dimensionality (or, failing that, the state's) are malformed:
+            # drop them (DROPMALFORMED parity) instead of poisoning the
+            # query with a ragged concatenate.  build_skyline_stream also
+            # filters size(values)==d plan-side; this guards direct callers.
+            dim = d if d is not None else (len(pts[0]) if pts else None)
             arity = data["values"].map(len)
-            if dim is None and len(arity):
-                dim = int(arity.mode().iloc[0])
-            data = data[arity == dim]
+            data = data[arity == dim] if dim is not None else data
             if len(data):
                 batch_ids = data["id"].to_numpy(dtype=np.int64)
                 batch_pts = np.array(
@@ -159,44 +159,47 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame]):
     return new_state, out_frames
 
 
-def _stateful_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _make_stateful_update(d: int | None = None):
     """applyInPandasWithState backend (Spark >= 3.4)."""
-    new_state, out_frames = _apply_batch(
-        int(key[0]), state.get if state.exists else None, pdfs
-    )
-    state.update(new_state)
-    for f in out_frames:
-        yield f
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        new_state, out_frames = _apply_batch(
+            int(key[0]), state.get if state.exists else None, pdfs, d=d
+        )
+        state.update(new_state)
+        for f in out_frames:
+            yield f
+
+    return fn
 
 
-class SkylineStatefulProcessor:
-    """transformWithStateInPandas backend (Spark >= 4.0): identical operator
-    body over a value-state handle — the production choice per SCALE.md
-    (RocksDB-backed state handles instead of whole-tuple re-serialization).
+def make_skyline_processor(d: int | None = None):
+    """transformWithStateInPandas backend factory (Spark >= 4.0): identical
+    operator body over a value-state handle — the production choice per
+    SCALE.md (RocksDB-backed state handles instead of whole-tuple
+    re-serialization).
 
     Requires ``google.protobuf`` in the Python workers (the TWS state-server
     protocol); environments without it should use the ``classic`` backend.
-    Defined lazily against pyspark's StatefulProcessor so the module stays
-    importable on older runtimes."""
+    A factory (not a class) so the pyspark import stays lazy and the
+    returned object is a genuine StatefulProcessor instance."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    def __new__(cls):  # pragma: no cover - thin dispatch
-        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    class _SkylineProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("skyline_state", STATE_SCHEMA)
 
-        class _Impl(StatefulProcessor):
-            def init(self, handle) -> None:
-                self._state = handle.getValueState("skyline_state", STATE_SCHEMA)
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._state.get() if self._state.exists() else None
+            new_state, out_frames = _apply_batch(int(key[0]), cur, rows, d=d)
+            self._state.update(new_state)
+            for f in out_frames:
+                yield f
 
-            def handleInputRows(self, key, rows, timerValues):
-                cur = self._state.get() if self._state.exists() else None
-                new_state, out_frames = _apply_batch(int(key[0]), cur, rows)
-                self._state.update(new_state)
-                for f in out_frames:
-                    yield f
+        def close(self) -> None:
+            pass
 
-            def close(self) -> None:
-                pass
-
-        return _Impl()
+    return _SkylineProcessor()
 
 
 def build_skyline_stream(
@@ -239,13 +242,13 @@ def build_skyline_stream(
     unioned = tagged_data.unionByName(fanned)
     if state_api == "tws":
         return unioned.groupBy("pid").transformWithStateInPandas(
-            SkylineStatefulProcessor(),
+            make_skyline_processor(d),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="append",
             timeMode="none",
         )
     return unioned.groupBy("pid").applyInPandasWithState(
-        _stateful_update,
+        _make_stateful_update(d),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

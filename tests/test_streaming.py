@@ -151,6 +151,10 @@ def test_tws_backend_end_to_end(spark, stream_dirs):
     """transformWithStateInPandas backend parity (skipped where the TWS
     state-server protocol's protobuf dependency is unavailable)."""
     pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        pytest.skip("transformWithStateInPandas requires Spark >= 4.0")
     data_dir, query_dir, ckpt = stream_dirs
     with open(os.path.join(data_dir, "b0.csv"), "w") as f:
         f.write("0,5.0,5.0\n1,3.0,9.0\n")
