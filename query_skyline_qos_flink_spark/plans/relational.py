@@ -132,6 +132,74 @@ def r4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r6_orders_by_year",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+  count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+FROM orders GROUP BY year(o_orderdate), o_orderstatus
+""".strip(),
+    doc="Date-function aggregation (year extraction over timestamp column)",
+)
+def r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("sum_price_c"),
+    )
+
+
+@register(
+    "r7_json_extract",
+    """
+SELECT event_type,
+  count(*) AS n,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""".strip(),
+    doc="Semi-structured columns: JSON field extraction from the events "
+    "props payload, aggregated per event type",
+)
+def r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "r8_setops_nations",
+    """
+SELECT n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+EXCEPT
+SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+""".strip(),
+    doc="Set operations: INTERSECT of customer/supplier nations minus one "
+    "region's nations (EXCEPT)",
+)
+def r8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    n0 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    return c.intersect(s).exceptAll(n0).distinct()
+
+
+@register(
     "r5_rollup_counts",
     """
 SELECT l_returnflag, l_linestatus, count(*) AS n
