@@ -366,7 +366,7 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e3_text_stats",
-    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
     "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
     doc="Per-language text aggregates (plain partial+final aggregation)",
 )

@@ -26,9 +26,9 @@ def _cents(col):
     """
 SELECT l_returnflag, l_linestatus,
   count(*) AS n_rows,
-  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-  sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_c,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
   count(DISTINCT l_partkey) AS n_parts
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """.strip(),
@@ -51,7 +51,7 @@ def r1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH rev AS (
   SELECT c.c_custkey, c.c_mktsegment,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
          count(DISTINCT o.o_orderkey) AS n_orders
   FROM customer c
   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -84,9 +84,9 @@ def r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_id, user_id,
   row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
-  sum(CAST(round(value * 100) AS BIGINT))
+  CAST(sum(CAST(round(value * 100) AS BIGINT))
     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_c
 FROM events
 """.strip(),
     doc="Per-user running aggregates (window functions over event time)",
@@ -136,7 +136,7 @@ def r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
   count(*) AS n_orders,
-  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
 FROM orders GROUP BY year(o_orderdate), o_orderstatus
 """.strip(),
     doc="Date-function aggregation (year extraction over timestamp column)",
@@ -156,7 +156,7 @@ def r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
   count(*) AS n,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """.strip(),

@@ -10,6 +10,7 @@ Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -27,6 +28,12 @@ TABLES = [
 
 
 def canon_value(v):
+    # Unwrap numpy scalars (np.int64 -> int, np.float64 -> float, np.bool_
+    # -> bool) WITHOUT collapsing the int/float distinction: the driver
+    # hashes the Arrow-typed oracle values, so a duckdb HUGEINT that exports
+    # as float64 3.0 must NOT canonicalize equal to Spark's bigint 3.
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -35,6 +42,11 @@ def canon_value(v):
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # A decimal here means the oracle exported HUGEINT/DECIMAL through
+        # Arrow — the driver hashes that differently from Spark's bigint, so
+        # keep the type visible instead of letting str(Decimal('3')) == '3'.
+        return f"decimal:{v}"
     return str(v)
 
 
@@ -83,9 +95,13 @@ def main():
             continue
         t0 = time.time()
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # Fetch via Arrow -> pandas, mirroring the driver's comparator:
+            # duckdb fetchall() converts HUGEINT to Python int and hides the
+            # decimal128/float64 export artifact the driver's hash sees.
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = list(otbl.column_names)
+            opdf = otbl.to_pandas()
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
