@@ -15,19 +15,16 @@ Five strategies, all DataFrame-native and shuffle-bounded:
   ``md5(perm_seed || shingle)`` with the *lexicographic min of fixed-width
   hex strings* as the min-hash — portable bit-for-bit to duckdb SQL, which
   is what makes the LSH pipeline oracle-checkable end to end.
-* :func:`simhash64` — 64-bit SimHash per doc (vectorized pandas UDF over
-  token md5 bit-vectors); near-dup = small Hamming distance.
+* :func:`simhash64` — 64-bit SimHash per doc (pure JVM column expressions:
+  md5 byte extraction + 64 bit-vote sums under one partial-aggregated
+  groupBy); near-dup = small Hamming distance.
 * embedding-cosine near-dup lives in ``operators/similarity.py``
   (:func:`~.similarity.cosine_pairs`).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from .caching import persist_bounded as _persist
 from .joins import null_safe_semi_join
@@ -190,33 +187,58 @@ def minhash_lsh_pairs(
     return verified
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash: md5-derived bit vectors per token,
-    +1/-1 vote per bit weighted by token multiplicity, sign -> bit."""
-    import re
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash per document — pure JVM column expressions.
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    pat = re.compile("[^a-z0-9]+")
-    for i, t in enumerate(texts):
-        toks = [x for x in pat.split((t or "").lower()) if x]
-        if not toks:
-            out[i] = 0
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            bits = np.unpackbits(
-                np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8),
-                bitorder="little",
-            ).astype(np.int64)
-            votes += 2 * bits - 1
-        packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little").tobytes()
-        out[i] = int.from_bytes(packed, "little", signed=True)
-    return pd.Series(out)
+    Semantics (bit-for-bit the classic construction): for each token (with
+    multiplicity) take the first 8 bytes of ``md5(token)`` as a 64-bit
+    little-endian bit vector; each bit votes +1/-1; output bit k is set iff
+    the k-th vote count is positive; the 64 bits pack little-endian into a
+    signed int64.  Tokenless documents hash to 0.
 
+    Shape for scale: explode tokens -> 8 tiny byte columns from the md5 hex
+    -> ``groupBy(id)`` with 64 conditional bit-count sums.  Partial (map-
+    side) aggregation reduces each doc to 65 longs before the one shuffle,
+    and everything stays inside whole-stage codegen — no Python, unlike the
+    prior pandas-UDF version which looped per row and per token.
 
-def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, _simhash64_udf(F.col(text_col)))
+    Returns ``(id_col, out_col)`` — one row per distinct input row id.
+    """
+    toks = tokens(F.col(text_col))
+    # explode_outer keeps tokenless docs as a single null-token row, so they
+    # surface with n=0 -> all vote conditions false -> simhash 0
+    tok = df.select(F.col(id_col), F.explode_outer(toks).alias("__t"))
+    h = F.md5(F.col("__t"))
+    tokb = tok.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("int").alias(f"__b{i}")
+            for i in range(8)
+        ],
+    )
+    ones = [
+        F.coalesce(
+            F.sum(F.shiftright(F.col(f"__b{k // 8}"), k % 8).bitwiseAND(F.lit(1))),
+            F.lit(0),
+        ).alias(f"__o{k}")
+        for k in range(64)
+    ]
+    agg = tokb.groupBy(id_col).agg(F.count(F.col("__b0")).alias("__n"), *ones)
+    # votes_k = 2*ones_k - n  >  0  <=>  2*ones_k > n; bit 63 carries the
+    # int64 sign, so its weight is -(2^63) (same two's-complement packing as
+    # int.from_bytes(..., signed=True))
+    sim = F.lit(0).cast("long")
+    for k in range(64):
+        weight = (1 << k) if k < 63 else -(1 << 63)
+        sim = sim + F.when(
+            F.col(f"__o{k}") * 2 > F.col("__n"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sim.alias(out_col))
 
 
 def simhash_pairs(
@@ -227,7 +249,9 @@ def simhash_pairs(
     4 chunks, so it must share one -> the join is equi on chunk value, not a
     cross join.  For ``max_hamming`` > 3 the blocking is a recall<1 filter
     (guaranteeing k requires k+1 chunks)."""
-    s = simhash64(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    # persist: one small row per doc, and the a/b self-join below would
+    # otherwise recompute the 64-sum aggregation twice
+    s = _persist(simhash64(df.select(id_col, text_col), id_col, text_col))
     chunks = s.select(
         id_col,
         "simhash",

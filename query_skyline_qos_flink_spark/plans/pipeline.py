@@ -216,11 +216,51 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, threshold=0.5)
 
 
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Full SimHash64 pipeline in duckdb SQL, mirroring
+    :func:`~..operators.dedup.simhash64` bit-for-bit: token md5 -> first 8
+    bytes as a little-endian 64-bit vector -> per-bit vote sums -> signed
+    int64 pack.  The pair stage is all-pairs + bit_count(xor) <= h, which
+    equals the Spark side's 16-bit-chunk-blocked join exactly (pigeonhole
+    guarantees recall for h <= 3)."""
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    bytes_sql = ", ".join(
+        f"({nib(2 * i + 1)} * 16 + {nib(2 * i + 2)}) AS b{i}" for i in range(8)
+    )
+    ones_sql = ", ".join(
+        f"CAST(COALESCE(sum((b{k // 8} >> {k % 8}) & 1), 0) AS BIGINT) AS o{k}"
+        for k in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2 * o{k} > n THEN CAST({(1 << k) if k < 63 else '-9223372036854775807 - 1'} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for k in range(64)
+    )
+    return f"""
+{_TOK_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+hx AS (SELECT doc_id, md5(tk) AS h FROM tok),
+byt AS (SELECT doc_id, {bytes_sql} FROM hx),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, {ones_sql} FROM byt GROUP BY doc_id),
+sim0 AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM agg),
+sim AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sim0 s USING (doc_id)),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+""".strip()
+
+
 @register(
     "x_simhash_pairs",
-    None,  # pandas-UDF hash path; rows-only check, cross-validated in tests
+    _simhash_oracle(),
     doc="SimHash64 near-dup pairs (Hamming <= 3) with 16-bit chunk blocking "
-    "(pigeonhole: guaranteed recall at <= 3, no cross join)",
+    "(pigeonhole: guaranteed recall at <= 3, no cross join); hash computed "
+    "as JVM column expressions and oracle-replicated end to end in SQL",
 )
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
