@@ -171,21 +171,7 @@ def ann_bucketed(
     )
 
 
-def cosine_pairs(
-    df: DataFrame,
-    threshold: float = 0.4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine similarity >= threshold.
-
-    Output: id_a, id_b, cos_micro (floor(cos * 1e6) — integerized so the
-    oracle hash is immune to any downstream float formatting).  Fold-based
-    exact arithmetic; at scale, block the pair space and GEMM per block
-    (see knn_blocked), or prefilter candidates with ann buckets."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+def _cos_micro_select(pairs: DataFrame, threshold: float) -> DataFrame:
     cos = _dot_fold(F.col("__va"), F.col("__vb")) / (
         _norm_fold(F.col("__va")) * _norm_fold(F.col("__vb"))
     )
@@ -194,3 +180,62 @@ def cosine_pairs(
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.floor(F.col("__cos") * 1e6).cast("bigint").alias("cos_micro"))
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    Output: id_a, id_b, cos_micro (floor(cos * 1e6) — integerized so the
+    oracle hash is immune to any downstream float formatting).
+
+    This is the O(n^2) cross-join reference twin, kept for property-testing
+    :func:`cosine_pairs_bucketed` (the registered scale path) — do not use
+    it on large tables."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return _cos_micro_select(pairs, threshold)
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-bit LSH candidate generation + exact
+    verify — the 100 TB shape (same LSH-then-verify pattern as MinHash).
+
+    Candidates are pairs whose sign-bit bucket codes (first ``n_bits`` dims)
+    differ in at most one bit: the probe side explodes each vector to its
+    own code plus every one-bit flip (``n_bits + 1`` probes), and an
+    equi-join on the probe code meets the other side's base code.  A
+    Hamming-0 pair meets only via the un-flipped probe and a Hamming-1 pair
+    via exactly one flip, so each unordered pair surfaces exactly once — no
+    distinct pass, no cartesian anywhere in the plan.  The verify stage
+    recomputes exact fold-cosine on candidates only.
+
+    Deterministic (hence oracle-checkable: the duckdb twin replicates the
+    bucket rule as ``bit_count(xor(bkt_a, bkt_b)) <= 1``); recall < 1 by
+    design for pairs whose sign patterns differ in >= 2 of the probed dims —
+    property-tested against :func:`cosine_pairs`.  Bucket skew at scale is
+    bounded by raising ``n_bits`` (2^n_bits buckets) and is AQE-splittable
+    since the join is a plain equi shuffle."""
+    code = bucket_code(F.col(vec_col), n_bits)
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), code.alias("__cb")
+    )
+    probes = F.array(code, *[code.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)])
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.explode(probes).alias("__cb"),
+    )
+    cand = a.join(b, "__cb").where(F.col("id_a") < F.col("id_b"))
+    return _cos_micro_select(cand, threshold)

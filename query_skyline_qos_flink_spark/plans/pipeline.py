@@ -267,8 +267,22 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=3)
 
 
-_COS_ORACLE = """
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+def _bucket_sql(col: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+def _cos_oracle(bucketed: bool) -> str:
+    """Cosine near-dup oracle; ``bucketed=True`` replicates the sign-bit LSH
+    candidate rule (bucket codes over the first 8 dims differing in <= 1
+    bit) so the scale-path query is hash-checkable end to end."""
+    cand_pred = (
+        "AND bit_count(xor(a.bkt, b.bkt)) <= 1" if bucketed else ""
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
@@ -277,7 +291,7 @@ p AS (
              FROM (SELECT unnest(a.embedding) AS u) xa))
      * sqrt((SELECT sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
              FROM (SELECT unnest(b.embedding) AS v) xb))) AS cos
-  FROM e a, e b WHERE a.vec_id < b.vec_id)
+  FROM e a, e b WHERE a.vec_id < b.vec_id {cand_pred})
 SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
 FROM p WHERE cos >= 0.4
 """.strip()
@@ -285,11 +299,25 @@ FROM p WHERE cos >= 0.4
 
 @register(
     "x_cosine_neardup",
-    _COS_ORACLE,
-    doc="Embedding-cosine near-dup pairs (>= 0.4), sequential-fold arithmetic "
-    "for oracle parity; cos integerized to micro-units",
+    _cos_oracle(bucketed=True),
+    doc="Embedding-cosine near-dup pairs (>= 0.4) via sign-bit LSH candidates "
+    "(one-bit multi-probe, no cartesian) + exact fold-cosine verify; the "
+    "oracle replicates the bucket rule, recall vs the exact twin is "
+    "property-tested",
 )
 def x_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_bucketed(e, threshold=0.4)
+
+
+@register(
+    "x_cosine_neardup_exact",
+    _cos_oracle(bucketed=False),
+    doc="EXACT embedding-cosine near-dup pairs (>= 0.4, all-pairs reference "
+    "twin of x_cosine_neardup; cross join — correctness anchor, not the "
+    "scale path)",
+)
+def x_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(e, threshold=0.4)
 
@@ -297,13 +325,6 @@ def x_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
-
-
-def _bucket_sql(col: str, n_bits: int = 8) -> str:
-    return " + ".join(
-        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(n_bits)
-    )
 
 
 _ANN_ORACLE = f"""

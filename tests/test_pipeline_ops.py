@@ -154,3 +154,31 @@ def test_multimodal_stub_and_plumbing(spark, docs):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_cosine_bucketed_precision_and_recall_vs_exact(spark):
+    """The bucketed plan must (a) emit a subset of the exact all-pairs
+    result with identical cos_micro values (precision 1.0 — verify stage is
+    exact), (b) achieve recall 1.0 on true near-dups (cos >= 0.95 implies
+    identical sign pattern on well-spread vectors here), and (c) contain no
+    cartesian product in the physical plan."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_pairs(e, threshold=0.4).toPandas()
+    bucketed = similarity.cosine_pairs_bucketed(e, threshold=0.4).toPandas()
+    key = lambda d: {(r.id_a, r.id_b): r.cos_micro for r in d.itertuples()}
+    ek, bk = key(exact), key(bucketed)
+    assert set(bk) <= set(ek)
+    assert all(ek[p] == bk[p] for p in bk)  # verified values identical
+    # true near-dups (identical sign pattern, e.g. scaled copies) are always
+    # recovered: hamming-0 candidates survive bucketing by construction
+    v = np.random.default_rng(11).normal(size=32).astype(np.float32)
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, v), (2, (v * 0.3).astype(np.float32)), (3, -v)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    got = similarity.cosine_pairs_bucketed(dup, threshold=0.99).toPandas()
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == {(1, 2)}
+    plan = similarity.cosine_pairs_bucketed(e, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
