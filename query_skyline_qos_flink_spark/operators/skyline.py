@@ -12,9 +12,9 @@ join: by shape.
   x, keep prefix-minima of y": ``groupBy(d0).min(d1)`` -> running strict-
   predecessor min over the distinct d0 values -> broadcast semi-join back.
   Whole-stage-codegen end to end, O(n log n), and the window runs over
-  *distinct* d0 values only.  (The global window is single-partition over
-  those distinct values; at extreme cardinality swap in a two-pass
-  range-partitioned prefix-min — noted in SCALE.md.)
+  *distinct* d0 values only.  The ungrouped running min is two-pass
+  range-partitioned (per-range local prefix-min + broadcast cross-range
+  offsets), so no single task ever sorts all distinct d0 values.
 
 * **d >= 3 — two-phase with broadcast-verify merge.**
   Phase 1 needs no shuffle at all: ``mapInPandas`` computes a local
@@ -130,15 +130,54 @@ def _skyline_2d_relational(
     prepped: DataFrame, prep_cols: list[str], group_by: Sequence[str] | None
 ) -> DataFrame:
     """Pure-SQL 2-D path: survivors are exactly the (d0, min-d1) pairs whose
-    strict-predecessor running min (in d0 order) is above their d1."""
+    strict-predecessor running min (in d0 order) is above their d1.
+
+    Grouped: the prefix-min window partitions by the group keys (parallel by
+    key).  Ungrouped: a naive ``Window.partitionBy()`` would funnel every
+    distinct d0 value through ONE task — at 100x scale with a high-
+    cardinality double dimension that is the plan you don't want — so the
+    running min is computed in two passes instead: range-partition the
+    distinct d0 values, take per-range strict-predecessor minima locally,
+    then broadcast the (tiny, one-row-per-range) cross-range prefix minima
+    back as offsets.  No stage ever holds more than one range's values."""
     d0, d1 = prep_cols
     keys = list(group_by or [])
     grp = prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1"))
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(d0)
-    pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(d0)
+        pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        surv = grp.withColumn("__pm", pm)
+    else:
+        # pass 1: per-range local strict-predecessor running min.  The
+        # range partitioner assigns contiguous, ascending d0 ranges to
+        # ascending partition ids, so spark_partition_id() (materialized
+        # immediately, before any later exchange) is a valid range key.
+        ranged = grp.repartitionByRange(F.col(d0)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy(d0)
+        pm_local = F.min("__m1").over(w_local.rowsBetween(Window.unboundedPreceding, -1))
+        # pass 2: cross-range offsets — one row per range, so the global
+        # window here runs over ~numShufflePartitions rows, not the data
+        offs = (
+            ranged.groupBy("__pid").agg(F.min("__m1").alias("__rmin"))
+            .withColumn(
+                "__off",
+                F.min("__rmin").over(
+                    Window.partitionBy().orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .select("__pid", "__off")
+        )
+        # least() ignores NULLs: first range has no offset, first row of a
+        # range has no local predecessor
+        surv = (
+            ranged.join(F.broadcast(offs), "__pid")
+            .withColumn("__pm", F.least(pm_local, F.col("__off")))
+        )
     surv = (
-        grp.withColumn("__pm", pm)
-        .where(F.col("__pm").isNull() | (F.col("__pm") > F.col("__m1")))
+        surv.where(F.col("__pm").isNull() | (F.col("__pm") > F.col("__m1")))
         .select(*keys, F.col(d0), F.col("__m1").alias(d1))
     )
     # null-SAFE equality on group keys (NULL is a normal group, matching the

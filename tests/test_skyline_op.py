@@ -148,3 +148,20 @@ def test_generic_path_3d_matches_brute(spark):
     df = spark.createDataFrame(pdf).repartition(7)
     got = set(map(tuple, skyline(df, ["x", "y", "z"]).toPandas().itertuples(index=False)))
     assert got == _brute(pdf, ["x", "y", "z"], [1, 1, 1])
+
+
+def test_2d_two_pass_prefix_min_many_range_partitions(spark):
+    """The ungrouped 2-D path must range-partition the distinct d0 values
+    (no single-task sort over them) and still match brute force when the
+    running min crosses many range boundaries."""
+    rng = np.random.default_rng(42)
+    # 20k distinct x values, anti-correlated-ish so survivors span ranges
+    x = rng.permutation(20_000).astype(np.float64)
+    y = 20_000.0 - x + rng.integers(-2_000, 2_000, size=20_000)
+    pdf = pd.DataFrame({"x": x, "y": y, "rid": np.arange(20_000)})
+    df = spark.createDataFrame(pdf).repartition(16)
+    res = skyline(df, ["x", "y"])
+    got = {tuple(r) for r in res.select("x", "y").collect()}
+    assert got == _brute(pdf[["x", "y"]], ["x", "y"], [1, 1])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
