@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from query_skyline_qos_flink_spark.plans import corpus  # noqa: E402
 from query_skyline_qos_flink_spark.plans import pipeline  # noqa: E402, F401  (registers)
 from query_skyline_qos_flink_spark.plans import relational  # noqa: E402, F401  (registers)
+from query_skyline_qos_flink_spark.plans import streaming_replay  # noqa: E402, F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -353,16 +353,42 @@ def x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed(e, q, k=5)
 
 
+_ANN_BLOCKED_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS DOUBLE)) AS emb
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS qe FROM base WHERE vec_id BETWEEN 1 AND 5),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+    (SELECT sum((x.a - x.b) * (x.a - x.b))
+     FROM (SELECT unnest(q.qe) AS a, unnest(e.emb) AS b) x) AS dist
+  FROM q, base e WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
+SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10
+""".strip()
+
+
 @register(
     "x_ann_blocked",
-    None,  # GEMM summation order != fold order; rows-only + property test vs e2
+    _ANN_BLOCKED_ORACLE,
     doc="Blocked-GEMM brute-force top-10 (the 100 TB scale path): broadcast "
-    "query matrix, numpy matmul per Arrow batch, map-side top-k",
+    "query matrix, numpy matmul per Arrow batch, map-side top-k.  Gated at "
+    "integer precision: embeddings are quantized (floor(x*1024)) so every "
+    "GEMM/fold intermediate is an exact small integer in float64 and "
+    "summation order cannot perturb ranks — the raw-float path is "
+    "property-tested against the fold twin instead",
 )
 def x_ann_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id").between(1, 5))
-    return similarity.knn_blocked(e, q, k=10)
+    eq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1024).cast("double")
+        ).alias("embedding"),
+    )
+    q = eq.where(F.col("vec_id").between(1, 5))
+    return similarity.knn_blocked(eq, q, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""Streaming-replay corpus entry — the reference's CORE topology under the
+hard oracle gate.
+
+``s11_stream_replay`` replays a deterministic producer-file stream derived
+from ``lineitem`` through the full streaming pipeline (wire parse ->
+spatial keyBy -> stateful per-partition skyline + record-ID barrier ->
+trigger fan-out -> arrival-countdown latch -> global merge;
+``/root/reference/java/org.main/FlinkSkyline.java:84-185,296-356``) with
+``availableNow``, and returns the fired skyline POINTS per query, which the
+duckdb oracle reproduces as exact-prefix NOT-EXISTS skylines.
+
+Exactness engineering (SURVEY.md §3.3): the reference's barrier is
+per-partition ``max_seen >= required_count`` — a trigger snapshot is only a
+deterministic N-prefix if (a) a micro-batch boundary lands exactly at the
+prefix (one file per batch via ``maxFilesPerTrigger=1``, file order pinned
+by mtime) and (b) the threshold is low enough that EVERY spatial partition
+releases in that batch.  Both thresholds are therefore computed from the
+data at setup time:
+
+* ``q_prefix`` threshold = min over partitions of the partition's max
+  record id within the N-prefix -> every partition nonempty in the prefix
+  fires at the end of batch 0, whose ingested set is exactly the prefix.
+* ``q_full`` threshold = min over partitions of the partition's max id over
+  ALL records — and it must exceed the prefix max (asserted) so no
+  partition fires early.
+
+Partitions with no prefix rows answer the reference's ``maxId == -1``
+empty-partial path, which is exactly correct for the prefix snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.dominance import skyline_oracle_sql
+from ..operators.partitioners import partition_id
+from ..session import load
+from ..streaming.pipeline import run_pipeline
+from .corpus import register
+
+_N_PREFIX = 1000
+_P = 8
+_DOMAIN = 200_000.0  # covers l_extendedprice at every sf (dim-0 bucketing)
+
+
+def _replay_oracle() -> str:
+    base = (
+        "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS id, "
+        "l_extendedprice AS price, l_discount AS disc FROM lineitem"
+    )
+    prefix_sky = skyline_oracle_sql(
+        f"SELECT * FROM ({base}) WHERE id < {_N_PREFIX}",
+        ["price", "disc"],
+        ["id", "price", "disc"],
+        bucket_sql="id",
+    )
+    full_sky = skyline_oracle_sql(
+        base, ["price", "disc"], ["id", "price", "disc"], bucket_sql="id"
+    )
+    return (
+        f"SELECT 'q_prefix' AS query_id, s.* FROM ({prefix_sky}) s "
+        f"UNION ALL SELECT 'q_full' AS query_id, s.* FROM ({full_sky}) s"
+    )
+
+
+@register(
+    "s11_stream_replay",
+    _replay_oracle(),
+    doc="Streaming topology end to end (reference O9-O17, "
+    "FlinkSkyline.java:84-185): availableNow replay of producer files "
+    "through the stateful skyline stream, two record-ID-barrier triggers "
+    "(exact N-prefix + full), fired skyline points vs exact-prefix oracle",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    pdf = (
+        li.withColumn("rn", F.row_number().over(w))
+        .select(
+            (F.col("rn") - 1).alias("id"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    # replicate the stream's spatial partitioner in batch to derive the
+    # per-partition barrier thresholds (see module docstring)
+    sdf = spark.createDataFrame(pdf)
+    pid_col = partition_id(
+        "dim", [F.col("price"), F.col("disc")], _P, F.lit(_DOMAIN)
+    )
+    pids = sdf.withColumn("pid", pid_col).select("id", "pid").toPandas()
+    pdf = pdf.merge(pids, on="id")
+    prefix = pdf[pdf["id"] < _N_PREFIX]
+    req_prefix = int(prefix.groupby("pid")["id"].max().min())
+    req_full = int(pdf.groupby("pid")["id"].max().min())
+    if req_full < _N_PREFIX:
+        raise RuntimeError(
+            "barrier thresholds not separable: a partition's full-data max id "
+            f"({req_full}) is inside the prefix — raise sf or lower _N_PREFIX"
+        )
+
+    workdir = tempfile.mkdtemp(prefix="s11_replay_")
+    data_dir = os.path.join(workdir, "data")
+    query_dir = os.path.join(workdir, "queries")
+    os.makedirs(data_dir), os.makedirs(query_dir)
+
+    def write_chunk(path: str, chunk: pd.DataFrame, mtime: float) -> None:
+        with open(path, "w") as f:
+            for i, p, d in zip(chunk["id"], chunk["price"], chunk["disc"]):
+                f.write(f"{int(i)},{p!r},{d!r}\n")
+        os.utime(path, (mtime, mtime))
+
+    # one file per micro-batch (maxFilesPerTrigger=1), ordered by mtime:
+    # batch 0 ingests exactly the N-prefix
+    write_chunk(os.path.join(data_dir, "d00.csv"), prefix, 1_000_000.0)
+    write_chunk(
+        os.path.join(data_dir, "d01.csv"), pdf[pdf["id"] >= _N_PREFIX], 1_000_010.0
+    )
+    with open(os.path.join(query_dir, "q.csv"), "w") as f:
+        f.write(f"q_prefix,{req_prefix}\nq_full,{req_full}\n")
+
+    results: list[pd.DataFrame] = []
+    q = run_pipeline(
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(data_dir),
+        spark.readStream.schema("value string").text(query_dir),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        d=2,
+        num_partitions=_P,
+        strategy="dim",
+        domain=_DOMAIN,
+        on_result=results.append,
+        emit_points=True,
+    )
+    q.awaitTermination(600)
+
+    rows = [
+        (str(m.query_id), int(pt[0]), float(pt[1]), float(pt[2]))
+        for mdf in results
+        for m in mdf.itertuples()
+        for pt in m.skyline_points
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "id", "price", "disc"]),
+        schema="query_id string, id bigint, price double, disc double",
+    )

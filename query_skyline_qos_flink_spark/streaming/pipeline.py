@@ -68,6 +68,7 @@ def run_pipeline(
     on_result: Callable[[pd.DataFrame], None] | None = None,
     collector_csv: str | None = None,
     available_now: bool = True,
+    emit_points: bool = False,
 ):
     """Parse raw string streams, run the stateful skyline, finalize each
     micro-batch of partials, and hand the per-query metrics to
@@ -116,7 +117,9 @@ def run_pipeline(
             os.remove(latch_path)
         if complete.empty:
             return
-        metrics = finalize_results(complete, num_partitions=num_partitions)
+        metrics = finalize_results(
+            complete, num_partitions=num_partitions, emit_points=emit_points
+        )
         if collector is not None:
             collector.append(metrics)
         if on_result is not None:

@@ -256,20 +256,31 @@ def build_skyline_stream(
     )
 
 
-def finalize_results(partials: pd.DataFrame, num_partitions: int = 8) -> pd.DataFrame:
+def finalize_results(
+    partials: pd.DataFrame, num_partitions: int = 8, emit_points: bool = False
+) -> pd.DataFrame:
     """Global phase (reference O15-O21) over collected partials: per-query
     global skyline merge, Optimality, and the metrics record — including
     ``query_latency_ms`` (always 0 in the reference's CSVs because it is
-    computed but never serialized; we emit the real value = total time)."""
+    computed but never serialized; we emit the real value = total time).
+
+    ``emit_points`` mirrors the reference's skyline-point emission flag
+    (``FlinkSkyline.java:610-623``): adds a ``skyline_points`` column with
+    each survivor as ``[id, v0, v1, ...]``, sorted by id."""
     rows = []
     for qid, g in partials.groupby("query_id"):
         t0 = time.perf_counter()
         pts_rows = g[g["id"].notna()]
+        points: list[list[float]] = []
         if len(pts_rows):
             pts = np.array([np.asarray(v, dtype=np.float64) for v in pts_rows["values"]])
             mask = skyline_mask(pts)
             surv = pts_rows.loc[mask]
             sky_size = int(mask.sum())
+            if emit_points:
+                points = sorted(
+                    [int(i), *list(v)] for i, v in zip(surv["id"], surv["values"])
+                )
             ratios = 0.0
             for pid, pg in pts_rows.groupby("pid"):
                 local_size = int(pg["local_size"].iloc[0])
@@ -295,6 +306,7 @@ def finalize_results(partials: pd.DataFrame, num_partitions: int = 8) -> pd.Data
                 "global_processing_time_ms": global_ms,
                 "total_processing_time_ms": local_ms + global_ms,
                 "query_latency_ms": local_ms + global_ms,
+                **({"skyline_points": points} if emit_points else {}),
             }
         )
     return pd.DataFrame(rows)
