@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .partitioners import partition_id
 from .caching import persist_bounded as _persist
-from .skyline import _grouped_skyline, _local_skyline_iter, _prep
+from .skyline import _grouped_skyline, _merge_survivors, _prep
 
 
 def with_data_domain(df: DataFrame, dim0: str, out_col: str = "__dom") -> DataFrame:
@@ -42,9 +42,13 @@ def skyline_partition_stats(
 ) -> DataFrame:
     """(pid, local_size, survivors) per non-empty spatial partition.
 
-    Two shuffles total: one exchange on pid for the local phase (the
-    reference's keyBy), one single-task merge over local survivors.  The
-    stats joins run over tiny aggregates (broadcast)."""
+    One exchange on pid for the local phase (the reference's keyBy); the
+    global merge is the parallel broadcast-verify from
+    :func:`..skyline._merge_survivors` (it preserves every column, so the
+    ``pid`` provenance tag survives the merge).  The reference merges on a
+    single thread (``FlinkSkyline.java:548-566``) — exactly the bottleneck
+    its own evaluation hits at 4-D anti-correlated scale (PDF §5.5); no
+    single-task pass here.  The stats joins run over tiny aggregates."""
     dim_names = [d if isinstance(d, str) else d[0] for d in dims]
     if domain is None:
         df = with_data_domain(df, dim_names[0])
@@ -59,9 +63,7 @@ def skyline_partition_stats(
     )
     local = _persist(local)
     local_sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("local_size"))
-    merged = local.repartition(1).mapInPandas(
-        _local_skyline_iter(prep_cols), schema=prepped.schema
-    )
+    merged = _merge_survivors(local, prep_cols)
     survivors = merged.groupBy("pid").agg(F.count(F.lit(1)).alias("survivors"))
     out = (
         local_sizes.join(survivors, "pid", "left")

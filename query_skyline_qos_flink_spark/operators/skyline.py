@@ -152,8 +152,17 @@ def _skyline_2d_relational(
         # range partitioner assigns contiguous, ascending d0 ranges to
         # ascending partition ids, so spark_partition_id() (materialized
         # immediately, before any later exchange) is a valid range key.
-        ranged = grp.repartitionByRange(F.col(d0)).withColumn(
-            "__pid", F.spark_partition_id()
+        # persisted: __pid is referenced by BOTH the windowed local prefix-min
+        # and the offs aggregate below.  Without materialization, correctness
+        # would rest on Spark reusing the identical range exchange in the two
+        # subplans — RangePartitioner samples bounds with an rdd-derived seed,
+        # so two independent instantiations could assign different boundaries
+        # and silently misalign the broadcast offsets.  Persisting fixes the
+        # pid assignment once.
+        ranged = _persist(
+            grp.repartitionByRange(F.col(d0)).withColumn(
+                "__pid", F.spark_partition_id()
+            )
         )
         w_local = Window.partitionBy("__pid").orderBy(d0)
         pm_local = F.min("__m1").over(w_local.rowsBetween(Window.unboundedPreceding, -1))

@@ -44,6 +44,7 @@ from .corpus import register
 
 _N_PREFIX = 1000
 _P = 8
+_MAX_REPLAY_ROWS = 2_000_000  # driver-collect guard; see s11 body
 _DOMAIN = 200_000.0  # covers l_extendedprice at every sf (dim-0 bucketing)
 
 
@@ -79,6 +80,17 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
+    # Correctness-harness scope: this entry defines the exact N-prefix by a
+    # GLOBAL Window.orderBy + toPandas round-trip (in production ids come
+    # from the producer, as in the reference; unified_producer.py:118-131).
+    # That is a single-task sort + driver collect by design — fail fast
+    # rather than OOM if pointed at a bench-scale sf.
+    n_rows = li.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s11 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.01"
+        )
     w = Window.orderBy("l_orderkey", "l_linenumber")
     pdf = (
         li.withColumn("rn", F.row_number().over(w))
@@ -117,7 +129,9 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_chunk(path: str, chunk: pd.DataFrame, mtime: float) -> None:
         with open(path, "w") as f:
             for i, p, d in zip(chunk["id"], chunk["price"], chunk["disc"]):
-                f.write(f"{int(i)},{p!r},{d!r}\n")
+                # plain-Python float repr (shortest round-trip); numpy >= 2.0
+                # repr would emit 'np.float64(x)' and corrupt the wire CSV
+                f.write(f"{int(i)},{float(p)!r},{float(d)!r}\n")
         os.utime(path, (mtime, mtime))
 
     # one file per micro-batch (maxFilesPerTrigger=1), ordered by mtime:
@@ -143,7 +157,9 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         on_result=results.append,
         emit_points=True,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s11 stream replay timed out after 600 s")
 
     rows = [
         (str(m.query_id), int(pt[0]), float(pt[1]), float(pt[2]))

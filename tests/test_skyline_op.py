@@ -150,6 +150,33 @@ def test_generic_path_3d_matches_brute(spark):
     assert got == _brute(pdf, ["x", "y", "z"], [1, 1, 1])
 
 
+def test_partition_stats_parallel_merge(spark):
+    """m1's global merge must be the parallel broadcast-verify, not a
+    single-task pass (the reference's own 4-D bottleneck, PDF §5.5):
+    correct stats vs brute force AND no single-partition exchange in the
+    executed plan."""
+    from query_skyline_qos_flink_spark.operators.metrics import skyline_partition_stats
+
+    df = points(spark, 4000, 2, "anti_correlated", domain=1000, seed=9)
+    stats = skyline_partition_stats(
+        df, ["v0", "v1"], strategy="dim", num_partitions=8, domain=1000.0
+    )
+    got = stats.toPandas().set_index("pid").sort_index()
+
+    pdf = df.toPandas()
+    pid = np.clip(np.floor(pdf["v0"] / (1000.0 / 8)), 0, 7).astype(int)
+    sky = _brute(pdf[["v0", "v1"]], ["v0", "v1"], [1, 1])
+    surv_pid = pid[[tuple(r) in sky for r in pdf[["v0", "v1"]].itertuples(index=False)]]
+    for p in got.index:
+        sub = pdf[pid == p]
+        local = _brute(sub, ["v0", "v1"], [1, 1])
+        assert got.loc[p, "local_size"] == len(local), p
+        assert got.loc[p, "survivors"] == int((surv_pid == p).sum()), p
+
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_2d_two_pass_prefix_min_many_range_partitions(spark):
     """The ungrouped 2-D path must range-partition the distinct d0 values
     (no single-task sort over them) and still match brute force when the
