@@ -52,6 +52,21 @@ def query_source(spark: SparkSession, bootstrap_servers: str,
     return kafka_stream(spark, bootstrap_servers, topic, "latest")
 
 
+def sink_options(
+    bootstrap_servers: str,
+    topic: str = DEFAULT_OUTPUT_TOPIC,
+    max_request_size: int = MAX_REQUEST_SIZE,
+) -> dict[str, str]:
+    """O22 writer options, exposed as a plain dict so the frame-size
+    passthrough is testable without a broker (``kafka.``-prefixed options
+    are handed verbatim to the Kafka producer by the connector)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "kafka.max.request.size": str(max_request_size),
+    }
+
+
 def result_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -62,8 +77,6 @@ def result_sink(
     """O22: JSON result writer (df must have a ``value`` string column)."""
     return (
         df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("kafka.max.request.size", str(max_request_size))
+        .options(**sink_options(bootstrap_servers, topic, max_request_size))
         .option("checkpointLocation", checkpoint_dir)
     )
