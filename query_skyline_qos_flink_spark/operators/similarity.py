@@ -145,19 +145,41 @@ def ann_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bit
     bucket (equi-join on the bucket code -> shuffle only within buckets).
-    Output: q_id, n_id, rnk."""
+    Output: q_id, n_id, rnk.
+
+    ``n_probes`` > 1 enables multi-probe (the same one-bit probe-explode as
+    :func:`cosine_pairs_bucketed`): the query side additionally probes the
+    buckets reached by flipping each of its first ``n_probes - 1`` sign
+    bits, so near-boundary vectors recover neighbors from adjacent sign
+    cells.  ``n_probes = n_bits + 1`` probes the full Hamming-1 ball.  Each
+    (query, neighbor) candidate still meets exactly once (Hamming-0 via the
+    un-flipped probe, Hamming-1 via its single flip) — no distinct pass —
+    and the probe set is a pure function of the code, so a SQL oracle can
+    replicate the rule as ``xor == 0 OR (single bit AND bit < n_probes-1)``.
+    Only the broadcast query side fans out (×``n_probes``); the base table
+    is scanned once."""
     base = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__e"),
         bucket_code(F.col(vec_col), n_bits).alias("__bkt"),
     )
+    qcode = bucket_code(F.col(vec_col), n_bits)
+    if n_probes > 1:
+        flips = [
+            qcode.bitwiseXOR(F.lit(1 << i))
+            for i in range(min(n_probes - 1, n_bits))
+        ]
+        probe = F.explode(F.array(qcode, *flips))
+    else:
+        probe = qcode
     q = query_df.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__q"),
-        bucket_code(F.col(vec_col), n_bits).alias("__bkt"),
+        probe.alias("__bkt"),
     )
     pairs = (
         base.join(F.broadcast(q), "__bkt")

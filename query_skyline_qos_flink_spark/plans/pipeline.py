@@ -353,6 +353,35 @@ def x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed(e, q, k=5)
 
 
+_ANN_MULTIPROBE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM base WHERE vec_id BETWEEN 1 AND 5),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+    (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+     FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
+  FROM q JOIN base e ON bit_count(xor(q.bkt, e.bkt)) <= 1 AND e.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
+SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5
+""".strip()
+
+
+@register(
+    "x_ann_multiprobe",
+    _ANN_MULTIPROBE_ORACLE,
+    doc="Multi-probe ANN: the query side probes its own sign-bit bucket plus "
+    "every one-bit flip (full Hamming-1 ball, n_probes=9) via the same "
+    "probe-explode as the cosine near-dup path, so near-boundary vectors "
+    "recover neighbors from adjacent sign cells; candidate rule replicated "
+    "in the oracle as bit_count(xor) <= 1",
+)
+def x_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").between(1, 5))
+    return similarity.ann_bucketed(e, q, k=5, n_bits=8, n_probes=9)
+
+
 _ANN_BLOCKED_ORACLE = """
 WITH base AS (
   SELECT vec_id,

@@ -122,6 +122,49 @@ def test_blocked_knn_matches_fold_knn(spark):
     assert key(fold) == key(blocked)
 
 
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe must be (a) a strict candidate superset of single-probe —
+    per query, every single-probe neighbor set is contained in the
+    multi-probe Hamming<=1 candidate pool, so recall vs exact kNN can only
+    improve — and (b) measurably better on recall here: with 8 sign bits on
+    random 16-d vectors some true neighbors sit in adjacent sign cells
+    (absolute recall stays well below 1 by design — sign-LSH only probes
+    the Hamming<=1 ball, and random-vector nearest neighbors are often
+    sign-far; the gate is the strict improvement, not a recall floor)."""
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {"vec_id": range(400),
+         "embedding": [rng.normal(size=16).astype(np.float32) for _ in range(400)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    q = df.where(F.col("vec_id") < 8)
+    k = 10
+    exact = similarity.knn_exact_fold(df, q, k=k).toPandas()
+    single = similarity.ann_bucketed(df, q, k=k, n_bits=8, n_probes=1).toPandas()
+    multi = similarity.ann_bucketed(df, q, k=k, n_bits=8, n_probes=9).toPandas()
+
+    def hits(approx):
+        e = exact.groupby("q_id")["n_id"].apply(set)
+        a = approx.groupby("q_id")["n_id"].apply(set)
+        return sum(len(e[qid] & a.get(qid, set())) for qid in e.index), len(e) * k
+
+    h_single, total = hits(single)
+    h_multi, _ = hits(multi)
+    assert h_multi > h_single  # adjacent-cell neighbors actually recovered
+    assert total == 8 * k
+
+    # n_probes=1 is exactly the old single-bucket behavior: same-bucket
+    # candidates only, and every multi-probe candidate pair is Hamming<=1
+    codes = similarity.bucket_code(F.col("embedding"), 8)
+    code_of = dict(
+        df.select("vec_id", codes.alias("c")).toPandas().itertuples(index=False)
+    )
+    for r in single.itertuples():
+        assert code_of[r.q_id] == code_of[r.n_id]
+    for r in multi.itertuples():
+        assert bin(code_of[r.q_id] ^ code_of[r.n_id]).count("1") <= 1
+
+
 def test_cosine_pairs_detects_duplicate_vectors(spark):
     v = np.random.default_rng(8).normal(size=32).astype(np.float32)
     rows = [(1, v), (2, v.copy()), (3, (v * 0.5).astype(np.float32)), (4, -v)]
