@@ -118,7 +118,13 @@ def run_pipeline(
         if complete.empty:
             return
         metrics = finalize_results(
-            complete, num_partitions=num_partitions, emit_points=emit_points
+            complete,
+            num_partitions=num_partitions,
+            emit_points=emit_points,
+            # continuous mode gets the reference's O20 wall/ingest split;
+            # availableNow replays backfill files at full speed, where the
+            # wall span measures replay throughput, not ingestion
+            replay=available_now,
         )
         if collector is not None:
             collector.append(metrics)

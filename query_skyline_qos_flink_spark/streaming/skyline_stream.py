@@ -48,11 +48,13 @@ from ..operators.skyline_kernel import skyline_mask, skyline_update
 
 OUTPUT_SCHEMA = (
     "query_id string, pid int, id bigint, values array<double>, "
-    "local_size bigint, max_seen bigint, local_cpu_ms double"
+    "local_size bigint, max_seen bigint, local_cpu_ms double, "
+    "start_wall double, emit_wall double"
 )
 STATE_SCHEMA = (
     "max_seen bigint, ids array<bigint>, pts array<array<double>>, "
-    "pending_q array<string>, pending_req array<bigint>, cpu_ms double"
+    "pending_q array<string>, pending_req array<bigint>, cpu_ms double, "
+    "start_wall double"
 )
 
 
@@ -62,12 +64,12 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
     order: ingest data, then evaluate triggers — snapshot-at-batch
     semantics (SURVEY.md §3.3).  Returns (new_state_tuple, out_frames)."""
     if state_tuple is not None:
-        max_seen, ids, pts, pend_q, pend_req, cpu_ms = state_tuple
+        max_seen, ids, pts, pend_q, pend_req, cpu_ms, start_wall = state_tuple
         ids = list(ids)
         pts = [list(p) for p in pts]
         pend = list(zip(pend_q, pend_req))
     else:
-        max_seen, ids, pts, pend, cpu_ms = -1, [], [], [], 0.0
+        max_seen, ids, pts, pend, cpu_ms, start_wall = -1, [], [], [], 0.0, -1.0
 
     # Drain ALL Arrow chunks of the micro-batch before evaluating any
     # trigger: chunk packing is an implementation detail, and a trigger
@@ -80,6 +82,12 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
         data = pdf[pdf["values"].notna()]
         trig = pdf[pdf["query_id"].notna()]
         if len(data):
+            if start_wall < 0:
+                # O20 minStart analog: wall clock when this partition first
+                # starts processing data (FlinkSkyline.java:394 records the
+                # map task's start; first-ingest is the stateful-operator
+                # equivalent — before it, the partition has no map work)
+                start_wall = time.time()
             t0 = time.perf_counter()
             # rows whose arity disagrees with the topology's declared
             # dimensionality (or, failing that, the state's) are malformed:
@@ -118,6 +126,7 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
         else:
             still.append((qid, req))
     pend = still
+    emit_wall = time.time()  # O20 lastArrival analog: partial emission time
     for qid, _req in fired:
         if ids:
             out_frames.append(
@@ -130,6 +139,8 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
                         "local_size": len(ids),
                         "max_seen": max_seen,
                         "local_cpu_ms": cpu_ms,
+                        "start_wall": np.nan if start_wall < 0 else start_wall,
+                        "emit_wall": emit_wall,
                     }
                 )
             )
@@ -144,6 +155,8 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
                         "local_size": [0],
                         "max_seen": [max_seen],
                         "local_cpu_ms": [cpu_ms],
+                        "start_wall": [np.nan if start_wall < 0 else start_wall],
+                        "emit_wall": [emit_wall],
                     }
                 )
             )
@@ -155,6 +168,7 @@ def _apply_batch(pid: int, state_tuple, pdfs: Iterator[pd.DataFrame], d: int | N
         [q for q, _ in pend],
         [r for _, r in pend],
         cpu_ms,
+        start_wall,
     )
     return new_state, out_frames
 
@@ -257,7 +271,10 @@ def build_skyline_stream(
 
 
 def finalize_results(
-    partials: pd.DataFrame, num_partitions: int = 8, emit_points: bool = False
+    partials: pd.DataFrame,
+    num_partitions: int = 8,
+    emit_points: bool = False,
+    replay: bool = True,
 ) -> pd.DataFrame:
     """Global phase (reference O15-O21) over collected partials: per-query
     global skyline merge, Optimality, and the metrics record — including
@@ -266,7 +283,15 @@ def finalize_results(
 
     ``emit_points`` mirrors the reference's skyline-point emission flag
     (``FlinkSkyline.java:610-623``): adds a ``skyline_points`` column with
-    each survivor as ``[id, v0, v1, ...]``, sorted by id."""
+    each survivor as ``[id, v0, v1, ...]``, sorted by id.
+
+    ``replay=False`` enables the reference's continuous-mode O20 latency
+    decomposition (``FlinkSkyline.java:574-588``): ``mapWall = lastArrival
+    − minStart`` from the partials' wall clocks, ``ingestion = mapWall −
+    maxLocalCpu`` (clamped ≥ 0), ``total = mapWall + global``.  In
+    ``availableNow`` replays the wall span measures file backfill, not
+    ingestion — there ``ingestion_time_ms`` stays 0 and ``total`` is the
+    CPU-only ``local + global`` (documented in SURVEY.md §3.3)."""
     rows = []
     for qid, g in partials.groupby("query_id"):
         t0 = time.perf_counter()
@@ -295,17 +320,29 @@ def finalize_results(
         record_count = int(per_pid["max_seen"].max() + 1)
         local_ms = float(per_pid["local_cpu_ms"].max())
         global_ms = (time.perf_counter() - t0) * 1000.0
+        ingestion_ms = 0.0  # replay mode: wall span is backfill, not ingest
+        total_ms = local_ms + global_ms
+        if not replay and "emit_wall" in per_pid.columns:
+            starts = per_pid["start_wall"].dropna()
+            # partitions that never saw data contribute no map span; a query
+            # where NO partition saw data has no meaningful decomposition
+            if len(starts):
+                map_wall_ms = max(
+                    0.0, (per_pid["emit_wall"].max() - starts.min()) * 1000.0
+                )
+                ingestion_ms = max(0.0, map_wall_ms - local_ms)
+                total_ms = map_wall_ms + global_ms
         rows.append(
             {
                 "query_id": qid,
                 "record_count": record_count,
                 "skyline_size": sky_size,
                 "optimality": round(optimality, 4),
-                "ingestion_time_ms": 0.0,  # no wall/ingest split in replay mode
+                "ingestion_time_ms": ingestion_ms,
                 "local_processing_time_ms": local_ms,
                 "global_processing_time_ms": global_ms,
-                "total_processing_time_ms": local_ms + global_ms,
-                "query_latency_ms": local_ms + global_ms,
+                "total_processing_time_ms": total_ms,
+                "query_latency_ms": total_ms,
                 **({"skyline_points": points} if emit_points else {}),
             }
         )

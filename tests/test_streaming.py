@@ -219,6 +219,54 @@ def test_pipeline_query_spanning_batches_emits_once(spark, stream_dirs):
     assert list(all_metrics["query_id"]) == ["q_span"]  # exactly once
 
 
+def test_continuous_mode_o20_latency_decomposition(spark, stream_dirs):
+    """O20 continuous-mode parity (FlinkSkyline.java:574-588): a live
+    (non-availableNow) stream over two micro-batches — data, then a trigger
+    a wall-clock gap later — must emit a decomposed timing record with
+    nonzero ingestion time: mapWall spans first-ingest to trigger-fire,
+    far exceeding the local CPU time on this tiny input."""
+    import time as _time
+
+    from query_skyline_qos_flink_spark.streaming.pipeline import run_pipeline
+
+    data_dir, query_dir, ckpt = stream_dirs
+    rng = np.random.default_rng(29)
+    with open(os.path.join(data_dir, "b0.csv"), "w") as f:
+        for i in range(10):
+            f.write(f"{i},{rng.integers(0, 100)}.0,{rng.integers(0, 100)}.0\n")
+    seen: list = []
+    raw = lambda d: spark.readStream.schema("value string").text(d)
+    q = run_pipeline(raw(data_dir), raw(query_dir), checkpoint_dir=ckpt, d=2,
+                     num_partitions=4, domain=100.0, on_result=seen.append,
+                     available_now=False)
+    try:
+        deadline = _time.time() + 60
+        while not q.recentProgress and _time.time() < deadline:
+            _time.sleep(0.2)  # first micro-batch (b0 ingested) committed
+        _time.sleep(1.5)  # measurable wall gap between ingest and trigger
+        with open(os.path.join(query_dir, "t0.csv"), "w") as f:
+            # immediate trigger: fires in the NEXT micro-batch, so emit_wall
+            # sits a wall-clock gap after b0's ingest (a required_count
+            # barrier would park on fed partitions whose max id < req)
+            f.write("q_live\n")
+        while not seen and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert seen, "continuous stream never finalized the query"
+    m = pd.concat(seen).set_index("query_id").loc["q_live"]
+    assert m["ingestion_time_ms"] > 0.0  # wall/ingest split is live
+    # exact decomposition: total = mapWall + global = ingest + local + global
+    assert m["total_processing_time_ms"] == pytest.approx(
+        m["ingestion_time_ms"]
+        + m["local_processing_time_ms"]
+        + m["global_processing_time_ms"]
+    )
+    assert m["query_latency_ms"] == m["total_processing_time_ms"]
+    # the wall gap between batches dominates: ingestion >= the 1.5 s sleep
+    assert m["ingestion_time_ms"] >= 1000.0
+
+
 def test_streaming_immediate_trigger_and_cumulative_state(spark, stream_dirs):
     data_dir, query_dir, ckpt = stream_dirs
     with open(os.path.join(data_dir, "b0.csv"), "w") as f:
