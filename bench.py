@@ -6,13 +6,21 @@ Workloads:
   same distributions as the reference's producer).  Reference totals at the
   same shape: ~17-19s (2-D), ~27s (3-D), ~700s (4-D).
 * Declared-corpus headliners at $SPARK_GRAFT_SF_DIR (default sf0.1).
+* LLM-pipeline scale paths at TWO sfs (default sf0.01 vs sf0.1): the
+  ``scaling`` block records both timings, input row counts, and the
+  fitted exponent log(t_big/t_small)/log(n_big/n_small) — ~1.0 means
+  linear.  Small-sf runs carry fixed per-query overhead (session, plan,
+  tiny-task scheduling), so exponents read as a *ceiling* check (well
+  below 2 = not pairwise-quadratic), not a precision fit.
 
-Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_SKIP_1M=1 for a quick run.
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SMALL_SF_DIR,
+BENCH_SKIP_1M=1 / BENCH_SKIP_SCALING=1 for quick runs.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -41,6 +49,14 @@ CORPUS_QUERIES = [
     "x_ann_blocked",
     "r2_join_topk_revenue",
 ]
+SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+# scale-path queries measured at both sfs -> their driving input table
+SCALING_QUERIES = {
+    "x_minhash_lsh_pairs": "documents",
+    "x_simhash_pairs": "documents",
+    "x_cosine_neardup": "embeddings",
+    "x_ann_blocked": "embeddings",
+}
 
 
 def main() -> None:
@@ -64,6 +80,36 @@ def main() -> None:
         spec = corpus.REGISTRY[name]
         timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count())
 
+    scaling: dict[str, dict] = {}
+    if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
+            and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):
+        rowcount = lambda d, t: spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+        for name, table in SCALING_QUERIES.items():
+            spec = corpus.REGISTRY[name]
+            t0 = time.time()
+            spec.fn(spark, SMALL_SF_DIR).count()
+            t_small = round(time.time() - t0, 3)
+            if name not in timings:  # big-sf timing not already in the suite
+                timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count())
+            t_big = timings[name]
+            n_small, n_big = rowcount(SMALL_SF_DIR, table), rowcount(SF_DIR, table)
+            scaling[name] = {
+                "t_small_s": t_small,
+                "t_big_s": t_big,
+                "rows_small": n_small,
+                "rows_big": n_big,
+                "exponent": (
+                    round(
+                        math.log(max(t_big, 1e-3) / max(t_small, 1e-3))
+                        / math.log(n_big / n_small),
+                        3,
+                    )
+                    if n_big != n_small
+                    else None
+                ),
+            }
+            print(f"# scaling {name}: {scaling[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -74,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scaling": scaling,
             }
         )
     )
