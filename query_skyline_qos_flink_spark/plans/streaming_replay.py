@@ -1,13 +1,16 @@
-"""Streaming-replay corpus entry — the reference's CORE topology under the
-hard oracle gate.
+"""Streaming-replay corpus entries — the reference's CORE topology under
+the hard oracle gate.
 
-``s11_stream_replay`` replays a deterministic producer-file stream derived
-from ``lineitem`` through the full streaming pipeline (wire parse ->
-spatial keyBy -> stateful per-partition skyline + record-ID barrier ->
-trigger fan-out -> arrival-countdown latch -> global merge;
+``s11_stream_replay`` (d=2) and ``s12_stream_replay_3d`` (d=3) replay a
+deterministic producer-file stream derived from ``lineitem`` through the
+full streaming pipeline (wire parse -> spatial keyBy -> stateful
+per-partition skyline + record-ID barrier -> trigger fan-out ->
+arrival-countdown latch -> global merge;
 ``/root/reference/java/org.main/FlinkSkyline.java:84-185,296-356``) with
-``availableNow``, and returns the fired skyline POINTS per query, which the
-duckdb oracle reproduces as exact-prefix NOT-EXISTS skylines.
+``availableNow``, and return the fired skyline POINTS per query, which the
+duckdb oracle reproduces as exact-prefix NOT-EXISTS skylines.  The d=3
+variant puts the kernel's generic (d >= 3) code path — not just the 2-D
+relational special case — under the streaming hard gate.
 
 Exactness engineering (SURVEY.md §3.3): the reference's barrier is
 per-partition ``max_seen >= required_count`` — a trigger snapshot is only a
@@ -44,41 +47,39 @@ from .corpus import register
 
 _N_PREFIX = 1000
 _P = 8
-_MAX_REPLAY_ROWS = 2_000_000  # driver-collect guard; see s11 body
+_MAX_REPLAY_ROWS = 2_000_000  # driver-collect guard; see _stream_replay body
 _DOMAIN = 200_000.0  # covers l_extendedprice at every sf (dim-0 bucketing)
 
+# (output column, lineitem source column); dim-0 drives the spatial bucketing
+_DIMS_2D = [("price", "l_extendedprice"), ("disc", "l_discount")]
+_DIMS_3D = _DIMS_2D + [("qty", "l_quantity")]
 
-def _replay_oracle() -> str:
+
+def _replay_oracle(dims: list[tuple[str, str]]) -> str:
+    names = [n for n, _ in dims]
+    src = ", ".join(f"{s} AS {n}" for n, s in dims)
     base = (
         "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS id, "
-        "l_extendedprice AS price, l_discount AS disc FROM lineitem"
+        f"{src} FROM lineitem"
     )
+    out_cols = ["id", *names]
     prefix_sky = skyline_oracle_sql(
-        f"SELECT * FROM ({base}) WHERE id < {_N_PREFIX}",
-        ["price", "disc"],
-        ["id", "price", "disc"],
+        f"SELECT * FROM ({base}) WHERE id < {_N_PREFIX}", names, out_cols,
         bucket_sql="id",
     )
-    full_sky = skyline_oracle_sql(
-        base, ["price", "disc"], ["id", "price", "disc"], bucket_sql="id"
-    )
+    full_sky = skyline_oracle_sql(base, names, out_cols, bucket_sql="id")
     return (
         f"SELECT 'q_prefix' AS query_id, s.* FROM ({prefix_sky}) s "
         f"UNION ALL SELECT 'q_full' AS query_id, s.* FROM ({full_sky}) s"
     )
 
 
-@register(
-    "s11_stream_replay",
-    _replay_oracle(),
-    doc="Streaming topology end to end (reference O9-O17, "
-    "FlinkSkyline.java:84-185): availableNow replay of producer files "
-    "through the stateful skyline stream, two record-ID-barrier triggers "
-    "(exact N-prefix + full), fired skyline points vs exact-prefix oracle",
-)
-def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_replay(
+    spark: SparkSession, sf_dir: str, dims: list[tuple[str, str]]
+) -> DataFrame:
+    names = [n for n, _ in dims]
     li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_linenumber", *[s for _, s in dims]
     )
     # Correctness-harness scope: this entry defines the exact N-prefix by a
     # GLOBAL Window.orderBy + toPandas round-trip (in production ids come
@@ -88,16 +89,15 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = li.count()
     if n_rows > _MAX_REPLAY_ROWS:
         raise RuntimeError(
-            f"s11 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
-            f"rows (got {n_rows}); run it at sf<=0.01"
+            f"stream replay is a correctness harness, capped at "
+            f"{_MAX_REPLAY_ROWS} rows (got {n_rows}); run it at sf<=0.01"
         )
     w = Window.orderBy("l_orderkey", "l_linenumber")
     pdf = (
         li.withColumn("rn", F.row_number().over(w))
         .select(
             (F.col("rn") - 1).alias("id"),
-            F.col("l_extendedprice").alias("price"),
-            F.col("l_discount").alias("disc"),
+            *[F.col(s).alias(n) for n, s in dims],
         )
         .toPandas()
         .sort_values("id")
@@ -108,7 +108,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition barrier thresholds (see module docstring)
     sdf = spark.createDataFrame(pdf)
     pid_col = partition_id(
-        "dim", [F.col("price"), F.col("disc")], _P, F.lit(_DOMAIN)
+        "dim", [F.col(n) for n in names], _P, F.lit(_DOMAIN)
     )
     pids = sdf.withColumn("pid", pid_col).select("id", "pid").toPandas()
     pdf = pdf.merge(pids, on="id")
@@ -121,17 +121,18 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({req_full}) is inside the prefix — raise sf or lower _N_PREFIX"
         )
 
-    workdir = tempfile.mkdtemp(prefix="s11_replay_")
+    workdir = tempfile.mkdtemp(prefix="stream_replay_")
     data_dir = os.path.join(workdir, "data")
     query_dir = os.path.join(workdir, "queries")
     os.makedirs(data_dir), os.makedirs(query_dir)
 
     def write_chunk(path: str, chunk: pd.DataFrame, mtime: float) -> None:
         with open(path, "w") as f:
-            for i, p, d in zip(chunk["id"], chunk["price"], chunk["disc"]):
+            for row in chunk.itertuples(index=False):
                 # plain-Python float repr (shortest round-trip); numpy >= 2.0
                 # repr would emit 'np.float64(x)' and corrupt the wire CSV
-                f.write(f"{int(i)},{float(p)!r},{float(d)!r}\n")
+                vals = ",".join(f"{float(getattr(row, n))!r}" for n in names)
+                f.write(f"{int(row.id)},{vals}\n")
         os.utime(path, (mtime, mtime))
 
     # one file per micro-batch (maxFilesPerTrigger=1), ordered by mtime:
@@ -150,7 +151,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(data_dir),
         spark.readStream.schema("value string").text(query_dir),
         checkpoint_dir=os.path.join(workdir, "ckpt"),
-        d=2,
+        d=len(names),
         num_partitions=_P,
         strategy="dim",
         domain=_DOMAIN,
@@ -159,15 +160,38 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(600):
         q.stop()
-        raise RuntimeError("s11 stream replay timed out after 600 s")
+        raise RuntimeError("stream replay timed out after 600 s")
 
     rows = [
-        (str(m.query_id), int(pt[0]), float(pt[1]), float(pt[2]))
+        (str(m.query_id), int(pt[0]), *[float(v) for v in pt[1:]])
         for mdf in results
         for m in mdf.itertuples()
         for pt in m.skyline_points
     ]
+    schema = "query_id string, id bigint, " + ", ".join(f"{n} double" for n in names)
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["query_id", "id", "price", "disc"]),
-        schema="query_id string, id bigint, price double, disc double",
+        pd.DataFrame(rows, columns=["query_id", "id", *names]), schema=schema
     )
+
+
+@register(
+    "s11_stream_replay",
+    _replay_oracle(_DIMS_2D),
+    doc="Streaming topology end to end (reference O9-O17, "
+    "FlinkSkyline.java:84-185): availableNow replay of producer files "
+    "through the stateful skyline stream, two record-ID-barrier triggers "
+    "(exact N-prefix + full), fired skyline points vs exact-prefix oracle",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_replay(spark, sf_dir, _DIMS_2D)
+
+
+@register(
+    "s12_stream_replay_3d",
+    _replay_oracle(_DIMS_3D),
+    doc="3-D streaming replay (price, discount, quantity): same topology "
+    "and barriers as s11, exercising the kernel's generic d>=3 path inside "
+    "the stateful operator under the exact-prefix oracle",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_replay(spark, sf_dir, _DIMS_3D)

@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 from verify_oracle import TABLES, table_hash  # noqa: E402
 
 from query_skyline_qos_flink_spark.plans import corpus  # noqa: E402
-from query_skyline_qos_flink_spark.plans import pipeline, relational  # noqa: E402, F401
+from query_skyline_qos_flink_spark.plans import (  # noqa: E402, F401
+    pipeline,
+    relational,
+    streaming_replay,
+)
 
 SF = "/root/testdata/sf0.001"
 
