@@ -2,26 +2,65 @@
 
 Contract: callers persist a DataFrame they will materialize promptly
 (within the same query execution); the registry unpersists the oldest
-entries beyond ``keep`` so back-to-back operator calls don't accumulate
-pinned storage for the session lifetime.  An entry evicted before its
-first action simply recomputes — correctness is never affected, only the
-cache/optimizer-fence benefit of that one call.
+entries beyond the per-scope bound so back-to-back operator calls don't
+accumulate pinned storage for the session lifetime.  An entry evicted
+before its first action simply recomputes — correctness is never affected,
+only the cache/optimizer-fence benefit of that one call.
+
+Eviction is scoped per calling operator (module:function of the caller):
+a long-lived session interleaving unrelated operators can't thrash another
+operator's fence — e.g. a burst of skyline tree-merge persists never
+evicts the minhash shingle cache mid-build.  A global cap still bounds
+total pinned storage across scopes, evicting oldest-first globally only
+when the session-wide total exceeds it.
 """
 
 from __future__ import annotations
 
+import inspect
+
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
-_KEEP = 8
+_PERSISTED: dict[str, list[DataFrame]] = {}
+_ORDER: list[tuple[str, DataFrame]] = []  # global FIFO across scopes
+_KEEP_PER_SCOPE = 4
+_KEEP_GLOBAL = 16
 
 
-def persist_bounded(df: DataFrame) -> DataFrame:
+def _caller_scope() -> str:
+    frame = inspect.currentframe()
+    try:
+        caller = frame.f_back.f_back  # persist_bounded's caller
+        return f"{caller.f_globals.get('__name__', '?')}:{caller.f_code.co_name}"
+    except AttributeError:  # pragma: no cover - exotic frame layouts
+        return "default"
+    finally:
+        del frame
+
+
+def _unpersist(scope: str, df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:  # pragma: no cover - session already stopped
+        pass
+    q = _PERSISTED.get(scope)
+    if q is not None and df in q:
+        q.remove(df)
+        if not q:
+            del _PERSISTED[scope]
+    entry = (scope, df)
+    if entry in _ORDER:
+        _ORDER.remove(entry)
+
+
+def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
     df = df.persist()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _KEEP:
-        try:
-            _PERSISTED.pop(0).unpersist(blocking=False)
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+    scope = scope or _caller_scope()
+    _PERSISTED.setdefault(scope, []).append(df)
+    _ORDER.append((scope, df))
+    while len(_PERSISTED.get(scope, ())) > _KEEP_PER_SCOPE:
+        _unpersist(scope, _PERSISTED[scope][0])
+    while len(_ORDER) > _KEEP_GLOBAL:
+        s, d = _ORDER[0]
+        _unpersist(s, d)
     return df
