@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
 
@@ -443,3 +444,62 @@ def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_bin = multimodal.attach_binary(d)
     return multimodal.extract_media_meta(with_bin)
+
+
+# ---------------------------------------------------------------------------
+# Composite training-data prep pipeline
+# ---------------------------------------------------------------------------
+
+
+def _datapipe_oracle() -> str:
+    scores = {
+        lg: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in text.LANG_LEXICON.items()
+    }
+    best = "greatest(" + ", ".join(scores[lg] for lg in sorted(text.LANG_LEXICON)) + ")"
+    return f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT *, {best} AS best, {scores['de']} AS s_de, {scores['en']} AS s_en FROM t),
+en AS (SELECT * FROM s WHERE best > 0 AND s_en = best AND s_de < best),
+q AS (SELECT doc_id, source, toks, len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop
+      FROM en),
+fil AS (SELECT * FROM q WHERE n_tok >= 30 AND n_stop * 25 >= n_tok),
+fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp_md5 FROM fil),
+ded AS (SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp_md5))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ded GROUP BY source
+""".strip()
+
+
+@register(
+    "x_datapipe_prep",
+    _datapipe_oracle(),
+    doc="End-to-end training-data prep composite: language-ID filter (en, "
+    "tie-break-aware) -> quality gate (n_tok >= 30, integer stopword-ratio "
+    "floor) -> normalized exact dedup on the token-stream fingerprint -> "
+    "per-source corpus stats.  One declarative plan: every stage is column "
+    "expressions feeding one groupBy + semi-join + final aggregate, so "
+    "Catalyst fuses the filters into the scan and the whole prep runs in "
+    "two shuffles (dedup key, final group)",
+)
+def x_datapipe_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    en = text.lang_id(d).where(F.col("lang_pred") == "en")
+    qf = text.quality_features(en).where(
+        (F.col("n_tok") >= 30) & (F.col("n_stop") * 25 >= F.col("n_tok"))
+    )
+    fp = text.fingerprint(qf).select("doc_id", "source", "n_tok", "fp_md5")
+    # persist fence: exact_dedup references fp twice (group-min + semi-join);
+    # without it the whole tokenize/langid/quality expression tree runs twice
+    # over the raw corpus — the projection here is 4 narrow columns, far
+    # smaller than the input, so caching it is the right 100 TB shape too
+    fp = _persist(fp)
+    ded = dedup.exact_dedup(fp, ["fp_md5"], "doc_id")
+    return ded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.min("doc_id").alias("first_doc"),
+    )

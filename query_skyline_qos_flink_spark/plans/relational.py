@@ -210,3 +210,53 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def r5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SESSION_GAP_US = 240 * 60 * 1_000_000  # 4 h inactivity closes a session
+
+
+@register(
+    "r9_sessionize",
+    f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s FROM l),
+s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event,
+       CAST(sum(vc) AS BIGINT) AS sum_value_c
+FROM s GROUP BY user_id, session_id
+""".strip(),
+    doc="Sessionization (classic large-scale event-pipeline op): per-user "
+    "sessions split at > 4 h inactivity via lag + running sum of boundary "
+    "flags; one shuffle on user_id serves the lag, the running sum AND the "
+    "final per-session aggregate (same partition key throughout)",
+)
+def r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    # ts read as bigint nanos (see s6); micro-precision like epoch_us
+    us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select("user_id", "event_id", us.alias("us"), _cents("value").alias("vc"))
+    flagged = e.select(
+        "*",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_s"),
+    )
+    sess = flagged.select(
+        "*",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.sum("vc").alias("sum_value_c"),
+    )
