@@ -195,3 +195,89 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_replay(spark, sf_dir, _DIMS_3D)
+
+
+_WIN_US = 3_600_000_000  # 1 h tumbling window == watermark delay
+
+
+@register(
+    "s13_stream_window",
+    f"""
+WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+wm AS (SELECT max(us) - {_WIN_US} AS wm_us FROM e),
+w AS (SELECT us - us % {_WIN_US} AS ws, event_type, vc FROM e)
+SELECT ws AS window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_vc
+FROM w, wm GROUP BY ws, event_type, wm_us HAVING ws + {_WIN_US} <= wm_us
+""".strip(),
+    doc="Structured Streaming event-time tumbling window (1 h) + watermark "
+    "over a two-file replay of events: append mode emits a window once the "
+    "watermark passes its end; availableNow's trailing no-data micro-batches "
+    "(spark.sql.streaming.noDataMicroBatches, default on) flush state up to "
+    "the final watermark = max event time - delay, which the oracle "
+    "replicates as HAVING window_end <= max(us) - delay.  Files are split "
+    "in event-time order so no record is ever late-dropped (determinism).",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("us"),  # nanos -> micros, like epoch_us
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    n_rows = ev.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s13 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = ev.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)  # ceil(0.8 n): batch 0 carries most history
+
+    workdir = tempfile.mkdtemp(prefix="s13_window_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    agg = (
+        spark.readStream.schema(
+            "event_id bigint, us bigint, event_type string, vc bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .withColumn("ev_ts", F.timestamp_micros("us"))
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vc").alias("sum_vc"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_vc",
+        )
+    )
+    sink = os.path.basename(workdir)  # unique per invocation: a second
+    # run in the same session must not collide with the prior memory table
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s13 stream window replay timed out after 600 s")
+    # materialize off the transient memory sink before returning
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out,
+        schema="window_start_us bigint, event_type string, "
+        "n_events bigint, sum_vc bigint",
+    )
