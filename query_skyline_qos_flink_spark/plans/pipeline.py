@@ -503,3 +503,30 @@ def x_datapipe_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("sum_tok"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "x_ngram_topk",
+    f"""
+{_TOK_CTE},
+s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> array_to_string(toks[i:i+1], ' '))) AS bgs
+      FROM t WHERE len(toks) >= 2),
+g AS (SELECT doc_id, unnest(bgs) AS bg FROM s)
+SELECT bg, CAST(count(*) AS BIGINT) AS df
+FROM g GROUP BY bg ORDER BY df DESC, bg LIMIT 20
+""".strip(),
+    doc="Corpus n-gram statistics: top-20 word bigrams by document "
+    "frequency (distinct per doc -> count = df), deterministic tie-break. "
+    "Partial aggregation map-side, TakeOrderedAndProject top-k — no global "
+    "sort of the full bigram table",
+)
+def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = d.select(
+        "doc_id",
+        F.explode(text.word_shingles(text.tokens(F.col("text")), 2)).alias("bg"),
+    )
+    agg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    return agg.orderBy(F.col("df").desc(), F.col("bg")).limit(20)

@@ -281,3 +281,63 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="window_start_us bigint, event_type string, "
         "n_events bigint, sum_vc bigint",
     )
+
+
+@register(
+    "s14_stream_dedup",
+    """
+SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang, len_bucket
+""".strip(),
+    doc="Streaming dedup canopy: documents replayed as a two-file stream, "
+    "stateful groupBy on a coarse (lang, length-bucket) key keeping the "
+    "smallest doc_id per group — complete-mode streaming aggregation, so "
+    "the final state equals the batch dedup regardless of how records "
+    "split across micro-batches (deterministic where streaming "
+    "dropDuplicates would be arrival-order-dependent)",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n_rows = d.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s14 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s14_dedup_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    agg = (
+        spark.readStream.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .groupBy("lang", F.expr("n_chars div 100").alias("len_bucket"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s14 stream dedup timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out,
+        schema="lang string, len_bucket bigint, keep_id bigint, n_docs bigint",
+    )
