@@ -42,3 +42,30 @@ def test_r2_uses_broadcast_joins_not_cartesian(spark):
 def test_e2_broadcasts_query_vectors(spark):
     plan = _plan(spark, "e2_knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_r9_sessionize_single_exchange_on_user(spark):
+    """lag, running sum and the per-session aggregate all ride ONE hash
+    exchange on user_id — no extra shuffle, no single-partition window."""
+    plan = _plan(spark, "r9_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x_ngram_topk_is_take_ordered_not_global_sort(spark):
+    """Top-k over the bigram table must be TakeOrderedAndProject (map-side
+    partial k) — a global Sort of the whole aggregate would not scale."""
+    plan = _plan(spark, "x_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+
+
+def test_x_datapipe_prep_no_cartesian_single_doc_scan_branch(spark):
+    """The composite prep pipeline: no cartesian anywhere; the persist
+    fence keeps the expensive text-expression branch out of the join's
+    second subtree (InMemoryTableScan on both references)."""
+    plan = _plan(spark, "x_datapipe_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # both dedup references hit the cache
