@@ -261,3 +261,110 @@ def cosine_pairs_bucketed(
     )
     cand = a.join(b, "__cb").where(F.col("id_a") < F.col("id_b"))
     return _cos_micro_select(cand, threshold)
+
+
+def _int_sq_l2_fold(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_ivf(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_bits: int = 4,
+    n_probes: int = 2,
+    scale: int = 1024,
+) -> DataFrame:
+    """IVF ANN with integer-exact, data-derived centroids.
+
+    The classic IVF shape (coarse quantizer -> nearest-centroid assignment
+    -> probe the query's closest cells), made deterministic and
+    oracle-checkable without float k-means:
+
+    * vectors are quantized to integers (``floor(x * scale)``);
+    * seed cells = sign-bit code over the first ``coarse_bits`` quantized
+      components (``2^coarse_bits`` cells);
+    * the centroid of each cell is the element-wise FLOORED MEAN of its
+      member vectors — an integer vector, computed with exact integer sums
+      (the only division is ``floor(sum / n)``, exact in float64 for any
+      ``|sum| < 2^53``);
+    * every vector is re-assigned to its nearest centroid by exact integer
+      squared L2 (ties -> smallest cell id) — assignments can and do move
+      across seed cells, like a single Lloyd iteration;
+    * queries probe their ``n_probes`` nearest centroids; candidates are
+      base vectors assigned to a probed cell (each (q, n) pair meets at
+      most once since assignment is unique); exact integer L2 top-k with
+      the (dist, n_id) tie contract.
+
+    The centroid table is ``2^coarse_bits`` rows — broadcast everywhere;
+    the base table is scanned once for assignment and the candidate join
+    is a plain equi-join on the cell id, so the plan is
+    scan + tiny broadcast + one shuffle for the final per-query top-k.
+    Scale knobs: ``coarse_bits`` (cells) and ``n_probes`` (recall).
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    )
+    cell = F.lit(0)
+    for i in range(coarse_bits):
+        cell = cell + F.when(
+            F.element_at(F.col("__qv"), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+
+    base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv")).withColumn(
+        "__seed", cell
+    )
+    sums = [
+        F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}") for i in range(dim)
+    ]
+    cent = (
+        base.groupBy("__seed")
+        .agg(F.count(F.lit(1)).alias("__n"), *sums)
+        .select(
+            F.col("__seed").alias("__cell"),
+            F.array(
+                *[
+                    F.floor(F.col(f"__s{i}") / F.col("__n")).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("__c"),
+        )
+    )
+
+    def assign(vdf: DataFrame, keep_ranks: int) -> DataFrame:
+        scored = vdf.crossJoin(F.broadcast(cent)).select(
+            "__id", "__qv", "__cell",
+            _int_sq_l2_fold(F.col("__qv"), F.col("__c")).alias("__cd"),
+        )
+        w = Window.partitionBy("__id").orderBy("__cd", "__cell")
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= keep_ranks)
+            .drop("__cd", "__r")
+        )
+
+    base_a = assign(base.drop("__seed"), 1)
+    q = query_df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
+    probes = assign(q, n_probes).withColumnsRenamed(
+        {"__id": "q_id", "__qv": "__pq"}
+    )
+    cand = (
+        base_a.join(F.broadcast(probes), "__cell")
+        .where(F.col("__id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("__id").alias("n_id"),
+            _int_sq_l2_fold(F.col("__pq"), F.col("__qv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk")
+    )

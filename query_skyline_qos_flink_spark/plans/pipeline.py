@@ -530,3 +530,51 @@ def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
     return agg.orderBy(F.col("df").desc(), F.col("bg")).limit(20)
+
+
+def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
+                k: int = 5, scale: int = 1024) -> str:
+    cell = " + ".join(
+        f"(CASE WHEN qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(coarse_bits)
+    )
+    cent_list = ", ".join(
+        f"CAST(floor(sum(qv[{i + 1}]) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+        for i in range(dim)
+    )
+    d = ("(SELECT sum((x.u - x.v) * (x.u - x.v)) "
+         "FROM (SELECT unnest({a}) AS u, unnest({b}) AS v) x)")
+    return f"""
+WITH q0 AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id, qv, {cell} AS seed FROM q0),
+cent AS (SELECT seed AS cell, [{cent_list}] AS c FROM c0 GROUP BY seed),
+asg AS (SELECT v.vec_id, v.qv, ct.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d.format(a='v.qv', b='ct.c')}, ct.cell) AS r
+        FROM c0 v, cent ct),
+base_a AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
+probe AS (SELECT vec_id, qv, cell FROM asg WHERE vec_id BETWEEN 1 AND 5 AND r <= {n_probes}),
+cand AS (SELECT p.vec_id AS q_id, b.vec_id AS n_id,
+                {d.format(a='p.qv', b='b.qv')} AS dist
+         FROM probe p JOIN base_a b ON p.cell = b.cell AND b.vec_id <> p.vec_id),
+r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM cand)
+SELECT q_id, n_id, rnk FROM r WHERE rnk <= {k}
+""".strip()
+
+
+@register(
+    "x_ann_ivf",
+    _ivf_oracle(),
+    doc="IVF ANN with data-derived centroids, fully oracle-gated: sign-seeded "
+    "cells, element-wise floored-mean integer centroids (exact integer "
+    "sums, one Lloyd-style nearest-centroid re-assignment), queries probe "
+    "their 2 nearest cells, exact integer-L2 top-5 on candidates. "
+    "Centroid table is 16 rows (broadcast); base scanned once; one shuffle "
+    "for the final per-query top-k",
+)
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").between(1, 5))
+    return similarity.ann_ivf(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)

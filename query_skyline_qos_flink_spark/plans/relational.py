@@ -260,3 +260,40 @@ def r9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("last_event"),
         F.sum("vc").alias("sum_value_c"),
     )
+
+
+@register(
+    "r10_percentiles",
+    """
+WITH e AS (SELECT event_type, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM e)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN vc END) AS BIGINT) AS median_c,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN vc END) AS BIGINT) AS p90_c
+FROM r GROUP BY event_type
+""".strip(),
+    doc="Exact discrete percentiles (median, p90) per event type by rank "
+    "position — integer positions ((n+1) div 2, ceil(9n/10) as (9n+9) div "
+    "10) so both engines select the identical row; one shuffle on the "
+    "group key serves the rank window and the final pivot-aggregate",
+)
+def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("event_type", "event_id", _cents("value").alias("vc"))
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = e.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = F.expr("(n + 1) div 2")
+    p90 = F.expr("(9 * n + 9) div 10")
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("rn") == med, F.col("vc"))).alias("median_c"),
+        F.max(F.when(F.col("rn") == p90, F.col("vc"))).alias("p90_c"),
+    )

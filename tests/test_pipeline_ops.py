@@ -233,3 +233,37 @@ def test_cosine_bucketed_precision_and_recall_vs_exact(spark):
     assert {(r.id_a, r.id_b) for r in got.itertuples()} == {(1, 2), (1, 4), (2, 4)}
     plan = similarity.cosine_pairs_bucketed(e, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_unique_assignment_and_probe_monotonicity(spark):
+    """IVF invariants: (a) every (q, n) candidate pair surfaces at most
+    once (assignment is unique, so multi-cell probing cannot duplicate),
+    (b) probing 2 cells recalls at least as many true neighbors as 1 cell
+    (candidate superset: the rank-1 cell is always probed), and (c) the
+    centroid join is a broadcast, never a shuffled cartesian."""
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {"vec_id": range(400),
+         "embedding": [rng.normal(size=16).astype(np.float32) for _ in range(400)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    q = df.where(F.col("vec_id") < 8)
+    k = 10
+    exact = similarity.knn_exact_fold(df, q, k=k).toPandas()
+    one = similarity.ann_ivf(df, q, dim=16, k=k, coarse_bits=4, n_probes=1).toPandas()
+    two = similarity.ann_ivf(df, q, dim=16, k=k, coarse_bits=4, n_probes=2).toPandas()
+    assert not two.duplicated(["q_id", "n_id"]).any()
+
+    e = exact.groupby("q_id")["n_id"].apply(set)
+    hits = lambda a: sum(
+        len(e[qid] & g) for qid, g in a.groupby("q_id")["n_id"].apply(set).items()
+    )
+    assert hits(two) >= hits(one)
+    assert hits(two) > 0
+
+    plan = (
+        similarity.ann_ivf(df, q, dim=16, k=k)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate equi-join on the cell id
