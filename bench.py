@@ -47,7 +47,10 @@ CORPUS_QUERIES = [
     "x_minhash_lsh_pairs",
     "x_token_stats",
     "x_ann_blocked",
+    "x_ann_ivf",
+    "x_datapipe_prep",
     "r2_join_topk_revenue",
+    "r9_sessionize",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
