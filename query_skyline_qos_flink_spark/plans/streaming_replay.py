@@ -341,3 +341,78 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         schema="lang string, len_bucket bigint, keep_id bigint, n_docs bigint",
     )
+
+
+@register(
+    "s15_stream_join",
+    """
+SELECT o.o_orderkey, l.l_linenumber,
+       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 300000
+""".strip(),
+    doc="Stream-stream inner equi-join: orders (pre-filtered) and lineitem "
+    "replayed as two independent file streams, joined on order key with "
+    "unbounded state (no watermark -> no eviction -> the streaming result "
+    "is exactly the batch join, independent of how the four files "
+    "interleave across micro-batches; matches spanning batch boundaries "
+    "come from the join state).  maxFilesPerTrigger=1 on both sides forces "
+    "genuine cross-batch matches",
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    if li.count() > _MAX_REPLAY_ROWS:
+        raise RuntimeError("s15 replay is a correctness harness; run at sf<=0.1")
+    opdf = o.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    lpdf = li.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+    workdir = tempfile.mkdtemp(prefix="s15_join_")
+    dirs = {}
+    for name, pdf in (("orders", opdf), ("lineitem", lpdf)):
+        d = os.path.join(workdir, name)
+        os.makedirs(d)
+        n1 = -(-len(pdf) * 8 // 10)
+        for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+            p = os.path.join(d, f"f{i}.csv")
+            chunk.to_csv(p, index=False, header=False)
+            os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+        dirs[name] = d
+
+    s_o = (
+        spark.readStream.schema("o_orderkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .csv(dirs["orders"])
+    )
+    s_l = (
+        spark.readStream.schema("l_orderkey bigint, l_linenumber bigint, price_c bigint")
+        .option("maxFilesPerTrigger", 1)
+        .csv(dirs["lineitem"])
+    )
+    j = s_l.join(s_o, s_l.l_orderkey == s_o.o_orderkey).select(
+        "o_orderkey", "l_linenumber", "price_c"
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        j.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s15 stream join timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out, schema="o_orderkey bigint, l_linenumber bigint, price_c bigint"
+    )
