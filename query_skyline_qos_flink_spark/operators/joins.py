@@ -27,3 +27,32 @@ def null_safe_semi_join(
     if cond is None:
         raise ValueError("at least one join column required")
     return la.join(ra, on=cond, how="left_semi")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: spread each hot key of ``left`` over
+    ``n_salts`` shuffle partitions.
+
+    ``left`` (the large, skewed side) gets a deterministic per-row salt
+    (``pmod(hash(whole row), n_salts)``); ``right`` is exploded ×``n_salts``
+    so every (key, salt) combination exists exactly once.  The join keys
+    become ``on + [__salt]``, so one hot key's rows land on ``n_salts``
+    reducers instead of one.  Result rows are identical to the plain join
+    (each left row matches exactly the one right replica carrying its
+    salt); cost is ``n_salts`` × the RIGHT side's shuffle volume — use when
+    right is much smaller than the hot side, and prefer plain broadcast
+    when right fits in memory.  AQE's skew-join split handles sort-merge
+    skew adaptively; this helper is for when the skew is known ahead of
+    time or AQE is unavailable (e.g. streaming micro-batches)."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lsalted = left.withColumn("__salt", salt)
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lsalted.join(rsalted, [*on, "__salt"], how).drop("__salt")

@@ -88,3 +88,56 @@ def extract_media_meta(
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+
+
+def fake_frame_digest(payload: bytes, frame_idx: int) -> str:
+    """Deterministic stand-in for 'decode frame i and fingerprint it'."""
+    return hashlib.md5(payload + b":" + str(frame_idx).encode()).hexdigest()
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_frames_col: str = "fake_frames",
+    id_col: str = "doc_id",
+    max_frames: int = 4,
+    frame_fn: Callable[[bytes, int], str] = fake_frame_digest,
+) -> DataFrame:
+    """Video-style frame sampling plumbing: explode each payload into up to
+    ``max_frames`` evenly-strided frames (``idx_j = j * n_frames div
+    n_samples``, integer arithmetic -> SQL-replicable), one output row per
+    frame, processed batch-wise in ``mapInPandas``.
+
+    ``frame_fn`` is the real-decoder integration point (ffmpeg frame
+    extraction in production); the default hashes payload+index so the
+    Spark-side fan-out — the part that matters for partitioning and
+    shuffle volume — is testable and oracle-checkable without codecs.
+    Output grows ×``min(max_frames, n_frames)`` per row; at scale, cap
+    partition input sizes via ``spark.sql.files.maxPartitionBytes`` so the
+    exploded Arrow batches stay within executor memory."""
+    id_field = df.schema[id_col]
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "frame_idx bigint, frame_md5 string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, digests = [], [], []
+            for rid, payload, nf in zip(
+                pdf[id_col], pdf[payload_col], pdf[n_frames_col]
+            ):
+                b = bytes(payload)
+                ns = min(max_frames, int(nf))
+                for j in range(ns):
+                    fi = j * int(nf) // ns
+                    ids.append(rid)
+                    idxs.append(fi)
+                    digests.append(frame_fn(b, fi))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.select(id_col, payload_col, n_frames_col).mapInPandas(fn, schema=schema)

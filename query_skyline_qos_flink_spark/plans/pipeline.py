@@ -578,3 +578,28 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").between(1, 5))
     return similarity.ann_ivf(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)
+
+
+@register(
+    "x_multimodal_frames",
+    """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+m AS (SELECT doc_id, text, n % 16 + 1 AS nf FROM b),
+j AS (SELECT doc_id, text, nf, least(4, nf) AS ns, unnest([0, 1, 2, 3]) AS js FROM m),
+f AS (SELECT doc_id, CAST(js * nf // ns AS BIGINT) AS frame_idx,
+             md5(text || ':' || CAST(js * nf // ns AS VARCHAR)) AS frame_md5
+      FROM j WHERE js < ns)
+SELECT doc_id, frame_idx, frame_md5 FROM f
+""".strip(),
+    doc="Multimodal frame sampling: each payload exploded into up to 4 "
+    "evenly-strided frames (integer stride, so the oracle replicates the "
+    "index rule) with a per-frame digest via mapInPandas — the video "
+    "frame-extraction fan-out shape with the codec stubbed behind the "
+    "frame_fn integration point",
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_binary(d)
+    meta = multimodal.extract_media_meta(with_bin)
+    enriched = with_bin.join(meta.select("doc_id", "fake_frames"), "doc_id")
+    return multimodal.sample_frames(enriched, max_frames=4)

@@ -267,3 +267,43 @@ def test_ann_ivf_unique_assignment_and_probe_monotonicity(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # candidate equi-join on the cell id
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """salted_join must return exactly the plain join's rows while actually
+    spreading a hot key across salt partitions."""
+    from query_skyline_qos_flink_spark.operators.joins import salted_join
+
+    rng = np.random.default_rng(37)
+    # 90% of left rows share one hot key
+    keys = np.where(rng.random(5000) < 0.9, 7, rng.integers(0, 50, 5000))
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": np.arange(5000)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": range(50), "name": [f"n{i}" for i in range(50)]})
+    )
+    plain = left.join(right, "k").toPandas()
+    salted = salted_join(left, right, ["k"], n_salts=8).toPandas()
+    key = lambda d: sorted(map(tuple, d[["k", "v", "name"]].itertuples(index=False)))
+    assert key(plain) == key(salted)
+
+    # the hot key's rows really get distinct salts (spread over reducers)
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(8))
+    )
+    n_salts_hot = lsalted.where(F.col("k") == 7).select("__salt").distinct().count()
+    assert n_salts_hot == 8
+
+
+def test_approx_count_distinct_within_rsd_of_exact(spark):
+    """The HLL++ sketch path (approx_count_distinct) must land within 3x
+    the declared rsd of the exact distinct count on the events table —
+    the sketch is the 100 TB path for cardinality, the exact groupBy
+    (x-style dedup shuffle) is its correctness anchor."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) <= max(1, 3 * 0.02 * exact)
