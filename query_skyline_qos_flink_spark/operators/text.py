@@ -125,3 +125,50 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s))))
         .otherwise(F.lit(None).cast("string")).alias("fp_minshingle"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate k-gram
+    occurrences per document (``1 - distinct/total``, 0.0 when fewer than
+    ``k`` tokens).  Integer numerators, one IEEE division — oracle-exact."""
+    toks = tokens(F.col(text_col))
+    total = F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(F.lit(0))
+    distinct = F.size(word_shingles(toks, k))
+    out = df.select(
+        *df.columns,
+        total.cast("bigint").alias("ngrams_total"),
+        distinct.cast("bigint").alias("ngrams_distinct"),
+    )
+    return out.select(
+        *out.columns,
+        F.when(
+            F.col("ngrams_total") > 0,
+            (F.col("ngrams_total") - F.col("ngrams_distinct"))
+            / F.col("ngrams_total").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+    )
+
+
+# C4-style content-pattern heuristics (pure column regexes, codegen'd)
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^\\s]+"
+DIGIT_RE = "[0-9]"
+
+
+def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document counts of emails, URLs and digit characters plus the
+    digit ratio — the C4-family content filters as plain column exprs."""
+    c = F.col(text_col)
+    out = df.select(
+        *df.columns,
+        F.coalesce(F.regexp_count(c, F.lit(EMAIL_RE)), F.lit(0)).cast("bigint").alias("n_emails"),
+        F.coalesce(F.regexp_count(c, F.lit(URL_RE)), F.lit(0)).cast("bigint").alias("n_urls"),
+        F.coalesce(F.regexp_count(c, F.lit(DIGIT_RE)), F.lit(0)).cast("bigint").alias("n_digits"),
+        F.length(c).cast("bigint").alias("n_chars"),
+    )
+    return out.select(
+        *out.columns,
+        F.when(
+            F.col("n_chars") > 0, F.col("n_digits") / F.col("n_chars").cast("double")
+        ).otherwise(F.lit(0.0)).alias("digit_ratio"),
+    )

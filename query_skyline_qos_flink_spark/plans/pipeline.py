@@ -603,3 +603,47 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = multimodal.extract_media_meta(with_bin)
     enriched = with_bin.join(meta.select("doc_id", "fake_frames"), "doc_id")
     return multimodal.sample_frames(enriched, max_frames=4)
+
+
+@register(
+    "x_repetition",
+    f"""
+{_TOK_CTE},
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS ngrams_total,
+             CASE WHEN len(toks) >= 3 THEN len({_SHS}) ELSE 0 END AS ngrams_distinct
+      FROM t)
+SELECT doc_id, CAST(ngrams_total AS BIGINT) AS ngrams_total,
+       CAST(ngrams_distinct AS BIGINT) AS ngrams_distinct,
+       CASE WHEN ngrams_total > 0
+            THEN (ngrams_total - ngrams_distinct) / CAST(ngrams_total AS DOUBLE)
+            ELSE 0.0 END AS dup_ngram_ratio
+FROM s
+""".strip(),
+    doc="Gopher-style repetition signal: duplicate word-3-gram occurrence "
+    "ratio per document (integer numerators, single IEEE division)",
+)
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(d).drop("text")
+
+
+@register(
+    "x_pattern_counts",
+    f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{text.URL_RE}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CASE WHEN length(text) > 0
+       THEN len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE)
+       ELSE 0.0 END AS digit_ratio
+FROM documents
+""".strip(),
+    doc="C4-style content-pattern filters: email/URL/digit counts and the "
+    "digit ratio per document (pure column regexes, codegen'd)",
+)
+def x_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.pattern_counts(d).drop("text")

@@ -307,3 +307,21 @@ def test_approx_count_distinct_within_rsd_of_exact(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) <= max(1, 3 * 0.02 * exact)
+
+
+def test_repetition_and_pattern_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),    # heavy repetition
+        (2, "each of these eight little words differs"),   # all distinct
+        (3, "mail me at a.b@example.com or see https://x.io/page 42 times"),
+        (4, "xy"),                                         # < 3 tokens
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    rep = text.repetition_stats(df).toPandas().set_index("doc_id")
+    assert rep.loc[1, "dup_ngram_ratio"] > 0.8       # 6 trigrams, 1 distinct
+    assert rep.loc[2, "dup_ngram_ratio"] == 0.0
+    assert rep.loc[4, "ngrams_total"] == 0 and rep.loc[4, "dup_ngram_ratio"] == 0.0
+    pat = text.pattern_counts(df).toPandas().set_index("doc_id")
+    assert pat.loc[3, "n_emails"] == 1 and pat.loc[3, "n_urls"] == 1
+    assert pat.loc[3, "n_digits"] == 2
+    assert pat.loc[1, "n_emails"] == 0 and pat.loc[1, "digit_ratio"] == 0.0
