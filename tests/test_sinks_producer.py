@@ -132,3 +132,20 @@ def test_producer_p4_periodic_triggers(spark, tmp_path, monkeypatch):
     assert parsed.set_index("query_id")["required_count"].to_dict() == {
         "1": 49, "2": 99, "3": 149, "4": 199, "q_imm": 0
     }
+
+
+def test_run_job_query_mode(spark, tmp_path, monkeypatch):
+    """The CLI's --query mode runs any registered corpus entry and writes
+    parquet output."""
+    from tools import run_job
+
+    out = str(tmp_path / "q_out")
+    monkeypatch.setattr(run_job, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_job.py", "--query", "r8_setops_nations",
+         "--sf-dir", "/root/testdata/sf0.001", "--output", out],
+    )
+    run_job.main()
+    assert spark.read.parquet(out).count() > 0

@@ -45,6 +45,11 @@ def main() -> None:
     src.add_argument("--parquet", help="parquet file/dir input")
     src.add_argument("--csv", help="CSV wire-format file ('id,v1,...')")
     src.add_argument("--generate", choices=["uniform", "correlated", "anti_correlated"])
+    src.add_argument("--query", metavar="NAME",
+                     help="run a registered corpus query by name (see QUERIES.md); "
+                     "use with --sf-dir")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory for --query (default sf0.01)")
     ap.add_argument("--cols", help="comma-separated dim columns (parquet input)")
     ap.add_argument("--dims", type=int, default=2, help="dimensionality (csv/generate)")
     ap.add_argument("--n", type=int, default=100_000, help="rows to generate")
@@ -63,6 +68,30 @@ def main() -> None:
 
     spark = get_spark(app_name="skyline-job")
     t0 = time.time()
+    if args.query:
+        from query_skyline_qos_flink_spark.plans import corpus  # noqa: PLC0415
+        from query_skyline_qos_flink_spark.plans import (  # noqa: F401, PLC0415
+            pipeline as _p,
+            relational as _r,
+            streaming_replay as _s,
+        )
+
+        if args.query not in corpus.REGISTRY:
+            ap.error(f"unknown query {args.query!r}; see QUERIES.md")
+        result = corpus.REGISTRY[args.query].fn(spark, args.sf_dir)
+        n = result.count()
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+        if args.emit_points:
+            for row in result.limit(10000).collect():
+                print(",".join(str(v) for v in row))
+        print(json.dumps({
+            "query_id": args.query,
+            "record_count": n,
+            "total_processing_time_ms": round((time.time() - t0) * 1000.0, 1),
+        }))
+        spark.stop()
+        return
     if args.generate:
         df = points(spark, args.n, args.dims, args.generate, domain=args.domain or 10000.0,
                     seed=args.seed)
