@@ -49,7 +49,17 @@ def salted_join(
     right is much smaller than the hot side, and prefer plain broadcast
     when right fits in memory.  AQE's skew-join split handles sort-merge
     skew adaptively; this helper is for when the skew is known ahead of
-    time or AQE is unavailable (e.g. streaming micro-batches)."""
+    time or AQE is unavailable (e.g. streaming micro-batches).
+
+    Only left-preserving join types are supported: replicating the right
+    side ×``n_salts`` would emit each UNMATCHED right row once per replica
+    under right/full outer semantics."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            f"would be duplicated n_salts times; use a plain join"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lsalted = left.withColumn("__salt", salt)
     rsalted = right.withColumn(

@@ -21,7 +21,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .partitioners import partition_id
-from .caching import persist_bounded as _persist
 from .skyline import _grouped_skyline, _merge_survivors, _prep
 
 
@@ -61,7 +60,10 @@ def skyline_partition_stats(
     local = prepped.groupBy("pid").applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    local = _persist(local)
+    # no persist here: _merge_survivors persists its input as its first
+    # step, and cache lookup matches by analyzed plan, so the local_sizes
+    # aggregate below reads the same cached data — a second registration
+    # would double-book registry slots for one DataFrame
     local_sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("local_size"))
     merged = _merge_survivors(local, prep_cols)
     survivors = merged.groupBy("pid").agg(F.count(F.lit(1)).alias("survivors"))

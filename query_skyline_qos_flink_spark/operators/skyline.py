@@ -148,22 +148,30 @@ def _skyline_2d_relational(
         pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))
         surv = grp.withColumn("__pm", pm)
     else:
-        # pass 1: per-range local strict-predecessor running min.  The
-        # range partitioner assigns contiguous, ascending d0 ranges to
-        # ascending partition ids, so spark_partition_id() (materialized
-        # immediately, before any later exchange) is a valid range key.
-        # persisted: __pid is referenced by BOTH the windowed local prefix-min
-        # and the offs aggregate below.  Without materialization, correctness
-        # would rest on Spark reusing the identical range exchange in the two
-        # subplans — RangePartitioner samples bounds with an rdd-derived seed,
-        # so two independent instantiations could assign different boundaries
-        # and silently misalign the broadcast offsets.  Persisting fixes the
-        # pid assignment once.
-        ranged = _persist(
-            grp.repartitionByRange(F.col(d0)).withColumn(
-                "__pid", F.spark_partition_id()
+        # pass 0: derive literal range boundaries for d0 once, driver-side
+        # (approxQuantile over the distinct-d0 aggregate).  ANY boundary
+        # choice is correct — it only balances work — and because the same
+        # literals feed both subplans below (the windowed local prefix-min
+        # AND the offs aggregate), the range-bucket assignment cannot
+        # diverge between plan instantiations.  This removes the earlier
+        # correctness dependency on repartitionByRange +
+        # spark_partition_id(), which was only safe while Spark reused one
+        # physical exchange (RangePartitioner samples bounds with an
+        # rdd-derived seed) or a cache fence survived until every action.
+        n_ranges = int(
+            prepped.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        bounds = sorted(
+            set(
+                grp.stat.approxQuantile(
+                    d0, [i / n_ranges for i in range(1, n_ranges)], 0.001
+                )
             )
         )
+        pid = F.lit(0)
+        for b in bounds:  # ascending buckets: __pid order == d0 range order
+            pid = pid + F.when(F.col(d0) > F.lit(b), 1).otherwise(0)
+        ranged = grp.withColumn("__pid", pid)
         w_local = Window.partitionBy("__pid").orderBy(d0)
         pm_local = F.min("__m1").over(w_local.rowsBetween(Window.unboundedPreceding, -1))
         # pass 2: cross-range offsets — one row per range, so the global

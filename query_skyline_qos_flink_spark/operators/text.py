@@ -149,9 +149,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     )
 
 
-# C4-style content-pattern heuristics (pure column regexes, codegen'd)
+# C4-style content-pattern heuristics (pure column regexes, codegen'd).
+# Dialect-stable char classes only: Java's \s includes \x0B where RE2's
+# (duckdb) does not, so the URL terminator set is spelled out explicitly —
+# the same pattern string must mean the same thing to Spark and the oracle.
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-URL_RE = "https?://[^\\s]+"
+URL_RE = "https?://[^ \\t\\n\\x0B\\f\\r]+"
 DIGIT_RE = "[0-9]"
 
 

@@ -325,3 +325,14 @@ def test_repetition_and_pattern_signals(spark):
     assert pat.loc[3, "n_emails"] == 1 and pat.loc[3, "n_urls"] == 1
     assert pat.loc[3, "n_digits"] == 2
     assert pat.loc[1, "n_emails"] == 0 and pat.loc[1, "digit_ratio"] == 0.0
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """Regression (round-3 review): right/full outer would duplicate
+    unmatched right rows once per salt replica — must be rejected."""
+    from query_skyline_qos_flink_spark.operators.joins import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, ["k"], how=how)

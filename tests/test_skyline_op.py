@@ -178,8 +178,9 @@ def test_partition_stats_parallel_merge(spark):
 
 
 def test_2d_two_pass_prefix_min_many_range_partitions(spark):
-    """The ungrouped 2-D path must range-partition the distinct d0 values
-    (no single-task sort over them) and still match brute force when the
+    """The ungrouped 2-D path must bucket the distinct d0 values into many
+    ranges via literal boundaries (no single-task sort over them, no
+    cache/exchange-reuse dependency) and still match brute force when the
     running min crosses many range boundaries."""
     rng = np.random.default_rng(42)
     # 20k distinct x values, anti-correlated-ish so survivors span ranges
@@ -191,4 +192,21 @@ def test_2d_two_pass_prefix_min_many_range_partitions(spark):
     got = {tuple(r) for r in res.select("x", "y").collect()}
     assert got == _brute(pdf[["x", "y"]], ["x", "y"], [1, 1])
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    # the data-sized window runs per literal-derived range bucket
+    assert "hashpartitioning(__pid" in plan
+    assert "rangepartitioning" not in plan  # no RangePartitioner dependency
+
+
+def test_2d_two_pass_correct_after_cache_eviction(spark):
+    """Regression (round-3 review): the two-pass prefix-min must stay
+    correct when every cached intermediate is dropped between actions —
+    the range-bucket assignment is literal-derived, not cache-fenced."""
+    rng = np.random.default_rng(7)
+    x = rng.permutation(5_000).astype(np.float64)
+    y = 5_000.0 - x + rng.integers(-500, 500, size=5_000)
+    pdf = pd.DataFrame({"x": x, "y": y})
+    res = skyline(spark.createDataFrame(pdf).repartition(8), ["x", "y"])
+    first = {tuple(r) for r in res.select("x", "y").collect()}
+    spark.catalog.clearCache()  # evict everything mid-lifetime
+    second = {tuple(r) for r in res.select("x", "y").collect()}
+    assert first == second == _brute(pdf, ["x", "y"], [1, 1])

@@ -79,12 +79,18 @@ def main() -> None:
         if args.query not in corpus.REGISTRY:
             ap.error(f"unknown query {args.query!r}; see QUERIES.md")
         result = corpus.REGISTRY[args.query].fn(spark, args.sf_dir)
-        n = result.count()
-        if args.output:
-            result.write.mode("overwrite").parquet(args.output)
-        if args.emit_points:
-            for row in result.limit(10000).collect():
-                print(",".join(str(v) for v in row))
+        # one persist fence: count / write / emit are up to three actions
+        # over the same (possibly expensive) plan
+        result = result.persist()
+        try:
+            n = result.count()
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+            if args.emit_points:
+                for row in result.limit(10000).collect():
+                    print(",".join(str(v) for v in row))
+        finally:
+            result.unpersist(blocking=False)
         print(json.dumps({
             "query_id": args.query,
             "record_count": n,
