@@ -1,0 +1,53 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+Splits must be reproducible across runs, engines and repartitions — so the
+assignment is a pure function of the row's id, never of partition layout
+or RNG state (``df.randomSplit`` is seed-and-partition dependent; this is
+not).  The bucket is derived from the first 8 hex chars of ``md5(id)``
+(md5 is the portable hash — identical hex in duckdb), giving a uniform
+integer in [0, 10000) so fractions are expressible in basis points.
+
+100 TB shape: a single codegen'd projection — no shuffle, no RNG, no
+sort; the split column rides the scan and prunes like any predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKETS = 10_000  # basis points
+
+
+def split_bucket(id_col: Column) -> Column:
+    """Uniform deterministic bucket in [0, 10000): first 8 md5 hex chars of
+    the stringified id, parsed as an integer, mod 10000."""
+    hex8 = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test' by deterministic id-hash bucket:
+    ``bucket < train_frac * 10000`` -> train.  Reproducible across runs,
+    engines, partitionings and row order; disjoint and exhaustive."""
+    threshold = int(round(train_frac * _BUCKETS))
+    b = split_bucket(F.col(id_col))
+    return df.select(
+        *df.columns,
+        F.when(b < threshold, F.lit("train")).otherwise(F.lit("test")).alias(out_col),
+    )
+
+
+def split_bucket_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`split_bucket` (nibble-parse of the first 8 md5
+    hex chars — duckdb cannot cast hex strings directly)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({nibs}) % {_BUCKETS})"

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -647,3 +647,28 @@ FROM documents
 def x_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return text.pattern_counts(d).drop("text")
+
+
+@register(
+    "x_train_test_split",
+    f"""
+WITH s AS (SELECT doc_id, source,
+                  CASE WHEN {sampling.split_bucket_sql('doc_id')} < 8000
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM s GROUP BY source, split
+""".strip(),
+    doc="Deterministic 80/20 train/test split by md5-id bucket (pure "
+    "function of the id — reproducible across runs, engines, partition "
+    "layouts; no RNG, no shuffle for the labeling itself), summarized "
+    "per (source, split)",
+)
+def x_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    s = sampling.hash_split(d, train_frac=0.8)
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -336,3 +336,21 @@ def test_salted_join_rejects_right_preserving_types(spark):
     for how in ("right", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(df, df, ["k"], how=how)
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    """The split label must be a pure function of the id: identical across
+    runs and across arbitrary repartitions, disjoint+exhaustive, and the
+    train fraction lands near the requested 80%."""
+    from query_skyline_qos_flink_spark.operators import sampling
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_split(df, train_frac=0.8).toPandas().set_index("doc_id")["split"]
+    b = (
+        sampling.hash_split(df.repartition(17), train_frac=0.8)
+        .toPandas().set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+    frac = (a == "train").mean()
+    assert 0.77 < frac < 0.83
+    assert set(a.unique()) == {"train", "test"}
