@@ -416,3 +416,88 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="o_orderkey bigint, l_linenumber bigint, price_c bigint"
     )
+
+
+_SESS_GAP_US = 4 * 3600 * 1_000_000  # session gap == watermark delay (4 h)
+
+
+@register(
+    "s16_stream_session",
+    f"""
+WITH e AS (SELECT epoch_us(ts) AS us, event_id, user_id FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_s FROM l),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+agg AS (SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
+               CAST(max(us) + {_SESS_GAP_US} AS BIGINT) AS sess_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid),
+wm AS (SELECT max(us) - {_SESS_GAP_US} AS wm_us FROM e)
+SELECT user_id, sess_start_us, sess_end_us, n_events
+FROM agg, wm WHERE sess_end_us <= wm_us
+""".strip(),
+    doc="Streaming session windows (F.session_window, 4 h gap) + watermark "
+    "over a two-file event replay: Spark merges events whose [t, t+gap) "
+    "intervals overlap (new session iff the inter-event gap >= gap — note "
+    ">=, not >), and append mode emits a session once the watermark "
+    "passes its end (= last event + gap).  The oracle replicates both the "
+    "merge rule (lag/cumsum) and the emission cutoff (end <= max event "
+    "time - delay); semantics pinned empirically before the oracle was "
+    "written",
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("us"), "user_id"
+    )
+    n_rows = ev.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s16 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = ev.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s16_session_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    agg = (
+        spark.readStream.schema("event_id bigint, us bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .withColumn("ev_ts", F.timestamp_micros("us"))
+        .withWatermark("ev_ts", "4 hours")
+        .groupBy(F.session_window("ev_ts", "4 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+            "n_events",
+        )
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s16 stream session timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out,
+        schema="user_id bigint, sess_start_us bigint, sess_end_us bigint, "
+        "n_events bigint",
+    )
