@@ -288,3 +288,67 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Canonical-document assignment over a near-dup pair graph: every
+    vertex gets the SMALLEST id reachable through the pairs (its connected
+    component's canonical id).  The dedup-cluster step that follows any
+    pairwise near-dup stage.
+
+    Spark-first iterative fixpoint (min-label propagation): each round
+    joins the current labels across the bidirectional edge list, keeps the
+    per-vertex minimum, and stops when a round changes nothing — the
+    driver only ever sees one aggregate count per round, all data stays
+    distributed.  Rounds needed = graph diameter (near-dup components are
+    shallow; ``max_iterations`` is a guard, convergence is checked, not
+    assumed).  Each round is one shuffle on vertex id; intermediates are
+    persisted round-to-round and released after the next materializes.
+
+    Returns (id_col, canonical_id).  Deterministic; a recursive-CTE SQL
+    twin (transitive closure + group-min) oracles it for bounded
+    components."""
+    a, b = pair_cols
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).distinct()
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("lbl")
+    )
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.vid)
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = labels.join(neighbor_min, "vid", "left").select(
+            "vid",
+            # least() ignores the NULL from vertices with no in-edges
+            F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"),
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("vid").alias(id_col), F.col("lbl").alias("canonical_id")
+    )

@@ -672,3 +672,33 @@ def x_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+jp AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) q),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS canonical_id
+FROM reach GROUP BY a
+""".strip()
+
+
+@register(
+    "x_dedup_clusters",
+    _CLUSTERS_ORACLE,
+    doc="Dedup clustering: connected components over the exact-Jaccard "
+    "near-dup pair graph (threshold 0.1) — every document mapped to the "
+    "smallest id reachable through pairs (its cluster's canonical doc; "
+    "singletons map to themselves).  Iterative min-label propagation with "
+    "a driver-checked fixpoint (diameter rounds, one shuffle each, data "
+    "never collected); the oracle is a recursive-CTE transitive closure",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.1).select("id_a", "id_b")
+    return dedup.connected_components(pairs, d.select("doc_id"))

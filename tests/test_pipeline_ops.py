@@ -354,3 +354,24 @@ def test_hash_split_deterministic_and_partition_independent(spark):
     frac = (a == "train").mean()
     assert 0.77 < frac < 0.83
     assert set(a.unique()) == {"train", "test"}
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must traverse multi-hop chains (1-2, 2-3, 3-4
+    all collapse to 1) across separate components, leave singletons
+    canonical to themselves, and converge within diameter rounds."""
+    from query_skyline_qos_flink_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 99]}))
+    got = (
+        connected_components(pairs, verts)
+        .toPandas().set_index("doc_id")["canonical_id"].to_dict()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        # a 4-hop chain cannot converge in 1 round
+        connected_components(pairs, verts, max_iterations=1)
