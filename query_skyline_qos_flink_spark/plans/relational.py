@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.joins import asof_join, range_join_binned
 from ..session import load
 from .corpus import register
 
@@ -210,6 +211,144 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def r5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# events (2024) all postdate orders (1995-2001), so a naive "last order per
+# customer, ignoring time" would pass an un-rebased as-of gate.  Re-base each
+# event onto a deterministic day inside the order era (its hour-of-stream mod
+# the era length) so matches genuinely interleave: some events land before
+# their user's first order (NULL path), others mid-history.  Pure integer
+# arithmetic, replicated verbatim in the oracle.
+_ORDER_ERA_START_DAY = 9131  # 1995-01-01 as days since epoch
+_ORDER_ERA_DAYS = 2400
+
+
+@register(
+    "r11_asof_join",
+    f"""
+WITH ob AS (SELECT o_custkey AS user_id,
+                   epoch_us(o_orderdate) // 86400000000 AS od,
+                   max(o_orderkey) AS last_orderkey,
+                   arg_max(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS last_price_c
+            FROM orders GROUP BY 1, 2),
+     e AS (SELECT event_id, user_id,
+                  {_ORDER_ERA_START_DAY} + (epoch_us(ts) // 3600000000) % {_ORDER_ERA_DAYS} AS ed
+           FROM events)
+SELECT e.event_id, e.user_id, CAST(e.ed AS BIGINT) AS event_day,
+       COALESCE(ob.last_orderkey, -1) AS last_orderkey,
+       CAST(COALESCE(ob.od, -1) AS BIGINT) AS order_day,
+       COALESCE(ob.last_price_c, -1) AS last_price_c
+FROM e ASOF LEFT JOIN ob ON e.user_id = ob.user_id AND e.ed >= ob.od
+""".strip(),
+    doc="Backward as-of join (events enriched with the customer's latest "
+    "order at or before the event day) — Spark lacks ASOF JOIN, so the "
+    "operator is a union + carry-forward window (one shuffle on the key, "
+    "zero join operators in the plan, no range explosion; the Flink "
+    "temporal-join shape). Right side pre-deduped to one row per "
+    "(customer, day) by max orderkey; event days deterministically "
+    "re-based into the order era so the gate exercises interleaving and "
+    "the NULL (no-prior-order) path; oracle is duckdb's native ASOF LEFT "
+    "JOIN",
+)
+def r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    # ts read as bigint nanos (see s6); hour-of-stream mod era -> day number
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"{_ORDER_ERA_START_DAY} + "
+            f"(ts div 1000 div 3600000000) % {_ORDER_ERA_DAYS}"
+        ).alias("ed"),
+    )
+    # one row per (customer, day): struct max picks the largest orderkey and
+    # carries ITS price (orderkey leads the struct and is unique)
+    ob = (
+        o.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias("od"),
+        )
+        .agg(F.max(F.struct("o_orderkey", _cents("o_totalprice").alias("pc"))).alias("s"))
+        .select(
+            "user_id",
+            "od",
+            F.col("s.o_orderkey").alias("last_orderkey"),
+            F.col("s.pc").alias("last_price_c"),
+        )
+    )
+    return asof_join(
+        e,
+        ob,
+        on=["user_id"],
+        left_time="ed",
+        right_time="od",
+        value_cols=["last_orderkey", "od", "last_price_c"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ed").alias("event_day"),
+        # no-prior-order -> sentinel -1 (all real keys/days/prices are
+        # positive): a NULL-bearing bigint column exports through the
+        # gate's Arrow comparator as float64 and could never hash-match
+        F.coalesce("last_orderkey", F.lit(-1).cast("bigint")).alias("last_orderkey"),
+        F.coalesce("od", F.lit(-1).cast("bigint")).alias("order_day"),
+        F.coalesce("last_price_c", F.lit(-1).cast("bigint")).alias("last_price_c"),
+    )
+
+
+_RANGE_JOIN_WINDOW_US = 60 * 1_000_000  # look back 60 s
+
+
+@register(
+    "r12_range_join",
+    f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+SELECT a.event_id,
+       CAST(count(b.us) AS BIGINT) AS n_prev_60s,
+       COALESCE(max(b.vc), -1) AS max_prev_vc
+FROM e a LEFT JOIN e b ON b.us BETWEEN a.us - {_RANGE_JOIN_WINDOW_US} AND a.us - 1
+GROUP BY a.event_id
+""".strip(),
+    doc="Pure range join (no equi key): for each event, count + max of ALL "
+    "events in the preceding 60 s. Spark plans a bare inequality join as a "
+    "cartesian product, so the operator bins both sides by a 60 s bucket, "
+    "probes the <=2 overlapping bins per left row (explode of a JVM "
+    "sequence) and refines with the exact BETWEEN — cost scales with rows "
+    "per bin, never |L|x|R|; plan-asserted cartesian-free. Half-open "
+    "window [t-60s, t) keeps each event out of its own neighborhood",
+)
+def r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    # ts read as bigint nanos (see s6); micro-precision like epoch_us
+    e = ev.select(
+        "event_id", F.expr("ts div 1000").alias("us"), _cents("value").alias("vc")
+    )
+    pairs = range_join_binned(
+        e.select("event_id", F.col("us").alias("l_us")),
+        e.select(F.col("us").alias("r_us"), F.col("vc").alias("r_vc")),
+        left_time="l_us",
+        right_time="r_us",
+        lo=-_RANGE_JOIN_WINDOW_US,
+        hi=-1,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("r_vc").alias("max_prev_vc")
+    )
+    return (
+        e.select("event_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_prev_60s"),
+            # no-predecessor -> sentinel -1 (vc >= 1 for real events): a
+            # NULL-bearing bigint would export as float64 in the gate
+            F.coalesce("max_prev_vc", F.lit(-1).cast("bigint")).alias("max_prev_vc"),
+        )
+    )
 
 
 _SESSION_GAP_US = 240 * 60 * 1_000_000  # 4 h inactivity closes a session
