@@ -1,0 +1,97 @@
+"""Distinct-count sketches — KMV (k minimum values).
+
+The reference engine has no sketches (its only aggregates are the O18
+partition metrics, FlinkSkyline.java:590-608); at 100 TB, exact
+``count(DISTINCT x)`` per group is often the single most expensive
+aggregate in a stats pass (full shuffle of every distinct value).  KMV
+is the classic mergeable estimator: hash every value uniformly, keep the
+k smallest DISTINCT hashes per group, and estimate
+
+    n_distinct  ≈  (k - 1) / normalized_kth_smallest_hash
+
+(Bar-Yossef et al. 2002; relative error ~ 1/sqrt(k-2)).
+
+Determinism is the design constraint here: the hash is a 56-bit md5
+prefix (portable — duckdb computes the identical integer from the same
+hex), the estimate is a single integer floor-division, and groups with
+fewer than k distinct hashes return their exact count — so the whole
+estimator is bit-reproducible across engines and partition layouts,
+unlike HLL implementations whose register layouts differ per engine.
+
+Scale shape: DISTINCT (group, hash) is one shuffle with map-side partial
+dedup; the per-group k-smallest filter is a rank window whose sort Spark
+starts map-side.  The state that crosses the wire is distinct hashes —
+same as exact countDistinct — but the OUTPUT per group is k numbers, so
+sketches for billions of groups stay tiny and two sketches merge by
+"union hashes, re-take k smallest" (associative), which is what makes
+this the right building block for rollups over precomputed per-segment
+sketches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 2^56: the hash domain. 56 bits keep (k-1) * DOMAIN inside int64 for
+# k <= 128 and survive duckdb's BIGINT hex cast without HUGEINT.
+_HASH_DOMAIN = 1 << 56
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate for ``value_col``.
+
+    Returns one row per group: ``n_sketch`` (hashes kept, = min(k,
+    distinct)), ``kth_hash`` (largest kept hash), and ``est_distinct``
+    (exact count when the group has < k distinct hashes, else
+    ``(k-1) * 2^56 div kth_hash``).
+    """
+    if not 2 <= k <= 128:
+        raise ValueError(f"k must be in [2, 128], got {k}")
+    group_cols = list(group_cols)
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("__h")
+    )
+    dh = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    kept = dh.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    return (
+        kept.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("__h").alias("kth_hash"))
+        .withColumn(
+            "est_distinct",
+            F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+                F.expr(f"{(k - 1) * _HASH_DOMAIN}L div kth_hash")
+            ),
+        )
+    )
+
+
+def kmv_oracle_sql(
+    table_sql: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """The duckdb twin of :func:`kmv_distinct` (same md5 prefix, same
+    integer estimate), for oracle-gated registrations."""
+    return f"""
+WITH h AS (SELECT DISTINCT {group_col} AS g,
+                  CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+           FROM ({table_sql})),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h)
+SELECT g AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_sketch,
+       max(h) AS kth_hash,
+       CAST(CASE WHEN count(*) < {k} THEN count(*)
+                 ELSE {(k - 1) * _HASH_DOMAIN} // max(h) END AS BIGINT) AS est_distinct
+FROM r WHERE rn <= {k} GROUP BY g
+""".strip()

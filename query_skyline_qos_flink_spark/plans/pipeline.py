@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -702,3 +702,40 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, threshold=0.1).select("id_a", "id_b")
     return dedup.connected_components(pairs, d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Sketches
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH sk AS ({sketches.kmv_oracle_sql("SELECT l_returnflag, l_partkey FROM lineitem",
+                                     "l_returnflag", "l_partkey", _KMV_K)}),
+x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY 1)
+SELECT sk.l_returnflag, sk.n_sketch, sk.kth_hash, sk.est_distinct, x.exact_distinct
+FROM sk JOIN x USING (l_returnflag)
+""".strip()
+
+
+@register(
+    "x_kmv_distinct",
+    _KMV_ORACLE,
+    doc="KMV (k-minimum-values) distinct-count sketch, k=64: per-group "
+    "estimate (k-1)*2^56 div kth-smallest 56-bit md5 hash — the mergeable "
+    "alternative to exact countDistinct whose per-group output is k "
+    "numbers instead of every distinct value. Bit-reproducible across "
+    "engines and partition layouts (md5 + integer floor-division, exact "
+    "count returned for groups under k), unlike engine-specific HLL "
+    "registers; exact countDistinct joined alongside so the gate also "
+    "records the estimator's accuracy",
+)
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sk = sketches.kmv_distinct(li, ["l_returnflag"], "l_partkey", k=_KMV_K)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "l_returnflag")
