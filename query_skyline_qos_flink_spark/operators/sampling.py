@@ -13,7 +13,9 @@ sort; the split column rides the scan and prunes like any predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = 10_000  # basis points
 
@@ -51,3 +53,31 @@ def split_bucket_sql(id_expr: str) -> str:
         for i in range(8)
     )
     return f"(({nibs}) % {_BUCKETS})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by ``md5(id)`` (hex compares identically everywhere) with the id
+    itself as tie-break, keep rank <= k.
+
+    Unlike ``df.sampleBy`` (fraction-based, RNG- and partition-dependent)
+    this yields the SAME rows for the same ids on any engine, any
+    partitioning — the property a reproducible eval-set draw needs.
+
+    100 TB shape: one hash-partitioned window per group key — the sort is
+    started map-side, state per group is the group's rows, and no global
+    order exists anywhere.  Keep k small relative to group size; for
+    rate-based sampling use :func:`hash_split`'s bucket filter instead.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .where(F.col(rank_col) <= k)
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, sketches, text
+from ..operators import dedup, multimodal, profiling, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -739,3 +739,56 @@ def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_distinct")
     )
     return sk.join(F.broadcast(exact), "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Profiling & sampling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["orderkey", "custkey", "totalprice_c", "orderdate_day"]
+
+_PROFILE_SRC = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       epoch_us(o_orderdate) // 86400000000 AS orderdate_day
+FROM orders
+""".strip()
+
+
+@register(
+    "x_profile_columns",
+    profiling.profile_oracle_sql(_PROFILE_SRC, _PROFILE_COLS),
+    doc="Per-column profile (rows/nonnull/distinct/min/max/sum) over four "
+    "BIGINT-derived orders columns in ONE job: map-side unpivot, C-group "
+    "partial aggregation — the stats pass that precedes any pipeline "
+    "filtering decision; all-integer, bit-exact",
+)
+def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("totalprice_c"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("orderdate_day"),
+    )
+    return profiling.profile_bigint(o, _PROFILE_COLS)
+
+
+_STRAT_K = 20
+
+
+@register(
+    "x_sample_stratified",
+    f"""
+SELECT c_custkey, c_nationkey, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+  FROM customer) WHERE rn <= {_STRAT_K}
+""".strip(),
+    doc=f"Stratified exactly-{_STRAT_K}-per-nation customer sample, ranked by "
+    "md5(id) with id tie-break — reproducible across engines/partitionings "
+    "(no RNG), one hash-partitioned window per stratum, no global sort",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return sampling.stratified_sample(c, ["c_nationkey"], "c_custkey", k=_STRAT_K)

@@ -375,3 +375,41 @@ def test_connected_components_chain_and_singletons(spark):
     with pytest.raises(RuntimeError, match="converge"):
         # a 4-hop chain cannot converge in 1 round
         connected_components(pairs, verts, max_iterations=1)
+
+
+def test_stratified_sample_exact_k_and_partition_independent(spark):
+    from query_skyline_qos_flink_spark.operators import sampling
+
+    pdf = pd.DataFrame(
+        {"id": range(200), "grp": [i % 3 for i in range(200)]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = sampling.stratified_sample(df, ["grp"], "id", k=7)
+    b = sampling.stratified_sample(df.repartition(13), ["grp"], "id", k=7)
+    pa = a.toPandas().sort_values(["grp", "sample_rank"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["grp", "sample_rank"]).reset_index(drop=True)
+    assert pa.groupby("grp").size().tolist() == [7, 7, 7]
+    pd.testing.assert_frame_equal(pa, pb)
+    # small group: returns the whole group, not an error
+    tiny = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "grp": [0, 0]}))
+    assert sampling.stratified_sample(tiny, ["grp"], "id", k=7).count() == 2
+
+
+def test_profile_bigint_counts_nulls_and_all_null_sentinel(spark):
+    from query_skyline_qos_flink_spark.operators import profiling
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 2, None],
+            "b": [None, None, None, None],
+        },
+        dtype="Int64",
+    )
+    out = (
+        profiling.profile_bigint(spark.createDataFrame(pdf), ["a", "b"])
+        .toPandas()
+        .set_index("col_name")
+    )
+    assert out.loc["a"].tolist() == [4, 3, 2, 1, 2, 5]
+    # all-NULL column: nonnull/distinct 0, min/max/sum hit the -1 sentinel
+    assert out.loc["b"].tolist() == [4, 0, 0, -1, -1, -1]
