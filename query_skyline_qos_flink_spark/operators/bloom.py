@@ -1,0 +1,111 @@
+"""Bloom-filter join pruning — shuffle-volume reduction for big joins.
+
+The regime this targets at 100 TB: a semi/inner join where the build side
+is too large to broadcast as raw keys (tens of millions of keys) but a
+few-megabyte bitmap summarizing them IS broadcastable.  Pre-filtering the
+probe side against the bitmap removes most non-matching rows BEFORE the
+join's shuffle, so the exchange moves only plausible matches — the same
+idea as Spark's own runtime row-group bloom filtering
+(spark.sql.optimizer.runtime.bloomFilter.enabled), here as an explicit,
+engine-portable operator the caller controls.
+
+Shape: a *partitioned* bloom filter — ``n_hashes`` independent bitmaps of
+``m_bits`` each rather than k probes into one array.  That choice is what
+keeps the probe side shuffle-free: each bitmap is a tiny (word -> bits)
+table joined via broadcast-hash on the probe row's word index, so the
+pass/fail conjunction is k map-side joins + a filter, with no explode and
+no re-group.  Build cost is one map-side-combined groupBy per hash over
+the (small) build side.
+
+Exactness: a Bloom filter has no false negatives, so `bloom_prune`
+followed by the exact join is semantically identical to the exact join
+alone — false positives only cost work, never correctness.  The hash is
+the repo-standard 56-bit md5 prefix (deterministic, engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hash_pos(key: Column, salt: int, m_bits: int) -> Column:
+    """Position of ``key`` under hash ``salt`` in [0, m_bits): 56-bit md5
+    prefix of 'key:salt', mod the (power-of-two) bitmap size."""
+    s = F.concat(key.cast("string"), F.lit(f":{salt}"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint") % m_bits
+    )
+
+
+def bloom_build(
+    build: DataFrame, key_col: str, n_hashes: int = 3, m_bits: int = 1 << 20
+) -> list[DataFrame]:
+    """Build ``n_hashes`` independent (word, bits) bitmap tables covering
+    the build side's ``key_col``.  Each table has at most ``m_bits / 64``
+    rows (2^20 bits -> <= 16384 longs = 128 KiB) regardless of build-side
+    row count — that boundedness is what makes it broadcastable when the
+    raw key set is not."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    tables = []
+    for j in range(n_hashes):
+        t = (
+            build.select(_hash_pos(F.col(key_col), j, m_bits).alias("__pos"))
+            .select(
+                F.expr("__pos div 64").alias(f"__word_{j}"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                    "__m"
+                ),
+            )
+            .groupBy(f"__word_{j}")
+            .agg(F.expr("bit_or(__m)").alias(f"__bits_{j}"))
+        )
+        tables.append(t)
+    return tables
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    tables: list[DataFrame],
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Keep only probe rows whose key hits a set bit in EVERY bitmap —
+    a superset of the true matches (false positives possible, false
+    negatives impossible).  k broadcast-hash left joins on the word index
+    + one conjunctive filter; the probe side is never shuffled."""
+    out = probe
+    cond = F.lit(True)
+    for j, t in enumerate(tables):
+        out = out.withColumn(f"__pos_{j}", _hash_pos(F.col(key_col), j, m_bits))
+        out = out.withColumn(f"__w_{j}", F.expr(f"__pos_{j} div 64")).join(
+            F.broadcast(t), F.col(f"__w_{j}") == F.col(f"__word_{j}"), "left"
+        )
+        hit = (
+            F.expr(
+                f"coalesce(__bits_{j}, CAST(0 AS BIGINT)) "
+                f"& shiftleft(CAST(1 AS BIGINT), CAST(__pos_{j} % 64 AS INT))"
+            )
+            != 0
+        )
+        cond = cond & hit
+    helper = [c for c in out.columns if c.startswith(("__pos_", "__w_", "__word_", "__bits_"))]
+    return out.where(cond).drop(*helper)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_hashes: int = 3,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Exact left-semi join of ``probe`` against ``build`` keys, with a
+    broadcast Bloom pre-filter so the final exchange moves only plausible
+    matches.  Result is IDENTICAL to the plain semi join (the bloom stage
+    admits a superset; the semi join removes false positives)."""
+    tables = bloom_build(build, build_key, n_hashes, m_bits)
+    pruned = bloom_prune(probe, probe_key, tables, m_bits)
+    keys = build.select(F.col(build_key).alias(probe_key))
+    return pruned.join(keys, probe_key, "left_semi")

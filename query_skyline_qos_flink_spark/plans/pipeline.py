@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, profiling, sampling, similarity, sketches, text
+from ..operators import bloom, dedup, multimodal, profiling, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -792,3 +792,41 @@ SELECT c_custkey, c_nationkey, CAST(rn AS BIGINT) AS sample_rank FROM (
 def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     return sampling.stratified_sample(c, ["c_nationkey"], "c_custkey", k=_STRAT_K)
+
+
+_BLOOM_PRICE_C = 45_000_000  # cents: high-value orders -> selective build side
+
+
+@register(
+    "x_bloom_prune_semi",
+    f"""
+WITH hi AS (SELECT o_orderkey FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > {_BLOOM_PRICE_C})
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem SEMI JOIN hi ON l_orderkey = hi.o_orderkey
+GROUP BY l_returnflag
+""".strip(),
+    doc="Bloom-pruned semi join: lineitem of high-value orders. A "
+    "partitioned Bloom filter (3 x 2^20-bit broadcastable bitmaps, 56-bit "
+    "md5 positions) prunes the probe side with k map-side broadcast joins "
+    "BEFORE the exact semi join's shuffle - the explicit analog of "
+    "Spark's runtime bloom pruning; bloom admits a superset, the semi "
+    "join removes false positives, so the oracle is the plain semi join",
+)
+def x_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    hi = o.where(
+        F.round(F.col("o_totalprice") * 100).cast("bigint") > _BLOOM_PRICE_C
+    ).select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    matched = bloom.bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "revenue_c"
+        ),
+    )
