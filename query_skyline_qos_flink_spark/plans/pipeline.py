@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, dedup, multimodal, profiling, sampling, similarity, sketches, text
+from ..operators import bloom, dedup, delta, multimodal, packing, profiling, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -830,3 +830,86 @@ def x_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_c"
         ),
     )
+
+
+# two deterministic synthetic snapshots of orders: keys divisible by 97
+# exist only in NEW (inserts), by 89 only in OLD (deletes), by 11 have a
+# bumped price in NEW (updates); everything else is unchanged churn-noise
+_SNAP_OLD = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders WHERE o_orderkey % 97 <> 0
+""".strip()
+_SNAP_NEW = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS price_c
+FROM orders WHERE o_orderkey % 89 <> 0
+""".strip()
+
+
+@register(
+    "x_snapshot_diff",
+    f"""
+WITH o AS ({_SNAP_OLD}), n AS ({_SNAP_NEW})
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       CAST(COALESCE(o.price_c, -1) AS BIGINT) AS old_price_c,
+       CAST(COALESCE(n.price_c, -1) AS BIGINT) AS new_price_c
+FROM o FULL OUTER JOIN n USING (o_orderkey)
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price_c IS DISTINCT FROM n.price_c
+""".strip(),
+    doc="CDC snapshot diff between two deterministic versions of orders: "
+    "one full-outer sort-merge join on the key, null-safe column compare, "
+    "output proportional to the churn (insert/delete/update rows only) - "
+    "the incremental-processing primitive a recurring ingest needs; "
+    "absent-side images coalesced to -1 for non-null BIGINT output",
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", price_c.alias("price_c")
+    )
+    new = o.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            price_c
+            + F.when(F.col("o_orderkey") % 11 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("price_c"),
+    )
+    d = delta.snapshot_diff(old, new, ["o_orderkey"], ["price_c"])
+    return d.select(
+        "o_orderkey",
+        "op",
+        F.coalesce("old_price_c", F.lit(-1)).cast("bigint").alias("old_price_c"),
+        F.coalesce("new_price_c", F.lit(-1)).cast("bigint").alias("new_price_c"),
+    )
+
+
+_PACK_BUDGET = 4096
+
+
+@register(
+    "x_seq_packing",
+    f"""
+SELECT doc_id, n_chars,
+       CAST(cum - n_chars AS BIGINT) AS seq_offset,
+       CAST((cum - n_chars) // {_PACK_BUDGET} AS BIGINT) AS seq_id
+FROM (SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+""".strip(),
+    doc=f"Concat-and-chunk sequence packing (budget {_PACK_BUDGET}): every "
+    "document's offset in the concatenated id-ordered stream and the "
+    "chunk its first token lands in - the pretraining data-loader "
+    "layout. The global running sum is two-pass range-partitioned "
+    "(literal bounds, local windows, broadcast prefix offsets), so no "
+    "single-task window touches the data",
+)
+def x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing.pack_sequences(d, "doc_id", "n_chars", _PACK_BUDGET)

@@ -413,3 +413,59 @@ def test_profile_bigint_counts_nulls_and_all_null_sentinel(spark):
     assert out.loc["a"].tolist() == [4, 3, 2, 1, 2, 5]
     # all-NULL column: nonnull/distinct 0, min/max/sum hit the -1 sentinel
     assert out.loc["b"].tolist() == [4, 0, 0, -1, -1, -1]
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    from query_skyline_qos_flink_spark.operators import delta
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": pd.array([10, 20, None, 40], dtype="Int64")})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3, 4, 5], "v": pd.array([21, None, None, 50], dtype="Int64")})
+    )
+    out = (
+        delta.snapshot_diff(old, new, ["k"], ["v"])
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # k=1 delete, k=2 update, k=3 NULL->NULL unchanged (absent), k=4
+    # value->NULL update, k=5 insert
+    assert out.op.to_dict() == {1: "delete", 2: "update", 4: "update", 5: "insert"}
+    unch = delta.snapshot_diff(old, new, ["k"], ["v"], keep_unchanged=True).toPandas()
+    assert set(unch[unch.op == "unchanged"].k) == {3}
+
+
+def test_ordered_cumsum_matches_pandas_and_partition_independent(spark):
+    from query_skyline_qos_flink_spark.operators import packing
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"id": rng.permutation(500), "n": rng.integers(1, 100, 500)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        packing.ordered_cumsum(df.repartition(17), "id", "n", "cum", n_ranges=8)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values("id").reset_index(drop=True)
+    assert (out.cum.to_numpy() == want.n.cumsum().to_numpy()).all()
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    from query_skyline_qos_flink_spark.operators import packing
+
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "n": [6, 3, 8, 2]})
+    out = (
+        packing.pack_sequences(spark.createDataFrame(pdf), "id", "n", budget=10)
+        .toPandas()
+        .sort_values("id")
+    )
+    # stream: doc1@0, doc2@6, doc3@9 (spans the 10-boundary), doc4@17
+    assert out.seq_offset.tolist() == [0, 6, 9, 17]
+    assert out.seq_id.tolist() == [0, 0, 0, 1]
+    with pytest.raises(ValueError):
+        packing.pack_sequences(spark.createDataFrame(pdf), "id", "n", budget=0)
