@@ -63,3 +63,54 @@ SELECT col_name,
   CAST(COALESCE(sum(val), -1) AS BIGINT) AS sum_val
 FROM long GROUP BY col_name
 """.strip()
+
+
+def histogram_fixed(
+    df: DataFrame, col: str, lo: int, width: int, n_bins: int
+) -> DataFrame:
+    """Fixed-width histogram over an integral column: one row per occupied
+    bin with its count and exact min/max.  Out-of-range values land in
+    sentinel bins -1 (underflow) and ``n_bins`` (overflow) rather than
+    being silently dropped.
+
+    100 TB shape: a single codegen'd projection + one groupBy with at most
+    ``n_bins + 2`` groups — partial aggregation collapses each task's
+    output to the bin count before the (tiny) shuffle.
+    """
+    if width <= 0 or n_bins <= 0:
+        raise ValueError(f"width and n_bins must be positive, got {width}, {n_bins}")
+    v = F.col(col)
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= lo + n_bins * width, F.lit(n_bins))
+        .otherwise(F.expr(f"({col} - {lo}) div {width}"))
+        .cast("bigint")
+    )
+    return (
+        df.select(v.alias(col), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).cast("bigint").alias("min_val"),
+            F.max(col).cast("bigint").alias("max_val"),
+        )
+    )
+
+
+def histogram_oracle_sql(
+    src_sql: str, col: str, lo: int, width: int, n_bins: int
+) -> str:
+    """DuckDB twin of :func:`histogram_fixed` over ``src_sql``."""
+    b = (
+        f"CASE WHEN {col} < {lo} THEN -1 "
+        f"WHEN {col} >= {lo + n_bins * width} THEN {n_bins} "
+        f"ELSE ({col} - {lo}) // {width} END"
+    )
+    return f"""
+WITH src AS ({src_sql})
+SELECT CAST({b} AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min({col}) AS BIGINT) AS min_val,
+  CAST(max({col}) AS BIGINT) AS max_val
+FROM src GROUP BY 1
+""".strip()

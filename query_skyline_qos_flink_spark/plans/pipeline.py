@@ -913,3 +913,27 @@ FROM (SELECT doc_id, n_chars,
 def x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return packing.pack_sequences(d, "doc_id", "n_chars", _PACK_BUDGET)
+
+
+_HIST_LO, _HIST_W, _HIST_N = 0, 2_500_000, 24
+
+
+@register(
+    "x_histogram",
+    profiling.histogram_oracle_sql(
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders",
+        "price_c",
+        _HIST_LO,
+        _HIST_W,
+        _HIST_N,
+    ),
+    doc="Fixed-width histogram of order totals in cents (24 x $25k bins, "
+    "underflow/overflow sentinels): one projection + one <=26-group "
+    "aggregate, partial-combined map-side - the distribution pass behind "
+    "any length/quality cutoff decision",
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c")
+    )
+    return profiling.histogram_fixed(o, "price_c", _HIST_LO, _HIST_W, _HIST_N)

@@ -436,3 +436,53 @@ def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == med, F.col("vc"))).alias("median_c"),
         F.max(F.when(F.col("rn") == p90, F.col("vc"))).alias("p90_c"),
     )
+
+
+@register(
+    "r13_regional_revenue",
+    """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_mc,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""".strip(),
+    doc="TPC-H Q5-shaped 6-table join: per-nation revenue where the "
+    "customer and supplier share a nation, one region only. All four "
+    "dims broadcast (region/nation/customer/supplier), so the only "
+    "shuffle is lineitem-orders; revenue in exact integer "
+    "milli-cents: price_c * (100 - disc_pct)",
+)
+def r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_mc = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev_mc).alias("revenue_mc"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

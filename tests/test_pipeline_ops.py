@@ -469,3 +469,19 @@ def test_pack_sequences_offsets_and_chunks(spark):
     assert out.seq_id.tolist() == [0, 0, 0, 1]
     with pytest.raises(ValueError):
         packing.pack_sequences(spark.createDataFrame(pdf), "id", "n", budget=0)
+
+
+def test_histogram_fixed_bins_and_sentinels(spark):
+    from query_skyline_qos_flink_spark.operators import profiling
+
+    pdf = pd.DataFrame({"v": [-5, 0, 9, 10, 19, 99, 100, 250]})
+    out = (
+        profiling.histogram_fixed(spark.createDataFrame(pdf), "v", 0, 10, 10)
+        .toPandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert out.n.to_dict() == {-1: 1, 0: 2, 1: 2, 9: 1, 10: 2}
+    assert out.loc[-1].min_val == -5 and out.loc[10].max_val == 250
+    with pytest.raises(ValueError):
+        profiling.histogram_fixed(spark.createDataFrame(pdf), "v", 0, 0, 10)

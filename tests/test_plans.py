@@ -69,3 +69,12 @@ def test_x_datapipe_prep_no_cartesian_single_doc_scan_branch(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 2  # both dedup references hit the cache
+
+
+def test_r13_broadcasts_all_dims_single_shuffle(spark):
+    plan = _plan(spark, "r13_regional_revenue")
+    assert "CartesianProduct" not in plan
+    # region/nation/customer/supplier all ride broadcast joins; the only
+    # shuffle joins are lineitem-orders
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
