@@ -501,3 +501,66 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, sess_start_us bigint, sess_end_us bigint, "
         "n_events bigint",
     )
+
+
+@register(
+    "s17_stream_static_dedup",
+    """
+WITH fp AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+ref AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0)
+SELECT doc_id, lang FROM fp ANTI JOIN ref USING (fp)
+""".strip(),
+    doc="Stream-static anti join - incremental dedup of an arriving "
+    "document stream against a STATIC known-fingerprint corpus (the "
+    "recurring-crawl shape: only docs whose md5 fingerprint is absent "
+    "from the reference set survive).  Stateless per-row decision, so "
+    "append mode is batch-exact regardless of micro-batch splits; "
+    "fingerprints are computed before replay so no free text rides the "
+    "CSV wire.  At scale the static side is a broadcast or bucketed "
+    "fingerprint table; no streaming state grows",
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("fp")
+    )
+    n_rows = d.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s17 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    static_ref = (
+        d.where(F.col("doc_id") % 3 == 0).select("fp").distinct()
+    )
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s17_static_dedup_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    fresh = (
+        spark.readStream.schema("doc_id bigint, lang string, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .join(static_ref, "fp", "left_anti")
+        .select("doc_id", "lang")
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s17 stream-static dedup timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(out, schema="doc_id bigint, lang string")
