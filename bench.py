@@ -51,6 +51,11 @@ CORPUS_QUERIES = [
     "x_datapipe_prep",
     "r2_join_topk_revenue",
     "r9_sessionize",
+    "r13_regional_revenue",
+    "x_bloom_prune_semi",
+    "x_snapshot_diff",
+    "x_seq_packing",
+    "x_profile_columns",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table

@@ -175,3 +175,42 @@ def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_chars") > 0, F.col("n_digits") / F.col("n_chars").cast("double")
         ).otherwise(F.lit(0.0)).alias("digit_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 160,
+    stride: int = 120,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    ``chunk_chars``-char windows starting every ``stride`` chars
+    (``chunk_chars - stride`` overlap) — the retrieval/embedding prep
+    step.  A document fitting in one window yields exactly one chunk;
+    the last window may be short, never empty.
+
+    100 TB shape: pure column expressions + an ``explode(sequence(...))``
+    fan-out that rides the scan — no shuffle, no UDF; output rows are
+    proportional to total corpus length / stride.
+    """
+    if not 0 < stride <= chunk_chars:
+        raise ValueError(f"need 0 < stride <= chunk_chars, got {stride}, {chunk_chars}")
+    n = F.length(F.col(text_col))
+    extra = F.when(n <= chunk_chars, F.lit(0)).otherwise(
+        F.expr(f"(length({text_col}) - {chunk_chars} + {stride} - 1) div {stride}")
+    )
+    return (
+        df.select(*id_cols, text_col)
+        .withColumn("__extra", extra)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), F.col("__extra"))))
+        .select(
+            *id_cols,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, chunk_idx * {stride} + 1, {chunk_chars})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )

@@ -937,3 +937,33 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c")
     )
     return profiling.histogram_fixed(o, "price_c", _HIST_LO, _HIST_W, _HIST_N)
+
+
+_CHUNK_C, _CHUNK_S = 160, 120
+
+
+@register(
+    "x_doc_chunks",
+    f"""
+WITH n AS (SELECT doc_id, text,
+                  CASE WHEN length(text) <= {_CHUNK_C} THEN 0
+                       ELSE (length(text) - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                  END AS extra
+           FROM documents),
+i AS (SELECT unnest(range(0, 256)) AS chunk_idx)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS chunk_start,
+       substr(text, chunk_idx * {_CHUNK_S} + 1, {_CHUNK_C}) AS chunk_text,
+       CAST(length(substr(text, chunk_idx * {_CHUNK_S} + 1, {_CHUNK_C})) AS BIGINT)
+         AS chunk_len
+FROM n, i WHERE chunk_idx <= extra
+""".strip(),
+    doc=f"Sliding-window chunking ({_CHUNK_C}-char windows every "
+    f"{_CHUNK_S} chars, {_CHUNK_C - _CHUNK_S}-char overlap) - the "
+    "retrieval/embedding prep fan-out as pure column exprs + "
+    "explode(sequence): rides the scan, no shuffle, no UDF; one chunk "
+    "minimum per document, short final window kept",
+)
+def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_documents(d, chunk_chars=_CHUNK_C, stride=_CHUNK_S)

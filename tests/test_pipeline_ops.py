@@ -485,3 +485,25 @@ def test_histogram_fixed_bins_and_sentinels(spark):
     assert out.loc[-1].min_val == -5 and out.loc[10].max_val == 250
     with pytest.raises(ValueError):
         profiling.histogram_fixed(spark.createDataFrame(pdf), "v", 0, 0, 10)
+
+
+def test_chunk_documents_windows_overlap_and_edges(spark):
+    t = "abcdefghij" * 5  # 50 chars
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": [t, "xy"]}))
+    out = (
+        text.chunk_documents(df, chunk_chars=20, stride=15)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    # 50 chars, C=20, S=15 -> extra = ceil(30/15) = 2 -> 3 chunks
+    assert d1.chunk_start.tolist() == [0, 15, 30]
+    assert d1.chunk_text.tolist() == [t[0:20], t[15:35], t[30:50]]
+    # every char is covered; consecutive chunks overlap by C-S
+    assert d1.chunk_len.tolist() == [20, 20, 20]
+    # short doc: exactly one (short) chunk
+    d2 = out[out.doc_id == 2]
+    assert d2.chunk_text.tolist() == ["xy"] and d2.chunk_len.tolist() == [2]
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_chars=10, stride=0)
