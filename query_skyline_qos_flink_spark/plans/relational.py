@@ -486,3 +486,128 @@ def r13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "r14_subquery_avg",
+    """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT l.l_partkey,
+       CAST(count(*) AS BIGINT) AS n_below,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * pa.cnt < pa.sum_qc
+GROUP BY l.l_partkey
+""".strip(),
+    doc="TPC-H Q17-shaped correlated scalar subquery, decorrelated: "
+    "lineitems whose quantity is below 20%% of their part's average. "
+    "The per-part average never materializes as a float: qty < 0.2 * "
+    "sum/cnt is evaluated as 5*qty_c*cnt < sum_c in exact BIGINT "
+    "cents. The join strategy is size-picked by Catalyst/AQE: the "
+    "per-part aggregate broadcasts while it fits, and degrades to a "
+    "shuffled join on l_partkey (both sides hashed on the same key) "
+    "when it does not — no hint pins either choice, so the plan "
+    "survives a 100x scale-up unchanged",
+)
+def r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .where(F.lit(5) * _cents("l_quantity") * F.col("cnt") < F.col("sum_qc"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            F.sum(_cents("l_extendedprice")).alias("price_c"),
+        )
+    )
+
+
+@register(
+    "r15_grouping_sets",
+    """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+       CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)), (o_orderstatus), ())
+""".strip(),
+    doc="GROUPING SETS with grouping_id: per (status, year), per status, "
+    "and grand total in one logical aggregate (Spark expands to a "
+    "single Expand + hash-agg, one shuffle for all three sets). "
+    "Rolled-up key columns are COALESCEd to sentinels on both sides: "
+    "'<all>' for the string, -1 for the year (the driver's "
+    "Arrow fetch turns null-bearing int64 into float64, which can "
+    "never hash-match Spark's BIGINT rendering)",
+)
+def r15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_year"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_year",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_c"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "gid",
+            "n_orders",
+            "total_c",
+        )
+    )
+
+
+@register(
+    "r16_lag_delta",
+    """
+WITH d AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders)
+SELECT o_custkey, o_orderkey,
+       COALESCE(day - lag(day) OVER w, -1) AS gap_days,
+       COALESCE(lead(o_orderstatus) OVER w, '<none>') AS next_status
+FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+""".strip(),
+    doc="lag/lead window functions: per-customer day gaps between "
+    "consecutive orders and the next order's status. Day arithmetic "
+    "in integer epoch-days (Spark unix_timestamp div 86400 == duckdb "
+    "epoch_us // 86400000000); NULL lag/lead frames COALESCEd to "
+    "sentinels for the Arrow int64 reason above. One shuffle on "
+    "o_custkey; the sort is per-partition within the window",
+)
+def r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("bigint").alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.col("day") - F.lag("day").over(w), F.lit(-1)).alias("gap_days"),
+        F.coalesce(F.lead("o_orderstatus").over(w), F.lit("<none>")).alias(
+            "next_status"
+        ),
+    )

@@ -78,3 +78,36 @@ def test_r13_broadcasts_all_dims_single_shuffle(spark):
     # shuffle joins are lineitem-orders
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_r14_prunes_agg_side_columns_no_cartesian(spark):
+    """The Q17-shaped self-join: the per-part aggregate branch must scan
+    only (l_partkey, l_quantity) — dragging l_extendedprice through the
+    aggregate would double the agg-side scan width at 100 TB.  The join
+    itself is size-picked (broadcast at small SF via Catalyst stats,
+    shuffled hash/SMJ on l_partkey at scale) — never a cartesian."""
+    plan = _plan(spark, "r14_subquery_avg")
+    assert "CartesianProduct" not in plan
+    agg_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "l_extendedprice" not in l
+    ]
+    assert agg_scans, "agg-side scan must prune l_extendedprice"
+
+
+def test_r15_single_expand_single_shuffle(spark):
+    """GROUPING SETS must compile to one Expand + one hash aggregate pair
+    — three separate scans/aggregations would read orders three times."""
+    plan = _plan(spark, "r15_grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_r16_single_exchange_no_global_sort(spark):
+    """lag/lead windows partitioned by customer: one hash exchange, never
+    a single-partition global window."""
+    plan = _plan(spark, "r16_lag_delta")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
