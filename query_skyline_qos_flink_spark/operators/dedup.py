@@ -352,3 +352,50 @@ def connected_components(
     return labels.select(
         F.col("vid").alias(id_col), F.col("lbl").alias("canonical_id")
     )
+
+
+def contamination_counts(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per training document, how many of
+    its distinct k-word shingles also occur anywhere in the benchmark set.
+
+    Output: ``(id_col, n_grams, n_hit)`` — one row per training doc that
+    has at least k tokens; ``n_hit == 0`` means clean.
+
+    100 TB shape: the benchmark's distinct shingles and the training
+    postings both collapse to an 8-byte ``xxhash64`` before the shuffle
+    (joining on raw shingle strings would move ~20 bytes/posting; the
+    64-bit space makes a cross-set collision astronomically unlikely and
+    any collision only *inflates* a contamination count, never hides one).
+    Join strategy is left to AQE: a small benchmark broadcasts, a large
+    one degrades to a hash join on the 8-byte key.  No driver-side state.
+    """
+    tr = _with_shingles(train, id_col, text_col, k)
+    bg = (
+        _with_shingles(benchmark, id_col, text_col, k)
+        .select(F.explode("__sh").alias("__g"))
+        .select(F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    posts = tr.select("__id", F.explode("__sh").alias("__g")).select(
+        "__id", F.xxhash64("__g").alias("__h")
+    )
+    hits = (
+        posts.join(bg, "__h")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tr.select("__id", F.size("__sh").cast("bigint").alias("n_grams"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )

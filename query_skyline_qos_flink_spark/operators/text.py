@@ -10,7 +10,7 @@ the portable deterministic hash (identical hex output in Spark and duckdb).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TOKEN_RE = "[^a-z0-9]+"
 PUNCT_RE = "[^a-zA-Z0-9\\s]"
@@ -213,4 +213,47 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF *rank* — float-free.
+
+    Classic tf*log(N/df) scoring only matters through the order it
+    induces; for fixed N that order is exactly ``(tf DESC, df ASC)``
+    term-by-term, so the ranking is computed directly on the two integers
+    (lexicographic tie-break on the term makes it total).  Output:
+    ``(id_col, term, tf, df, rnk)`` with ``rnk <= top_k``.
+
+    100 TB shape: one shuffle on (doc, term) for TF, one on term for DF,
+    a shuffled join back on term (document frequencies are unbounded —
+    never broadcast by hint; AQE may still choose to for small corpora),
+    and a per-document window for the top-k.  All integers, all JVM.
+    """
+    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    tf = (
+        toks.select("__id", F.explode("__t").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfs, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

@@ -967,3 +967,65 @@ FROM n, i WHERE chunk_idx <= extra
 def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return text.chunk_documents(d, chunk_chars=_CHUNK_C, stride=_CHUNK_S)
+
+
+_CONTAM_ORACLE = f"""
+{_SH_CTE},
+sp AS (SELECT doc_id,
+              CASE WHEN {sampling.split_bucket_sql('doc_id')} < 8000
+                   THEN 'train' ELSE 'test' END AS split
+       FROM documents),
+tr AS (SELECT s.doc_id, s.shs FROM sh0 s JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+bg AS (SELECT DISTINCT unnest(s.shs) AS g
+       FROM sh0 s JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(shs) AS g FROM tr) e JOIN bg USING (g)
+  GROUP BY e.doc_id)
+SELECT t.doc_id, CAST(len(t.shs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+FROM tr t LEFT JOIN hits h USING (doc_id)
+""".strip()
+
+
+@register(
+    "x_contamination",
+    _CONTAM_ORACLE,
+    doc="Benchmark-contamination check: for every train-split document "
+    "(deterministic md5 80/20 split), count its distinct 3-word shingles "
+    "that also occur anywhere in the test split. The scale path joins "
+    "8-byte xxhash64 gram keys, not strings; the oracle joins the raw "
+    "shingles (collisions only inflate counts and are ~2^-56 here). "
+    "This is the train-on-test leak detector every eval pipeline needs",
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s = sampling.hash_split(d, train_frac=0.8)
+    train = s.where(F.col("split") == "train").select("doc_id", "text")
+    bench = s.where(F.col("split") == "test").select("doc_id", "text")
+    return dedup.contamination_counts(train, bench)
+
+
+@register(
+    "x_tfidf_topterms",
+    f"""
+{_TOK_CTE},
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfs.df ASC, tf.term ASC) AS rnk
+      FROM tf JOIN dfs USING (term))
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+""".strip(),
+    doc="Per-document top-5 terms by TF-IDF rank, float-free: for fixed N "
+    "the tf*log(N/df) order IS (tf DESC, df ASC), so the ranking needs "
+    "only the two integers plus a term tie-break — bit-exact across "
+    "engines where the float score would not be",
+)
+def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.tfidf_top_terms(d, top_k=5)

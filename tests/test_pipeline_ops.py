@@ -507,3 +507,62 @@ def test_chunk_documents_windows_overlap_and_edges(spark):
     assert d2.chunk_text.tolist() == ["xy"] and d2.chunk_len.tolist() == [2]
     with pytest.raises(ValueError):
         text.chunk_documents(df, chunk_chars=10, stride=0)
+
+
+def test_contamination_counts_known_overlap(spark):
+    """doc 1 shares its full 9-token text with the benchmark (7 shingles,
+    all hit); doc 2 shares none; doc 3 is too short to shingle."""
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely unrelated words appear in this one",
+                    "too short",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "text": [
+                    "prefix words then the quick brown fox jumps over the lazy dog",
+                    "other benchmark material entirely",
+                ],
+            }
+        )
+    )
+    out = (
+        dedup.contamination_counts(train, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]  # doc 3 has < 3 tokens -> excluded
+    assert out.loc[1, "n_grams"] == 7 and out.loc[1, "n_hit"] == 7
+    assert out.loc[2, "n_hit"] == 0 and out.loc[2, "n_grams"] == 5
+
+
+def test_tfidf_topterms_rank_order(spark):
+    """'rare' has tf=2 in doc 1 and df=1 -> beats 'common' (tf=2, df=3);
+    ties inside a doc break by term string."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "rare rare common common zeta alpha",
+                    "common filler words here",
+                    "common other text",
+                ],
+            }
+        )
+    )
+    out = text.tfidf_top_terms(df, top_k=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("rnk")
+    assert list(d1.term) == ["rare", "common", "alpha"]
+    assert list(d1.tf) == [2, 2, 1]
+    assert d1[d1.term == "rare"].df.iloc[0] == 1
