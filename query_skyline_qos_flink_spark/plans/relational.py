@@ -611,3 +611,46 @@ def r16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_status"
         ),
     )
+
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent_c"),
+    ("2-HIGH", "high_c"),
+    ("3-MEDIUM", "medium_c"),
+    ("4-NOT SPECIFIED", "notspec_c"),
+    ("5-LOW", "low_c"),
+]
+
+
+@register(
+    "r17_pivot_priority",
+    "SELECT o_orderstatus AS status,\n"
+    + ",\n".join(
+        "       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '" + val + "' "
+        "THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) "
+        "AS " + alias
+        for val, alias in _PRIORITIES
+    )
+    + "\nFROM orders GROUP BY o_orderstatus",
+    doc="Pivot (long->wide): total order value in cents per status row x "
+    "priority column. The pivot values are pinned explicitly, so Spark "
+    "skips the distinct-values discovery job and the schema is fixed at "
+    "plan time — one Expand-free hash aggregate, one shuffle on the "
+    "grouping key; missing cells COALESCE to 0 on both sides",
+)
+def r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", _cents("o_totalprice").alias("price_c")
+    )
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [val for val, _ in _PRIORITIES])
+        .agg(F.sum("price_c"))
+    )
+    return piv.select(
+        F.col("o_orderstatus").alias("status"),
+        *[
+            F.coalesce(F.col("`" + val + "`"), F.lit(0)).alias(alias)
+            for val, alias in _PRIORITIES
+        ],
+    )

@@ -564,3 +564,103 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("s17 stream-static dedup timed out after 600 s")
     out = spark.sql(f"SELECT * FROM {sink}").toPandas()
     return spark.createDataFrame(out, schema="doc_id bigint, lang string")
+
+
+@register(
+    "s18_stream_upsert",
+    """
+WITH r AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events),
+n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT r.user_id, CAST(r.event_id AS BIGINT) AS last_event_id,
+       r.value_c AS last_value_c, CAST(n.n_events AS BIGINT) AS n_events
+FROM r JOIN n USING (user_id) WHERE rn = 1
+""".strip(),
+    doc="foreachBatch incremental upsert (CDC merge / Delta-MERGE "
+    "stand-in): events replayed as a two-file stream; each micro-batch "
+    "reduces to per-user (latest event by (ts, event_id), count) and is "
+    "merged into a versioned parquet snapshot — union with the previous "
+    "snapshot, re-argmax via a struct max, counts summed. Last-writer-wins "
+    "on a total (ts, id) order is associative+commutative, so the final "
+    "snapshot is batch-exact regardless of how records split across "
+    "micro-batches. Snapshots are written to fresh versioned dirs (never "
+    "overwrite-while-reading); per-batch merge cost is one shuffle on the "
+    "upsert key",
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("tsu"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    n_rows = ev.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s18 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s18_upsert_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    state = {"version": -1}  # driver-side snapshot pointer (foreachBatch runs on driver)
+
+    def _remerge(df: DataFrame) -> DataFrame:
+        # struct max == argmax on the (tsu, event_id) prefix: lexicographic
+        # struct ordering carries value_c along for free
+        return df.groupBy("user_id").agg(
+            F.max("last").alias("last"),
+            F.sum("n_events").alias("n_events"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.select(
+            "user_id",
+            F.struct("tsu", "event_id", "value_c").alias("last"),
+            F.lit(1).cast("bigint").alias("n_events"),
+        )
+        cur = _remerge(cur)
+        if state["version"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(workdir, f"v{state['version']}")
+            )
+            cur = _remerge(prev.unionByName(cur))
+        cur.write.mode("overwrite").parquet(
+            os.path.join(workdir, f"v{state['version'] + 1}")
+        )
+        state["version"] += 1
+
+    q = (
+        spark.readStream.schema("user_id bigint, event_id bigint, tsu bigint, value_c bigint")
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s18 stream upsert timed out after 600 s")
+    if state["version"] < 0:
+        raise RuntimeError("s18 stream upsert produced no snapshot")
+    snap = spark.read.parquet(os.path.join(workdir, f"v{state['version']}"))
+    return snap.select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.value_c").alias("last_value_c"),
+        "n_events",
+    )
