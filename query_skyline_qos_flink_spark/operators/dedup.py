@@ -399,3 +399,42 @@ def contamination_counts(
             F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
         )
     )
+
+
+def fuzzy_match_names(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy match over the DISTINCT value dictionary of
+    ``name_col``: pairs (name_a < name_b) within Levenshtein ``max_dist``,
+    candidate-blocked on the last whitespace token.
+
+    Matching the dictionary, not the rows, is what scales: duplicate rows
+    collapse before any pairing, so the quadratic work is bounded by
+    distinct names per block, not row counts.  Blocking on the final token
+    (the head noun in '<modifier> <noun>' names) keeps each block small;
+    like any LSH-style blocker it trades recall for scale — typos in the
+    blocking token cross blocks and are missed, which is the documented
+    contract.  ``levenshtein`` is identical in Spark and duckdb, so the
+    whole operator is oracle-exact.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.select(
+        "name", F.element_at(F.split("name", " "), -1).alias("__blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(dist <= max_dist)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )

@@ -95,3 +95,57 @@ SELECT g AS {group_col},
                  ELSE {(k - 1) * _HASH_DOMAIN} // max(h) END AS BIGINT) AS est_distinct
 FROM r WHERE rn <= {k} GROUP BY g
 """.strip()
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency strictly > n/k) via a
+    Misra-Gries candidate pass + exact recount.
+
+    Why not a plain groupBy-count?  At 100 TB the value column may have
+    billions of distinct keys; a full count shuffles every one of them.
+    Misra-Gries bounds the shuffled candidate set to k counters per input
+    partition regardless of cardinality, and the classic pigeonhole
+    guarantee (an item with global count > n/k must exceed n_p/(k+1) in
+    at least one partition, so it survives that partition's summary)
+    makes the candidate union a SUPERSET of the true heavy hitters.  The
+    second pass recounts ONLY candidates (broadcast semi-join against the
+    scan — tiny) and filters ``cnt * k > n`` exactly, so the final output
+    is deterministic and engine-independent even though the intermediate
+    candidate sets depend on partition layout.
+
+    Output: ``(value_col, cnt)`` — exact counts, only true heavy hitters.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    cap = k
+
+    def mg_partition(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            cnt.update(pdf[value_col].value_counts().to_dict())
+            if len(cnt) > cap:
+                # mergeable-MG shrink: subtract the (cap+1)-th largest
+                # weight from everything, keep strictly positive
+                m = sorted(cnt.values(), reverse=True)[cap]
+                cnt = Counter({t: c - m for t, c in cnt.items() if c > m})
+        yield pd.DataFrame({value_col: list(cnt.keys())})
+
+    vals = df.select(value_col)
+    cands = vals.mapInPandas(
+        mg_partition, schema=f"{value_col} string"
+    ).distinct()
+    total = vals.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        vals.join(F.broadcast(cands), value_col)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("__n"))
+        .select(value_col, F.col("cnt").cast("bigint").alias("cnt"))
+    )

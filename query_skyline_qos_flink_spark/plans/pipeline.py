@@ -1029,3 +1029,49 @@ FROM r WHERE rnk <= 5
 def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return text.tfidf_top_terms(d, top_k=5)
+
+
+_HH_K = 60
+
+
+@register(
+    "x_heavy_hitters",
+    f"""
+{_TOK_CTE},
+e AS (SELECT unnest(toks) AS term FROM t)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM e GROUP BY term
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM e)
+""".strip(),
+    doc=f"Exact heavy hitters (tokens with frequency > n/{_HH_K}) via "
+    "Misra-Gries candidate sketching + exact recount: the candidate set "
+    "is bounded per partition regardless of vocabulary size, the recount "
+    "touches candidates only, and the final filter is exact — so the "
+    "output is deterministic although the sketch state is "
+    "partition-layout-dependent. The oracle is the plain GROUP BY "
+    "HAVING the sketch pass avoids shuffling",
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    return sketches.heavy_hitters_exact(toks, "term", k=_HH_K)
+
+
+@register(
+    "x_fuzzy_match",
+    """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+t AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+""".strip(),
+    doc="Entity-resolution fuzzy match: part-name pairs within edit "
+    "distance 3, blocked on the final token over the DISTINCT name "
+    "dictionary — quadratic work bounded by distinct names per block, "
+    "never by row count; levenshtein agrees between Spark and duckdb",
+)
+def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return dedup.fuzzy_match_names(p, "p_name", max_dist=3)

@@ -77,3 +77,64 @@ def test_kmv_rejects_bad_k(spark):
         kmv_distinct(df, ["g"], "v", k=1)
     with pytest.raises(ValueError):
         kmv_distinct(df, ["g"], "v", k=500)
+
+
+def test_heavy_hitters_exact_matches_groupby_under_tiny_cap(spark):
+    """Adversarial for the MG guarantee: k=5 counters, 12 distinct values,
+    skewed frequencies, data spread over many partitions. The output must
+    equal the exact groupBy-count HAVING filter regardless of how the
+    sketch pass compressed candidates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from query_skyline_qos_flink_spark.operators import sketches
+
+    vals = (
+        ["alpha"] * 400 + ["beta"] * 150 + ["gamma"] * 90
+        + [f"tail{i % 9}" for i in range(360)]  # 9 tail values x 40
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": vals})
+    ).repartition(16)  # force many partial sketches
+    out = sketches.heavy_hitters_exact(df, "v", k=5)
+    got = {(r.v, r.cnt) for r in out.collect()}
+    n = len(vals)
+    exact = (
+        df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 5 > n)
+    )
+    want = {(r.v, r.cnt) for r in exact.collect()}
+    assert got == want and ("alpha", 400) in got
+
+
+def test_fuzzy_match_blocks_and_bounds(spark):
+    """'red widget'~'red wodget' (dist 1, same block) matches; 'red bolt'
+    is a different block even though close to nothing; identical names
+    collapse in the dictionary so no self-pairs appear."""
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "p_name": [
+                    "red widget",
+                    "red widget",   # duplicate row -> one dictionary entry
+                    "rad widget",   # typo in the modifier: same block, dist 1
+                    "blue widget",
+                    "red wodget",   # typo in the BLOCK token: documented miss
+                    "red bolt",
+                ]
+            }
+        )
+    )
+    out = dedup.fuzzy_match_names(df, "p_name", max_dist=3)
+    pairs = {(r.name_a, r.name_b, r.dist) for r in out.collect()}
+    assert ("rad widget", "red widget", 1) in pairs
+    # 'blue'->'red' is 4 edits: same block but over the distance bound
+    assert not any("blue" in a for a, b, _ in pairs)
+    assert all(a != b for a, b, _ in pairs)
+    # cross-block typo and different-noun names never pair: recall tradeoff
+    assert not any("wodget" in a or "wodget" in b for a, b, _ in pairs)
+    assert not any("bolt" in a or "bolt" in b for a, b, _ in pairs)
