@@ -1,0 +1,100 @@
+"""Distributed graph operators — co-occurrence edges and triangle counting.
+
+Complements the connected-components dedup clustering
+(``dedup.connected_components``): where CC answers "which items are
+transitively linked", triangle counting measures how CLIQUEY the link
+structure is (graph clustering coefficient numerator) — a standard
+signal for near-duplicate cluster density and recommendation graphs.
+
+The algorithm is the degree-oriented node-iterator: orient every
+undirected edge from its lower-(degree, id) endpoint to the higher one,
+build wedges only from each node's OUT-edges, and close them against the
+oriented edge set.  Orientation caps every out-degree at O(sqrt(m)), so
+wedge generation is O(m^1.5) worst-case instead of sum-of-degree^2 —
+the difference between a hub node exploding the shuffle and not.  Each
+triangle is counted exactly once (its unique lowest-(degree, id) apex
+generates it), so the count equals the naive a<b<c enumeration the
+oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct undirected item-item edges: two items are linked iff they
+    co-occur in at least one group.  Output columns ``(lo, hi)`` with
+    ``lo < hi``.  Work per group is quadratic in its distinct items —
+    bounded for order-lines-style data (TPC-H orders have <= 7 lines);
+    pre-cap pathological groups upstream if the domain allows them."""
+    pairs = df.select(group_col, F.col(item_col).alias("lo")).distinct()
+    other = pairs.withColumnRenamed("lo", "hi")
+    return (
+        pairs.join(other, group_col)
+        .where(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected ``(lo, hi)`` edge set (lo < hi
+    per row, no duplicates).  Returns one row: ``(n_edges, n_triangles)``.
+
+    Degree-oriented: wedges come only from out-edges under the
+    (degree, id) total order, so hub vertices never fan out quadratic
+    wedge sets.  The closing membership probe is a semi-join against the
+    oriented edges — at scale both the wedge join (on the apex) and the
+    probe (on the wedge endpoints) are plain hash shuffles."""
+    deg = (
+        edges.select(F.col("lo").alias("v"))
+        .unionAll(edges.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("v", "lo"), "lo")
+        .withColumnRenamed("deg", "dlo")
+        .join(deg.withColumnRenamed("v", "hi"), "hi")
+        .withColumnRenamed("deg", "dhi")
+    )
+    # orient each edge from the lower (deg, id) endpoint to the higher
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("dlo")).otherwise(F.col("dhi")).alias("dsrc"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("ddst").alias("dv"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("ddst").alias("dw"),
+    )
+    # wedge (u; v, w) with v before w under the same (deg, id) order, so
+    # the closing edge, if present, is oriented exactly v -> w
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_tri = closed.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_e = edges.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_e.crossJoin(n_tri).select(
+        F.col("n_edges").cast("bigint"),
+        F.col("n_triangles").cast("bigint"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, dedup, delta, multimodal, packing, profiling, sampling, similarity, sketches, text
+from ..operators import bloom, dedup, delta, graph, layout, multimodal, packing, profiling, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -1075,3 +1075,74 @@ WHERE levenshtein(a.name, b.name) <= 3
 def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return dedup.fuzzy_match_names(p, "p_name", max_dist=3)
+
+
+_Z_BITS = 12
+_Z_X = "o_custkey % 4096"
+_Z_Y = "(epoch_us(o_orderdate) // 86400000000) % 4096"
+
+
+@register(
+    "x_zorder_stats",
+    f"""
+WITH z AS (
+  SELECT {layout.zorder_key_sql([_Z_X, _Z_Y], _Z_BITS)} >> 18 AS z_tile,
+         {_Z_X} AS x, {_Z_Y} AS y
+  FROM orders)
+SELECT z_tile, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM z GROUP BY z_tile
+""".strip(),
+    doc="Z-order (Morton) clustering keys for data layout: interleave 12 "
+    "bucketized bits of (custkey, order-day), tile by the top 6 bits, "
+    "and report per-tile min/max of both dimensions — every tile's "
+    "bounds sit inside a 512x512 rectangle, which is precisely why "
+    "files written in z-order prune on BOTH columns' min/max stats "
+    "(the OPTIMIZE ZORDER BY mechanic). Pure closed-form integer bit "
+    "arithmetic, bit-identical in duckdb",
+)
+def x_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 4096).alias("x"),
+        (F.expr("unix_timestamp(o_orderdate) div 86400") % 4096).alias("y"),
+    )
+    z = layout.zorder_key([F.col("x"), F.col("y")], _Z_BITS)
+    return (
+        o.withColumn("z_tile", F.shiftright(z, 18))
+        .groupBy("z_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )
+
+
+@register(
+    "x_triangle_count",
+    """
+WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS lo, b.p AS hi
+      FROM il a JOIN il b ON a.g = b.g AND a.p < b.p),
+w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e1.hi = e2.lo),
+t AS (SELECT count(*) AS n_triangles
+      FROM w JOIN e ON w.a = e.lo AND w.c = e.hi)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM t
+""".strip(),
+    doc="Triangle counting over the part co-purchase graph (parts linked "
+    "iff they share an order): degree-oriented node-iterator — every "
+    "edge oriented low-(degree,id) -> high, wedges only from out-edges, "
+    "closed by a semi-join — so out-degrees are O(sqrt(m))-bounded and "
+    "hub parts cannot explode the wedge shuffle. The oracle counts the "
+    "same triangles with the naive a<b<c enumeration",
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_count(edges)

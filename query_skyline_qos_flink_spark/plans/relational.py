@@ -654,3 +654,84 @@ def r17(spark: SparkSession, sf_dir: str) -> DataFrame:
             for val, alias in _PRIORITIES
         ],
     )
+
+
+@register(
+    "r18_ntile_deciles",
+    """
+WITH d AS (
+  SELECT c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         ntile(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                         c_custkey) AS decile
+  FROM customer)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c
+FROM d GROUP BY decile
+""".strip(),
+    doc="ntile decile bucketing over account balance (cents, custkey "
+    "tie-break makes the total order unique so bucket boundaries are "
+    "engine-independent). The global ORDER BY window is the documented "
+    "cost: ntile needs a total order by definition — at scale you'd "
+    "precompute boundary quantiles instead (see r10_percentiles for the "
+    "rank-position form that avoids it)",
+)
+def r18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", _cents("c_acctbal").alias("bal_c")
+    )
+    w = Window.orderBy("bal_c", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal_c").alias("min_bal_c"),
+            F.max("bal_c").alias("max_bal_c"),
+        )
+        .select(F.col("decile").cast("int"), "n", "min_bal_c", "max_bal_c")
+    )
+
+
+@register(
+    "r19_range_frame",
+    """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tss,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY tss
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hour_sum_c,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY tss
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hour_n
+FROM e
+""".strip(),
+    doc="RANGE-frame window (value-based, not row-based): per user, the "
+    "rolling 1-hour sum/count of event values ordered by event-time "
+    "seconds. RANGE frames are tie-safe where ROWS frames are not: "
+    "events sharing a timestamp get identical frame results, so no "
+    "tie-break column is needed for exactness. One shuffle on user_id",
+)
+def r19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000000").alias("tss"),
+        _cents("value").alias("value_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tss")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value_c").over(w).alias("hour_sum_c"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
