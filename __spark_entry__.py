@@ -31,8 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return corpus.REGISTRY["s1_skyline_2d"].fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate covers the first 50 entries of queries().
+# All 80 registered queries are equally real (pytest runs the DuckDB oracle
+# for every one at sf0.001); this priority list rotates which 50 get a
+# driver-side CORRECTNESS row, front-loading queries that have not had one
+# yet (round-5: the relational r* family, streaming s12-s18, fuzzy/zorder/
+# triangle) plus the always-on core corpus.  Remaining registry entries
+# follow in registration order and rotate into the window in later rounds.
+_DRIVER_PRIORITY = [
+    # core skyline corpus (SURVEY §2.4) — keep green every round
+    "s1_skyline_2d", "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
+    "s5_skyline_part", "s6_skyline_events_ts", "s7_skyline_filtered",
+    "s8_skyline_groupwise", "s9_twophase_dim", "s9_twophase_grid",
+    "s9_twophase_angle", "s10_snapshot_1000", "s10_snapshot_10000",
+    "m1_partition_stats", "e1_dedup_exact", "e2_knn_bruteforce",
+    "e3_text_stats",
+    # never driver-gated before round 5
+    "r9_sessionize", "r10_percentiles", "r11_asof_join", "r12_range_join",
+    "r13_regional_revenue", "r14_subquery_avg", "r15_grouping_sets",
+    "r16_lag_delta", "r17_pivot_priority", "r18_ntile_deciles",
+    "r19_range_frame",
+    "s12_stream_replay_3d", "s13_stream_window", "s14_stream_dedup",
+    "s15_stream_join", "s16_stream_session", "s17_stream_static_dedup",
+    "s18_stream_upsert",
+    "x_fuzzy_match", "x_zorder_stats", "x_triangle_count",
+    # relational base + stream replay (gated in earlier rounds, re-confirm)
+    "r1_agg_pricing_summary", "r2_join_topk_revenue", "r3_window_running",
+    "r4_semi_anti_join", "r5_rollup_counts", "r6_orders_by_year",
+    "r7_json_extract", "r8_setops_nations", "s11_stream_replay",
+    # LLM-pipeline headliners (the rest of the x_* family was hash-green in
+    # r4 and rotates back in next round)
+    "x_minhash_lsh_pairs", "x_cosine_neardup", "x_ann_blocked",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in corpus.REGISTRY.items()}
+    ordered = {n: corpus.REGISTRY[n].fn for n in _DRIVER_PRIORITY}
+    for name, spec in corpus.REGISTRY.items():
+        ordered.setdefault(name, spec.fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -161,6 +161,10 @@ def _skyline_2d_relational(
         n_ranges = int(
             prepped.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        # approxQuantile is a full action over the groupBy(d0).min(d1)
+        # aggregate; persist it so the main plan below reuses the shuffle
+        # output instead of recomputing the aggregate from the scan.
+        grp = _persist(grp)
         bounds = sorted(
             set(
                 grp.stat.approxQuantile(

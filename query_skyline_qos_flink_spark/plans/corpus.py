@@ -21,8 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.dominance import skyline_oracle_sql
 from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
+from ..operators.prefix import exact_prefix
 from ..operators.skyline import skyline, skyline_with_pid
-from ..session import load
+from ..session import epoch_micros, load
 
 
 @dataclass
@@ -131,17 +132,16 @@ def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id", "value", "ts_d"],
         bucket_sql="event_id",
     ),
-    doc="Timestamp-derived dimension (epoch seconds; events.ts is parquet "
-    "TIMESTAMP(NANOS), read Spark-side as bigint nanos via "
-    "spark.sql.legacy.parquet.nanosAsLong)",
+    doc="Timestamp-derived dimension (epoch seconds; tolerant of events.ts "
+    "arriving as parquet timestamp[us] or TIMESTAMP(NANOS)-as-bigint — "
+    "epoch_micros() dispatches on the actual dtype)",
 )
 def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # duckdb coerces parquet TIMESTAMP(NANOS) to micros; truncate identically
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
         "event_id",
         "value",
-        (F.expr("ts div 1000").cast("double") / F.lit(1e6)).alias("ts_d"),
+        (epoch_micros(ev).cast("double") / F.lit(1e6)).alias("ts_d"),
     )
     return skyline(ev, ["value", "ts_d"])
 
@@ -212,8 +212,11 @@ for _st in ("dim", "grid", "angle"):
 def _s10(n: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load(spark, sf_dir, "lineitem").select(*_LI)
-        w = Window.orderBy("l_orderkey", "l_linenumber")
-        pre = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n).drop("rn")
+        # rank-free exact prefix: no single-task global window (see
+        # operators/prefix.py; O13 batch-exact form).  Sort covers the whole
+        # projection: (l_orderkey, l_linenumber) alone is not unique in the
+        # fixtures, and a tie-ambiguous prefix would diverge from the oracle
+        pre = exact_prefix(li, _LI, n)
         return skyline(pre, ["l_extendedprice", "l_discount"])
 
     return fn
@@ -227,7 +230,8 @@ for _n in (1000, 10000):
             _LI,
             table_sql=(
                 "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM ("
-                "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn "
+                "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber, "
+                "l_extendedprice, l_discount) AS rn "
                 f"FROM lineitem) WHERE rn <= {_n}"
             ),
         ),

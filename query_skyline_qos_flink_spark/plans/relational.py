@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.joins import asof_join, range_join_binned
-from ..session import load
+from ..session import epoch_micros, epoch_micros_sql, load
 from .corpus import register
 
 
@@ -93,10 +93,9 @@ FROM events
     doc="Per-user running aggregates (window functions over event time)",
 )
 def r3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
-    # ts read as bigint nanos (see s6); micro-precision ordering like epoch_us
-    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    # micro-precision ordering like epoch_us, tolerant of both ts encodings
+    w = Window.partitionBy("user_id").orderBy(epoch_micros(ev), "event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -165,7 +164,6 @@ FROM events GROUP BY event_type
     "props payload, aggregated per event type",
 )
 def r7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -251,16 +249,15 @@ FROM e ASOF LEFT JOIN ob ON e.user_id = ob.user_id AND e.ed >= ob.od
     "JOIN",
 )
 def r11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
-    # ts read as bigint nanos (see s6); hour-of-stream mod era -> day number
+    # hour-of-stream mod era -> day number (tolerant of both ts encodings)
     e = ev.select(
         "event_id",
         "user_id",
         F.expr(
             f"{_ORDER_ERA_START_DAY} + "
-            f"(ts div 1000 div 3600000000) % {_ORDER_ERA_DAYS}"
+            f"({epoch_micros_sql(ev)} div 3600000000) % {_ORDER_ERA_DAYS}"
         ).alias("ed"),
     )
     # one row per (customer, day): struct max picks the largest orderkey and
@@ -321,11 +318,10 @@ GROUP BY a.event_id
     "window [t-60s, t) keeps each event out of its own neighborhood",
 )
 def r12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
-    # ts read as bigint nanos (see s6); micro-precision like epoch_us
+    # micro-precision like epoch_us, tolerant of both ts encodings
     e = ev.select(
-        "event_id", F.expr("ts div 1000").alias("us"), _cents("value").alias("vc")
+        "event_id", epoch_micros(ev).alias("us"), _cents("value").alias("vc")
     )
     pairs = range_join_binned(
         e.select("event_id", F.col("us").alias("l_us")),
@@ -375,10 +371,9 @@ FROM s GROUP BY user_id, session_id
     "final per-session aggregate (same partition key throughout)",
 )
 def r9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
-    # ts read as bigint nanos (see s6); micro-precision like epoch_us
-    us = F.expr("ts div 1000")
+    # micro-precision like epoch_us, tolerant of both ts encodings
+    us = epoch_micros(ev)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     e = ev.select("user_id", "event_id", us.alias("us"), _cents("value").alias("vc"))
     flagged = e.select(
@@ -419,7 +414,6 @@ FROM r GROUP BY event_type
     "group key serves the rank window and the final pivot-aggregate",
 )
 def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
     e = ev.select("event_type", "event_id", _cents("value").alias("vc"))
     w = Window.partitionBy("event_type").orderBy("vc", "event_id")
@@ -717,11 +711,11 @@ FROM e
     "tie-break column is needed for exactness. One shuffle on user_id",
 )
 def r19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000000000").alias("tss"),
+        F.expr(f"{epoch_micros_sql(ev)} div 1000000").alias("tss"),
         _cents("value").alias("value_c"),
     )
     w = (

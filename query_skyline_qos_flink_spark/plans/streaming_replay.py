@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.dominance import skyline_oracle_sql
 from ..operators.partitioners import partition_id
-from ..session import load
+from ..session import epoch_micros, load
 from ..streaming.pipeline import run_pipeline
 from .corpus import register
 
@@ -220,10 +220,10 @@ FROM w, wm GROUP BY ws, event_type, wm_us HAVING ws + {_WIN_US} <= wm_us
     "in event-time order so no record is ever late-dropped (determinism).",
 )
 def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
         "event_id",
-        F.expr("ts div 1000").alias("us"),  # nanos -> micros, like epoch_us
+        epoch_micros(ev).alias("us"),  # epoch micros, like epoch_us
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
     )
@@ -447,10 +447,8 @@ FROM agg, wm WHERE sess_end_us <= wm_us
     "written",
 )
 def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", F.expr("ts div 1000").alias("us"), "user_id"
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", epoch_micros(ev).alias("us"), "user_id")
     n_rows = ev.count()
     if n_rows > _MAX_REPLAY_ROWS:
         raise RuntimeError(
@@ -592,11 +590,11 @@ FROM r JOIN n USING (user_id) WHERE rn = 1
     "upsert key",
 )
 def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000").alias("tsu"),
+        epoch_micros(ev).alias("tsu"),
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
     n_rows = ev.count()

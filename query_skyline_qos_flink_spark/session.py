@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> SparkSession:
@@ -29,7 +29,9 @@ def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> Spar
         # Arrow batch size plays the role of the reference's 5,000-row BNL
         # buffer (FlinkSkyline.java:232) for the mapInPandas skyline kernel.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # events.ts is parquet TIMESTAMP(NANOS); read as bigint nanos
+        # If events.ts ships as parquet TIMESTAMP(NANOS) this reads it as
+        # bigint nanos; a no-op on timestamp[us] fixtures.  epoch_micros()
+        # dispatches on whichever dtype actually arrives.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
@@ -43,3 +45,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def epoch_micros_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL fragment yielding epoch *microseconds* (bigint) from an event-time
+    column, tolerant of both fixture encodings of ``events.ts``:
+
+    * parquet TIMESTAMP(NANOS) read as bigint nanos (via the
+      ``spark.sql.legacy.parquet.nanosAsLong`` session conf) -> ``div 1000``;
+    * parquet ``timestamp[us]`` / timestamp_ntz -> ``unix_micros`` (session
+      timezone is UTC, matching DuckDB ``epoch_us(ts)`` in the oracles).
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return f"({col} div 1000)"
+    return f"unix_micros(cast({col} as timestamp))"
+
+
+def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Column form of :func:`epoch_micros_sql` (epoch micros, bigint)."""
+    return F.expr(epoch_micros_sql(df, col))
