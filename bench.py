@@ -117,6 +117,20 @@ def main() -> None:
                 )
                 df.unpersist()
 
+        # Warm-up: first parquet scan + first Arrow/pandas-UDF exchange of a
+        # session pay one-time costs (JIT, file listing, Python worker
+        # spawn) that are not operator cost; absorb them here so the timed
+        # queries measure steady state, matching how the persisted 1M
+        # shapes are measured above.
+        try:
+            for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+                spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+            spark.range(32).mapInPandas(
+                lambda it: it, schema="id long"
+            ).count()  # spin up the Python worker pool
+        except Exception:
+            pass  # warm-up is best-effort; timings just include cold costs
+
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count())

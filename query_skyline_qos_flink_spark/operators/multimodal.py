@@ -6,12 +6,14 @@ decode / feature-extract / resize / frame-sample are per-batch Python
 functions over those bytes.  Spark never interprets the payload — schema,
 partitioning, batch shape and UDF signatures are the real, tested plumbing.
 
-The actual codecs (pillow / ffmpeg / librosa) are NOT available in this
-environment, so :func:`decode_image` / :func:`decode_audio` raise
-``NotImplementedError`` at the clearly-marked integration point, and the
-default pipeline uses :func:`fake_decode_meta` — a deterministic stand-in
-computed purely from the bytes (length/md5 arithmetic) so tests and the
-duckdb oracle can validate the full Spark-side path end to end.
+Codec status: :func:`decode_audio` is REAL for PCM WAV (stdlib ``wave``,
+no external deps) and backs :func:`extract_audio_meta`.  Image/video
+codecs (pillow / ffmpeg) are NOT available in this environment, so
+:func:`decode_image` raises ``NotImplementedError`` at the clearly-marked
+integration point and the default pipeline uses :func:`fake_decode_meta`
+— a deterministic stand-in computed purely from the bytes (length/md5
+arithmetic) so tests and the duckdb oracle can validate the full
+Spark-side path end to end.
 """
 
 from __future__ import annotations
@@ -35,23 +37,177 @@ def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_image(payload: bytes):  # pragma: no cover - integration stub
-    """STUB: wire a real image decoder (e.g. pillow) here.
+def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL codec for 8-bit PNG (stdlib ``zlib``/``struct`` — no external
+    libs): returns (height, width, channels, ndarray[h, w, c] uint8).
 
-    Signature contract: bytes -> (height, width, channels, ndarray)."""
-    raise NotImplementedError(
-        "image decoding requires an image codec (e.g. pillow), which is not "
-        "available in this environment; plug your decoder into "
-        "extract_media_meta(decode_fn=...)"
-    )
+    Supports the common color types — 0 greyscale, 2 RGB, 4 grey+alpha,
+    6 RGBA — at bit depth 8, non-interlaced (the overwhelming majority of
+    real PNGs).  JPEG/WebP/interlaced PNG still need an external decoder
+    (e.g. pillow) — pass your own ``decode_fn`` for those.  Raises
+    ``ValueError`` on non-PNG or unsupported variants."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = _struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[y * (stride + 1)]
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = out[y]
+    return h, w, channels, out.reshape(h, w, channels)
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - integration stub
-    """STUB: wire a real audio decoder (e.g. soundfile/librosa) here."""
-    raise NotImplementedError(
-        "audio decoding requires an audio codec, which is not available in "
-        "this environment; plug your decoder into extract_media_meta(decode_fn=...)"
-    )
+IMAGE_META_SCHEMA = (
+    "height bigint, width bigint, n_channels bigint, n_pixels bigint, mean_luma double"
+)
+
+
+def extract_image_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_fn: Callable[[bytes], tuple] = decode_image,
+) -> DataFrame:
+    """Image twin of :func:`extract_audio_meta`, default-wired to the REAL
+    stdlib PNG decoder: (height, width, channels, pixel count, mean pixel
+    value) per payload, batch-wise through Arrow."""
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, {IMAGE_META_SCHEMA}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for p in pdf[payload_col]:
+                h, w, c, arr = decode_fn(bytes(p))
+                rows.append((h, w, c, h * w, float(arr.mean())))
+            out = pd.DataFrame(
+                rows, columns=["height", "width", "n_channels", "n_pixels", "mean_luma"]
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+
+
+AUDIO_META_SCHEMA = (
+    "n_channels bigint, sample_rate bigint, n_frames bigint, duration_ms bigint, "
+    "peak_amplitude bigint"
+)
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL codec for PCM WAV (stdlib ``wave`` — no external libs):
+    returns (n_channels, sample_rate, n_frames, duration_ms, peak_amplitude).
+
+    Compressed formats (mp3/ogg/flac) still need an external decoder —
+    pass your own ``decode_fn`` for those.  Raises ``wave.Error`` on
+    non-WAV payloads (surface it or filter upstream)."""
+    import io
+    import struct as _struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sr = w.getframerate()
+        nf = w.getnframes()
+        sw = w.getsampwidth()
+        raw = w.readframes(nf)
+    if sw == 2:
+        samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+        peak = max((abs(s) for s in samples), default=0)
+    elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
+        peak = max((abs(b - 128) for b in raw), default=0)
+    else:  # 24/32-bit: bytes-level max as a cheap envelope proxy
+        peak = max(raw, default=0)
+    duration_ms = nf * 1000 // sr if sr else 0
+    return nch, sr, nf, duration_ms, peak
+
+
+def extract_audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_fn: Callable[[bytes], tuple] = decode_audio,
+) -> DataFrame:
+    """Audio twin of :func:`extract_media_meta`, default-wired to the REAL
+    stdlib WAV decoder: binary payloads flow through Arrow into
+    ``mapInPandas`` batches, one metadata row out per payload."""
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, {AUDIO_META_SCHEMA}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            metas = [decode_fn(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                metas,
+                columns=[
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "peak_amplitude",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, str, int, int, int]:

@@ -30,15 +30,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .caching import persist_bounded as _persist
 
 
-def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
-    """Exactly the first ``n`` rows of ``df`` ordered by ``sort_cols``
-    (which must be a deterministic total order — e.g. end with a unique
-    key), without a single-task global sort."""
-    d0 = sort_cols[0]
+def _range_bucketed(df: DataFrame, d0: str) -> tuple[DataFrame, DataFrame]:
+    """Shared passes 1-3: (ranged rows with ``__b``, broadcastable
+    per-bucket cumulative offsets ``(__b, __off)``)."""
     n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # the quantile action + the count action + the main plan all reread the
-    # input; pin the (column-pruned) projection once
-    df = _persist(df)
     bounds = sorted(
         set(df.stat.approxQuantile(d0, [i / n_ranges for i in range(1, n_ranges)], 0.001))
     )
@@ -62,6 +57,17 @@ def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
         )
         .select("__b", "__off")
     )
+    return ranged, offs
+
+
+def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
+    """Exactly the first ``n`` rows of ``df`` ordered by ``sort_cols``
+    (which must be a deterministic total order — e.g. end with a unique
+    key), without a single-task global sort."""
+    # the quantile action + the count action + the main plan all reread the
+    # input; pin the (column-pruned) projection once
+    df = _persist(df)
+    ranged, offs = _range_bucketed(df, sort_cols[0])
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     return (
         ranged.join(F.broadcast(offs), "__b")
@@ -70,3 +76,44 @@ def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
         .where(F.col("__rn") <= n)
         .drop("__b", "__off", "__rn")
     )
+
+
+def with_global_rank(
+    df: DataFrame, sort_cols: Sequence[str], out_col: str = "rn"
+) -> DataFrame:
+    """Append the exact global 1-based ``row_number() OVER (ORDER BY
+    sort_cols)`` as ``out_col`` — same bounded-pieces assembly as
+    :func:`exact_prefix`, no single-task window, every row kept.
+
+    ``sort_cols`` must be a total order for the rank to be deterministic.
+    Feeds rank-arithmetic operators (ntile, exact percentile positions,
+    pagination) at 100x the scale an empty-partition window survives."""
+    df = _persist(df)
+    ranged, offs = _range_bucketed(df, sort_cols[0])
+    w_local = Window.partitionBy("__b").orderBy(*sort_cols)
+    return (
+        ranged.join(F.broadcast(offs), "__b")
+        .withColumn(out_col, F.row_number().over(w_local) + F.col("__off"))
+        .drop("__b", "__off")
+    )
+
+
+def ntile_by_rank(
+    df: DataFrame, sort_cols: Sequence[str], n_tiles: int, out_col: str = "tile"
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY sort_cols)`` without the
+    global single-task window: global rank via :func:`with_global_rank`,
+    then closed-form SQL ntile arithmetic — with ``N`` total rows,
+    ``q = N div n``, ``r = N mod n``, the first ``r`` tiles hold ``q+1``
+    rows: rank <= r*(q+1) -> tile = ceil(rank/(q+1)), else
+    tile = r + ceil((rank - r*(q+1)) / q)."""
+    ranked = with_global_rank(df, sort_cols, "__gr")
+    total = ranked.count()  # input was persisted by with_global_rank
+    q, r = divmod(total, n_tiles)
+    if q == 0:  # fewer rows than tiles: ntile degenerates to rank
+        return ranked.withColumn(out_col, F.col("__gr").cast("int")).drop("__gr")
+    cut = r * (q + 1)
+    tile = F.when(
+        F.col("__gr") <= cut, F.ceil(F.col("__gr") / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((F.col("__gr") - F.lit(cut)) / F.lit(q)))
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__gr")

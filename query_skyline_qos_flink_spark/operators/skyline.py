@@ -56,6 +56,10 @@ _PREP = "__sk_"
 # tree-merge round first (and as a last resort a single-task merge).
 _VERIFY_MAX_ROWS = 400_000
 _TREE_FANOUT = 32
+# Max 2-D survivor rows to broadcast into the final semi-join (row = two
+# doubles + group keys; 2M rows ≈ tens of MB — well inside executor memory,
+# vastly cheaper than shuffling the full input on float keys).
+_BROADCAST_SURVIVOR_MAX = 2_000_000
 
 
 Direction = str  # 'min' | 'max'
@@ -142,7 +146,12 @@ def _skyline_2d_relational(
     back as offsets.  No stage ever holds more than one range's values."""
     d0, d1 = prep_cols
     keys = list(group_by or [])
-    grp = prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1"))
+    # persist in BOTH branches: the aggregate is read by the window subplan
+    # AND bounds the broadcast decision below (survivors are a subset of
+    # its rows, one per distinct (keys, d0) — counting the cached aggregate
+    # is a near-free job, where counting the survivors themselves would
+    # materialize the whole window subplan twice).
+    grp = _persist(prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1")))
     if keys:
         w = Window.partitionBy(*keys).orderBy(d0)
         pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -161,10 +170,8 @@ def _skyline_2d_relational(
         n_ranges = int(
             prepped.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        # approxQuantile is a full action over the groupBy(d0).min(d1)
-        # aggregate; persist it so the main plan below reuses the shuffle
-        # output instead of recomputing the aggregate from the scan.
-        grp = _persist(grp)
+        # approxQuantile is a full action over the (persisted) aggregate;
+        # the main plan below then reuses the cached shuffle output.
         bounds = sorted(
             set(
                 grp.stat.approxQuantile(
@@ -202,10 +209,14 @@ def _skyline_2d_relational(
         .select(*keys, F.col(d0), F.col("__m1").alias(d1))
     )
     # null-SAFE equality on group keys (NULL is a normal group, matching the
-    # d>=3 groupBy path); d0/d1 are never null (filtered in _prep).  No
-    # broadcast hint: survivors are usually tiny and AQE promotes the join
-    # to broadcast at runtime, but high-cardinality d0 must not force an
-    # unbounded broadcast.
+    # d>=3 groupBy path); d0/d1 are never null (filtered in _prep).
+    # Broadcast decision: without a hint the semi-join plans as
+    # SortMergeJoin and shuffles the WHOLE input on float keys before AQE
+    # can downgrade it — the dominant cost at any scale.  The cached
+    # aggregate's row count upper-bounds the survivor count, so the hint is
+    # safe whenever that bound is; above the bound, fall back to SMJ/AQE.
+    if grp.count() <= _BROADCAST_SURVIVOR_MAX:
+        surv = F.broadcast(surv)
     return null_safe_semi_join(prepped, surv, eq_cols=[d0, d1], null_safe_cols=keys)
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.joins import asof_join, range_join_binned
+from ..operators.prefix import ntile_by_rank
 from ..session import epoch_micros, epoch_micros_sql, load
 from .corpus import register
 
@@ -666,18 +667,18 @@ FROM d GROUP BY decile
 """.strip(),
     doc="ntile decile bucketing over account balance (cents, custkey "
     "tie-break makes the total order unique so bucket boundaries are "
-    "engine-independent). The global ORDER BY window is the documented "
-    "cost: ntile needs a total order by definition — at scale you'd "
-    "precompute boundary quantiles instead (see r10_percentiles for the "
-    "rank-position form that avoids it)",
+    "engine-independent). ntile needs a total order by definition, but NOT "
+    "a single-task window: global rank is assembled from range-bucketed "
+    "pieces (operators/prefix.py::ntile_by_rank) and the tile follows by "
+    "closed-form rank arithmetic — scale-safe where ntile() OVER "
+    "(ORDER BY ...) is not",
 )
 def r18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_custkey", _cents("c_acctbal").alias("bal_c")
     )
-    w = Window.orderBy("bal_c", "c_custkey")
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        ntile_by_rank(c, ["bal_c", "c_custkey"], 10, "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -193,9 +193,11 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     meta = multimodal.extract_media_meta(with_bin).toPandas().set_index("doc_id")
     assert meta.loc[1, "n_bytes"] == len(docs.toPandas().set_index("doc_id").loc[1, "text"].encode())
     assert meta.loc[1, "content_md5"] == meta.loc[2, "content_md5"]
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
+    # the codecs are REAL (stdlib PNG/WAV) and fail loudly on truncated or
+    # non-matching payloads rather than silently passing them through
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG")  # signature only, no IHDR
+    with pytest.raises(Exception):  # wave.Error on a bare RIFF header
         multimodal.decode_audio(b"RIFF")
 
 

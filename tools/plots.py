@@ -8,17 +8,24 @@ Reference surface (SURVEY.md §2.2 P7-P10):
 * P9 per-dimension comparison (``python/graph_performance_by_dimension.py``).
 * P10 paper-figure replication (``python/graph_paper_figures.py``).
 
-matplotlib may be absent in headless environments, so everything is gated
-behind an import-try; each function also works on plain pandas frames
-produced by the engine (collector CSVs, bench JSON).
+matplotlib may be absent in headless environments; when it is, every
+function falls back to the stdlib raster backend (``tools/rasterpng.py``)
+and still writes a real PNG — marks only, no axis labels.  Each function
+works on plain pandas frames produced by the engine (collector CSVs,
+bench JSON).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import rasterpng
 
 try:
     import matplotlib
@@ -31,18 +38,21 @@ except Exception:  # pragma: no cover - optional dependency
     HAVE_MPL = False
 
 
-def _require_mpl() -> None:
-    if not HAVE_MPL:
-        raise RuntimeError("matplotlib is not available in this environment")
-
-
 def skyline_staircase_2d(points_df: pd.DataFrame, x: str, y: str, out_path: str,
                          skyline_df: pd.DataFrame | None = None) -> str:
     """P7: scatter all points, overlay the Pareto staircase (post-step).
 
     Visual invariant: no point may lie strictly below-and-left of the
     staircase."""
-    _require_mpl()
+    if not HAVE_MPL:
+        sky = skyline_df.sort_values(x) if skyline_df is not None else None
+        return rasterpng.scatter_step_png(
+            points_df[x].tolist(),
+            points_df[y].tolist(),
+            out_path,
+            step_xs=sky[x].tolist() if sky is not None else (),
+            step_ys=sky[y].tolist() if sky is not None else (),
+        )
     fig, ax = plt.subplots(figsize=(7, 6))
     ax.scatter(points_df[x], points_df[y], s=4, alpha=0.3, label="points")
     if skyline_df is not None and len(skyline_df):
@@ -56,8 +66,17 @@ def skyline_staircase_2d(points_df: pd.DataFrame, x: str, y: str, out_path: str,
 
 def performance_dashboard(collector_csv: str, out_path: str) -> str:
     """P8: per-query timing lines + local/global split of the last query."""
-    _require_mpl()
     df = pd.read_csv(collector_csv)
+    if not HAVE_MPL:
+        x = (df["Records"] / 1e6).tolist()
+        return rasterpng.multiline_png(
+            [
+                (x, df["TotalTime(ms)"].tolist(), (30, 80, 200)),
+                (x, df["LocalTime(ms)"].tolist(), (30, 160, 60)),
+                (x, df["GlobalTime(ms)"].tolist(), (200, 30, 60)),
+            ],
+            out_path,
+        )
     fig, axes = plt.subplots(2, 2, figsize=(11, 8))
     x = df["Records"] / 1e6
     axes[0][0].plot(x, df["TotalTime(ms)"], marker="o"); axes[0][0].set_title("TotalTime vs Mrecords")
@@ -76,15 +95,24 @@ def performance_dashboard(collector_csv: str, out_path: str) -> str:
 
 def bench_comparison(bench_json_path: str, out_path: str) -> str:
     """P9/P10 analog: our bench vs the reference's published totals."""
-    _require_mpl()
     with open(bench_json_path) as f:
         bench = json.loads(f.readline())
     ours = {d: bench["queries"].get(f"skyline_anti_{d}d_1m") for d in (2, 3, 4)}
     # BASELINE.md MR-Dim/Grid/Angle totals (ms -> s), 1M anti-correlated
     ref = {2: [19.544, 17.593, 17.282], 3: [27.264, 26.601, 27.015],
            4: [716.996, 691.882, 766.937]}
-    fig, ax = plt.subplots(figsize=(8, 5))
     dims = [2, 3, 4]
+    if not HAVE_MPL:
+        have = [d for d in dims if ours[d] is not None]
+        return rasterpng.multiline_png(
+            [
+                (dims, [min(ref[d]) for d in dims], (30, 80, 200)),
+                (have, [ours[d] for d in have], (200, 30, 60)),
+            ],
+            out_path,
+            logy=True,
+        )
+    fig, ax = plt.subplots(figsize=(8, 5))
     ax.plot(dims, [min(ref[d]) for d in dims], marker="s", label="reference (best strategy)")
     ax.plot(dims, [ours[d] for d in dims], marker="o", label="this engine")
     ax.set_yscale("log"), ax.set_xticks(dims)
