@@ -71,6 +71,10 @@ SCALING_QUERIES = {
     "x_simhash_pairs": "documents",
     "x_cosine_neardup": "embeddings",
     "x_ann_blocked": "embeddings",
+    "x_dedup_clusters": "documents",  # iterative min-label propagation
+    "x_contamination": "documents",  # hash-key anti/semi join
+    "x_seq_packing": "documents",  # bucketed two-pass global cumsum
+    "x_exact_quantiles": "lineitem",  # bucketed two-pass global rank
 }
 
 

@@ -19,8 +19,13 @@ the (small) build side.
 
 Exactness: a Bloom filter has no false negatives, so `bloom_prune`
 followed by the exact join is semantically identical to the exact join
-alone — false positives only cost work, never correctness.  The hash is
-the repo-standard 56-bit md5 prefix (deterministic, engine-portable).
+alone — false positives only cost work, never correctness.  Because the
+downstream exact join removes false positives, the hash needs NO
+cross-engine parity (the DuckDB oracle is the plain join) — so it uses
+Spark's native ``xxhash64`` (whole-stage-codegen'd long arithmetic),
+not the repo-standard md5-string convention reserved for oracle-visible
+hashes: one string-concat + md5 per row per hash function would dominate
+the probe-side scan cost at scale.
 """
 
 from __future__ import annotations
@@ -29,12 +34,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _hash_pos(key: Column, salt: int, m_bits: int) -> Column:
-    """Position of ``key`` under hash ``salt`` in [0, m_bits): 56-bit md5
-    prefix of 'key:salt', mod the (power-of-two) bitmap size."""
-    s = F.concat(key.cast("string"), F.lit(f":{salt}"))
-    return (
-        F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint") % m_bits
-    )
+    """Position of ``key`` under hash ``salt`` in [0, m_bits):
+    ``pmod(xxhash64(key, salt), m_bits)`` — JVM-native, no string round-trip."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(m_bits)).cast("bigint")
 
 
 def bloom_build(

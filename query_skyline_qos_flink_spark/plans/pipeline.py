@@ -1146,3 +1146,53 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.triangle_count(edges)
+
+
+@register(
+    "x_exact_quantiles",
+    """
+WITH d AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN price_c END) AS BIGINT) AS median_c,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN price_c END) AS BIGINT) AS p90_c,
+       CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN price_c END) AS BIGINT) AS p99_c
+FROM d
+""".strip(),
+    doc="EXACT global quantiles (median/p90/p99) by rank selection — the "
+    "scale-safe alternative to percentile_approx when exactness is "
+    "required: global rank assembled from range-bucketed pieces "
+    "(operators/prefix.py::with_global_rank, no single-task window), "
+    "then the rank-position rows (r10's per-group convention, applied "
+    "globally) collapse to one row.  Cents-integer values so the oracle "
+    "hash is float-free",
+)
+def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import with_global_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_global_rank(li, ["price_c", "l_orderkey", "l_linenumber"], "rn")
+    return (
+        ranked.withColumn("n", F.lit(ranked.count()))
+        .groupBy()
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("price_c")))
+            .cast("bigint")
+            .alias("median_c"),
+            F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("price_c")))
+            .cast("bigint")
+            .alias("p90_c"),
+            F.max(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("price_c")))
+            .cast("bigint")
+            .alias("p99_c"),
+        )
+    )
