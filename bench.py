@@ -75,6 +75,8 @@ SCALING_QUERIES = {
     "x_contamination": "documents",  # hash-key anti/semi join
     "x_seq_packing": "documents",  # bucketed two-pass global cumsum
     "x_exact_quantiles": "lineitem",  # bucketed two-pass global rank
+    "s1_skyline_2d": "lineitem",  # relational 2-D skyline path
+    "s3_skyline_3d": "lineitem",  # mapInPandas kernel + merge path
 }
 
 

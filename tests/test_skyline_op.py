@@ -210,3 +210,20 @@ def test_2d_two_pass_correct_after_cache_eviction(spark):
     spark.catalog.clearCache()  # evict everything mid-lifetime
     second = {tuple(r) for r in res.select("x", "y").collect()}
     assert first == second == _brute(pdf, ["x", "y"], [1, 1])
+
+
+def test_2d_semi_join_is_broadcast(spark):
+    """The 2-D path's final semi-join must carry the broadcast hint when
+    the distinct-d0 bound is small — without it the join plans as
+    SortMergeJoin and shuffles the whole input on float keys."""
+    pdf = pd.DataFrame(
+        {
+            "id": range(500),
+            "x": np.random.default_rng(3).random(500),
+            "y": np.random.default_rng(4).random(500),
+        }
+    )
+    res = skyline(spark.createDataFrame(pdf), ["x", "y"])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
