@@ -30,16 +30,39 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .caching import persist_bounded as _persist
 
 
-def _range_bucketed(df: DataFrame, d0: str) -> tuple[DataFrame, DataFrame]:
+def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame, DataFrame]:
     """Shared passes 1-3: (ranged rows with ``__b``, broadcastable
-    per-bucket cumulative offsets ``(__b, __off)``)."""
+    per-bucket cumulative offsets ``(__b, __off)``).
+
+    Buckets on the FIRST sort column that yields at least one quantile
+    boundary: a (near-)constant leading column gives no split points, and
+    when a prefix of the sort key is globally constant, bucketing by the
+    next column still respects the total order — without the fallback
+    every row would land in one bucket and the "local" window would
+    degenerate back to a single task."""
     n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    bounds = sorted(
-        set(df.stat.approxQuantile(d0, [i / n_ranges for i in range(1, n_ranges)], 0.001))
-    )
+
+    def quantile_bounds(c: str) -> list[float]:
+        return sorted(
+            set(df.stat.approxQuantile(c, [j / n_ranges for j in range(1, n_ranges)], 0.001))
+        )
+
+    bucket_col, bounds = sort_cols[0], quantile_bounds(sort_cols[0])
+    # a (near-)constant column collapses to <2 distinct boundaries and would
+    # put every row in one bucket; fall through to the next sort column —
+    # sound only while every preceding column is globally constant (then the
+    # order within the data is decided by the later columns anyway)
+    for c in list(sort_cols)[1:]:
+        if len(bounds) >= 2:
+            break
+        n_prior = df.select(F.count_distinct(F.col(bucket_col))).first()[0]
+        if n_prior > 1:
+            break  # genuinely low-cardinality-but-not-constant prefix:
+            # keep the leading col (correct, possibly skewed — documented)
+        bucket_col, bounds = c, quantile_bounds(c)
     pid = F.lit(0)
-    for b in bounds:  # ascending buckets: __b order == d0 range order
-        pid = pid + F.when(F.col(d0) > F.lit(b), 1).otherwise(0)
+    for b in bounds:  # ascending buckets: __b order == bucket_col range order
+        pid = pid + F.when(F.col(bucket_col) > F.lit(b), 1).otherwise(0)
     ranged = df.withColumn("__b", pid)
     offs = (
         ranged.groupBy("__b")
@@ -67,7 +90,7 @@ def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
     # the quantile action + the count action + the main plan all reread the
     # input; pin the (column-pruned) projection once
     df = _persist(df)
-    ranged, offs = _range_bucketed(df, sort_cols[0])
+    ranged, offs = _range_bucketed(df, sort_cols)
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     return (
         ranged.join(F.broadcast(offs), "__b")
@@ -89,7 +112,7 @@ def with_global_rank(
     Feeds rank-arithmetic operators (ntile, exact percentile positions,
     pagination) at 100x the scale an empty-partition window survives."""
     df = _persist(df)
-    ranged, offs = _range_bucketed(df, sort_cols[0])
+    ranged, offs = _range_bucketed(df, sort_cols)
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     return (
         ranged.join(F.broadcast(offs), "__b")

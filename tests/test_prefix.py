@@ -49,3 +49,43 @@ def test_exact_prefix_rank_window_is_bucket_partitioned(spark):
             assert "__b" in line, f"data rank window not bucket-partitioned: {line}"
         if "windowspecdefinition()" in line.replace(" ", ""):
             assert "sum(count" in line, f"empty-spec window over data: {line}"
+
+
+def test_exact_prefix_constant_leading_column(spark):
+    """A globally-constant leading sort column must fall through to the
+    next column for bucketing — and the rank window must still partition
+    by bucket, not collapse to a single task."""
+    df = spark.range(0, 5000).select(
+        F.lit(7).alias("const"), F.col("id"), (F.col("id") % 100).alias("v")
+    )
+    got = exact_prefix(df, ["const", "id"], 250)
+    assert sorted(r.id for r in got.collect()) == list(range(250))
+    plan = (
+        exact_prefix(df, ["const", "id"], 250)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__b" in line, f"rank window not bucket-partitioned: {line}"
+
+
+def test_with_global_rank_matches_window(spark):
+    from query_skyline_qos_flink_spark.operators.prefix import with_global_rank
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    got = {
+        tuple(r)[:3]: r.rn
+        for r in with_global_rank(li, cols, "rn").collect()
+    }
+    w = Window.orderBy(*cols)
+    want = {
+        tuple(r)[:3]: r.rn
+        for r in li.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    # ties on all three sort cols make ranks within a tie-group arbitrary;
+    # compare the key set and the rank multiset, not per-row assignments
+    assert len(got) == len(want)
+    assert sorted(got.values()) == sorted(want.values())
