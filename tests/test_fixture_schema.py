@@ -106,6 +106,17 @@ def test_fixture_dtypes(spark, table):
         )
 
 
+@pytest.mark.parametrize("sf_dir", ["sf0.001", "sf0.01", "sf0.1"])
+def test_events_ts_encoding_every_sf(spark, sf_dir):
+    """The ts encoding must be a tolerated one at EVERY fixture scale the
+    driver and bench touch — round 4 broke precisely here."""
+    path = f"/root/testdata/{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    dtypes = dict(spark.read.parquet(path).dtypes)
+    assert dtypes["ts"] in {"bigint", "timestamp", "timestamp_ntz"}, dtypes["ts"]
+
+
 def test_epoch_micros_covers_actual_encoding(spark):
     """epoch_micros() must resolve on the fixtures as shipped and agree with
     DuckDB epoch_us on a sample row (the oracle convention)."""
