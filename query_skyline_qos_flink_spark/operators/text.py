@@ -257,3 +257,25 @@ def tfidf_top_terms(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# Scrub patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (duckdb): no backrefs, no lookaround, \s and explicit classes only.
+URL_RE = "https?://[^\\s]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") -> DataFrame:
+    """C4-style scrub: count then strip URLs and e-mail addresses, collapse
+    runs of whitespace, trim.  Case is preserved (cleaning, not
+    normalization — `fingerprint` owns the normalized form).  Pure
+    codegen'd column expressions; the scrub order (urls -> emails -> ws)
+    is part of the contract so oracle twins replay it exactly."""
+    c = F.col(text_col)
+    stripped = F.regexp_replace(F.regexp_replace(c, URL_RE, " "), EMAIL_RE, " ")
+    return df.select(
+        *df.columns,
+        F.coalesce(F.regexp_count(c, F.lit(URL_RE)), F.lit(0)).cast("bigint").alias("n_urls"),
+        F.coalesce(F.regexp_count(c, F.lit(EMAIL_RE)), F.lit(0)).cast("bigint").alias("n_emails"),
+        F.trim(F.regexp_replace(stripped, WS_RE, " ")).alias(out_col),
+    )

@@ -1196,3 +1196,40 @@ def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p99_c"),
         )
     )
+
+
+@register(
+    "x_clean_text",
+    """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
+           AS n_emails,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id, n_urls, n_emails,
+       md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_chars
+FROM c
+""".strip(),
+    doc="C4-style text scrub: strip URLs and e-mails, collapse whitespace, "
+    "trim — the pre-tokenization cleaning pass of a training-data "
+    "pipeline. Patterns restricted to the Java-regex/RE2 common subset "
+    "so Spark and duckdb transform identically; output compared by md5 "
+    "of the cleaned text (order: urls -> emails -> whitespace)",
+)
+def x_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = text.clean_text(d)
+    return cleaned.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        F.md5(F.col("clean")).alias("clean_md5"),
+        F.length("clean").cast("bigint").alias("clean_chars"),
+    )
