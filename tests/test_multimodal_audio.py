@@ -62,3 +62,20 @@ def test_extract_audio_meta_spark_path(spark):
     assert got[1].n_frames == 8000 and got[1].duration_ms == 1000
     assert got[2].n_channels == 2 and got[2].duration_ms == 100
     assert got[3].n_frames == 0 and got[3].peak_amplitude == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(min_value=0, max_value=5000),
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+    nch=st.integers(min_value=1, max_value=2),
+)
+def test_decode_audio_roundtrip_property(n_frames, sr, nch):
+    wav = _make_wav(n_frames, sample_rate=sr, n_channels=nch)
+    got_nch, got_sr, got_nf, got_ms, peak = decode_audio(wav)
+    assert (got_nch, got_sr, got_nf) == (nch, sr, n_frames)
+    assert got_ms == n_frames * 1000 // sr
+    assert 0 <= peak <= 32767

@@ -119,3 +119,22 @@ def test_extract_image_meta_spark_path(spark):
     assert abs(got[1].mean_luma - float(arr1.mean())) < 1e-9
     assert (got[2].height, got[2].width) == (5, 5)
     assert abs(got[2].mean_luma - float(arr2.mean())) < 1e-9
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_decode_image_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    c = Canvas(w, h)
+    c.buf = bytearray(pix.tobytes())
+    hh, ww, cc, arr = decode_image(c.to_png())
+    assert (hh, ww, cc) == (h, w, 3)
+    assert np.array_equal(arr, pix)
