@@ -1233,3 +1233,54 @@ def x_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("clean")).alias("clean_md5"),
         F.length("clean").cast("bigint").alias("clean_chars"),
     )
+
+
+# the synthetic documents contain no URLs, so the extraction input is
+# built deterministically from fixture columns (identical expression both
+# sides): every doc cites its source's domain and, when doc_id % 3 = 0, a
+# mirror host — non-trivial multiplicities for the per-domain aggregate.
+_DOMAIN_TEXT_SQL = (
+    "'see https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) "
+    "|| CASE WHEN doc_id % 3 = 0 "
+    "THEN ' and http://mirror-' || source || '.org/x' ELSE '' END || ' ' || text"
+)
+
+
+@register(
+    "x_domain_stats",
+    rf"""
+WITH w AS (SELECT doc_id, {_DOMAIN_TEXT_SQL} AS wtext FROM documents),
+d AS (
+  SELECT doc_id, unnest(regexp_extract_all(wtext, 'https?://([^/\s]+)', 1)) AS domain
+  FROM w)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM d GROUP BY domain
+""".strip(),
+    doc="Web-corpus governance: extract the host of every URL mentioned in "
+    "each document (capture group 1 of a Java-regex/RE2-common pattern), "
+    "explode, and aggregate reference and document counts per domain -- "
+    "the source-mix / blocklist accounting step of a crawl pipeline. "
+    "The fixtures carry no URLs, so both sides weave source-derived URLs "
+    "into the text with the same expression first. One explode + one "
+    "map-side-combined groupBy; distinct-doc counts shuffle (domain, "
+    "doc_id) pairs, bounded by total URL mentions",
+)
+def x_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wtext = F.expr(
+        "concat('see https://', source, '.example.com/', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN concat(' and http://mirror-', source, '.org/x') ELSE '' END, ' ', text)"
+    )
+    doms = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(wtext, F.lit(r"https?://([^/\s]+)"), 1)
+        ).alias("domain"),
+    )
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
