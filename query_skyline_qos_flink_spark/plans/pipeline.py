@@ -1284,3 +1284,53 @@ def x_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_refs"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+_WINNOW_K, _WINNOW_W = 4, 4
+# duckdb twins of operators/text.py::winnow_fingerprints (1-based inclusive
+# list slicing: toks[i : i+k-1] is k elements)
+_WINNOW_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+                        i -> md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' '))) AS grams
+  FROM t WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(grams) - {_WINNOW_W} + 2),
+                                      j -> list_min(grams[j:j+{_WINNOW_W - 1}]))) AS fps
+  FROM g)
+""".strip()
+
+
+@register(
+    "x_winnow_pairs",
+    f"""
+{_WINNOW_CTE},
+post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, common FROM pairs WHERE common >= 2
+""".strip(),
+    doc="Partial-overlap dedup candidates via winnowing (k=4-token grams, "
+    "w=4 window, min-hash per window): any shared run of k+w-1 tokens "
+    "lands an identical fingerprint in both docs, so a copied paragraph "
+    "inside an otherwise-different document is caught — the overlap "
+    "class whole-doc MinHash dilutes away — with ~1/w the inverted-"
+    "index size of full k-gram Jaccard. Equi-join on fingerprint, "
+    "pair-count filter >= 2",
+)
+def x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = text.winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W)
+    post = fp.select("doc_id", F.explode("fps").alias("fp"))
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
