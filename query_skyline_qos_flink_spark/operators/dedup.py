@@ -58,9 +58,14 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
             df = _persist(df.repartition(target))
     except Exception:  # pragma: no cover
         pass
-    return df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(tokens(F.col(text_col)), k).alias("__sh"),
+    # stage the token array as a real projected column: inlining tokens()
+    # into word_shingles' transform lambda makes Catalyst re-evaluate the
+    # split per shingle (no CSE across lambda scopes)
+    staged = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
+    )
+    return staged.select(
+        "__id", word_shingles(F.col("__tok"), k).alias("__sh")
     ).where(F.size("__sh") > 0)
 
 

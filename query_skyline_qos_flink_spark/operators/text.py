@@ -117,11 +117,13 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``fp_minshingle`` — lexicographic min md5 over word-3-gram shingles,
       i.e. a 1-permutation MinHash sketch (cheap near-dup prefilter key).
     """
-    toks = tokens(F.col(text_col))
-    sh = word_shingles(toks, 3)
-    return df.select(
+    # tokens staged as a projected column: inlined into the shingle
+    # transform's lambda it would re-evaluate the split per shingle
+    staged = df.select(*df.columns, tokens(F.col(text_col)).alias("__ftok"))
+    sh = word_shingles(F.col("__ftok"), 3)
+    return staged.select(
         *df.columns,
-        F.md5(F.concat_ws(" ", toks)).alias("fp_md5"),
+        F.md5(F.concat_ws(" ", "__ftok")).alias("fp_md5"),
         F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s))))
         .otherwise(F.lit(None).cast("string")).alias("fp_minshingle"),
     )
