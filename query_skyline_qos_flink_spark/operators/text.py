@@ -133,10 +133,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     """Gopher-style repetition signal: fraction of duplicate k-gram
     occurrences per document (``1 - distinct/total``, 0.0 when fewer than
     ``k`` tokens).  Integer numerators, one IEEE division — oracle-exact."""
-    toks = tokens(F.col(text_col))
+    # tokens staged as a projected column (see fingerprint: inlining into
+    # the shingle lambda re-evaluates the split per shingle)
+    staged = df.select(*df.columns, tokens(F.col(text_col)).alias("__rtok"))
+    toks = F.col("__rtok")
     total = F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(F.lit(0))
     distinct = F.size(word_shingles(toks, k))
-    out = df.select(
+    out = staged.select(
         *df.columns,
         total.cast("bigint").alias("ngrams_total"),
         distinct.cast("bigint").alias("ngrams_distinct"),
