@@ -55,10 +55,12 @@ _DRIVER_PRIORITY = [
     "s15_stream_join", "s16_stream_session", "s17_stream_static_dedup",
     "s18_stream_upsert",
     "x_fuzzy_match", "x_zorder_stats", "x_triangle_count",
-    # relational base + stream replay (gated in earlier rounds, re-confirm)
-    "r1_agg_pricing_summary", "r2_join_topk_revenue", "r3_window_running",
-    "r4_semi_anti_join", "r5_rollup_counts", "r6_orders_by_year",
-    "r7_json_extract", "r8_setops_nations", "s11_stream_replay",
+    # round-5 additions, never gated
+    "x_exact_quantiles", "x_clean_text", "x_domain_stats", "x_winnow_pairs",
+    # relational base + stream replay most affected by the ts-encoding fix
+    # (r1/r2/r6/r8 were hash-green in rounds 1-3 and rotate back next round)
+    "r3_window_running", "r4_semi_anti_join", "r5_rollup_counts",
+    "r7_json_extract", "s11_stream_replay",
     # LLM-pipeline headliners (the rest of the x_* family was hash-green in
     # r4 and rotates back in next round)
     "x_minhash_lsh_pairs", "x_cosine_neardup", "x_ann_blocked",
