@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     "r19_range_frame",
     "s12_stream_replay_3d", "s13_stream_window", "s14_stream_dedup",
     "s15_stream_join", "s16_stream_session", "s17_stream_static_dedup",
-    "s18_stream_upsert",
+    "s18_stream_upsert", "s19_stream_interval_join",
     "x_fuzzy_match", "x_zorder_stats", "x_triangle_count",
     # round-5 additions, never gated
     "x_exact_quantiles", "x_clean_text", "x_domain_stats", "x_winnow_pairs",
@@ -63,7 +63,7 @@ _DRIVER_PRIORITY = [
     "r7_json_extract", "s11_stream_replay",
     # LLM-pipeline headliners (the rest of the x_* family was hash-green in
     # r4 and rotates back in next round)
-    "x_minhash_lsh_pairs", "x_cosine_neardup", "x_ann_blocked",
+    "x_minhash_lsh_pairs", "x_ann_blocked",
 ]
 
 

@@ -662,3 +662,97 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.value_c").alias("last_value_c"),
         "n_events",
     )
+
+
+@register(
+    "s19_stream_interval_join",
+    """
+SELECT a.user_id,
+       a.event_id AS a_event_id, b.event_id AS b_event_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+""".strip(),
+    doc="Watermarked stream-stream INTERVAL join (the canonical Structured "
+    "Streaming event-correlation pattern, distinct from s15's unbounded "
+    "equi-join): per user, pair each event with every event of the same "
+    "user in the following 60 s, both sides watermarked so the join "
+    "state is EVICTED as event time advances (bounded state at scale, "
+    "where s15 grows forever). Replay determinism: files split in "
+    "event-time order + a watermark delay far above the join span means "
+    "no match is ever late-dropped — a batch-boundary-crossing match "
+    "needs a left row within 60 s of the boundary, and the watermark "
+    "(max batch-0 time - 2 h) sits far below that; availableNow's "
+    "trailing no-data micro-batches flush remaining matches, so the "
+    "append-mode result equals the batch interval join exactly",
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", epoch_micros(ev).alias("us"))
+    n_rows = ev.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s19 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = ev.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s19_ijoin_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    def side(alias: str):
+        return (
+            spark.readStream.schema("event_id bigint, user_id bigint, us bigint")
+            .option("maxFilesPerTrigger", 1)
+            .csv(data_dir)
+            .withColumn("ev_ts", F.timestamp_micros("us"))
+            .withWatermark("ev_ts", "2 hours")
+            .select(
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("ev_ts").alias(f"{alias}_ts"),
+                F.col("us").alias(f"{alias}_us"),
+            )
+        )
+
+    a, b = side("a"), side("b")
+    j = (
+        a.join(
+            b,
+            F.expr(
+                "a_user_id = b_user_id AND "
+                "b_ts > a_ts AND b_ts <= a_ts + INTERVAL 60 SECONDS"
+            ),
+        )
+        .select(
+            F.col("a_user_id").alias("user_id"),
+            "a_event_id",
+            "b_event_id",
+            (F.col("b_us") - F.col("a_us")).alias("dt_us"),
+        )
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        j.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s19 stream interval join timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out,
+        schema="user_id bigint, a_event_id bigint, b_event_id bigint, dt_us bigint",
+    )
