@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "s12_stream_replay_3d", "s13_stream_window", "s14_stream_dedup",
     "s15_stream_join", "s16_stream_session", "s17_stream_static_dedup",
     "s18_stream_upsert", "s19_stream_interval_join",
+    "s20_stream_dedup_watermark",
     "x_fuzzy_match", "x_zorder_stats", "x_triangle_count",
     # round-5 additions, never gated
     "x_exact_quantiles", "x_clean_text", "x_domain_stats", "x_winnow_pairs",
@@ -61,9 +62,9 @@ _DRIVER_PRIORITY = [
     # (r1/r2/r6/r8 were hash-green in rounds 1-3 and rotate back next round)
     "r3_window_running", "r4_semi_anti_join", "r5_rollup_counts",
     "r7_json_extract", "s11_stream_replay",
-    # LLM-pipeline headliners (the rest of the x_* family was hash-green in
+    # LLM-pipeline headliner (the rest of the x_* family was hash-green in
     # r4 and rotates back in next round)
-    "x_minhash_lsh_pairs", "x_ann_blocked",
+    "x_minhash_lsh_pairs",
 ]
 
 

@@ -756,3 +756,79 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         schema="user_id bigint, a_event_id bigint, b_event_id bigint, dt_us bigint",
     )
+
+
+@register(
+    "s20_stream_dedup_watermark",
+    """
+SELECT DISTINCT user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS vc
+FROM events
+""".strip(),
+    doc="dropDuplicatesWithinWatermark: bounded-state streaming dedup (the "
+    "production pattern where s14's complete-mode aggregate holds ALL "
+    "keys forever and plain streaming dropDuplicates never expires "
+    "state). State for a key expires once the watermark passes its "
+    "event time + delay; with the delay above the replay's event-time "
+    "span, exactly one row per key survives. Only the KEY columns are "
+    "emitted: which duplicate arrives first inside a micro-batch is "
+    "partition-order-dependent, but the surviving key SET is not — so "
+    "the append-mode result equals batch SELECT DISTINCT exactly",
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        epoch_micros(ev).alias("us"),
+    )
+    n_rows = ev.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s20 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = ev.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s20_dedupwm_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    # delay must exceed the replay's event-time span so no key's state
+    # expires mid-replay (expiry would let a late duplicate through)
+    span_us = int(pdf["us"].max() - pdf["us"].min()) if len(pdf) else 0
+    delay_s = span_us // 1_000_000 + 3600
+    dd = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, vc bigint, us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .withColumn("ev_ts", F.timestamp_micros("us"))
+        .withWatermark("ev_ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "vc"])
+        .select("user_id", "event_type", "vc")
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s20 streaming dedup replay timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    return spark.createDataFrame(
+        out, schema="user_id bigint, event_type string, vc bigint"
+    )
