@@ -89,3 +89,14 @@ def test_with_global_rank_matches_window(spark):
     # compare the key set and the rank multiset, not per-row assignments
     assert len(got) == len(want)
     assert sorted(got.values()) == sorted(want.values())
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    from query_skyline_qos_flink_spark.operators.prefix import ntile_by_rank
+
+    df = spark.range(1, 4).select(F.col("id"))  # 3 rows, 10 tiles
+    got = sorted(
+        (r.id, r.tile) for r in ntile_by_rank(df, ["id"], 10, "tile").collect()
+    )
+    # ntile degenerates to rank when N < n_tiles (matches SQL ntile)
+    assert got == [(1, 1), (2, 2), (3, 3)]
