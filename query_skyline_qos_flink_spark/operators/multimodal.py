@@ -92,7 +92,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+                # int() guard: a + np.uint8 would wrap mod 256 under
+                # NumPy >= 2 (NEP 50) before the shift
+                row[i] = (row[i] + ((a + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
                 a = row[i - bpp] if i >= bpp else 0

@@ -41,6 +41,17 @@ def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame,
     every row would land in one bucket and the "local" window would
     degenerate back to a single task."""
     n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    dtypes = dict(df.dtypes)
+    numeric = [c for c in sort_cols if dtypes.get(c, "").split("(")[0] in _NUMERIC]
+    if not numeric or numeric[0] != sort_cols[0]:
+        # approxQuantile (the boundary source) is numeric-only; a leading
+        # string/date sort column has no range-bucketing path here
+        raise ValueError(
+            f"range-bucketed rank needs a numeric leading sort column; got "
+            f"{[(c, dtypes.get(c)) for c in sort_cols]} — cast dates to "
+            f"epoch or put a numeric column first"
+        )
 
     def quantile_bounds(c: str) -> list[float]:
         return sorted(
@@ -53,8 +64,9 @@ def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame,
     # sound only while every preceding column is globally constant (then the
     # order within the data is decided by the later columns anyway)
     for c in list(sort_cols)[1:]:
-        if len(bounds) >= 2:
-            break
+        if len(bounds) >= 2 or c not in numeric:
+            break  # non-numeric fallback column: no quantile path, keep
+            # the current bucketing (correct, possibly skewed)
         n_prior = df.select(F.count_distinct(F.col(bucket_col))).first()[0]
         if n_prior > 1:
             break  # genuinely low-cardinality-but-not-constant prefix:
@@ -130,8 +142,11 @@ def ntile_by_rank(
     ``q = N div n``, ``r = N mod n``, the first ``r`` tiles hold ``q+1``
     rows: rank <= r*(q+1) -> tile = ceil(rank/(q+1)), else
     tile = r + ceil((rank - r*(q+1)) / q)."""
+    # count the (persisted) INPUT — ranked has exactly as many rows, but
+    # counting it would execute the bucket join + rank window twice
+    df = _persist(df)
+    total = df.count()
     ranked = with_global_rank(df, sort_cols, "__gr")
-    total = ranked.count()  # input was persisted by with_global_rank
     q, r = divmod(total, n_tiles)
     if q == 0:  # fewer rows than tiles: ntile degenerates to rank
         return ranked.withColumn(out_col, F.col("__gr").cast("int")).drop("__gr")

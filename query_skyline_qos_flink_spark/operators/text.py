@@ -315,9 +315,12 @@ def winnow_fingerprints(
 
     import pandas as _pd
 
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
     tok_re = _re.compile(TOKEN_RE)
-    out_fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
-    schema = f"{out_fields}, {out_col} array<string>"
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
 
     def fn(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
         for pdf in batches:

@@ -809,11 +809,12 @@ FROM lineitem SEMI JOIN hi ON l_orderkey = hi.o_orderkey
 GROUP BY l_returnflag
 """.strip(),
     doc="Bloom-pruned semi join: lineitem of high-value orders. A "
-    "partitioned Bloom filter (3 x 2^20-bit broadcastable bitmaps, 56-bit "
-    "md5 positions) prunes the probe side with k map-side broadcast joins "
-    "BEFORE the exact semi join's shuffle - the explicit analog of "
-    "Spark's runtime bloom pruning; bloom admits a superset, the semi "
-    "join removes false positives, so the oracle is the plain semi join",
+    "partitioned Bloom filter (3 x 2^20-bit broadcastable bitmaps, "
+    "native xxhash64 positions - no oracle parity needed since the "
+    "exact join removes false positives) prunes the probe side with k "
+    "map-side broadcast joins BEFORE the exact semi join's shuffle - "
+    "the explicit analog of Spark's runtime bloom pruning; bloom admits "
+    "a superset, so the oracle is the plain semi join",
 )
 def x_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1179,9 +1180,13 @@ def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # count the persisted input, not `ranked` — counting ranked would
+    # execute the bucket join + rank window twice
+    li = _persist(li)
+    total = li.count()
     ranked = with_global_rank(li, ["price_c", "l_orderkey", "l_linenumber"], "rn")
     return (
-        ranked.withColumn("n", F.lit(ranked.count()))
+        ranked.withColumn("n", F.lit(total))
         .groupBy()
         .agg(
             F.max("n").cast("bigint").alias("n_rows"),

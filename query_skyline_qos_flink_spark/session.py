@@ -44,6 +44,15 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str):
+    # Defensive: sessions not built by get_spark() (the driver's vanilla
+    # session) must still read parquet TIMESTAMP(NANOS) fixtures, which
+    # rounds 1-3 shipped — without this runtime conf Spark refuses the
+    # type at schema read ("Illegal Parquet type"), before epoch_micros'
+    # dtype dispatch can run.  A no-op on timestamp[us] fixtures.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
     return spark.read.parquet(table_path(sf_dir, name))
 
 

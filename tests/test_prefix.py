@@ -47,8 +47,16 @@ def test_exact_prefix_rank_window_is_bucket_partitioned(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__b" in line, f"data rank window not bucket-partitioned: {line}"
-        if "windowspecdefinition()" in line.replace(" ", ""):
-            assert "sum(count" in line, f"empty-spec window over data: {line}"
+    # the only single-partition exchanges allowed are the tiny offsets
+    # aggregate (feeds the sum(count) cumsum window) — never the data
+    import re
+
+    singles = [
+        seg
+        for seg in plan.split("Exchange SinglePartition")[1:]
+        if not re.search(r"HashAggregate|sum\(count", seg[:800])
+    ]
+    assert not singles, f"SinglePartition exchange over data:\n{singles[0][:400]}"
 
 
 def test_exact_prefix_constant_leading_column(spark):

@@ -53,7 +53,7 @@ def compact(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(src)
         for f in files
-        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+        if f.endswith(".parquet")
     )
     n = plan_file_count(input_bytes, target_mb << 20, max_files)
     df: DataFrame = spark.read.parquet(src)

@@ -130,7 +130,13 @@ def multiline_png(
     import math
 
     c = Canvas(width, height)
-    pts = [(x, math.log10(y) if logy else y) for xs, ys, _ in series for x, y in zip(xs, ys)]
+
+    def yv(y: float) -> float:
+        # clamp below at a tiny positive value: log10(0) from a 0.0 timing
+        # must not crash the matplotlib-free bench fallback
+        return math.log10(max(y, 1e-9)) if logy else y
+
+    pts = [(x, yv(y)) for xs, ys, _ in series for x, y in zip(xs, ys)]
     if not pts:
         return c.save(out_path)
     lox, hix = min(p[0] for p in pts), max(p[0] for p in pts)
@@ -138,7 +144,7 @@ def multiline_png(
     c.line(margin, height - margin, width - margin, height - margin, (0, 0, 0))
     c.line(margin, margin, margin, height - margin, (0, 0, 0))
     for xs, ys, rgb in series:
-        yy = [math.log10(y) if logy else y for y in ys]
+        yy = [yv(y) for y in ys]
         px = _scale(xs, lox, hix, margin, width - margin)
         py = _scale(yy, loy, hiy, height - margin, margin)
         for i in range(len(px) - 1):
