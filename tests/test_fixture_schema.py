@@ -133,3 +133,31 @@ def test_epoch_micros_covers_actual_encoding(spark):
         f"'{SF_SMOKE}/events.parquet' ORDER BY event_id LIMIT 3"
     ).fetchall()
     assert [(r.event_id, r.us) for r in got] == [tuple(r) for r in want]
+
+
+def test_epoch_micros_nanos_encoding_roundtrip(spark, tmp_path):
+    """The rounds-1-3 fixture encoding (parquet TIMESTAMP(NANOS)) must
+    still load and yield the same epoch micros — load() sets the
+    nanosAsLong conf so even a vanilla session reads it as bigint nanos."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from query_skyline_qos_flink_spark.session import epoch_micros
+
+    us = [1_700_000_000_000_000, 1_700_000_060_123_456]
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+        }
+    )
+    d = tmp_path / "events_nanos.parquet"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"), version="2.6", coerce_timestamps=None)
+    df = load(spark, str(tmp_path), "events_nanos")
+    assert dict(df.dtypes)["ts"] == "bigint"  # nanosAsLong applied
+    got = sorted(
+        (r.event_id, r.us)
+        for r in df.select("event_id", epoch_micros(df).alias("us")).collect()
+    )
+    assert got == [(1, us[0]), (2, us[1])]
