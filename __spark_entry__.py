@@ -50,7 +50,7 @@ _DRIVER_PRIORITY = [
     "r9_sessionize", "r10_percentiles", "r11_asof_join", "r12_range_join",
     "r13_regional_revenue", "r14_subquery_avg", "r15_grouping_sets",
     "r16_lag_delta", "r17_pivot_priority", "r18_ntile_deciles",
-    "r19_range_frame",
+    "r19_range_frame", "r20_recursive_cte",
     "s12_stream_replay_3d", "s13_stream_window", "s14_stream_dedup",
     "s15_stream_join", "s16_stream_session", "s17_stream_static_dedup",
     "s18_stream_upsert", "s19_stream_interval_join",
@@ -62,9 +62,6 @@ _DRIVER_PRIORITY = [
     # (r1/r2/r6/r8 were hash-green in rounds 1-3 and rotate back next round)
     "r3_window_running", "r4_semi_anti_join", "r5_rollup_counts",
     "r7_json_extract", "s11_stream_replay",
-    # LLM-pipeline headliner (the rest of the x_* family was hash-green in
-    # r4 and rotates back in next round)
-    "x_minhash_lsh_pairs",
 ]
 
 

@@ -730,3 +730,42 @@ def r19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c").over(w).alias("hour_sum_c"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@register(
+    "r20_recursive_cte",
+    """
+WITH RECURSIVE anc AS (
+  SELECT DISTINCT user_id AS u, user_id AS cur, 0 AS depth
+  FROM events
+  UNION ALL
+  SELECT u, cur // 2, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u
+FROM anc GROUP BY depth
+""".strip(),
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4.x): walk each "
+    "events user up its binary ancestry chain (u -> u div 2 until 0) "
+    "and aggregate per depth — the hierarchical-traversal query class "
+    "(org charts, category trees, reachability) that needed driver-side "
+    "iteration before recursive CTEs landed. Depth is bounded by "
+    "log2(max user_id) (~17 at sf0.1), so the recursion is ~17 "
+    "self-union rounds, each a metadata-cheap distinct-free union; "
+    "integer-only output keeps the oracle hash exact",
+)
+def r20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("__r20_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT DISTINCT user_id AS u, user_id AS cur, 0 AS depth
+          FROM __r20_events
+          UNION ALL
+          SELECT u, cur div 2, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u
+        FROM anc GROUP BY depth
+        """
+    )
