@@ -1,0 +1,61 @@
+"""Python DataSource connector: determinism, partitioning, distribution shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_skyline_qos_flink_spark.operators.skyline import skyline
+from query_skyline_qos_flink_spark.sources import python_datasource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def registered(spark):
+    python_datasource.register(spark)
+
+
+def _load(spark, **opts):
+    r = spark.read.format("skyline_points")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_and_count(spark):
+    df = _load(spark, n=5000, d=3, distribution="uniform", seed=7)
+    assert df.columns == ["id", "v0", "v1", "v2"]
+    assert df.count() == 5000
+    assert df.select("id").distinct().count() == 5000
+
+
+def test_deterministic_across_reads(spark):
+    h = lambda: _load(spark, n=2000, d=2, seed=11).select(
+        F.bit_xor(F.xxhash64("id", "v0", "v1"))
+    ).first()[0]
+    assert h() == h()
+
+
+def test_partitioning_splits_rows(spark):
+    df = _load(spark, n=1000, d=2, rows_per_partition=100)
+    assert df.rdd.getNumPartitions() == 10
+    assert df.count() == 1000
+    # slices must tile [0, n) exactly
+    mm = df.agg(F.min("id"), F.max("id")).first()
+    assert (mm[0], mm[1]) == (0, 999)
+
+
+def test_values_within_domain(spark):
+    df = _load(spark, n=3000, d=2, distribution="anti_correlated", domain=1000)
+    r = df.agg(
+        F.min(F.least("v0", "v1")), F.max(F.greatest("v0", "v1"))
+    ).first()
+    assert r[0] >= 0.0 and r[1] <= 1000.0
+
+
+def test_distribution_skyline_ordering(spark):
+    """Reference PDF §5.1: anti-correlated skylines are much bigger than
+    correlated ones at the same n/d — the connector must preserve that."""
+    n = 20_000
+    anti = skyline(_load(spark, n=n, d=2, distribution="anti_correlated"), ["v0", "v1"]).count()
+    corr = skyline(_load(spark, n=n, d=2, distribution="correlated"), ["v0", "v1"]).count()
+    assert anti > corr * 5, (anti, corr)
