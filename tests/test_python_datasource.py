@@ -59,3 +59,28 @@ def test_distribution_skyline_ordering(spark):
     anti = skyline(_load(spark, n=n, d=2, distribution="anti_correlated"), ["v0", "v1"]).count()
     corr = skyline(_load(spark, n=n, d=2, distribution="correlated"), ["v0", "v1"]).count()
     assert anti > corr * 5, (anti, corr)
+
+
+def test_streaming_source_bounded_replay(spark, tmp_path):
+    """readStream.format('skyline_points'): bounded replay drains to
+    exactly n rows across micro-batches (processAllAvailable pulls until
+    the reader reports an empty batch)."""
+    q = (
+        spark.readStream.format("skyline_points")
+        .option("n", 5000)
+        .option("d", 2)
+        .option("rows_per_batch", 2000)
+        .option("seed", 5)
+        .load()
+        .writeStream.format("memory")
+        .queryName("skypts_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM skypts_stream")
+    assert out.count() == 5000
+    assert out.select("id").distinct().count() == 5000
+    mm = out.agg(F.min("id"), F.max("id")).first()
+    assert (mm[0], mm[1]) == (0, 4999)
