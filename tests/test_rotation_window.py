@@ -1,0 +1,63 @@
+"""Driver-gate rotation bookkeeping.
+
+The driver's correctness gate only records rows for the first 50 entries of
+``__spark_entry__.queries()`` each round, so the priority list must rotate
+so that every registry entry gets a driver-side row at least once every
+``MAX_STALE_ROUNDS`` rounds.  This test parses every recorded
+``CORRECTNESS_r*.json`` and fails loudly when the planned window for the
+*upcoming* round would let any entry go stale.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+WINDOW = 50
+MAX_STALE_ROUNDS = 2
+
+
+def _correctness_rounds() -> dict[int, set[str]]:
+    rounds: dict[int, set[str]] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rounds[int(m.group(1))] = set(json.loads(p.read_text()))
+    return rounds
+
+
+def test_no_registry_entry_goes_stale():
+    import __spark_entry__ as entry
+
+    rounds = _correctness_rounds()
+    assert rounds, "no CORRECTNESS_r*.json artifacts found"
+    upcoming = max(rounds) + 1
+
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    stale = []
+    for name in names:
+        if name in window:
+            continue  # gets a driver row in the upcoming round
+        last = max((r for r, got in rounds.items() if name in got), default=None)
+        if last is None or upcoming - last > MAX_STALE_ROUNDS:
+            stale.append((name, last))
+    assert not stale, (
+        f"registry entries would exceed {MAX_STALE_ROUNDS} rounds without a "
+        f"driver row as of round {upcoming}: {stale}; rotate them into the "
+        "first 50 entries of _DRIVER_PRIORITY"
+    )
+
+
+def test_priority_list_well_formed():
+    import __spark_entry__ as entry
+
+    prio = entry._DRIVER_PRIORITY
+    assert len(prio) == WINDOW
+    assert len(set(prio)) == WINDOW, "duplicate names in _DRIVER_PRIORITY"
+    names = set(entry.queries())
+    unknown = [n for n in prio if n not in names]
+    assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
