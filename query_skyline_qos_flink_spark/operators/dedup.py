@@ -406,6 +406,55 @@ def contamination_counts(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_common: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Partial-overlap candidate pairs via winnowing fingerprints
+    (:func:`~.text.winnow_fingerprints`): explode each doc's fingerprint
+    set, equi-join on fingerprint, keep pairs sharing ``min_common`` fps.
+
+    ``max_df`` is the hot-fingerprint guard: a fingerprint shared by F
+    documents contributes F*(F-1)/2 join rows, so one ubiquitous
+    boilerplate paragraph (license header, page template) makes a single
+    fp group quadratic at corpus scale.  Fingerprints appearing in more
+    than ``max_df`` docs are pruned with a pre-join aggregate + left-semi
+    (the same bound :func:`jaccard_pairs` applies to shingles).  Such fps
+    carry no dedup signal anyway — boilerplate is not evidence two docs
+    duplicate each other.
+
+    Output: id_a, id_b, common (bigint), with id_a < id_b."""
+    from .text import winnow_fingerprints
+
+    fp = winnow_fingerprints(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        k=k,
+        w=w,
+    )
+    post = fp.select("doc_id", F.explode("fps").alias("fp"))
+    if max_df is not None:
+        # fps are distinct per doc, so count(*) per fp == doc frequency
+        rare = (
+            post.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        post = post.join(rare, "fp", "left_semi")
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+
+
 def fuzzy_match_names(
     df: DataFrame,
     name_col: str,

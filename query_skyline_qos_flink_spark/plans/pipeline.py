@@ -1309,6 +1309,9 @@ f AS (
 """.strip()
 
 
+_WINNOW_MAX_DF = 50  # hot-fingerprint guard: prune fps shared by > this many docs
+
+
 @register(
     "x_winnow_pairs",
     f"""
@@ -1317,6 +1320,7 @@ post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
   FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM post GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF})
   GROUP BY 1, 2)
 SELECT id_a, id_b, common FROM pairs WHERE common >= 2
 """.strip(),
@@ -1325,17 +1329,13 @@ SELECT id_a, id_b, common FROM pairs WHERE common >= 2
     "lands an identical fingerprint in both docs, so a copied paragraph "
     "inside an otherwise-different document is caught — the overlap "
     "class whole-doc MinHash dilutes away — with ~1/w the inverted-"
-    "index size of full k-gram Jaccard. Equi-join on fingerprint, "
-    "pair-count filter >= 2",
+    "index size of full k-gram Jaccard. Equi-join on fingerprint with a "
+    f"max_df={_WINNOW_MAX_DF} hot-fingerprint prune (a fp shared by F "
+    "docs costs F^2/2 join rows, so ubiquitous boilerplate must be "
+    "dropped pre-join), pair-count filter >= 2",
 )
 def x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = text.winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W)
-    post = fp.select("doc_id", F.explode("fps").alias("fp"))
-    a, b = post.alias("a"), post.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-        .where(F.col("common") >= 2)
+    return dedup.winnow_pairs(
+        d, k=_WINNOW_K, w=_WINNOW_W, min_common=2, max_df=_WINNOW_MAX_DF
     )

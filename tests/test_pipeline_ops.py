@@ -568,3 +568,30 @@ def test_tfidf_topterms_rank_order(spark):
     assert list(d1.term) == ["rare", "common", "alpha"]
     assert list(d1.tf) == [2, 2, 1]
     assert d1[d1.term == "rare"].df.iloc[0] == 1
+
+
+def test_winnow_pairs_hot_fingerprint_guard(spark):
+    """One boilerplate paragraph shared by EVERY doc (a license header)
+    must not generate O(n^2) candidate pairs once max_df prunes its
+    fingerprints; a genuinely copied paragraph shared by exactly two docs
+    must survive the guard."""
+    boiler = "this content is licensed under the creative commons attribution license"
+    copied = "unique stolen paragraph with many distinctive tokens inside it here"
+    rows = [(i, f"{boiler} document number {i} filler body text") for i in range(1, 9)]
+    rows += [
+        (100, f"{copied} plus original material alpha beta gamma"),
+        (101, f"{copied} plus other original material delta epsilon"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    unguarded = dedup.winnow_pairs(df, k=4, w=4, min_common=1).toPandas()
+    guarded = dedup.winnow_pairs(df, k=4, w=4, min_common=1, max_df=3).toPandas()
+
+    # without the guard the boilerplate fp links the 8 header docs pairwise
+    boiler_pairs = unguarded[(unguarded.id_a < 100) & (unguarded.id_b < 100)]
+    assert len(boiler_pairs) > 0
+    # with max_df=3 the hot fp (df=8) is pruned: no boilerplate pairs ...
+    g_boiler = guarded[(guarded.id_a < 100) & (guarded.id_b < 100)]
+    assert len(g_boiler) == 0
+    # ... but the 2-doc copied paragraph (df=2 <= 3) is still caught
+    assert ((guarded.id_a == 100) & (guarded.id_b == 101)).any()
