@@ -67,10 +67,17 @@ def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame,
         if len(bounds) >= 2 or c not in numeric:
             break  # non-numeric fallback column: no quantile path, keep
             # the current bucketing (correct, possibly skewed)
-        n_prior = df.select(F.count_distinct(F.col(bucket_col))).first()[0]
-        if n_prior > 1:
+        n_prior, n_null = df.select(
+            F.count_distinct(F.col(bucket_col)),
+            F.count(F.when(F.col(bucket_col).isNull(), F.lit(1))),
+        ).first()
+        if n_prior > 1 or n_null > 0:
             break  # genuinely low-cardinality-but-not-constant prefix:
-            # keep the leading col (correct, possibly skewed — documented)
+            # keep the leading col (correct, possibly skewed — documented).
+            # NULLs count as a distinct value here: count_distinct ignores
+            # them, but NULLs sort FIRST, so "one non-null value + NULLs"
+            # is NOT globally constant and must not shift bucketing to the
+            # next column.
         bucket_col, bounds = c, quantile_bounds(c)
     pid = F.lit(0)
     for b in bounds:  # ascending buckets: __b order == bucket_col range order

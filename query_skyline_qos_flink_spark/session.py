@@ -49,8 +49,13 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     # rounds 1-3 shipped — without this runtime conf Spark refuses the
     # type at schema read ("Illegal Parquet type"), before epoch_micros'
     # dtype dispatch can run.  A no-op on timestamp[us] fixtures.
+    # Also pin UTC: epoch_micros_sql uses unix_micros(cast(ts as timestamp)),
+    # which is session-timezone-dependent for timestamp_ntz fixtures.
+    # get_spark() already pins UTC, but a vanilla (driver) session on a
+    # non-UTC host would silently diverge from DuckDB's epoch_us oracle.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf locked down
         pass
     return spark.read.parquet(table_path(sf_dir, name))

@@ -77,6 +77,23 @@ def test_exact_prefix_constant_leading_column(spark):
             assert "__b" in line, f"rank window not bucket-partitioned: {line}"
 
 
+def test_exact_prefix_nullable_leading_column_not_constant(spark):
+    """A leading column with NULLs plus exactly ONE distinct non-null value
+    must NOT be treated as globally constant (count_distinct ignores NULLs,
+    but NULLs sort first): the prefix must still return the NULL-keyed rows
+    first, in id order."""
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.lit(3)).alias("lead"),
+        F.col("id"),
+    )
+    got = [r.id for r in exact_prefix(df, ["lead", "id"], 300).collect()]
+    # NULLS FIRST: the 286 multiples of 7 (interleaved through the id
+    # range, so id-bucketing would misorder them), then ids 1, 2, ...
+    nulls_first = [i for i in range(2000) if i % 7 == 0]
+    rest = [i for i in range(2000) if i % 7 != 0]
+    assert sorted(got) == sorted((nulls_first + rest)[:300])
+
+
 def test_with_global_rank_matches_window(spark):
     from query_skyline_qos_flink_spark.operators.prefix import with_global_rank
 
