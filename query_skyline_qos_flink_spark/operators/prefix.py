@@ -79,9 +79,25 @@ def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame,
             # is NOT globally constant and must not shift bucketing to the
             # next column.
         bucket_col, bounds = c, quantile_bounds(c)
-    pid = F.lit(0)
-    for b in bounds:  # ascending buckets: __b order == bucket_col range order
-        pid = pid + F.when(F.col(bucket_col) > F.lit(b), 1).otherwise(0)
+    # bucket id = number of boundaries strictly below the value, as ONE
+    # size(filter(<literal array>)) expression — a chained when().otherwise()
+    # sum nests ~32 conditionals deep and measurably stalls the optimizer/
+    # codegen on every plan that embeds this subtree (see skyline.py's 2-D
+    # path, where the chain cost ~4x the query runtime).  NULL values yield
+    # NULL > any bound -> filter drops them -> NULL maps via coalesce to
+    # bucket 0, which sorts first — matching NULLS FIRST rank order.
+    if bounds:
+        pid = F.coalesce(
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(float(b)) for b in bounds]),
+                    lambda b: b < F.col(bucket_col).cast("double"),
+                )
+            ),
+            F.lit(0),
+        )
+    else:
+        pid = F.lit(0)
     ranged = df.withColumn("__b", pid)
     offs = (
         ranged.groupBy("__b")

@@ -170,39 +170,60 @@ def _skyline_2d_relational(
         n_ranges = int(
             prepped.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        # approxQuantile is a full action over the (persisted) aggregate;
-        # the main plan below then reuses the cached shuffle output.
-        bounds = sorted(
-            set(
-                grp.stat.approxQuantile(
-                    d0, [i / n_ranges for i in range(1, n_ranges)], 0.001
+        # ONE action materializes the persisted aggregate AND returns both
+        # the range boundaries and the row count (the broadcast bound
+        # below) — replacing the former approxQuantile pass + separate
+        # count() job pair.
+        stats = grp.select(
+            F.count(F.lit(1)).alias("__n"),
+            # low accuracy (1000) is deliberate: boundaries only BALANCE
+            # the buckets (any split is correct), and accuracy 10000 costs
+            # ~4x the sketch time for no planning benefit
+            F.percentile_approx(
+                d0, [i / n_ranges for i in range(1, n_ranges)], 1_000
+            ).alias("__q"),
+        ).first()
+        grp_rows = stats["__n"]
+        bounds = sorted(set(stats["__q"] or []))
+        # bucket id = number of boundaries strictly below d0.  A single
+        # size(filter(<literal array>)) expression, NOT a chained
+        # when().otherwise() sum: a 31-deep nested conditional makes every
+        # optimizer/codegen walk over this subplan quadratic-ish and costs
+        # ~4x the whole query's runtime at 32 buckets (measured).
+        if bounds:
+            pid = F.size(
+                F.filter(
+                    F.array(*[F.lit(float(b)) for b in bounds]),
+                    lambda b: b < F.col(d0),
                 )
             )
-        )
-        pid = F.lit(0)
-        for b in bounds:  # ascending buckets: __pid order == d0 range order
-            pid = pid + F.when(F.col(d0) > F.lit(b), 1).otherwise(0)
+        else:
+            pid = F.lit(0)
         ranged = grp.withColumn("__pid", pid)
         w_local = Window.partitionBy("__pid").orderBy(d0)
         pm_local = F.min("__m1").over(w_local.rowsBetween(Window.unboundedPreceding, -1))
-        # pass 2: cross-range offsets — one row per range, so the global
-        # window here runs over ~numShufflePartitions rows, not the data
-        offs = (
-            ranged.groupBy("__pid").agg(F.min("__m1").alias("__rmin"))
-            .withColumn(
-                "__off",
-                F.min("__rmin").over(
-                    Window.partitionBy().orderBy("__pid")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-            )
-            .select("__pid", "__off")
+        # pass 2: cross-range offsets, computed DRIVER-side — one tiny agg
+        # job over the cached aggregate (<= n_ranges rows collected).
+        # Embedding the strict-predecessor range minima as a literal array
+        # removes an exchange + broadcast-join from the final job: the
+        # per-row offset lookup becomes element_at(<literal>, __pid + 1).
+        rmins = {
+            r["__pid"]: r["__rmin"]
+            for r in ranged.groupBy("__pid").agg(F.min("__m1").alias("__rmin")).collect()
+        }
+        n_buckets = len(bounds) + 1
+        run, prefix = None, []  # prefix[i] = min over buckets < i (None for first)
+        for i in range(n_buckets):
+            prefix.append(run)
+            if i in rmins:
+                run = rmins[i] if run is None else min(run, rmins[i])
+        off_lit = F.array(
+            *[F.lit(None).cast("double") if v is None else F.lit(float(v)) for v in prefix]
         )
         # least() ignores NULLs: first range has no offset, first row of a
         # range has no local predecessor
-        surv = (
-            ranged.join(F.broadcast(offs), "__pid")
-            .withColumn("__pm", F.least(pm_local, F.col("__off")))
+        surv = ranged.withColumn(
+            "__pm", F.least(pm_local, F.element_at(off_lit, F.col("__pid") + 1))
         )
     surv = (
         surv.where(F.col("__pm").isNull() | (F.col("__pm") > F.col("__m1")))
@@ -215,7 +236,11 @@ def _skyline_2d_relational(
     # can downgrade it — the dominant cost at any scale.  The cached
     # aggregate's row count upper-bounds the survivor count, so the hint is
     # safe whenever that bound is; above the bound, fall back to SMJ/AQE.
-    if grp.count() <= _BROADCAST_SURVIVOR_MAX:
+    # The ungrouped branch already has the count from the stats action;
+    # the grouped branch pays one (cached-aggregate) count job.
+    if keys:
+        grp_rows = grp.count()
+    if grp_rows <= _BROADCAST_SURVIVOR_MAX:
         surv = F.broadcast(surv)
     return null_safe_semi_join(prepped, surv, eq_cols=[d0, d1], null_safe_cols=keys)
 
