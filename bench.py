@@ -34,7 +34,10 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from query_skyline_qos_flink_spark.operators.skyline import skyline  # noqa: E402
+from query_skyline_qos_flink_spark.operators.skyline import (  # noqa: E402
+    skyline,
+    skyline_verify_count,
+)
 from query_skyline_qos_flink_spark.plans import corpus  # noqa: E402
 from query_skyline_qos_flink_spark.plans import pipeline, relational  # noqa: E402, F401  (register)
 from query_skyline_qos_flink_spark.session import get_spark  # noqa: E402
@@ -86,7 +89,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     scaling: dict[str, dict] = {}
 
-    def timed(name: str, fn, repeats: int = 1) -> None:
+    def timed(name: str, fn, repeats: int = 1) -> int | None:
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -95,11 +98,12 @@ def main() -> None:
             except Exception:
                 errors[name] = traceback.format_exc(limit=6)
                 print(f"# {name}: ERROR\n{errors[name]}", file=sys.stderr)
-                return
+                return None
             dt = round(time.time() - t0, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = best
         print(f"# {name}: {n} rows in {best}s (best of {repeats})", file=sys.stderr)
+        return n
 
     try:
         # BASELINE workload shapes (1M anti-correlated, domain [0,10000]).
@@ -116,11 +120,39 @@ def main() -> None:
                     errors[f"skyline_anti_{d}d_1m"] = traceback.format_exc(limit=6)
                     continue
                 dims = [f"v{i}" for i in range(d)]
-                timed(
+                n_timed = timed(
                     f"skyline_anti_{d}d_1m",
                     lambda df=df, dims=dims: skyline(df, dims).count(),
                     repeats=2,
                 )
+                # Correctness loop-closure: the 1M shapes are timed at a
+                # size the sf0.01 oracle never sees, so re-verify the WHOLE
+                # persisted input against the distributed result's survivor
+                # matrix (skyline_verify_count): the non-dominated row
+                # count equals the result count iff the result is exactly
+                # the skyline.  A silent phase-1/merge divergence (false or
+                # missing survivor) shows up here; a single-task re-compute
+                # would be quadratic at 4-D's ~220k survivors.
+                if n_timed is not None:
+                    try:
+                        n_ref = skyline_verify_count(df, dims, skyline(df, dims))
+                        if n_ref != n_timed:
+                            errors[f"skyline_anti_{d}d_1m_sizecheck"] = (
+                                f"distributed skyline returned {n_timed} rows, "
+                                f"single-phase kernel returned {n_ref}"
+                            )
+                            print(
+                                f"# skyline_anti_{d}d_1m SIZECHECK FAILED: "
+                                f"{n_timed} != {n_ref}",
+                                file=sys.stderr,
+                            )
+                        else:
+                            print(
+                                f"# skyline_anti_{d}d_1m sizecheck ok ({n_ref} rows)",
+                                file=sys.stderr,
+                            )
+                    except Exception:
+                        errors[f"skyline_anti_{d}d_1m_sizecheck"] = traceback.format_exc(limit=6)
                 df.unpersist()
 
         # Warm-up: first parquet scan + first Arrow/pandas-UDF exchange of a

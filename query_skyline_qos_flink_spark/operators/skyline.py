@@ -245,11 +245,20 @@ def _skyline_2d_relational(
     return null_safe_semi_join(prepped, surv, eq_cols=[d0, d1], null_safe_cols=keys)
 
 
-def _broadcast_verify(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
+def _broadcast_verify(
+    cur: DataFrame, prep_cols: list[str], ref: DataFrame | None = None
+) -> DataFrame:
     """Parallel global merge: every task checks its rows against the full
-    survivor dim-matrix (self/duplicate pairs fail the strict test)."""
+    survivor dim-matrix (self/duplicate pairs fail the strict test).
+
+    ``ref`` (default: ``cur`` itself) supplies the reference matrix; passing
+    a known skyline lets callers re-verify an arbitrary row set against it
+    — e.g. bench.py's 1M sizecheck runs the WHOLE input through this with
+    the distributed result as ``ref``: the surviving row count equals the
+    result count iff the result is exactly the skyline (a false survivor
+    would be dominated and drop; a missed survivor would pass and add)."""
     spark = cur.sparkSession
-    dims_pdf = cur.select(*prep_cols).toPandas()
+    dims_pdf = (ref if ref is not None else cur).select(*prep_cols).toPandas()
     arr = np.ascontiguousarray(dims_pdf.to_numpy(dtype=np.float64))
     ssum = arr.sum(axis=1)
     order = np.argsort(ssum, kind="stable")
@@ -321,6 +330,22 @@ def _merge_survivors(local_df: DataFrame, prep_cols: list[str]) -> DataFrame:
             # pathological survivor volume: bounded-memory single-task merge
             return cur.repartition(1).mapInPandas(local, schema=cur.schema)
     return _broadcast_verify(cur, prep_cols)
+
+
+def skyline_verify_count(df: DataFrame, dims: Sequence, result: DataFrame) -> int:
+    """Independent correctness probe: count the rows of ``df`` that are NOT
+    strictly dominated by any row of ``result``.
+
+    If ``result`` is exactly the skyline of ``df`` (with the engine's
+    duplicate-retention policy), this count equals ``result``'s row count:
+    a false survivor in ``result`` is dominated by some true survivor and
+    drops; a missed survivor is dominated by nothing and adds.  Runs as one
+    broadcast-verify pass over ``df`` (O(n x |skyline|) with sum-sort
+    pruning), so it is cheap even at sizes where a single-task re-compute
+    of the skyline would be quadratic."""
+    prepped, pc = _prep(df, dims)
+    ref_prepped, _ = _prep(result, dims)
+    return _broadcast_verify(prepped, pc, ref=ref_prepped).count()
 
 
 def skyline_with_pid(

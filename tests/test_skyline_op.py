@@ -227,3 +227,34 @@ def test_2d_semi_join_is_broadcast(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
     assert "SortMergeJoin" not in plan
+
+
+def test_skyline_verify_count_catches_divergence(spark):
+    """bench.py's 1M sizecheck probe: the non-dominated count vs a
+    reference set equals the reference count iff the reference is exactly
+    the skyline — a false survivor drops, a missed survivor adds."""
+    from query_skyline_qos_flink_spark.operators.skyline import skyline_verify_count
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(400),
+            "x": np.random.default_rng(11).random(400),
+            "y": np.random.default_rng(12).random(400),
+            "z": np.random.default_rng(13).random(400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = skyline(df, ["x", "y", "z"])
+    n_res = res.count()
+    assert skyline_verify_count(df, ["x", "y", "z"], res) == n_res
+
+    # false survivor: add a clearly-dominated point to the reference
+    bad = spark.createDataFrame(
+        pd.DataFrame({"id": [9999], "x": [2.0], "y": [2.0], "z": [2.0]})
+    )
+    assert skyline_verify_count(df, ["x", "y", "z"], res.union(bad)) == n_res
+
+    # missed survivor: drop one reference row -> some input rows that it
+    # dominated (and itself) now pass the verify, inflating the count
+    trimmed = res.limit(n_res - 1)
+    assert skyline_verify_count(df, ["x", "y", "z"], trimmed) > n_res - 1
