@@ -296,7 +296,10 @@ FROM documents GROUP BY lang, len_bucket
     "smallest doc_id per group — complete-mode streaming aggregation, so "
     "the final state equals the batch dedup regardless of how records "
     "split across micro-batches (deterministic where streaming "
-    "dropDuplicates would be arrival-order-dependent)",
+    "dropDuplicates would be arrival-order-dependent).  Complete mode "
+    "holds every key in state forever; for the bounded-state production "
+    "form see s20_stream_dedup_watermark "
+    "(dropDuplicatesWithinWatermark)",
 )
 def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -357,7 +360,13 @@ WHERE o.o_totalprice > 300000
     "is exactly the batch join, independent of how the four files "
     "interleave across micro-batches; matches spanning batch boundaries "
     "come from the join state).  maxFilesPerTrigger=1 on both sides forces "
-    "genuine cross-batch matches",
+    "genuine cross-batch matches.  NOT the production pattern: unbounded "
+    "join state grows forever on an endless stream — this entry exists to "
+    "pin the exact-batch-equivalence semantics.  For a real deployment use "
+    "the s19_stream_interval_join form (both sides watermarked on event "
+    "time, state evicted as the watermark advances, bounded at scale); "
+    "s20_stream_dedup_watermark is the same bounded-state discipline for "
+    "dedup",
 )
 def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
