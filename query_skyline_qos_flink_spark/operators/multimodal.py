@@ -6,14 +6,16 @@ decode / feature-extract / resize / frame-sample are per-batch Python
 functions over those bytes.  Spark never interprets the payload — schema,
 partitioning, batch shape and UDF signatures are the real, tested plumbing.
 
-Codec status: :func:`decode_audio` is REAL for PCM WAV (stdlib ``wave``,
-no external deps) and backs :func:`extract_audio_meta`.  Image/video
-codecs (pillow / ffmpeg) are NOT available in this environment, so
-:func:`decode_image` raises ``NotImplementedError`` at the clearly-marked
-integration point and the default pipeline uses :func:`fake_decode_meta`
-— a deterministic stand-in computed purely from the bytes (length/md5
-arithmetic) so tests and the duckdb oracle can validate the full
-Spark-side path end to end.
+Codec status: :func:`decode_audio` is REAL for PCM WAV (stdlib ``wave``)
+and :func:`decode_image` is REAL for 8-bit non-interlaced PNG (stdlib
+``zlib``/``struct`` + vectorized numpy unfiltering) — no external deps;
+they back :func:`extract_audio_meta` / :func:`extract_image_meta`.
+JPEG/WebP/mp3/ogg (pillow / ffmpeg) are NOT available in this
+environment: pass your own ``decode_fn`` at the clearly-marked
+integration points.  :func:`fake_decode_meta` remains as a deterministic
+stand-in computed purely from the bytes (length/md5 arithmetic) so the
+duckdb oracle can validate the full Spark-side path end to end on
+arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -77,36 +79,60 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = raw_arr[:, 0]
+    rows = raw_arr[:, 1:]
+    bad = [int(t) for t in np.unique(ftypes) if t > 4]
+    if bad:
+        raise ValueError(f"bad PNG filter type {bad[0]}")
+    if not ftypes.any():
+        # all-rows-filter-0 fast path (what the in-repo encoders emit):
+        # the unfiltered scanlines ARE the pixels
+        return h, w, channels, rows.copy().reshape(h, w, channels)
+    # Row filters, numpy-vectorized.  Sub is a per-channel-lane cumulative
+    # sum mod 256; Up is elementwise uint8 add (wraparound is the mod);
+    # Average/Paeth are inherently sequential in x (out[x] needs out[x-1])
+    # so they loop over PIXELS with int32 channel-vector ops — bpp times
+    # fewer Python iterations than the former per-byte loops.
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        ftype = raw[y * (stride + 1)]
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        ftype, r = int(ftypes[y]), rows[y]
+        if ftype == 0:
+            out[y] = r
+        elif ftype == 1:  # Sub
+            out[y] = np.cumsum(r.reshape(-1, bpp), axis=0, dtype=np.uint8).reshape(-1)
         elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+            out[y] = r + prev  # uint8 wraparound == mod 256
         elif ftype == 3:  # Average
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                # int() guard: a + np.uint8 would wrap mod 256 under
-                # NumPy >= 2 (NEP 50) before the shift
-                row[i] = (row[i] + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+            rr = r.reshape(-1, bpp).astype(np.int32)
+            pv = prev.reshape(-1, bpp).astype(np.int32)
+            o = np.empty_like(rr)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(rr.shape[0]):
+                left = (rr[x] + ((left + pv[x]) >> 1)) & 0xFF
+                o[x] = left
+            out[y] = o.astype(np.uint8).reshape(-1)
+        else:  # Paeth
+            rr = r.reshape(-1, bpp).astype(np.int32)
+            pv = prev.reshape(-1, bpp).astype(np.int32)
+            o = np.empty_like(rr)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(rr.shape[0]):
+                up = pv[x]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (rr[x] + pred) & 0xFF
+                o[x] = left
+                upleft = up
+            out[y] = o.astype(np.uint8).reshape(-1)
         prev = out[y]
     return h, w, channels, out.reshape(h, w, channels)
 

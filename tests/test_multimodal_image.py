@@ -138,3 +138,51 @@ def test_decode_image_roundtrip_property(w, h, seed):
     hh, ww, cc, arr = decode_image(c.to_png())
     assert (hh, ww, cc) == (h, w, 3)
     assert np.array_equal(arr, pix)
+
+
+def test_decode_image_throughput_512():
+    """Unfiltering must be vectorized: a 512x512 RGB PNG with per-row
+    Sub/Up filters (the paths the former per-byte Python loops crawled
+    through at ~2s/image) must decode in well under 0.2 s — a >=10x
+    bound over the per-byte implementation."""
+    import struct
+    import time
+    import zlib
+
+    rng = np.random.default_rng(42)
+    h, w, ch = 512, 512, 3
+    pix = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ftype = y % 3  # None / Sub / Up
+        row = pix[y].astype(np.int32)
+        enc = row.copy()
+        if ftype == 1:
+            enc[ch:] = (row[ch:] - row[:-ch]) % 256
+        elif ftype == 2:
+            enc = (row - prev) % 256
+        raw.append(ftype)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    hh, ww, cc, arr = decode_image(png)
+    dt = time.time() - t0
+    assert (hh, ww, cc) == (h, w, ch)
+    assert np.array_equal(arr.reshape(h, w * ch), pix)
+    assert dt < 0.2, f"decode took {dt:.3f}s — unfiltering is not vectorized"
