@@ -60,6 +60,50 @@ def test_p8_dashboard_renders(tmp_path):
     _assert_valid_png(out)
 
 
+def _ink_pixels(c: rasterpng.Canvas) -> int:
+    return sum(
+        1
+        for i in range(0, len(c.buf), 3)
+        if c.buf[i : i + 3] != b"\xff\xff\xff"
+    )
+
+
+def test_bitmap_font_renders_ink():
+    c = rasterpng.Canvas(120, 20)
+    c.text(2, 2, "Latency (ms) = 1.5e+03")
+    assert _ink_pixels(c) > 50  # glyphs actually drew
+    # vertical text stays in-bounds and draws too
+    cv = rasterpng.Canvas(20, 120)
+    cv.text(4, 110, "seconds", vertical=True)
+    assert _ink_pixels(cv) > 50
+
+
+def test_axis_tick_labels_present(tmp_path):
+    out = rasterpng.scatter_step_png(
+        [0.0, 10.0, 20.0], [0.0, 5.0, 9.0], str(tmp_path / "ticks.png"),
+        xlabel="x", ylabel="y", title="T",
+    )
+    _assert_valid_png(out)
+    # re-render onto a canvas to count label ink in the bottom margin strip
+    c = rasterpng.Canvas(700, 600)
+    rasterpng._decorate_axes(c, 0.0, 20.0, 0.0, 9.0, 56, "x", "y", "T")
+    strip = [
+        c.buf[(y * 700 + x) * 3 : (y * 700 + x) * 3 + 3]
+        for y in range(600 - 50, 600 - 40)
+        for x in range(56, 700 - 56)
+    ]
+    assert any(px != b"\xff\xff\xff" for px in strip)  # tick labels below axis
+
+
+def test_nice_ticks_cover_range():
+    ticks = rasterpng._nice_ticks(0.0, 17282.0)
+    assert ticks[0] >= 0.0 and ticks[-1] <= 17282.0
+    assert 3 <= len(ticks) <= 8
+    steps = {round(ticks[i + 1] - ticks[i], 6) for i in range(len(ticks) - 1)}
+    assert len(steps) == 1  # uniform step
+    assert rasterpng._nice_ticks(5.0, 5.0) == [5.0]  # degenerate span
+
+
 def test_p9_bench_comparison_renders(tmp_path):
     bench = tmp_path / "bench.json"
     bench.write_text(

@@ -10,7 +10,9 @@ Reference surface (SURVEY.md §2.2 P7-P10):
 
 matplotlib may be absent in headless environments; when it is, every
 function falls back to the stdlib raster backend (``tools/rasterpng.py``)
-and still writes a real PNG — marks only, no axis labels.  Each function
+and still writes a real PNG with bitmap-font axis ticks, labels, and
+titles, matching the labeled output of the reference's
+``python/graph_skyline_points_2d.py:66-77``.  Each function
 works on plain pandas frames produced by the engine (collector CSVs,
 bench JSON).
 """
@@ -52,6 +54,9 @@ def skyline_staircase_2d(points_df: pd.DataFrame, x: str, y: str, out_path: str,
             out_path,
             step_xs=sky[x].tolist() if sky is not None else (),
             step_ys=sky[y].tolist() if sky is not None else (),
+            xlabel=x,
+            ylabel=y,
+            title="2-D skyline staircase",
         )
     fig, ax = plt.subplots(figsize=(7, 6))
     ax.scatter(points_df[x], points_df[y], s=4, alpha=0.3, label="points")
@@ -76,6 +81,10 @@ def performance_dashboard(collector_csv: str, out_path: str) -> str:
                 (x, df["GlobalTime(ms)"].tolist(), (200, 30, 60)),
             ],
             out_path,
+            xlabel="Mrecords",
+            ylabel="ms",
+            title="Phase times",
+            legend=("total", "local", "global"),
         )
     fig, axes = plt.subplots(2, 2, figsize=(11, 8))
     x = df["Records"] / 1e6
@@ -111,6 +120,10 @@ def bench_comparison(bench_json_path: str, out_path: str) -> str:
             ],
             out_path,
             logy=True,
+            xlabel="dimensions",
+            ylabel="seconds (log)",
+            title="1M anti-correlated skyline",
+            legend=("reference", "this engine"),
         )
     fig, ax = plt.subplots(figsize=(8, 5))
     ax.plot(dims, [min(ref[d]) for d in dims], marker="s", label="reference (best strategy)")
