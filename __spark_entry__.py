@@ -38,9 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-5 driver row (the x_* LLM-pipeline family plus r1/r2/r6/r8) are
 # front-loaded so every registry entry is driver-verified at current code
 # within two rounds, followed by 13 always-on core skyline queries.
-# Four core variants (s9_grid, s9_angle, s10_10000, e3) sit out exactly one
-# round — each was hash-green in round 5 and their primary siblings
-# (s9_dim, s10_1000, x_token_stats) stay in-window.
+# Eight core variants (s9_grid, s9_angle, s10_10000, e3, s2, s5, s7, s8)
+# sit out exactly one round — each was hash-green in round 5 and their
+# primary siblings (s1, s3/s4, s9_dim, s10_1000, x_token_stats) stay
+# in-window; their slots go to the four round-6 additions (x_pii_scrub,
+# x_blocklist_filter, x_image_ahash_dedup, x_audio_features), which have
+# never had a driver row.
 # tests/test_rotation_window.py enforces the <=2-round staleness bound.
 _DRIVER_PRIORITY = [
     # no driver row in round 5 — x_* pipeline family, gated r1-r3 last
@@ -57,10 +60,12 @@ _DRIVER_PRIORITY = [
     # relational base queries last gated in rounds 1-3
     "r1_agg_pricing_summary", "r2_join_topk_revenue", "r6_orders_by_year",
     "r8_setops_nations",
+    # round-6 additions, no driver row yet
+    "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
+    "x_audio_features",
     # always-on core skyline corpus (SURVEY §2.4)
-    "s1_skyline_2d", "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
-    "s5_skyline_part", "s6_skyline_events_ts", "s7_skyline_filtered",
-    "s8_skyline_groupwise", "s9_twophase_dim", "s10_snapshot_1000",
+    "s1_skyline_2d", "s3_skyline_3d", "s4_skyline_4d",
+    "s6_skyline_events_ts", "s9_twophase_dim", "s10_snapshot_1000",
     "m1_partition_stats", "e1_dedup_exact", "e2_knn_bruteforce",
 ]
 

@@ -325,3 +325,156 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col, n_frames_col).mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic payloads (REAL codec fixtures, closed-form truth)
+# ---------------------------------------------------------------------------
+#
+# The parquet fixtures carry no media columns, so corpus queries that must
+# exercise the REAL PNG/WAV codecs synthesize payloads from integer keys
+# with closed-form ground truth: every derived feature (hash bits, frame
+# counts, peak amplitude) is an integer function of the key that a SQL
+# oracle can recompute WITHOUT decoding — which turns the full
+# encode -> Arrow -> decode -> feature path into a hash-checkable query
+# instead of a rows-only one.
+
+AHASH_GRID = 8  # 8x8 blocks -> 64-bit average-hash
+
+
+def synth_png_payload(key: int, block_px: int = 8) -> bytes:
+    """64×64 greyscale PNG whose 8×8 block pattern encodes 64 bits derived
+    from ``md5("img{key}")`` — block (i, j) is white iff bit ``i*8+j`` is
+    set.  By construction :func:`image_ahash` of this image recovers
+    exactly those 64 bits (white=255 ≥ mean > black=0 whenever both colors
+    occur; md5 bits are never all-zero/all-one for the keys we use, which
+    tests pin)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    blocks = np.array(
+        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
+    ).reshape(AHASH_GRID, AHASH_GRID)
+    pix = np.kron(blocks * 255, np.ones((block_px, block_px), dtype=np.uint8))
+    h, w = pix.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit greyscale
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
+    """Mono PCM16 WAV with closed-form truth: ``n_frames = 800 + (key % 5)
+    * 160`` alternating ±``amp`` square-wave samples where ``amp = 2000 +
+    (key % 7) * 1000`` — so the decoded peak amplitude is exactly ``amp``
+    and ``duration_ms = n_frames // 8`` (sr 8000), both integer-exact for
+    a SQL oracle."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n_frames = 800 + (key % 5) * 160
+    amp = 2000 + (key % 7) * 1000
+    samples = np.full(n_frames, amp, dtype=np.int16)
+    samples[1::2] = -amp
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def attach_synth_payload(
+    df: DataFrame,
+    kind: str,
+    id_col: str = "doc_id",
+    key_mod: int | None = None,
+) -> DataFrame:
+    """Attach a REAL synthetic media payload per row via ``mapInPandas``
+    (Arrow binary batches — the same wire shape as payloads read from
+    object storage).  ``key_mod`` folds ids into ``id % key_mod`` classes
+    so distinct rows share identical payloads (duplicate-detection
+    fixtures)."""
+    gen = {"png": synth_png_payload, "wav": synth_wav_payload}[kind]
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[id_col].astype("int64")
+            if key_mod is not None:
+                keys = keys % key_mod
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": [gen(int(k)) for k in keys]}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_fn: Callable[[bytes], tuple] = decode_image,
+    grid: int = AHASH_GRID,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image payload: decode, collapse
+    to greyscale, block-average down to ``grid``×``grid``, threshold each
+    block against the global mean -> one 64-bit signature (bigint, two's
+    complement).  Near-duplicate images land within a small Hamming
+    distance; identical images collide exactly, so ``groupBy(ahash)`` is
+    the image-dedup analog of exact text dedup.
+
+    mapInPandas over Arrow binary batches; one scan, no shuffle — the
+    downstream groupBy shuffles only (id, hash) pairs."""
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, ahash bigint, width bigint, height bigint"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for p in pdf[payload_col]:
+                h, w, c, arr = decode_fn(bytes(p))
+                grey = arr.astype(np.float64).mean(axis=2)
+                by, bx = max(h // grid, 1), max(w // grid, 1)
+                hh, ww = (h // by) * by, (w // bx) * bx
+                blocks = (
+                    grey[:hh, :ww]
+                    .reshape(hh // by, by, ww // bx, bx)
+                    .mean(axis=(1, 3))[:grid, :grid]
+                )
+                bits = (blocks >= blocks.mean()).flatten()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                rows.append((np.uint64(v).astype(np.int64).item(), w, h))
+            out = pd.DataFrame(rows, columns=["ahash", "width", "height"])
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)

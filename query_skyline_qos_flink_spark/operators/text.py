@@ -286,6 +286,46 @@ def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") ->
     )
 
 
+# PII scrub patterns — Java-regex/RE2 common subset (no lookaround, no
+# backrefs; \b and {n} quantifiers behave identically for ASCII on both
+# engines).  Dict order IS the application order and part of the contract
+# (ssn -> phone -> ip -> email) so oracle twins replay the same rewrites:
+# counts are taken on the ORIGINAL text, replacements compose in order.
+PII_PATTERNS: dict[str, str] = {
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "(\\(\\d{3}\\) |\\b\\d{3}[-.])\\d{3}[-.]\\d{4}\\b",
+    "ip": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "email": EMAIL_RE,
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII detection + redaction: count each pattern class on the original
+    text, then replace matches with ``<LABEL>`` placeholders, applying the
+    classes in dict order.  The redaction pass every responsibly-built
+    training corpus needs before tokenization (the reference has no text
+    surface at all — north-star pipeline scope).
+
+    Pure codegen'd column expressions (``regexp_count`` /
+    ``regexp_replace``): scan-parallel, no shuffle, no Python in the hot
+    path — safe at 100 TB by construction."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    c = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(c, F.lit(p)), F.lit(0)).cast("bigint").alias(f"n_{label}")
+        for label, p in pats.items()
+    ]
+    scrub = c
+    for label, p in pats.items():
+        scrub = F.regexp_replace(scrub, p, f"<{label.upper()}>")
+    return df.select(*df.columns, *counts, scrub.alias(out_col))
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 4, w: int = 4, out_col: str = "fps"
 ) -> DataFrame:

@@ -1339,3 +1339,193 @@ def x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_pairs(
         d, k=_WINNOW_K, w=_WINNOW_W, min_common=2, max_df=_WINNOW_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / governance filters / real-codec multimodal features
+# ---------------------------------------------------------------------------
+
+# Like _DOMAIN_TEXT_SQL: the synthetic documents carry no PII, so both
+# sides weave deterministic PII from fixture columns with the same
+# expression — every doc gets an e-mail; doc_id % 3 adds a phone,
+# % 5 an SSN, % 7 an IPv4 — then the scrub runs over the woven text.
+_PII_TEXT_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+    " || ' ' || text"
+)
+
+_PII_WEAVE_SPARK = (
+    "concat('contact user', CAST(doc_id AS STRING), '@', source, '.example.com', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' call (555) 123-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN concat(' ssn 123-45-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.0.', "
+    "CAST(doc_id % 256 AS STRING), '.1') ELSE '' END, "
+    "' ', text)"
+)
+
+
+def _pii_oracle() -> str:
+    pats = text.PII_PATTERNS
+    counts = ",\n         ".join(
+        f"CAST(length(regexp_extract_all(wtext, '{p}')) AS BIGINT) AS n_{label}"
+        for label, p in pats.items()
+    )
+    scrub = "wtext"
+    for label, p in pats.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{label.upper()}>', 'g')"
+    return f"""
+WITH w AS (SELECT doc_id, {_PII_TEXT_SQL} AS wtext FROM documents),
+s AS (
+  SELECT doc_id,
+         {counts},
+         {scrub} AS scrub
+  FROM w)
+SELECT doc_id, n_ssn, n_phone, n_ip, n_email,
+       md5(scrub) AS scrub_md5,
+       CAST(length(scrub) AS BIGINT) AS scrub_chars
+FROM s
+""".strip()
+
+
+@register(
+    "x_pii_scrub",
+    _pii_oracle(),
+    doc="PII detection + redaction: count SSN / phone / IPv4 / e-mail "
+    "patterns on the original text, replace each class with a <LABEL> "
+    "placeholder in the contract order ssn -> phone -> ip -> email "
+    "(operators/text.py::pii_scrub) — the privacy pass a training corpus "
+    "runs before tokenization. Patterns restricted to the Java-regex/RE2 "
+    "common subset; output compared by md5 of the scrubbed text. Pure "
+    "regexp column expressions: scan-parallel, no shuffle, 100 TB-safe",
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    woven = d.select("doc_id", F.expr(_PII_WEAVE_SPARK).alias("wtext"))
+    scrubbed = text.pii_scrub(woven, text_col="wtext", out_col="scrub")
+    return scrubbed.select(
+        "doc_id",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        "n_email",
+        F.md5(F.col("scrub")).alias("scrub_md5"),
+        F.length("scrub").cast("bigint").alias("scrub_chars"),
+    )
+
+
+_BLOCKLIST = [
+    "src3.example.com",
+    "src7.example.com",
+    "src18.example.com",
+    "mirror-src1.org",
+    "mirror-src13.org",
+]
+_BLOCKLIST_IN = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+
+
+@register(
+    "x_blocklist_filter",
+    rf"""
+WITH w AS (SELECT doc_id, {_DOMAIN_TEXT_SQL} AS wtext FROM documents),
+d AS (
+  SELECT doc_id, unnest(regexp_extract_all(wtext, 'https?://([^/\s]+)', 1)) AS domain
+  FROM w),
+b AS (SELECT DISTINCT doc_id FROM d WHERE domain IN ({_BLOCKLIST_IN})),
+keep AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM b))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM keep GROUP BY source
+""".strip(),
+    doc="Domain-blocklist governance filter: extract every URL host per "
+    "document (same weave as x_domain_stats), drop any document citing a "
+    "blocklisted domain, report surviving docs per source. The blocklist "
+    "is a literal dim broadcast to every executor (no shuffle for the "
+    "membership probe); only the blocked-doc-id anti-join shuffles, keyed "
+    "on doc_id — the robots/licence/toxic-domain exclusion step of a "
+    "crawl pipeline, scale-safe because the blocklist is small by nature",
+)
+def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wtext = F.expr(
+        "concat('see https://', source, '.example.com/', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN concat(' and http://mirror-', source, '.org/x') ELSE '' END, ' ', text)"
+    )
+    doms = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(wtext, F.lit(r"https?://([^/\s]+)"), 1)
+        ).alias("domain"),
+    )
+    bl = spark.createDataFrame([(x,) for x in _BLOCKLIST], "domain string")
+    blocked = (
+        doms.join(F.broadcast(bl), "domain", "semi").select("doc_id").distinct()
+    )
+    keep = d.join(blocked, "doc_id", "left_anti")
+    return keep.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@register(
+    "x_image_ahash_dedup",
+    """
+SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY doc_id % 50
+""".strip(),
+    doc="Image near-dup dedup through the REAL PNG codec: synthesize a "
+    "64x64 greyscale PNG per doc (payload class = doc_id % 50, so ~N/50 "
+    "docs share each image bit-for-bit), decode with the stdlib PNG "
+    "decoder, compute a 64-bit average-hash (8x8 block means vs global "
+    "mean), and group documents by hash. The aHash of the synthetic "
+    "pattern provably equals its md5-derived bit pattern, so the duckdb "
+    "oracle recovers the exact clustering closed-form WITHOUT decoding — "
+    "a hash-checked gate over the full encode -> Arrow -> decode -> "
+    "feature path (operators/multimodal.py::synth_png_payload/"
+    "image_ahash). Scale: one scan + mapInPandas, shuffle only (hash) "
+    "pairs",
+)
+def x_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload(d, "png", key_mod=50)
+    hashed = multimodal.image_ahash(pay)
+    return hashed.groupBy("ahash").agg(
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    ).select("min_doc", "n_docs")
+
+
+@register(
+    "x_audio_features",
+    """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
+       CAST((800 + (doc_id % 5) * 160) // 8 AS BIGINT) AS duration_ms,
+       CAST(2000 + (doc_id % 7) * 1000 AS BIGINT) AS peak_amplitude
+FROM documents
+""".strip(),
+    doc="Audio feature extraction through the REAL WAV codec: synthesize a "
+    "mono PCM16 square-wave WAV per doc (n_frames and amplitude are "
+    "integer functions of doc_id), decode with the stdlib wave codec via "
+    "mapInPandas, emit channels / sample-rate / frames / duration / peak. "
+    "Square-wave samples are exactly +-amp, so every decoded feature is "
+    "integer-exact and the duckdb oracle recomputes them closed-form "
+    "WITHOUT decoding — a hash-checked gate over the real audio path "
+    "(operators/multimodal.py::synth_wav_payload/extract_audio_meta)",
+)
+def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload(d, "wav")
+    return multimodal.extract_audio_meta(pay).select(
+        "doc_id", "n_channels", "sample_rate", "n_frames", "duration_ms", "peak_amplitude"
+    )

@@ -1,0 +1,135 @@
+"""PII scrub + real-codec feature operators (round-6 additions).
+
+The corpus-level oracle parity for ``x_pii_scrub`` / ``x_blocklist_filter``
+/ ``x_image_ahash_dedup`` / ``x_audio_features`` runs in
+``tests/test_corpus.py``; these tests pin the operator-level contracts the
+oracles rely on: scrub order, aHash bit-exactness through the real PNG
+codec, Hamming locality for perturbed images, and WAV feature exactness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from query_skyline_qos_flink_spark.operators import multimodal as mm
+from query_skyline_qos_flink_spark.operators import text
+
+
+def test_pii_scrub_counts_and_order(spark):
+    rows = [
+        (1, "mail a.user@example.com then call (555) 123-4567 ok"),
+        (2, "ssn 123-45-6789 from 10.0.42.1 and 555-867-5309"),
+        (3, "no pii here, just 123 and 4.5"),
+        (4, "two mails x@y.com z@w.org and ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ssn"], out[1]["n_ip"]) == (1, 1, 0, 0)
+    assert out[1]["scrubbed"] == "mail <EMAIL> then call <PHONE> ok"
+    assert (out[2]["n_ssn"], out[2]["n_ip"], out[2]["n_phone"]) == (1, 1, 1)
+    assert out[2]["scrubbed"] == "ssn <SSN> from <IP> and <PHONE>"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ssn"], out[3]["n_ip"]) == (0, 0, 0, 0)
+    assert out[3]["scrubbed"] == rows[2][1]
+    assert out[4]["n_email"] == 2 and out[4]["n_ip"] == 1
+
+
+def test_pii_ssn_not_eaten_by_phone():
+    """SSN (3-2-4) and phone (3-3-4) digit shapes must not cross-match —
+    the contract that makes the fixed scrub order safe."""
+    import re
+
+    ssn, phone = text.PII_PATTERNS["ssn"], text.PII_PATTERNS["phone"]
+    assert re.search(ssn, "123-45-6789")
+    assert not re.search(phone, "123-45-6789")
+    assert re.search(phone, "555-867-5309")
+    assert not re.search(ssn, "555-867-5309")
+    # phone must not fire inside an IPv4
+    assert not re.search(phone, "192.168.1.1")
+
+
+def test_synth_png_ahash_recovers_md5_bits():
+    """aHash through the REAL decoder equals the md5-derived block bits
+    for every payload class — the invariant x_image_ahash_dedup's
+    closed-form oracle rests on — and all 50 classes are distinct."""
+    seen = set()
+    for k in range(50):
+        h, w, c, arr = mm.decode_image(mm.synth_png_payload(k))
+        assert (h, w) == (64, 64)
+        grey = arr.astype(np.float64).mean(axis=2)
+        blocks = grey.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+        bits = (blocks >= blocks.mean()).flatten()
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        assert v == int(hashlib.md5(f"img{k}".encode()).hexdigest()[:16], 16)
+        seen.add(v)
+    assert len(seen) == 50
+
+
+def test_image_ahash_hamming_locality(spark):
+    """Identical images collide exactly; a single flipped block moves the
+    hash by a small Hamming distance (the near-dup property)."""
+    import io
+    import struct
+    import zlib
+
+    def flip_one_block(payload: bytes) -> bytes:
+        h, w, c, arr = mm.decode_image(payload)
+        pix = arr[:, :, 0].copy()
+        pix[0:8, 0:8] = 255 - pix[0:8, 0:8]  # invert block (0,0)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+    base = mm.synth_png_payload(7)
+    rows = [(1, base), (2, base), (3, flip_one_block(base))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in mm.image_ahash(df).collect()}
+    assert got[1] == got[2]  # exact dup -> exact collision
+    ham = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 4  # one block flipped -> tiny Hamming distance
+
+
+def test_synth_wav_features_exact(spark):
+    d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    pay = mm.attach_synth_payload(d, "wav")
+    got = {r["doc_id"]: r for r in mm.extract_audio_meta(pay).collect()}
+    for k in range(40):
+        nf = 800 + (k % 5) * 160
+        amp = 2000 + (k % 7) * 1000
+        r = got[k]
+        assert (r["n_channels"], r["sample_rate"]) == (1, 8000)
+        assert r["n_frames"] == nf
+        assert r["duration_ms"] == nf // 8
+        assert r["peak_amplitude"] == amp
+
+
+def test_attach_synth_payload_key_mod_shares_bytes(spark):
+    d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = mm.attach_synth_payload(d, "png", key_mod=5).collect()
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in rows}
+    assert by_id[0] == by_id[5] and by_id[3] == by_id[8]
+    assert by_id[0] != by_id[1]
+
+
+def test_pii_scrub_custom_patterns(spark):
+    df = spark.createDataFrame([(1, "key AKIA1234 end")], "doc_id bigint, text string")
+    out = text.pii_scrub(df, patterns={"key": "AKIA[0-9]{4}"}).collect()[0]
+    assert out["n_key"] == 1 and out["scrubbed"] == "key <KEY> end"
