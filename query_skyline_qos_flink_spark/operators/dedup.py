@@ -246,32 +246,42 @@ def simhash64(
     return agg.select(F.col(id_col), sim.alias(out_col))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def hamming_neardup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks:
-    by pigeonhole a pair with Hamming <= 3 differing bits cannot touch all
-    4 chunks, so it must share one -> the join is equi on chunk value, not a
-    cross join.  For ``max_hamming`` > 3 the blocking is a recall<1 filter
-    (guaranteeing k requires k+1 chunks)."""
-    # persist: one small row per doc, and the a/b self-join below would
-    # otherwise recompute the 64-sum aggregation twice
-    s = _persist(simhash64(df.select(id_col, text_col), id_col, text_col))
+    """Near-dup pairs of any 64-bit signature column by Hamming distance,
+    blocked on 16-bit chunks: by pigeonhole a pair with Hamming <= 3
+    differing bits cannot touch all 4 chunks, so it must share one -> the
+    join is equi on chunk value, not a cross join.  For ``max_hamming`` >
+    3 the blocking is a recall<1 filter (guaranteeing k requires k+1
+    chunks).  Generic over the signature source — SimHash over text,
+    average-hash over images — anything that packs locality into 64 bits.
+
+    Scale shape: explode ×4 tiny (id, chunk) rows, equi-join, distinct,
+    exact `bit_count` refine — the shuffle carries signatures, never the
+    underlying documents/pixels."""
+    # persist: one small row per id, and the a/b self-join below would
+    # otherwise recompute the upstream signature (a full aggregation or a
+    # mapInPandas decode) twice
+    s = _persist(hashed.select(id_col, hash_col))
     chunks = s.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("ci"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftright(hash_col, c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
                     )
                     for c in range(4)
                 ]
             )
         ).alias("e"),
-    ).select(id_col, "simhash", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    ).select(id_col, hash_col, F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -284,14 +294,29 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the text instantiation
+    of :func:`hamming_neardup_pairs` over :func:`simhash64`."""
+    return hamming_neardup_pairs(
+        df.select(id_col, text_col).transform(
+            lambda d: simhash64(d, id_col, text_col)
+        ),
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
     )
 
 

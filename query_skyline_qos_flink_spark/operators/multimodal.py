@@ -342,19 +342,22 @@ def sample_frames(
 AHASH_GRID = 8  # 8x8 blocks -> 64-bit average-hash
 
 
-def synth_png_payload(key: int, block_px: int = 8) -> bytes:
+def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None) -> bytes:
     """64×64 greyscale PNG whose 8×8 block pattern encodes 64 bits derived
     from ``md5("img{key}")`` — block (i, j) is white iff bit ``i*8+j`` is
     set.  By construction :func:`image_ahash` of this image recovers
     exactly those 64 bits (white=255 ≥ mean > black=0 whenever both colors
     occur; md5 bits are never all-zero/all-one for the keys we use, which
-    tests pin)."""
+    tests pin).  ``flip_block`` inverts one block — a Hamming-1
+    perturbation of the class image, for near-dup fixtures."""
     import struct as _struct
     import zlib as _zlib
 
     import numpy as np
 
     bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    if flip_block is not None:
+        bits ^= 1 << (63 - flip_block)
     blocks = np.array(
         [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
     ).reshape(AHASH_GRID, AHASH_GRID)
@@ -428,6 +431,29 @@ def attach_synth_payload(
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": [gen(int(k)) for k in keys]}
             )
+
+    return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup image fixture: even ids carry the class image (key = id);
+    each odd id carries its even predecessor's image with block
+    ``(key * 7) % 64`` inverted — a known Hamming-1 perturbation — so the
+    ground-truth near-dup pairs are exactly (2m, 2m+1) with distance 1,
+    closed-form for a SQL oracle."""
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                key = int(i) - (int(i) % 2)
+                flip = (key * 7) % 64 if i % 2 else None
+                payloads.append(synth_png_payload(key, flip_block=flip))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(fn, schema=schema)
 

@@ -1529,3 +1529,34 @@ def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_meta(pay).select(
         "doc_id", "n_channels", "sample_rate", "n_frames", "duration_ms", "peak_amplitude"
     )
+
+
+@register(
+    "x_image_neardup_pairs",
+    """
+SELECT CAST(d.doc_id AS BIGINT) AS id_a,
+       CAST(d.doc_id + 1 AS BIGINT) AS id_b,
+       CAST(1 AS BIGINT) AS hamming
+FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+WHERE d.doc_id % 2 = 0
+""".strip(),
+    doc="Image NEAR-dup pairs through the real PNG codec: odd docs carry "
+    "their even predecessor's image with one 8x8 block inverted (a known "
+    "Hamming-1 aHash perturbation), then the generic 16-bit-chunk "
+    "pigeonhole blocking (operators/dedup.py::hamming_neardup_pairs, "
+    "shared with SimHash) recovers exactly the (2m, 2m+1) twin pairs at "
+    "distance 1 — closed-form for the oracle, no decode needed. Distinct "
+    "md5-derived class hashes are ~32 bits apart, so no cross-class pair "
+    "survives the <=3 refine. Scale: explode x4 chunk rows, equi-join on "
+    "chunk value, exact bit_count refine; pixels never shuffle",
+)
+def x_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload_twins(d)
+    hashed = multimodal.image_ahash(pay)
+    pairs = dedup.hamming_neardup_pairs(hashed, hash_col="ahash", max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )

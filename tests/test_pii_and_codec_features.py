@@ -129,6 +129,38 @@ def test_attach_synth_payload_key_mod_shares_bytes(spark):
     assert by_id[0] != by_id[1]
 
 
+def test_hamming_neardup_pairs_generic(spark):
+    """The chunk-pigeonhole blocking must find every pair within the
+    Hamming bound and none outside it, for an arbitrary 64-bit column."""
+    from query_skyline_qos_flink_spark.operators.dedup import hamming_neardup_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),          # hamming 3 -> pair
+        (3, base ^ (0xF << 56)),    # hamming 4 -> no pair
+        (4, -1),                    # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, sig bigint")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(df, hash_col="sig", max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 3}
+
+
+def test_image_neardup_twins_found(spark):
+    """Twin payloads (one inverted block) land exactly one Hamming-1 pair
+    per even/odd id pair through the REAL decode + aHash + blocking path."""
+    from query_skyline_qos_flink_spark.operators.dedup import hamming_neardup_pairs
+
+    d = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    hashed = mm.image_ahash(mm.attach_synth_payload_twins(d))
+    pairs = hamming_neardup_pairs(hashed, hash_col="ahash", max_hamming=3).collect()
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in pairs)
+    assert got == [(2 * m, 2 * m + 1, 1) for m in range(6)]
+
+
 def test_pii_scrub_custom_patterns(spark):
     df = spark.createDataFrame([(1, "key AKIA1234 end")], "doc_id bigint, text string")
     out = text.pii_scrub(df, patterns={"key": "AKIA[0-9]{4}"}).collect()[0]
