@@ -302,11 +302,16 @@ def ann_ivf(
       most once since assignment is unique); exact integer L2 top-k with
       the (dist, n_id) tie contract.
 
-    The centroid table is ``2^coarse_bits`` rows — broadcast everywhere;
-    the base table is scanned once for assignment and the candidate join
-    is a plain equi-join on the cell id, so the plan is
-    scan + tiny broadcast + one shuffle for the final per-query top-k.
-    Scale knobs: ``coarse_bits`` (cells) and ``n_probes`` (recall).
+    The centroid table is ``2^coarse_bits`` rows — collected to the
+    driver once (a tiny agg job) and inlined as a LITERAL array, so
+    nearest-centroid assignment is a pure scan-side expression
+    (``sort_array`` over per-centroid integer distances): no crossJoin
+    row expansion and no per-id window shuffle, which at n×cells rows
+    was the dominant cost of the previous plan.  The candidate join is a
+    plain equi-join on the cell id, so the whole plan is
+    scan + literal expression + one shuffle for the final per-query
+    top-k.  Scale knobs: ``coarse_bits`` (cells) and ``n_probes``
+    (recall).
     """
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
@@ -337,21 +342,40 @@ def ann_ivf(
         )
     )
 
-    def assign(vdf: DataFrame, keep_ranks: int) -> DataFrame:
-        scored = vdf.crossJoin(F.broadcast(cent)).select(
-            "__id", "__qv", "__cell",
-            _int_sq_l2_fold(F.col("__qv"), F.col("__c")).alias("__cd"),
+    # the centroid table is tiny by construction (<= 2^coarse_bits rows):
+    # materialize it driver-side and inline as a literal so assignment
+    # never joins or windows — ties (equal distance) break to the
+    # smallest cell id via the (dist, cell) struct sort order
+    cent_rows = sorted(cent.collect(), key=lambda r: r["__cell"])
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["__cell"])).alias("c"),
+                F.array(*[F.lit(int(v)) for v in r["__c"]]).alias("v"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def ranked_cells(vdf: DataFrame, keep_ranks: int) -> DataFrame:
+        dists = F.sort_array(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    _int_sq_l2_fold(F.col("__qv"), s["v"]).alias("d"),
+                    s["c"].alias("c"),
+                ),
+            )
         )
-        w = Window.partitionBy("__id").orderBy("__cd", "__cell")
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= keep_ranks)
-            .drop("__cd", "__r")
+        if keep_ranks == 1:
+            return vdf.withColumn("__cell", F.element_at(dists, 1)["c"])
+        return vdf.withColumn(
+            "__cell", F.explode(F.transform(F.slice(dists, 1, keep_ranks), lambda s: s["c"]))
         )
 
-    base_a = assign(base.drop("__seed"), 1)
+    base_a = ranked_cells(base.drop("__seed"), 1)
     q = query_df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
-    probes = assign(q, n_probes).withColumnsRenamed(
+    probes = ranked_cells(q, n_probes).withColumnsRenamed(
         {"__id": "q_id", "__qv": "__pq"}
     )
     cand = (
