@@ -38,13 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-5 driver row (the x_* LLM-pipeline family plus r1/r2/r6/r8) are
 # front-loaded so every registry entry is driver-verified at current code
 # within two rounds, followed by 13 always-on core skyline queries.
-# Nine core variants (s9_grid, s9_angle, s10_10000, e3, e2, s2, s5, s7,
-# s8) sit out exactly one round — each was hash-green in round 5 and
-# their primary siblings (s1, s3/s4, s9_dim, s10_1000, e1,
-# x_token_stats) stay in-window; their slots go to the five round-6
-# additions (x_pii_scrub, x_blocklist_filter, x_image_ahash_dedup,
-# x_image_neardup_pairs, x_audio_features), which have never had a
-# driver row.
+# Ten core variants (s9_grid, s9_angle, s10_1000, s10_10000, e3, e2, s2,
+# s5, s7, s8) sit out exactly one round — each was hash-green in round 5
+# and close siblings (s1, s3/s4, s9_dim, e1, x_token_stats,
+# x_exact_quantiles for the s10 prefix machinery) stay in-window; their
+# slots go to the six round-6 additions (x_pii_scrub, x_blocklist_filter,
+# x_image_ahash_dedup, x_image_neardup_pairs, x_audio_features,
+# x_span_dedup), which have never had a driver row.
 # tests/test_rotation_window.py enforces the <=2-round staleness bound.
 _DRIVER_PRIORITY = [
     # no driver row in round 5 — x_* pipeline family, gated r1-r3 last
@@ -63,10 +63,10 @@ _DRIVER_PRIORITY = [
     "r8_setops_nations",
     # round-6 additions, no driver row yet
     "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
-    "x_image_neardup_pairs", "x_audio_features",
+    "x_image_neardup_pairs", "x_audio_features", "x_span_dedup",
     # always-on core skyline corpus (SURVEY §2.4)
     "s1_skyline_2d", "s3_skyline_3d", "s4_skyline_4d",
-    "s6_skyline_events_ts", "s9_twophase_dim", "s10_snapshot_1000",
+    "s6_skyline_events_ts", "s9_twophase_dim",
     "m1_partition_stats", "e1_dedup_exact",
 ]
 

@@ -286,6 +286,78 @@ def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") ->
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    out_col: str = "clean",
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal across the whole corpus: chunk each
+    document's token stream into consecutive ``span_tokens``-token spans,
+    keep only the FIRST occurrence of every span corpus-wide (first =
+    smallest (id, span index)), and reassemble each document from its
+    surviving spans in order.  Catches boilerplate shared across documents
+    at sub-document granularity — the C4 paper's three-sentence-span rule
+    with a token-count span instead of sentences.
+
+    Returns one row per input document: ``n_spans``, ``n_kept`` and the
+    reassembled ``out_col`` (empty when every span was seen earlier).
+
+    Scale shape: tokens are staged ONCE per doc (a transform lambda
+    referencing a staged attribute — nested-lambda re-evaluation is the
+    known Catalyst trap), spans explode to (id, idx, span) rows, the
+    first-occurrence pass is ONE shuffle keyed on the span text (the spans
+    ARE the payload, so this is the minimum possible wire volume) with a
+    map-side-combined min(struct) winner per span, and
+    reassembly is a map-side-combinable collect_list per doc."""
+    k = int(span_tokens)
+    base = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    spans_sql = (
+        f"CASE WHEN size(__toks) = 0 THEN cast(array() AS array<string>) "
+        f"ELSE transform(sequence(0, (size(__toks) + {k - 1}) div {k} - 1), "
+        f"i -> array_join(slice(__toks, i * {k} + 1, {k}), ' ')) END"
+    )
+    spanned = base.select(id_col, F.expr(spans_sql).alias("__spans"))
+    ex = spanned.select(
+        id_col, F.posexplode("__spans").alias("idx", "span")
+    )
+    # first occurrence = min (id, idx) struct per span — a map-side-combined
+    # aggregate, NOT a row_number window: a boilerplate span repeated in
+    # millions of documents combines locally instead of funnelling every
+    # duplicate row through one window task.  The winner's coordinates come
+    # straight out of the min struct, so no join-back is needed.
+    surv = (
+        ex.groupBy("span")
+        .agg(F.min(F.struct(id_col, "idx")).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.idx").alias("idx"),
+            "span",
+        )
+    )
+    agg = surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias(out_col),
+    )
+    return (
+        spanned.select(id_col, F.size("__spans").cast("bigint").alias("n_spans"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )
+
+
 # PII scrub patterns — Java-regex/RE2 common subset (no lookaround, no
 # backrefs; \b and {n} quantifiers behave identically for ASCII on both
 # engines).  Dict order IS the application order and part of the contract

@@ -1560,3 +1560,68 @@ def x_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("hamming").cast("bigint").alias("hamming"),
     )
+
+
+# Guaranteed cross-doc duplicate spans: every doc_id % 4 = 0 document is
+# prefixed with the same 10-token boilerplate (one full span at k=10), so
+# the corpus-wide first-occurrence rule provably fires; natural repeats in
+# the synthetic text dedup symmetrically on both sides.
+_BOILER = "shared boilerplate header spans exactly ten tokens for dedup here"
+
+
+@register(
+    "x_span_dedup",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_BOILER} ' || text ELSE text END AS wtext
+  FROM documents),
+t AS (SELECT doc_id, list_filter(string_split_regex(lower(wtext), '[^a-z0-9]+'), x -> x <> '') AS toks FROM w),
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []
+                  ELSE list_transform(range(0, CAST((len(toks) + 9) // 10 AS INT)),
+                                      i -> array_to_string(toks[i*10+1:i*10+10], ' '))
+             END AS spans
+      FROM t),
+e AS (SELECT doc_id, u.idx AS idx, u.span AS span FROM (
+        SELECT doc_id, unnest(list_transform(range(0, len(spans)),
+                                             i -> {{'idx': i, 'span': spans[i+1]}})) AS u
+        FROM s)),
+r AS (SELECT doc_id, idx, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+      FROM e),
+k AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(span, ' ' ORDER BY idx) AS clean
+      FROM r WHERE rn = 1 GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.spans) AS BIGINT) AS n_spans,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM s LEFT JOIN k ON s.doc_id = k.doc_id
+""".strip(),
+    doc="C4-style duplicate-SPAN removal (operators/text.py::dedup_spans): "
+    "chunk every document into consecutive 10-token spans, keep only the "
+    "corpus-wide FIRST occurrence of each span (smallest (doc_id, idx)), "
+    "reassemble documents from their surviving spans — boilerplate shared "
+    "across documents is removed at sub-document granularity, the overlap "
+    "class whole-doc dedup cannot touch. One shuffle keyed on span text "
+    "(the spans are the payload - minimum wire volume), reassembly is a "
+    "map-side-combinable collect_list per doc. The weave plants one "
+    "guaranteed shared span in every doc_id % 4 = 0 document",
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    woven = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("wtext"),
+    )
+    out = text.dedup_spans(woven, text_col="wtext", span_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.md5(F.col("clean")).alias("clean_md5"),
+    )

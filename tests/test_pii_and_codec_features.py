@@ -161,6 +161,30 @@ def test_image_neardup_twins_found(spark):
     assert got == [(2 * m, 2 * m + 1, 1) for m in range(6)]
 
 
+def test_dedup_spans_first_occurrence(spark):
+    """Corpus-wide span dedup keeps exactly the first (doc, idx) holder of
+    each span and reassembles surviving spans in order."""
+    k = 3
+    rows = [
+        (1, "a b c d e f"),          # spans: "a b c", "d e f"
+        (2, "a b c x y z"),          # loses "a b c" (doc 1 saw it), keeps "x y z"
+        (3, "d e f a b c"),          # loses both
+        (4, ""),                     # no spans at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.dedup_spans(df, span_tokens=k).collect()}
+    assert (got[1]["n_spans"], got[1]["n_kept"], got[1]["clean"]) == (2, 2, "a b c d e f")
+    assert (got[2]["n_spans"], got[2]["n_kept"], got[2]["clean"]) == (2, 1, "x y z")
+    assert (got[3]["n_spans"], got[3]["n_kept"], got[3]["clean"]) == (2, 0, "")
+    assert (got[4]["n_spans"], got[4]["n_kept"], got[4]["clean"]) == (0, 0, "")
+
+
+def test_dedup_spans_partial_tail_span(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    r = text.dedup_spans(df, span_tokens=3).collect()[0]
+    assert (r["n_spans"], r["n_kept"], r["clean"]) == (2, 2, "a b c d")
+
+
 def test_pii_scrub_custom_patterns(spark):
     df = spark.createDataFrame([(1, "key AKIA1234 end")], "doc_id bigint, text string")
     out = text.pii_scrub(df, patterns={"key": "AKIA[0-9]{4}"}).collect()[0]
