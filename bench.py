@@ -66,6 +66,9 @@ CORPUS_QUERIES = [
     "x_snapshot_diff",
     "x_seq_packing",
     "x_profile_columns",
+    "x_pii_scrub",
+    "x_span_dedup",
+    "x_image_neardup_pairs",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
@@ -80,6 +83,7 @@ SCALING_QUERIES = {
     "x_exact_quantiles": "lineitem",  # bucketed two-pass global rank
     "s1_skyline_2d": "lineitem",  # relational 2-D skyline path
     "s3_skyline_3d": "lineitem",  # mapInPandas kernel + merge path
+    "x_span_dedup": "documents",  # span-keyed first-occurrence shuffle
 }
 
 

@@ -81,3 +81,40 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
         .where(F.col(rank_col) <= k)
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic dataset mixing: resample each group at its configured
+    rate — the training-mix construction step ("2.5 epochs of wiki, 0.25
+    of crawl, drop source X").  A rate's whole part emits that many copies
+    of every row; the fractional part keeps a row iff its md5-id bucket
+    falls under ``frac * 10000`` — so rate 2.5 emits 2 copies of every row
+    plus a third copy of a deterministic half, rate 0 drops the group.
+    Pure function of (id, group): reproducible across engines, runs and
+    partition layouts, and each kept row carries ``copy_col`` (1-based) so
+    downstream shuffles can decorrelate copies.
+
+    Use exactly-representable rates (binary fractions / quarter steps) so
+    the basis-point threshold is float-exact on every engine.
+
+    100 TB shape: one codegen'd projection + explode — no shuffle, no RNG;
+    output size is Σ group_rows × rate by construction."""
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    whole = F.floor(rate).cast("int")
+    frac_thresh = ((rate - F.floor(rate)) * _BUCKETS).cast("int")
+    n = whole + F.when(split_bucket(F.col(id_col)) < frac_thresh, 1).otherwise(0)
+    return (
+        df.withColumn("__n_copies", n)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )

@@ -1625,3 +1625,49 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5(F.col("clean")).alias("clean_md5"),
     )
+
+
+_MIX_RATES = {"src0": 2.5, "src1": 0.25, "src2": 0.0}  # others: 1.0
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {r}" for g, r in sorted(_MIX_RATES.items())
+    )
+    rate = f"(CASE {cases} ELSE 1.0 END)"
+    bucket = sampling.split_bucket_sql("doc_id")
+    n = (
+        f"(CAST(floor({rate}) AS INT) + "
+        f"CASE WHEN {bucket} < CAST(({rate} - floor({rate})) * 10000 AS INT) "
+        f"THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH m AS (SELECT doc_id, source, {n} AS n FROM documents)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) FILTER (WHERE n > 0) AS BIGINT) AS first_doc
+FROM m GROUP BY source HAVING sum(n) > 0
+""".strip()
+
+
+@register(
+    "x_weighted_mix",
+    _mix_oracle(),
+    doc="Deterministic training-mix construction "
+    "(operators/sampling.py::weighted_mix): per-source sampling rates with "
+    "whole-part row duplication and md5-bucket fractional sampling — "
+    "src0 at 2.5 epochs, src1 at 0.25, src2 dropped, everything else 1.0 "
+    "— summarized as emitted rows / surviving docs per source. Pure "
+    "projection + explode (no shuffle, no RNG, reproducible across "
+    "engines and partitionings); the oracle replays the exact bucket "
+    "arithmetic",
+)
+def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = sampling.weighted_mix(d, _MIX_RATES)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

@@ -13,6 +13,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from query_skyline_qos_flink_spark.operators import multimodal as mm
 from query_skyline_qos_flink_spark.operators import text
@@ -183,6 +184,39 @@ def test_dedup_spans_partial_tail_span(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
     r = text.dedup_spans(df, span_tokens=3).collect()[0]
     assert (r["n_spans"], r["n_kept"], r["clean"]) == (2, 2, "a b c d")
+
+
+def test_weighted_mix_rates(spark):
+    """Whole-part duplication + fractional md5-bucket keep, per group."""
+    from query_skyline_qos_flink_spark.operators.sampling import split_bucket, weighted_mix
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = weighted_mix(df, {"a": 2.5, "b": 0.0}).collect()
+    by_doc: dict[int, int] = {}
+    for r in out:
+        assert r["source"] == "a"  # b dropped entirely
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+        assert r["copy_idx"] >= 1
+    assert set(by_doc.values()) <= {2, 3}  # 2 copies always, 3rd for ~half
+    assert len(by_doc) == 100  # whole part >= 1 keeps every 'a' doc
+    # the 3-copy set is exactly the bucket<5000 set (deterministic)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.where("source = 'a'")
+        .select("doc_id", split_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    for doc, n in by_doc.items():
+        assert n == (3 if buckets[doc] < 5000 else 2)
+
+
+def test_weighted_mix_default_rate(spark):
+    from query_skyline_qos_flink_spark.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame([(i, "x") for i in range(50)], "doc_id bigint, source string")
+    out = weighted_mix(df, {}, default_rate=1.0).collect()
+    assert len(out) == 50 and all(r["copy_idx"] == 1 for r in out)
 
 
 def test_pii_scrub_custom_patterns(spark):
