@@ -32,12 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the first 50 entries of queries().
-# All 87 registered queries are equally real (pytest runs the DuckDB oracle
+# All 94 registered queries are equally real (pytest runs the DuckDB oracle
 # for every one at sf0.001); this priority list rotates which 50 get a
 # driver-side CORRECTNESS row.  Round-6 window: the 37 queries with no
 # round-5 driver row (the x_* LLM-pipeline family plus r1/r2/r6/r8) are
 # front-loaded so every registry entry is driver-verified at current code
-# within two rounds, followed by 13 always-on core skyline queries.
+# within two rounds, then the 7 round-6 additions, then 6 always-on core
+# skyline queries (37 + 7 + 6 = 50).
 # Eleven core variants (s9_grid, s9_angle, s10_1000, s10_10000, e3, e2,
 # s2, s4, s5, s7, s8) sit out exactly one round — each was hash-green in
 # round 5 and close siblings (s1, s3, s9_dim, e1, x_token_stats,

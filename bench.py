@@ -173,9 +173,9 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; timings just include cold costs
 
-        # best-of-2, same keep-min policy as the 1M shapes: run one of a
-        # plan pays one-time codegen/broadcast/AQE-compile costs that are
-        # not operator cost; the min measures the steady state.
+        # best-of-2, same keep-min policy as the 1M shapes: the first run
+        # of a plan pays one-time codegen/broadcast/AQE-compile costs that
+        # are not operator cost; the min measures the steady state.
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(), repeats=2)

@@ -311,9 +311,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance — the text instantiation
     of :func:`hamming_neardup_pairs` over :func:`simhash64`."""
     return hamming_neardup_pairs(
-        df.select(id_col, text_col).transform(
-            lambda d: simhash64(d, id_col, text_col)
-        ),
+        simhash64(df.select(id_col, text_col), id_col, text_col),
         id_col=id_col,
         hash_col="simhash",
         max_hamming=max_hamming,

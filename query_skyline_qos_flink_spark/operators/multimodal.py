@@ -341,7 +341,13 @@ def sample_frames(
 
 AHASH_GRID = 8  # 8x8 blocks -> 64-bit average-hash
 
+# Payloads are pure functions of (key, args) and key_mod folds many rows
+# onto few classes, so each distinct payload is encoded once per Python
+# worker instead of once per row (np.kron + zlib per row is the hot loop).
+from functools import lru_cache as _lru_cache  # noqa: E402
 
+
+@_lru_cache(maxsize=4096)
 def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None) -> bytes:
     """64×64 greyscale PNG whose 8×8 block pattern encodes 64 bits derived
     from ``md5("img{key}")`` — block (i, j) is white iff bit ``i*8+j`` is
@@ -382,6 +388,7 @@ def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None
     )
 
 
+@_lru_cache(maxsize=4096)
 def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
     """Mono PCM16 WAV with closed-form truth: ``n_frames = 800 + (key % 5)
     * 160`` alternating ±``amp`` square-wave samples where ``amp = 2000 +

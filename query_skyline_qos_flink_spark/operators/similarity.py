@@ -345,8 +345,19 @@ def ann_ivf(
     # the centroid table is tiny by construction (<= 2^coarse_bits rows):
     # materialize it driver-side and inline as a literal so assignment
     # never joins or windows — ties (equal distance) break to the
-    # smallest cell id via the (dist, cell) struct sort order
-    cent_rows = sorted(cent.collect(), key=lambda r: r["__cell"])
+    # smallest cell id via the (dist, cell) struct sort order.  A cell
+    # whose members all have NULL at some component yields a NULL centroid
+    # entry that cannot be a literal (and whose distance is undefined) —
+    # drop such cells rather than crash; vectors assigned elsewhere.
+    cent_rows = sorted(
+        (r for r in cent.collect() if all(v is not None for v in r["__c"])),
+        key=lambda r: r["__cell"],
+    )
+    if not cent_rows:
+        raise ValueError(
+            "ann_ivf: no usable centroid cells (empty input or every cell "
+            "has a NULL component) — clean NULL embeddings upstream"
+        )
     cent_lit = F.array(
         *[
             F.struct(

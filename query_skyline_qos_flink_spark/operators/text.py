@@ -154,12 +154,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     )
 
 
-# C4-style content-pattern heuristics (pure column regexes, codegen'd).
-# Dialect-stable char classes only: Java's \s includes \x0B where RE2's
-# (duckdb) does not, so the URL terminator set is spelled out explicitly —
-# the same pattern string must mean the same thing to Spark and the oracle.
-EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-URL_RE = "https?://[^ \\t\\n\\x0B\\f\\r]+"
+# C4-style content-pattern + scrub regexes (pure column exprs, codegen'd),
+# chosen for identical semantics in Java regex (Spark) and RE2 (duckdb):
+# no backrefs, no lookaround.  ONE definition site — these exact strings
+# are embedded verbatim in the duckdb oracles, so edits here change
+# stored oracle hashes.  Known dialect edge, accepted and documented: \s
+# includes \x0B (vertical tab) in Java but not RE2, so URL/whitespace
+# matching diverges on \x0B-bearing text; the fixtures and the corpus
+# contract carry none.
+URL_RE = "https?://[^\\s]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
 DIGIT_RE = "[0-9]"
 
 
@@ -264,10 +268,8 @@ def tfidf_top_terms(
     )
 
 
-# Scrub patterns chosen for identical semantics in Java regex (Spark) and
-# RE2 (duckdb): no backrefs, no lookaround, \s and explicit classes only.
-URL_RE = "https?://[^\\s]+"
-EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+# clean_text / pii_scrub reuse the module-level URL_RE / EMAIL_RE scrub
+# patterns (single definition site above, next to pattern_counts).
 
 
 def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") -> DataFrame:

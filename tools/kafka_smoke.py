@@ -114,7 +114,13 @@ def main() -> int:
             domain=domain,
             on_result=results.append,
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # stop the live query BEFORE the TemporaryDirectory removes its
+            # checkpoint, and fail with the real cause instead of a
+            # confusing stream-abort / missing-results error downstream
+            q.stop()
+            raise AssertionError("availableNow replay did not finish within 300s")
 
     assert results, "pipeline produced no finalized query results"
     metrics = pd.concat(results, ignore_index=True)
