@@ -39,14 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-loaded so every registry entry is driver-verified at current code
 # within two rounds, then the 7 round-6 additions, then 6 always-on core
 # skyline queries (37 + 7 + 6 = 50).
-# Eleven core variants (s9_grid, s9_angle, s10_1000, s10_10000, e3, e2,
+# Twelve core variants (s9_dim/grid/angle, s10_1000, s10_10000, e3, e2,
 # s2, s4, s5, s7, s8) sit out exactly one round — each was hash-green in
-# round 5 and close siblings (s1, s3, s9_dim, e1, x_token_stats,
-# x_exact_quantiles for the s10 prefix machinery) stay in-window; their
-# slots go to the seven round-6 additions (x_pii_scrub,
+# round 5 and close siblings stay in-window (s1, s3, e1, x_token_stats;
+# m1 exercises the s9 partitioners; x_exact_quantiles the s10 prefix
+# machinery); their slots go to the eight round-6 additions (x_pii_scrub,
 # x_blocklist_filter, x_image_ahash_dedup, x_image_neardup_pairs,
-# x_audio_features, x_span_dedup, x_weighted_mix), which have never had
-# a driver row.
+# x_audio_features, x_span_dedup, x_weighted_mix, s21_stream_scrub),
+# which have never had a driver row.
 # tests/test_rotation_window.py enforces the <=2-round staleness bound.
 _DRIVER_PRIORITY = [
     # no driver row in round 5 — x_* pipeline family, gated r1-r3 last
@@ -66,10 +66,10 @@ _DRIVER_PRIORITY = [
     # round-6 additions, no driver row yet
     "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
     "x_image_neardup_pairs", "x_audio_features", "x_span_dedup",
-    "x_weighted_mix",
+    "x_weighted_mix", "s21_stream_scrub",
     # always-on core skyline corpus (SURVEY §2.4)
     "s1_skyline_2d", "s3_skyline_3d",
-    "s6_skyline_events_ts", "s9_twophase_dim",
+    "s6_skyline_events_ts",
     "m1_partition_stats", "e1_dedup_exact",
 ]
 

@@ -841,3 +841,97 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="user_id bigint, event_type string, vc bigint"
     )
+
+
+def _s21_oracle() -> str:
+    from ..operators import text as _text
+    from .pipeline import _PII_TEXT_SQL
+
+    counts = ",\n       ".join(
+        f"CAST(sum(len(regexp_extract_all(wtext, '{p}'))) AS BIGINT) AS n_{label}"
+        for label, p in _text.PII_PATTERNS.items()
+    )
+    scrub = "wtext"
+    for label, p in _text.PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{label.upper()}>', 'g')"
+    return f"""
+WITH w AS (SELECT doc_id, source, {_PII_TEXT_SQL} AS wtext FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {counts},
+       CAST(sum(length({scrub})) AS BIGINT) AS scrub_chars
+FROM w GROUP BY source
+""".strip()
+
+
+@register(
+    "s21_stream_scrub",
+    _s21_oracle(),
+    doc="Streaming governance: the SAME pii_scrub operator that runs in the "
+    "batch corpus (pure column expressions, operators/text.py) applied "
+    "unchanged inside Structured Streaming — documents replayed as a "
+    "two-file parquet stream (maxFilesPerTrigger=1 forces a batch "
+    "boundary mid-corpus), scrubbed in-stream, aggregated per source in "
+    "complete mode.  Complete-mode state is one row per source (bounded "
+    "by construction); the final table equals the batch aggregate "
+    "regardless of how records split across micro-batches — the "
+    "batch/stream unification a Spark-first design buys for every "
+    "stateless operator",
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as _text
+    from .pipeline import _PII_WEAVE_SPARK
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_rows = d.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s21 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s21_scrub_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    woven = stream.select(
+        "doc_id", "source", F.expr(_PII_WEAVE_SPARK).alias("wtext")
+    )
+    scrubbed = _text.pii_scrub(woven, text_col="wtext", out_col="scrub")
+    agg = scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(f"n_{label}").cast("bigint").alias(f"n_{label}")
+            for label in _text.PII_PATTERNS
+        ],
+        F.sum(F.length("scrub")).cast("bigint").alias("scrub_chars"),
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s21 stream scrub timed out after 600 s")
+    out = spark.sql(f"SELECT * FROM {sink}").toPandas()
+    n_cols = ", ".join(f"n_{label} bigint" for label in _text.PII_PATTERNS)
+    return spark.createDataFrame(
+        out,
+        schema=f"source string, n_docs bigint, {n_cols}, scrub_chars bigint",
+    )
