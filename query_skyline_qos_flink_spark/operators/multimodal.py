@@ -7,7 +7,8 @@ functions over those bytes.  Spark never interprets the payload — schema,
 partitioning, batch shape and UDF signatures are the real, tested plumbing.
 
 Codec status: :func:`decode_audio` is REAL for PCM WAV (stdlib ``wave``)
-and :func:`decode_image` is REAL for 8-bit non-interlaced PNG (stdlib
+and :func:`decode_image` is REAL for 8-bit PNG — all five color types
+including palette (PLTE), non-interlaced and Adam7 interlaced (stdlib
 ``zlib``/``struct`` + vectorized numpy unfiltering) — no external deps;
 they back :func:`extract_audio_meta` / :func:`extract_image_meta`.
 JPEG/WebP/mp3/ogg (pillow / ffmpeg) are NOT available in this
@@ -39,48 +40,25 @@ def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
-    """REAL codec for 8-bit PNG (stdlib ``zlib``/``struct`` — no external
-    libs): returns (height, width, channels, ndarray[h, w, c] uint8).
+# Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Supports the common color types — 0 greyscale, 2 RGB, 4 grey+alpha,
-    6 RGBA — at bit depth 8, non-interlaced (the overwhelming majority of
-    real PNGs).  JPEG/WebP/interlaced PNG still need an external decoder
-    (e.g. pillow) — pass your own ``decode_fn`` for those.  Raises
-    ``ValueError`` on non-PNG or unsupported variants."""
-    import struct as _struct
-    import zlib as _zlib
 
+def _unfilter(raw_arr, bpp: int):
+    """Reverse PNG row filters on one (sub-)image: ``raw_arr`` is
+    (h, stride+1) uint8 with the filter byte in column 0; returns the
+    reconstructed (h, stride) scanlines.
+
+    Numpy-vectorized: Sub is a per-channel-lane cumulative sum mod 256;
+    Up is elementwise uint8 add (wraparound is the mod); Average/Paeth
+    are inherently sequential in x (out[x] needs out[x-1]) so they loop
+    over PIXELS with int32 channel-vector ops."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG (bad signature)")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = _struct.unpack(">IIBBBBB", data)
-            if depth != 8 or interlace != 0:
-                raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-            if channels is None:
-                raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = _zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    bpp = channels  # bytes per pixel at depth 8
-    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    h, stride = raw_arr.shape[0], raw_arr.shape[1] - 1
     ftypes = raw_arr[:, 0]
     rows = raw_arr[:, 1:]
     bad = [int(t) for t in np.unique(ftypes) if t > 4]
@@ -89,12 +67,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     if not ftypes.any():
         # all-rows-filter-0 fast path (what the in-repo encoders emit):
         # the unfiltered scanlines ARE the pixels
-        return h, w, channels, rows.copy().reshape(h, w, channels)
-    # Row filters, numpy-vectorized.  Sub is a per-channel-lane cumulative
-    # sum mod 256; Up is elementwise uint8 add (wraparound is the mod);
-    # Average/Paeth are inherently sequential in x (out[x] needs out[x-1])
-    # so they loop over PIXELS with int32 channel-vector ops — bpp times
-    # fewer Python iterations than the former per-byte loops.
+        return rows.copy()
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -134,7 +107,87 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
                 upleft = up
             out[y] = o.astype(np.uint8).reshape(-1)
         prev = out[y]
-    return h, w, channels, out.reshape(h, w, channels)
+    return out
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL codec for 8-bit PNG (stdlib ``zlib``/``struct`` — no external
+    libs): returns (height, width, channels, ndarray[h, w, c] uint8).
+
+    Supports every 8-bit-depth color type — 0 greyscale, 2 RGB,
+    3 palette (PLTE indices resolved to RGB; a tRNS alpha table is
+    ignored), 4 grey+alpha, 6 RGBA — both non-interlaced and Adam7
+    interlaced.  JPEG/WebP and sub-8-bit depths still need an external
+    decoder (e.g. pillow) — pass your own ``decode_fn`` for those.
+    Raises ``ValueError`` on non-PNG or unsupported variants."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(payload):
+        (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = _struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace > 1:
+                raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    bpp = channels  # bytes per pixel at depth 8
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        out = _unfilter(raw_arr, bpp).reshape(h, w, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid by each pass's (origin, step) lattice
+        out = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG interlaced data length mismatch")
+            block = np.frombuffer(raw[off : off + need], dtype=np.uint8).reshape(
+                ph, pstride + 1
+            )
+            off += need
+            sub = _unfilter(block, bpp).reshape(ph, pw, channels)
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        out = palette[out.reshape(h, w)]
+        channels = 3
+    return h, w, channels, out
 
 
 IMAGE_META_SCHEMA = (

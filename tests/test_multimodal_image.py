@@ -186,3 +186,123 @@ def test_decode_image_throughput_512():
     assert (hh, ww, cc) == (h, w, ch)
     assert np.array_equal(arr.reshape(h, w * ch), pix)
     assert dt < 0.2, f"decode took {dt:.3f}s — unfiltering is not vectorized"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_image_palette():
+    """Color type 3: indices resolve through PLTE to RGB."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    h, w, ncol = 9, 7, 5
+    palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    hh, ww, cc, arr = decode_image(png)
+    assert (hh, ww, cc) == (h, w, 3)
+    assert np.array_equal(arr, palette[idx])
+
+
+def test_decode_image_palette_missing_plte_raises():
+    import struct
+    import zlib
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" + b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(png)
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _encode_adam7(pix: np.ndarray) -> bytes:
+    """Minimal Adam7 interlaced encoder (filter 0 rows) for round-trips."""
+    import struct
+    import zlib
+
+    h, w, c = pix.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pix[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("h,w,c", [(16, 16, 3), (13, 11, 1), (9, 5, 4), (3, 2, 2)])
+def test_decode_image_adam7_roundtrip(h, w, c):
+    """Adam7 scatter must reconstruct the exact pixel grid for odd sizes
+    (passes with empty sub-images) and every channel count."""
+    rng = np.random.default_rng(h * 100 + w * 10 + c)
+    pix = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    hh, ww, cc, arr = decode_image(_encode_adam7(pix))
+    assert (hh, ww, cc) == (h, w, c)
+    assert np.array_equal(arr, pix)
+
+
+def test_decode_image_adam7_filtered_subimages():
+    """Each Adam7 sub-image carries its own row filters; use Sub/Up inside
+    a pass and check reconstruction."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(23)
+    h, w, c = 8, 8, 3
+    pix = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pix[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * c, dtype=np.uint8)
+        for y in range(sub.shape[0]):
+            line = sub[y].reshape(-1)
+            if y % 2 == 0:  # Sub filter
+                enc = np.diff(line.reshape(-1, c), axis=0, prepend=np.zeros((1, c), np.uint8))
+                raw += b"\x01" + (enc % 256).astype(np.uint8).tobytes()
+            else:  # Up filter
+                raw += b"\x02" + ((line - prev) % 256).astype(np.uint8).tobytes()
+            prev = line
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    hh, ww, cc, arr = decode_image(png)
+    assert np.array_equal(arr, pix)
