@@ -39,13 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-loaded so every registry entry is driver-verified at current code
 # within two rounds, then the 7 round-6 additions, then 6 always-on core
 # skyline queries (37 + 7 + 6 = 50).
-# Twelve core variants (s9_dim/grid/angle, s10_1000, s10_10000, e3, e2,
-# s2, s4, s5, s7, s8) sit out exactly one round — each was hash-green in
-# round 5 and close siblings stay in-window (s1, s3, e1, x_token_stats;
-# m1 exercises the s9 partitioners; x_exact_quantiles the s10 prefix
-# machinery); their slots go to the eight round-6 additions (x_pii_scrub,
-# x_blocklist_filter, x_image_ahash_dedup, x_image_neardup_pairs,
-# x_audio_features, x_span_dedup, x_weighted_mix, s21_stream_scrub),
+# Thirteen core variants (s9_dim/grid/angle, s10_1000, s10_10000, e1,
+# e2, e3, s2, s4, s5, s7, s8) sit out exactly one round — each was
+# hash-green in round 5 and close siblings stay in-window (s1, s3,
+# x_token_stats, the x_dedup family for e1; m1 exercises the s9
+# partitioners; x_exact_quantiles the s10 prefix machinery); their slots
+# go to the nine round-6 additions (x_pii_scrub, x_blocklist_filter,
+# x_image_ahash_dedup, x_image_neardup_pairs, x_audio_features,
+# x_span_dedup, x_weighted_mix, s21_stream_scrub, x_gif_frame_colors),
 # which have never had a driver row.
 # tests/test_rotation_window.py enforces the <=2-round staleness bound.
 _DRIVER_PRIORITY = [
@@ -66,11 +67,11 @@ _DRIVER_PRIORITY = [
     # round-6 additions, no driver row yet
     "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
     "x_image_neardup_pairs", "x_audio_features", "x_span_dedup",
-    "x_weighted_mix", "s21_stream_scrub",
+    "x_weighted_mix", "s21_stream_scrub", "x_gif_frame_colors",
     # always-on core skyline corpus (SURVEY §2.4)
     "s1_skyline_2d", "s3_skyline_3d",
     "s6_skyline_events_ts",
-    "m1_partition_stats", "e1_dedup_exact",
+    "m1_partition_stats",
 ]
 
 

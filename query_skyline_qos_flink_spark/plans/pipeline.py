@@ -1671,3 +1671,40 @@ def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+def _gif_oracle() -> str:
+    def byte_at(h: str, c: int) -> str:
+        hexd = "'0123456789abcdef'"
+        return (
+            f"CAST((strpos({hexd}, substr({h}, {c}, 1)) - 1) * 16 + "
+            f"(strpos({hexd}, substr({h}, {c + 1}, 1)) - 1) AS BIGINT)"
+        )
+
+    h = "md5('gif' || CAST(doc_id % 25 AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    return f"""
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       {byte_at(h, 1)} AS r,
+       {byte_at(h, 3)} AS g,
+       {byte_at(h, 5)} AS b
+FROM documents, range(0, 4) t(i)
+WHERE i <= (doc_id % 25) % 4
+""".strip()
+
+
+@register(
+    "x_gif_frame_colors",
+    _gif_oracle(),
+    doc="Video-style frame analysis through the REAL multi-frame GIF codec "
+    "(stdlib LZW, operators/multimodal.py::decode_gif): each doc carries "
+    "an animated GIF of (key % 4) + 1 solid-color frames whose colors are "
+    "md5-derived, the decoder reconstructs every frame (color table, "
+    "compositing), and the exact integer mean color per frame is emitted "
+    "— which the duckdb oracle recomputes as a hex-parse, closed-form, "
+    "WITHOUT decoding. One mapInPandas scan; only per-frame statistics "
+    "cross the Arrow boundary, pixels never leave the worker",
+)
+def x_gif_frame_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload(d, "gif", key_mod=25)
+    return multimodal.extract_gif_frame_colors(pay)
