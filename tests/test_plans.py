@@ -111,3 +111,55 @@ def test_r16_single_exchange_no_global_sort(spark):
     plan = _plan(spark, "r16_lag_delta")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_blocklist_broadcasts_probe_no_cartesian(spark):
+    """The blocklist membership probe must be a broadcast semi-join (the
+    dim is small by nature); nothing in the plan may go cartesian."""
+    plan = _plan(spark, "x_blocklist_filter")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_no_window_partial_agg(spark):
+    """First-occurrence selection is a map-side-combined min(struct) —
+    never a row_number window (a hot span would funnel into one task)."""
+    plan = _plan(spark, "x_span_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine before the span shuffle
+
+
+def test_ann_ivf_no_join_or_window_for_assignment(spark):
+    """Literal-centroid assignment: no crossJoin expansion, no per-id
+    window — the only joins left are the candidate equi-join."""
+    plan = _plan(spark, "x_ann_ivf")
+    assert "CartesianProduct" not in plan
+    # exactly one Window remains: the final per-query top-k
+    assert plan.count("RunningWindowFunction") <= 1
+
+
+def test_weighted_mix_no_shuffle_before_aggregate(spark):
+    """The mix itself is projection + explode; the only exchange in the
+    plan is the final per-source summary aggregate."""
+    plan = _plan(spark, "x_weighted_mix")
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pii_scrub_is_scan_side_only(spark):
+    """Redaction is pure column expressions: no exchange, no join, no
+    window anywhere in the plan."""
+    plan = _plan(spark, "x_pii_scrub")
+    for op in ("Exchange", "Join", "Window", "Generate"):
+        assert op not in plan, f"unexpected {op} in pii scrub plan"
+
+
+def test_image_neardup_shuffles_signatures_not_payloads(spark):
+    """The chunk-blocking self-join reads the persisted (id, hash)
+    projection (InMemoryTableScan), so the decode runs once and the join
+    sides carry signatures, not binary payloads."""
+    plan = _plan(spark, "x_image_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    scans = [l for l in plan.splitlines() if "InMemoryTableScan" in l]
+    assert scans and all("payload" not in l for l in scans)
