@@ -84,6 +84,8 @@ SCALING_QUERIES = {
     "s1_skyline_2d": "lineitem",  # relational 2-D skyline path
     "s3_skyline_3d": "lineitem",  # mapInPandas kernel + merge path
     "x_span_dedup": "documents",  # span-keyed first-occurrence shuffle
+    "x_image_neardup_pairs": "documents",  # decode + signature self-join
+    "x_gif_frame_colors": "documents",  # multi-frame decode fan-out
 }
 
 

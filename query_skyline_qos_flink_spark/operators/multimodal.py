@@ -813,16 +813,28 @@ def extract_gif_frame_colors(
             if pdf.empty:
                 continue
             ids, idxs, rs, gs, bs = [], [], [], [], []
+            # duplicate payloads are the NORM in dedup-shaped workloads:
+            # decode each distinct payload once per batch (bounded memory —
+            # the cache dies with the batch)
+            cache: dict[bytes, list[tuple[int, int, int]]] = {}
             for rid, p in zip(pdf[id_col], pdf[payload_col]):
-                n, h, w, frames = decode_fn(bytes(p))
-                tot = h * w
-                sums = frames.astype(np.int64).sum(axis=(1, 2))  # (n, 3)
-                for i in range(n):
+                bp = bytes(p)
+                stats = cache.get(bp)
+                if stats is None:
+                    n, h, w, frames = decode_fn(bp)
+                    tot = h * w
+                    sums = frames.astype(np.int64).sum(axis=(1, 2))  # (n, 3)
+                    stats = [
+                        tuple(int(sums[i, c]) // tot for c in range(3))
+                        for i in range(n)
+                    ]
+                    cache[bp] = stats
+                for i, (r, g, b) in enumerate(stats):
                     ids.append(rid)
                     idxs.append(i)
-                    rs.append(int(sums[i, 0]) // tot)
-                    gs.append(int(sums[i, 1]) // tot)
-                    bs.append(int(sums[i, 2]) // tot)
+                    rs.append(r)
+                    gs.append(g)
+                    bs.append(b)
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "r": rs, "g": gs, "b": bs}
             )
