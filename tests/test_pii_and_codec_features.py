@@ -223,3 +223,105 @@ def test_pii_scrub_custom_patterns(spark):
     df = spark.createDataFrame([(1, "key AKIA1234 end")], "doc_id bigint, text string")
     out = text.pii_scrub(df, patterns={"key": "AKIA[0-9]{4}"}).collect()[0]
     assert out["n_key"] == 1 and out["scrubbed"] == "key <KEY> end"
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis cross-validation: Spark (Java regex / SQL exprs) vs pure
+# Python references on random inputs — catches dialect drift the fixed
+# fixtures can't.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# printable-ASCII text with PII-ish fragments spliced in
+_pii_fragments = st.sampled_from(
+    [
+        "a@b.co", "123-45-6789", "(555) 123-4567", "555-867-5309",
+        "10.0.0.1", "999.1.2.3", "x 12-34 y", "user.name+tag@host.org",
+        "1.2.3", "12345678901234", "call me", "",
+    ]
+)
+_text_strategy = st.lists(
+    st.one_of(
+        _pii_fragments,
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
+    ),
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_text_strategy, min_size=1, max_size=8))
+def test_pii_scrub_matches_python_re(spark, texts):
+    """Counts and the scrubbed string must equal a pure Python ``re``
+    replay of the same patterns in the same order."""
+    import re
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        want_counts = {
+            label: len(re.findall(p, t)) for label, p in text.PII_PATTERNS.items()
+        }
+        scrub = t
+        for label, p in text.PII_PATTERNS.items():
+            scrub = re.sub(p, f"<{label.upper()}>", scrub)
+        r = got[i]
+        for label, n in want_counts.items():
+            assert r[f"n_{label}"] == n, (t, label)
+        assert r["scrubbed"] == scrub, t
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dedup_spans_matches_python_reference(spark, texts, k):
+    """Span chunking, corpus-wide first-occurrence and reassembly must
+    equal a direct Python replay."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.dedup_spans(df, span_tokens=k).collect()}
+
+    seen: dict[str, tuple[int, int]] = {}
+    spans_by_doc: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split() if x]
+        spans = [" ".join(toks[j : j + k]) for j in range(0, len(toks), k)]
+        spans_by_doc[i] = spans
+        for j, s in enumerate(spans):
+            seen.setdefault(s, (i, j))
+    for i in spans_by_doc:
+        kept = [
+            s for j, s in enumerate(spans_by_doc[i]) if seen[s] == (i, j)
+        ]
+        r = got[i]
+        assert r["n_spans"] == len(spans_by_doc[i]), texts
+        assert r["n_kept"] == len(kept), texts
+        assert r["clean"] == " ".join(kept), texts
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.5, 2.75]),
+)
+def test_weighted_mix_totals_match_bucket_formula(spark, n, rate):
+    """Emitted copy counts must equal floor(rate) + fractional-bucket keep
+    computed from the same md5 arithmetic in Python."""
+    import hashlib
+    import math
+
+    from query_skyline_qos_flink_spark.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)], "doc_id bigint, source string")
+    out = weighted_mix(df, {"s": rate}).groupBy("doc_id").count().collect()
+    got = {r["doc_id"]: r["count"] for r in out}
+    for i in range(n):
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+        want = math.floor(rate) + (1 if bucket < int((rate - math.floor(rate)) * 10_000) else 0)
+        assert got.get(i, 0) == want, (i, rate)
