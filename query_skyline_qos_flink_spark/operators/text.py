@@ -186,6 +186,90 @@ def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Composite document-quality gate thresholds (Gopher-rule family, tuned to
+# the fixture corpus so both outcomes occur).  ONE definition site — the
+# duckdb oracle embeds these exact literals, so edits change stored hashes.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MIN_AVG_TOK_LEN = 2.0
+QUALITY_MAX_AVG_TOK_LEN = 12.0
+QUALITY_MIN_STOPWORDS = 2
+QUALITY_MAX_DUP_NGRAM = 0.3
+QUALITY_MAX_DIGIT_RATIO = 0.2
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite Gopher/C4-style quality gate: evaluate the documented rule
+    ladder per document and emit ``keep`` plus the FIRST failing rule name
+    (``reason`` is NULL for keepers).  Rule order is part of the contract:
+
+    1. ``too_few_tokens``      n_tok < QUALITY_MIN_TOKENS
+    2. ``too_many_tokens``     n_tok > QUALITY_MAX_TOKENS
+    3. ``avg_tok_len_range``   avg token length outside [2.0, 12.0]
+    4. ``too_few_stopwords``   fewer than QUALITY_MIN_STOPWORDS stopword hits
+    5. ``repetitive``          duplicate word-3-gram ratio > 0.3
+    6. ``digit_heavy``         digit chars / chars > 0.2
+
+    Every numerator is an exact integer; each ratio is one IEEE division
+    and each threshold test is a single comparison, so the duckdb oracle
+    matches bit-for-bit.  Pure codegen'd column exprs — at 100 TB this is
+    a map-only pass that rides the scan (no shuffle, no Python)."""
+    c = F.col(text_col)
+    staged = df.select(*df.columns, tokens(c).alias("__qtok"))
+    toks = F.col("__qtok")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    k = 3
+    counted = staged.select(
+        *df.columns,
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("__sum_tok_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint").alias("n_stop"),
+        F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(F.lit(0))
+        .cast("bigint").alias("__ng_total"),
+        F.size(word_shingles(toks, k)).cast("bigint").alias("__ng_distinct"),
+        F.coalesce(F.regexp_count(c, F.lit(DIGIT_RE)), F.lit(0))
+        .cast("bigint").alias("__n_digits"),
+        F.length(c).cast("bigint").alias("__n_chars"),
+    )
+    nt = F.col("n_tok").cast("double")
+    ratios = counted.select(
+        *df.columns,
+        "n_tok",
+        "n_stop",
+        F.when(F.col("n_tok") > 0, F.col("__sum_tok_len") / nt)
+        .otherwise(F.lit(0.0)).alias("avg_tok_len"),
+        F.when(
+            F.col("__ng_total") > 0,
+            (F.col("__ng_total") - F.col("__ng_distinct"))
+            / F.col("__ng_total").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+        F.when(
+            F.col("__n_chars") > 0, F.col("__n_digits") / F.col("__n_chars").cast("double")
+        ).otherwise(F.lit(0.0)).alias("digit_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tok") < QUALITY_MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(F.col("n_tok") > QUALITY_MAX_TOKENS, F.lit("too_many_tokens"))
+        .when(
+            (F.col("avg_tok_len") < QUALITY_MIN_AVG_TOK_LEN)
+            | (F.col("avg_tok_len") > QUALITY_MAX_AVG_TOK_LEN),
+            F.lit("avg_tok_len_range"),
+        )
+        .when(F.col("n_stop") < QUALITY_MIN_STOPWORDS, F.lit("too_few_stopwords"))
+        .when(F.col("dup_ngram_ratio") > QUALITY_MAX_DUP_NGRAM, F.lit("repetitive"))
+        .when(F.col("digit_ratio") > QUALITY_MAX_DIGIT_RATIO, F.lit("digit_heavy"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return ratios.select(
+        *ratios.columns,
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

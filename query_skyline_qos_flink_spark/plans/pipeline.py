@@ -650,6 +650,52 @@ def x_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_quality_filter",
+    f"""
+{_TOK_CTE},
+q AS (SELECT doc_id, text, toks,
+  len(toks) AS n_tok,
+  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_tok_len,
+  len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+  CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS ng_total,
+  CASE WHEN len(toks) >= 3 THEN len({_SHS}) ELSE 0 END AS ng_distinct,
+  len(regexp_extract_all(text, '{text.DIGIT_RE}')) AS n_digits,
+  length(text) AS n_chars
+FROM t),
+r AS (SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tok, CAST(n_stop AS BIGINT) AS n_stop,
+  CASE WHEN n_tok > 0 THEN sum_tok_len / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS avg_tok_len,
+  CASE WHEN ng_total > 0 THEN (ng_total - ng_distinct) / CAST(ng_total AS DOUBLE)
+       ELSE 0.0 END AS dup_ngram_ratio,
+  CASE WHEN n_chars > 0 THEN n_digits / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio
+FROM q),
+f AS (SELECT *,
+  CASE WHEN n_tok < {text.QUALITY_MIN_TOKENS} THEN 'too_few_tokens'
+       WHEN n_tok > {text.QUALITY_MAX_TOKENS} THEN 'too_many_tokens'
+       WHEN avg_tok_len < {text.QUALITY_MIN_AVG_TOK_LEN}
+            OR avg_tok_len > {text.QUALITY_MAX_AVG_TOK_LEN} THEN 'avg_tok_len_range'
+       WHEN n_stop < {text.QUALITY_MIN_STOPWORDS} THEN 'too_few_stopwords'
+       WHEN dup_ngram_ratio > {text.QUALITY_MAX_DUP_NGRAM} THEN 'repetitive'
+       WHEN digit_ratio > {text.QUALITY_MAX_DIGIT_RATIO} THEN 'digit_heavy'
+       ELSE NULL END AS reason
+FROM r)
+SELECT doc_id, n_tok, n_stop, avg_tok_len, dup_ngram_ratio, digit_ratio,
+       reason, reason IS NULL AS keep
+FROM f
+""".strip(),
+    doc="Composite Gopher/C4-style quality gate: the documented rule ladder "
+    "(token count -> avg token length -> stopword floor -> 3-gram "
+    "repetition -> digit ratio) evaluated per document with keep + first "
+    "failing reason. Integer numerators, single IEEE divisions, one "
+    "comparison per rule — oracle-exact; map-only pass that rides the "
+    "scan at 100 TB (no shuffle, no Python)",
+)
+def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_filter(d).drop("text")
+
+
+@register(
     "x_train_test_split",
     f"""
 WITH s AS (SELECT doc_id, source,
