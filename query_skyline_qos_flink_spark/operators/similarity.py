@@ -325,20 +325,21 @@ def ann_ivf(
     base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv")).withColumn(
         "__seed", cell
     )
-    sums = [
-        F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}") for i in range(dim)
-    ]
+    # element-wise integer sums as ONE parsed array-of-aggregates
+    # expression: the unrolled per-component F.sum/F.floor column builds
+    # cost ~3 py4j round trips per dim (~1.3 s of pure driver chatter at
+    # dim=64, measured), which dwarfed the actual 16-group agg job
+    sums_sql = (
+        "array(" + ",".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim)) + ")"
+    )
     cent = (
         base.groupBy("__seed")
-        .agg(F.count(F.lit(1)).alias("__n"), *sums)
+        .agg(F.count(F.lit(1)).alias("__n"), F.expr(sums_sql).alias("__sums"))
         .select(
             F.col("__seed").alias("__cell"),
-            F.array(
-                *[
-                    F.floor(F.col(f"__s{i}") / F.col("__n")).cast("long")
-                    for i in range(dim)
-                ]
-            ).alias("__c"),
+            # same arithmetic as the unrolled form: one double division
+            # per component (exact for |sum| < 2^53), floored to BIGINT
+            F.expr("transform(__sums, s -> CAST(floor(s / __n) AS BIGINT))").alias("__c"),
         )
     )
 
@@ -358,15 +359,19 @@ def ann_ivf(
             "ann_ivf: no usable centroid cells (empty input or every cell "
             "has a NULL component) — clean NULL embeddings upstream"
         )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["__cell"])).alias("c"),
-                F.array(*[F.lit(int(v)) for v in r["__c"]]).alias("v"),
-            )
-            for r in cent_rows
-        ]
-    )
+    # ONE F.expr over a SQL string: building this literal as nested
+    # F.array/F.struct/F.lit calls costs ~cells*dim py4j round trips
+    # (~1024 here), which dominated the plan-build time; a single parsed
+    # expression is one round trip.  `L` suffixes keep the components
+    # BIGINT so the integer-L2 fold never overflows int32.
+    cent_sql = "array(" + ",".join(
+        "named_struct('c', {c}, 'v', array({v}))".format(
+            c=int(r["__cell"]),
+            v=",".join(f"{int(v)}L" for v in r["__c"]),
+        )
+        for r in cent_rows
+    ) + ")"
+    cent_lit = F.expr(cent_sql)
 
     def ranked_cells(vdf: DataFrame, keep_ranks: int) -> DataFrame:
         dists = F.sort_array(
