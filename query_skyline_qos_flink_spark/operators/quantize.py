@@ -1,0 +1,138 @@
+"""Int8 embedding quantization — the memory/bandwidth scale path for
+similarity search.
+
+Production vector pipelines quantize float32 embeddings to int8 before
+indexing (4x smaller vectors on the wire and in cache, integer SIMD
+distance kernels); recall loss is recovered by an exact float rerank of
+the short candidate list.  This module implements the symmetric GLOBAL
+variant — one corpus-wide scale, so code-space distances are comparable
+across vectors — with arithmetic chosen to be bit-exact reproducible in
+the DuckDB oracle:
+
+* ``maxabs`` = max over all vectors of max(|x_i|) as double — a pure max
+  (no summation), exact;
+* code_i = clamp(floor(double(x_i) * 127.0 / maxabs), -127, 127) — two
+  IEEE double ops in a fixed order, then an exact floor; the clamp only
+  fires on the 1-ulp-under -127 edge;
+* every downstream statistic and distance on codes is 64-bit integer
+  math — exact in any engine.
+
+All plan shapes are scan-side expressions plus one broadcast of a 1-row
+aggregate (the scale): no Python in the hot path, no shuffle beyond the
+final per-query top-k.  At 100 TB the codes column is the thing you
+persist; ``with_int8_codes`` is the writer-side pass.
+
+No reference counterpart (the Flink reference has no vector surface —
+LLM-pipeline extension per the build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_D = "double"
+
+# fixed int8 symmetric range; -128 is deliberately unused (symmetric
+# quantizers drop it so negation is closed, matching faiss/SQ8 practice)
+INT8_MAX = 127
+
+
+def _abs_max(vec) -> F.Column:
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast(_D))))
+
+
+def corpus_maxabs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row DataFrame with the corpus-wide max |component| (``__maxabs``).
+
+    A pure max-of-max — exact, order-insensitive, map-side combinable."""
+    return df.where(F.col(vec_col).isNotNull()).agg(
+        F.max(_abs_max(F.col(vec_col))).alias("__maxabs")
+    )
+
+
+def with_int8_codes(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q8"
+) -> DataFrame:
+    """Attach symmetric-int8 codes (``array<bigint>`` in [-127, 127]) under
+    the corpus-global scale.  The scale rides in as a broadcast 1-row cross
+    join, so the whole pass stays declarative (Catalyst sees one scan +
+    one tiny build side; no driver action, no collect)."""
+    scale = corpus_maxabs(df, vec_col)
+    code = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-INT8_MAX).cast("long"),
+            F.floor(x.cast(_D) * F.lit(float(INT8_MAX)) / F.col("__maxabs")).cast("long"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(scale))
+        .withColumn(
+            out_col,
+            F.when(F.col("__maxabs") > 0, code).otherwise(
+                F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))
+            ),
+        )
+        .drop("__maxabs")
+    )
+
+
+def int8_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector quantization accounting: dims, saturated components
+    (|code| == 127, i.e. the corpus-max carriers), code sum, and integer
+    squared norm.  Everything after the two-op quantization is 64-bit
+    integer math — oracle-exact."""
+    coded = with_int8_codes(df, vec_col)
+    q8 = F.col("q8")
+    return coded.select(
+        F.col(id_col),
+        F.size(q8).cast("bigint").alias("n_dims"),
+        F.size(F.filter(q8, lambda c: F.abs(c) == INT8_MAX)).cast("bigint").alias("n_sat"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda a, c: a + c).alias("sum_code"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda a, c: a + c * c).alias("l2sq_code"),
+    )
+
+
+def knn_int8(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per query by exact integer squared L2 over the int8
+    codes (self excluded; ties -> smallest neighbor id).  Output: q_id,
+    n_id, rnk, dist (the integer code-space distance).
+
+    This is the coarse stage of a quantized retrieval stack — at scale the
+    codes are 4x smaller than float32 on the wire and the distance kernel
+    is integer-only; chain ``knn_exact_fold`` over the survivors for the
+    float rerank stage.  Both sides are quantized under the SAME corpus
+    scale (taken from ``df``), so code distances are comparable."""
+    coded = with_int8_codes(df, vec_col)
+    q_ids = query_df.select(F.col(id_col).alias("q_id"))
+    q = (
+        coded.join(F.broadcast(q_ids), coded[id_col] == q_ids["q_id"])
+        .select("q_id", F.col("q8").alias("__qq8"))
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("n_id"),
+            F.aggregate(
+                F.zip_with("__qq8", "q8", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rnk"), "dist")
+    )

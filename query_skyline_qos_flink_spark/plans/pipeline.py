@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, dedup, delta, graph, layout, multimodal, packing, profiling, sampling, similarity, sketches, text
+from ..operators import bloom, dedup, delta, graph, layout, multimodal, packing, profiling, quantize, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
 from .corpus import register
@@ -578,6 +578,68 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").between(1, 5))
     return similarity.ann_ivf(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)
+
+
+# Shared int8-quantization CTE (mirrors operators/quantize.py exactly:
+# corpus-global scale, two IEEE ops + exact floor per component, clamp at
+# the 1-ulp-under -127 edge).
+_Q8_CTE = """
+WITH s AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS m
+           FROM embeddings WHERE embedding IS NOT NULL),
+c AS (SELECT vec_id,
+             CASE WHEN m > 0
+                  THEN list_transform(embedding, x ->
+                       greatest(-127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q8
+      FROM embeddings CROSS JOIN s
+      WHERE embedding IS NOT NULL)
+""".strip()
+
+
+@register(
+    "x_embed_quantize8",
+    f"""
+{_Q8_CTE}
+SELECT vec_id, CAST(len(q8) AS BIGINT) AS n_dims,
+       CAST(len(list_filter(q8, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+       CAST(COALESCE(list_sum(q8), 0) AS BIGINT) AS sum_code,
+       CAST(COALESCE(list_sum(list_transform(q8, c -> c * c)), 0) AS BIGINT) AS l2sq_code
+FROM c
+""".strip(),
+    doc="Symmetric int8 embedding quantization under a corpus-global scale "
+    "(the writer-side pass of a quantized vector index: 4x smaller codes, "
+    "integer distance kernels) with per-vector saturation/norm accounting. "
+    "Scale is a 1-row broadcast agg; codes are scan-side exprs; every "
+    "output is 64-bit integer math — oracle-exact",
+)
+def x_embed_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    return quantize.int8_stats(e)
+
+
+@register(
+    "x_knn_int8",
+    f"""
+{_Q8_CTE},
+q AS (SELECT vec_id AS q_id, q8 AS qq8 FROM c WHERE vec_id BETWEEN 1 AND 5),
+p AS (SELECT q.q_id, c.vec_id AS n_id,
+             CAST(list_sum(list_transform(range(1, len(c.q8) + 1),
+                  i -> (q.qq8[i] - c.q8[i]) * (q.qq8[i] - c.q8[i]))) AS BIGINT) AS dist
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM p)
+SELECT q_id, n_id, CAST(rnk AS INT) AS rnk, dist FROM r WHERE rnk <= 5
+""".strip(),
+    doc="Quantized-retrieval coarse stage: top-5 per query by exact integer "
+    "squared L2 over the int8 codes (both sides under the same corpus "
+    "scale; ties -> smallest neighbor id). The production chain reranks "
+    "these survivors with knn_exact_fold on the float vectors; "
+    "tests/test_pipeline_ops.py asserts the code-space recall against the "
+    "exact e2 ranking",
+)
+def x_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = e.where(F.col("vec_id").between(1, 5))
+    return quantize.knn_int8(e, q, k=5)
 
 
 @register(

@@ -595,3 +595,45 @@ def test_winnow_pairs_hot_fingerprint_guard(spark):
     assert len(g_boiler) == 0
     # ... but the 2-doc copied paragraph (df=2 <= 3) is still caught
     assert ((guarded.id_a == 100) & (guarded.id_b == 101)).any()
+
+
+def test_int8_quantization_properties(spark):
+    """Symmetric global int8 codes: range, sign preservation, monotone in
+    the input, and zero-vector -> zero codes."""
+    from query_skyline_qos_flink_spark.operators import quantize
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.25, 0.75, -0.5, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["q8"] for r in quantize.with_int8_codes(df).collect()}
+    # maxabs = 1.0 -> code = floor(x * 127)
+    assert out[1] == [127, -127, 63, 0]
+    assert out[2] == [31, 95, -64, 127]
+    assert out[3] == [0, 0, 0, 0]
+    for codes in out.values():
+        assert all(-127 <= c <= 127 for c in codes)
+
+
+def test_knn_int8_recall_vs_exact(spark):
+    """Code-space top-5 must strongly agree with the exact float top-5 on
+    the fixture embeddings (the rerank contract: quantized coarse stage
+    keeps the true neighbors in its candidate list)."""
+    from query_skyline_qos_flink_spark.operators import quantize, similarity
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+    )
+    q = e.where(F.col("vec_id").between(1, 5))
+    coarse = quantize.knn_int8(e, q, k=5).toPandas()
+    exact = similarity.knn_exact_fold(e, q, k=5).toPandas()
+    agree = 0
+    for qid in exact.q_id.unique():
+        a = set(coarse[coarse.q_id == qid].n_id)
+        b = set(exact[exact.q_id == qid].n_id)
+        agree += len(a & b)
+    # 25 exact neighbor slots total; int8 at dim 64 keeps the vast majority
+    assert agree >= 20, f"int8 recall too low: {agree}/25 overlap"
