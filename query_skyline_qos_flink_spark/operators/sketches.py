@@ -149,3 +149,53 @@ def heavy_hitters_exact(
         .where(F.col("cnt") * k > F.col("__n"))
         .select(value_col, F.col("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def hll_distinct_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lgk: int = 14,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Native DataSketches-HLL distinct counts with a built-in exactness
+    audit — the Spark-JVM scale path next to the portable KMV estimator
+    above (KMV stays the oracle-exact sketch; HLL register layouts are
+    engine-specific, so this operator carries its own ground truth).
+
+    Per group: an HLL sketch (``hll_sketch_agg``, lgK=``lgk`` -> standard
+    error ~1.04/sqrt(2^lgk), 0.8%% at 14) AND the exact distinct count in
+    the same aggregate.  The per-group sketches are then MERGED with
+    ``hll_union_agg`` into a corpus-total row ('_all') — the mergeability
+    demo that matters at 100 TB: per-segment sketches persisted once,
+    rolled up without re-scanning, which exact countDistinct cannot do.
+
+    Output: (grp, n_exact, hll_ok) where ``hll_ok`` is |est - exact| <=
+    tol * exact.  The DuckDB oracle pins n_exact and asserts hll_ok TRUE,
+    so the tolerance is hash-gated, not advisory; at lgk=14 the 5%% bound
+    is ~6 standard errors — deterministic on any fixed input."""
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__sk"),
+        F.count_distinct(value_col).alias("n_exact"),
+    )
+    per = sk.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.hll_sketch_estimate("__sk").alias("__est"),
+    )
+    total = (
+        sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk", F.lit(True))).alias("__est")
+        )
+        .crossJoin(
+            F.broadcast(
+                df.agg(F.count_distinct(value_col).cast("bigint").alias("n_exact"))
+            )
+        )
+        .select(F.lit("_all").alias("grp"), "n_exact", "__est")
+    )
+    ok = (
+        F.abs(F.col("__est") - F.col("n_exact"))
+        <= F.lit(tol) * F.col("n_exact").cast("double")
+    )
+    return per.unionByName(total).select("grp", "n_exact", ok.alias("hll_ok"))

@@ -849,6 +849,27 @@ def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(F.broadcast(exact), "l_returnflag")
 
 
+@register(
+    "x_hll_distinct",
+    """
+SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact, TRUE AS hll_ok
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '_all', CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE FROM lineitem
+""".strip(),
+    doc="Native DataSketches-HLL distinct counts (hll_sketch_agg, lgK=14) "
+    "with per-group sketches MERGED via hll_union_agg into a corpus-total "
+    "row — the persist-once/roll-up-without-rescan shape exact "
+    "countDistinct can't do at 100 TB. Exact counts computed alongside; "
+    "the oracle pins them and asserts the 5% accuracy bound (hll_ok), so "
+    "the estimator's error is hash-gated, not advisory",
+)
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return sketches.hll_distinct_check(li, "l_returnflag", "l_partkey")
+
+
 # ---------------------------------------------------------------------------
 # Profiling & sampling
 # ---------------------------------------------------------------------------

@@ -138,3 +138,24 @@ def test_fuzzy_match_blocks_and_bounds(spark):
     # cross-block typo and different-noun names never pair: recall tradeoff
     assert not any("wodget" in a or "wodget" in b for a, b, _ in pairs)
     assert not any("bolt" in a or "bolt" in b for a, b, _ in pairs)
+
+
+def test_hll_union_matches_direct_sketch(spark):
+    """Merging per-group sketches must estimate like one direct global
+    sketch (same lgK): the roll-up contract that makes persisted
+    per-segment sketches trustworthy."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 1777).alias("v")
+    )
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
