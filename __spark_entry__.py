@@ -68,10 +68,11 @@ _DRIVER_PRIORITY = [
     "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
     "x_image_neardup_pairs", "x_audio_features", "x_span_dedup",
     "x_weighted_mix", "s21_stream_scrub", "x_gif_frame_colors",
-    # always-on core skyline corpus (SURVEY §2.4)
-    "s1_skyline_2d", "s3_skyline_3d",
-    "s6_skyline_events_ts",
-    "m1_partition_stats",
+    # late round-6 additions, no driver row yet — these take the four
+    # core-corpus slots (s1/s3/s6/m1 were all hash-green in round 5, so
+    # under the <=2-round staleness bound they sit out exactly this round
+    # and rotate back in round 7; entry() still smoke-runs s1 every round)
+    "x_quality_filter", "x_embed_quantize8", "x_knn_int8", "x_hll_distinct",
 ]
 
 
