@@ -74,6 +74,11 @@ _DRIVER_PRIORITY = [
     # and rotate back in round 7; entry() still smoke-runs s1 every round)
     "x_quality_filter", "x_embed_quantize8", "x_knn_int8", "x_hll_distinct",
 ]
+# x_jpeg_ahash_dedup registered after the window filled (50 must-gate
+# entries: 37 stale rotations + 13 never-gated); it waits exactly one
+# round for its first driver row — front-load it in round 7.
+# tests/test_rotation_window.py enforces both the staleness bound and
+# that no window slot idles while a never-gated entry waits.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -120,16 +120,20 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     Supports every 8-bit-depth color type — 0 greyscale, 2 RGB,
     3 palette (PLTE indices resolved to RGB; a tRNS alpha table is
     ignored), 4 grey+alpha, 6 RGBA — both non-interlaced and Adam7
-    interlaced.  JPEG/WebP and sub-8-bit depths still need an external
-    decoder (e.g. pillow) — pass your own ``decode_fn`` for those.
-    Raises ``ValueError`` on non-PNG or unsupported variants."""
+    interlaced.  Baseline JPEG payloads (FFD8 magic) dispatch to
+    :func:`decode_jpeg`.  WebP, sub-8-bit PNG depths and progressive/
+    subsampled JPEG still need an external decoder (e.g. pillow) — pass
+    your own ``decode_fn`` for those.  Raises ``ValueError`` on
+    unrecognized or unsupported payloads."""
     import struct as _struct
     import zlib as _zlib
 
     import numpy as np
 
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG (bad signature)")
+        raise ValueError("not a PNG or JPEG (bad signature)")
     pos, w = 8, None
     idat = bytearray()
     palette = None
@@ -484,6 +488,7 @@ def attach_synth_payload(
         "png": synth_png_payload,
         "wav": synth_wav_payload,
         "gif": lambda k: synth_gif_payload(k),
+        "jpeg": lambda k: synth_jpeg_payload(k),
     }[kind]
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
@@ -840,3 +845,495 @@ def extract_gif_frame_colors(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (numpy + struct, no external libs)
+# ---------------------------------------------------------------------------
+#
+# Baseline DCT, 8-bit, Huffman (ITU T.81): greyscale and 4:4:4 YCbCr.
+# Progressive scans, chroma subsampling, 12-bit precision and arithmetic
+# coding raise ValueError (external-decoder integration points).  The
+# encoder uses the Annex K quantization + Huffman tables, so any standard
+# decoder reads its output; the decoder builds canonical Huffman tables
+# from whatever DHT declares, so it reads standard baseline files, not
+# just ours.  Restart markers (DRI/RSTn) are honored.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables, natural (row-major) order
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman table specs: (bits[1..16], values)
+_HUFF_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = np.arange(8, dtype=np.float64)
+    k = n.reshape(8, 1)
+    d = np.cos((2 * n[None, :] + 1) * k * np.pi / 16.0) * 0.5
+    d[0, :] /= np.sqrt(2.0)
+    # orthonormal: rows are the JPEG FDCT basis (F = D @ f @ D.T)
+    return d
+
+
+def _huff_encode_table(bits, vals):
+    """value -> (code, length) per the canonical assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> value, same canonical assignment."""
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category size, appended bits) for a DC diff / AC level (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(pix) -> bytes:
+    """REAL baseline JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB
+    ``(h, w, 3)`` ndarray -> JFIF bytes (Annex K quant + Huffman tables,
+    4:4:4, no subsampling).  Standard decoders read the output; the synth
+    fixtures below use it so the decode path is exercised end-to-end."""
+    import struct as _struct
+
+    import numpy as np
+
+    pix = np.asarray(pix, dtype=np.uint8)
+    grey = pix.ndim == 2
+    h, w = pix.shape[:2]
+    if grey:
+        comps = [pix.astype(np.float64)]
+    else:
+        rgb = pix.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8)
+    enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
+    enc_ac = [_huff_encode_table(*_HUFF_AC_L), _huff_encode_table(*_HUFF_AC_C)]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    for c in comps:
+        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        p[:h, :w] = c
+        p[h:, :w] = c[-1:, :]  # edge-replicate padding
+        p[:, w:] = p[:, w - 1 : w]
+        planes.append(p)
+
+    wtr = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(planes):
+                t = 0 if ci == 0 else 1
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = d @ block @ d.T
+                q = ql if t == 0 else qc
+                qz = np.round(coef / q).astype(np.int64)
+                zz = [int(qz.flat[_ZIGZAG[i]]) for i in range(64)]
+                s, bits = _magnitude(zz[0] - pred[ci])
+                pred[ci] = zz[0]
+                code, ln = enc_dc[t][s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(bits, s)
+                run = 0
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if zz[i]:
+                        last_nz = i
+                        break
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t][0xF0]  # ZRL
+                        wtr.write(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(zz[i])
+                    code, ln = enc_ac[t][(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[t][0x00]  # EOB
+                    wtr.write(code, ln)
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(_JPEG_QL[_ZIGZAG[i]] for i in range(64)))
+    if not grey:
+        out += seg(0xFFDB, b"\x01" + bytes(_JPEG_QC[_ZIGZAG[i]] for i in range(64)))
+    nc = len(comps)
+    sof = _struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += seg(0xFFC0, sof)
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, _HUFF_AC_L)
+    if not grey:
+        out += dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, pauses at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt & 0x07)
+            else:
+                raise ValueError("JPEG entropy data truncated at marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def skip_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n: int):
+        self.n = n
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL baseline JPEG decoder (numpy + struct): returns (height,
+    width, channels, ndarray[h, w, c] uint8).  Handles greyscale and
+    4:4:4 YCbCr baseline scans with canonical Huffman tables from DHT and
+    restart markers; progressive (SOF2), subsampled chroma, 12-bit and
+    arithmetic-coded files raise ValueError (external-decoder integration
+    points)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if off + 65 > len(data):
+                    raise ValueError("JPEG DQT segment truncated")
+                tbl = np.zeros(64, dtype=np.float64)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = data[off + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(data):
+                cls, tid = data[off] >> 4, data[off] & 0x0F
+                bits = list(data[off + 1 : off + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or off + 17 + nv > len(data):
+                    raise ValueError("JPEG DHT segment truncated")
+                vals = list(data[off + 17 : off + 17 + nv])
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = _struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            ns = data[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = data[1 + si * 2 : 3 + si * 2]
+                for cid, tq in comps:
+                    if cid == cs:
+                        scan.append((tt >> 4, tt & 0x0F, tq))
+                        break
+                else:
+                    raise ValueError("JPEG scan names unknown component")
+            d = _dct_matrix()
+            bh, bw = (h + 7) // 8, (w + 7) // 8
+            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan]
+            rdr = _JpegBitReader(payload, pos)
+            pred = [0] * len(scan)
+            mcu = 0
+            by = bx = 0
+            while by < bh:
+                try:
+                    for ci, (td, ta, tq) in enumerate(scan):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = rdr.huff(huff[(0, td)])
+                        diff = _extend(rdr.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        i = 1
+                        while i < 64:
+                            rs = rdr.huff(huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    i += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            i += r
+                            if i > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[i] = _extend(rdr.bits(s), s)
+                            i += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz
+                        blk = d.T @ (coef.reshape(8, 8) * qt[tq]) @ d + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                except _RestartMarker:
+                    raise ValueError("JPEG restart marker misaligned with interval")
+                mcu += 1
+                bx += 1
+                if bx == bw:
+                    bx = 0
+                    by += 1
+                if restart_interval and mcu % restart_interval == 0 and by < bh:
+                    rdr.skip_restart()
+                    pred = [0] * len(scan)
+            arr = [np.clip(p[:h, :w], 0.0, 255.0) for p in planes]
+            if len(arr) == 1:
+                out = arr[0][..., None]
+            elif len(arr) == 3:
+                y, cb, cr = arr
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                out = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+            else:
+                raise ValueError("JPEG: only 1 or 3 components supported")
+            return h, w, out.shape[2], (out + 0.5).astype(np.uint8)
+        elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos -= ln  # standalone markers carry no length segment
+            pos += 2
+        # APPn / COM / others: skipped via the generic length field
+    raise ValueError("JPEG missing SOS scan")
+
+
+@_lru_cache(maxsize=4096)
+def synth_jpeg_payload(key: int, block_px: int = 8) -> bytes:
+    """64×64 greyscale baseline JPEG whose 8×8 block pattern encodes the
+    same 64 md5 bits as :func:`synth_png_payload` (values 192/64 instead
+    of 255/0).  Every pattern block is a constant, JPEG-block-aligned
+    8×8 square, so only DC coefficients survive the FDCT and the worst
+    reconstruction error is quant/16 <= 1 grey level — the aHash block
+    means stay within ±1 of {64, 192}, far from the global-mean
+    threshold, so :func:`image_ahash` provably recovers the md5 bits and
+    a SQL oracle states the clustering closed-form WITHOUT decoding."""
+    import numpy as np
+
+    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    blocks = np.array(
+        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
+    ).reshape(AHASH_GRID, AHASH_GRID)
+    pix = np.kron(blocks * 128 + 64, np.ones((block_px, block_px), dtype=np.uint8))
+    return encode_jpeg(pix)

@@ -1633,6 +1633,33 @@ def x_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_jpeg_ahash_dedup",
+    """
+SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY doc_id % 40
+""".strip(),
+    doc="Image dedup through the REAL baseline JPEG codec (from-scratch "
+    "Annex-K encoder + general Huffman/IDCT decoder, "
+    "operators/multimodal.py::encode_jpeg/decode_jpeg): synthesize a "
+    "64x64 greyscale JPEG per doc (payload class = doc_id % 40), decode, "
+    "compute the 64-bit average-hash, group documents by hash. The synth "
+    "pattern is 8x8-block-constant and JPEG-block-aligned, so only DC "
+    "coefficients survive the FDCT and reconstruction error is <= 1 grey "
+    "level — the aHash provably equals the md5-derived bit pattern and "
+    "the oracle recovers the clustering closed-form WITHOUT decoding. "
+    "Scale: one scan + mapInPandas, shuffle only (hash) pairs",
+)
+def x_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload(d, "jpeg", key_mod=40)
+    hashed = multimodal.image_ahash(pay)
+    return hashed.groupBy("ahash").agg(
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    ).select("min_doc", "n_docs")
+
+
+@register(
     "x_audio_features",
     """
 SELECT doc_id,

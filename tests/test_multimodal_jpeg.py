@@ -1,0 +1,131 @@
+"""Real baseline JPEG codec: encoder/decoder round-trips, dispatch, and
+the closed-form synth-fixture contract behind x_jpeg_ahash_dedup.
+
+The encoder emits standard Annex-K tables, so the decoder here is reading
+a genuinely standard baseline stream (canonical Huffman, zigzag, FDCT),
+not a private format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from query_skyline_qos_flink_spark.operators.multimodal import (
+    AHASH_GRID,
+    decode_image,
+    decode_jpeg,
+    encode_jpeg,
+    image_ahash,
+    synth_jpeg_payload,
+)
+
+
+def _smooth(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return (
+        (np.sin(x / (5 + seed % 7)) + np.cos(y / (7 + seed % 5))) * 40 + 128
+    ).astype(np.uint8)
+
+
+def test_grey_blocky_roundtrip_exact():
+    """8x8-aligned constant blocks survive with error <= 1 grey level
+    (DC-only spectrum, quant step 16 -> max error 16/(2*8))."""
+    pix = np.kron(
+        np.array([[64, 192], [192, 64]], dtype=np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    h, w, c, arr = decode_jpeg(encode_jpeg(pix))
+    assert (h, w, c) == (16, 16, 1)
+    assert np.abs(arr[..., 0].astype(int) - pix.astype(int)).max() <= 1
+
+
+def test_grey_smooth_roundtrip_close():
+    g = _smooth(64, 64)
+    h, w, c, arr = decode_jpeg(encode_jpeg(g))
+    assert (h, w, c) == (64, 64, 1)
+    err = np.abs(arr[..., 0].astype(int) - g.astype(int))
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_rgb_roundtrip_close():
+    g = _smooth(48, 40)
+    rgb = np.stack([g, g[::-1], _smooth(48, 40, seed=3)], axis=-1).astype(np.uint8)
+    h, w, c, arr = decode_jpeg(encode_jpeg(rgb))
+    assert (h, w, c) == (48, 40, 3)
+    err = np.abs(arr.astype(int) - rgb.astype(int))
+    assert err.max() <= 20 and err.mean() < 4.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_any_size_roundtrip_property(h, w, seed):
+    """Arbitrary (non-multiple-of-8) sizes: correct shape, bounded error
+    on smooth content, deterministic decode."""
+    g = _smooth(h, w, seed)
+    payload = encode_jpeg(g)
+    hh, ww, c, arr = decode_jpeg(payload)
+    assert (hh, ww, c) == (h, w, 1)
+    assert np.abs(arr[..., 0].astype(int) - g.astype(int)).max() <= 15
+    hh2, ww2, c2, arr2 = decode_jpeg(payload)
+    assert np.array_equal(arr, arr2)
+
+
+def test_decode_image_dispatches_jpeg():
+    g = _smooth(16, 16)
+    h, w, c, arr = decode_image(encode_jpeg(g))
+    assert (h, w, c) == (16, 16, 1)
+
+
+def test_rejects_bad_and_truncated():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    payload = encode_jpeg(_smooth(24, 24))
+    for cut in (4, 30, 60, 120, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+
+
+def test_rejects_progressive_sof():
+    payload = bytearray(encode_jpeg(_smooth(16, 16)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+
+
+def test_synth_payload_bits_closed_form():
+    """The x_jpeg_ahash_dedup contract: the aHash bit pattern of the
+    synth JPEG equals the md5-derived bits for every key class."""
+    for key in range(0, 40, 7):
+        p = synth_jpeg_payload(key)
+        h, w, c, arr = decode_jpeg(p)
+        grey = arr.astype(np.float64).mean(axis=2)
+        blocks = grey.reshape(AHASH_GRID, 8, AHASH_GRID, 8).mean(axis=(1, 3))
+        v = 0
+        for b in (blocks >= blocks.mean()).flatten():
+            v = (v << 1) | int(b)
+        assert v == int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+
+
+def test_image_ahash_spark_path_jpeg(spark):
+    """End-to-end Spark path: synth JPEG payloads -> Arrow -> decode ->
+    aHash groups ids by key class."""
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.multimodal import attach_synth_payload
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(12))}))
+    pay = attach_synth_payload(df, "jpeg", key_mod=4)
+    out = image_ahash(pay).toPandas()
+    groups = out.groupby("ahash").doc_id.apply(lambda s: sorted(s)).to_dict()
+    assert sorted(map(tuple, groups.values())) == [
+        (0, 4, 8), (1, 5, 9), (2, 6, 10), (3, 7, 11),
+    ]

@@ -39,17 +39,34 @@ def test_no_registry_entry_goes_stale():
     names = list(entry.queries())
     window = set(names[:WINDOW])
     stale = []
+    waiting_newborns = []
     for name in names:
         if name in window:
             continue  # gets a driver row in the upcoming round
         last = max((r for r, got in rounds.items() if name in got), default=None)
-        if last is None or upcoming - last > MAX_STALE_ROUNDS:
+        if last is None:
+            waiting_newborns.append(name)
+        elif upcoming - last > MAX_STALE_ROUNDS:
             stale.append((name, last))
     assert not stale, (
         f"registry entries would exceed {MAX_STALE_ROUNDS} rounds without a "
         f"driver row as of round {upcoming}: {stale}; rotate them into the "
         "first 50 entries of _DRIVER_PRIORITY"
     )
+    if waiting_newborns:
+        # A never-gated entry may wait out-of-window for ONE round, but
+        # only if no window slot is wasted: every in-window entry must
+        # itself be must-gate (never-gated, or stale if skipped this
+        # round).  Otherwise the newborn should take the slack slot.
+        def must_gate(name: str) -> bool:
+            last = max((r for r, got in rounds.items() if name in got), default=None)
+            return last is None or upcoming - last >= MAX_STALE_ROUNDS
+
+        slack = [n for n in names[:WINDOW] if not must_gate(n)]
+        assert not slack, (
+            f"never-gated entries wait outside the window ({waiting_newborns}) "
+            f"while window slots are held by non-urgent entries: {slack}"
+        )
 
 
 def test_priority_list_well_formed():
