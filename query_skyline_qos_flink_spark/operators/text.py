@@ -539,3 +539,40 @@ def winnow_fingerprints(
             yield pdf
 
     return df.mapInPandas(fn, schema=schema)
+
+
+# URL canonicalization: ONE ordered regexp chain, single definition site —
+# the duckdb oracle embeds these exact steps, and each pattern is chosen
+# for identical Java-regex (Spark) / RE2 (duckdb) semantics: no
+# lookaround, no backrefs, anchors only at whole-string ends.
+# Simplification, documented as the operator contract: tracking params are
+# stripped only as a WHOLE query string made of known tracker keys
+# (utm_*/fbclid/gclid) — a tracker mixed into a meaningful query string is
+# preserved rather than risk dropping real parameters.
+_URL_CANON_STEPS: list[tuple[str, str]] = [
+    ("^https?://", ""),          # scheme
+    ("^www\\.", ""),             # canonical host alias
+    ("#[^#]*$", ""),             # fragment
+    ("\\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*(&(utm_[a-z_]+|fbclid|gclid)=[^&#]*)*$", ""),
+    ("/$", ""),                  # trailing slash
+]
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for frontier/content dedup: lowercase, drop
+    scheme, leading ``www.``, fragment, all-tracker query strings, and the
+    trailing slash — so ``https://WWW.A.com/p/?utm_source=x#top`` and
+    ``http://a.com/p`` collapse to the same key.  Pure codegen'd
+    regexp_replace chain (order is part of the contract)."""
+    out = F.lower(col)
+    for pat, rep in _URL_CANON_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def url_canon_sql(expr: str) -> str:
+    """The duckdb twin of :func:`canonical_url` over a SQL expression."""
+    out = f"lower({expr})"
+    for pat, rep in _URL_CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out

@@ -711,6 +711,52 @@ def x_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pattern_counts(d).drop("text")
 
 
+# Deterministic URL weave for the canonicalization fixture (the parquet
+# corpus carries no URLs): 25 canonical classes dressed with scheme /
+# www. / trailing-slash / tracking-query / fragment variations keyed off
+# doc_id.  Valid Spark SQL AND duckdb SQL — one definition, two engines.
+_URL_WEAVE_SQL = """
+concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+  'Site', CAST(doc_id % 25 AS STRING), '.example.com/page/', CAST(doc_id % 25 AS STRING),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss'
+       WHEN doc_id % 4 = 1 THEN '?gclid=abc123' ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+)
+""".strip()
+
+
+@register(
+    "x_url_dedup",
+    f"""
+WITH u AS (SELECT doc_id, {_URL_WEAVE_SQL.replace("AS STRING", "AS VARCHAR")} AS url FROM documents),
+c AS (SELECT doc_id, {text.url_canon_sql('url')} AS canonical_url FROM u)
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM c GROUP BY canonical_url
+""".strip(),
+    doc="Crawl-frontier URL dedup: canonicalize every document's URL "
+    "(lowercase; strip scheme, www., fragment, all-tracker query strings, "
+    "trailing slash — operators/text.py::canonical_url, ONE ordered "
+    "regexp chain defined once for both engines) and keep the first "
+    "document per canonical URL. The weave dresses 25 canonical classes "
+    "in scheme/www/slash/utm/fragment variations, so the dedup provably "
+    "collapses them. Scan-side codegen'd exprs + one map-side-combined "
+    "groupBy on the canonical key — the frontier-dedup shape at crawl "
+    "scale",
+)
+def x_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    u = d.select("doc_id", F.expr(_URL_WEAVE_SQL).alias("url"))
+    c = u.select("doc_id", text.canonical_url(F.col("url")).alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
 @register(
     "x_quality_filter",
     f"""

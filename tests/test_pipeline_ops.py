@@ -637,3 +637,22 @@ def test_knn_int8_recall_vs_exact(spark):
         agree += len(a & b)
     # 25 exact neighbor slots total; int8 at dim 64 keeps the vast majority
     assert agree >= 20, f"int8 recall too low: {agree}/25 overlap"
+
+
+def test_canonical_url_contract(spark):
+    """The canonicalization ladder and its documented edge: tracker params
+    are stripped only as a whole query string — trackers mixed into a
+    meaningful query survive."""
+    cases = [
+        ("https://WWW.A.com/p/?utm_source=x#top", "a.com/p"),
+        ("http://a.com/p", "a.com/p"),
+        ("https://a.com/p?gclid=abc", "a.com/p"),
+        ("https://a.com/p?utm_source=x&utm_medium=y", "a.com/p"),
+        ("https://a.com/p?id=3&utm_source=x", "a.com/p?id=3&utm_source=x"),
+        ("https://a.com/p?id=3", "a.com/p?id=3"),
+        ("HTTPS://B.ORG", "b.org"),
+        ("https://www.b.org/", "b.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = [r["c"] for r in df.select(text.canonical_url(F.col("url")).alias("c")).collect()]
+    assert out == [want for _, want in cases]
