@@ -769,3 +769,42 @@ def r20(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY depth
         """
     )
+
+
+_R21_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "r21_unpivot_measures",
+    "SELECT measure, CAST(count(*) AS BIGINT) AS n_rows,\n"
+    "       CAST(sum(val_c) AS BIGINT) AS sum_c,\n"
+    "       CAST(min(val_c) AS BIGINT) AS min_c, CAST(max(val_c) AS BIGINT) AS max_c\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT '{m}' AS measure, CAST(round({m} * 100) AS BIGINT) AS val_c "
+        f"FROM lineitem WHERE {m} IS NOT NULL"
+        for m in _R21_MEASURES
+    )
+    + "\n) u GROUP BY measure",
+    doc="Unpivot (wide->long) via the native DataFrame.unpivot API: melt "
+    "the four lineitem measures into (measure, value) rows and aggregate "
+    "per measure — the schema-normalization shape for feeding generic "
+    "profilers. Spark plans unpivot as a single Expand node riding the "
+    "scan (one pass, rows x4 only after column pruning to the four "
+    "measures), then one map-side-combined aggregate; cents-integer "
+    "casts keep the oracle hash exact. Oracle states the same thing as "
+    "UNION ALL branches",
+)
+def r21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        *[_cents(m).alias(m) for m in _R21_MEASURES]
+    )
+    long = li.unpivot([], _R21_MEASURES, "measure", "val_c").where(
+        F.col("val_c").isNotNull()
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val_c").cast("bigint").alias("sum_c"),
+        F.min("val_c").cast("bigint").alias("min_c"),
+        F.max("val_c").cast("bigint").alias("max_c"),
+    )
