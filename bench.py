@@ -69,6 +69,11 @@ CORPUS_QUERIES = [
     "x_pii_scrub",
     "x_span_dedup",
     "x_image_neardup_pairs",
+    "x_quality_filter",
+    "x_knn_int8",
+    "x_hll_distinct",
+    "x_jpeg_ahash_dedup",
+    "x_url_dedup",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
@@ -86,6 +91,8 @@ SCALING_QUERIES = {
     "x_span_dedup": "documents",  # span-keyed first-occurrence shuffle
     "x_image_neardup_pairs": "documents",  # decode + signature self-join
     "x_gif_frame_colors": "documents",  # multi-frame decode fan-out
+    "x_quality_filter": "documents",  # map-only composite rule ladder
+    "x_jpeg_ahash_dedup": "documents",  # real-JPEG decode + hash groupBy
 }
 
 

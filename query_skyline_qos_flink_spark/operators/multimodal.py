@@ -556,21 +556,30 @@ def image_ahash(
             if pdf.empty:
                 continue
             rows = []
+            # duplicate payloads are the NORM in dedup-shaped workloads:
+            # decode + hash each distinct payload once per batch (bounded
+            # memory — the cache dies with the batch)
+            cache: dict[bytes, tuple[int, int, int]] = {}
             for p in pdf[payload_col]:
-                h, w, c, arr = decode_fn(bytes(p))
-                grey = arr.astype(np.float64).mean(axis=2)
-                by, bx = max(h // grid, 1), max(w // grid, 1)
-                hh, ww = (h // by) * by, (w // bx) * bx
-                blocks = (
-                    grey[:hh, :ww]
-                    .reshape(hh // by, by, ww // bx, bx)
-                    .mean(axis=(1, 3))[:grid, :grid]
-                )
-                bits = (blocks >= blocks.mean()).flatten()
-                v = 0
-                for b in bits:
-                    v = (v << 1) | int(b)
-                rows.append((np.uint64(v).astype(np.int64).item(), w, h))
+                bp = bytes(p)
+                row = cache.get(bp)
+                if row is None:
+                    h, w, c, arr = decode_fn(bp)
+                    grey = arr.astype(np.float64).mean(axis=2)
+                    by, bx = max(h // grid, 1), max(w // grid, 1)
+                    hh, ww = (h // by) * by, (w // bx) * bx
+                    blocks = (
+                        grey[:hh, :ww]
+                        .reshape(hh // by, by, ww // bx, bx)
+                        .mean(axis=(1, 3))[:grid, :grid]
+                    )
+                    bits = (blocks >= blocks.mean()).flatten()
+                    v = 0
+                    for b in bits:
+                        v = (v << 1) | int(b)
+                    row = (np.uint64(v).astype(np.int64).item(), w, h)
+                    cache[bp] = row
+                rows.append(row)
             out = pd.DataFrame(rows, columns=["ahash", "width", "height"])
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out

@@ -377,3 +377,84 @@ def skyline_with_pid(
     )
     final = _merge_survivors(local, prep_cols)
     return final.select(*out_cols)
+
+
+def skyband(
+    df: DataFrame,
+    dims: Sequence,
+    k: int,
+    count_col: str = "n_dominators",
+) -> DataFrame:
+    """k-skyband of ``df`` over ``dims``: rows with FEWER than ``k``
+    dominators, with the exact dominator count appended (``k=1`` is the
+    skyline; the classic skyline relaxation for "top tier plus
+    runners-up" QoS queries).  ``dims`` as in :func:`skyline`.
+
+    Two-phase shape mirroring :func:`skyline` (kernel facts B1-B3,
+    ``skyline_kernel.py``):
+
+    * local per-partition k-skyband via ``mapInPandas`` riding the scan —
+      a certified SUPERSET of the global k-skyband (B2), O(n x |band|)
+      per partition, only survivors cross the wire;
+    * broadcast-verify: every candidate's dominators are themselves
+      global k-skyband rows (B1) and hence inside the candidate union, so
+      counting dominators against the broadcast candidate matrix is EXACT
+      for true members; for false survivors the same count certifies
+      exclusion (B3: at least k of their dominators are in the union).
+
+    The candidate set is bounded by the same ``_VERIFY_MAX_ROWS`` guard
+    as the skyline merge; unlike the skyline there is no tree-merge
+    fallback (dominator COUNTS don't tree-merge), so a pathological band
+    raises rather than silently degrading."""
+    from .skyline_kernel import _count_dominators_vs, skyband_mask
+
+    if k < 1:
+        raise ValueError(f"skyband: k must be >= 1, got {k}")
+    out_cols = df.columns
+    prepped, prep_cols = _prep(df, dims)
+
+    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            allrows = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            pts = allrows[prep_cols].to_numpy(dtype=np.float64)
+            mask, _ = skyband_mask(pts, k)
+            cur = allrows if mask.all() else allrows.loc[mask]
+        if cur is not None and not cur.empty:
+            yield cur
+
+    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    n = phase1.count()
+    if n > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"skyband: candidate union has {n} rows (> {_VERIFY_MAX_ROWS}); "
+            "raise k selectivity or partition count"
+        )
+    spark = phase1.sparkSession
+    cand_pdf = phase1.select(*prep_cols).toPandas()
+    cand_arr = np.ascontiguousarray(cand_pdf.to_numpy(dtype=np.float64))
+    bc = spark.sparkContext.broadcast(cand_arr)
+
+    # fresh StructType: DataFrame.schema returns the frame's CACHED
+    # StructType and .add() mutates it in place, silently corrupting the
+    # source frame's python-side schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(phase1.schema.fields) + [StructField(count_col, LongType())])
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            counts = _count_dominators_vs(pts, ref)
+            keep = counts < k
+            out = pdf.loc[keep].copy()
+            if not out.empty:
+                out[count_col] = counts[keep]
+                yield out
+
+    return phase1.mapInPandas(verify, schema=schema).select(*out_cols, count_col)

@@ -253,3 +253,119 @@ def skyline_mask_brute(points: np.ndarray) -> np.ndarray:
         lt = (pts[valid] < p).any(axis=1)
         keep[i] = not (le & lt).any()
     return keep
+
+
+# --------------------------------------------------------------------------
+# k-skyband: points with fewer than k dominators (k=1 is the skyline)
+# --------------------------------------------------------------------------
+#
+# Structural facts the distributed operator relies on (proofs in
+# operators/skyline.py::skyband):
+#   (B1) dom(q) ⊊ dom(p) whenever q dominates p (transitivity), so every
+#        dominator of a k-skyband point is itself in the k-skyband;
+#   (B2) the k-skyband of any SUBSET is a superset of the global
+#        k-skyband restricted to that subset (removing rows can only
+#        lower dominator counts);
+#   (B3) if |dom(p)| >= k then at least k of p's dominators are k-skyband
+#        points (sort dom(p) by sum/lex: the i-th element has < i
+#        dominators, all inside dom(p)).
+
+_SKYBAND_CHUNK = 8192
+
+
+def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray) -> np.ndarray:
+    """Exact count of ``sky`` rows dominating each ``cand`` row
+    (column-at-a-time, chunked over the sky side)."""
+    m, d = cand.shape
+    counts = np.zeros(m, dtype=np.int64)
+    for ks in range(0, sky.shape[0], _SKYBAND_CHUNK):
+        sc = sky[ks : ks + _SKYBAND_CHUNK]
+        le = np.ones((m, sc.shape[0]), dtype=bool)
+        eq = np.ones((m, sc.shape[0]), dtype=bool)
+        for j in range(d):
+            sj = sc[:, j][None, :]
+            cj = cand[:, j][:, None]
+            le &= sj <= cj
+            eq &= sj == cj
+        counts += (le & ~eq).sum(axis=1, dtype=np.int64)
+    return counts
+
+
+def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mask, counts) over the input order: ``mask[i]`` iff point i has
+    fewer than ``k`` dominators; ``counts[i]`` is the EXACT dominator
+    count where ``mask[i]`` (for excluded points it is a certified lower
+    bound >= k, counted against skyband members only — see B3).
+
+    Forward pass in dominance-compatible order (exact-sum order when sums
+    are exact, lexicographic otherwise — a dominator always precedes its
+    victims) keeping only the running skyband: by B1 counting against the
+    running set is exact for members, and by B3 it still certifies
+    exclusion for non-members.  O(n * |skyband|) like the skyline BNL,
+    not O(n^2).  NaN rows are excluded (mask False, count -1)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    mask = np.zeros(n, dtype=bool)
+    counts = np.full(n, -1, dtype=np.int64)
+    valid = ~np.isnan(pts).any(axis=1)
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return mask, counts
+    vpts = pts[idx]
+    if sums_exact(vpts):
+        order = np.argsort(vpts.sum(axis=1), kind="stable")
+    else:
+        order = np.lexsort(vpts.T[::-1])
+    vpts = vpts[order]
+    sky: np.ndarray | None = None
+    vcounts = np.empty(vpts.shape[0], dtype=np.int64)
+    vflags = np.empty(vpts.shape[0], dtype=bool)
+    d = vpts.shape[1]
+    for bs in range(0, vpts.shape[0], _BLOCK):
+        blk = vpts[bs : bs + _BLOCK]
+        m = blk.shape[0]
+        base = (
+            _count_dominators_vs(blk, sky)
+            if sky is not None and sky.shape[0]
+            else np.zeros(m, dtype=np.int64)
+        )
+        # intra-block pairwise dominance (m <= _BLOCK keeps this small)
+        le = np.ones((m, m), dtype=bool)
+        eq = np.ones((m, m), dtype=bool)
+        for j in range(d):
+            cj = blk[:, j]
+            le &= cj[:, None] <= cj[None, :]
+            eq &= cj[:, None] == cj[None, :]
+        dom = le & ~eq  # dom[a, b]: row a dominates row b
+        flags = np.empty(m, dtype=bool)
+        for i in range(m):
+            c = base[i] + int(np.count_nonzero(dom[:i, i] & flags[:i]))
+            flags[i] = c < k
+            vcounts[bs + i] = c
+        vflags[bs : bs + m] = flags
+        newsky = blk[flags]
+        if newsky.shape[0]:
+            sky = newsky if sky is None else np.concatenate([sky, newsky], axis=0)
+    inv = idx[order]
+    mask[inv] = vflags
+    counts[inv] = vcounts
+    return mask, counts
+
+
+def skyband_mask_brute(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """O(n^2) reference oracle for tests: exact dominator counts for ALL
+    valid rows (not just members)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    mask = np.zeros(n, dtype=bool)
+    counts = np.full(n, -1, dtype=np.int64)
+    valid = ~np.isnan(pts).any(axis=1)
+    vpts = pts[valid]
+    for pos, i in enumerate(np.nonzero(valid)[0]):
+        p = pts[i]
+        le = (vpts <= p).all(axis=1)
+        eq = (vpts == p).all(axis=1)
+        c = int((le & ~eq).sum())
+        counts[i] = c
+        mask[i] = c < k
+    return mask, counts

@@ -22,7 +22,7 @@ from ..functions.dominance import skyline_oracle_sql
 from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
-from ..operators.skyline import skyline, skyline_with_pid
+from ..operators.skyline import skyband, skyline, skyline_with_pid
 from ..session import epoch_micros, load
 
 
@@ -285,6 +285,57 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return skyline_partition_stats(
         li, ["l_extendedprice", "l_discount"], strategy="dim", num_partitions=8
+    )
+
+
+_S22_DIMS = ["l_extendedprice", "l_discount", "l_tax"]
+_S22_NOTNULL = " AND ".join(
+    f"{c} IS NOT NULL AND NOT isnan({c})" for c in _S22_DIMS
+)
+_S22_DOM = (
+    " AND ".join(f"b.{c} <= a.{c}" for c in _S22_DIMS)
+    + " AND ("
+    + " OR ".join(f"b.{c} < a.{c}" for c in _S22_DIMS)
+    + ")"
+)
+
+
+@register(
+    "s22_skyband",
+    f"""
+WITH p AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+  WHERE l_orderkey % 7 = 0 AND {_S22_NOTNULL}
+),
+c AS (
+  SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, a.l_discount,
+         (SELECT count(*) FROM p b WHERE {_S22_DOM}) AS nd
+  FROM p a
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       CAST(nd AS BIGINT) AS n_dominators
+FROM c WHERE nd < 3
+""".strip(),
+    doc="3-skyband over (price, discount, tax), the classic skyline "
+    "relaxation ('top tier plus runners-up'): rows with fewer than 3 "
+    "dominators plus their exact dominator counts. Same two-phase shape "
+    "as the skyline — local per-partition skyband rides the scan (a "
+    "certified superset, kernel fact B2), broadcast-verify counts "
+    "dominators against the candidate union (exact for members by B1, "
+    "exclusion certified by B3) — operators/skyline.py::skyband, "
+    "skyline_kernel.py::skyband_mask. k=1 degenerates to the skyline "
+    "(property-tested). Input filtered to l_orderkey % 7 = 0 to bound "
+    "the oracle's quadratic count",
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_linenumber", *_S22_DIMS)
+    )
+    return skyband(li, _S22_DIMS, k=3).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "n_dominators"
     )
 
 

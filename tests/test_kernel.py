@@ -68,3 +68,46 @@ def test_partition_invariance_random_splits():
         merged = np.concatenate(locals_, axis=0)
         got = sorted(map(tuple, merged[skyline_mask(merged)]))
         assert got == ref
+
+
+class TestSkyband:
+    def test_matches_brute_force_mixed_inputs(self):
+        from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+            skyband_mask,
+            skyband_mask_brute,
+            skyline_mask,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial in range(25):
+            n = int(rng.integers(1, 300))
+            d = int(rng.integers(2, 5))
+            k = int(rng.integers(1, 6))
+            if trial % 3 == 0:
+                pts = rng.integers(0, 10, size=(n, d)).astype(float)  # ties
+            elif trial % 3 == 1:
+                pts = rng.normal(size=(n, d))
+            else:
+                pts = rng.normal(size=(n, d))
+                pts[rng.random(n) < 0.15] = np.nan
+            m, c = skyband_mask(pts, k)
+            mb, cb = skyband_mask_brute(pts, k)
+            assert (m == mb).all()
+            # exact counts for members; certified >= k bound for the rest
+            assert (c[m] == cb[m]).all()
+            valid = ~np.isnan(pts).any(axis=1)
+            assert (c[~m & valid] >= k).all()
+            if k == 1:
+                assert (m == skyline_mask(pts)).all()
+
+    def test_skyband_nested_supersets(self):
+        from query_skyline_qos_flink_spark.operators.skyline_kernel import skyband_mask
+
+        rng = np.random.default_rng(11)
+        pts = rng.normal(size=(500, 3))
+        prev = None
+        for k in (1, 2, 4, 8):
+            m, _ = skyband_mask(pts, k)
+            if prev is not None:
+                assert (m | ~prev).all()  # k-skybands nest: prev ⊆ current
+            prev = m

@@ -258,3 +258,56 @@ def test_skyline_verify_count_catches_divergence(spark):
     # dominated (and itself) now pass the verify, inflating the count
     trimmed = res.limit(n_res - 1)
     assert skyline_verify_count(df, ["x", "y", "z"], trimmed) > n_res - 1
+
+
+def test_skyband_operator_matches_brute(spark):
+    """Distributed two-phase skyband == single-pass brute force on a
+    multi-partition input with duplicates and a MAX dimension."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import skyband
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        skyband_mask_brute,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 40, n).astype(float),
+            "y": rng.integers(0, 40, n).astype(float),
+            "z": rng.integers(0, 40, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    k = 4
+    out = skyband(df, ["x", "y", ("z", "max")], k=k).toPandas()
+
+    pts = pdf[["x", "y"]].to_numpy()
+    pts = np.column_stack([pts, -pdf["z"].to_numpy()])
+    mask, counts = skyband_mask_brute(pts, k)
+    expect = pdf.loc[mask].rid.to_numpy()
+    assert sorted(out.rid) == sorted(expect)
+    got = dict(zip(out.rid, out.n_dominators))
+    for rid, cnt in zip(pdf.rid[mask], counts[mask]):
+        assert got[rid] == cnt
+    assert (out.n_dominators < k).all()
+
+
+def test_skyband_k1_equals_skyline(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import skyband, skyline
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(800), "a": rng.normal(size=800), "b": rng.normal(size=800)}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    band = skyband(df, ["a", "b"], k=1).toPandas()
+    sky = skyline(df, ["a", "b"]).toPandas()
+    assert sorted(band.rid) == sorted(sky.rid)
+    assert (band.n_dominators == 0).all()
