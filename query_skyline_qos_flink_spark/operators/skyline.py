@@ -458,3 +458,95 @@ def skyband(
                 yield out
 
     return phase1.mapInPandas(verify, schema=schema).select(*out_cols, count_col)
+
+
+def top_dominating(
+    df: DataFrame,
+    dims: Sequence,
+    k: int,
+    count_col: str = "n_dominated",
+    rank_col: str = "rnk",
+    tie_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Top-k dominating points: the ``k`` rows that DOMINATE the most
+    other rows (score = |{q : p dominates q}|), the influence-ranking
+    twin of the skyline (Yiu & Mamoulis' classic query).  Ties in score
+    break by ``tie_cols`` (default: the minimized dim columns, then
+    arbitrary-but-deterministic first tie col order is required for a
+    stable contract — pass explicit keys for oracle-checked use).
+
+    Scale shape — two scans, no quadratic join:
+
+    1. candidates = the k-skyband (one scan + broadcast-verify, see
+       :func:`skyband`): if p has >= k dominators, each dominator q has
+       dominated(p) ⊂ dominated(q) ∪ {p} (transitivity), i.e. a strictly
+       higher score, so p cannot be in the top-k;
+    2. exact scores: broadcast the candidate dim-matrix and count, per
+       input partition, how many rows each candidate dominates
+       (column-at-a-time numpy, partial counts per partition), then ONE
+       tiny shuffle sums |candidates| x partitions partial rows and a
+       final sort takes the top-k.
+
+    Output: the candidate's original columns + ``count_col`` +
+    ``rank_col`` (1-based)."""
+    from .skyline_kernel import _SKYBAND_CHUNK
+
+    if k < 1:
+        raise ValueError(f"top_dominating: k must be >= 1, got {k}")
+    out_cols = df.columns
+    band = skyband(df, dims, k)  # candidates, with their original columns
+    prepped, prep_cols = _prep(df, dims)
+    band_prepped, _ = _prep(band.drop("n_dominators"), dims)
+
+    spark = df.sparkSession
+    cand_pdf = band_prepped.toPandas()
+    if cand_pdf.empty:  # empty input -> empty result with the contract schema
+        empty = band.drop("n_dominators").limit(0)
+        return empty.select(
+            *out_cols,
+            F.lit(0).cast("long").alias(count_col),
+            F.lit(0).cast("int").alias(rank_col),
+        )
+    cand_arr = np.ascontiguousarray(cand_pdf[prep_cols].to_numpy(dtype=np.float64))
+    bc = spark.sparkContext.broadcast(cand_arr)
+
+    def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = bc.value
+        m, d = cand.shape
+        acc = np.zeros(m, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            for ps in range(0, pts.shape[0], _SKYBAND_CHUNK):
+                pc = pts[ps : ps + _SKYBAND_CHUNK]
+                le = np.ones((m, pc.shape[0]), dtype=bool)
+                eq = np.ones((m, pc.shape[0]), dtype=bool)
+                for j in range(d):
+                    cj = cand[:, j][:, None]
+                    pj = pc[:, j][None, :]
+                    le &= cj <= pj
+                    eq &= cj == pj
+                acc += (le & ~eq).sum(axis=1, dtype=np.int64)
+        yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
+
+    partials = prepped.mapInPandas(
+        partial_counts, schema="__cand_idx long, __partial long"
+    )
+    totals = (
+        partials.groupBy("__cand_idx")
+        .agg(F.sum("__partial").alias(count_col))
+    )
+
+    # the SAME collected pandas frame feeds both the broadcast matrix and
+    # this keyed frame, so __cand_idx alignment is positional by
+    # construction (band size is bounded by the skyband's verify guard)
+    cand_keyed = spark.createDataFrame(cand_pdf.assign(__cand_idx=range(len(cand_pdf))))
+    joined = cand_keyed.join(F.broadcast(totals), "__cand_idx")
+    ties = list(tie_cols) if tie_cols else prep_cols
+    w = Window.orderBy(F.col(count_col).desc(), *[F.col(c) for c in ties])
+    return (
+        joined.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .select(*out_cols, F.col(count_col).cast("long"), F.col(rank_col).cast("int"))
+    )

@@ -22,7 +22,7 @@ from ..functions.dominance import skyline_oracle_sql
 from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
-from ..operators.skyline import skyband, skyline, skyline_with_pid
+from ..operators.skyline import skyband, skyline, skyline_with_pid, top_dominating
 from ..session import epoch_micros, load
 
 
@@ -336,6 +336,58 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return skyband(li, _S22_DIMS, k=3).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "n_dominators"
+    )
+
+
+_S23_DOMREV = (
+    " AND ".join(f"a.{c} <= b.{c}" for c in _S22_DIMS)
+    + " AND ("
+    + " OR ".join(f"a.{c} < b.{c}" for c in _S22_DIMS)
+    + ")"
+)
+
+
+@register(
+    "s23_top_dominating",
+    f"""
+WITH p AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+  WHERE l_orderkey % 7 = 0 AND {_S22_NOTNULL}
+),
+c AS (
+  SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, a.l_discount,
+         (SELECT count(*) FROM p b WHERE {_S23_DOMREV}) AS nd
+  FROM p a
+),
+r AS (SELECT *, row_number() OVER (ORDER BY nd DESC, l_orderkey, l_linenumber) AS rnk
+      FROM c)
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       CAST(nd AS BIGINT) AS n_dominated, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 5
+""".strip(),
+    doc="Top-5 dominating points over (price, discount, tax) — the "
+    "influence-ranking twin of the skyline (most-dominating rows with "
+    "exact dominance scores). Scale shape avoids any quadratic join: "
+    "candidates restrict to the 5-skyband (a point with >= 5 dominators "
+    "has 5 strictly-higher scorers, so it can't rank), then ONE counting "
+    "scan with the broadcast candidate matrix accumulates per-partition "
+    "partial scores, one tiny shuffle sums them, and the final top-k "
+    "window runs over band-sized rows only — "
+    "operators/skyline.py::top_dominating. Same filtered subset as s22 "
+    "to bound the oracle's quadratic count; ties break on the PK",
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_linenumber", *_S22_DIMS)
+    )
+    return top_dominating(
+        li, _S22_DIMS, k=5, tie_cols=["l_orderkey", "l_linenumber"]
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "n_dominated", "rnk",
     )
 
 

@@ -311,3 +311,34 @@ def test_skyband_k1_equals_skyline(spark):
     sky = skyline(df, ["a", "b"]).toPandas()
     assert sorted(band.rid) == sorted(sky.rid)
     assert (band.n_dominators == 0).all()
+
+
+def test_top_dominating_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import top_dominating
+
+    rng = np.random.default_rng(9)
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 25, n).astype(float),
+            "y": rng.integers(0, 25, n).astype(float),
+            "z": rng.integers(0, 25, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = top_dominating(df, ["x", "y", "z"], k=4, tie_cols=["rid"]).toPandas()
+
+    pts = pdf[["x", "y", "z"]].to_numpy()
+    scores = []
+    for i in range(n):
+        le = (pts[i] <= pts).all(axis=1)
+        eq = (pts[i] == pts).all(axis=1)
+        scores.append(int((le & ~eq).sum()))
+    pdf["score"] = scores
+    exp = pdf.sort_values(["score", "rid"], ascending=[False, True]).head(4)
+    assert list(out.sort_values("rnk").rid) == list(exp.rid)
+    assert list(out.sort_values("rnk").n_dominated) == list(exp.score)
