@@ -74,6 +74,9 @@ CORPUS_QUERIES = [
     "x_hll_distinct",
     "x_jpeg_ahash_dedup",
     "x_url_dedup",
+    "s22_skyband",
+    "s23_top_dominating",
+    "s24_dynamic_skyline",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table

@@ -339,6 +339,45 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dynamic-skyline query point (fixed literals; mid-domain so dominance
+# flips on both sides of the anchor in the fixtures)
+_S24_Q = {"l_extendedprice": 30000.0, "l_discount": 0.05}
+_S24_SRC = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, "
+    + ", ".join(f"abs({c} - {v}) AS __dyn{i}" for i, (c, v) in enumerate(_S24_Q.items()))
+    + " FROM lineitem"
+)
+
+
+@register(
+    "s24_dynamic_skyline",
+    skyline_oracle_sql(
+        _S24_SRC,
+        ["__dyn0", "__dyn1"],
+        _LI,
+        bucket_sql="l_orderkey",
+    ),
+    doc="Dynamic skyline w.r.t. a query point q (Papadias et al.): p "
+    "dominates p' iff |p_i - q_i| <= |p'_i - q_i| on every dim, strictly "
+    "on one — i.e. the ordinary skyline in the |p - q| transformed "
+    "space. The transform is a scan-side expression, so the operator "
+    "reuses the whole 2-D relational skyline plan (groupBy-min + "
+    "range-bucketed prefix-min + broadcast semi-join) unchanged — "
+    "per-query-point skylines at 100 TB cost exactly one skyline pass "
+    "each, no new machinery",
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(*_LI)
+    dyn = li.select(
+        *_LI,
+        *[
+            F.abs(F.col(c) - F.lit(v)).alias(f"__dyn{i}")
+            for i, (c, v) in enumerate(_S24_Q.items())
+        ],
+    )
+    return skyline(dyn, ["__dyn0", "__dyn1"]).select(*_LI)
+
+
 _S23_DOMREV = (
     " AND ".join(f"a.{c} <= b.{c}" for c in _S22_DIMS)
     + " AND ("
