@@ -935,3 +935,108 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         schema=f"source string, n_docs bigint, {n_cols}, scrub_chars bigint",
     )
+
+
+_S25_DIMS = ["l_extendedprice", "l_discount", "l_tax"]
+_S25_NOTNULL = " AND ".join(
+    f"{c} IS NOT NULL AND NOT isnan({c})" for c in _S25_DIMS
+)
+_S25_DOM = (
+    " AND ".join(f"b.{c} <= a.{c}" for c in _S25_DIMS)
+    + " AND ("
+    + " OR ".join(f"b.{c} < a.{c}" for c in _S25_DIMS)
+    + ")"
+)
+
+
+@register(
+    "s25_stream_skyband",
+    f"""
+WITH p AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+  WHERE l_orderkey % 7 = 0 AND {_S25_NOTNULL}
+),
+c AS (
+  SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, a.l_discount,
+         (SELECT count(*) FROM p b WHERE {_S25_DOM}) AS nd
+  FROM p a
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       CAST(nd AS BIGINT) AS n_dominators
+FROM c WHERE nd < 3
+""".strip(),
+    doc="Streaming k-skyband with BOUNDED state (k=3, same dims/filter/"
+    "oracle as batch s22): lineitem replayed as a two-file stream; each "
+    "foreachBatch folds the batch into a running-band parquet snapshot "
+    "via state' = skyband(state ∪ batch) — the running band is a "
+    "certified superset of the final band (kernel fact B2) and is all "
+    "the state the query ever keeps, the bounded-state analog of the "
+    "cumulative streaming skyline (O24). The post-stream finalization is "
+    "just skyband(final state): a true member's dominators are "
+    "themselves members (B1), so counting inside the state is EXACT, and "
+    "any false survivor carries >= k in-state dominators (B3), so it "
+    "drops. Final answer is batch-exact regardless of how rows split "
+    "across micro-batches. Snapshots go to fresh versioned dirs (never "
+    "overwrite-while-reading)",
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyband
+
+    k = 3
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_linenumber", *_S25_DIMS)
+    )
+    n_rows = li.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s25 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = li.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s25_skyband_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.csv")
+        chunk.to_csv(p, index=False, header=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    state = {"version": -1}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df
+        if state["version"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(workdir, f"v{state['version']}")
+            )
+            cur = prev.unionByName(cur)
+        band = skyband(cur, _S25_DIMS, k=k).drop("n_dominators")
+        band.write.mode("overwrite").parquet(
+            os.path.join(workdir, f"v{state['version'] + 1}")
+        )
+        state["version"] += 1
+
+    q = (
+        spark.readStream.schema(
+            "l_orderkey bigint, l_linenumber bigint, l_extendedprice double, "
+            "l_discount double, l_tax double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .csv(data_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s25 stream skyband replay timed out after 600 s")
+    final_state = spark.read.parquet(os.path.join(workdir, f"v{state['version']}"))
+    return skyband(final_state, _S25_DIMS, k=k).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "n_dominators"
+    )
