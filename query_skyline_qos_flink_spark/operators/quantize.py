@@ -136,3 +136,43 @@ def knn_int8(
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", F.col("rnk").cast("int").alias("rnk"), "dist")
     )
+
+
+def knn_int8_rerank(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    coarse_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full two-stage quantized retrieval chain: int8 code-space top-
+    ``coarse_k`` per query (:func:`knn_int8` — 4x smaller vectors, integer
+    kernel), then an EXACT float squared-L2 rerank of only those
+    candidates, emitting the final top-``k`` (ties -> smallest neighbor
+    id).  This is the production ANN recipe: the float vectors are touched
+    for coarse_k rows per query, never for the corpus.
+
+    Float distances use the same sequential fold as ``knn_exact_fold``
+    (bit-exact against the SQL oracle's ordered sum).  The candidate list
+    is broadcast into the vector lookup, so the rerank adds no O(corpus)
+    shuffle."""
+    from .similarity import _sq_l2_fold
+
+    coarse = knn_int8(df, query_df, k=coarse_k, id_col=id_col, vec_col=vec_col)
+    qe = query_df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qe"))
+    ne = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__ne"))
+    cand = coarse.select("q_id", "n_id")
+    scored = (
+        ne.join(F.broadcast(cand), "n_id")
+        .join(F.broadcast(qe), "q_id")
+        .select(
+            "q_id", "n_id", _sq_l2_fold(F.col("__qe"), F.col("__ne")).alias("dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rnk"))
+    )

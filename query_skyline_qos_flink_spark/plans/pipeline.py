@@ -643,6 +643,40 @@ def x_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_knn_int8_rerank",
+    f"""
+{_Q8_CTE},
+q AS (SELECT vec_id AS q_id, q8 AS qq8 FROM c WHERE vec_id BETWEEN 1 AND 5),
+p AS (SELECT q.q_id, c.vec_id AS n_id,
+             CAST(list_sum(list_transform(range(1, len(c.q8) + 1),
+                  i -> (q.qq8[i] - c.q8[i]) * (q.qq8[i] - c.q8[i]))) AS BIGINT) AS dist
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS crnk FROM p),
+cand AS (SELECT q_id, n_id FROM r WHERE crnk <= 20),
+f AS (SELECT cand.q_id, cand.n_id,
+        (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
+         FROM (SELECT unnest(qe.embedding) AS a, unnest(ne.embedding) AS b) x) AS dist
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.q_id
+      JOIN embeddings ne ON ne.vec_id = cand.n_id),
+rr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM f)
+SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM rr WHERE rnk <= 5
+""".strip(),
+    doc="Two-stage quantized retrieval, end to end: int8 code-space "
+    "top-20 per query (integer kernel over 4x-smaller codes) then an "
+    "exact float squared-L2 rerank of ONLY those candidates -> final "
+    "top-5. The production ANN recipe — floats touched for 20 rows per "
+    "query, never for the corpus; candidate list broadcast, so the "
+    "rerank adds no O(corpus) shuffle. Oracle replays both stages "
+    "(integer coarse distances, e2-style ordered-sum float rerank)",
+)
+def x_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = e.where(F.col("vec_id").between(1, 5))
+    return quantize.knn_int8_rerank(e, q, k=5, coarse_k=20)
+
+
+@register(
     "x_multimodal_frames",
     """
 WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
