@@ -413,15 +413,36 @@ def skyband(
     out_cols = df.columns
     prepped, prep_cols = _prep(df, dims)
 
+    # buffer-and-compact rather than filter-per-Arrow-batch: the running
+    # band can be tens of thousands of rows (unlike a skyline), so
+    # re-running the forward pass every ~10k-row Arrow batch repays
+    # O(|band|) per batch; compacting every ~250k buffered rows runs the
+    # pass ~25x less often for the same bounded memory
+    compact_rows = 250_000
+
     def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur: pd.DataFrame | None = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            allrows = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+        buf: list[pd.DataFrame] = []
+        total = 0
+
+        def compact() -> pd.DataFrame | None:
+            nonlocal buf, total
+            if not buf:
+                return None
+            allrows = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
             pts = allrows[prep_cols].to_numpy(dtype=np.float64)
             mask, _ = skyband_mask(pts, k)
             cur = allrows if mask.all() else allrows.loc[mask]
+            buf, total = [cur], len(cur)
+            return cur
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.append(pdf)
+            total += len(pdf)
+            if total >= compact_rows:
+                compact()
+        cur = compact()
         if cur is not None and not cur.empty:
             yield cur
 
@@ -511,6 +532,8 @@ def top_dominating(
     bc = spark.sparkContext.broadcast(cand_arr)
 
     def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .skyline_kernel import _M_CHUNK
+
         cand = bc.value
         m, d = cand.shape
         acc = np.zeros(m, dtype=np.int64)
@@ -518,16 +541,20 @@ def top_dominating(
             if pdf.empty:
                 continue
             pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            # chunk BOTH sides: cache-sized boolean temporaries even when
+            # the candidate band is tens of thousands of rows
             for ps in range(0, pts.shape[0], _SKYBAND_CHUNK):
                 pc = pts[ps : ps + _SKYBAND_CHUNK]
-                le = np.ones((m, pc.shape[0]), dtype=bool)
-                eq = np.ones((m, pc.shape[0]), dtype=bool)
-                for j in range(d):
-                    cj = cand[:, j][:, None]
-                    pj = pc[:, j][None, :]
-                    le &= cj <= pj
-                    eq &= cj == pj
-                acc += (le & ~eq).sum(axis=1, dtype=np.int64)
+                for ms in range(0, m, _M_CHUNK):
+                    cc = cand[ms : ms + _M_CHUNK]
+                    le = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                    eq = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                    for j in range(d):
+                        cj = cc[:, j][:, None]
+                        pj = pc[:, j][None, :]
+                        le &= cj <= pj
+                        eq &= cj == pj
+                    acc[ms : ms + _M_CHUNK] += (le & ~eq).sum(axis=1, dtype=np.int64)
         yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
 
     partials = prepped.mapInPandas(

@@ -274,20 +274,28 @@ _SKYBAND_CHUNK = 8192
 
 
 def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray) -> np.ndarray:
-    """Exact count of ``sky`` rows dominating each ``cand`` row
-    (column-at-a-time, chunked over the sky side)."""
+    """Exact count of ``sky`` rows dominating each ``cand`` row.
+
+    Chunked on BOTH sides so the boolean comparison matrices stay
+    cache-sized (~_M_CHUNK x _SKYBAND_CHUNK ≈ 32 MB) regardless of how
+    large either side grows — a single-side chunking at band sizes in the
+    tens of thousands allocates multi-hundred-MB temporaries per
+    dimension and turns the pass memory-bound."""
     m, d = cand.shape
     counts = np.zeros(m, dtype=np.int64)
-    for ks in range(0, sky.shape[0], _SKYBAND_CHUNK):
-        sc = sky[ks : ks + _SKYBAND_CHUNK]
-        le = np.ones((m, sc.shape[0]), dtype=bool)
-        eq = np.ones((m, sc.shape[0]), dtype=bool)
-        for j in range(d):
-            sj = sc[:, j][None, :]
-            cj = cand[:, j][:, None]
-            le &= sj <= cj
-            eq &= sj == cj
-        counts += (le & ~eq).sum(axis=1, dtype=np.int64)
+    for ms in range(0, m, _M_CHUNK):
+        cc = cand[ms : ms + _M_CHUNK]
+        sub = counts[ms : ms + _M_CHUNK]
+        for ks in range(0, sky.shape[0], _SKYBAND_CHUNK):
+            sc = sky[ks : ks + _SKYBAND_CHUNK]
+            le = np.ones((cc.shape[0], sc.shape[0]), dtype=bool)
+            eq = np.ones((cc.shape[0], sc.shape[0]), dtype=bool)
+            for j in range(d):
+                sj = sc[:, j][None, :]
+                cj = cc[:, j][:, None]
+                le &= sj <= cj
+                eq &= sj == cj
+            sub += (le & ~eq).sum(axis=1, dtype=np.int64)
     return counts
 
 
