@@ -61,3 +61,75 @@ def test_idempotence_containment_duplicates(rows):
     for i, row in enumerate(pts):
         if tuple(row) in surviving:
             assert mask[i]
+
+
+# --------------------------------------------------------------------------
+# k-skyband kernel properties
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(points_strategy, st.integers(min_value=1, max_value=6))
+def test_skyband_equals_bruteforce(rows, k):
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        skyband_mask,
+        skyband_mask_brute,
+    )
+
+    pts = np.array(rows, dtype=np.float64)
+    m, c = skyband_mask(pts, k)
+    mb, cb = skyband_mask_brute(pts, k)
+    assert (m == mb).all()
+    assert (c[m] == cb[m]).all()
+    assert (c[~m] >= k).all()  # certified exclusion bound
+
+
+@settings(max_examples=40, deadline=None)
+@given(points_strategy, st.integers(min_value=1, max_value=5), st.integers(min_value=2, max_value=5))
+def test_skyband_partition_superset(rows, k, parts):
+    """The union of per-part k-skybands is a superset of the global
+    k-skyband (kernel fact B2) — the distributed phase-1 contract."""
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import skyband_mask
+
+    pts = np.array(rows, dtype=np.float64)
+    gmask, _ = skyband_mask(pts, k)
+    local_keep = np.zeros(len(pts), dtype=bool)
+    for p in range(parts):
+        idx = np.arange(len(pts)) % parts == p
+        if idx.any():
+            lm, _ = skyband_mask(pts[idx], k)
+            local_keep[np.nonzero(idx)[0][lm]] = True
+    assert (local_keep | ~gmask).all()  # global band ⊆ union of local bands
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+                 min_size=4, max_size=4),
+        min_size=1, max_size=25,
+    )
+)
+def test_int8_quantization_spark_vs_python_twin(spark, vecs):
+    """Spark's ``with_int8_codes`` == an independent plain-Python
+    reimplementation of the documented arithmetic (double widening, two
+    IEEE ops, exact floor, clamp, corpus-global scale) on arbitrary
+    float32 vectors — the same definition the duckdb oracle embeds."""
+    import math
+
+    from query_skyline_qos_flink_spark.operators.quantize import with_int8_codes
+
+    arr = np.array(vecs, dtype=np.float32)
+    maxabs = float(np.abs(arr.astype(np.float64)).max())
+    expect = [
+        [max(-127, math.floor(float(x) * 127.0 / maxabs)) for x in v]
+        if maxabs > 0 else [0] * len(v)
+        for v in arr
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(arr)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: list(r["q8"]) for r in with_int8_codes(df).collect()}
+    for i, exp in enumerate(expect):
+        assert got[i] == exp
