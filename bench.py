@@ -96,6 +96,7 @@ SCALING_QUERIES = {
     "x_gif_frame_colors": "documents",  # multi-frame decode fan-out
     "x_quality_filter": "documents",  # map-only composite rule ladder
     "x_jpeg_ahash_dedup": "documents",  # real-JPEG decode + hash groupBy
+    "s22_skyband": "lineitem",  # local-band superset + broadcast-verify
 }
 
 

@@ -163,3 +163,61 @@ def test_image_neardup_shuffles_signatures_not_payloads(spark):
     assert "InMemoryTableScan" in plan
     scans = [l for l in plan.splitlines() if "InMemoryTableScan" in l]
     assert scans and all("payload" not in l for l in scans)
+
+
+def test_quality_filter_scan_side_only(spark):
+    """The composite quality gate is one map-only pass: no exchange, no
+    join, no window — it must ride the scan at 100 TB."""
+    plan = _plan(spark, "x_quality_filter")
+    for op in ("Exchange", "Join", "Window"):
+        assert op not in plan, f"unexpected {op} in quality filter plan"
+
+
+def test_int8_codes_broadcast_scale_no_window(spark):
+    """The corpus-global scale joins in as a broadcast 1-row aggregate —
+    never a cartesian row expansion; the only window is the final
+    per-query top-k."""
+    plan = _plan(spark, "x_knn_int8")
+    # the query-side crossJoin must be the broadcast nested-loop form
+    # (tiny build side), never a partitioned CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("RunningWindowFunction") <= 1
+
+
+def test_url_dedup_single_aggregate_exchange(spark):
+    """Canonicalization is scan-side regexp exprs; the plan's only
+    exchange is the canonical-key aggregate with a map-side partial."""
+    plan = _plan(spark, "x_url_dedup")
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_distinct_no_cartesian_beyond_scalar(spark):
+    """The only nested-loop join allowed is the 1-row exact-total
+    broadcast; sketches merge through aggregates, not joins."""
+    plan = _plan(spark, "x_hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+
+
+def test_skyband_rides_scan_no_preshuffle(spark):
+    """Phase 1 of the skyband must consume the scan directly (no exchange
+    between FileScan and the local-band mapInPandas)."""
+    plan = _plan(spark, "s22_skyband")
+    scan_to_python = plan.index("MapInPandas") if "MapInPandas" in plan else -1
+    assert scan_to_python >= 0
+    assert "CartesianProduct" not in plan
+    # the verify stage reads the persisted candidates, not a reshuffle of
+    # the input: no hash exchange on the dim columns anywhere
+    assert "Exchange hashpartitioning(__sk_" not in plan
+
+
+def test_top_dominating_counting_scan_shape(spark):
+    """Score counting is a mapInPandas over the scan + one tiny aggregate
+    on candidate index — never a quadratic join against the corpus."""
+    plan = _plan(spark, "s23_top_dominating")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(__cand_idx" in plan
