@@ -384,6 +384,7 @@ def skyband(
     dims: Sequence,
     k: int,
     count_col: str = "n_dominators",
+    group_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """k-skyband of ``df`` over ``dims``: rows with FEWER than ``k``
     dominators, with the exact dominator count appended (``k=1`` is the
@@ -406,12 +407,34 @@ def skyband(
     as the skyline merge; unlike the skyline there is no tree-merge
     fallback (dominator COUNTS don't tree-merge), so a pathological band
     raises rather than silently degrading."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from .skyline_kernel import _count_dominators_vs, skyband_mask
 
     if k < 1:
         raise ValueError(f"skyband: k must be >= 1, got {k}")
     out_cols = df.columns
     prepped, prep_cols = _prep(df, dims)
+
+    if group_by:
+        # per-group semantics: the whole group meets one kernel call, so
+        # counts are exact directly (dominance restricted to equal keys —
+        # one hash exchange on the group keys, unavoidable)
+        gschema = StructType(
+            list(prepped.schema.fields) + [StructField(count_col, LongType())]
+        )
+
+        def grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            mask, counts = skyband_mask(pts, k)
+            out = pdf.loc[mask].copy()
+            out[count_col] = counts[mask]
+            return out
+
+        res = prepped.groupBy(*[F.col(g) for g in group_by]).applyInPandas(
+            grouped, schema=gschema
+        )
+        return res.select(*out_cols, count_col)
 
     # buffer-and-compact rather than filter-per-Arrow-batch: the running
     # band can be tens of thousands of rows (unlike a skyline), so

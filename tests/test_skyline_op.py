@@ -342,3 +342,34 @@ def test_top_dominating_matches_brute(spark):
     exp = pdf.sort_values(["score", "rid"], ascending=[False, True]).head(4)
     assert list(out.sort_values("rnk").rid) == list(exp.rid)
     assert list(out.sort_values("rnk").n_dominated) == list(exp.score)
+
+
+def test_skyband_groupwise_matches_per_group_brute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import skyband
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        skyband_mask_brute,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "g": rng.integers(0, 5, n),
+            "x": rng.integers(0, 20, n).astype(float),
+            "y": rng.integers(0, 20, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    out = skyband(df, ["x", "y"], k=3, group_by=["g"]).toPandas()
+    got = {(r.g, r.rid): r.n_dominators for r in out.itertuples()}
+    expect = {}
+    for g, sub in pdf.groupby("g"):
+        mask, counts = skyband_mask_brute(sub[["x", "y"]].to_numpy(), 3)
+        for rid, m, c in zip(sub.rid, mask, counts):
+            if m:
+                expect[(g, rid)] = c
+    assert got == expect
