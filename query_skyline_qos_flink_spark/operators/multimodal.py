@@ -1023,6 +1023,10 @@ def encode_jpeg(pix) -> bytes:
     import numpy as np
 
     pix = np.asarray(pix, dtype=np.uint8)
+    if pix.ndim == 3 and pix.shape[2] == 1:
+        pix = pix[..., 0]  # single-channel (h, w, 1) is greyscale
+    if pix.ndim == 3 and pix.shape[2] != 3:
+        raise ValueError(f"encode_jpeg: expected (h, w), (h, w, 1) or (h, w, 3), got {pix.shape}")
     grey = pix.ndim == 2
     h, w = pix.shape[:2]
     if grey:

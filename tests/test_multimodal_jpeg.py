@@ -129,3 +129,11 @@ def test_image_ahash_spark_path_jpeg(spark):
     assert sorted(map(tuple, groups.values())) == [
         (0, 4, 8), (1, 5, 9), (2, 6, 10), (3, 7, 11),
     ]
+
+
+def test_encoder_input_shapes():
+    g = _smooth(16, 16)
+    single = g[..., None]  # (h, w, 1) treated as greyscale
+    assert encode_jpeg(single) == encode_jpeg(g)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))
