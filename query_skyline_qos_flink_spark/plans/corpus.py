@@ -19,6 +19,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.dominance import skyline_oracle_sql
+from ..operators.caching import persist_bounded as _persist_corpus
 from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
@@ -428,6 +429,57 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
         "n_dominated", "rnk",
     )
+
+
+def _s26_subsets() -> list[tuple[str, list[str]]]:
+    """All non-empty subsets of the 3 skycube dims, label = bitmask name."""
+    out = []
+    for mask in range(1, 8):
+        dims = [c for i, c in enumerate(_S22_DIMS) if mask & (1 << i)]
+        out.append(("+".join(d.split("_", 1)[1] for d in dims), dims))
+    return out
+
+
+def _s26_oracle() -> str:
+    parts = []
+    for label, dims in _s26_subsets():
+        sky = skyline_oracle_sql(
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax "
+            "FROM lineitem WHERE l_orderkey % 11 = 0",
+            dims,
+            ["l_orderkey", "l_linenumber"],
+            bucket_sql="l_orderkey",
+        )
+        parts.append(f"SELECT '{label}' AS subspace, s.* FROM ({sky}) s")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "s26_skycube",
+    _s26_oracle(),
+    doc="Skycube (Yuan et al., VLDB'05): the skyline of EVERY non-empty "
+    "subset of (price, discount, tax) — 7 subspace skylines labeled by "
+    "their dim set, the group-by-cube analog for dominance queries "
+    "(dashboards ask 'best under any criteria combination'). One "
+    "persisted scan feeds all 7 passes; each subspace reuses whichever "
+    "physical skyline strategy fits its arity (1-D/3-D kernel path, 2-D "
+    "relational path), and the final result is a metadata-cheap union. "
+    "Input filtered to l_orderkey % 11 = 0 to bound the 7-way oracle",
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 11 == 0)
+        .select("l_orderkey", "l_linenumber", *_S22_DIMS)
+    )
+    li = _persist_corpus(li)
+    out = None
+    for label, dims in _s26_subsets():
+        sky = skyline(li, dims).select(
+            F.lit(label).alias("subspace"), "l_orderkey", "l_linenumber"
+        )
+        out = sky if out is None else out.unionByName(sky)
+    return out
 
 
 # ---------------------------------------------------------------------------
