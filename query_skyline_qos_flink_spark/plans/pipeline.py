@@ -892,6 +892,45 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, d.select("doc_id"))
 
 
+@register(
+    "x_dedup_sweep",
+    f"""
+WITH cl AS ({_CLUSTERS_ORACLE}),
+kept AS (SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+         WHERE cl.doc_id = cl.canonical_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(sum(k.n_chars), 0) AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.source
+""".strip(),
+    doc="End-to-end near-dup SWEEP with a retention report: Jaccard pair "
+    "graph -> connected-component clusters -> keep each cluster's "
+    "canonical (smallest-id) document -> per-source input/kept/char "
+    "accounting — the acceptance artifact of a corpus dedup run "
+    "(retention-rate dashboards). Composes jaccard_pairs + "
+    "connected_components + one semi-join + one aggregate; the only new "
+    "shuffles beyond clustering are the keep join (on doc_id) and the "
+    "final per-source rollup",
+)
+def x_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.1).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, d.select("doc_id"))
+    kept = comp.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    kd = d.join(F.broadcast(kept.withColumnRenamed("doc_id", "__kid")),
+                F.col("doc_id") == F.col("__kid"), "left")
+    return kd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("__kid").cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("__kid").isNotNull(), F.col("n_chars"))), F.lit(0)
+        ).cast("bigint").alias("kept_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketches
 # ---------------------------------------------------------------------------
