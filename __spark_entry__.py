@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the first 50 entries of queries().
-# All 94 registered queries are equally real (pytest runs the DuckDB oracle
+# All 110 registered queries are equally real (pytest runs the DuckDB oracle
 # for every one at sf0.001); this priority list rotates which 50 get a
 # driver-side CORRECTNESS row.  Round-6 window: the 37 queries with no
 # round-5 driver row (the x_* LLM-pipeline family plus r1/r2/r6/r8) are
