@@ -487,8 +487,8 @@ def attach_synth_payload(
     gen = {
         "png": synth_png_payload,
         "wav": synth_wav_payload,
-        "gif": lambda k: synth_gif_payload(k),
-        "jpeg": lambda k: synth_jpeg_payload(k),
+        "gif": synth_gif_payload,
+        "jpeg": synth_jpeg_payload,
     }[kind]
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
@@ -617,6 +617,8 @@ def _lzw_decode(data: bytes, min_code: int) -> bytes:
             if code == end:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW stream (code beyond table)")
                 entry = table[code]
             else:
                 if code < len(table):
@@ -671,6 +673,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
             if label == 0xF9:  # graphic control: transparency flag + index
                 ln = payload[pos]
                 gce = payload[pos + 1 : pos + 1 + ln]
+                if len(gce) < 4:
+                    raise ValueError("corrupt GIF graphic-control extension")
                 transparent = gce[3] if (gce[0] & 0x01) else None
             while True:
                 ln = payload[pos]
@@ -1261,6 +1265,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 raise ValueError("JPEG SOS before SOF")
             h, w, comps = frame
             ns = data[0]
+            if ns != len(comps):
+                # a spec-valid baseline file may put each component in its
+                # own scan (non-interleaved); decoding only the first scan
+                # would silently return luma-only data as "greyscale"
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG unsupported: scan has "
+                    f"{ns} of {len(comps)} frame components"
+                )
             scan = []
             for si in range(ns):
                 cs, tt = data[1 + si * 2 : 3 + si * 2]
@@ -1326,8 +1338,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 raise ValueError("JPEG: only 1 or 3 components supported")
             return h, w, out.shape[2], (out + 0.5).astype(np.uint8)
         elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos -= ln  # standalone markers carry no length segment
-            pos += 2
+            # standalone markers (TEM, RSTn) carry no length segment: the
+            # two bytes parsed as ``ln`` belong to the NEXT marker, so undo
+            # the generic ``pos += 2 + ln`` advance back to just past the
+            # 2-byte marker itself
+            pos -= ln
         # APPn / COM / others: skipped via the generic length field
     raise ValueError("JPEG missing SOS scan")
 

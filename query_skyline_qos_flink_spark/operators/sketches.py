@@ -183,6 +183,16 @@ def hll_distinct_check(
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.hll_sketch_estimate("__sk").alias("__est"),
     )
+    # '_all' is a RESERVED group label (the rollup sentinel below would be
+    # indistinguishable from a real group stringifying to '_all'); enforce
+    # in-plan via assert_true inside a filter — always-true predicate, zero
+    # extra jobs, raises at execution if the reserved name ever appears
+    per = per.where(
+        F.assert_true(
+            ~F.col("grp").eqNullSafe("_all"),
+            F.lit("hll_distinct_check: group value '_all' collides with the rollup sentinel"),
+        ).isNull()
+    )
     total = (
         sk.agg(
             F.hll_sketch_estimate(F.hll_union_agg("__sk", F.lit(True))).alias("__est")

@@ -544,7 +544,11 @@ def winnow_fingerprints(
 # URL canonicalization: ONE ordered regexp chain, single definition site —
 # the duckdb oracle embeds these exact steps, and each pattern is chosen
 # for identical Java-regex (Spark) / RE2 (duckdb) semantics: no
-# lookaround, no backrefs, anchors only at whole-string ends.
+# lookaround, no backrefs, anchors only at whole-string ends.  End anchors
+# are \z, not $: Java's default-mode $ also matches BEFORE a trailing
+# newline while RE2's does not, so '$' would canonicalize a
+# newline-terminated crawl URL differently per engine; \z means
+# end-of-input in both.
 # Simplification, documented as the operator contract: tracking params are
 # stripped only as a WHOLE query string made of known tracker keys
 # (utm_*/fbclid/gclid) — a tracker mixed into a meaningful query string is
@@ -552,9 +556,9 @@ def winnow_fingerprints(
 _URL_CANON_STEPS: list[tuple[str, str]] = [
     ("^https?://", ""),          # scheme
     ("^www\\.", ""),             # canonical host alias
-    ("#[^#]*$", ""),             # fragment
-    ("\\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*(&(utm_[a-z_]+|fbclid|gclid)=[^&#]*)*$", ""),
-    ("/$", ""),                  # trailing slash
+    ("#[^#]*\\z", ""),           # fragment
+    ("\\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*(&(utm_[a-z_]+|fbclid|gclid)=[^&#]*)*\\z", ""),
+    ("/\\z", ""),                # trailing slash
 ]
 
 

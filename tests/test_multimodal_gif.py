@@ -203,3 +203,30 @@ def test_decode_gif_interlaced_frame():
 def test_decode_gif_rejects_garbage():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"PNG nope")
+
+
+def test_lzw_rejects_code_beyond_table_as_valueerror():
+    """Corrupt streams raise the documented ValueError, not IndexError —
+    both before any CLEAR (empty table) and right after one."""
+    w = _BitWriter()
+    w.write(7, 3)  # min_code=2: first code 7 with NO initial CLEAR
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        _lzw_decode(w.flush(), 2)
+    w = _BitWriter()
+    w.write(4, 3)  # CLEAR
+    w.write(7, 3)  # beyond the 6-entry fresh table
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        _lzw_decode(w.flush(), 2)
+
+
+def test_decode_gif_truncated_gce_raises_valueerror():
+    """A graphic-control extension declaring fewer than 4 data bytes must
+    raise the documented ValueError, not IndexError."""
+    palette = np.stack([np.arange(4)] * 3, axis=1).astype(np.uint8) * 60
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    payload = bytearray(_encode_gif([idx], palette))
+    at = payload.index(0x2C, 13)  # image descriptor
+    # splice a GCE declaring only 2 data bytes before the frame
+    payload[at:at] = bytes([0x21, 0xF9, 2, 0x01, 0x00, 0x00])
+    with pytest.raises(ValueError, match="graphic-control"):
+        decode_gif(bytes(payload))

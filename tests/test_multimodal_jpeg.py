@@ -131,6 +131,38 @@ def test_image_ahash_spark_path_jpeg(spark):
     ]
 
 
+def test_standalone_markers_in_header_are_skipped():
+    """TEM (FF 01) and stray RSTn markers carry NO length segment; the
+    parser must resume exactly 2 bytes past them (a spec-valid stream may
+    interleave them between header segments)."""
+    g = _smooth(16, 16)
+    clean = decode_jpeg(encode_jpeg(g))[3]
+    for marker in (b"\xff\x01", b"\xff\xd0"):
+        payload = encode_jpeg(g)
+        spliced = payload[:2] + marker + payload[2:]  # right after SOI
+        h, w, c, arr = decode_jpeg(spliced)
+        assert (h, w, c) == (16, 16, 1)
+        assert np.array_equal(arr, clean)
+
+
+def test_multiscan_color_rejected_not_silently_grey():
+    """A baseline color file with each component in its own scan (ns <
+    frame components) must raise, not silently return luma as greyscale."""
+    rgb = np.stack([_smooth(16, 16), _smooth(16, 16, 2), _smooth(16, 16, 3)], axis=-1)
+    payload = encode_jpeg(rgb.astype(np.uint8))
+    idx = payload.find(b"\xff\xda")
+    assert idx >= 0
+    ln = int.from_bytes(payload[idx + 2 : idx + 4], "big")
+    assert payload[idx + 4] == 3  # interleaved 3-component scan header
+    # rewrite the SOS header to name only the first component (ns=1)
+    comp0 = payload[idx + 5 : idx + 7]
+    tail = payload[idx + 2 + ln - 3 : idx + 2 + ln]  # Ss/Se/Ah-Al bytes
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + comp0 + tail
+    doctored = payload[:idx] + new_sos + payload[idx + 2 + ln :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(doctored)
+
+
 def test_encoder_input_shapes():
     g = _smooth(16, 16)
     single = g[..., None]  # (h, w, 1) treated as greyscale

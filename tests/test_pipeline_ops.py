@@ -656,3 +656,35 @@ def test_canonical_url_contract(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     out = [r["c"] for r in df.select(text.canonical_url(F.col("url")).alias("c")).collect()]
     assert out == [want for _, want in cases]
+
+
+def test_canonical_url_newline_parity_with_duckdb(spark):
+    """End anchors are \\z, not $: Java's default-mode $ also matches
+    before a trailing newline while RE2's does not, so a '$'-anchored
+    ladder canonicalizes 'https://a.com/p/\\n' differently per engine.
+    Pin Spark == duckdb on newline-terminated crawl artifacts (and that
+    the trailing junk visibly survives, so the divergence can't hide)."""
+    import duckdb
+
+    urls = [
+        "https://a.com/p/\n",
+        "https://a.com/p#frag\n",
+        "https://a.com/p?utm_source=x\n",
+        "https://a.com/p/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        r["c"] for r in df.select(text.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join("(?)" for _ in urls) + ") v(url)", urls)
+    got_duck = [
+        r[0] for r in con.execute(
+            f"SELECT {text.url_canon_sql('url')} FROM t ORDER BY rowid"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    # \z never fires before the newline: the '/'+junk survives intact
+    assert got_spark[0] == "a.com/p/\n"
+    assert got_spark[3] == "a.com/p"
