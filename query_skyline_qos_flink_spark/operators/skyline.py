@@ -481,11 +481,9 @@ def skyband(
     cand_arr = np.ascontiguousarray(cand_pdf.to_numpy(dtype=np.float64))
     bc = spark.sparkContext.broadcast(cand_arr)
 
-    # fresh StructType: DataFrame.schema returns the frame's CACHED
-    # StructType and .add() mutates it in place, silently corrupting the
-    # source frame's python-side schema
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    # fresh StructType (imported at the top of the function): .add() on
+    # DataFrame.schema would mutate the frame's CACHED StructType in place,
+    # silently corrupting the source frame's python-side schema
     schema = StructType(list(phase1.schema.fields) + [StructField(count_col, LongType())])
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -502,6 +500,33 @@ def skyband(
                 yield out
 
     return phase1.mapInPandas(verify, schema=schema).select(*out_cols, count_col)
+
+
+def _keyed_candidates(spark, cand_pdf: pd.DataFrame, schema) -> DataFrame:
+    """Re-enter a collected candidate pandas frame into Spark with a
+    positional ``__cand_idx`` key, preserving the source ``schema``
+    exactly.  The explicit schema keeps passthrough column types exact —
+    schema inference over the pandas round-trip would promote NULL-bearing
+    int columns to double and fail outright on all-NULL columns.  toPandas
+    already did that float64-with-NaN promotion for nullable integral
+    passthroughs, so rewrap those as object-with-None before the cast —
+    an unsafe float->long Arrow cast would turn the NaNs into garbage."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import StructField, StructType
+
+    keyed_schema = StructType(
+        list(schema.fields) + [StructField("__cand_idx", LongType(), False)]
+    )
+    keyed_pdf = cand_pdf.assign(__cand_idx=range(len(cand_pdf)))
+    for f in schema.fields:
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)) \
+                and keyed_pdf[f.name].dtype.kind == "f":
+            col = keyed_pdf[f.name]
+            keyed_pdf[f.name] = pd.Series(
+                [None if pd.isna(v) else int(v) for v in col],
+                index=col.index, dtype=object,
+            )
+    return spark.createDataFrame(keyed_pdf, schema=keyed_schema)
 
 
 def top_dominating(
@@ -591,7 +616,7 @@ def top_dominating(
     # the SAME collected pandas frame feeds both the broadcast matrix and
     # this keyed frame, so __cand_idx alignment is positional by
     # construction (band size is bounded by the skyband's verify guard)
-    cand_keyed = spark.createDataFrame(cand_pdf.assign(__cand_idx=range(len(cand_pdf))))
+    cand_keyed = _keyed_candidates(spark, cand_pdf, band_prepped.schema)
     joined = cand_keyed.join(F.broadcast(totals), "__cand_idx")
     ties = list(tie_cols) if tie_cols else prep_cols
     w = Window.orderBy(F.col(count_col).desc(), *[F.col(c) for c in ties])
@@ -599,4 +624,132 @@ def top_dominating(
         joined.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
         .select(*out_cols, F.col(count_col).cast("long"), F.col(rank_col).cast("int"))
+    )
+
+
+def reverse_skyline(
+    df: DataFrame,
+    dims: Sequence,
+    query_point: Sequence[float],
+    pool_size: int = 4096,
+) -> DataFrame:
+    """Monochromatic reverse skyline of ``df`` w.r.t. ``query_point``
+    (Dellis & Seeger, VLDB'07): the rows p such that NO other row r
+    dynamically-dominates q with respect to p — i.e. no r with
+    ``|r_d - p_d| <= |q_d - p_d|`` on every dim, strict on one.  The dual
+    of :func:`skyline`-over-``|x - q|`` (the s24 dynamic skyline): dynamic
+    asks "best rows for anchor q", reverse asks "for which rows is q among
+    their best" — the classic influence view (which offers find customer q
+    attractive).
+
+    Directions in ``dims`` are accepted but mathematically inert
+    (``|x - q|`` is invariant under negating both sides); the q coordinate
+    is negated alongside MAX dims so prepped-space tests equal
+    original-space tests.  Exact coordinate-duplicates refute each other
+    (r != p is row identity, not value identity); a row exactly AT q is
+    always in the result.
+
+    Scale shape — no quadratic join:
+
+    1. local thinning (``mapInPandas`` riding the scan, bounded state):
+       each partition tests its rows against its ``pool_size``
+       nearest-to-q local rows (near-q rows are the strongest refuters)
+       and drops everything they refute — a certified SUPERSET of the
+       answer, since dropping requires an actual refuter;
+    2. broadcast-verify (EXACT): the surviving candidates' dim matrix +
+       per-candidate half-widths broadcast to one counting pass over the
+       full input (same partial-count shape as :func:`top_dominating`);
+       a candidate survives iff its global refuter count equals its own
+       self-contribution (its own row matches its box whenever w != 0).
+
+    Candidates are bounded by the same ``_VERIFY_MAX_ROWS`` guard as the
+    skyline merge."""
+    from .skyline_kernel import count_refuters_vs
+
+    nd = _norm_dims(dims)
+    if len(query_point) != len(nd):
+        raise ValueError(
+            f"reverse_skyline: query_point has {len(query_point)} coords "
+            f"for {len(nd)} dims"
+        )
+    out_cols = df.columns
+    prepped, prep_cols = _prep(df, dims)
+    q = np.array(
+        [
+            -float(v) if direction == "max" else float(v)
+            for v, (_c, direction) in zip(query_point, nd)
+        ],
+        dtype=np.float64,
+    )
+
+    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not pdf.empty:
+                buf.append(pdf)
+        if not buf:
+            return
+        allrows = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+        pts = allrows[prep_cols].to_numpy(dtype=np.float64)
+        n = pts.shape[0]
+        w = np.abs(q[None, :] - pts)
+        if n > pool_size:
+            dist = ((pts - q[None, :]) ** 2).sum(axis=1)
+            pool_idx = np.argpartition(dist, pool_size)[:pool_size]
+        else:
+            pool_idx = np.arange(n)
+        counts = count_refuters_vs(pts, w, pts[pool_idx])
+        in_pool = np.zeros(n, dtype=bool)
+        in_pool[pool_idx] = True
+        self_c = (in_pool & (w > 0).any(axis=1)).astype(np.int64)
+        keep = (counts - self_c) <= 0
+        out = allrows if keep.all() else allrows.loc[keep]
+        if not out.empty:
+            yield out
+
+    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    n_cand = phase1.count()
+    if n_cand == 0:
+        return phase1.select(*out_cols)
+    if n_cand > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"reverse_skyline: candidate set has {n_cand} rows "
+            f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
+        )
+    spark = phase1.sparkSession
+    cand_pdf = phase1.toPandas()
+    cand_arr = np.ascontiguousarray(cand_pdf[prep_cols].to_numpy(dtype=np.float64))
+    widths_arr = np.abs(q[None, :] - cand_arr)
+    bc = spark.sparkContext.broadcast((cand_arr, widths_arr))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand, wd = bc.value
+        acc = np.zeros(cand.shape[0], dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            acc += count_refuters_vs(cand, wd, pts)
+        yield pd.DataFrame(
+            {"__cand_idx": np.arange(cand.shape[0]), "__partial": acc}
+        )
+
+    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
+    totals = partials.groupBy("__cand_idx").agg(F.sum("__partial").alias("__refuters"))
+
+    # positional alignment + self-contribution column (1 iff the
+    # candidate's own row matches its box, i.e. any width nonzero)
+    cand_keyed = _keyed_candidates(spark, cand_pdf, phase1.schema)
+    self_pdf = pd.DataFrame(
+        {
+            "__cand_idx": np.arange(cand_arr.shape[0]),
+            "__self_c": (widths_arr > 0).any(axis=1).astype(np.int64),
+        }
+    )
+    selfs = spark.createDataFrame(self_pdf, schema="__cand_idx long, __self_c long")
+    return (
+        cand_keyed.join(F.broadcast(totals), "__cand_idx")
+        .join(F.broadcast(selfs), "__cand_idx")
+        .where(F.col("__refuters") == F.col("__self_c"))
+        .select(*out_cols)
     )

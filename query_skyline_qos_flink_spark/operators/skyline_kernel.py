@@ -377,3 +377,71 @@ def skyband_mask_brute(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarr
         counts[i] = c
         mask[i] = c < k
     return mask, counts
+
+
+# --------------------------------------------------------------------------
+# Reverse skyline (Dellis & Seeger, VLDB'07): refuter counting
+# --------------------------------------------------------------------------
+#
+# p is in the (monochromatic) reverse skyline of query point q iff no OTHER
+# dataset row r dynamically-dominates q with respect to p:
+#     forall d: |r_d - p_d| <= |q_d - p_d|,  exists d: |r_d - p_d| < |q_d - p_d|.
+# The per-candidate half-widths w_i = |q - p_i| are fixed, so refuting is a
+# box-membership count — the same chunked column-at-a-time shape as
+# _count_dominators_vs, with an absolute-difference comparison.
+
+
+def count_refuters_vs(cand: np.ndarray, widths: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """For each candidate row i: count of ``pts`` rows r with
+    |r_j - cand_ij| <= widths_ij on EVERY dim and < on at least one
+    (``widths[i] = |q - cand[i]|``).  Chunked on both sides so boolean
+    temporaries stay cache-sized.
+
+    NOTE: counts are taken against ALL of ``pts`` — a row identical to the
+    candidate (including the candidate's own row when ``pts`` contains it)
+    refutes whenever ``widths[i]`` is nonzero somewhere; callers subtract
+    the self row (exact coordinate-duplicates legitimately refute each
+    other under the r != p definition)."""
+    cand = np.asarray(cand, dtype=np.float64)
+    widths = np.asarray(widths, dtype=np.float64)
+    pts = np.asarray(pts, dtype=np.float64)
+    m, d = cand.shape
+    counts = np.zeros(m, dtype=np.int64)
+    for ms in range(0, m, _M_CHUNK):
+        cc = cand[ms : ms + _M_CHUNK]
+        wc = widths[ms : ms + _M_CHUNK]
+        sub = counts[ms : ms + _M_CHUNK]
+        for ks in range(0, pts.shape[0], _SKYBAND_CHUNK):
+            rc = pts[ks : ks + _SKYBAND_CHUNK]
+            le = np.ones((cc.shape[0], rc.shape[0]), dtype=bool)
+            lt = np.zeros((cc.shape[0], rc.shape[0]), dtype=bool)
+            for j in range(d):
+                dj = np.abs(rc[:, j][None, :] - cc[:, j][:, None])
+                wj = wc[:, j][:, None]
+                le &= dj <= wj
+                lt |= dj < wj
+            sub += (le & lt).sum(axis=1, dtype=np.int64)
+    return counts
+
+
+def reverse_skyline_mask_brute(points: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """O(n^2) reference oracle for tests: mask[i] iff no OTHER row refutes
+    row i (self excluded by row position, so exact coordinate-duplicates
+    refute each other).  NaN rows are excluded from both sides."""
+    pts = np.asarray(points, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    n = pts.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    valid = ~np.isnan(pts).any(axis=1)
+    vidx = np.nonzero(valid)[0]
+    vpts = pts[vidx]
+    for pos, i in enumerate(vidx):
+        p = pts[i]
+        w = np.abs(q - p)
+        diff = np.abs(vpts - p)
+        le = (diff <= w).all(axis=1)
+        lt = (diff < w).any(axis=1)
+        ref = le & lt
+        ref[pos] = False  # self row never refutes
+        keep[i] = not ref.any()
+    return keep

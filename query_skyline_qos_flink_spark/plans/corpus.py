@@ -23,7 +23,13 @@ from ..operators.caching import persist_bounded as _persist_corpus
 from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
-from ..operators.skyline import skyband, skyline, skyline_with_pid, top_dominating
+from ..operators.skyline import (
+    reverse_skyline,
+    skyband,
+    skyline,
+    skyline_with_pid,
+    top_dominating,
+)
 from ..session import epoch_micros, load
 
 
@@ -480,6 +486,58 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = sky if out is None else out.unionByName(sky)
     return out
+
+
+# Reverse-skyline query point: near the sparse low-price/low-size corner
+# of the fixture cloud.  A mid-cloud anchor gives the (correct but
+# gate-trivial) EMPTY reverse skyline — dense data refutes everything —
+# while a near-corner anchor leaves the handful of isolated corner parts
+# unrefuted at every fixture sf, so the oracle hash-checks real rows.
+_S27_Q = {"p_retailprice": 905.0, "p_size": 2.0}
+_S27_ABS = {
+    c: f"abs(b.{c} - a.{c})" for c in _S27_Q
+}
+_S27_W = {c: f"abs({v} - a.{c})" for c, v in _S27_Q.items()}
+
+
+@register(
+    "s27_reverse_skyline",
+    f"""
+WITH p AS (
+  SELECT p_partkey, p_retailprice, p_size FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_partkey <> a.p_partkey
+    AND {_S27_ABS['p_retailprice']} <= {_S27_W['p_retailprice']}
+    AND {_S27_ABS['p_size']} <= {_S27_W['p_size']}
+    AND ({_S27_ABS['p_retailprice']} < {_S27_W['p_retailprice']}
+      OR {_S27_ABS['p_size']} < {_S27_W['p_size']})
+)
+""".strip(),
+    doc="Monochromatic reverse skyline w.r.t. a query point q (Dellis & "
+    "Seeger, VLDB'07): the parts p for which NO other part r sits inside "
+    "p's refutation box (|r - p| <= |q - p| per-dim, strict somewhere) — "
+    "'for which offers is q among their most-similar alternatives', the "
+    "influence dual of the s24 dynamic skyline. Two-phase shape with no "
+    "quadratic join: local thinning against each partition's "
+    "nearest-to-q pool (a certified superset — dropping requires an "
+    "actual refuter), then ONE exact counting scan of the full input "
+    "against the broadcast candidate matrix + half-widths; a candidate "
+    "survives iff its global refuter count equals its own "
+    "self-contribution — operators/skyline.py::reverse_skyline, "
+    "skyline_kernel.py::count_refuters_vs. Self-exclusion is row "
+    "identity: exact coordinate-duplicates refute each other (the oracle "
+    "excludes by the p_partkey PK, same semantics)",
+)
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return reverse_skyline(
+        p, list(_S27_Q), [_S27_Q["p_retailprice"], _S27_Q["p_size"]]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -344,6 +344,43 @@ def test_top_dominating_matches_brute(spark):
     assert list(out.sort_values("rnk").n_dominated) == list(exp.score)
 
 
+def test_top_dominating_preserves_nullable_passthrough_types(spark):
+    """The candidate pandas round-trip must not let schema inference drift
+    passthrough types: a NULL-bearing bigint stays bigint (not double),
+    and an all-NULL string column survives (inference alone would fail)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from query_skyline_qos_flink_spark.operators.skyline import top_dominating
+
+    schema = StructType([
+        StructField("rid", LongType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("tag", LongType(), True),
+        StructField("note", StringType(), True),
+    ])
+    rows = [
+        (0, 1.0, 9.0, None, None),
+        (1, 2.0, 8.0, 10, None),
+        (2, 3.0, 7.0, None, None),
+        (3, 4.0, 6.0, 11, None),
+        (4, 5.0, 5.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    out = top_dominating(df, ["x", "y"], k=3, tie_cols=["rid"])
+    assert dict((f.name, f.dataType) for f in out.schema.fields)["tag"] == LongType()
+    got = out.toPandas().sort_values("rnk")
+    # anti-correlated staircase: nobody dominates anybody -> all scores 0
+    assert list(got.n_dominated) == [0, 0, 0]
+    assert list(got.rid) == [0, 1, 2]
+    tags = {int(r.rid): r.tag for r in got.itertuples()}
+    assert pd.isna(tags[0]) and tags[1] == 10 and pd.isna(tags[2])
+
+
 def test_skyband_groupwise_matches_per_group_brute(spark):
     import numpy as np
     import pandas as pd
@@ -373,3 +410,61 @@ def test_skyband_groupwise_matches_per_group_brute(spark):
             if m:
                 expect[(g, rid)] = c
     assert got == expect
+
+
+def test_reverse_skyline_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import reverse_skyline
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        reverse_skyline_mask_brute,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 40, n).astype(float),
+            "y": rng.integers(0, 40, n).astype(float),
+        }
+    )
+    # force exact coordinate-duplicates AND a row exactly at q
+    q = [20.0, 20.0]
+    pdf.loc[1, ["x", "y"]] = pdf.loc[0, ["x", "y"]].to_numpy()
+    pdf.loc[2, ["x", "y"]] = q
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    got = sorted(
+        r.rid for r in reverse_skyline(df, ["x", "y"], q, pool_size=64).collect()
+    )
+    exp_mask = reverse_skyline_mask_brute(pdf[["x", "y"]].to_numpy(), np.array(q))
+    exp = sorted(pdf.rid[exp_mask])
+    assert got == exp
+    assert 2 in got  # the row at q is always in the reverse skyline
+
+
+def test_reverse_skyline_max_direction_inert(spark):
+    """|x - q| is invariant under simultaneous negation, so a MAX dim with
+    a negated q coordinate gives the identical result."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import reverse_skyline
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(300),
+            "x": rng.integers(0, 30, 300).astype(float),
+            "y": rng.integers(0, 30, 300).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    a = sorted(r.rid for r in reverse_skyline(df, ["x", "y"], [10.0, 12.0]).collect())
+    b = sorted(
+        r.rid
+        for r in reverse_skyline(df, ["x", ("y", "max")], [10.0, 12.0]).collect()
+    )
+    assert a == b
