@@ -77,6 +77,7 @@ CORPUS_QUERIES = [
     "s22_skyband",
     "s23_top_dominating",
     "s24_dynamic_skyline",
+    "s27_reverse_skyline",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
