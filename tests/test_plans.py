@@ -221,3 +221,14 @@ def test_top_dominating_counting_scan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning(__cand_idx" in plan
+
+
+def test_reverse_skyline_counting_scan_shape(spark):
+    """Refuter counting is a mapInPandas over the scan + one tiny aggregate
+    on candidate index, with both assembly joins broadcast — never a
+    quadratic join against the corpus."""
+    plan = _plan(spark, "s27_reverse_skyline")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(__cand_idx" in plan
+    assert "SortMergeJoin" not in plan  # totals/self joins stay broadcast
