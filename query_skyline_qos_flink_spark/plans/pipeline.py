@@ -1983,3 +1983,56 @@ def x_gif_frame_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
     pay = multimodal.attach_synth_payload(d, "gif", key_mod=25)
     return multimodal.extract_gif_frame_colors(pay)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (reproducible training order)
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = 42
+
+
+@register(
+    "x_corpus_shuffle",
+    f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUF_SEED}'), 1, 14)) AS BIGINT) AS hkey
+  FROM documents)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS shuffle_pos
+FROM h
+""".strip(),
+    doc="Deterministic global corpus shuffle: every document gets its "
+    "exact position in a seeded pseudo-random training order (56-bit md5 "
+    "of doc_id+seed, ties broken by doc_id — rerunning with the same "
+    "seed reproduces the epoch order bit-for-bit on any engine or "
+    "partition layout, which engine-native rand() cannot promise).  The "
+    "position is assembled with the range-bucketed global rank "
+    "(operators/prefix.py::with_global_rank) — per-bucket local windows "
+    "+ broadcast cumulative offsets, NO single-task global sort, so the "
+    "shuffle-write stage a trainer chains after this (writing "
+    "bucketed-by-position shards) scales with input splits",
+)
+def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import with_global_rank
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUF_SEED}"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hkey"),
+    )
+    return (
+        with_global_rank(d, ["hkey", "doc_id"], "shuffle_pos")
+        .select("doc_id", "source", F.col("shuffle_pos").cast("bigint"))
+    )
