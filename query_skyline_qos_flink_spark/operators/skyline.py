@@ -502,31 +502,19 @@ def skyband(
     return phase1.mapInPandas(verify, schema=schema).select(*out_cols, count_col)
 
 
-def _keyed_candidates(spark, cand_pdf: pd.DataFrame, schema) -> DataFrame:
-    """Re-enter a collected candidate pandas frame into Spark with a
-    positional ``__cand_idx`` key, preserving the source ``schema``
-    exactly.  The explicit schema keeps passthrough column types exact —
-    schema inference over the pandas round-trip would promote NULL-bearing
-    int columns to double and fail outright on all-NULL columns.  toPandas
-    already did that float64-with-NaN promotion for nullable integral
-    passthroughs, so rewrap those as object-with-None before the cast —
-    an unsafe float->long Arrow cast would turn the NaNs into garbage."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-    from pyspark.sql.types import StructField, StructType
+def _keyed_candidates(spark, cand_tbl) -> DataFrame:
+    """Re-enter a collected candidate Arrow table (``df.toArrow()``) into
+    Spark with a positional ``__cand_idx`` key.  The Arrow round-trip
+    preserves Spark types EXACTLY — a pandas round-trip would promote
+    NULL-bearing integral passthroughs to float64 (silently corrupting
+    long values above 2^53) and fail schema inference outright on
+    all-NULL columns."""
+    import pyarrow as pa
 
-    keyed_schema = StructType(
-        list(schema.fields) + [StructField("__cand_idx", LongType(), False)]
+    keyed = cand_tbl.append_column(
+        "__cand_idx", pa.array(range(cand_tbl.num_rows), pa.int64())
     )
-    keyed_pdf = cand_pdf.assign(__cand_idx=range(len(cand_pdf)))
-    for f in schema.fields:
-        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)) \
-                and keyed_pdf[f.name].dtype.kind == "f":
-            col = keyed_pdf[f.name]
-            keyed_pdf[f.name] = pd.Series(
-                [None if pd.isna(v) else int(v) for v in col],
-                index=col.index, dtype=object,
-            )
-    return spark.createDataFrame(keyed_pdf, schema=keyed_schema)
+    return spark.createDataFrame(keyed)
 
 
 def top_dominating(
@@ -568,15 +556,17 @@ def top_dominating(
     band_prepped, _ = _prep(band.drop("n_dominators"), dims)
 
     spark = df.sparkSession
-    cand_pdf = band_prepped.toPandas()
-    if cand_pdf.empty:  # empty input -> empty result with the contract schema
+    cand_tbl = band_prepped.toArrow()
+    if cand_tbl.num_rows == 0:  # empty input -> empty result with the contract schema
         empty = band.drop("n_dominators").limit(0)
         return empty.select(
             *out_cols,
             F.lit(0).cast("long").alias(count_col),
             F.lit(0).cast("int").alias(rank_col),
         )
-    cand_arr = np.ascontiguousarray(cand_pdf[prep_cols].to_numpy(dtype=np.float64))
+    cand_arr = np.ascontiguousarray(
+        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
     bc = spark.sparkContext.broadcast(cand_arr)
 
     def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -616,7 +606,7 @@ def top_dominating(
     # the SAME collected pandas frame feeds both the broadcast matrix and
     # this keyed frame, so __cand_idx alignment is positional by
     # construction (band size is bounded by the skyband's verify guard)
-    cand_keyed = _keyed_candidates(spark, cand_pdf, band_prepped.schema)
+    cand_keyed = _keyed_candidates(spark, cand_tbl)
     joined = cand_keyed.join(F.broadcast(totals), "__cand_idx")
     ties = list(tie_cols) if tie_cols else prep_cols
     w = Window.orderBy(F.col(count_col).desc(), *[F.col(c) for c in ties])
@@ -632,6 +622,7 @@ def reverse_skyline(
     dims: Sequence,
     query_point: Sequence[float],
     pool_size: int = 4096,
+    compact_rows: int = 250_000,
 ) -> DataFrame:
     """Monochromatic reverse skyline of ``df`` w.r.t. ``query_point``
     (Dellis & Seeger, VLDB'07): the rows p such that NO other row r
@@ -652,10 +643,14 @@ def reverse_skyline(
     Scale shape — no quadratic join:
 
     1. local thinning (``mapInPandas`` riding the scan, bounded state):
-       each partition tests its rows against its ``pool_size``
-       nearest-to-q local rows (near-q rows are the strongest refuters)
-       and drops everything they refute — a certified SUPERSET of the
-       answer, since dropping requires an actual refuter;
+       each partition maintains a running pool of its ``pool_size``
+       nearest-to-q rows seen so far (near-q rows are the strongest
+       refuters) and, on the same ~250k-row buffer-and-compact cadence as
+       :func:`skyband`, drops buffered rows the pool refutes; a final
+       pass re-tests every accumulated survivor against the finished
+       pool.  State is O(pool + survivors), never the whole partition,
+       and the output is a certified SUPERSET of the answer — dropping a
+       row requires exhibiting an actual refuter;
     2. broadcast-verify (EXACT): the surviving candidates' dim matrix +
        per-candidate half-widths broadcast to one counting pass over the
        full input (same partial-count shape as :func:`top_dominating`);
@@ -683,27 +678,72 @@ def reverse_skyline(
     )
 
     def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[pd.DataFrame] = []
+        # running nearest-to-q pool over ALL rows seen so far, with
+        # partition-local row ids so the pool test can subtract a row's
+        # own contribution without any coordinate-identity ambiguity
+        pool_pts: np.ndarray | None = None
+        pool_ids: np.ndarray | None = None
+        next_id = 0
+        surv_frames: list[pd.DataFrame] = []
+        surv_ids: list[np.ndarray] = []
+        buf: list[tuple[pd.DataFrame, np.ndarray]] = []
+        buf_n = 0
+
+        def update_pool(pts: np.ndarray, ids: np.ndarray) -> None:
+            nonlocal pool_pts, pool_ids
+            if pool_pts is None:
+                cat_p, cat_i = pts, ids
+            else:
+                cat_p = np.concatenate([pool_pts, pts])
+                cat_i = np.concatenate([pool_ids, ids])
+            if cat_p.shape[0] > pool_size:
+                dist = ((cat_p - q[None, :]) ** 2).sum(axis=1)
+                keep = np.argpartition(dist, pool_size)[:pool_size]
+                cat_p, cat_i = cat_p[keep], cat_i[keep]
+            pool_pts, pool_ids = np.ascontiguousarray(cat_p), cat_i
+
+        def thin(frame: pd.DataFrame, pts: np.ndarray, ids: np.ndarray):
+            w = np.abs(q[None, :] - pts)
+            counts = count_refuters_vs(pts, w, pool_pts)
+            self_c = (np.isin(ids, pool_ids) & (w > 0).any(axis=1)).astype(np.int64)
+            keep = (counts - self_c) <= 0
+            if keep.all():
+                return frame, ids
+            return frame.loc[keep], ids[keep]
+
+        def compact() -> None:
+            nonlocal buf, buf_n
+            for frame, ids in buf:
+                pts = frame[prep_cols].to_numpy(dtype=np.float64)
+                f2, i2 = thin(frame, pts, ids)
+                if len(f2):
+                    surv_frames.append(f2)
+                    surv_ids.append(i2)
+            buf, buf_n = [], 0
+
         for pdf in batches:
-            if not pdf.empty:
-                buf.append(pdf)
-        if not buf:
+            if pdf.empty:
+                continue
+            ids = np.arange(next_id, next_id + len(pdf), dtype=np.int64)
+            next_id += len(pdf)
+            update_pool(pdf[prep_cols].to_numpy(dtype=np.float64), ids)
+            buf.append((pdf, ids))
+            buf_n += len(pdf)
+            if buf_n >= compact_rows:
+                compact()
+        compact()
+        if not surv_frames:
             return
-        allrows = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
-        pts = allrows[prep_cols].to_numpy(dtype=np.float64)
-        n = pts.shape[0]
-        w = np.abs(q[None, :] - pts)
-        if n > pool_size:
-            dist = ((pts - q[None, :]) ** 2).sum(axis=1)
-            pool_idx = np.argpartition(dist, pool_size)[:pool_size]
-        else:
-            pool_idx = np.arange(n)
-        counts = count_refuters_vs(pts, w, pts[pool_idx])
-        in_pool = np.zeros(n, dtype=bool)
-        in_pool[pool_idx] = True
-        self_c = (in_pool & (w > 0).any(axis=1)).astype(np.int64)
-        keep = (counts - self_c) <= 0
-        out = allrows if keep.all() else allrows.loc[keep]
+        allrows = (
+            surv_frames[0]
+            if len(surv_frames) == 1
+            else pd.concat(surv_frames, ignore_index=True)
+        )
+        allids = np.concatenate(surv_ids)
+        # earlier compactions tested against a weaker (smaller) pool;
+        # one cheap O(|survivors| x pool) re-test against the finished
+        # pool keeps the local output as thin as the one-shot form
+        out, _ = thin(allrows, allrows[prep_cols].to_numpy(dtype=np.float64), allids)
         if not out.empty:
             yield out
 
@@ -717,8 +757,10 @@ def reverse_skyline(
             f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
         )
     spark = phase1.sparkSession
-    cand_pdf = phase1.toPandas()
-    cand_arr = np.ascontiguousarray(cand_pdf[prep_cols].to_numpy(dtype=np.float64))
+    cand_tbl = phase1.toArrow()
+    cand_arr = np.ascontiguousarray(
+        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
     widths_arr = np.abs(q[None, :] - cand_arr)
     bc = spark.sparkContext.broadcast((cand_arr, widths_arr))
 
@@ -739,7 +781,7 @@ def reverse_skyline(
 
     # positional alignment + self-contribution column (1 iff the
     # candidate's own row matches its box, i.e. any width nonzero)
-    cand_keyed = _keyed_candidates(spark, cand_pdf, phase1.schema)
+    cand_keyed = _keyed_candidates(spark, cand_tbl)
     self_pdf = pd.DataFrame(
         {
             "__cand_idx": np.arange(cand_arr.shape[0]),

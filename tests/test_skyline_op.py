@@ -345,11 +345,11 @@ def test_top_dominating_matches_brute(spark):
 
 
 def test_top_dominating_preserves_nullable_passthrough_types(spark):
-    """The candidate pandas round-trip must not let schema inference drift
-    passthrough types: a NULL-bearing bigint stays bigint (not double),
-    and an all-NULL string column survives (inference alone would fail)."""
-    import pandas as pd
-
+    """The candidate Arrow round-trip must not let schema inference drift
+    passthrough types: a NULL-bearing bigint stays bigint (not double —
+    and exact beyond 2^53, where a pandas float64 detour would silently
+    round), and an all-NULL string column survives (inference alone
+    would fail)."""
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
     )
@@ -363,9 +363,10 @@ def test_top_dominating_preserves_nullable_passthrough_types(spark):
         StructField("tag", LongType(), True),
         StructField("note", StringType(), True),
     ])
+    big = 9007199254740993  # 2^53 + 1: not float64-representable
     rows = [
         (0, 1.0, 9.0, None, None),
-        (1, 2.0, 8.0, 10, None),
+        (1, 2.0, 8.0, big, None),
         (2, 3.0, 7.0, None, None),
         (3, 4.0, 6.0, 11, None),
         (4, 5.0, 5.0, None, None),
@@ -373,12 +374,9 @@ def test_top_dominating_preserves_nullable_passthrough_types(spark):
     df = spark.createDataFrame(rows, schema).repartition(3)
     out = top_dominating(df, ["x", "y"], k=3, tie_cols=["rid"])
     assert dict((f.name, f.dataType) for f in out.schema.fields)["tag"] == LongType()
-    got = out.toPandas().sort_values("rnk")
     # anti-correlated staircase: nobody dominates anybody -> all scores 0
-    assert list(got.n_dominated) == [0, 0, 0]
-    assert list(got.rid) == [0, 1, 2]
-    tags = {int(r.rid): r.tag for r in got.itertuples()}
-    assert pd.isna(tags[0]) and tags[1] == 10 and pd.isna(tags[2])
+    got = {(r.rid, r.n_dominated, r.tag) for r in out.collect()}
+    assert got == {(0, 0, None), (1, 0, big), (2, 0, None)}
 
 
 def test_skyband_groupwise_matches_per_group_brute(spark):
@@ -468,3 +466,44 @@ def test_reverse_skyline_max_direction_inert(spark):
         for r in reverse_skyline(df, ["x", ("y", "max")], [10.0, 12.0]).collect()
     )
     assert a == b
+
+
+def test_reverse_skyline_compaction_path_matches_brute(spark):
+    """Force many buffer compactions + running-pool updates within one
+    partition (compact_rows << partition size, pool << n): the bounded-
+    state local phase plus exact verify must still match brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import reverse_skyline
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        reverse_skyline_mask_brute,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 35, n).astype(float),
+            "y": rng.integers(0, 35, n).astype(float),
+        }
+    )
+    q = [6.0, 30.0]
+    df = spark.createDataFrame(pdf).coalesce(1)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        got = sorted(
+            r.rid
+            for r in reverse_skyline(
+                df, ["x", "y"], q, pool_size=32, compact_rows=64
+            ).collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    exp_mask = reverse_skyline_mask_brute(pdf[["x", "y"]].to_numpy(), np.array(q))
+    assert got == sorted(pdf.rid[exp_mask])
