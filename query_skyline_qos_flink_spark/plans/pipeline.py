@@ -2036,3 +2036,90 @@ def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_rank(d, ["hkey", "doc_id"], "shuffle_pos")
         .select("doc_id", "source", F.col("shuffle_pos").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "merge", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "x_bm25_topk",
+    f"""
+{_TOK_CTE},
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       FROM e WHERE term IN ({_BM25_TERMS_IN}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT tf.doc_id,
+             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {_BM25_K1 + 1.0})
+             / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl)) AS w
+      FROM tf JOIN dfs USING (term) CROSS JOIN stats s),
+sc AS (SELECT doc_id, count(*) AS n_terms, sum(w) AS score FROM w GROUP BY 1),
+r AS (SELECT doc_id, n_terms, score,
+             row_number() OVER (ORDER BY round(score * 1000000) DESC, doc_id) AS rnk
+      FROM sc)
+SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       round(score, 6) AS score_r, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+""".strip(),
+    doc="BM25 top-10 retrieval (k1=1.2, b=0.75) for a fixed query-term "
+    "set — the classic relevance ranking a training pipeline runs for "
+    "eval-set mining and quality-by-relevance filtering. Corpus stats "
+    "(N, avgdl) come from one tiny aggregate; per-(doc, term) weights "
+    "are pure column arithmetic over integer tf/df/dl (map-side partial "
+    "aggs, broadcast df join); the top-10 is ORDER BY + LIMIT, which "
+    "Catalyst compiles to TakeOrderedAndProject (map-side partial "
+    "top-k) — no global sort, no single-task window over the corpus "
+    "(rank is assigned AFTER the limit, over 10 rows). Cross-engine "
+    "float discipline: identical literal arithmetic on both sides, "
+    "ranking on round(score*1e6) so sub-ulp ln/sum-order differences "
+    "cannot flip an order, score emitted at 6 dp",
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens(F.col("text")).alias("toks")
+    )
+    d = _persist(d.select("doc_id", "toks", F.size("toks").alias("dl")))
+    n_docs, avgdl = d.select(F.count(F.lit(1)), F.avg("dl")).first()
+    e = d.select("doc_id", "dl", F.explode("toks").alias("term")).where(
+        F.col("term").isin(_BM25_TERMS)
+    )
+    tf = e.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(F.broadcast(dfs), "term").withColumn(
+        "w",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(float(avgdl)))
+        ),
+    )
+    sc = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("w").alias("score")
+    )
+    qkey = F.round(F.col("score") * F.lit(1000000.0))
+    top = sc.orderBy(qkey.desc(), F.col("doc_id")).limit(10)
+    rnk = F.row_number().over(Window.orderBy(qkey.desc(), F.col("doc_id")))
+    return top.withColumn("rnk", rnk).select(
+        "doc_id",
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.round(F.col("score"), 6).alias("score_r"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

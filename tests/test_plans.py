@@ -232,3 +232,13 @@ def test_reverse_skyline_counting_scan_shape(spark):
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning(__cand_idx" in plan
     assert "SortMergeJoin" not in plan  # totals/self joins stay broadcast
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_df(spark):
+    """The top-10 must be TakeOrderedAndProject (map-side partial k), the
+    term-df join broadcast, and no single-task window over the corpus
+    (rank attaches after the limit, over 10 rows)."""
+    plan = _plan(spark, "x_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
