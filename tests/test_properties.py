@@ -133,3 +133,37 @@ def test_int8_quantization_spark_vs_python_twin(spark, vecs):
     got = {r["vec_id"]: list(r["q8"]) for r in with_int8_codes(df).collect()}
     for i, exp in enumerate(expect):
         assert got[i] == exp
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    points_strategy,
+    st.lists(st.integers(min_value=0, max_value=12).map(float), min_size=4, max_size=4),
+)
+def test_reverse_skyline_kernel_properties(rows, qraw):
+    """count_refuters_vs vs the brute oracle: for every row, the kernel's
+    count-minus-self over the FULL point set is zero iff the brute mask
+    keeps the row; and thinning against ANY refuter subset (the phase-1
+    pool shape) yields a superset of the answer."""
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        count_refuters_vs,
+        reverse_skyline_mask_brute,
+    )
+
+    pts = np.asarray(rows, dtype=np.float64)
+    q = np.asarray(qraw[: pts.shape[1]], dtype=np.float64)
+    w = np.abs(q[None, :] - pts)
+    counts = count_refuters_vs(pts, w, pts)
+    self_c = (w > 0).any(axis=1).astype(np.int64)
+    keep = (counts - self_c) == 0
+    brute = reverse_skyline_mask_brute(pts, q)
+    assert (keep == brute).all()
+    # phase-1 soundness: a pool-thinned mask never drops an answer row
+    pool = pts[:: max(1, len(pts) // 7)]
+    pool_counts = count_refuters_vs(pts, w, pool)
+    # the pool may or may not contain each row itself; ignoring self-
+    # subtraction entirely only makes thinning LESS aggressive than any
+    # correct variant, except it could wrongly drop a row refuted only by
+    # itself — so subtract the max possible self-contribution instead
+    thin_keep = (pool_counts - self_c) <= 0
+    assert (~brute[~thin_keep]).all() if (~thin_keep).any() else True
