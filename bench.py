@@ -78,6 +78,8 @@ CORPUS_QUERIES = [
     "s23_top_dominating",
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
+    "x_bm25_topk",
+    "x_corpus_shuffle",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
