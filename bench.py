@@ -78,6 +78,7 @@ CORPUS_QUERIES = [
     "s23_top_dominating",
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
+    "s28_kdominant_skyline",
     "x_bm25_topk",
     "x_corpus_shuffle",
 ]

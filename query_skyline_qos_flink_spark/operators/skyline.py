@@ -795,3 +795,132 @@ def reverse_skyline(
         .where(F.col("__refuters") == F.col("__self_c"))
         .select(*out_cols)
     )
+
+
+def kdominant_skyline(
+    df: DataFrame,
+    dims: Sequence,
+    k: int,
+    pool_size: int = 4096,
+    compact_rows: int = 250_000,
+) -> DataFrame:
+    """k-dominant skyline (Chan et al., CIKM'06), the high-dimensional
+    relaxation: r k-dominates p iff r <= p on at least ``k`` of the d
+    dims, strictly on one; the result is every row no other row
+    k-dominates.  ``k = d`` recovers :func:`skyline`; smaller k prunes
+    the curse-of-dimensionality skyline explosion.  MAX dims via
+    negation; NULL/NaN rows excluded, as in :func:`skyline`.
+
+    k-dominance is NOT transitive (cyclic k-dominance exists), so the
+    skyline's local-superset merge facts don't apply; the shape is the
+    same filter-then-verify as :func:`reverse_skyline`:
+
+    1. local thinning (bounded state, riding the scan): each partition
+       keeps a running pool of its ``pool_size`` lowest-dim-sum rows
+       seen so far (low-sum rows are the strongest k-dominators) on the
+       ~250k-row buffer-and-compact cadence, dropping buffered rows the
+       pool k-dominates — sound because any exhibited k-dominator
+       disqualifies globally, and a row never k-dominates itself or an
+       exact duplicate (no strict dim), so no identity bookkeeping;
+    2. broadcast-verify (EXACT): one counting pass of the full input
+       against the broadcast candidate matrix; survival = zero
+       k-dominators.
+
+    Candidates are bounded by the same ``_VERIFY_MAX_ROWS`` guard as the
+    skyline merge."""
+    from .skyline_kernel import count_kdominators_vs
+
+    nd = _norm_dims(dims)
+    if not 1 <= k <= len(nd):
+        raise ValueError(
+            f"kdominant_skyline: k must be in [1, {len(nd)}], got {k}"
+        )
+    out_cols = df.columns
+    prepped, prep_cols = _prep(df, dims)
+
+    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pool_pts: np.ndarray | None = None
+        surv_frames: list[pd.DataFrame] = []
+        buf: list[pd.DataFrame] = []
+        buf_n = 0
+
+        def update_pool(pts: np.ndarray) -> None:
+            nonlocal pool_pts
+            cat = pts if pool_pts is None else np.concatenate([pool_pts, pts])
+            if cat.shape[0] > pool_size:
+                sums = cat.sum(axis=1)
+                keep = np.argpartition(sums, pool_size)[:pool_size]
+                cat = cat[keep]
+            pool_pts = np.ascontiguousarray(cat)
+
+        def thin(frame: pd.DataFrame, pts: np.ndarray) -> pd.DataFrame:
+            counts = count_kdominators_vs(pts, pool_pts, k)
+            keep = counts == 0
+            return frame if keep.all() else frame.loc[keep]
+
+        def compact() -> None:
+            nonlocal buf, buf_n
+            for frame in buf:
+                f2 = thin(frame, frame[prep_cols].to_numpy(dtype=np.float64))
+                if len(f2):
+                    surv_frames.append(f2)
+            buf, buf_n = [], 0
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            update_pool(pdf[prep_cols].to_numpy(dtype=np.float64))
+            buf.append(pdf)
+            buf_n += len(pdf)
+            if buf_n >= compact_rows:
+                compact()
+        compact()
+        if not surv_frames:
+            return
+        allrows = (
+            surv_frames[0]
+            if len(surv_frames) == 1
+            else pd.concat(surv_frames, ignore_index=True)
+        )
+        # re-test accumulated survivors against the finished pool (earlier
+        # compactions saw a weaker pool)
+        out = thin(allrows, allrows[prep_cols].to_numpy(dtype=np.float64))
+        if not out.empty:
+            yield out
+
+    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    n_cand = phase1.count()
+    if n_cand == 0:
+        return phase1.select(*out_cols)
+    if n_cand > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"kdominant_skyline: candidate set has {n_cand} rows "
+            f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
+        )
+    spark = phase1.sparkSession
+    cand_tbl = phase1.toArrow()
+    cand_arr = np.ascontiguousarray(
+        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
+    bc = spark.sparkContext.broadcast(cand_arr)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = bc.value
+        acc = np.zeros(cand.shape[0], dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+            acc += count_kdominators_vs(cand, pts, k)
+        yield pd.DataFrame(
+            {"__cand_idx": np.arange(cand.shape[0]), "__partial": acc}
+        )
+
+    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
+    totals = partials.groupBy("__cand_idx").agg(F.sum("__partial").alias("__kdom"))
+    return (
+        _keyed_candidates(spark, cand_tbl)
+        .join(F.broadcast(totals), "__cand_idx")
+        .where(F.col("__kdom") == 0)
+        .select(*out_cols)
+    )

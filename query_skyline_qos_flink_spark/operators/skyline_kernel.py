@@ -445,3 +445,58 @@ def reverse_skyline_mask_brute(points: np.ndarray, q: np.ndarray) -> np.ndarray:
         ref[pos] = False  # self row never refutes
         keep[i] = not ref.any()
     return keep
+
+
+# --------------------------------------------------------------------------
+# k-dominant skyline (Chan et al., CIKM'06): relaxed dominance for high d
+# --------------------------------------------------------------------------
+#
+# r k-dominates p iff r <= p on AT LEAST k of the d dims and r < p on at
+# least one dim (any strict dim is automatically one of the <= dims).
+# k = d recovers ordinary dominance; k < d is NOT transitive — cyclic
+# k-dominance exists, so none of the skyline subset facts (B1-B3) apply
+# and the distributed operator uses the reverse-skyline filter-then-verify
+# shape instead.  A row never k-dominates itself or an exact duplicate
+# (no strict dim), so no self-exclusion bookkeeping is needed.
+
+
+def count_kdominators_vs(cand: np.ndarray, pts: np.ndarray, k: int) -> np.ndarray:
+    """For each candidate row i: count of ``pts`` rows r with
+    ``#{j: r_j <= cand_ij} >= k`` and ``any j: r_j < cand_ij``.  Chunked
+    on both sides so integer/boolean temporaries stay cache-sized."""
+    cand = np.asarray(cand, dtype=np.float64)
+    pts = np.asarray(pts, dtype=np.float64)
+    m, d = cand.shape
+    counts = np.zeros(m, dtype=np.int64)
+    for ms in range(0, m, _M_CHUNK):
+        cc = cand[ms : ms + _M_CHUNK]
+        sub = counts[ms : ms + _M_CHUNK]
+        for ks in range(0, pts.shape[0], _SKYBAND_CHUNK):
+            rc = pts[ks : ks + _SKYBAND_CHUNK]
+            le_cnt = np.zeros((cc.shape[0], rc.shape[0]), dtype=np.int16)
+            lt = np.zeros((cc.shape[0], rc.shape[0]), dtype=bool)
+            for j in range(d):
+                rj = rc[:, j][None, :]
+                cj = cc[:, j][:, None]
+                le_cnt += rj <= cj
+                lt |= rj < cj
+            sub += ((le_cnt >= k) & lt).sum(axis=1, dtype=np.int64)
+    return counts
+
+
+def kdominant_mask_brute(points: np.ndarray, k: int) -> np.ndarray:
+    """O(n^2) reference oracle for tests: mask[i] iff no row k-dominates
+    row i.  NaN rows are excluded from both sides."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    valid = ~np.isnan(pts).any(axis=1)
+    vpts = pts[valid]
+    for i in range(n):
+        if not valid[i]:
+            continue
+        p = pts[i]
+        le_cnt = (vpts <= p).sum(axis=1)
+        lt = (vpts < p).any(axis=1)
+        keep[i] = not ((le_cnt >= k) & lt).any()
+    return keep

@@ -24,6 +24,7 @@ from ..operators.metrics import skyline_partition_stats
 from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
 from ..operators.skyline import (
+    kdominant_skyline,
     reverse_skyline,
     skyband,
     skyline,
@@ -486,6 +487,59 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = sky if out is None else out.unionByName(sky)
     return out
+
+
+_S28_NUM = ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]
+_S28_DIMS = _S28_NUM + ["ship_us"]  # 5th dim: epoch micros of l_shipdate
+_S28_K = 4
+_S28_LE_CNT = " + ".join(
+    f"(CASE WHEN b.{c} <= a.{c} THEN 1 ELSE 0 END)" for c in _S28_DIMS
+)
+_S28_LT_ANY = " OR ".join(f"b.{c} < a.{c}" for c in _S28_DIMS)
+
+
+@register(
+    "s28_kdominant_skyline",
+    f"""
+WITH p AS (
+  SELECT l_orderkey, l_linenumber, {', '.join(_S28_NUM)},
+         epoch_us(l_shipdate) AS ship_us
+  FROM lineitem
+  WHERE l_orderkey % 31 = 0
+    AND {' AND '.join(f'{c} IS NOT NULL' for c in _S28_NUM + ['l_shipdate'])}
+)
+SELECT l_orderkey, l_linenumber, {', '.join(_S28_DIMS)}
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE ({_S28_LE_CNT}) >= {_S28_K} AND ({_S28_LT_ANY})
+)
+""".strip(),
+    doc="k-dominant skyline (Chan et al., CIKM'06) over five dims (s4's "
+    "four + ship date as epoch micros) with k=4: rows no other row "
+    "beats on >= 4 of the 5 dims (strictly on one) — the standard "
+    "answer to the curse-of-dimensionality skyline explosion (relaxed "
+    "dominance prunes the 5-D skyline to a handful; with full 5-of-5 "
+    "dominance required, far more rows are incomparable and survive). "
+    "k-dominance is NOT transitive, so the skyline's local-superset "
+    "merge facts don't apply; the operator reuses the reverse-skyline "
+    "filter-then-verify shape (lowest-dim-sum running pool thins "
+    "locally, one exact broadcast counting scan verifies; a row never "
+    "k-dominates itself or an exact duplicate, so no identity "
+    "bookkeeping) — operators/skyline.py::kdominant_skyline, "
+    "skyline_kernel.py::count_kdominators_vs. %% 31 input filter to "
+    "bound the oracle's quadratic NOT EXISTS; timestamp dim goes "
+    "through session.epoch_micros (dtype-dispatching, UTC)",
+)
+def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 31 == 0)
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *_S28_NUM,
+        epoch_micros(li, "l_shipdate").alias("ship_us"),
+    )
+    return kdominant_skyline(li, _S28_DIMS, k=_S28_K)
 
 
 # Reverse-skyline query point: near the sparse low-price/low-size corner

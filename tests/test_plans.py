@@ -242,3 +242,14 @@ def test_bm25_topk_is_take_ordered_with_broadcast_df(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kdominant_counting_scan_shape(spark):
+    """Same filter-then-verify contract as the reverse skyline: mapInPandas
+    over the scan, one tiny aggregate on candidate index, broadcast
+    assembly joins, no quadratic join."""
+    plan = _plan(spark, "s28_kdominant_skyline")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(__cand_idx" in plan
+    assert "SortMergeJoin" not in plan

@@ -167,3 +167,24 @@ def test_reverse_skyline_kernel_properties(rows, qraw):
     # itself — so subtract the max possible self-contribution instead
     thin_keep = (pool_counts - self_c) <= 0
     assert (~brute[~thin_keep]).all() if (~thin_keep).any() else True
+
+
+@settings(max_examples=50, deadline=None)
+@given(points_strategy, st.integers(min_value=1, max_value=4))
+def test_kdominant_kernel_properties(rows, k):
+    """count_kdominators_vs vs the brute oracle, plus the structural
+    facts the operator leans on: zero count iff brute keeps the row, and
+    k = d recovers ordinary dominance (skyline mask)."""
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        count_kdominators_vs,
+        kdominant_mask_brute,
+        skyline_mask_brute,
+    )
+
+    pts = np.asarray(rows, dtype=np.float64)
+    d = pts.shape[1]
+    kk = min(k, d)
+    counts = count_kdominators_vs(pts, pts, kk)
+    brute = kdominant_mask_brute(pts, kk)
+    assert ((counts == 0) == brute).all()
+    assert (kdominant_mask_brute(pts, d) == skyline_mask_brute(pts)).all()

@@ -507,3 +507,59 @@ def test_reverse_skyline_compaction_path_matches_brute(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     exp_mask = reverse_skyline_mask_brute(pdf[["x", "y"]].to_numpy(), np.array(q))
     assert got == sorted(pdf.rid[exp_mask])
+
+
+def test_kdominant_skyline_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import kdominant_skyline
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        kdominant_mask_brute,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 2500
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 20, n).astype(float),
+            "y": rng.integers(0, 20, n).astype(float),
+            "z": rng.integers(0, 20, n).astype(float),
+            "u": rng.integers(0, 20, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    for k in (3, 4):
+        got = sorted(
+            r.rid
+            for r in kdominant_skyline(
+                df, ["x", "y", "z", "u"], k=k, pool_size=64, compact_rows=128
+            ).collect()
+        )
+        exp_mask = kdominant_mask_brute(pdf[["x", "y", "z", "u"]].to_numpy(), k)
+        assert got == sorted(pdf.rid[exp_mask]), k
+
+
+def test_kdominant_k_equals_d_is_skyline(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import (
+        kdominant_skyline,
+        skyline,
+    )
+
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(800),
+            "x": rng.integers(0, 30, 800).astype(float),
+            "y": rng.integers(0, 30, 800).astype(float),
+            "z": rng.integers(0, 30, 800).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    a = sorted(r.rid for r in kdominant_skyline(df, ["x", "y", "z"], k=3).collect())
+    b = sorted(r.rid for r in skyline(df, ["x", "y", "z"]).collect())
+    assert a == b
