@@ -32,13 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the first 50 entries of queries().
-# All 110 registered queries are equally real (pytest runs the DuckDB oracle
-# for every one at sf0.001); this priority list rotates which 50 get a
-# driver-side CORRECTNESS row.  Round-6 window: the 37 queries with no
-# round-5 driver row (the x_* LLM-pipeline family plus r1/r2/r6/r8) are
-# front-loaded so every registry entry is driver-verified at current code
-# within two rounds, then the 7 round-6 additions, then 6 always-on core
-# skyline queries (37 + 7 + 6 = 50).
+# ALL registered queries are equally real (pytest runs the DuckDB oracle
+# for every one at sf0.001; QUERIES.md carries the generated count); this
+# priority list rotates which 50 get a driver-side CORRECTNESS row.
+# Round-6 window: the 37 queries with no round-5 driver row (the x_*
+# LLM-pipeline family plus r1/r2/r6/r8) are front-loaded so every registry
+# entry is driver-verified at current code within two rounds, then the 7
+# round-6 additions, then 6 always-on core skyline queries (37 + 7 + 6 =
+# 50).
 # Thirteen core variants (s9_dim/grid/angle, s10_1000, s10_10000, e1,
 # e2, e3, s2, s4, s5, s7, s8) sit out exactly one round — each was
 # hash-green in round 5 and close siblings stay in-window (s1, s3,
@@ -74,9 +75,12 @@ _DRIVER_PRIORITY = [
     # and rotate back in round 7; entry() still smoke-runs s1 every round)
     "x_quality_filter", "x_embed_quantize8", "x_knn_int8", "x_hll_distinct",
 ]
-# x_jpeg_ahash_dedup registered after the window filled (50 must-gate
-# entries: 37 stale rotations + 13 never-gated); it waits exactly one
-# round for its first driver row — front-load it in round 7.
+# Queries registered after the window filled (50 must-gate entries: 37
+# stale rotations + 13 never-gated) wait exactly one round for their
+# first driver row — front-load them in round 7: x_jpeg_ahash_dedup,
+# x_url_dedup, x_dedup_sweep, x_knn_int8_rerank, x_corpus_shuffle,
+# x_bm25_topk, r21_unpivot_measures, s22-s28 (skyband, top-dominating,
+# dynamic/reverse/k-dominant skyline, streaming skyband, skycube).
 # tests/test_rotation_window.py enforces both the staleness bound and
 # that no window slot idles while a never-gated entry waits.
 
