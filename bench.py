@@ -79,6 +79,7 @@ CORPUS_QUERIES = [
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
     "s28_kdominant_skyline",
+    "s29_skyline_layers",
     "x_bm25_topk",
     "x_corpus_shuffle",
 ]

@@ -924,3 +924,40 @@ def kdominant_skyline(
         .where(F.col("__kdom") == 0)
         .select(*out_cols)
     )
+
+
+def skyline_layers(
+    df: DataFrame,
+    dims: Sequence,
+    n_layers: int,
+    layer_col: str = "layer",
+) -> DataFrame:
+    """Skyline layers / onion peeling (Chomicki et al.'s iterated skyline;
+    the dominance analog of k-onion ranking): layer 1 is the skyline,
+    layer i the skyline of what remains after peeling layers < i —
+    the standard way to rank beyond the first dominance tier.
+
+    Each layer is one full :func:`skyline` pass (whatever physical
+    strategy fits the arity), and peeling is a BROADCAST anti-join on the
+    layer's distinct dim tuples: rows sharing a survivor's dim values are
+    mutually non-dominating, so they sit in the same layer by definition
+    — value-equality peeling is exact, no row identity needed.  The
+    anti-join side is bounded by the layer's distinct-dim-tuple count
+    (skyline-sized), so no shuffle of the remaining input ever keys on
+    float dims.  Rows with NULL/NaN dims are excluded, as everywhere in
+    the family.  Total cost: ``n_layers`` skyline passes over a
+    shrinking persisted remainder."""
+    if n_layers < 1:
+        raise ValueError(f"skyline_layers: n_layers must be >= 1, got {n_layers}")
+    dimcols = [c for c, _ in _norm_dims(dims)]
+    out: DataFrame | None = None
+    remaining = df
+    for i in range(1, n_layers + 1):
+        remaining = _persist(remaining)
+        sky = skyline(remaining, dims)
+        tagged = sky.withColumn(layer_col, F.lit(i).cast("int"))
+        out = tagged if out is None else out.unionByName(tagged)
+        if i < n_layers:
+            peel = sky.select(*dimcols).distinct()
+            remaining = remaining.join(F.broadcast(peel), dimcols, "left_anti")
+    return out

@@ -28,6 +28,7 @@ from ..operators.skyline import (
     reverse_skyline,
     skyband,
     skyline,
+    skyline_layers,
     skyline_with_pid,
     top_dominating,
 )
@@ -540,6 +541,51 @@ def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_micros(li, "l_shipdate").alias("ship_us"),
     )
     return kdominant_skyline(li, _S28_DIMS, k=_S28_K)
+
+
+_S29_LI = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+_S29_LAYERS = 3
+
+
+def _s29_oracle() -> str:
+    base = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount "
+        "FROM lineitem WHERE l_orderkey % 31 = 0"
+    )
+    dims = [("l_extendedprice", "min"), ("l_discount", "min")]
+    parts, cur = [], base
+    for i in range(1, _S29_LAYERS + 1):
+        sky = skyline_oracle_sql(cur, dims, _S29_LI, bucket_sql="l_orderkey")
+        parts.append(f"SELECT s.*, {i} AS layer FROM ({sky}) s")
+        cur = (
+            f"SELECT a.* FROM ({cur}) a WHERE NOT EXISTS ("
+            f"SELECT 1 FROM ({sky}) b "
+            f"WHERE b.l_extendedprice = a.l_extendedprice "
+            f"AND b.l_discount = a.l_discount)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "s29_skyline_layers",
+    _s29_oracle(),
+    doc="Skyline layers / onion peeling, 3 layers over (price, discount): "
+    "layer 1 is the skyline, layer i the skyline of what remains after "
+    "peeling layers < i — dominance-tier ranking beyond the first "
+    "skyline. Each layer is one full skyline pass (here the 2-D "
+    "relational plan), and peeling is a BROADCAST anti-join on the "
+    "layer's distinct dim tuples (value-equal rows are mutually "
+    "non-dominating, so value peeling is exact and no shuffle ever keys "
+    "on float dims) — operators/skyline.py::skyline_layers. %% 31 input "
+    "filter bounds the oracle's iterated NOT EXISTS",
+)
+def s29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 31 == 0)
+        .select(*_S29_LI)
+    )
+    return skyline_layers(li, ["l_extendedprice", "l_discount"], _S29_LAYERS)
 
 
 # Reverse-skyline query point: near the sparse low-price/low-size corner

@@ -253,3 +253,16 @@ def test_kdominant_counting_scan_shape(spark):
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning(__cand_idx" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skyline_layers_peels_with_broadcast_anti_join(spark):
+    """Peeling must anti-join on the layer's (bounded) distinct dim tuples
+    via broadcast — never a shuffle of the remaining input on float dims."""
+    plan = _plan(spark, "s29_skyline_layers")
+    assert "CartesianProduct" not in plan
+    bhj_anti = [
+        l for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "LeftAnti" in l
+    ]
+    assert bhj_anti, "expected broadcast anti-join peeling"
+    assert "SortMergeJoin" not in plan

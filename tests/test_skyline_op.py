@@ -563,3 +563,37 @@ def test_kdominant_k_equals_d_is_skyline(spark):
     a = sorted(r.rid for r in kdominant_skyline(df, ["x", "y", "z"], k=3).collect())
     b = sorted(r.rid for r in skyline(df, ["x", "y", "z"]).collect())
     assert a == b
+
+
+def test_skyline_layers_matches_iterated_brute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import skyline_layers
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        skyline_mask_brute,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 25, n).astype(float),
+            "y": rng.integers(0, 25, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        (r.rid, r.layer)
+        for r in skyline_layers(df, ["x", "y"], n_layers=3).collect()
+    }
+    exp = set()
+    rest = pdf
+    for layer in (1, 2, 3):
+        mask = skyline_mask_brute(rest[["x", "y"]].to_numpy())
+        sky = rest.loc[mask]
+        exp |= {(rid, layer) for rid in sky.rid}
+        keys = set(map(tuple, sky[["x", "y"]].to_numpy()))
+        rest = rest.loc[[tuple(v) not in keys for v in rest[["x", "y"]].to_numpy()]]
+    assert got == exp
