@@ -79,8 +79,9 @@ _DRIVER_PRIORITY = [
 # stale rotations + 13 never-gated) wait exactly one round for their
 # first driver row — front-load them in round 7: x_jpeg_ahash_dedup,
 # x_url_dedup, x_dedup_sweep, x_knn_int8_rerank, x_corpus_shuffle,
-# x_bm25_topk, r21_unpivot_measures, s22-s28 (skyband, top-dominating,
-# dynamic/reverse/k-dominant skyline, streaming skyband, skycube).
+# x_bm25_topk, r21_unpivot_measures, s22-s29 (skyband, top-dominating,
+# dynamic/reverse/k-dominant skyline, streaming skyband, skycube,
+# skyline layers).
 # tests/test_rotation_window.py enforces both the staleness bound and
 # that no window slot idles while a never-gated entry waits.
 

@@ -617,6 +617,60 @@ def top_dominating(
     )
 
 
+def _collect_verified_candidates(prepped, local_fn, prep_cols, op_name):
+    """Shared filter-then-verify phase-1 assembly: run the local thinning
+    ``mapInPandas``, persist + count, apply the ``_VERIFY_MAX_ROWS``
+    guard, and collect the candidates as an Arrow table + dim matrix.
+    Returns ``(phase1, cand_tbl, cand_arr)``; ``cand_tbl`` is ``None``
+    when there are no candidates."""
+    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    n_cand = phase1.count()
+    if n_cand == 0:
+        return phase1, None, None
+    if n_cand > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"{op_name}: candidate set has {n_cand} rows "
+            f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
+        )
+    cand_tbl = phase1.toArrow()
+    cand_arr = np.ascontiguousarray(
+        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
+    return phase1, cand_tbl, cand_arr
+
+
+def _broadcast_partial_counts(prepped, prep_cols, count_batch, m, total_col):
+    """Shared filter-then-verify phase-2 counting pass: one ``mapInPandas``
+    over the full input accumulating int64 partial counts per candidate
+    (``count_batch(pts) -> int64[m]``, closing over a broadcast candidate
+    payload), then ONE tiny shuffle summing ``m x partitions`` rows."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(m, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            acc += count_batch(pdf[prep_cols].to_numpy(dtype=np.float64))
+        yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
+
+    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
+    return partials.groupBy("__cand_idx").agg(F.sum("__partial").alias(total_col))
+
+
+def _rank_sum(arr: np.ndarray) -> np.ndarray:
+    """Sum of per-dim ranks (0-based, stable) — a scale-invariant
+    "smallest overall" score for pool selection.  Raw sums degenerate
+    when dims differ by orders of magnitude (an epoch-micros dim drowns a
+    0..1 discount dim); per-dim ranks weigh every dim equally."""
+    ranks = np.zeros(arr.shape[0], dtype=np.int64)
+    for j in range(arr.shape[1]):
+        order = np.argsort(arr[:, j], kind="stable")
+        r = np.empty(arr.shape[0], dtype=np.int64)
+        r[order] = np.arange(arr.shape[0])
+        ranks += r
+    return ranks
+
+
 def reverse_skyline(
     df: DataFrame,
     dims: Sequence,
@@ -697,8 +751,11 @@ def reverse_skyline(
                 cat_p = np.concatenate([pool_pts, pts])
                 cat_i = np.concatenate([pool_ids, ids])
             if cat_p.shape[0] > pool_size:
-                dist = ((cat_p - q[None, :]) ** 2).sum(axis=1)
-                keep = np.argpartition(dist, pool_size)[:pool_size]
+                # nearest-to-q by per-dim-rank sum of |x - q|: scale-
+                # invariant, so no single large-magnitude dim drowns the
+                # others when picking the strongest refuters
+                score = _rank_sum(np.abs(cat_p - q[None, :]))
+                keep = np.argpartition(score, pool_size)[:pool_size]
                 cat_p, cat_i = cat_p[keep], cat_i[keep]
             pool_pts, pool_ids = np.ascontiguousarray(cat_p), cat_i
 
@@ -747,37 +804,21 @@ def reverse_skyline(
         if not out.empty:
             yield out
 
-    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
-    n_cand = phase1.count()
-    if n_cand == 0:
-        return phase1.select(*out_cols)
-    if n_cand > _VERIFY_MAX_ROWS:
-        raise ValueError(
-            f"reverse_skyline: candidate set has {n_cand} rows "
-            f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
-        )
-    spark = phase1.sparkSession
-    cand_tbl = phase1.toArrow()
-    cand_arr = np.ascontiguousarray(
-        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    phase1, cand_tbl, cand_arr = _collect_verified_candidates(
+        prepped, local_fn, prep_cols, "reverse_skyline"
     )
+    if cand_tbl is None:
+        return phase1.select(*out_cols)
+    spark = phase1.sparkSession
     widths_arr = np.abs(q[None, :] - cand_arr)
     bc = spark.sparkContext.broadcast((cand_arr, widths_arr))
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cand, wd = bc.value
-        acc = np.zeros(cand.shape[0], dtype=np.int64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
-            acc += count_refuters_vs(cand, wd, pts)
-        yield pd.DataFrame(
-            {"__cand_idx": np.arange(cand.shape[0]), "__partial": acc}
-        )
-
-    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
-    totals = partials.groupBy("__cand_idx").agg(F.sum("__partial").alias("__refuters"))
+    totals = _broadcast_partial_counts(
+        prepped,
+        prep_cols,
+        lambda pts: count_refuters_vs(bc.value[0], bc.value[1], pts),
+        cand_arr.shape[0],
+        "__refuters",
+    )
 
     # positional alignment + self-contribution column (1 iff the
     # candidate's own row matches its box, i.e. any width nonzero)
@@ -816,7 +857,7 @@ def kdominant_skyline(
     same filter-then-verify as :func:`reverse_skyline`:
 
     1. local thinning (bounded state, riding the scan): each partition
-       keeps a running pool of its ``pool_size`` lowest-dim-sum rows
+       keeps a running pool of its ``pool_size`` lowest rank-sum rows
        seen so far (low-sum rows are the strongest k-dominators) on the
        ~250k-row buffer-and-compact cadence, dropping buffered rows the
        pool k-dominates — sound because any exhibited k-dominator
@@ -848,8 +889,10 @@ def kdominant_skyline(
             nonlocal pool_pts
             cat = pts if pool_pts is None else np.concatenate([pool_pts, pts])
             if cat.shape[0] > pool_size:
-                sums = cat.sum(axis=1)
-                keep = np.argpartition(sums, pool_size)[:pool_size]
+                # lowest per-dim-rank sum = strongest k-dominators without
+                # letting one large-magnitude dim (s28's epoch-micros ship
+                # date) decide the whole pool
+                keep = np.argpartition(_rank_sum(cat), pool_size)[:pool_size]
                 cat = cat[keep]
             pool_pts = np.ascontiguousarray(cat)
 
@@ -888,36 +931,20 @@ def kdominant_skyline(
         if not out.empty:
             yield out
 
-    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
-    n_cand = phase1.count()
-    if n_cand == 0:
-        return phase1.select(*out_cols)
-    if n_cand > _VERIFY_MAX_ROWS:
-        raise ValueError(
-            f"kdominant_skyline: candidate set has {n_cand} rows "
-            f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
-        )
-    spark = phase1.sparkSession
-    cand_tbl = phase1.toArrow()
-    cand_arr = np.ascontiguousarray(
-        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    phase1, cand_tbl, cand_arr = _collect_verified_candidates(
+        prepped, local_fn, prep_cols, "kdominant_skyline"
     )
+    if cand_tbl is None:
+        return phase1.select(*out_cols)
+    spark = phase1.sparkSession
     bc = spark.sparkContext.broadcast(cand_arr)
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cand = bc.value
-        acc = np.zeros(cand.shape[0], dtype=np.int64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pts = pdf[prep_cols].to_numpy(dtype=np.float64)
-            acc += count_kdominators_vs(cand, pts, k)
-        yield pd.DataFrame(
-            {"__cand_idx": np.arange(cand.shape[0]), "__partial": acc}
-        )
-
-    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
-    totals = partials.groupBy("__cand_idx").agg(F.sum("__partial").alias("__kdom"))
+    totals = _broadcast_partial_counts(
+        prepped,
+        prep_cols,
+        lambda pts: count_kdominators_vs(bc.value, pts, k),
+        cand_arr.shape[0],
+        "__kdom",
+    )
     return (
         _keyed_candidates(spark, cand_tbl)
         .join(F.broadcast(totals), "__cand_idx")
@@ -938,15 +965,16 @@ def skyline_layers(
     the standard way to rank beyond the first dominance tier.
 
     Each layer is one full :func:`skyline` pass (whatever physical
-    strategy fits the arity), and peeling is a BROADCAST anti-join on the
-    layer's distinct dim tuples: rows sharing a survivor's dim values are
+    strategy fits the arity), and peeling is an anti-join on the layer's
+    distinct dim tuples: rows sharing a survivor's dim values are
     mutually non-dominating, so they sit in the same layer by definition
     — value-equality peeling is exact, no row identity needed.  The
-    anti-join side is bounded by the layer's distinct-dim-tuple count
-    (skyline-sized), so no shuffle of the remaining input ever keys on
-    float dims.  Rows with NULL/NaN dims are excluded, as everywhere in
-    the family.  Total cost: ``n_layers`` skyline passes over a
-    shrinking persisted remainder."""
+    anti-join side is broadcast while the layer stays under
+    ``_BROADCAST_SURVIVOR_MAX`` rows (the same bound the 2-D semi-join
+    uses); an oversized layer falls back to a plain shuffled anti-join
+    instead of an oversized broadcast.  Rows with NULL/NaN dims are
+    excluded, as everywhere in the family.  Total cost: ``n_layers``
+    skyline passes over a shrinking persisted remainder."""
     if n_layers < 1:
         raise ValueError(f"skyline_layers: n_layers must be >= 1, got {n_layers}")
     dimcols = [c for c, _ in _norm_dims(dims)]
@@ -955,9 +983,16 @@ def skyline_layers(
     for i in range(1, n_layers + 1):
         remaining = _persist(remaining)
         sky = skyline(remaining, dims)
+        if i < n_layers:
+            # persist BEFORE tagging so the union and the peel share one
+            # materialization of the layer
+            sky = _persist(sky)
+            n_sky = sky.count()  # upper bound on the distinct-tuple count
         tagged = sky.withColumn(layer_col, F.lit(i).cast("int"))
         out = tagged if out is None else out.unionByName(tagged)
         if i < n_layers:
             peel = sky.select(*dimcols).distinct()
-            remaining = remaining.join(F.broadcast(peel), dimcols, "left_anti")
+            if n_sky <= _BROADCAST_SURVIVOR_MAX:
+                peel = F.broadcast(peel)
+            remaining = remaining.join(peel, dimcols, "left_anti")
     return out

@@ -524,7 +524,7 @@ WHERE NOT EXISTS (
     "dominance required, far more rows are incomparable and survive). "
     "k-dominance is NOT transitive, so the skyline's local-superset "
     "merge facts don't apply; the operator reuses the reverse-skyline "
-    "filter-then-verify shape (lowest-dim-sum running pool thins "
+    "filter-then-verify shape (lowest rank-sum running pool thins "
     "locally, one exact broadcast counting scan verifies; a row never "
     "k-dominates itself or an exact duplicate, so no identity "
     "bookkeeping) — operators/skyline.py::kdominant_skyline, "
