@@ -102,6 +102,11 @@ SCALING_QUERIES = {
     "x_quality_filter": "documents",  # map-only composite rule ladder
     "x_jpeg_ahash_dedup": "documents",  # real-JPEG decode + hash groupBy
     "s22_skyband": "lineitem",  # local-band superset + broadcast-verify
+    "s27_reverse_skyline": "part",  # filter-then-verify refuter counting
+    "s28_kdominant_skyline": "lineitem",  # non-transitive filter-then-verify
+    "s29_skyline_layers": "lineitem",  # iterated skyline + broadcast peel
+    "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
+    "x_corpus_shuffle": "documents",  # range-bucketed global rank
 }
 
 
