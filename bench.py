@@ -82,6 +82,7 @@ CORPUS_QUERIES = [
     "s29_skyline_layers",
     "x_bm25_topk",
     "x_corpus_shuffle",
+    "x_bigram_lm_score",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
@@ -107,6 +108,7 @@ SCALING_QUERIES = {
     "s29_skyline_layers": "lineitem",  # iterated skyline + broadcast peel
     "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
+    "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins
 }
 
 

@@ -2123,3 +2123,74 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 6).alias("score_r"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_bigram_lm_score",
+    f"""
+{_TOK_CTE},
+e AS (SELECT doc_id, u.bg[1] AS w1, u.bg[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+            FROM t) u),
+cb AS (SELECT w1, w2, count(*) AS cb FROM e GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS cu FROM e GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS v FROM e),
+sc AS (SELECT e.doc_id, count(*) AS n_bigrams,
+              avg(ln((cb.cb + 1.0) / (cu.cu + v.v))) AS lp
+       FROM e JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+       GROUP BY e.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(lp, 6) AS avg_logp
+FROM sc WHERE doc_id < 50
+""".strip(),
+    doc="Bigram-LM quality scoring: per-document average add-one-smoothed "
+    "conditional log-likelihood ln((c(w1,w2)+1)/(c(w1)+V)) under the "
+    "corpus's own bigram counts — the classic cheap LM-based quality "
+    "signal (perplexity filtering) a training pipeline runs before "
+    "spending real model compute. Bigrams are one zip_with over the "
+    "token array (no Python); counts are two partially-aggregated "
+    "groupBys joined back (the bigram-count join broadcasts when small); "
+    "V is one scalar. Scored sample bounded to doc_id < 50 so the gate "
+    "hashes full float rows; 6-dp rounding absorbs sub-ulp ln/sum-order "
+    "engine differences (same discipline as x_bm25_topk)",
+)
+def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens(F.col("text")).alias("toks")
+    )
+    e = _persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
+    cb = e.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = e.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = e.agg(F.count_distinct("w1").alias("v"))
+    sc = (
+        e.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return sc.where(F.col("doc_id") < 50).select(
+        "doc_id", "n_bigrams", F.round(F.col("lp"), 6).alias("avg_logp")
+    )
