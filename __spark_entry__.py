@@ -35,55 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # ALL registered queries are equally real (pytest runs the DuckDB oracle
 # for every one at sf0.001; QUERIES.md carries the generated count); this
 # priority list rotates which 50 get a driver-side CORRECTNESS row.
-# Round-6 window: the 37 queries with no round-5 driver row (the x_*
-# LLM-pipeline family plus r1/r2/r6/r8) are front-loaded so every registry
-# entry is driver-verified at current code within two rounds, then the 7
-# round-6 additions, then 6 always-on core skyline queries (37 + 7 + 6 =
-# 50).
-# Thirteen core variants (s9_dim/grid/angle, s10_1000, s10_10000, e1,
-# e2, e3, s2, s4, s5, s7, s8) sit out exactly one round — each was
-# hash-green in round 5 and close siblings stay in-window (s1, s3,
-# x_token_stats, the x_dedup family for e1; m1 exercises the s9
-# partitioners; x_exact_quantiles the s10 prefix machinery); their slots
-# go to the nine round-6 additions (x_pii_scrub, x_blocklist_filter,
-# x_image_ahash_dedup, x_image_neardup_pairs, x_audio_features,
-# x_span_dedup, x_weighted_mix, s21_stream_scrub, x_gif_frame_colors),
-# which have never had a driver row.
-# tests/test_rotation_window.py enforces the <=2-round staleness bound.
+# Round-7 window: the 16 never-driver-gated late round-6 additions
+# (s22-s29 skyline family, s25 streaming skyband, the retrieval /
+# dedup-tooling x_* five, r21) take the front, then 34 of the 50 queries
+# last gated in round 5 — the full declared core corpus (s1-s10, m1,
+# e1-e3), x_exact_quantiles (its prefix machinery is being re-profiled
+# this round), ten relational and six streaming representatives.  The 16
+# remaining round-5-gated queries (x_fuzzy_match .. s19, listed below)
+# sit out exactly this round at the <=2-round staleness bound and MUST
+# front-load round 8's window.
+# tests/test_rotation_window.py enforces the staleness bound and that no
+# window slot idles while a never-gated entry waits.
 _DRIVER_PRIORITY = [
-    # no driver row in round 5 — x_* pipeline family, gated r1-r3 last
-    "x_token_stats", "x_text_quality", "x_langid", "x_fingerprint",
-    "x_dedup_normalized", "x_jaccard_pairs", "x_minhash_lsh_pairs",
-    "x_simhash_pairs", "x_cosine_neardup", "x_cosine_neardup_exact",
-    "x_ann_bucketed", "x_ann_multiprobe", "x_ann_blocked",
-    "x_multimodal_meta", "x_datapipe_prep", "x_ngram_topk", "x_ann_ivf",
-    "x_multimodal_frames", "x_repetition", "x_pattern_counts",
-    "x_train_test_split", "x_dedup_clusters", "x_kmv_distinct",
-    "x_profile_columns", "x_sample_stratified", "x_bloom_prune_semi",
-    "x_snapshot_diff", "x_seq_packing", "x_histogram", "x_doc_chunks",
-    "x_contamination", "x_tfidf_topterms", "x_heavy_hitters",
-    # relational base queries last gated in rounds 1-3
-    "r1_agg_pricing_summary", "r2_join_topk_revenue", "r6_orders_by_year",
-    "r8_setops_nations",
-    # round-6 additions, no driver row yet
-    "x_pii_scrub", "x_blocklist_filter", "x_image_ahash_dedup",
-    "x_image_neardup_pairs", "x_audio_features", "x_span_dedup",
-    "x_weighted_mix", "s21_stream_scrub", "x_gif_frame_colors",
-    # late round-6 additions, no driver row yet — these take the four
-    # core-corpus slots (s1/s3/s6/m1 were all hash-green in round 5, so
-    # under the <=2-round staleness bound they sit out exactly this round
-    # and rotate back in round 7; entry() still smoke-runs s1 every round)
-    "x_quality_filter", "x_embed_quantize8", "x_knn_int8", "x_hll_distinct",
+    # never driver-gated (registered late in round 6; judge-verified at
+    # sf0.01 in the round-6 session, but a driver row is still owed)
+    "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
+    "s25_stream_skyband", "s26_skycube", "s27_reverse_skyline",
+    "s28_kdominant_skyline", "s29_skyline_layers",
+    "x_bm25_topk", "x_bigram_lm_score", "x_corpus_shuffle",
+    "x_url_dedup", "x_dedup_sweep", "x_knn_int8_rerank",
+    "x_jpeg_ahash_dedup", "r21_unpivot_measures",
+    # declared core corpus, last gated round 5 (at the staleness bound)
+    "s1_skyline_2d", "s2_skyline_maxdir", "s3_skyline_3d",
+    "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
+    "s7_skyline_filtered", "s8_skyline_groupwise", "s9_twophase_dim",
+    "s9_twophase_grid", "s9_twophase_angle", "s10_snapshot_1000",
+    "s10_snapshot_10000", "m1_partition_stats", "e1_dedup_exact",
+    "e2_knn_bruteforce", "e3_text_stats",
+    # round-5-gated, touched or load-bearing this round
+    "x_exact_quantiles",
+    # round-5-gated relational representatives
+    "r3_window_running", "r4_semi_anti_join", "r7_json_extract",
+    "r9_sessionize", "r10_percentiles", "r11_asof_join", "r12_range_join",
+    "r13_regional_revenue", "r14_subquery_avg", "r20_recursive_cte",
+    # round-5-gated streaming representatives
+    "s11_stream_replay", "s13_stream_window", "s14_stream_dedup",
+    "s15_stream_join", "s18_stream_upsert", "s20_stream_dedup_watermark",
 ]
-# Queries registered after the window filled (50 must-gate entries: 37
-# stale rotations + 13 never-gated) wait exactly one round for their
-# first driver row — front-load them in round 7: x_jpeg_ahash_dedup,
-# x_url_dedup, x_dedup_sweep, x_knn_int8_rerank, x_corpus_shuffle,
-# x_bm25_topk, r21_unpivot_measures, s22-s29 (skyband, top-dominating,
-# dynamic/reverse/k-dominant skyline, streaming skyband, skycube,
-# skyline layers).
-# tests/test_rotation_window.py enforces both the staleness bound and
-# that no window slot idles while a never-gated entry waits.
+# Sitting out round 7 at the staleness bound — MUST front-load round 8:
+# x_fuzzy_match, x_zorder_stats, x_triangle_count, x_clean_text,
+# x_domain_stats, x_winnow_pairs, r5_rollup_counts, r15_grouping_sets,
+# r16_lag_delta, r17_pivot_priority, r18_ntile_deciles, r19_range_frame,
+# s12_stream_replay_3d, s16_stream_session, s17_stream_static_dedup,
+# s19_stream_interval_join (16 queries, all driver-green in round 5).
+# Any query registered during round 7 waits one round behind those.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,6 +19,11 @@ Fault isolation: every query runs under try/except; a failing query records
 an ``errors`` entry and the final JSON line is emitted unconditionally, so
 one bad query can never zero out the whole artifact.
 
+Artifact split: the LAST stdout line is a compact summary kept under
+``_MAX_STDOUT_LINE`` chars (the driver captures only the last 2000 chars of
+stdout); the full detail — scaling block, untruncated error lines — goes to
+``BENCH_DETAIL.json`` next to this file and to stderr.
+
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SMALL_SF_DIR,
 BENCH_SKIP_1M=1 / BENCH_SKIP_SCALING=1 for quick runs.
 """
@@ -44,6 +49,9 @@ from query_skyline_qos_flink_spark.session import get_spark  # noqa: E402
 from query_skyline_qos_flink_spark.sources.generators import points  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The driver keeps only the last 2000 chars of stdout; leave headroom for
+# a trailing newline and any stray warning the JVM writes on shutdown.
+_MAX_STDOUT_LINE = 1700
 CORPUS_QUERIES = [
     "s1_skyline_2d",
     "s3_skyline_3d",
@@ -110,6 +118,36 @@ SCALING_QUERIES = {
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
     "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins
 }
+
+
+def final_line(total: float, sf, timings: dict[str, float],
+               errors: dict[str, str]) -> str:
+    """The driver-facing summary: ONE stdout JSON line <= _MAX_STDOUT_LINE.
+
+    When the per-query map outgrows the budget, keep the slowest queries
+    (the perf signal) and record how many were cut; the full map always
+    lives in BENCH_DETAIL.json + stderr.
+    """
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if errors:
+        out["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    keep = sorted(timings, key=timings.get, reverse=True)
+    while len(line) > _MAX_STDOUT_LINE and keep:
+        keep = keep[:-5]
+        out["queries"] = {k: round(timings[k], 2) for k in keep}
+        out["queries_omitted"] = len(timings) - len(keep)
+        if "errors" in out and len(out["errors"]) > 5:
+            out["errors"] = dict(list(out["errors"].items())[:5])
+            out["errors_omitted"] = len(errors) - 5
+        line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -246,7 +284,7 @@ def main() -> None:
     finally:
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        out = {
+        detail = {
             "metric": "headline_suite_total",
             "value": total,
             "unit": "sec",
@@ -255,8 +293,21 @@ def main() -> None:
             "scaling": scaling,
         }
         if errors:
-            out["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
-        print(json.dumps(out))
+            detail["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
+        # Full detail (scaling block, untruncated error lines) goes to a
+        # sidecar + stderr; the driver only captures the LAST 2000 chars of
+        # stdout, so the machine-readable final line must stay compact
+        # (round-6 verdict: the full dump outgrew the capture and the round
+        # recorded parsed:null).
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=1)
+        except Exception:
+            pass
+        print("# detail: " + json.dumps(detail), file=sys.stderr)
+        print(final_line(total, detail["sf"], timings,
+                         detail.get("errors", {})))
     try:
         spark.stop()
     except Exception:

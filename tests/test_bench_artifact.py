@@ -1,0 +1,41 @@
+"""bench.py's driver-facing stdout line must fit the driver's tail capture.
+
+Round-6 postmortem: the full per-query + scaling dump grew past the
+driver's 2000-char stdout tail and the round recorded ``parsed: null`` —
+no perf signal at all.  ``bench.final_line`` now owns the budget; these
+tests pin it for both the real suite size and a pathological one.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+def test_final_line_fits_at_current_suite_size():
+    timings = {name: 1.234 for name in bench.CORPUS_QUERIES}
+    line = bench.final_line(sum(timings.values()), 0.1, timings, {})
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_total"
+    assert parsed["queries"], "per-query map must survive at current size"
+
+
+def test_final_line_truncates_pathological_suite():
+    timings = {f"x_query_with_a_rather_long_name_{i:03d}": float(i) for i in range(200)}
+    errors = {f"err_{i}": "Traceback: " + "x" * 500 for i in range(40)}
+    line = bench.final_line(sum(timings.values()), 0.1, timings, errors)
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    # The slowest queries survive truncation — that's the perf signal.
+    assert "x_query_with_a_rather_long_name_199" in parsed["queries"]
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == 200
+
+
+def test_final_line_budget_inside_driver_capture():
+    assert bench._MAX_STDOUT_LINE <= 1900  # driver tail is 2000 chars
