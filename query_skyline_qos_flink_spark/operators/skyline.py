@@ -603,7 +603,7 @@ def top_dominating(
         .agg(F.sum("__partial").alias(count_col))
     )
 
-    # the SAME collected pandas frame feeds both the broadcast matrix and
+    # the SAME collected Arrow table feeds both the broadcast matrix and
     # this keyed frame, so __cand_idx alignment is positional by
     # construction (band size is bounded by the skyband's verify guard)
     cand_keyed = _keyed_candidates(spark, cand_tbl)

@@ -2090,6 +2090,13 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _persist(d.select("doc_id", "toks", F.size("toks").alias("dl")))
     n_docs, avgdl = d.select(F.count(F.lit(1)), F.avg("dl")).first()
+    if not n_docs or avgdl is None:
+        # Empty corpus: degrade to the contract-schema empty result like
+        # every lazy query does, instead of float(None) blowing up at
+        # plan-construction time (the corpus stats are the one eager step).
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_terms bigint, score_r double, rnk bigint"
+        )
     e = d.select("doc_id", "dl", F.explode("toks").alias("term")).where(
         F.col("term").isin(_BM25_TERMS)
     )
@@ -2164,13 +2171,17 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", text.tokens(F.col("text")).alias("toks")
     )
+    # greatest(..., 0): a zero/one-token doc (empty or punctuation-only
+    # text) would otherwise pass a negative length to slice(), which Spark
+    # rejects with INVALID_PARAMETER_VALUE.LENGTH while DuckDB's list
+    # slicing tolerates it — a Spark-only job failure on real corpora.
     e = _persist(
         d.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "zip_with(slice(toks, 1, size(toks) - 1),"
-                    "         slice(toks, 2, size(toks) - 1),"
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
                     "         (a, b) -> struct(a AS w1, b AS w2))"
                 )
             ).alias("bg"),
@@ -2179,8 +2190,13 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = e.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = e.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     v = e.agg(F.count_distinct("w1").alias("v"))
+    # Corpus-wide counts (cb/cu/v) must see ALL documents, but only the
+    # scored sample flows through the scoring join + per-doc aggregate —
+    # pre-filtering the probe side cuts that join's input ~10x here and
+    # far more at real scale when callers score a sample of the corpus.
+    scored = e.where(F.col("doc_id") < 50)
     sc = (
-        e.join(cb, ["w1", "w2"])
+        scored.join(cb, ["w1", "w2"])
         .join(cu, ["w1"])
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
@@ -2191,6 +2207,6 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    return sc.where(F.col("doc_id") < 50).select(
+    return sc.select(
         "doc_id", "n_bigrams", F.round(F.col("lp"), 6).alias("avg_logp")
     )
