@@ -11,10 +11,11 @@ bounded pieces, the same two-pass trick as the ungrouped 2-D skyline path
    correct, it only balances work);
 2. per-bucket local ``row_number`` (window partitioned by bucket — runs in
    parallel, no task ever holds more than one bucket);
-3. per-bucket row counts -> cumulative offsets (a window over ~#buckets
-   rows, broadcast back);
+3. per-bucket row counts -> cumulative offsets (collected driver-side —
+   at most #buckets rows — and inlined as plan literals, which also yields
+   the total row count for free);
 4. global rank = local rank + bucket offset; keep rank <= n.  Buckets whose
-   offset already exceeds n are pruned BEFORE their local sort runs.
+   offset already exceeds n are pruned at plan time, BEFORE they shuffle.
 
 Reference shape: the record-ID snapshot barrier (O13) —
 /root/reference/java/org.main/FlinkSkyline.java:120-174 gates the skyline
@@ -30,9 +31,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .caching import persist_bounded as _persist
 
 
-def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame, DataFrame]:
-    """Shared passes 1-3: (ranged rows with ``__b``, broadcastable
-    per-bucket cumulative offsets ``(__b, __off)``).
+def _range_bucketed(
+    df: DataFrame, sort_cols: Sequence[str]
+) -> tuple[DataFrame, list[int], int]:
+    """Shared passes 1-3: (ranged rows with ``__b``, literal cumulative
+    offset per bucket id, total row count).
+
+    The per-bucket counts are collected driver-side — at most
+    ``spark.sql.shuffle.partitions`` rows, bounded by construction — so
+    the offsets become plan literals (``element_at`` on a literal array)
+    instead of a broadcast join, and the total row count comes out of the
+    same action, sparing callers that need N (ntile, quantile positions)
+    a separate ``count()`` pass.
 
     Buckets on the FIRST sort column that yields at least one quantile
     boundary: a (near-)constant leading column gives no split points, and
@@ -99,41 +109,58 @@ def _range_bucketed(df: DataFrame, sort_cols: Sequence[str]) -> tuple[DataFrame,
     else:
         pid = F.lit(0)
     ranged = df.withColumn("__b", pid)
-    offs = (
-        ranged.groupBy("__b")
-        .count()
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("count").over(
-                    Window.partitionBy()
-                    .orderBy("__b")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__b", "__off")
+    counts = {
+        r["__b"]: r["count"] for r in ranged.groupBy("__b").count().collect()
+    }
+    n_buckets = len(bounds) + 1
+    offs, running = [], 0
+    for b in range(n_buckets):
+        offs.append(running)
+        running += counts.get(b, 0)
+    return ranged, offs, running
+
+
+def _off_expr(offs: list[int]):
+    """Literal cumulative-offset lookup for a ``__b`` bucket column."""
+    return F.element_at(
+        F.array(*[F.lit(int(o)) for o in (offs or [0])]), F.col("__b") + 1
     )
-    return ranged, offs
 
 
 def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
     """Exactly the first ``n`` rows of ``df`` ordered by ``sort_cols``
     (which must be a deterministic total order — e.g. end with a unique
     key), without a single-task global sort."""
-    # the quantile action + the count action + the main plan all reread the
-    # input; pin the (column-pruned) projection once
+    # the quantile action + the offsets action + the main plan all reread
+    # the input; pin the (column-pruned) projection once
     df = _persist(df)
-    ranged, offs = _range_bucketed(df, sort_cols)
+    ranged, offs, _ = _range_bucketed(df, sort_cols)
+    # whole-bucket prune past the prefix happens AT PLAN TIME: the offsets
+    # are literals, so buckets beyond the prefix never even shuffle
+    keep = [b for b, off in enumerate(offs) if off < n] or [0]
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     return (
-        ranged.join(F.broadcast(offs), "__b")
-        .where(F.col("__off") < n)  # whole-bucket prune past the prefix
-        .withColumn("__rn", F.row_number().over(w_local) + F.col("__off"))
+        ranged.where(F.col("__b") <= max(keep))
+        .withColumn("__rn", F.row_number().over(w_local) + _off_expr(offs))
         .where(F.col("__rn") <= n)
-        .drop("__b", "__off", "__rn")
+        .drop("__b", "__rn")
     )
+
+
+def with_global_rank_and_total(
+    df: DataFrame, sort_cols: Sequence[str], out_col: str = "rn"
+) -> tuple[DataFrame, int]:
+    """:func:`with_global_rank` plus the total row count — which the
+    bucket-offsets action already produced, so callers that need N
+    (ntile arithmetic, exact quantile positions) skip their own
+    ``count()`` pass over the input."""
+    df = _persist(df)
+    ranged, offs, total = _range_bucketed(df, sort_cols)
+    w_local = Window.partitionBy("__b").orderBy(*sort_cols)
+    ranked = ranged.withColumn(
+        out_col, F.row_number().over(w_local) + _off_expr(offs)
+    ).drop("__b")
+    return ranked, total
 
 
 def with_global_rank(
@@ -146,14 +173,7 @@ def with_global_rank(
     ``sort_cols`` must be a total order for the rank to be deterministic.
     Feeds rank-arithmetic operators (ntile, exact percentile positions,
     pagination) at 100x the scale an empty-partition window survives."""
-    df = _persist(df)
-    ranged, offs = _range_bucketed(df, sort_cols)
-    w_local = Window.partitionBy("__b").orderBy(*sort_cols)
-    return (
-        ranged.join(F.broadcast(offs), "__b")
-        .withColumn(out_col, F.row_number().over(w_local) + F.col("__off"))
-        .drop("__b", "__off")
-    )
+    return with_global_rank_and_total(df, sort_cols, out_col)[0]
 
 
 def ntile_by_rank(
@@ -165,11 +185,7 @@ def ntile_by_rank(
     ``q = N div n``, ``r = N mod n``, the first ``r`` tiles hold ``q+1``
     rows: rank <= r*(q+1) -> tile = ceil(rank/(q+1)), else
     tile = r + ceil((rank - r*(q+1)) / q)."""
-    # count the (persisted) INPUT — ranked has exactly as many rows, but
-    # counting it would execute the bucket join + rank window twice
-    df = _persist(df)
-    total = df.count()
-    ranked = with_global_rank(df, sort_cols, "__gr")
+    ranked, total = with_global_rank_and_total(df, sort_cols, "__gr")
     q, r = divmod(total, n_tiles)
     if q == 0:  # fewer rows than tiles: ntile degenerates to rank
         return ranked.withColumn(out_col, F.col("__gr").cast("int")).drop("__gr")

@@ -1421,18 +1421,18 @@ FROM d
     "hash is float-free",
 )
 def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import with_global_rank
+    from ..operators.prefix import with_global_rank_and_total
 
     li = load(spark, sf_dir, "lineitem").select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
         "l_orderkey",
         "l_linenumber",
     )
-    # count the persisted input, not `ranked` — counting ranked would
-    # execute the bucket join + rank window twice
-    li = _persist(li)
-    total = li.count()
-    ranked = with_global_rank(li, ["price_c", "l_orderkey", "l_linenumber"], "rn")
+    # the total row count falls out of the rank operator's bucket-offsets
+    # action — no separate count() pass over the input
+    ranked, total = with_global_rank_and_total(
+        li, ["price_c", "l_orderkey", "l_linenumber"], "rn"
+    )
     return (
         ranked.withColumn("n", F.lit(total))
         .groupBy()

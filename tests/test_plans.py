@@ -266,3 +266,19 @@ def test_skyline_layers_peels_with_broadcast_anti_join(spark):
     ]
     assert bhj_anti, "expected broadcast anti-join peeling"
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_quantiles_single_window_no_join(spark):
+    """Round-6 verdict #3: the rank assembly must be ONE window partitioned
+    by the literal bucket id plus literal offsets — no broadcast/shuffle
+    join for the offsets, no empty-partition (single-task) global window,
+    and exactly one shuffle (the bucket repartition for the local sort)."""
+    plan = _plan(spark, "x_exact_quantiles")
+    assert "Join" not in plan  # offsets are plan literals now
+    window_lines = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert window_lines and all("__b" in l for l in window_lines), window_lines
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "SinglePartition" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
