@@ -86,6 +86,7 @@ CORPUS_QUERIES = [
     "s23_top_dominating",
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
+    "s26_skycube",
     "s28_kdominant_skyline",
     "s29_skyline_layers",
     "x_bm25_topk",

@@ -27,6 +27,7 @@ from ..operators.skyline import (
     kdominant_skyline,
     reverse_skyline,
     skyband,
+    skycube,
     skyline,
     skyline_layers,
     skyline_with_pid,
@@ -468,11 +469,13 @@ def _s26_oracle() -> str:
     doc="Skycube (Yuan et al., VLDB'05): the skyline of EVERY non-empty "
     "subset of (price, discount, tax) — 7 subspace skylines labeled by "
     "their dim set, the group-by-cube analog for dominance queries "
-    "(dashboards ask 'best under any criteria combination'). One "
-    "persisted scan feeds all 7 passes; each subspace reuses whichever "
-    "physical skyline strategy fits its arity (1-D/3-D kernel path, 2-D "
-    "relational path), and the final result is a metadata-cheap union. "
-    "Input filtered to l_orderkey % 11 = 0 to bound the 7-way oracle",
+    "(dashboards ask 'best under any criteria combination'). "
+    "Subspace-lattice reuse (operators/skyline.py::skycube): only the "
+    "full-space skyline scans all rows; each proper subspace runs over "
+    "the candidate rows whose projection matches a full-space survivor "
+    "(broadcast semi-join) — exact even with duplicate values, see the "
+    "operator's containment proof. Input filtered to l_orderkey % 11 = 0 "
+    "to bound the 7-way oracle",
 )
 def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -480,14 +483,10 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_orderkey") % 11 == 0)
         .select("l_orderkey", "l_linenumber", *_S22_DIMS)
     )
-    li = _persist_corpus(li)
-    out = None
-    for label, dims in _s26_subsets():
-        sky = skyline(li, dims).select(
-            F.lit(label).alias("subspace"), "l_orderkey", "l_linenumber"
-        )
-        out = sky if out is None else out.unionByName(sky)
-    return out
+    cube = skycube(
+        li, _S22_DIMS, label=lambda ds: "+".join(d.split("_", 1)[1] for d in ds)
+    )
+    return cube.select("subspace", "l_orderkey", "l_linenumber")
 
 
 _S28_NUM = ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]

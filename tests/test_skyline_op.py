@@ -597,3 +597,30 @@ def test_skyline_layers_matches_iterated_brute(spark):
         keys = set(map(tuple, sky[["x", "y"]].to_numpy()))
         rest = rest.loc[[tuple(v) not in keys for v in rest[["x", "y"]].to_numpy()]]
     assert got == exp
+
+
+def test_skycube_matches_naive_per_subset_with_ties(spark):
+    """Lattice-reuse skycube == independent skyline per subspace, on data
+    engineered to exercise the tie case the containment proof covers: a
+    subspace-skyline point NOT in the full-space skyline but sharing its
+    subspace projection with one (duplicate projections)."""
+    from query_skyline_qos_flink_spark.operators.skyline import skycube
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 8, size=(120, 3)).astype(float)
+    # duplicated projections: rows equal on (v0, v1) but split on v2 so one
+    # is full-space dominated while both tie in the (v0, v1) subspace
+    extra = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 9.0], [0.0, 5.0, 5.0],
+                      [0.0, 5.0, 5.0]])
+    pts = np.vstack([base, extra])
+    pdf = pd.DataFrame(pts, columns=["v0", "v1", "v2"])
+    pdf["rid"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf)
+    dims = ["v0", "v1", "v2"]
+    cube = skycube(df, dims).toPandas()
+    assert set(cube.columns) == {"subspace", "v0", "v1", "v2", "rid"}
+    for mask in range(1, 8):
+        sub = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        want = set(skyline(df, sub).toPandas().rid)
+        got = set(cube[cube.subspace == "+".join(sub)].rid)
+        assert got == want, f"subspace {sub}: {got ^ want}"
