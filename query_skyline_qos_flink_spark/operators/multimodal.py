@@ -25,10 +25,86 @@ arbitrary payloads.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Optional fast codec backends (the declared integration points)
+# ---------------------------------------------------------------------------
+#
+# The from-scratch codecs below make every media query self-contained and
+# oracle-gated, but a Python-loop entropy decoder is ~100x slower per core
+# than a C codec.  When Pillow (images) or soundfile (audio) is importable,
+# the decode seam dispatches to it; the from-scratch codec stays the
+# fallback and the correctness reference.  Selection:
+#
+#   SPARK_GRAFT_IMAGE_BACKEND = auto | builtin | pillow
+#
+# ``auto`` (default) uses Pillow only for the LOSSLESS formats (PNG, GIF),
+# whose decode is bit-exact by spec — outputs are hash-identical under
+# either backend (tests/test_codec_backends.py).  Baseline JPEG stays on
+# the from-scratch codec even under ``auto``: libjpeg's fixed-point IDCT
+# may legally differ by ±1 LSB from the exact float IDCT, so swapping it
+# mid-corpus would change perceptual hashes; set ``pillow`` to force it
+# (e.g. a 100 TB run that standardizes on libjpeg-turbo throughout).
+
+
+def _image_backend() -> str:
+    mode = _os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "auto").lower()
+    if mode not in ("auto", "builtin", "pillow"):
+        raise ValueError(f"SPARK_GRAFT_IMAGE_BACKEND must be auto|builtin|pillow, got {mode}")
+    if mode == "builtin":
+        return "builtin"
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        if mode == "pillow":
+            raise ImportError(
+                "SPARK_GRAFT_IMAGE_BACKEND=pillow but Pillow is not importable"
+            ) from None
+        return "builtin"
+    return mode  # 'auto' (lossless only) or 'pillow' (everything)
+
+
+def _decode_image_pillow(payload: bytes) -> tuple[int, int, int, "object"]:
+    """Pillow decode normalized to the from-scratch channel conventions:
+    palette resolves to RGB, greyscale stays single-channel, alpha kept."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(payload))
+    im.load()
+    if im.mode == "P":
+        im = im.convert("RGB")
+    elif im.mode not in ("L", "LA", "RGB", "RGBA"):
+        im = im.convert("RGB")
+    arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    return h, w, c, arr
+
+
+def _decode_gif_pillow(payload: bytes) -> tuple[int, int, int, "object"]:
+    import io
+
+    import numpy as np
+    from PIL import Image, ImageSequence
+
+    im = Image.open(io.BytesIO(payload))
+    frames = [
+        np.asarray(f.convert("RGB"), dtype=np.uint8)
+        for f in ImageSequence.Iterator(im)
+    ]
+    arr = np.stack(frames)
+    n, h, w, _ = arr.shape
+    return n, h, w, arr
 
 META_SCHEMA = (
     "n_bytes bigint, content_md5 string, fake_width bigint, fake_height bigint, "
@@ -124,16 +200,25 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     :func:`decode_jpeg`.  WebP, sub-8-bit PNG depths and progressive/
     subsampled JPEG still need an external decoder (e.g. pillow) — pass
     your own ``decode_fn`` for those.  Raises ``ValueError`` on
-    unrecognized or unsupported payloads."""
+    unrecognized or unsupported payloads.
+
+    When Pillow is importable the PNG branch dispatches to it (bit-exact,
+    C-speed); see ``SPARK_GRAFT_IMAGE_BACKEND`` at the top of this module
+    for the JPEG policy."""
     import struct as _struct
     import zlib as _zlib
 
     import numpy as np
 
+    backend = _image_backend()
     if payload[:2] == b"\xff\xd8":
+        if backend == "pillow":  # explicit opt-in only (IDCT LSB drift)
+            return _decode_image_pillow(payload)
         return decode_jpeg(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG or JPEG (bad signature)")
+    if backend != "builtin":
+        return _decode_image_pillow(payload)
     pos, w = 8, None
     idat = bytearray()
     palette = None
@@ -241,14 +326,29 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
     """REAL codec for PCM WAV (stdlib ``wave`` — no external libs):
     returns (n_channels, sample_rate, n_frames, duration_ms, peak_amplitude).
 
-    Compressed formats (mp3/ogg/flac) still need an external decoder —
-    pass your own ``decode_fn`` for those.  Raises ``wave.Error`` on
-    non-WAV payloads (surface it or filter upstream)."""
+    Compressed formats (mp3/ogg/flac) dispatch to ``soundfile`` when it is
+    importable (flac/ogg; mp3 needs its libsndfile build) — otherwise pass
+    your own ``decode_fn``.  PCM WAV always uses the stdlib path (already
+    exact and allocation-bound).  Raises ``wave.Error`` on non-WAV
+    payloads no installed backend recognizes."""
     import io
     import struct as _struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
+    try:
+        wav = wave.open(io.BytesIO(payload), "rb")
+    except wave.Error as wave_err:
+        try:
+            import soundfile as _sf
+        except ImportError:
+            raise wave_err from None  # no fallback decoder installed
+        import numpy as np
+
+        data, sr = _sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        nf, nch = data.shape
+        peak = int(np.abs(data.astype(np.int64)).max()) if nf else 0
+        return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
+    with wav as w:
         nch = w.getnchannels()
         sr = w.getframerate()
         nf = w.getnframes()
@@ -645,11 +745,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
     unchanged), and interlaced frames.  Disposal methods 2/3
     (restore-to-background/previous) are not implemented — rare in data
     payloads and irrelevant to frame statistics.  Raises ``ValueError``
-    on non-GIF or corrupt streams."""
+    on non-GIF or corrupt streams.
+
+    Dispatches to Pillow when importable (bit-exact for the supported
+    disposal methods; see ``SPARK_GRAFT_IMAGE_BACKEND``)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    if _image_backend() != "builtin":
+        return _decode_gif_pillow(payload)
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
