@@ -408,3 +408,69 @@ def ann_ivf(
         cand.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk")
     )
+
+
+def label_centroid_cosines(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the corpus-drift / cluster-separation report a training pipeline runs
+    on embedded shards (are two sources near-duplicates in embedding
+    space? did a label's centroid drift between snapshots?).
+
+    Exactness contract: every cross-row aggregate is INTEGER.  Components
+    quantize to 1e-6 fixed point (bigint), centroid sums and the
+    norm/dot accumulations run in bigint/decimal(38,0) — order-independent
+    by construction, so the final cosine is ONE deterministic double
+    expression over exact integers and hashes identically across engines
+    (no float-sum-order discipline needed, unlike avg-of-float paths).
+
+    Scale shape: posexplode to (label, pos, q6) partially aggregates
+    map-side into |labels| x dim rows; everything downstream (norms, the
+    pos-equi self-join for dots) runs on that tiny table, broadcast.  The
+    explode never shuffles raw vectors — only the quantized partial sums.
+    """
+    u = df.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * F.lit(1000000.0)).cast("bigint").alias("q6"),
+    )
+    c = u.groupBy("label", "pos").agg(
+        F.sum("q6").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    nrm = c.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq")).alias("nq"),
+    )
+    a = c.select(F.col("label").alias("label_a"), "pos", F.col("sq").alias("sqa"))
+    b = c.select(F.col("label").alias("label_b"), "pos", F.col("sq").alias("sqb"))
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sqa").cast("decimal(38,0)") * F.col("sqb")).alias("dq"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a"),
+                    F.col("nq").alias("nqa"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b"),
+                    F.col("nq").alias("nqb"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dq").cast("double")
+                / (F.sqrt(F.col("nqa").cast("double")) * F.sqrt(F.col("nqb").cast("double"))),
+                6,
+            ).alias("cos_r"),
+        )
+    )

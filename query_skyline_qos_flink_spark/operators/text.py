@@ -580,3 +580,103 @@ def url_canon_sql(expr: str) -> str:
     for pat, rep in _URL_CANON_STEPS:
         out = f"regexp_replace({out}, '{pat}', '{rep}')"
     return out
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """One BPE merge iteration over the corpus vocabulary (Sennrich et
+    al.'s byte-pair encoding, the standard subword-tokenizer construction
+    step): count adjacent character pairs inside each vocabulary word,
+    weighted by the word's corpus frequency, and return the top-``k``
+    merge candidates ``(pair, cnt, rnk)``.
+
+    Scale shape: the token explode partially aggregates map-side into the
+    vocabulary (distinct words — the ONLY shuffle whose size tracks the
+    corpus, and it shrinks to |vocab|); pair generation then runs over
+    vocabulary rows (len(word) - 1 pairs each, pure column expressions),
+    a second |pairs|-sized partial agg sums frequencies, and the top-k is
+    ORDER BY + LIMIT (TakeOrderedAndProject, map-side partial top-k — no
+    global sort); the rank window runs over k rows.  A full BPE trainer
+    iterates this with the winning pair merged into the vocab — that loop
+    is driver-side orchestration of this exact plan."""
+    t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    prs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                "          i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    agg = prs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    top = agg.orderBy(F.col("cnt").desc(), "pair").limit(k)
+    w_rnk = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.withColumn("rnk", F.row_number().over(w_rnk)).select(
+        "pair", F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_top: int = 40,
+    k: int = 25,
+) -> DataFrame:
+    """Top-``k`` document-level PMI pairs over the ``vocab_top``
+    highest-document-frequency terms: pmi(a,b) = ln(c_ab * N / (df_a *
+    df_b)) with document-level (distinct-term) counts — the classic
+    collocation / topic-coherence signal a pipeline mines for phrase
+    vocabularies and prompt-leak detection.
+
+    Scale shape: the vocabulary restriction is the point — per-doc pair
+    explosion is bounded by ``vocab_top``² (not doc length²).  The
+    top-df vocabulary comes from ORDER BY + LIMIT over the df aggregate
+    (TakeOrderedAndProject) and is broadcast into the probe join; pairs
+    are generated per doc from the sorted in-doc term array (pure
+    ``transform``/``flatten`` expressions, no self-join of the exploded
+    table); counts are map-side partial aggs.  Cross-engine float
+    discipline: ranking on round(pmi*1e6), pmi emitted at 6 dp."""
+    t = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    t = t.where(F.size("toks") > 0)
+    e = t.select(id_col, F.explode("toks").alias("term"))
+    dfc = e.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = dfc.orderBy(F.col("df").desc(), "term").limit(vocab_top)
+    ef = e.join(F.broadcast(top.select("term", "df")), "term")
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    # per-doc sorted frequent-term array -> all a<b pairs, JVM-side
+    doc_terms = ef.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("term")).alias("ts")
+    )
+    pairs = doc_terms.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                "  transform(slice(ts, i + 2, size(ts)), y -> struct(x AS w1, y AS w2))))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    d1 = top.select(F.col("term").alias("w1"), F.col("df").alias("df1"))
+    d2 = top.select(F.col("term").alias("w2"), F.col("df").alias("df2"))
+    sc = (
+        cab.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.log(F.col("cab") * F.lit(1.0) * F.col("n_docs") / (F.col("df1") * F.col("df2"))),
+        )
+    )
+    qkey = F.round(F.col("pmi") * F.lit(1000000.0))
+    topk = sc.orderBy(qkey.desc(), "w1", "w2").limit(k)
+    w_rnk = Window.orderBy(qkey.desc(), "w1", "w2")
+    return topk.withColumn("rnk", F.row_number().over(w_rnk)).select(
+        "w1", "w2", F.col("cab").cast("bigint").alias("cab"),
+        F.round(F.col("pmi"), 6).alias("pmi_r"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

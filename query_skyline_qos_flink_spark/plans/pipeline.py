@@ -2210,3 +2210,103 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.select(
         "doc_id", "n_bigrams", F.round(F.col("lp"), 6).alias("avg_logp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer construction / collocations / embedding-space drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_bpe_pair_counts",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+v AS (SELECT unnest(toks) AS w FROM t),
+vocab AS (SELECT w, count(*) AS freq FROM v GROUP BY 1),
+ch AS (SELECT w, freq, list_transform(range(1, len(w)),
+                                      i -> substr(w,i,1) || ' ' || substr(w,i+1,1)) AS prs
+       FROM vocab),
+pr AS (SELECT unnest(prs) AS pair, freq FROM ch),
+agg AS (SELECT pair, sum(freq) AS cnt FROM pr GROUP BY 1),
+r AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM agg)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 20
+""".strip(),
+    doc="One BPE merge iteration (Sennrich et al.): corpus-frequency-"
+    "weighted adjacent character-pair counts over the vocabulary, top-20 "
+    "merge candidates — the subword-tokenizer construction step. The "
+    "token explode shrinks map-side into |vocab|; pair generation is "
+    "pure column expressions over vocabulary rows; top-k is "
+    "TakeOrderedAndProject (no global sort); rank window over 20 rows. "
+    "Integer counts, no float discipline needed — "
+    "operators/text.py::bpe_pair_counts",
+)
+def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "x_pmi_pairs",
+    f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t2),
+dfc AS (SELECT term, count(*) AS df FROM e GROUP BY 1),
+top AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS trk
+        FROM dfc QUALIFY trk <= 40),
+ef AS (SELECT e.doc_id, e.term, top.df FROM e JOIN top USING (term)),
+n AS (SELECT count(*) AS n_docs FROM t2),
+prs AS (SELECT a.term AS w1, b.term AS w2, a.df AS df1, b.df AS df2, count(*) AS cab
+        FROM ef a JOIN ef b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1,2,3,4),
+sc AS (SELECT w1, w2, cab, ln(cab * 1.0 * n.n_docs / (df1 * df2)) AS pmi
+       FROM prs CROSS JOIN n),
+r AS (SELECT w1, w2, CAST(cab AS BIGINT) AS cab, round(pmi, 6) AS pmi_r,
+             row_number() OVER (ORDER BY round(pmi * 1000000) DESC, w1, w2) AS rnk
+      FROM sc)
+SELECT w1, w2, cab, pmi_r, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 25
+""".strip(),
+    doc="Top-25 document-level PMI collocations over the 40 highest-df "
+    "terms: pmi = ln(c_ab*N/(df_a*df_b)) with distinct-term doc counts — "
+    "phrase-vocabulary mining / topic-coherence. The vocab restriction "
+    "bounds per-doc pair explosion at vocab_top^2; pairs come from the "
+    "per-doc sorted term array via transform/flatten (NO self-join of "
+    "the exploded table); df table and N broadcast. Rank on "
+    "round(pmi*1e6), 6-dp emit — operators/text.py::pmi_top_pairs",
+)
+def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pmi_top_pairs(load(spark, sf_dir, "documents"), vocab_top=40, k=25)
+
+
+@register(
+    "x_embed_centroids",
+    """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+u AS (SELECT label, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q6
+      FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c AS (SELECT label, pos, sum(q6) AS sq, count(*) AS n FROM u GROUP BY 1,2),
+nrm AS (SELECT label, max(n) AS n_vecs, sum(CAST(sq AS HUGEINT) * sq) AS nq
+        FROM c GROUP BY 1),
+pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+                 sum(CAST(a.sq AS HUGEINT) * b.sq) AS dq
+          FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY 1,2)
+SELECT CAST(p.label_a AS BIGINT) AS label_a, CAST(p.label_b AS BIGINT) AS label_b,
+       CAST(na.n_vecs AS BIGINT) AS n_a, CAST(nb.n_vecs AS BIGINT) AS n_b,
+       round(CAST(p.dq AS DOUBLE)
+             / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))), 6) AS cos_r
+FROM pairs p JOIN nrm na ON na.label = p.label_a JOIN nrm nb ON nb.label = p.label_b
+""".strip(),
+    doc="Pairwise cosine between per-label embedding centroids — the "
+    "corpus-drift / cluster-separation report over embedded shards. "
+    "Every cross-row aggregate is INTEGER (1e-6 fixed-point components, "
+    "bigint/decimal(38,0) sums), so the final cosine is one "
+    "deterministic double expression over exact integers: hash-safe "
+    "across engines with no float-sum-order discipline. posexplode "
+    "partially aggregates map-side to |labels| x dim rows; norms and "
+    "the pos-equi dot join run on that tiny broadcast table — "
+    "operators/similarity.py::label_centroid_cosines",
+)
+def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_cosines(load(spark, sf_dir, "embeddings"))

@@ -282,3 +282,30 @@ def test_exact_quantiles_single_window_no_join(spark):
         if "Exchange" in l and "Broadcast" not in l and "SinglePartition" not in l
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_bpe_pair_counts_take_ordered_no_global_sort(spark):
+    """Top-k merge candidates must be TakeOrderedAndProject (map-side
+    partial top-k), never a global sort; rank window runs post-limit."""
+    plan = _plan(spark, "x_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_pairs_broadcast_vocab_no_exploded_self_join(spark):
+    """The frequent-term vocabulary must broadcast into the probe join and
+    pairs must come from per-doc arrays — no shuffle self-join of the
+    exploded term table, no cartesian product."""
+    plan = _plan(spark, "x_pmi_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embed_centroids_prunes_and_aggregates_before_join(spark):
+    """Raw vectors never shuffle: the posexplode partially aggregates into
+    |labels| x dim rows before any join; vec_id is pruned at the scan."""
+    plan = _plan(spark, "x_embed_centroids")
+    assert "vec_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "posexplode" in plan
