@@ -89,6 +89,7 @@ CORPUS_QUERIES = [
     "s26_skycube",
     "s28_kdominant_skyline",
     "s29_skyline_layers",
+    "s30_prob_skyline",
     "x_bm25_topk",
     "x_corpus_shuffle",
     "x_bigram_lm_score",
@@ -115,6 +116,7 @@ SCALING_QUERIES = {
     "s27_reverse_skyline": "part",  # filter-then-verify refuter counting
     "s28_kdominant_skyline": "lineitem",  # non-transitive filter-then-verify
     "s29_skyline_layers": "lineitem",  # iterated skyline + broadcast peel
+    "s30_prob_skyline": "lineitem",  # skyband bound + counting scans
     "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
     "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins

@@ -1055,3 +1055,218 @@ def skycube(
             sky.select(F.lit(label(sub_names)).alias(label_col), *df.columns)
         )
     return out
+
+
+def prob_skyline(
+    df: DataFrame,
+    dims: Sequence,
+    obj_cols: Sequence[str],
+    threshold: float,
+    prob_col: str = "p_r",
+    count_col: str = "n_inst",
+) -> DataFrame:
+    """Probabilistic skyline over uncertain objects (Pei et al., VLDB'07,
+    discrete uniform model): each object is a bag of equally-likely
+    instance rows; an instance's skyline probability is the product over
+    OTHER objects V of ``(1 - dom_V(a)/n_V)`` (the chance V's realized
+    instance does not dominate ``a``), and the object's probability is
+    the average over its instances.  Returns objects whose probability
+    (rounded to 6 dp — the rounding is part of the contract so the
+    threshold test is stable across engines) reaches ``threshold``:
+    ``obj_cols + (n_inst, p_r)``.
+
+    Scale shape — filter-then-verify like the reverse/k-dominant family,
+    never a quadratic join:
+
+    1. **Candidate bound.** ``Pr[a] <= exp(-(D(a) - d_own(a))/max_n)``
+       (from ``1 - x <= e^-x`` and ``n_V <= max_n``), so any instance
+       with at least ``k_band = floor(max_n * ln(1/t)) + max_n + 1``
+       total dominators has ``Pr < t``; the k-skyband (one scan +
+       broadcast-verify) is therefore a certified superset of every
+       instance that could reach the threshold — and since an object
+       needs one instance with ``Pr >= t`` to average ``>= t``, of every
+       object in the answer.
+    2. **Exact per-object dominator counts** for the candidates: ONE
+       counting scan of the full input with the broadcast candidate
+       matrix; each task accumulates a dense (objects x candidates)
+       count block (column-chunked numpy) and emits the nonzero triples,
+       one tiny shuffle sums them.
+    3. **Exact probabilities** from the triples (objects absent from an
+       instance's triples contribute factor 1): zero factors short-limit
+       to 0, positive ones fold via exp(sum(ln)) — float-order noise is
+       absorbed by the 6-dp contract, and the phase-2 object filter
+       keeps a 1e-9 slack so phase 3 decides boundaries exactly.
+    4. A second counting scan over ALL instances of surviving objects
+       yields exact object probabilities.
+
+    Bounds: candidate sets ride the ``_VERIFY_MAX_ROWS`` guard
+    (raise-don't-degrade, like every counting-scan operator here); the
+    per-task count block requires ``n_objects * n_candidates <= 2e8``.
+    Rows with NULL dims or NULL object keys are excluded (engine
+    policy).  Reference scope: the skyline family's uncertain-data
+    extension; the Flink reference computes deterministic skylines only
+    (/root/reference/java/org.main/FlinkSkyline.java:110-174)."""
+    import math
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"prob_skyline: threshold must be in (0, 1], got {threshold}")
+    obj_cols = list(obj_cols)
+    spark = df.sparkSession
+    notnull = None
+    for c in obj_cols:
+        cond = F.col(c).isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
+    df = df.where(notnull)
+    prepped, prep_cols = _prep(df, dims)
+    prepped = _persist(prepped)
+
+    sizes = _persist(prepped.groupBy(*obj_cols).agg(F.count(F.lit(1)).alias("__n")))
+    n_obj = sizes.count()
+
+    def empty_result() -> DataFrame:
+        return sizes.limit(0).select(
+            *obj_cols,
+            F.lit(0).cast("bigint").alias(count_col),
+            F.lit(0.0).alias(prob_col),
+        )
+
+    if n_obj == 0:
+        return empty_result()
+    if n_obj > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"prob_skyline: {n_obj} objects (> {_VERIFY_MAX_ROWS}); "
+            "pre-aggregate or filter the object universe"
+        )
+    sz_tbl = sizes.toArrow()
+    sz_pdf = sz_tbl.to_pandas()
+    sz_pdf["__obj_idx"] = np.arange(len(sz_pdf), dtype=np.int64)
+    obj_map = sz_pdf[obj_cols + ["__obj_idx"]]
+    sizes_idx = spark.createDataFrame(sz_pdf[["__obj_idx", "__n"]])
+    max_n = int(sz_pdf["__n"].max())
+
+    k_band = int(math.floor(max_n * math.log(1.0 / threshold))) + max_n + 1
+    band = skyband(df, dims, k_band, count_col="__D")
+
+    def counting_scan(cand_keyed: DataFrame, cand_arr) -> DataFrame:
+        """Sparse (obj, candidate) dominator-count triples from one scan."""
+        m = cand_arr.shape[0]
+        if n_obj * m > 200_000_000:
+            raise ValueError(
+                f"prob_skyline: count block {n_obj} x {m} exceeds the "
+                "2e8 per-task bound; filter the object universe"
+            )
+        bc_cand = spark.sparkContext.broadcast(cand_arr)
+        bc_map = spark.sparkContext.broadcast(obj_map)
+        from .skyline_kernel import _M_CHUNK, _SKYBAND_CHUNK
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand = bc_cand.value
+            omap = bc_map.value
+            acc = np.zeros((len(omap), cand.shape[0]), dtype=np.int64)
+            d = cand.shape[1]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+                oidx = (
+                    pdf[obj_cols]
+                    .merge(omap, on=obj_cols, how="left")["__obj_idx"]
+                    .to_numpy(dtype=np.int64)
+                )
+                for ps in range(0, pts.shape[0], _SKYBAND_CHUNK):
+                    pc = pts[ps : ps + _SKYBAND_CHUNK]
+                    oc = oidx[ps : ps + _SKYBAND_CHUNK]
+                    for ms in range(0, cand.shape[0], _M_CHUNK):
+                        cc = cand[ms : ms + _M_CHUNK]
+                        le = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                        eq = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                        for j in range(d):
+                            cj = cc[:, j][:, None]
+                            pj = pc[:, j][None, :]
+                            le &= pj <= cj  # scanned point <= candidate
+                            eq &= pj == cj
+                        dom = (le & ~eq).T  # (batch, cand-chunk)
+                        np.add.at(
+                            acc[:, ms : ms + _M_CHUNK], oc, dom.astype(np.int64)
+                        )
+            nz = np.nonzero(acc)
+            yield pd.DataFrame(
+                {"__obj_idx": nz[0], "__cand_idx": nz[1], "__cnt": acc[nz]}
+            )
+
+        partials = prepped.mapInPandas(
+            fn, schema="__obj_idx long, __cand_idx long, __cnt long"
+        )
+        return partials.groupBy("__obj_idx", "__cand_idx").agg(
+            F.sum("__cnt").alias("__cnt")
+        )
+
+    def instance_probs(cand_df: DataFrame) -> DataFrame:
+        """Per-instance skyline probabilities for a candidate set given as
+        prepped-schema rows; returns the candidate rows + ``__pr``."""
+        cand_tbl = cand_df.toArrow()
+        if cand_tbl.num_rows == 0:
+            return None
+        cand_arr = np.ascontiguousarray(
+            cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
+        cand_keyed = _persist(_keyed_candidates(spark, cand_tbl))
+        own = (
+            cand_keyed.select("__cand_idx", *obj_cols)
+            .join(F.broadcast(spark.createDataFrame(obj_map)), obj_cols)
+            .select("__cand_idx", F.col("__obj_idx").alias("__own_idx"))
+        )
+        triples = counting_scan(cand_keyed, cand_arr)
+        fac = (
+            triples.join(F.broadcast(sizes_idx), "__obj_idx")
+            .join(F.broadcast(own), "__cand_idx")
+            .where(F.col("__obj_idx") != F.col("__own_idx"))
+            .withColumn(
+                "__factor", F.lit(1.0) - F.col("__cnt") / F.col("__n")
+            )
+        )
+        agg = fac.groupBy("__cand_idx").agg(
+            F.min("__factor").alias("__mn"),
+            F.sum(
+                F.when(F.col("__factor") > 0, F.log("__factor"))
+            ).alias("__slog"),
+        )
+        # the agg side is candidate-bounded (<= _VERIFY_MAX_ROWS rows of 3
+        # numerics) — broadcast it so the probability assembly never
+        # shuffles the candidate rows on __cand_idx
+        return cand_keyed.join(F.broadcast(agg), "__cand_idx", "left").withColumn(
+            "__pr",
+            F.when(F.col("__mn") <= 0, F.lit(0.0)).otherwise(
+                F.exp(F.coalesce(F.col("__slog"), F.lit(0.0)))
+            ),
+        )
+
+    band_prepped, _ = _prep(band.drop("__D"), dims)
+    pr_a = instance_probs(band_prepped)
+    if pr_a is None:
+        return empty_result()
+    surv = (
+        pr_a.where(F.col("__pr") >= threshold - 1e-9)
+        .select(*obj_cols)
+        .distinct()
+    )
+    phase_b_cand = prepped.join(F.broadcast(surv), obj_cols, "leftsemi")
+    n_cand_b = phase_b_cand.count()
+    if n_cand_b == 0:
+        return empty_result()
+    if n_cand_b > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"prob_skyline: phase-2 candidate set has {n_cand_b} rows "
+            f"(> {_VERIFY_MAX_ROWS}); raise the threshold"
+        )
+    pr_b = instance_probs(phase_b_cand)
+    res = (
+        pr_b.groupBy(*obj_cols)
+        .agg(F.sum("__pr").alias("__sp"))
+        .join(F.broadcast(sizes), obj_cols)
+        .withColumn(prob_col, F.round(F.col("__sp") / F.col("__n"), 6))
+        .where(F.col(prob_col) >= threshold)
+    )
+    return res.select(
+        *obj_cols, F.col("__n").cast("bigint").alias(count_col), prob_col
+    )

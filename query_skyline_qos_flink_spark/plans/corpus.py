@@ -25,6 +25,7 @@ from ..operators.partitioners import partition_id
 from ..operators.prefix import exact_prefix
 from ..operators.skyline import (
     kdominant_skyline,
+    prob_skyline,
     reverse_skyline,
     skyband,
     skycube,
@@ -585,6 +586,55 @@ def s29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_S29_LI)
     )
     return skyline_layers(li, ["l_extendedprice", "l_discount"], _S29_LAYERS)
+
+
+_S30_TAU = 0.05
+
+
+@register(
+    "s30_prob_skyline",
+    f"""
+WITH p0 AS (SELECT l_orderkey AS k, l_extendedprice AS x, l_discount AS y
+            FROM lineitem WHERE l_orderkey % 17 = 0),
+p AS (SELECT k, x, y, row_number() OVER (ORDER BY k, x, y) AS rid FROM p0),
+sz AS (SELECT k, count(*) AS n FROM p GROUP BY 1),
+d AS (SELECT a.rid, b.k AS bk, count(*) AS cnt
+      FROM p a JOIN p b ON b.k <> a.k AND b.x <= a.x AND b.y <= a.y
+                       AND (b.x < a.x OR b.y < a.y)
+      GROUP BY 1,2),
+f AS (SELECT d.rid, 1.0 - d.cnt / CAST(s.n AS DOUBLE) AS factor
+      FROM d JOIN sz s ON s.k = d.bk),
+pr AS (SELECT p.k, p.rid, coalesce(product(f.factor), 1.0) AS prob
+       FROM p LEFT JOIN f USING (rid) GROUP BY 1,2),
+po AS (SELECT pr.k, sum(prob) / max(s.n) AS pobj, max(s.n) AS n_inst
+       FROM pr JOIN sz s ON s.k = pr.k GROUP BY 1)
+SELECT k AS l_orderkey, CAST(n_inst AS BIGINT) AS n_inst, round(pobj, 6) AS p_r
+FROM po WHERE round(pobj, 6) >= {_S30_TAU}
+""".strip(),
+    doc="Probabilistic skyline (Pei et al., VLDB'07) over uncertain "
+    "objects: each order is a bag of equally-likely lineitem instances "
+    "on (price, discount); an instance's skyline probability is the "
+    "product over other orders of (1 - dominating-instances/instances), "
+    "the order's probability the average over its instances; returns "
+    "orders reaching tau=0.05 at 6 dp. Filter-then-verify, never a "
+    "quadratic join: a skyband bound certifies candidates "
+    "(Pr <= exp(-(D - d_own)/max_n)), then two counting scans with the "
+    "broadcast candidate matrix produce exact per-object dominator "
+    "counts — operators/skyline.py::prob_skyline. The oracle assigns "
+    "synthetic instance ids (row_number) because the fixture's "
+    "(orderkey, linenumber) is NOT unique — instance identity is "
+    "positional on both sides. %% 17 input filter bounds the oracle's "
+    "quadratic join",
+)
+def s30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return prob_skyline(
+        li, ["l_extendedprice", "l_discount"], ["l_orderkey"], _S30_TAU
+    )
 
 
 # Reverse-skyline query point: near the sparse low-price/low-size corner

@@ -309,3 +309,14 @@ def test_embed_centroids_prunes_and_aggregates_before_join(spark):
     assert "vec_id" not in plan
     assert "CartesianProduct" not in plan
     assert "posexplode" in plan
+
+
+def test_prob_skyline_counting_scan_no_quadratic_join(spark):
+    """Probabilistic skyline must be counting scans (mapInPandas with the
+    broadcast candidate matrix) + tiny keyed aggregates — never a
+    quadratic instance self-join, never a SortMergeJoin of instances."""
+    plan = _plan(spark, "s30_prob_skyline")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(__obj_idx" in plan
+    assert "SortMergeJoin" not in plan

@@ -624,3 +624,63 @@ def test_skycube_matches_naive_per_subset_with_ties(spark):
         want = set(skyline(df, sub).toPandas().rid)
         got = set(cube[cube.subspace == "+".join(sub)].rid)
         assert got == want, f"subspace {sub}: {got ^ want}"
+
+
+def _prob_skyline_brute(pts, keys, tau):
+    """Quadratic reference: per-instance product over other objects of
+    (1 - dominating/size), object prob = mean over instances."""
+    objs = sorted(set(keys))
+    sz = {o: int((keys == o).sum()) for o in objs}
+    out = {}
+    for o in objs:
+        idx = np.where(keys == o)[0]
+        prs = []
+        for i in idx:
+            dom = (pts <= pts[i]).all(axis=1) & (pts != pts[i]).any(axis=1)
+            p = 1.0
+            for v in objs:
+                if v == o:
+                    continue
+                p *= 1.0 - (dom & (keys == v)).sum() / sz[v]
+            prs.append(p)
+        out[o] = sum(prs) / sz[o]
+    return {o: p for o, p in out.items() if round(p, 6) >= tau}
+
+
+def test_prob_skyline_matches_brute_with_duplicates(spark):
+    """prob_skyline == quadratic reference on data engineered with exact
+    duplicate instances WITHIN an object (must both count), ACROSS
+    objects (equal rows never dominate each other), and tie-heavy grids;
+    run at two thresholds including one where some objects have prob 0."""
+    from query_skyline_qos_flink_spark.operators.skyline import prob_skyline
+
+    rng = np.random.default_rng(23)
+    pts = rng.integers(0, 6, size=(90, 2)).astype(float)
+    keys = rng.integers(0, 12, size=90)
+    # duplicates within object 0 and across objects 1/2
+    pts[:4] = [[2.0, 2.0], [2.0, 2.0], [1.0, 5.0], [1.0, 5.0]]
+    keys[:4] = [0, 0, 1, 2]
+    pdf = pd.DataFrame({"obj": keys, "v0": pts[:, 0], "v1": pts[:, 1]})
+    df = spark.createDataFrame(pdf)
+    for tau in (0.05, 0.4):
+        want = _prob_skyline_brute(pts, keys, tau)
+        got = {
+            r.obj: r.p_r
+            for r in prob_skyline(df, ["v0", "v1"], ["obj"], tau).collect()
+        }
+        assert set(got) == set(want), (tau, set(got) ^ set(want))
+        for o in want:
+            assert got[o] == round(want[o], 6), (o, got[o], want[o])
+
+
+def test_prob_skyline_validates_and_handles_empty(spark):
+    from query_skyline_qos_flink_spark.operators.skyline import prob_skyline
+
+    df = spark.createDataFrame([], "obj bigint, v0 double, v1 double")
+    out = prob_skyline(df, ["v0", "v1"], ["obj"], 0.5)
+    assert out.collect() == []
+    assert out.columns == ["obj", "n_inst", "p_r"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prob_skyline(df, ["v0", "v1"], ["obj"], 0.0)
