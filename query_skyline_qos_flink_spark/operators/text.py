@@ -680,3 +680,76 @@ def pmi_top_pairs(
         F.round(F.col("pmi"), 6).alias("pmi_r"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+CDC_K = 8  # rolling-hash window (chars)
+CDC_BASE = 31
+CDC_DIVISOR = 64  # expected chunk length ~ divisor chars
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea): cut each
+    document where the rolling hash of the trailing ``CDC_K``-char window
+    hits ``0 mod CDC_DIVISOR``, so chunk boundaries follow CONTENT, not
+    offsets — an insertion early in a document shifts every fixed-size
+    block but leaves all content-defined chunks after the next boundary
+    intact.  That re-alignment is what makes chunk-hash dedup robust to
+    edits, the storage/dataset-dedup trick fixed blocks can't do.
+
+    Returns one row per chunk occurrence: ``(id, chunk_idx, start_pos,
+    chunk_len, chunk_md5)``.  Everything is integer/string-exact (the
+    polynomial hash is plain bigint arithmetic, no float anywhere), and
+    the whole operator is PURE column expressions — per-document work,
+    no shuffle, no Python; Catalyst sees one Project over the scan.
+    Documents shorter than the window form a single chunk; empty
+    documents yield no rows."""
+    powers = [CDC_BASE**e for e in range(CDC_K - 1, -1, -1)]
+    terms = " + ".join(
+        f"CAST(element_at(__codes, CAST(i + {j} AS INT)) AS BIGINT) * {powers[j]}"
+        for j in range(CDC_K)
+    )
+    d = df.where(F.length(text_col) >= 1).select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__L"),
+    )
+    d = d.withColumn(
+        "__codes",
+        F.expr("transform(sequence(1, length(__t)), i -> ascii(substr(__t, i, 1)))"),
+    )
+    d = d.withColumn(
+        "__cuts",
+        F.expr(
+            f"""concat(
+                 filter(
+                   CASE WHEN __L >= {CDC_K}
+                        THEN transform(sequence(1, __L - {CDC_K - 1}),
+                             i -> CASE WHEN ({terms}) % {CDC_DIVISOR} = 0
+                                       THEN i + {CDC_K - 1} END)
+                        ELSE array() END,
+                   x -> x IS NOT NULL AND x < __L),
+                 array(__L))"""
+        ),
+    )
+    ch = d.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.expr(
+                """transform(sequence(1, size(__cuts)), j -> struct(
+                     j AS ci,
+                     (CASE WHEN j = 1 THEN 0
+                           ELSE element_at(__cuts, CAST(j - 1 AS INT)) END) + 1 AS s,
+                     element_at(__cuts, CAST(j AS INT)) AS e))"""
+            )
+        ).alias("c"),
+    )
+    return ch.select(
+        id_col,
+        F.col("c.ci").cast("bigint").alias("chunk_idx"),
+        F.col("c.s").cast("bigint").alias("start_pos"),
+        (F.col("c.e") - F.col("c.s") + 1).cast("bigint").alias("chunk_len"),
+        F.expr("md5(substr(__t, c.s, c.e - c.s + 1))").alias("chunk_md5"),
+    )

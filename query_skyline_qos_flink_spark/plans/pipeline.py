@@ -2310,3 +2310,63 @@ FROM pairs p JOIN nrm na ON na.label = p.label_a JOIN nrm nb ON nb.label = p.lab
 )
 def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_cosines(load(spark, sf_dir, "embeddings"))
+
+
+_CDC_POWERS = [text.CDC_BASE**e for e in range(text.CDC_K - 1, -1, -1)]
+_CDC_TERMS = " + ".join(
+    f"CAST(codes[i+{j}] AS BIGINT)*{_CDC_POWERS[j]}" for j in range(text.CDC_K)
+)
+
+
+@register(
+    "x_cdc_dedup",
+    f"""
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+c AS (SELECT doc_id, text, length(text) AS L,
+        list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))) AS codes
+      FROM d0),
+h AS (SELECT doc_id, text, L,
+        CASE WHEN L >= {text.CDC_K}
+             THEN list_transform(range(1, L - {text.CDC_K - 2}),
+                  i -> CASE WHEN ({_CDC_TERMS}) % {text.CDC_DIVISOR} = 0
+                            THEN i + {text.CDC_K - 1} END)
+             ELSE [] END AS rawcuts FROM c),
+cu AS (SELECT doc_id, text, L,
+        list_concat(list_filter(rawcuts, x -> x IS NOT NULL AND x < L), [L]) AS cuts
+       FROM h),
+ch AS (SELECT doc_id, j AS chunk_idx,
+        (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) + 1 AS s,
+        cuts[j] AS e, text
+      FROM cu, unnest(range(1, len(cuts)+1)) AS u(j)),
+rows_ AS (SELECT doc_id, md5(substr(text, s, e - s + 1)) AS chunk_md5,
+                 e - s + 1 AS chunk_len FROM ch)
+SELECT chunk_md5, CAST(max(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM rows_ GROUP BY 1 HAVING count(*) >= 2
+""".strip(),
+    doc="Content-defined chunk dedup (Rabin/FastCDC idea): cut where the "
+    "rolling 8-char polynomial hash hits 0 mod 64, so boundaries follow "
+    "content and an early edit re-aligns at the next boundary instead "
+    "of shifting every block — the edit-robust dedup fixed-size blocks "
+    "can't do. Reports chunks appearing >= 2 times (occurrences, "
+    "distinct docs, first doc). Integer/string-exact throughout (bigint "
+    "polynomial hash, md5 — no floats); chunking is PURE column "
+    "expressions per document (one Project over the scan, no Python, no "
+    "shuffle), then one hash-partial groupBy on chunk_md5 — "
+    "operators/text.py::cdc_chunks",
+)
+def x_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = text.cdc_chunks(load(spark, sf_dir, "documents"))
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.max("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select("chunk_md5", "chunk_len", "n_occ", "n_docs", "min_doc")
+    )

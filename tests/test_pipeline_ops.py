@@ -688,3 +688,37 @@ def test_canonical_url_newline_parity_with_duckdb(spark):
     # \z never fires before the newline: the '/'+junk survives intact
     assert got_spark[0] == "a.com/p/\n"
     assert got_spark[3] == "a.com/p"
+
+
+def test_cdc_chunks_realign_after_edit(spark):
+    """The CDC property itself: inserting text near the start of a
+    document shifts at most the chunks up to the next content boundary —
+    the tail chunks re-align and hash identically, which is exactly why
+    chunk-hash dedup survives edits where fixed blocks don't."""
+    rng = np.random.default_rng(5)
+    base = "".join(rng.choice(list("abcdefgh ")) for _ in range(800))
+    edited = "INSERTED PREFIX >> " + base
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+    )
+    out = text.cdc_chunks(df).toPandas()
+    h1 = list(out[out.doc_id == 1].sort_values("chunk_idx").chunk_md5)
+    h2 = list(out[out.doc_id == 2].sort_values("chunk_idx").chunk_md5)
+    assert len(h1) > 3, "fixture text too short to form several chunks"
+    shared = set(h1) & set(h2)
+    # all but the first few boundary-shifted chunks re-align
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+    # and reassembling every chunk reproduces the document exactly
+    spans = out[out.doc_id == 2].sort_values("chunk_idx")
+    assert int(spans.chunk_len.sum()) == len(edited)
+    assert list(spans.start_pos)[0] == 1
+
+
+def test_cdc_chunks_edge_docs(spark):
+    """Sub-window and empty documents: one whole-doc chunk / no rows."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["short", "", "x"]})
+    )
+    out = text.cdc_chunks(df).toPandas()
+    assert set(out.doc_id) == {1, 3}
+    assert out[out.doc_id == 1].chunk_len.tolist() == [5]

@@ -320,3 +320,19 @@ def test_prob_skyline_counting_scan_no_quadratic_join(spark):
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning(__obj_idx" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_dedup_map_only_chunking_single_exchange(spark):
+    """Chunking must be pure column expressions riding the scan (no
+    Python, no join); the only exchange is the chunk_md5 groupBy."""
+    plan = _plan(spark, "x_cdc_dedup")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "SinglePartition" not in l
+    ]
+    # exactly the two-phase exact-count-distinct shape, both keyed on the
+    # chunk hash — nothing shuffles before chunking
+    assert 1 <= len(exchanges) <= 2, exchanges
+    assert all("chunk_md5" in l for l in exchanges), exchanges
