@@ -301,6 +301,19 @@ def skyline(
     out_cols = df.columns
     prepped, prep_cols = _prep(df, dims)
 
+    if len(prep_cols) == 1 and not group_by:
+        # 1-D skyline = all rows carrying the global minimum (ties kept):
+        # one partial-agg min + a broadcast single-row semi-join — pure
+        # codegen, no Python, no persist/count actions.  Matters for the
+        # skycube, where half the subspaces of a 3-dim cube are 1-D.
+        d0 = prep_cols[0]
+        mn = prepped.agg(F.min(d0).alias("__sk_min"))
+        return (
+            prepped.join(
+                F.broadcast(mn), F.col(d0) == F.col("__sk_min"), "leftsemi"
+            ).select(*out_cols)
+        )
+
     if len(prep_cols) == 2:
         return _skyline_2d_relational(prepped, prep_cols, group_by).select(*out_cols)
 
