@@ -90,6 +90,8 @@ CORPUS_QUERIES = [
     "s28_kdominant_skyline",
     "s29_skyline_layers",
     "s30_prob_skyline",
+    "s31_thick_skyline",
+    "x_cdc_dedup",
     "x_bm25_topk",
     "x_corpus_shuffle",
     "x_bigram_lm_score",
@@ -117,6 +119,8 @@ SCALING_QUERIES = {
     "s28_kdominant_skyline": "lineitem",  # non-transitive filter-then-verify
     "s29_skyline_layers": "lineitem",  # iterated skyline + broadcast peel
     "s30_prob_skyline": "lineitem",  # skyband bound + counting scans
+    "s31_thick_skyline": "lineitem",  # skyline + broadcast eps band-join
+    "x_cdc_dedup": "documents",  # map-only CDC chunking + hash groupBy
     "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
     "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins

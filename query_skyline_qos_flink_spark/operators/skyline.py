@@ -1283,3 +1283,57 @@ def prob_skyline(
     return res.select(
         *obj_cols, F.col("__n").cast("bigint").alias(count_col), prob_col
     )
+
+
+def thick_skyline(
+    df: DataFrame,
+    dims: Sequence,
+    eps: Sequence[float],
+    core_col: str = "is_core",
+) -> DataFrame:
+    """Thick skyline (Jin et al., the epsilon-neighborhood relaxation):
+    the skyline plus every row within ``eps[i]`` of a skyline point on
+    EVERY dim — the "best tier and its practical substitutes" answer a
+    brittle exact frontier can't give (a point a cent off the frontier
+    is invisible to the plain skyline).  Returns the qualifying rows
+    with ``core_col`` = 1 for rows whose dim tuple IS a skyline tuple,
+    0 for neighbors.
+
+    Scale shape: one ordinary :func:`skyline` pass, then the (tiny,
+    ``_BROADCAST_SURVIVOR_MAX``-guarded) distinct skyline dim-tuple set
+    broadcasts into (a) an epsilon band-join — a broadcast nested-loop
+    whose inner side is the skyline tuples, i.e. O(n x |sky|) riding the
+    scan, never a shuffle of the input — and (b) an equality hash join
+    that sets the core flag.  ``eps`` is absolute per dim and
+    direction-agnostic (|p - s| is symmetric).  NULL/NaN-dim rows are
+    excluded, as everywhere in the family."""
+    nd = _norm_dims(dims)
+    if len(eps) != len(nd):
+        raise ValueError(f"thick_skyline: need one eps per dim, got {len(eps)}")
+    dimcols = [c for c, _ in nd]
+    out_cols = df.columns
+    prepped, prep_cols = _prep(df, dims)
+    base = prepped.select(*out_cols)  # NULL/NaN-dim rows excluded
+
+    sky = _persist(skyline(df, dims))
+    n_sky = sky.count()
+    skyd = sky.select(*dimcols).distinct()
+    if n_sky > _BROADCAST_SURVIVOR_MAX:
+        raise ValueError(
+            f"thick_skyline: skyline has {n_sky} rows "
+            f"(> {_BROADCAST_SURVIVOR_MAX}); too large to broadcast"
+        )
+    renamed = skyd.select(
+        *[F.col(c).alias(f"__ts_{i}") for i, c in enumerate(dimcols)]
+    )
+    band = None
+    for i, c in enumerate(dimcols):
+        cond = F.abs(F.col(c) - F.col(f"__ts_{i}")) <= F.lit(float(eps[i]))
+        band = cond if band is None else (band & cond)
+    thick = base.join(F.broadcast(renamed), band, "leftsemi")
+    marker = skyd.withColumn("__core", F.lit(1))
+    return (
+        thick.join(F.broadcast(marker), dimcols, "left")
+        .withColumn(core_col, F.coalesce(F.col("__core"), F.lit(0)).cast("bigint"))
+        .select(*out_cols, core_col)
+    )

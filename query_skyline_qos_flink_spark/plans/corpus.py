@@ -32,6 +32,7 @@ from ..operators.skyline import (
     skyline,
     skyline_layers,
     skyline_with_pid,
+    thick_skyline,
     top_dominating,
 )
 from ..session import epoch_micros, load
@@ -635,6 +636,43 @@ def s30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prob_skyline(
         li, ["l_extendedprice", "l_discount"], ["l_orderkey"], _S30_TAU
     )
+
+
+_S31_EPS = (2000.0, 0.02)
+
+
+@register(
+    "s31_thick_skyline",
+    f"""
+WITH skyd AS (SELECT DISTINCT l_extendedprice AS sx, l_discount AS sy
+              FROM ({skyline_oracle_sql(
+                  "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem",
+                  [("l_extendedprice", "min"), ("l_discount", "min")],
+                  ["l_extendedprice", "l_discount"],
+                  bucket_sql="l_orderkey",
+              )}))
+SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM skyd s
+                              WHERE s.sx = p.l_extendedprice AND s.sy = p.l_discount)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_core
+FROM lineitem p
+WHERE EXISTS (SELECT 1 FROM skyd s
+              WHERE abs(p.l_extendedprice - s.sx) <= {_S31_EPS[0]}
+                AND abs(p.l_discount - s.sy) <= {_S31_EPS[1]})
+""".strip(),
+    doc="Thick skyline (Jin et al.): the skyline plus every row within "
+    "(2000.0, 0.02) of a skyline point on both dims, flagged is_core=1 "
+    "for exact skyline tuples — the best tier AND its practical "
+    "substitutes, which the brittle exact frontier hides. One ordinary "
+    "skyline pass, then the tiny distinct skyline tuple set broadcasts "
+    "into an epsilon band-join (O(n x |sky|) riding the scan, no input "
+    "shuffle) and an equality join for the core flag — "
+    "operators/skyline.py::thick_skyline. Full-table input; the oracle "
+    "side is linear x |sky| (bucketed skyline CTE), not quadratic",
+)
+def s31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(*_LI)
+    return thick_skyline(li, ["l_extendedprice", "l_discount"], _S31_EPS)
 
 
 # Reverse-skyline query point: near the sparse low-price/low-size corner

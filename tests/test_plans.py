@@ -336,3 +336,13 @@ def test_cdc_dedup_map_only_chunking_single_exchange(spark):
     # chunk hash — nothing shuffles before chunking
     assert 1 <= len(exchanges) <= 2, exchanges
     assert all("chunk_md5" in l for l in exchanges), exchanges
+
+
+def test_thick_skyline_broadcast_band_join_no_input_shuffle(spark):
+    """The epsilon band-join must be a broadcast nested-loop against the
+    tiny skyline tuple set and the core flag a broadcast equality join —
+    the input never shuffles for either."""
+    plan = _plan(spark, "s31_thick_skyline")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

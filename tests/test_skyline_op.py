@@ -684,3 +684,29 @@ def test_prob_skyline_validates_and_handles_empty(spark):
 
     with _pytest.raises(ValueError):
         prob_skyline(df, ["v0", "v1"], ["obj"], 0.0)
+
+
+def test_thick_skyline_matches_brute_and_flags_core(spark):
+    from query_skyline_qos_flink_spark.operators.skyline import thick_skyline
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 10, size=(200, 2))
+    pts[5] = pts[7]  # duplicate tuple on the frontier region
+    pdf = pd.DataFrame({"rid": np.arange(200), "v0": pts[:, 0], "v1": pts[:, 1]})
+    df = spark.createDataFrame(pdf)
+    eps = (0.8, 0.8)
+    out = thick_skyline(df, ["v0", "v1"], eps).toPandas()
+    sky_mask = skyline_mask_brute(pts)
+    sky_tuples = {tuple(p) for p in pts[sky_mask]}
+    want = {
+        i
+        for i in range(200)
+        if any(
+            abs(pts[i][0] - s[0]) <= eps[0] and abs(pts[i][1] - s[1]) <= eps[1]
+            for s in sky_tuples
+        )
+    }
+    assert set(out.rid) == want
+    core = set(out[out.is_core == 1].rid)
+    assert core == {i for i in range(200) if tuple(pts[i]) in sky_tuples}
+    assert core and len(want) > len(core)  # neighbors actually exist
