@@ -154,6 +154,13 @@ def final_line(total: float, sf, timings: dict[str, float],
             out["errors"] = dict(list(out["errors"].items())[:5])
             out["errors_omitted"] = len(errors) - 5
         line = json.dumps(out, separators=(",", ":"))
+    # an all-queries-failed run has timings == {} and the loop above never
+    # fires — the errors map alone must not outgrow the capture either
+    while len(line) > _MAX_STDOUT_LINE and len(out.get("errors", {})) > 1:
+        kept = list(out["errors"].items())[: max(len(out["errors"]) // 2, 1)]
+        out["errors"] = dict(kept)
+        out["errors_omitted"] = len(errors) - len(kept)
+        line = json.dumps(out, separators=(",", ":"))
     return line
 
 

@@ -83,7 +83,14 @@ def _decode_image_pillow(payload: bytes) -> tuple[int, int, int, "object"]:
     if im.mode == "P":
         im = im.convert("RGB")
     elif im.mode not in ("L", "LA", "RGB", "RGBA"):
-        im = im.convert("RGB")
+        # keep the builtin codec's raise-don't-degrade contract: the
+        # from-scratch decoder rejects sub/above-8-bit depths (mode 'I',
+        # '1', 'I;16', ...) with ValueError, and a lossy convert('RGB')
+        # here would instead feed clamped garbage into perceptual hashes
+        raise ValueError(
+            f"unsupported image mode {im.mode!r} (builtin codec parity: "
+            "8-bit L/LA/RGB/RGBA/palette only)"
+        )
     arr = np.asarray(im, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -344,7 +351,13 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
             raise wave_err from None  # no fallback decoder installed
         import numpy as np
 
-        data, sr = _sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        try:
+            data, sr = _sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        except Exception:
+            # contract: wave.Error when NO installed backend recognizes
+            # the payload — callers filter on wave.Error, and a leaking
+            # LibsndfileError would kill the task instead
+            raise wave_err from None
         nf, nch = data.shape
         peak = int(np.abs(data.astype(np.int64)).max()) if nf else 0
         return nch, sr, nf, nf * 1000 // sr if sr else 0, peak

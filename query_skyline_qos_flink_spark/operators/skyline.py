@@ -1038,7 +1038,13 @@ def skycube(
     are never lost either: any row dominated in U is dominated by a
     member of ``sky(U)``, which the candidate set contains, so the
     subspace skyline over candidates equals the subspace skyline over
-    everything.
+    the whole universe.
+
+    The universe is fixed ONCE for the whole cube: rows with NULL/NaN on
+    ANY cube dim are excluded from EVERY subspace (the proof needs one
+    shared universe — a row NaN outside U can win in U yet never project
+    into the full-space skyline).  Callers wanting per-subspace-valid
+    universes should run :func:`skyline` per subspace.
 
     At 100 TB: 1 full scan + (2^d - 2) skyline passes over
     candidate sets bounded by the full-space skyline's row count (each
@@ -1055,7 +1061,17 @@ def skycube(
     names = [c for c, _ in nd]
     if label is None:
         label = lambda ds: "+".join(ds)  # noqa: E731
-    df = _persist(df)
+    # ONE cube universe: rows valid (non-NULL/NaN) on EVERY cube dim.  The
+    # containment proof fixes a single universe — a row NaN on a dim
+    # outside subspace U is U-valid in isolation but can never project
+    # into the full-space skyline, so including it per-subspace would
+    # break the candidate semi-join's exactness.  Excluding it everywhere
+    # keeps every subspace exact over the shared universe (and matches
+    # the family's NULL policy); callers wanting per-subspace universes
+    # should run skyline() per subspace instead.
+    out_cols = df.columns
+    valid, _ = _prep(df, dims)
+    df = _persist(valid.select(*out_cols))
     full = _persist(skyline(df, dims))
     out = full.select(F.lit(label(names)).alias(label_col), *df.columns)
     for mask in range(1, (1 << len(nd)) - 1):
@@ -1157,10 +1173,18 @@ def prob_skyline(
     sizes_idx = spark.createDataFrame(sz_pdf[["__obj_idx", "__n"]])
     max_n = int(sz_pdf["__n"].max())
 
-    k_band = int(math.floor(max_n * math.log(1.0 / threshold))) + max_n + 1
-    band = skyband(df, dims, k_band, count_col="__D")
+    # the output contract includes objects whose ROUNDED probability
+    # reaches the threshold, i.e. true p >= threshold - 5e-7 (half the
+    # 6-dp grain); every internal bound targets that slackened threshold
+    # plus a float-noise margin, and only the final rounded comparison
+    # decides membership
+    t_eff = max(threshold - 6e-7, 1e-12)
+    k_band = int(math.floor(max_n * math.log(1.0 / t_eff))) + max_n + 1
+    # scan the persisted prepped projection, not the raw input — skyband
+    # re-preps internally, and _prep is idempotent over these columns
+    band = skyband(prepped, dims, k_band, count_col="__D")
 
-    def counting_scan(cand_keyed: DataFrame, cand_arr) -> DataFrame:
+    def counting_scan(cand_arr) -> DataFrame:
         """Sparse (obj, candidate) dominator-count triples from one scan."""
         m = cand_arr.shape[0]
         if n_obj * m > 200_000_000:
@@ -1229,7 +1253,7 @@ def prob_skyline(
             .join(F.broadcast(spark.createDataFrame(obj_map)), obj_cols)
             .select("__cand_idx", F.col("__obj_idx").alias("__own_idx"))
         )
-        triples = counting_scan(cand_keyed, cand_arr)
+        triples = counting_scan(cand_arr)
         fac = (
             triples.join(F.broadcast(sizes_idx), "__obj_idx")
             .join(F.broadcast(own), "__cand_idx")
@@ -1259,11 +1283,13 @@ def prob_skyline(
     if pr_a is None:
         return empty_result()
     surv = (
-        pr_a.where(F.col("__pr") >= threshold - 1e-9)
+        pr_a.where(F.col("__pr") >= t_eff)
         .select(*obj_cols)
         .distinct()
     )
-    phase_b_cand = prepped.join(F.broadcast(surv), obj_cols, "leftsemi")
+    # persist: the guard count and instance_probs' toArrow() would
+    # otherwise run the semi-join twice
+    phase_b_cand = _persist(prepped.join(F.broadcast(surv), obj_cols, "leftsemi"))
     n_cand_b = phase_b_cand.count()
     if n_cand_b == 0:
         return empty_result()

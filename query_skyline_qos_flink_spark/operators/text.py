@@ -600,12 +600,17 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
     is driver-side orchestration of this exact plan."""
     t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # guard single-char words: Spark's sequence(1, 0) yields [1, 0]
+    # (descending), not the empty range DuckDB produces — without the
+    # CASE a 1-char vocab word fabricates phantom pairs ('a ' / 'a a')
     prs = vocab.select(
         "freq",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(w) - 1),"
-                "          i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))"
+                "CASE WHEN length(w) >= 2 THEN"
+                "  transform(sequence(1, length(w) - 1),"
+                "            i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))"
+                " ELSE array() END"
             )
         ).alias("pair"),
     )

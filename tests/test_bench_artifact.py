@@ -39,3 +39,13 @@ def test_final_line_truncates_pathological_suite():
 
 def test_final_line_budget_inside_driver_capture():
     assert bench._MAX_STDOUT_LINE <= 1900  # driver tail is 2000 chars
+
+
+def test_final_line_truncates_errors_only_run():
+    """Regression: an all-queries-failed run (timings == {}) must still fit
+    the driver capture — the errors map is truncated on its own."""
+    errors = {f"query_with_long_name_{i:03d}": "Boom: " + "y" * 60 for i in range(60)}
+    line = bench.final_line(0.0, 0.1, {}, errors)
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert parsed["errors"] and parsed["errors_omitted"] > 0

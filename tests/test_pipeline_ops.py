@@ -722,3 +722,14 @@ def test_cdc_chunks_edge_docs(spark):
     out = text.cdc_chunks(df).toPandas()
     assert set(out.doc_id) == {1, 3}
     assert out[out.doc_id == 1].chunk_len.tolist() == [5]
+
+
+def test_bpe_pairs_ignore_single_char_words(spark):
+    """Regression: Spark's sequence(1, 0) is the DESCENDING [1, 0], so an
+    unguarded pair transform fabricates phantom pairs ('a ' and 'a a')
+    for 1-char vocabulary words; the oracle's range(1, 1) is empty."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a a a b ab"]})
+    )
+    out = text.bpe_pair_counts(df, k=10).toPandas()
+    assert out.pair.tolist() == ["a b"] and out.cnt.tolist() == [1]

@@ -710,3 +710,46 @@ def test_thick_skyline_matches_brute_and_flags_core(spark):
     core = set(out[out.is_core == 1].rid)
     assert core == {i for i in range(200) if tuple(pts[i]) in sky_tuples}
     assert core and len(want) > len(core)  # neighbors actually exist
+
+
+def test_skycube_universe_excludes_nan_rows_everywhere(spark):
+    """The cube universe is fixed once: a row NaN on ANY cube dim is
+    excluded from EVERY subspace (documented; the containment proof needs
+    one shared universe). Each subspace equals skyline() over that shared
+    NaN-free universe — including subspaces the NaN row would have won."""
+    from query_skyline_qos_flink_spark.operators.skyline import skycube
+
+    # tuples, not pandas: pandas->Spark converts NaN to NULL; both NULL
+    # and real NaN must behave identically under the policy, so one of each
+    df = spark.createDataFrame(
+        [(1, 0.0, float("nan")), (2, 1.0, 1.0), (3, 2.0, 0.5), (4, 0.5, None)],
+        "rid bigint, v0 double, v1 double",
+    )
+    cube = skycube(df, ["v0", "v1"]).toPandas()
+    valid = df.where("v1 IS NOT NULL AND NOT isnan(v1)")
+    for sub, lbl in (["v0"], "v0"), (["v1"], "v1"), (["v0", "v1"], "v0+v1"):
+        want = set(skyline(valid, sub).toPandas().rid)
+        got = set(cube[cube.subspace == lbl].rid)
+        assert got == want, (lbl, got, want)
+    assert not {1, 4} & set(cube.rid)  # NaN/NULL rows never appear
+
+
+def test_prob_skyline_includes_objects_rounding_up_to_threshold(spark):
+    """Regression: the phase-1 slack must cover the 6-dp rounding contract
+    — an object with true probability 2/3 = 0.6666... must be included at
+    threshold 0.666667 (its rounded value), not dropped by a too-tight
+    internal filter."""
+    from query_skyline_qos_flink_spark.operators.skyline import prob_skyline
+
+    pdf = pd.DataFrame(
+        {
+            "obj": [1, 2, 2, 2],
+            "v0": [5.0, 1.0, 9.0, 9.5],
+            "v1": [5.0, 1.0, 9.0, 9.5],
+        }
+    )
+    # obj 1's single instance is dominated by 1 of obj 2's 3 instances:
+    # Pr = 1 - 1/3 = 0.666666..., rounds to 0.666667
+    df = spark.createDataFrame(pdf)
+    out = {r.obj: r.p_r for r in prob_skyline(df, ["v0", "v1"], ["obj"], 0.666667).collect()}
+    assert out.get(1) == 0.666667, out
