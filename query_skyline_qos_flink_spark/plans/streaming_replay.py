@@ -1040,3 +1040,91 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyband(final_state, _S25_DIMS, k=k).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "n_dominators"
     )
+
+
+def _s32_oracle() -> str:
+    from .pipeline import _CDC_TERMS  # shared hash terms (mirror of the operator)
+    from ..operators import text as _text
+
+    return f"""
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+c AS (SELECT doc_id, text, length(text) AS L,
+        list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))) AS codes
+      FROM d0),
+h AS (SELECT doc_id, text, L,
+        CASE WHEN L >= {_text.CDC_K}
+             THEN list_transform(range(1, L - {_text.CDC_K - 2}),
+                  i -> CASE WHEN ({_CDC_TERMS}) % {_text.CDC_DIVISOR} = 0
+                            THEN i + {_text.CDC_K - 1} END)
+             ELSE [] END AS rawcuts FROM c),
+cu AS (SELECT doc_id, text, L,
+        list_concat(list_filter(rawcuts, x -> x IS NOT NULL AND x < L), [L]) AS cuts
+       FROM h),
+ch AS (SELECT doc_id, j AS chunk_idx,
+        (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) + 1 AS s,
+        cuts[j] AS e, text
+      FROM cu, unnest(range(1, len(cuts)+1)) AS u(j))
+SELECT DISTINCT md5(substr(text, s, e - s + 1)) AS chunk_md5,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len
+FROM ch
+""".strip()
+
+
+@register(
+    "s32_stream_cdc_dedup",
+    _s32_oracle(),
+    doc="Streaming content-defined chunk dedup: the SAME cdc_chunks "
+    "operator from the batch corpus (pure column expressions) applied "
+    "unchanged inside Structured Streaming — documents replayed as a "
+    "two-file parquet stream (maxFilesPerTrigger=1 forces a batch "
+    "boundary mid-corpus), chunked in-stream, and first-occurrence "
+    "deduplicated with dropDuplicates state that SPANS micro-batches "
+    "(a chunk seen in batch 0 must not re-emit in batch 1). Output "
+    "restricted to (chunk_md5, chunk_len) so every surviving row is "
+    "value-deterministic regardless of which duplicate the state keeps; "
+    "the oracle is the batch DISTINCT over the same chunk derivation. "
+    "Keyed state grows with distinct chunks — bounded in this replay "
+    "harness; production streams bound it with "
+    "dropDuplicatesWithinWatermark (s20's pattern)",
+)
+def s32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as _text
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows = d.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s32 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s32_cdc_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    chunks = _text.cdc_chunks(stream)
+    dd = chunks.select("chunk_md5", "chunk_len").dropDuplicates(["chunk_md5"])
+    sink = os.path.basename(workdir)
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s32 stream cdc replay timed out after 600 s")
+    return spark.sql(f"SELECT chunk_md5, chunk_len FROM {sink}")
