@@ -808,3 +808,57 @@ def r21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val_c").cast("bigint").alias("min_c"),
         F.max("val_c").cast("bigint").alias("max_c"),
     )
+
+
+@register(
+    "r22_topn_per_group",
+    """
+WITH rev AS (
+  SELECT n.n_name, l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+r AS (SELECT n_name, l_partkey, revenue_c,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY revenue_c DESC, l_partkey) AS rnk
+      FROM rev)
+SELECT n_name, CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(revenue_c AS BIGINT) AS revenue_c, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""".strip(),
+    doc="Per-group top-n (top-3 parts by revenue per supplier nation) — "
+    "the OTHER top-k pattern: r2's global top-k compiles to "
+    "TakeOrderedAndProject, while per-group ranking is a rank window "
+    "PARTITIONED BY the group key (parallel by key, no single-task "
+    "window, no global sort); supplier/nation dims broadcast; cents "
+    "integers keep the hash float-free",
+)
+def r22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", _cents("l_extendedprice").alias("cents")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum("cents").alias("revenue_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_c").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            F.col("revenue_c").cast("bigint").alias("revenue_c"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -346,3 +346,13 @@ def test_thick_skyline_broadcast_band_join_no_input_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r22_rank_window_partitioned_by_group(spark):
+    """Per-group top-n: the rank window must partition by the group key
+    (parallel by key) — never a single-partition global window — and the
+    dims ride broadcast joins."""
+    plan = _plan(spark, "r22_topn_per_group")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
