@@ -2370,3 +2370,38 @@ def x_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occ") >= 2)
         .select("chunk_md5", "chunk_len", "n_occ", "n_docs", "min_doc")
     )
+
+
+@register(
+    "x_dup_cluster_sizes",
+    f"""
+WITH cl AS ({_CLUSTERS_ORACLE}),
+sz AS (SELECT canonical_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sz GROUP BY 1
+""".strip(),
+    doc="Duplicate-cluster size distribution: how many near-dup clusters "
+    "of each size the corpus contains and how many documents they hold "
+    "— the shape report a dedup run is judged by (a heavy tail of giant "
+    "clusters means boilerplate; all-singletons means the threshold is "
+    "too tight). Two partial-agg rollups on top of the iterative "
+    "min-label clustering (operators/dedup.py::connected_components); "
+    "nothing new shuffles except the canonical-id count",
+)
+def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.1).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, d.select("doc_id"))
+    sz = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
