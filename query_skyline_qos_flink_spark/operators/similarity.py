@@ -474,3 +474,61 @@ def label_centroid_cosines(
             ).alias("cos_r"),
         )
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed exact Gram matrix ``X^T X`` over 1e-6 fixed-point
+    embedding components — the covariance/whitening/PCA-prep statistic an
+    embedding pipeline computes before decorrelating or compressing a
+    corpus.  Returns the upper triangle as ``(i, j, s_q, n_rows)`` with
+    1-based dims, ``s_q = sum_rows q_i * q_j`` and ``q = round(v * 1e6)``.
+
+    Exactness: quantization happens JVM-side (Spark ``round`` ==
+    half-away-from-zero == DuckDB ``round``; numpy's rint would be
+    half-to-even), the per-partition GEMM is int64 (exact: |q| <= 1e6 so
+    a partition holds ~9e6 rows before int64 could saturate), and the
+    global merge sums partials in decimal(38,0) — every aggregate is
+    integer and order-independent, so results hash identically across
+    engines.
+
+    Scale shape: ONE mapInPandas pass emits a dim*(dim+1)/2-row triangle
+    per partition (the classic distributed Gram trick: shuffle volume is
+    partitions x dim^2 regardless of row count), then one tiny keyed sum.
+    Rows with NULL vectors are excluded; all vectors must share the same
+    dimensionality (numpy raises on ragged input rather than guessing).
+    """
+    import numpy as np
+
+    q6 = F.expr(
+        f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    d = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
+        q6.alias("__q")
+    )
+
+    def fn(batches):
+        G = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(pdf["__q"].to_list(), dtype=np.int64)
+            G = q.T @ q if G is None else G + q.T @ q
+            n += q.shape[0]
+        if G is None:
+            return
+        iu = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {"i": iu[0] + 1, "j": iu[1] + 1, "s": G[iu], "n": n}
+        )
+
+    partials = d.mapInPandas(fn, schema="i int, j int, s long, n long")
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("__s"),
+        F.sum("n").alias("__n"),
+    ).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("__s").cast("bigint").alias("s_q"),
+        F.col("__n").cast("bigint").alias("n_rows"),
+    )

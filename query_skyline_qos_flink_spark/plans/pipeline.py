@@ -2405,3 +2405,32 @@ def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
     )
+
+
+@register(
+    "x_embed_gram",
+    """
+WITH q AS (SELECT vec_id, i,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+g AS (SELECT a.i AS i, b.i AS j, sum(CAST(a.qv AS HUGEINT) * b.qv) AS s,
+             count(*) AS n
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(s AS BIGINT) AS s_q, CAST(n AS BIGINT) AS n_rows
+FROM g
+""".strip(),
+    doc="Distributed exact Gram matrix X^T X over 1e-6 fixed-point "
+    "embedding components (upper triangle, 1-based dims) — the "
+    "covariance/whitening/PCA-prep statistic before decorrelating or "
+    "compressing an embedding corpus. One mapInPandas pass emits a "
+    "dim^2/2 triangle per partition (int64 GEMM, exact), one tiny "
+    "decimal(38,0) keyed sum merges — shuffle volume is partitions x "
+    "dim^2 regardless of row count, and every aggregate is integer, so "
+    "the hash is engine-stable with no float discipline — "
+    "operators/similarity.py::gram_matrix. The oracle is the quadratic "
+    "per-component self-join (fine at gate scale)",
+)
+def x_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.gram_matrix(load(spark, sf_dir, "embeddings"))

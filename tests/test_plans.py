@@ -356,3 +356,17 @@ def test_r22_rank_window_partitioned_by_group(spark):
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embed_gram_single_pass_tiny_shuffle(spark):
+    """The Gram matrix must be one mapInPandas pass + one keyed sum — the
+    only exchange carries dim^2-sized partials, never raw vectors, and
+    there is no join anywhere."""
+    plan = _plan(spark, "x_embed_gram")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "SinglePartition" not in l
+    ]
+    assert len(exchanges) == 1 and "i#" in exchanges[0], exchanges
