@@ -320,7 +320,8 @@ def extract_image_meta(
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 AUDIO_META_SCHEMA = (
@@ -408,7 +409,8 @@ def extract_audio_meta(
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, str, int, int, int]:
@@ -444,7 +446,8 @@ def extract_media_meta(
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 def fake_frame_digest(payload: bytes, frame_idx: int) -> str:
@@ -497,7 +500,8 @@ def sample_frames(
                 {id_col: ids, "frame_idx": idxs, "frame_md5": digests}
             )
 
-    return df.select(id_col, payload_col, n_frames_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col, n_frames_col).mapInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -697,7 +701,8 @@ def image_ahash(
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -975,7 +980,8 @@ def extract_gif_frame_colors(
                 {id_col: ids, "frame_idx": idxs, "r": rs, "g": gs, "b": bs}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,19 @@ def _norm_fold(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast(_D) * x.cast(_D)))
 
 
+def valid_vectors(df: DataFrame, vec_col: str, nonzero: bool = False) -> DataFrame:
+    """Engine policy for vector operators (the analog of the skyline
+    family's NULL/NaN-dim exclusion): rows with NULL or empty vectors are
+    excluded; with ``nonzero=True`` (cosine-based ops, where a zero-norm
+    vector makes the similarity undefined and ANSI division-by-zero would
+    kill the job), all-zero vectors are excluded too.  Pure column
+    predicates — rides the scan."""
+    cond = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    if nonzero:
+        cond = cond & F.exists(vec_col, lambda x: x != 0)
+    return df.where(cond)
+
+
 def knn_exact_fold(
     df: DataFrame,
     query_df: DataFrame,
@@ -59,7 +72,10 @@ def knn_exact_fold(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by squared L2 for each query row (self excluded, ties by
-    neighbor id).  Output: q_id, n_id, rnk."""
+    neighbor id).  Output: q_id, n_id, rnk.  NULL/empty vectors excluded
+    on both sides (:func:`valid_vectors`)."""
+    df = valid_vectors(df, vec_col)
+    query_df = valid_vectors(query_df, vec_col)
     q = query_df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q"))
     pairs = (
         df.crossJoin(F.broadcast(q))
@@ -87,8 +103,14 @@ def knn_blocked(
     """Blocked-GEMM brute-force top-k (the 100 TB path).  Same contract as
     :func:`knn_exact_fold`; float summation order differs (pairwise GEMM vs
     sequential fold), so ranks can differ on near-exact ties — hence no SQL
-    oracle, property-tested against the fold path instead."""
+    oracle, property-tested against the fold path instead.  NULL/empty
+    vectors excluded on both sides; an empty query set returns the empty
+    contract frame instead of tripping numpy's stack."""
+    df = valid_vectors(df, vec_col)
+    query_df = valid_vectors(query_df, vec_col)
     qpdf = query_df.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return df.sparkSession.createDataFrame([], "q_id bigint, n_id bigint, rnk int")
     q_ids = qpdf[id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qsq = (Q * Q).sum(axis=1)
@@ -161,7 +183,9 @@ def ann_bucketed(
     and the probe set is a pure function of the code, so a SQL oracle can
     replicate the rule as ``xor == 0 OR (single bit AND bit < n_probes-1)``.
     Only the broadcast query side fans out (×``n_probes``); the base table
-    is scanned once."""
+    is scanned once.  NULL/empty vectors excluded on both sides."""
+    df = valid_vectors(df, vec_col)
+    query_df = valid_vectors(query_df, vec_col)
     base = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__e"),
@@ -217,7 +241,10 @@ def cosine_pairs(
 
     This is the O(n^2) cross-join reference twin, kept for property-testing
     :func:`cosine_pairs_bucketed` (the registered scale path) — do not use
-    it on large tables."""
+    it on large tables.  NULL/empty/zero-norm vectors are excluded
+    (:func:`valid_vectors` — cosine is undefined at zero norm and ANSI
+    division-by-zero would kill the job)."""
+    df = valid_vectors(df, vec_col, nonzero=True)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -250,6 +277,7 @@ def cosine_pairs_bucketed(
     bounded by raising ``n_bits`` (2^n_bits buckets) and is AQE-splittable
     since the join is a plain equi shuffle."""
     code = bucket_code(F.col(vec_col), n_bits)
+    df = valid_vectors(df, vec_col, nonzero=True)
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), code.alias("__cb")
     )
@@ -311,8 +339,10 @@ def ann_ivf(
     plain equi-join on the cell id, so the whole plan is
     scan + literal expression + one shuffle for the final per-query
     top-k.  Scale knobs: ``coarse_bits`` (cells) and ``n_probes``
-    (recall).
+    (recall).  NULL/empty vectors excluded on both sides.
     """
+    df = valid_vectors(df, vec_col)
+    query_df = valid_vectors(query_df, vec_col)
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
     )
@@ -446,7 +476,7 @@ def label_centroid_cosines(
     nrm = c.groupBy("label").agg(
         F.max("n").alias("n_vecs"),
         F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq")).alias("nq"),
-    )
+    ).where(F.col("nq") > 0)  # zero-norm centroid: cosine undefined, label excluded
     a = c.select(F.col("label").alias("label_a"), "pos", F.col("sq").alias("sqa"))
     b = c.select(F.col("label").alias("label_b"), "pos", F.col("sq").alias("sqb"))
     pairs = (

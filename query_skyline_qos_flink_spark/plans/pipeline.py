@@ -2287,7 +2287,7 @@ u AS (SELECT label, i AS pos,
       FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)),
 c AS (SELECT label, pos, sum(q6) AS sq, count(*) AS n FROM u GROUP BY 1,2),
 nrm AS (SELECT label, max(n) AS n_vecs, sum(CAST(sq AS HUGEINT) * sq) AS nq
-        FROM c GROUP BY 1),
+        FROM c GROUP BY 1 HAVING sum(CAST(sq AS HUGEINT) * sq) > 0),
 pairs AS (SELECT a.label AS label_a, b.label AS label_b,
                  sum(CAST(a.sq AS HUGEINT) * b.sq) AS dq
           FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
