@@ -820,3 +820,73 @@ def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def _m2_oracle() -> str:
+    """m1's bucketed two-level oracle, instantiated per strategy.
+
+    Covers MR-Dim and MR-Grid only: their pid formulas are pure IEEE
+    arithmetic (division/floor/compare), identical across engines.
+    MR-Angle's atan2 is NOT cross-engine bit-pinned (libm accuracy is
+    implementation-defined), so a row within one ulp of a sector boundary
+    could flip pids and break the per-pid counts; the angle strategy
+    stays under the partition-INDEPENDENT oracle instead
+    (s9_twophase_angle: the merged result equals the plain skyline for
+    ANY partitioning)."""
+
+    def one(pid_expr: str, label: str) -> str:
+        return f"""
+WITH src AS (
+  SELECT l_orderkey, l_extendedprice AS d0, l_discount AS d1,
+         l_orderkey % 64 AS sub
+  FROM lineitem),
+dom AS (SELECT max(d0) AS m FROM src),
+pts AS (SELECT src.*, {pid_expr} AS pid FROM src, dom),
+loc0 AS (SELECT p.* FROM pts p WHERE NOT EXISTS (
+    SELECT 1 FROM pts q WHERE q.pid = p.pid AND q.sub = p.sub
+      AND q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))),
+loc AS (SELECT p.* FROM loc0 p WHERE NOT EXISTS (
+    SELECT 1 FROM loc0 q WHERE q.pid = p.pid
+      AND q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))),
+gsky AS (SELECT p.* FROM loc p WHERE NOT EXISTS (
+    SELECT 1 FROM loc q
+      WHERE q.d0 <= p.d0 AND q.d1 <= p.d1 AND (q.d0 < p.d0 OR q.d1 < p.d1))),
+sizes AS (SELECT pid, count(*) AS local_size FROM loc GROUP BY pid),
+surv AS (SELECT pid, count(*) AS survivors FROM gsky GROUP BY pid)
+SELECT '{label}' AS strategy, s.pid, s.local_size,
+       COALESCE(v.survivors, 0) AS survivors
+FROM sizes s LEFT JOIN surv v ON s.pid = v.pid
+""".strip()
+
+    dim_pid = "LEAST(GREATEST(CAST(FLOOR(d0 / (dom.m / 8.0)) AS INTEGER), 0), 7)"
+    grid_pid = (
+        "CAST(((CASE WHEN d0 >= dom.m/2.0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN d1 >= dom.m/2.0 THEN 2 ELSE 0 END)) % 8 AS INTEGER)"
+    )
+    return (
+        "SELECT * FROM (" + one(dim_pid, "dim") + ")\nUNION ALL\n"
+        "SELECT * FROM (" + one(grid_pid, "grid") + ")"
+    )
+
+
+@register(
+    "m2_strategy_stats",
+    _m2_oracle(),
+    doc="Partitioning-strategy comparison (the reference PDF's §5 "
+    "experiment): m1's Optimality building blocks computed under MR-Dim "
+    "AND MR-Grid side by side, labeled — which spatial keying prunes "
+    "better on this data is the question the reference's evaluation "
+    "asks. One persisted scan feeds both stats passes; integer-only "
+    "output. MR-Angle is compared under the partition-independent "
+    "oracle instead (s9_twophase_angle) because atan2 is not "
+    "cross-engine bit-pinned — see _m2_oracle",
+)
+def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _persist_corpus(load(spark, sf_dir, "lineitem"))
+    out = None
+    for st in ("dim", "grid"):
+        stats = skyline_partition_stats(
+            li, ["l_extendedprice", "l_discount"], strategy=st, num_partitions=8
+        ).select(F.lit(st).alias("strategy"), "pid", "local_size", "survivors")
+        out = stats if out is None else out.unionByName(stats)
+    return out
