@@ -2434,3 +2434,79 @@ FROM g
 )
 def x_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.gram_matrix(load(spark, sf_dir, "embeddings"))
+
+
+_QI_PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "x_quantiles_interp",
+    """
+WITH d AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem),
+pos AS (
+  SELECT p.p,
+         CAST(FLOOR((max(d.n) - 1) * p.p) AS BIGINT) + 1 AS lo,
+         (max(d.n) - 1) * p.p - FLOOR((max(d.n) - 1) * p.p) AS frac
+  FROM d, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                  (CAST(0.99 AS DOUBLE))) AS p(p)
+  GROUP BY p.p),
+v AS (
+  SELECT pos.p, pos.frac,
+         max(CASE WHEN d.rn = pos.lo THEN d.price_c END) AS vlo,
+         max(CASE WHEN d.rn = pos.lo + 1 THEN d.price_c END) AS vhi
+  FROM d JOIN pos ON d.rn IN (pos.lo, pos.lo + 1) GROUP BY pos.p, pos.frac)
+SELECT p AS pct, round(vlo + (COALESCE(vhi, vlo) - vlo) * frac, 6) AS value_c
+FROM v
+""".strip(),
+    doc="EXACT interpolated percentiles (percentile_cont semantics: "
+    "position (n-1)p, linear interpolation between the two bracketing "
+    "order statistics) — the continuous twin of x_exact_quantiles' "
+    "rank-selection. Rank comes from the range-bucketed assembly (no "
+    "single-task window); n is known from the same action, so the "
+    "bracketing positions are PLAN LITERALS and the interpolation is "
+    "one deterministic double expression over two integer order "
+    "statistics — identical IEEE ops on both engines, no float-sum "
+    "discipline needed. p=0.99's upper neighbor can exceed n; it "
+    "degrades to the lower statistic (COALESCE) on both sides",
+)
+def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.prefix import with_global_rank_and_total
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, total = with_global_rank_and_total(
+        li, ["price_c", "l_orderkey", "l_linenumber"], "rn"
+    )
+    specs = []
+    for p in _QI_PCTS:
+        x = (total - 1) * p  # same IEEE double product as the oracle's
+        lo = int(math.floor(x)) + 1
+        specs.append((p, lo, x - math.floor(x)))
+    needed = sorted({pos for _, lo, _ in specs for pos in (lo, lo + 1)})
+    sel = ranked.where(F.col("rn").isin(needed)).select("rn", "price_c")
+    agg = sel.groupBy().agg(
+        *[
+            F.max(F.when(F.col("rn") == pos, F.col("price_c"))).alias(f"__v{pos}")
+            for pos in needed
+        ]
+    )
+    out = None
+    for p, lo, frac in specs:
+        vlo = F.col(f"__v{lo}")
+        vhi = F.coalesce(F.col(f"__v{lo + 1}"), vlo) if lo + 1 in needed else vlo
+        row = agg.select(
+            F.lit(float(p)).alias("pct"),
+            F.round(vlo + (vhi - vlo) * F.lit(frac), 6).alias("value_c"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
