@@ -54,11 +54,17 @@ def _norm_fold(a):
 def valid_vectors(df: DataFrame, vec_col: str, nonzero: bool = False) -> DataFrame:
     """Engine policy for vector operators (the analog of the skyline
     family's NULL/NaN-dim exclusion): rows with NULL or empty vectors are
-    excluded; with ``nonzero=True`` (cosine-based ops, where a zero-norm
-    vector makes the similarity undefined and ANSI division-by-zero would
-    kill the job), all-zero vectors are excluded too.  Pure column
-    predicates — rides the scan."""
-    cond = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    excluded, as are vectors containing a NaN component (a NaN poisons
+    any fold and ANSI floor/cast on the NaN result kills the job); with
+    ``nonzero=True`` (cosine-based ops, where a zero-norm vector makes
+    the similarity undefined and ANSI division-by-zero would kill the
+    job), all-zero vectors are excluded too.  Pure column predicates —
+    rides the scan."""
+    cond = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+        & ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
+    )
     if nonzero:
         cond = cond & F.exists(vec_col, lambda x: x != 0)
     return df.where(cond)
@@ -462,6 +468,7 @@ def label_centroid_cosines(
     pos-equi self-join for dots) runs on that tiny table, broadcast.  The
     explode never shuffles raw vectors — only the quantized partial sums.
     """
+    df = valid_vectors(df, vec_col)  # NULL/empty/NaN vectors excluded
     u = df.select(
         F.col(label_col).cast("bigint").alias("label"),
         F.posexplode(vec_col).alias("pos", "v"),
@@ -515,36 +522,55 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Exactness: quantization happens JVM-side (Spark ``round`` ==
     half-away-from-zero == DuckDB ``round``; numpy's rint would be
-    half-to-even), the per-partition GEMM is int64 (exact: |q| <= 1e6 so
-    a partition holds ~9e6 rows before int64 could saturate), and the
-    global merge sums partials in decimal(38,0) — every aggregate is
-    integer and order-independent, so results hash identically across
-    engines.
+    half-to-even), the per-partition GEMM is int64 and GUARDED — numpy
+    wraps silently on overflow, so each task tracks ``rows x max|q|^2``
+    and raises before the bound is reachable (raise-don't-degrade, like
+    the skyline family's verify guards) — and the global merge sums
+    partials in decimal(38,0).  Every aggregate is integer and
+    order-independent, so results hash identically across engines.  The
+    ``s_q`` OUTPUT is bigint: exact to |s_q| < 2^63, and under ANSI mode
+    the final cast raises (never wraps) on a corpus whose true sum
+    exceeds it — callers at that scale should lower the fixed-point
+    scale or read the decimal column before the cast.
 
     Scale shape: ONE mapInPandas pass emits a dim*(dim+1)/2-row triangle
     per partition (the classic distributed Gram trick: shuffle volume is
     partitions x dim^2 regardless of row count), then one tiny keyed sum.
-    Rows with NULL vectors are excluded; all vectors must share the same
-    dimensionality (numpy raises on ragged input rather than guessing).
+    Validity policy: NULL/empty/NaN vectors are excluded, and so are
+    rows whose dimensionality differs from the table's first vector
+    (mixed dims would otherwise silently merge incompatible triangles
+    across partitions; within a partition numpy raises on ragged input).
     """
     import numpy as np
 
     q6 = F.expr(
         f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
-    d = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
-        q6.alias("__q")
-    )
+    d = valid_vectors(df, vec_col).select(q6.alias("__q"))
+    first = d.select(F.size("__q").alias("__d")).first()
+    if first is None:
+        return d.sparkSession.createDataFrame(
+            [], "i bigint, j bigint, s_q bigint, n_rows bigint"
+        )
+    d = d.where(F.size("__q") == first["__d"])
 
     def fn(batches):
         G = None
         n = 0
+        maxq = 1
         for pdf in batches:
             if pdf.empty:
                 continue
             q = np.array(pdf["__q"].to_list(), dtype=np.int64)
-            G = q.T @ q if G is None else G + q.T @ q
+            maxq = max(maxq, int(np.abs(q).max()) if q.size else 1)
             n += q.shape[0]
+            if n * maxq * maxq > 9_000_000_000_000_000_000:
+                raise ValueError(
+                    "gram_matrix: partition partial sum could exceed int64 "
+                    f"({n} rows x max|q| {maxq}); repartition the input or "
+                    "lower the fixed-point scale"
+                )
+            G = q.T @ q if G is None else G + q.T @ q
         if G is None:
             return
         iu = np.triu_indices(G.shape[0])

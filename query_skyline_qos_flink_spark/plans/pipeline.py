@@ -2318,9 +2318,11 @@ _CDC_TERMS = " + ".join(
 )
 
 
-@register(
-    "x_cdc_dedup",
-    f"""
+# Shared CDC chunk-derivation CTE chain (doc_id, chunk s/e spans) — the
+# DuckDB mirror of operators/text.py::cdc_chunks, used by BOTH the batch
+# (x_cdc_dedup) and streaming (s32) oracles so the cut rule can never
+# desynchronize between them.
+_CDC_CHUNK_CTES = f"""
 WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
 c AS (SELECT doc_id, text, length(text) AS L,
         list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))) AS codes
@@ -2337,7 +2339,14 @@ cu AS (SELECT doc_id, text, L,
 ch AS (SELECT doc_id, j AS chunk_idx,
         (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) + 1 AS s,
         cuts[j] AS e, text
-      FROM cu, unnest(range(1, len(cuts)+1)) AS u(j)),
+      FROM cu, unnest(range(1, len(cuts)+1)) AS u(j))
+""".strip()
+
+
+@register(
+    "x_cdc_dedup",
+    f"""
+{_CDC_CHUNK_CTES},
 rows_ AS (SELECT doc_id, md5(substr(text, s, e - s + 1)) AS chunk_md5,
                  e - s + 1 AS chunk_len FROM ch)
 SELECT chunk_md5, CAST(max(chunk_len) AS BIGINT) AS chunk_len,
@@ -2487,6 +2496,11 @@ def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, total = with_global_rank_and_total(
         li, ["price_c", "l_orderkey", "l_linenumber"], "rn"
     )
+    if total == 0:
+        # oracle parity on an empty table: the oracle's position CTE is
+        # built FROM the data, so it yields zero rows — a global
+        # aggregate here would instead emit 3 all-NULL rows
+        return spark.createDataFrame([], "pct double, value_c double")
     specs = []
     for p in _QI_PCTS:
         x = (total - 1) * p  # same IEEE double product as the oracle's
@@ -2502,8 +2516,10 @@ def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for p, lo, frac in specs:
+        # lo+1 is always in `needed` by construction; a missing upper
+        # neighbor (lo == n) surfaces as a NULL aggregate -> coalesce
         vlo = F.col(f"__v{lo}")
-        vhi = F.coalesce(F.col(f"__v{lo + 1}"), vlo) if lo + 1 in needed else vlo
+        vhi = F.coalesce(F.col(f"__v{lo + 1}"), vlo)
         row = agg.select(
             F.lit(float(p)).alias("pct"),
             F.round(vlo + (vhi - vlo) * F.lit(frac), 6).alias("value_c"),

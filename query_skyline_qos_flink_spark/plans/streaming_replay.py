@@ -1043,27 +1043,10 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s32_oracle() -> str:
-    from .pipeline import _CDC_TERMS  # shared hash terms (mirror of the operator)
-    from ..operators import text as _text
+    from .pipeline import _CDC_CHUNK_CTES  # ONE chunk-derivation mirror for both oracles
 
     return f"""
-WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
-c AS (SELECT doc_id, text, length(text) AS L,
-        list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))) AS codes
-      FROM d0),
-h AS (SELECT doc_id, text, L,
-        CASE WHEN L >= {_text.CDC_K}
-             THEN list_transform(range(1, L - {_text.CDC_K - 2}),
-                  i -> CASE WHEN ({_CDC_TERMS}) % {_text.CDC_DIVISOR} = 0
-                            THEN i + {_text.CDC_K - 1} END)
-             ELSE [] END AS rawcuts FROM c),
-cu AS (SELECT doc_id, text, L,
-        list_concat(list_filter(rawcuts, x -> x IS NOT NULL AND x < L), [L]) AS cuts
-       FROM h),
-ch AS (SELECT doc_id, j AS chunk_idx,
-        (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) + 1 AS s,
-        cuts[j] AS e, text
-      FROM cu, unnest(range(1, len(cuts)+1)) AS u(j))
+{_CDC_CHUNK_CTES}
 SELECT DISTINCT md5(substr(text, s, e - s + 1)) AS chunk_md5,
        CAST(e - s + 1 AS BIGINT) AS chunk_len
 FROM ch

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from conftest import SF_SMOKE
 
 from query_skyline_qos_flink_spark.plans import corpus
 from query_skyline_qos_flink_spark.plans import (  # noqa: F401  (register)
@@ -21,8 +22,6 @@ from query_skyline_qos_flink_spark.plans import (  # noqa: F401  (register)
     relational,
     streaming_replay,
 )
-
-_SRC = "/root/testdata/sf0.001"
 
 _DEGEN_DOCS = [
     # (doc_id, text, lang, source, n_chars)
@@ -52,15 +51,16 @@ def _degen_embeddings():
         (4, None, 2),               # NULL vector
         (5, [], 2),                 # empty array
         (6, [float(i) / _DIM for i in range(_DIM)], 3),
+        (7, [float("nan")] + [0.2] * (_DIM - 1), 3),   # NaN component
     ]
 
 
 @pytest.fixture(scope="module")
 def degen_dir(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("degen"))
-    for name in os.listdir(_SRC):
+    for name in os.listdir(SF_SMOKE):
         if name not in ("documents.parquet", "embeddings.parquet"):
-            os.symlink(os.path.join(_SRC, name), os.path.join(base, name))
+            os.symlink(os.path.join(SF_SMOKE, name), os.path.join(base, name))
     spark.createDataFrame(
         _DEGEN_DOCS,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
