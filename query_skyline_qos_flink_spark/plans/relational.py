@@ -862,3 +862,40 @@ def r22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "r23_salted_skew_join",
+    """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""".strip(),
+    doc="Skew-tolerant salted equi-join under the hard oracle gate: "
+    "lineitem (the hot side, salted pmod(hash(row), 8)) joins orders "
+    "(replicated x8 so every (key, salt) exists once) and aggregates "
+    "per priority — row-identical to the plain join, which IS the "
+    "oracle, so the salting machinery itself is hash-verified. The "
+    "pattern for known-skew keys where AQE's runtime skew split isn't "
+    "available (streaming micro-batches) — "
+    "operators/joins.py::salted_join; cents integers keep the hash "
+    "float-free",
+)
+def r23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _cents("l_extendedprice").alias("cents")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("cents").cast("bigint").alias("revenue_c"),
+    )
