@@ -370,3 +370,21 @@ def test_embed_gram_single_pass_tiny_shuffle(spark):
         if "Exchange" in l and "Broadcast" not in l and "SinglePartition" not in l
     ]
     assert len(exchanges) == 1 and "i#" in exchanges[0], exchanges
+
+
+def test_quantiles_interp_no_join_literal_positions(spark):
+    """Interpolated percentiles reuse the literal-offset rank assembly:
+    no join anywhere (positions are plan literals), the only non-final
+    exchange is the bucket repartition."""
+    plan = _plan(spark, "x_quantiles_interp")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_keys_no_cartesian(spark):
+    """The salted join must stay an equi-join on (key, salt) — the salt
+    explode must not degenerate into a cartesian or nested-loop plan."""
+    plan = _plan(spark, "r23_salted_skew_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pmod" in plan  # the deterministic per-row salt reaches the plan
