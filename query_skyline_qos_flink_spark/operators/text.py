@@ -758,3 +758,43 @@ def cdc_chunks(
         (F.col("c.e") - F.col("c.s") + 1).cast("bigint").alias("chunk_len"),
         F.expr("md5(substr(__t, c.s, c.e - c.s + 1))").alias("chunk_md5"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of each document's lowercased character
+    distribution — the classic gibberish/boilerplate detector (encrypted
+    or base64 blobs score near ln(alphabet); single-char spam scores near
+    0; natural language sits in a narrow band).  Returns ``(id,
+    distinct_chars, n_chars, entropy_r)`` with entropy at 6 dp.
+
+    Scale shape: char explode -> (id, char) partial-agg counts (the only
+    corpus-sized shuffle, and map-side combine collapses it to at most
+    |alphabet| rows per doc per task), then a per-doc aggregate over
+    <= |alphabet| rows.  The entropy sum's float order is absorbed by the
+    6-dp contract (same discipline as the bigram-LM scorer).  Empty
+    documents are excluded."""
+    d0 = df.where(F.length(text_col) > 0).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    )
+    ch = d0.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, length(__t)), i -> substr(__t, i, 1))")
+        ).alias("__c"),
+    )
+    cnt = ch.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cnt.groupBy(id_col).agg(
+        F.sum("__n").alias("__nt"), F.count(F.lit(1)).alias("__k")
+    )
+    p = F.col("__n") / F.col("__nt").cast("double")
+    return (
+        cnt.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("__k").cast("bigint").alias("distinct_chars"),
+            F.max("__nt").cast("bigint").alias("n_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_r"),
+        )
+    )

@@ -2526,3 +2526,36 @@ def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "x_char_entropy",
+    """
+WITH d0 AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE doc_id < 100 AND length(text) > 0),
+ch AS (SELECT doc_id, substr(t, i, 1) AS c
+       FROM d0, unnest(range(1, length(t)+1)) AS u(i)),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS nt, count(*) AS k FROM cnt GROUP BY 1),
+e AS (SELECT cnt.doc_id,
+             -sum((cnt.n / CAST(tot.nt AS DOUBLE))
+                  * ln(cnt.n / CAST(tot.nt AS DOUBLE))) AS ent,
+             max(tot.k) AS k, max(tot.nt) AS nt
+      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id GROUP BY 1)
+SELECT doc_id, CAST(k AS BIGINT) AS distinct_chars, CAST(nt AS BIGINT) AS n_chars,
+       round(ent, 6) AS entropy_r
+FROM e
+""".strip(),
+    doc="Character-entropy quality signal (Shannon entropy of the "
+    "lowercased char distribution): the classic gibberish/blob detector "
+    "— encrypted or base64 content scores near ln(alphabet), repeated-"
+    "char spam near 0, natural language in a narrow band. Char explode "
+    "partially aggregates map-side to at most |alphabet| rows per doc "
+    "per task; the per-doc entropy aggregate then runs over <= "
+    "|alphabet| rows. doc_id < 100 sample bounds the gate output; 6-dp "
+    "rounding absorbs float-sum order (bigram-LM discipline) — "
+    "operators/text.py::char_entropy",
+)
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return text.char_entropy(d)
