@@ -890,3 +890,46 @@ def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(st).alias("strategy"), "pid", "local_size", "survivors")
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+@register(
+    "s33_grouped_skyband",
+    """
+WITH p AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  epoch(o_orderdate) AS odate_d
+           FROM orders WHERE o_orderkey % 5 = 0),
+c AS (SELECT a.*, (SELECT count(*) FROM p b
+                   WHERE b.o_orderpriority = a.o_orderpriority
+                     AND b.o_totalprice <= a.o_totalprice
+                     AND b.odate_d <= a.odate_d
+                     AND (b.o_totalprice < a.o_totalprice
+                          OR b.odate_d < a.odate_d)) AS n_dominators
+      FROM p a)
+SELECT o_orderkey, o_orderpriority, o_totalprice, odate_d,
+       CAST(n_dominators AS BIGINT) AS n_dominators
+FROM c WHERE n_dominators < 2
+""".strip(),
+    doc="Per-group 2-skyband (top tier + runners-up WITHIN each order "
+    "priority, with exact dominator counts): the grouped skyband path — "
+    "one hash exchange on the group keys, whole group per kernel call "
+    "(applyInPandas), counts exact directly because dominance is "
+    "restricted to equal keys — under the hard oracle gate, which "
+    "previously covered only the ungrouped broadcast-verify path (s22). "
+    "operators/skyline.py::skyband(group_by=...). %% 5 input filter "
+    "bounds the oracle's per-group quadratic count; o_orderdate goes "
+    "through the same timestamp hop as s8",
+)
+def s33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("odate_d"),
+    )
+    band = skyband(
+        o, ["o_totalprice", "odate_d"], k=2, group_by=["o_orderpriority"]
+    )
+    return band.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "odate_d",
+        F.col("n_dominators").cast("bigint").alias("n_dominators"),
+    )
