@@ -95,6 +95,9 @@ CORPUS_QUERIES = [
     "x_bm25_topk",
     "x_corpus_shuffle",
     "x_bigram_lm_score",
+    "x_embed_gram",
+    "x_char_entropy",
+    "m2_strategy_stats",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
