@@ -72,13 +72,26 @@ _DRIVER_PRIORITY = [
     "s11_stream_replay", "s13_stream_window", "s14_stream_dedup",
     "s15_stream_join", "s18_stream_upsert", "s20_stream_dedup_watermark",
 ]
-# Sitting out round 7 at the staleness bound — MUST front-load round 8:
-# x_fuzzy_match, x_zorder_stats, x_triangle_count, x_clean_text,
-# x_domain_stats, x_winnow_pairs, r5_rollup_counts, r15_grouping_sets,
-# r16_lag_delta, r17_pivot_priority, r18_ntile_deciles, r19_range_frame,
-# s12_stream_replay_3d, s16_stream_session, s17_stream_static_dedup,
-# s19_stream_interval_join (16 queries, all driver-green in round 5).
-# Any query registered during round 7 waits one round behind those.
+# Round-8 rotation worksheet (write it BEFORE touching the list):
+# * STALE at round 8 (last driver row r5, skipped r7 at the bound) —
+#   these 16 MUST take the front: x_fuzzy_match, x_zorder_stats,
+#   x_triangle_count, x_clean_text, x_domain_stats, x_winnow_pairs,
+#   r5_rollup_counts, r15_grouping_sets, r16_lag_delta,
+#   r17_pivot_priority, r18_ntile_deciles, r19_range_frame,
+#   s12_stream_replay_3d, s16_stream_session, s17_stream_static_dedup,
+#   s19_stream_interval_join.
+# * NEVER-GATED round-7 newborns (judge-verified via verify_oracle this
+#   session, driver row still owed) — next 16: s30_prob_skyline,
+#   s31_thick_skyline, s32_stream_cdc_dedup, s33_grouped_skyband,
+#   m2_strategy_stats, r22_topn_per_group, r23_salted_skew_join,
+#   x_bpe_pair_counts, x_pmi_pairs, x_embed_centroids, x_embed_gram,
+#   x_cdc_dedup, x_dup_cluster_sizes, x_quantiles_interp,
+#   x_char_entropy, x_bigram_lm_score... (x_bigram already gated r7 —
+#   exclude; count the actual newborn set from CORRECTNESS_r07 at
+#   rotation time).
+# * Fill the remaining ~18 slots with round-6-gated entries (last=6,
+#   2-stale at round 8) — they hit the hard bound at round 9 otherwise.
+# tests/test_rotation_window.py arbitrates all of this mechanically.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
