@@ -733,3 +733,59 @@ def test_bpe_pairs_ignore_single_char_words(spark):
     )
     out = text.bpe_pair_counts(df, k=10).toPandas()
     assert out.pair.tolist() == ["a b"] and out.cnt.tolist() == [1]
+
+
+def test_gram_matrix_matches_numpy_reference(spark):
+    """gram_matrix == quantize-then-X^T X in numpy, on data with negative
+    components and multiple partitions; n_rows constant across cells."""
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-1, 1, size=(300, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(map(list, X))})
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = similarity.gram_matrix(df).toPandas()
+    # half-away-from-zero quantization, matching Spark/DuckDB round()
+    xd = X.astype(np.float64) * 1e6
+    q = (np.sign(xd) * np.floor(np.abs(xd) + 0.5)).astype(np.int64)
+    G = q.T @ q
+    assert len(out) == 8 * 9 // 2
+    assert set(out.n_rows) == {300}
+    for r in out.itertuples():
+        assert G[r.i - 1, r.j - 1] == r.s_q, (r.i, r.j)
+
+
+def test_gram_matrix_policies(spark):
+    """NULL/empty/NaN vectors and off-dimension rows are excluded; empty
+    input yields the empty contract frame."""
+    rows = [
+        (1, [0.5, 0.5]),
+        (2, None),
+        (3, []),
+        (4, [float("nan"), 1.0]),
+        (5, [1.0, 2.0, 3.0]),   # off-dimension vs first valid row
+        (6, [-0.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.gram_matrix(df).toPandas()
+    assert set(out.n_rows) == {2}  # only rows 1 and 6 survive
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    eout = similarity.gram_matrix(empty)
+    assert eout.collect() == []
+    assert eout.columns == ["i", "j", "s_q", "n_rows"]
+
+
+def test_valid_vectors_predicate(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, None),
+        (3, []),
+        (4, [float("nan"), 1.0]),
+        (5, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assert sorted(
+        r.vec_id for r in similarity.valid_vectors(df, "embedding").collect()
+    ) == [1, 5]
+    assert sorted(
+        r.vec_id
+        for r in similarity.valid_vectors(df, "embedding", nonzero=True).collect()
+    ) == [1]
