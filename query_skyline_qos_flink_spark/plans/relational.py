@@ -899,3 +899,63 @@ def r23(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("cents").cast("bigint").alias("revenue_c"),
     )
+
+
+@register(
+    "r24_event_funnel",
+    """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1_us, CAST(s2.t2 AS BIGINT) AS t2_us,
+       CAST(s3.t3 AS BIGINT) AS t3_us
+FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+""".strip(),
+    doc="Event funnel (view -> click -> purchase): per-user earliest "
+    "timestamp of each step, where step i+1 must occur strictly AFTER "
+    "the user's step-i time — the classic product-analytics sequential "
+    "pattern over event logs (conversion/latency reports derive from "
+    "these rows). Chained min-aggregate + equi-join shape: each step is "
+    "one groupBy(user) min over the step-filtered events joined to the "
+    "previous step's times — shuffles key on user_id only, no window, "
+    "no ordered collect. Epoch-micros bigints keep the hash float-free; "
+    "users stalling mid-funnel surface as NULL later steps "
+    "(LEFT joins). ts goes through session.epoch_micros "
+    "(dtype-dispatching, UTC)",
+)
+def r24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_micros(ev).alias("t")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("t") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("t") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").cast("bigint").alias("t1_us"),
+            F.col("t2").cast("bigint").alias("t2_us"),
+            F.col("t3").cast("bigint").alias("t3_us"),
+        )
+    )
