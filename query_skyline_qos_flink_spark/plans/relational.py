@@ -959,3 +959,46 @@ def r24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t3").cast("bigint").alias("t3_us"),
         )
     )
+
+
+@register(
+    "r25_cohort_retention",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id, c.cohort_d, e.d - c.cohort_d AS offset_d
+      FROM e JOIN c USING (user_id))
+SELECT CAST(cohort_d AS BIGINT) AS cohort_d, CAST(offset_d AS BIGINT) AS offset_d,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+""".strip(),
+    doc="Cohort retention matrix (the other classic product-analytics "
+    "report): users bucketed by first-active day, then distinct active "
+    "users per (cohort, day-offset) cell. Shape: one groupBy(user) min "
+    "for cohorts, an equi-join back, a DISTINCT on (user, cohort, "
+    "offset) and the cell rollup — every shuffle keys on user_id or the "
+    "small cell key, no window, no ordered collect. Integer day "
+    "arithmetic on epoch micros (floor division) is engine-exact; ts "
+    "goes through session.epoch_micros (dtype-dispatching, UTC)",
+)
+def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # explicit floor division (not a plain cast) so pre-1970 timestamps
+    # would bucket identically to DuckDB's // operator
+    e = ev.select(
+        "user_id",
+        F.floor(epoch_micros(ev) / F.lit(86400000000)).cast("bigint").alias("d"),
+    )
+    c = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    a = (
+        e.join(c, "user_id")
+        .select("user_id", "cohort_d", (F.col("d") - F.col("cohort_d")).alias("offset_d"))
+        .distinct()
+    )
+    return a.groupBy("cohort_d", "offset_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.col("cohort_d").cast("bigint").alias("cohort_d"),
+        F.col("offset_d").cast("bigint").alias("offset_d"),
+        "n_users",
+    )
