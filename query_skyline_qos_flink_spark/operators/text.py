@@ -793,8 +793,12 @@ def char_entropy(
         cnt.join(tot, id_col)
         .groupBy(id_col)
         .agg(
-            F.max("__k").cast("bigint").alias("distinct_chars"),
-            F.max("__nt").cast("bigint").alias("n_chars"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_r"),
+            F.max("__k").alias("distinct_chars"),
+            F.max("__nt").alias("n_chars"),
+            # abs(): a single-distinct-char doc sums to exactly 0 and the
+            # negation would emit -0.0 on engines that keep the sign
+            # (DuckDB does; Spark round normalizes) — entropy is >= 0 by
+            # definition, so abs pins +0.0 on BOTH sides
+            F.abs(F.round(-F.sum(p * F.log(p)), 6)).alias("entropy_r"),
         )
     )

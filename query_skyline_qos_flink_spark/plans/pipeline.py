@@ -2543,7 +2543,7 @@ e AS (SELECT cnt.doc_id,
              max(tot.k) AS k, max(tot.nt) AS nt
       FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id GROUP BY 1)
 SELECT doc_id, CAST(k AS BIGINT) AS distinct_chars, CAST(nt AS BIGINT) AS n_chars,
-       round(ent, 6) AS entropy_r
+       abs(round(ent, 6)) AS entropy_r
 FROM e
 """.strip(),
     doc="Character-entropy quality signal (Shannon entropy of the "

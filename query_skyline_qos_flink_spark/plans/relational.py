@@ -910,8 +910,9 @@ s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
        WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
 s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
        WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
-SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1_us, CAST(s2.t2 AS BIGINT) AS t2_us,
-       CAST(s3.t3 AS BIGINT) AS t3_us
+SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1_us,
+       CAST(COALESCE(s2.t2, -1) AS BIGINT) AS t2_us,
+       CAST(COALESCE(s3.t3, -1) AS BIGINT) AS t3_us
 FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
         LEFT JOIN s3 ON s3.user_id = s1.user_id
 """.strip(),
@@ -923,8 +924,10 @@ FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
     "one groupBy(user) min over the step-filtered events joined to the "
     "previous step's times — shuffles key on user_id only, no window, "
     "no ordered collect. Epoch-micros bigints keep the hash float-free; "
-    "users stalling mid-funnel surface as NULL later steps "
-    "(LEFT joins). ts goes through session.epoch_micros "
+    "users stalling mid-funnel surface as -1 later steps "
+    "(COALESCEd LEFT joins — a NULL-bearing bigint column would export "
+    "to pandas as float64 and break the comparator's int/float "
+    "distinction, the r11/r12/r16 convention). ts goes through session.epoch_micros "
     "(dtype-dispatching, UTC)",
 )
 def r24(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,8 +958,8 @@ def r24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("t1").cast("bigint").alias("t1_us"),
-            F.col("t2").cast("bigint").alias("t2_us"),
-            F.col("t3").cast("bigint").alias("t3_us"),
+            F.coalesce(F.col("t2"), F.lit(-1)).cast("bigint").alias("t2_us"),
+            F.coalesce(F.col("t3"), F.lit(-1)).cast("bigint").alias("t3_us"),
         )
     )
 
@@ -983,11 +986,12 @@ FROM a GROUP BY 1, 2
 )
 def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    # explicit floor division (not a plain cast) so pre-1970 timestamps
-    # would bucket identically to DuckDB's // operator
+    # truncating division (cast toward zero), matching DuckDB's integer
+    # `//` which TRUNCATES (-7 // 2 == -3, not floor's -4) — the r16
+    # day-bucket idiom; a pre-1970 timestamp would bucket identically
     e = ev.select(
         "user_id",
-        F.floor(epoch_micros(ev) / F.lit(86400000000)).cast("bigint").alias("d"),
+        (epoch_micros(ev) / F.lit(86400000000)).cast("bigint").alias("d"),
     )
     c = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
     a = (
@@ -995,10 +999,7 @@ def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cohort_d", (F.col("d") - F.col("cohort_d")).alias("offset_d"))
         .distinct()
     )
+    # d is bigint at the source, so cohort_d/offset_d are already long
     return a.groupBy("cohort_d", "offset_d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
-    ).select(
-        F.col("cohort_d").cast("bigint").alias("cohort_d"),
-        F.col("offset_d").cast("bigint").alias("offset_d"),
-        "n_users",
     )

@@ -388,3 +388,34 @@ def test_salted_join_spreads_keys_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "pmod" in plan  # the deterministic per-row salt reaches the plan
+
+
+def test_grouped_skyband_single_exchange_on_group_key(spark):
+    """The grouped skyband is one hash exchange on the group key into an
+    applyInPandas kernel — no broadcast-verify machinery, no join."""
+    plan = _plan(spark, "s33_grouped_skyband")
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_event_funnel_user_keyed_no_window(spark):
+    """Funnel steps are chained min-aggregates + equi-joins keyed on
+    user_id: no window, no cartesian, no nested-loop."""
+    plan = _plan(spark, "r24_event_funnel")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_no_window_small_cell_rollup(spark):
+    plan = _plan(spark, "r25_cohort_retention")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_char_entropy_partial_agg_no_join_blowup(spark):
+    """Char counts must partially aggregate map-side; the only join is the
+    per-doc totals join (size-picked), never a cartesian."""
+    plan = _plan(spark, "x_char_entropy")
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
