@@ -5,7 +5,18 @@ The driver's correctness gate only records rows for the first 50 entries of
 so that every registry entry gets a driver-side row at least once every
 ``MAX_STALE_ROUNDS`` rounds.  This test parses every recorded
 ``CORRECTNESS_r*.json`` and fails loudly when the planned window for the
-*upcoming* round would let any entry go stale.
+round it was rotated for would let any entry go stale.
+
+Lifecycle: ``__spark_entry__._ROTATED_FOR`` records which round the
+current window was planned for, and the window is validated against the
+artifacts that existed when that plan was made (rounds strictly below
+the marker).  This keeps the suite green at round end — the driver
+appends ``CORRECTNESS_r{N}.json`` *after* the session's last commit, so
+an always-``max+1`` check was red at the end of every round by
+construction (rounds 6 and 7 both shipped that designed failure).  The
+marker may lag the newest artifact by at most one round: equal to
+``max(rounds)`` right after a round's gate ran, ``max(rounds)+1`` once
+the next round's first commit rotates the window.
 """
 
 from __future__ import annotations
@@ -29,12 +40,27 @@ def _correctness_rounds() -> dict[int, set[str]]:
     return rounds
 
 
-def test_no_registry_entry_goes_stale():
+def test_rotation_marker_current():
     import __spark_entry__ as entry
 
     rounds = _correctness_rounds()
     assert rounds, "no CORRECTNESS_r*.json artifacts found"
-    upcoming = max(rounds) + 1
+    assert entry._ROTATED_FOR in (max(rounds), max(rounds) + 1), (
+        f"_ROTATED_FOR={entry._ROTATED_FOR} but the newest CORRECTNESS "
+        f"artifact is round {max(rounds)}: rotate _DRIVER_PRIORITY for "
+        f"round {max(rounds) + 1} and bump the marker"
+    )
+
+
+def test_no_registry_entry_goes_stale():
+    import __spark_entry__ as entry
+
+    all_rounds = _correctness_rounds()
+    assert all_rounds, "no CORRECTNESS_r*.json artifacts found"
+    upcoming = entry._ROTATED_FOR
+    # Validate the window against what was known when it was planned.
+    rounds = {r: got for r, got in all_rounds.items() if r < upcoming}
+    assert rounds, f"_ROTATED_FOR={upcoming} predates every artifact"
 
     names = list(entry.queries())
     window = set(names[:WINDOW])
