@@ -1,7 +1,10 @@
 """Text-analysis operators for LLM-data pipelines — JVM-side expressions.
 
 Everything here is built from ``pyspark.sql.functions`` (whole-stage
-codegen, no Python in the hot path) so it scales to 100 TB document sets:
+codegen, no Python in the hot path — the one deliberate exception is
+``cdc_chunks``, whose rolling hash is a vectorized-numpy Arrow kernel
+because the column-expression form paid an O(L·K) interpreted-lookup
+constant) so it scales to 100 TB document sets:
 tokenization, shingling, language-ID heuristics, quality scoring, token
 counting and document fingerprinting.  Each has a matching duckdb-SQL
 formulation in ``plans/pipeline.py`` for the oracle gate; md5 is used as
@@ -705,59 +708,86 @@ def cdc_chunks(
 
     Returns one row per chunk occurrence: ``(id, chunk_idx, start_pos,
     chunk_len, chunk_md5)``.  Everything is integer/string-exact (the
-    polynomial hash is plain bigint arithmetic, no float anywhere), and
-    the whole operator is PURE column expressions — per-document work,
-    no shuffle, no Python; Catalyst sees one Project over the scan.
+    polynomial hash is plain int64 arithmetic, no float anywhere).
+
+    The rolling hash is a vectorized numpy ``mapInPandas`` kernel: the
+    document decodes once to a codepoint array (``utf-32-le`` →
+    ``uint32``, exactly DuckDB's ``ascii(substr(t, i, 1))``), and the
+    full hash vector is CDC_K shifted-slice multiply-adds over that
+    array — O(L·K/SIMD), ~10× cheaper than the previous per-position
+    column-expression recompute (8 interpreted ``element_at`` lookups
+    per character, the suite's worst constant factor in round 7).  Still
+    map-only per-document work riding the scan partitions — no shuffle,
+    no join; the Python hop is Arrow-batched, and max hash value
+    127·Σ31^j ≈ 3.6e12 fits int64 with 5 decades of headroom.
     Documents shorter than the window form a single chunk; empty
     documents yield no rows."""
-    powers = [CDC_BASE**e for e in range(CDC_K - 1, -1, -1)]
-    terms = " + ".join(
-        f"CAST(element_at(__codes, CAST(i + {j} AS INT)) AS BIGINT) * {powers[j]}"
-        for j in range(CDC_K)
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("start_pos", T.LongType()),
+            T.StructField("chunk_len", T.LongType()),
+            T.StructField("chunk_md5", T.StringType()),
+        ]
     )
-    d = df.where(F.length(text_col) >= 1).select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__L"),
+    powers = np.array([CDC_BASE**e for e in range(CDC_K - 1, -1, -1)], dtype=np.int64)
+    k, div, ic, tc = CDC_K, CDC_DIVISOR, id_col, text_col
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            cis: list[int] = []
+            starts: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for did, s in zip(pdf[ic].tolist(), pdf[tc].tolist()):
+                if not s:
+                    continue
+                length = len(s)
+                if length >= k:
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    h = codes[0 : length - k + 1] * powers[0]
+                    for j in range(1, k):
+                        h += codes[j : length - k + 1 + j] * powers[j]
+                    raw = np.flatnonzero(h % div == 0) + k  # 1-based cut pos
+                    cuts = raw[raw < length].tolist()
+                else:
+                    cuts = []
+                cuts.append(length)
+                prev = 0
+                for ci, e in enumerate(cuts, start=1):
+                    ids.append(did)
+                    cis.append(ci)
+                    starts.append(prev + 1)
+                    lens.append(e - prev)
+                    md5s.append(hashlib.md5(s[prev:e].encode("utf-8")).hexdigest())
+                    prev = e
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        ic: ids,
+                        "chunk_idx": cis,
+                        "start_pos": starts,
+                        "chunk_len": lens,
+                        "chunk_md5": md5s,
+                    }
+                )
+
+    src = df.where(F.col(text_col).isNotNull() & (F.length(text_col) >= 1)).select(
+        id_col, text_col
     )
-    d = d.withColumn(
-        "__codes",
-        F.expr("transform(sequence(1, length(__t)), i -> ascii(substr(__t, i, 1)))"),
-    )
-    d = d.withColumn(
-        "__cuts",
-        F.expr(
-            f"""concat(
-                 filter(
-                   CASE WHEN __L >= {CDC_K}
-                        THEN transform(sequence(1, __L - {CDC_K - 1}),
-                             i -> CASE WHEN ({terms}) % {CDC_DIVISOR} = 0
-                                       THEN i + {CDC_K - 1} END)
-                        ELSE array() END,
-                   x -> x IS NOT NULL AND x < __L),
-                 array(__L))"""
-        ),
-    )
-    ch = d.select(
-        id_col,
-        "__t",
-        F.explode(
-            F.expr(
-                """transform(sequence(1, size(__cuts)), j -> struct(
-                     j AS ci,
-                     (CASE WHEN j = 1 THEN 0
-                           ELSE element_at(__cuts, CAST(j - 1 AS INT)) END) + 1 AS s,
-                     element_at(__cuts, CAST(j AS INT)) AS e))"""
-            )
-        ).alias("c"),
-    )
-    return ch.select(
-        id_col,
-        F.col("c.ci").cast("bigint").alias("chunk_idx"),
-        F.col("c.s").cast("bigint").alias("start_pos"),
-        (F.col("c.e") - F.col("c.s") + 1).cast("bigint").alias("chunk_len"),
-        F.expr("md5(substr(__t, c.s, c.e - c.s + 1))").alias("chunk_md5"),
-    )
+    return src.mapInPandas(kernel, out_schema)
 
 
 def char_entropy(

@@ -2360,11 +2360,11 @@ FROM rows_ GROUP BY 1 HAVING count(*) >= 2
     "content and an early edit re-aligns at the next boundary instead "
     "of shifting every block — the edit-robust dedup fixed-size blocks "
     "can't do. Reports chunks appearing >= 2 times (occurrences, "
-    "distinct docs, first doc). Integer/string-exact throughout (bigint "
-    "polynomial hash, md5 — no floats); chunking is PURE column "
-    "expressions per document (one Project over the scan, no Python, no "
-    "shuffle), then one hash-partial groupBy on chunk_md5 — "
-    "operators/text.py::cdc_chunks",
+    "distinct docs, first doc). Integer/string-exact throughout (int64 "
+    "polynomial hash, md5 — no floats); chunking is a vectorized-numpy "
+    "mapInPandas kernel riding the scan partitions (map-only, no "
+    "shuffle, Arrow-batched), then one hash-partial groupBy on "
+    "chunk_md5 — operators/text.py::cdc_chunks",
 )
 def x_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = text.cdc_chunks(load(spark, sf_dir, "documents"))

@@ -323,10 +323,12 @@ def test_prob_skyline_counting_scan_no_quadratic_join(spark):
 
 
 def test_cdc_dedup_map_only_chunking_single_exchange(spark):
-    """Chunking must be pure column expressions riding the scan (no
-    Python, no join); the only exchange is the chunk_md5 groupBy."""
+    """Chunking must be the vectorized Arrow kernel riding the scan
+    partitions (map-only: no join, no row-at-a-time Python, no exchange
+    before the kernel); the only exchange is the chunk_md5 groupBy."""
     plan = _plan(spark, "x_cdc_dedup")
-    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     exchanges = [
         l for l in plan.splitlines()
