@@ -87,6 +87,7 @@ CORPUS_QUERIES = [
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
     "s26_skycube",
+    "s34_skycube_4d",
     "s28_kdominant_skyline",
     "s29_skyline_layers",
     "s30_prob_skyline",
@@ -123,6 +124,7 @@ SCALING_QUERIES = {
     "s29_skyline_layers": "lineitem",  # iterated skyline + broadcast peel
     "s30_prob_skyline": "lineitem",  # skyband bound + counting scans
     "s31_thick_skyline": "lineitem",  # skyline + broadcast eps band-join
+    "s34_skycube_4d": "lineitem",  # fused single-pass 15-subspace lattice
     "x_cdc_dedup": "documents",  # map-only CDC chunking + hash groupBy
     "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
     "x_corpus_shuffle": "documents",  # range-bucketed global rank

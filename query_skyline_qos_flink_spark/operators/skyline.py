@@ -1046,11 +1046,29 @@ def skycube(
     into the full-space skyline).  Callers wanting per-subspace-valid
     universes should run :func:`skyline` per subspace.
 
-    At 100 TB: 1 full scan + (2^d - 2) skyline passes over
-    candidate sets bounded by the full-space skyline's row count (each
-    prefaced by one broadcast of distinct projections, bounded by the
-    same count) — versus d' full scans for the naive loop.  The input is
-    persisted once and shared by all passes.
+    All 2^d - 2 proper subspaces run in a SINGLE fused pass: the
+    full-space skyline's dim matrix (bounded — it already fit the
+    broadcast-verify gate) is collected once and every proper subspace's
+    distinct-projection keyset is broadcast together; one ``mapInPandas``
+    scan over the universe then tags each row with every subspace whose
+    keyset contains its projection AND keeps only per-partition per-label
+    LOCAL skyline survivors (the skyline-merge monoid, applied per
+    label), so only local survivors hit the one exchange on the subspace
+    label; a grouped kernel finishes each label's merge.  Non-subspace
+    dims are padded to a constant in the tagged rows, which makes
+    full-dim dominance coincide with subspace dominance (a constant dim
+    can never be strictly better), so one kernel serves every label.
+
+    At 100 TB: 1 full-space skyline + ONE additional scan of the
+    universe for all 14/30/... proper subspaces together (the naive cube
+    is 2^d - 1 full scans; the previous loop here was 2^d - 2 candidate
+    passes each paying its own persist/count/collect actions); shuffle
+    volume is the sum of per-label local-skyline sizes.  Labels whose
+    survivor volume still exceeds the broadcast-verify bound fall back
+    to the distributed merge, label by label (raise-don't-degrade: the
+    fused path never single-tasks an unbounded group); a full-space
+    skyline too large to collect falls back to the per-subspace loop
+    entirely.
 
     Reference scope: the skyline family's cube extension — the Flink
     reference computes single-space skylines only
@@ -1074,15 +1092,93 @@ def skycube(
     df = _persist(valid.select(*out_cols))
     full = _persist(skyline(df, dims))
     out = full.select(F.lit(label(names)).alias(label_col), *df.columns)
+    if len(nd) < 2:
+        return out
+    if full.count() > _VERIFY_MAX_ROWS:
+        # full-space skyline too large to collect driver-side: loop the
+        # proper subspaces through the distributed operator instead
+        for mask in range(1, (1 << len(nd)) - 1):
+            sub = [d for i, d in enumerate(nd) if mask & (1 << i)]
+            sub_names = [c for c, _ in sub]
+            proj = full.select(*sub_names).distinct()
+            cand = df.join(F.broadcast(proj), sub_names, "leftsemi")
+            out = out.unionByName(
+                skyline(cand, sub).select(
+                    F.lit(label(sub_names)).alias(label_col), *df.columns
+                )
+            )
+        return out
+
+    spark = df.sparkSession
+    full_pdf = full.select(*names).toPandas()
+    masks: list[tuple[str, list[str], list[int]]] = []
+    keysets: dict[str, pd.DataFrame] = {}
     for mask in range(1, (1 << len(nd)) - 1):
-        sub = [d for i, d in enumerate(nd) if mask & (1 << i)]
-        sub_names = [c for c, _ in sub]
-        proj = full.select(*sub_names).distinct()
-        cand = df.join(F.broadcast(proj), sub_names, "leftsemi")
-        sky = skyline(cand, sub)
-        out = out.unionByName(
-            sky.select(F.lit(label(sub_names)).alias(label_col), *df.columns)
+        idxs = [i for i in range(len(nd)) if mask & (1 << i)]
+        sub_names = [names[i] for i in idxs]
+        lbl = label(sub_names)
+        masks.append((lbl, sub_names, idxs))
+        keysets[lbl] = full_pdf[sub_names].drop_duplicates()
+    bc = spark.sparkContext.broadcast((masks, keysets))
+
+    prepped, prep_cols = _prep(df, dims)
+    schema = prepped.select(
+        F.lit("").alias(label_col), *prepped.columns
+    ).schema
+
+    def tag_and_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        msks, keys = bc.value
+        running: dict[str, pd.DataFrame] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for lbl, sub_names, idxs in msks:
+                if len(sub_names) == 1:
+                    member = pdf[sub_names[0]].isin(keys[lbl][sub_names[0]])
+                    cand = pdf.loc[member]
+                else:
+                    probe = pdf[sub_names].reset_index(drop=True)
+                    probe["__row"] = pdf.index
+                    hit = probe.merge(keys[lbl], on=sub_names, how="inner")["__row"]
+                    cand = pdf.loc[hit]
+                if cand.empty:
+                    continue
+                cand = cand.copy()
+                cand.insert(0, label_col, lbl)
+                pad = [prep_cols[i] for i in range(len(prep_cols)) if i not in idxs]
+                for pc in pad:
+                    cand[pc] = 0.0
+                prev = running.get(lbl)
+                allrows = (
+                    cand if prev is None else pd.concat([prev, cand], ignore_index=True)
+                )
+                m = skyline_mask(allrows[prep_cols].to_numpy(dtype=np.float64))
+                running[lbl] = allrows if m.all() else allrows.loc[m]
+        for lbl in sorted(running):
+            if not running[lbl].empty:
+                yield running[lbl]
+
+    surv = _persist(prepped.mapInPandas(tag_and_local, schema=schema))
+    counts = {
+        r[label_col]: r["n"]
+        for r in surv.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    small = [lbl for lbl, _, _ in masks if counts.get(lbl, 0) <= _VERIFY_MAX_ROWS]
+    if small:
+        merged = (
+            surv.where(F.col(label_col).isin(small))
+            .groupBy(label_col)
+            .applyInPandas(_grouped_skyline(prep_cols), schema=schema)
         )
+        out = out.unionByName(merged.select(label_col, *out_cols))
+    for lbl, _, _ in masks:
+        if lbl in small:
+            continue
+        # survivor volume beyond the broadcast bound: distributed merge
+        big = _merge_survivors(
+            surv.where(F.col(label_col) == lbl), prep_cols
+        )
+        out = out.unionByName(big.select(label_col, *out_cols))
     return out
 
 

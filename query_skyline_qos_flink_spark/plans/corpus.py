@@ -491,6 +491,52 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.select("subspace", "l_orderkey", "l_linenumber")
 
 
+_S34_DIMS = ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]
+
+
+def _s34_oracle() -> str:
+    parts = []
+    for mask in range(1, 16):
+        dims = [c for i, c in enumerate(_S34_DIMS) if mask & (1 << i)]
+        label = "+".join(d.split("_", 1)[1] for d in dims)
+        sky = skyline_oracle_sql(
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, "
+            "l_tax, l_quantity FROM lineitem WHERE l_orderkey % 13 = 0",
+            dims,
+            ["l_orderkey", "l_linenumber"],
+            bucket_sql="l_orderkey",
+        )
+        parts.append(f"SELECT '{label}' AS subspace, s.* FROM ({sky}) s")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "s34_skycube_4d",
+    _s34_oracle(),
+    doc="4-D skycube over s4's dims (price, discount, tax, quantity): all "
+    "15 non-empty subspace skylines in one cube. This is where the "
+    "subspace-lattice reuse (operators/skyline.py::skycube) earns its "
+    "keep: 2^4 - 1 = 15 subspaces but only ONE pass scans all rows (the "
+    "full-space skyline); each of the 14 proper subspaces runs over the "
+    "candidate rows whose U-projection matches a full-space survivor "
+    "(broadcast semi-join, exact by the operator's containment proof — "
+    "no distinct-values assumption). The naive cube is 15 independent "
+    "full scans; the reuse cost grows with the full skyline size, not "
+    "the input, as 2^d - 1 grows. Input filtered to l_orderkey % 13 = 0 "
+    "to bound the 15-way NOT-EXISTS oracle",
+)
+def s34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_linenumber", *_S34_DIMS)
+    )
+    cube = skycube(
+        li, _S34_DIMS, label=lambda ds: "+".join(d.split("_", 1)[1] for d in ds)
+    )
+    return cube.select("subspace", "l_orderkey", "l_linenumber")
+
+
 _S28_NUM = ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]
 _S28_DIMS = _S28_NUM + ["ship_us"]  # 5th dim: epoch micros of l_shipdate
 _S28_K = 4

@@ -350,6 +350,21 @@ def test_thick_skyline_broadcast_band_join_no_input_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_s34_skycube_fused_single_tagging_pass(spark):
+    """The 4-D skycube's 14 proper subspaces must ride ONE mapInPandas
+    tagging scan (per-label local skylines) into ONE grouped merge keyed
+    on the subspace label — not 14 candidate semi-joins each with its own
+    scan — and nothing may go cartesian or sort-merge-join."""
+    plan = _plan(spark, "s34_skycube_4d")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the fused path replaces the per-subspace broadcast semi-joins: at
+    # most the full-space skyline's own joins remain
+    assert plan.count("LeftSemi") <= 2, plan.count("LeftSemi")
+
+
 def test_r22_rank_window_partitioned_by_group(spark):
     """Per-group top-n: the rank window must partition by the group key
     (parallel by key) — never a single-partition global window — and the
