@@ -1054,10 +1054,85 @@ FROM ch
 
 
 @register(
+    "s35_stream_cdc_watermark",
+    _s32_oracle(),
+    doc="Bounded-state production form of s32: CDC chunks computed "
+    "in-stream (same Arrow-kernel cdc_chunks), then "
+    "dropDuplicatesWithinWatermark on chunk_md5 — per-chunk state "
+    "expires once the watermark passes its event time + delay, so state "
+    "holds only the watermark horizon's chunks instead of growing with "
+    "every distinct chunk forever (s32's dropDuplicates caveat, and the "
+    "round-7 verdict's ask). Event time derives deterministically from "
+    "doc_id; the replay's delay exceeds its event-time span so no state "
+    "expires mid-replay and the surviving key SET equals the batch "
+    "DISTINCT oracle exactly. Only (chunk_md5, chunk_len) emit, so "
+    "every surviving row is value-deterministic regardless of which "
+    "duplicate the state keeps",
+)
+def s35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as _text
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows = d.count()
+    if n_rows > _MAX_REPLAY_ROWS:
+        raise RuntimeError(
+            f"s35 replay is a correctness harness, capped at {_MAX_REPLAY_ROWS} "
+            f"rows (got {n_rows}); run it at sf<=0.1"
+        )
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n1 = -(-len(pdf) * 8 // 10)
+
+    workdir = tempfile.mkdtemp(prefix="s35_cdcwm_")
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir)
+    for i, chunk in enumerate((pdf.iloc[:n1], pdf.iloc[n1:])):
+        p = os.path.join(data_dir, f"f{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000.0 + 10 * i,) * 2)
+
+    # delay must exceed the replay's event-time span (doc_id seconds) so
+    # no chunk's state expires mid-replay — expiry would re-emit a late
+    # duplicate and break the DISTINCT equivalence the oracle checks
+    span_s = int(pdf["doc_id"].max() - pdf["doc_id"].min()) if len(pdf) else 0
+    delay_s = span_s + 3600
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    dd = (
+        _text.cdc_chunks(stream)
+        # +86400: doc_id 0 would land exactly on epoch 0 = Spark's INITIAL
+        # event-time watermark, and the dedup operator drops rows at/below
+        # the watermark as late — the shift keeps every event strictly
+        # above it (found the hard way: one singleton chunk of doc 0
+        # vanished at sf0.001)
+        .withColumn("ev_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400)))
+        .withWatermark("ev_ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["chunk_md5"])
+        .select("chunk_md5", "chunk_len")
+    )
+    sink = os.path.basename(workdir)
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("s35 stream cdc watermark replay timed out after 600 s")
+    out = spark.sql(f"SELECT chunk_md5, chunk_len FROM {sink}").toPandas()
+    return spark.createDataFrame(out, schema="chunk_md5 string, chunk_len bigint")
+
+
+@register(
     "s32_stream_cdc_dedup",
     _s32_oracle(),
     doc="Streaming content-defined chunk dedup: the SAME cdc_chunks "
-    "operator from the batch corpus (pure column expressions) applied "
+    "operator from the batch corpus (the vectorized Arrow kernel) applied "
     "unchanged inside Structured Streaming — documents replayed as a "
     "two-file parquet stream (maxFilesPerTrigger=1 forces a batch "
     "boundary mid-corpus), chunked in-stream, and first-occurrence "
@@ -1067,8 +1142,8 @@ FROM ch
     "value-deterministic regardless of which duplicate the state keeps; "
     "the oracle is the batch DISTINCT over the same chunk derivation. "
     "Keyed state grows with distinct chunks — bounded in this replay "
-    "harness; production streams bound it with "
-    "dropDuplicatesWithinWatermark (s20's pattern)",
+    "harness; the production bounded-state form is "
+    "s35_stream_cdc_watermark",
 )
 def s32(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as _text
