@@ -68,9 +68,8 @@ _DRIVER_PRIORITY = [
     "r8_setops_nations", "s21_stream_scrub", "x_token_stats", "x_langid",
     "x_minhash_lsh_pairs", "x_simhash_pairs", "x_ann_ivf",
     "x_datapipe_prep", "x_tfidf_topterms", "x_pii_scrub", "x_seq_packing",
-    "x_quality_filter",
     # round-8 newborns (swapped into fill slots as they landed)
-    "s34_skycube_4d", "s35_stream_cdc_watermark",
+    "s34_skycube_4d", "s35_stream_cdc_watermark", "x_semantic_dedup",
 ]
 # Round-9 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 9: the 33 round-6-gated entries NOT in

@@ -99,6 +99,7 @@ CORPUS_QUERIES = [
     "x_embed_gram",
     "x_char_entropy",
     "m2_strategy_stats",
+    "x_semantic_dedup",
 ]
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
@@ -108,6 +109,7 @@ SCALING_QUERIES = {
     "x_cosine_neardup": "embeddings",
     "x_ann_blocked": "embeddings",
     "x_dedup_clusters": "documents",  # iterative min-label propagation
+    "x_semantic_dedup": "embeddings",  # quantize + cell join + components
     "x_contamination": "documents",  # hash-key anti/semi join
     "x_seq_packing": "documents",  # bucketed two-pass global cumsum
     "x_exact_quantiles": "lineitem",  # bucketed two-pass global rank

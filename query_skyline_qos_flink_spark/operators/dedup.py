@@ -336,8 +336,18 @@ def connected_components(
     driver only ever sees one aggregate count per round, all data stays
     distributed.  Rounds needed = graph diameter (near-dup components are
     shallow; ``max_iterations`` is a guard, convergence is checked, not
-    assumed).  Each round is one shuffle on vertex id; intermediates are
-    persisted round-to-round and released after the next materializes.
+    assumed).  Each round is one shuffle on vertex id.
+
+    Every round's result is ``localCheckpoint``-ed (eager), NOT merely
+    persisted: each round references the previous labels TWICE (the
+    neighbor-min join and the convergence diff), so without lineage
+    truncation the logical plan doubles per round and Catalyst re-analysis
+    goes exponential — an 8-round graph took 30 s/round and OOM'd an 8 GB
+    driver at 500 vertices before this (found via x_semantic_dedup, whose
+    components are deeper than the shingle graphs').  Same discipline for
+    the edge list, which round plans would otherwise re-embed wholesale.
+    The iterative-algorithm standard (GraphFrames does the same); the
+    truncated partitions live in executor storage with disk spill.
 
     Returns (id_col, canonical_id).  Deterministic; a recursive-CTE SQL
     twin (transitive closure + group-min) oracles it for bounded
@@ -347,29 +357,31 @@ def connected_components(
     edges = edges.union(
         pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     ).distinct()
+    edges = edges.localCheckpoint(eager=True)
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("lbl")
-    )
-    labels = labels.persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.vid)
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = labels.join(neighbor_min, "vid", "left").select(
-            "vid",
-            # least() ignores the NULL from vertices with no in-edges
-            F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"),
-        ).persist()
+        new_labels = (
+            labels.join(neighbor_min, "vid", "left")
+            .select(
+                "vid",
+                # least() ignores the NULL from vertices with no in-edges
+                F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vid")
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist(blocking=False)
         labels = new_labels
         if changed == 0:
             break

@@ -588,3 +588,82 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.col("__s").cast("bigint").alias("s_q"),
         F.col("__n").cast("bigint").alias("n_rows"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    radius: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    coarse_bits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    quantize -> coarse-cell assignment -> within-cell near-dup pairs ->
+    connected components -> keep each component's smallest id, reported as
+    per-``group_col`` retention ``(group, n_vecs, n_kept)``.
+
+    The chain, each stage its scale-correct shape:
+
+    * symmetric int8 quantization under ONE corpus-global scale
+      (:func:`~.quantize.with_int8_codes` — broadcast 1-row agg + scan-side
+      exprs), so every downstream distance is 64-bit-integer exact;
+    * IVF-style cell = sign bits of the first ``coarse_bits`` code
+      components (ann_ivf's seed-cell rule): a pure column expression,
+      2^coarse_bits cells;
+    * candidate pairs = same-cell pairs with integer squared L2 over the
+      codes <= ``radius`` — ONE equi-join on the cell id, never all-pairs
+      (like SemDeDup, near-dups are sought within a cluster only: recall
+      across cell boundaries is traded for never comparing across cells);
+    * min-label connected components over the pair graph
+      (:func:`~.dedup.connected_components` — diameter-bounded rounds, one
+      shuffle each);
+    * retention rollup: a component's smallest id is kept, everything else
+      in it is the semantic-duplicate budget, reported per group.
+
+    At 100 TB: the quadratic term is per-cell (sum of cell_size^2 work
+    inside one equi-join) — ``coarse_bits`` is the knob that keeps cells
+    bounded (production: 16-20 bits -> 65k-1M cells), and AQE splits
+    skewed cells since the join is a plain shuffle equi-join.  Everything
+    else is map-side or key-partitioned; nothing collects to the driver
+    but the per-round convergence count.
+    """
+    from .caching import persist_bounded as _persist
+    from .dedup import connected_components
+    from .quantize import with_int8_codes
+
+    df = valid_vectors(df, vec_col)
+    coded = with_int8_codes(df, vec_col)
+    cell = F.lit(0)
+    for i in range(coarse_bits):
+        # F.get is 0-based and NULL (-> bit 0) past the vector's end, so
+        # short vectors still land in a well-defined cell
+        cell = cell + F.when(F.get("q8", i) < 0, F.lit(1 << i)).otherwise(F.lit(0))
+    cc = _persist(
+        coded.select(
+            F.col(id_col), F.col(group_col), F.col("q8"), cell.alias("__cell")
+        )
+    )
+    a = cc.select(
+        F.col(id_col).alias("id_a"), F.col("q8").alias("__qa"), F.col("__cell")
+    )
+    b = cc.select(
+        F.col(id_col).alias("id_b"), F.col("q8").alias("__qb"), F.col("__cell")
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_int_sq_l2_fold(F.col("__qa"), F.col("__qb")) <= F.lit(int(radius)))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, cc.select(id_col), id_col=id_col)
+    return (
+        cc.join(comp, id_col)
+        .groupBy(F.col(group_col).cast("bigint").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("canonical_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+    )

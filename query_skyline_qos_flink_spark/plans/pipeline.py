@@ -2312,6 +2312,68 @@ def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_cosines(load(spark, sf_dir, "embeddings"))
 
 
+_SEMDEDUP_RADIUS = 85_000  # int8-code squared-L2 near-dup threshold
+_SEMDEDUP_BITS = 6  # 2^6 coarse cells at fixture scale (production: 16-20)
+_SEMDEDUP_VALID = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+)
+_SEMDEDUP_CELL = " + ".join(
+    f"(CASE WHEN q8[{i + 1}] < 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SEMDEDUP_BITS)
+)
+
+
+@register(
+    "x_semantic_dedup",
+    f"""
+WITH RECURSIVE
+s AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS m
+      FROM embeddings WHERE {_SEMDEDUP_VALID}),
+c AS (SELECT vec_id, label,
+             CASE WHEN m > 0
+                  THEN list_transform(embedding, x ->
+                       greatest(-127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q8
+      FROM embeddings CROSS JOIN s
+      WHERE {_SEMDEDUP_VALID}),
+cc AS (SELECT vec_id, label, q8, ({_SEMDEDUP_CELL}) AS cell FROM c),
+jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+             i -> (a.q8[i] - b.q8[i]) * (a.q8[i] - b.q8[i]))) AS BIGINT)
+             <= {_SEMDEDUP_RADIUS}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM cc
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+comp AS (SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a)
+SELECT CAST(cc.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN cc.vec_id = comp.canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM cc JOIN comp USING (vec_id)
+GROUP BY 1
+""".strip(),
+    doc="SemDeDup-shaped semantic dedup end-to-end (the one LLM-pipeline "
+    "family previously missing a composite): corpus-global int8 quantize "
+    "-> IVF seed-cell assignment (sign bits of the first 6 code "
+    "components) -> within-cell integer squared-L2 near-dup pairs (<= "
+    f"{_SEMDEDUP_RADIUS}) -> min-label connected components -> per-label "
+    "retention (n_vecs, n_kept: each component keeps its smallest id). "
+    "Deterministic and integer-exact at every cross-row step; the "
+    "quadratic term is per-cell inside one equi-join (coarse_bits is the "
+    "cell-size knob; like SemDeDup, near-dups are sought within a "
+    "cluster only) — operators/similarity.py::semantic_dedup",
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, radius=_SEMDEDUP_RADIUS, coarse_bits=_SEMDEDUP_BITS
+    )
+
+
 _CDC_POWERS = [text.CDC_BASE**e for e in range(text.CDC_K - 1, -1, -1)]
 _CDC_TERMS = " + ".join(
     f"CAST(codes[i+{j}] AS BIGINT)*{_CDC_POWERS[j]}" for j in range(text.CDC_K)

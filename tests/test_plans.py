@@ -5,6 +5,7 @@ pushdown, broadcast join selection)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from query_skyline_qos_flink_spark.plans import corpus, pipeline, relational  # noqa: F401
 
@@ -363,6 +364,38 @@ def test_s34_skycube_fused_single_tagging_pass(spark):
     # the fused path replaces the per-subspace broadcast semi-joins: at
     # most the full-space skyline's own joins remain
     assert plan.count("LeftSemi") <= 2, plan.count("LeftSemi")
+
+
+def test_semantic_dedup_cell_equi_join_no_cartesian(spark):
+    """No cartesian anywhere in the composite (the only nested-loop join
+    allowed is the 1-row broadcast quantization scale), and the
+    within-cell candidate stage — checked on the operator's pair subplan,
+    since connected_components truncates it out of the final lineage —
+    must be an equi-join keyed on the cell id."""
+    plan = _plan(spark, "x_semantic_dedup")
+    assert "CartesianProduct" not in plan
+
+    from query_skyline_qos_flink_spark.operators import similarity
+    from query_skyline_qos_flink_spark.operators.quantize import with_int8_codes
+    from query_skyline_qos_flink_spark.session import load
+
+    e = similarity.valid_vectors(load(spark, SF, "embeddings"), "embedding")
+    coded = with_int8_codes(e, "embedding")
+    cell = F.lit(0)
+    for i in range(6):
+        cell = cell + F.when(F.get("q8", i) < 0, F.lit(1 << i)).otherwise(F.lit(0))
+    cc = coded.select(F.col("vec_id"), F.col("q8"), cell.alias("__cell"))
+    a = cc.select(F.col("vec_id").alias("id_a"), F.col("q8").alias("__qa"), "__cell")
+    b = cc.select(F.col("vec_id").alias("id_b"), F.col("q8").alias("__qb"), "__cell")
+    pairs = a.join(b, "__cell").where(F.col("id_a") < F.col("id_b"))
+    pair_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pair_plan
+    assert "__cell" in pair_plan
+    joins = [l for l in pair_plan.splitlines() if "Join" in l and "Scale" not in l]
+    assert any(
+        "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+        for l in joins
+    ), joins
 
 
 def test_r22_rank_window_partitioned_by_group(spark):
