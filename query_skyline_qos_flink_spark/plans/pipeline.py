@@ -311,16 +311,15 @@ def x_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_bucketed(e, threshold=0.4)
 
 
-@register(
-    "x_cosine_neardup_exact",
-    _cos_oracle(bucketed=False),
-    doc="EXACT embedding-cosine near-dup pairs (>= 0.4, all-pairs reference "
-    "twin of x_cosine_neardup; cross join — correctness anchor, not the "
-    "scale path)",
-)
-def x_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(e, threshold=0.4)
+# The all-pairs reference twin (similarity.cosine_pairs, cross join) is a
+# correctness ANCHOR, not a query a user of the engine would run — it was
+# registered as x_cosine_neardup_exact through round 7 and is now
+# pytest-only (tests/test_exact_anchors.py runs it against
+# _cos_oracle(bucketed=False) at sf0.001): registry slots are bounded by
+# the driver-gate rotation capacity (window 50 x staleness 3 = 150), so
+# anchor twins yield their slots to real queries.  See
+# tests/test_rotation_window.py for the capacity policy.
+COSINE_EXACT_ANCHOR_ORACLE = _cos_oracle(bucketed=False)
 
 
 # ---------------------------------------------------------------------------
