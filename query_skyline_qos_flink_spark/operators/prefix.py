@@ -24,7 +24,8 @@ on "first N records seen"; this operator is the batch-exact equivalent.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from bisect import bisect_right
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -161,6 +162,48 @@ def with_global_rank_and_total(
         out_col, F.row_number().over(w_local) + _off_expr(offs)
     ).drop("__b")
     return ranked, total
+
+
+def rows_at_global_ranks(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    ranks_fn: Callable[[int], Sequence[int]],
+    out_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Rows whose exact global rank (``row_number() OVER (ORDER BY
+    sort_cols)``) is in ``ranks_fn(total)``, plus the total row count —
+    order-statistic SELECTION (exact quantiles, percentile brackets)
+    without ranking the whole table.
+
+    ``ranks_fn`` receives the exact total (known from the bucket-offsets
+    action) and returns the 1-based ranks wanted.  Because the cumulative
+    bucket offsets are driver-side literals, the buckets that contain a
+    requested rank are known at PLAN time: every other bucket is filtered
+    out map-side, before the exchange, so the local-sort window shuffles
+    ~``len(ranks)/n_buckets`` of the rows instead of all of them.  With k
+    requested ranks and B balanced buckets the shuffled fraction is
+    <= k/B regardless of N — the only full scans left are the columnar
+    cache fill and the per-bucket count, both shuffle-free."""
+    df = _persist(df)
+    ranged, offs, total = _range_bucketed(df, sort_cols)
+    ranks = sorted({int(r) for r in ranks_fn(total) if 1 <= int(r) <= total})
+    if not ranks:
+        empty = (
+            ranged.where(F.lit(False))
+            .withColumn(out_col, F.lit(None).cast("int"))
+            .drop("__b")
+        )
+        return empty, total
+    # rank r lives in the last bucket whose cumulative offset is < r
+    targets = sorted({bisect_right(offs, r - 1) - 1 for r in ranks})
+    w_local = Window.partitionBy("__b").orderBy(*sort_cols)
+    picked = (
+        ranged.where(F.col("__b").isin([int(b) for b in targets]))
+        .withColumn(out_col, F.row_number().over(w_local) + _off_expr(offs))
+        .where(F.col(out_col).isin(ranks))
+        .drop("__b")
+    )
+    return picked, total
 
 
 def with_global_rank(

@@ -1420,33 +1420,34 @@ FROM d
     "hash is float-free",
 )
 def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import with_global_rank_and_total
+    from ..operators.prefix import rows_at_global_ranks
 
     li = load(spark, sf_dir, "lineitem").select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
         "l_orderkey",
         "l_linenumber",
     )
-    # the total row count falls out of the rank operator's bucket-offsets
-    # action — no separate count() pass over the input
-    ranked, total = with_global_rank_and_total(
-        li, ["price_c", "l_orderkey", "l_linenumber"], "rn"
+    # rank SELECTION, not full ranking: only the <=3 buckets containing a
+    # requested position are shuffled into the local-sort window (the
+    # offsets are plan literals, so the prune happens map-side); the total
+    # falls out of the bucket-offsets action — no separate count() pass
+    picked, total = rows_at_global_ranks(
+        li,
+        ["price_c", "l_orderkey", "l_linenumber"],
+        # python // floors == duckdb // truncation for the non-negative n
+        lambda n: [(n + 1) // 2, (9 * n + 9) // 10, (99 * n + 99) // 100],
+        "rn",
     )
-    return (
-        ranked.withColumn("n", F.lit(total))
-        .groupBy()
-        .agg(
-            F.max("n").cast("bigint").alias("n_rows"),
-            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("price_c")))
-            .cast("bigint")
-            .alias("median_c"),
-            F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("price_c")))
-            .cast("bigint")
-            .alias("p90_c"),
-            F.max(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("price_c")))
-            .cast("bigint")
-            .alias("p99_c"),
-        )
+
+    def at(rank: int):
+        return F.max(F.when(F.col("rn") == F.lit(rank), F.col("price_c")))
+
+    return picked.groupBy().agg(
+        # max over an empty frame is NULL == the oracle's max(n) on 0 rows
+        F.max(F.lit(total)).cast("bigint").alias("n_rows"),
+        at((total + 1) // 2).cast("bigint").alias("median_c"),
+        at((9 * total + 9) // 10).cast("bigint").alias("p90_c"),
+        at((99 * total + 99) // 100).cast("bigint").alias("p99_c"),
     )
 
 
@@ -2547,46 +2548,56 @@ FROM v
 def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..operators.prefix import with_global_rank_and_total
+    from ..operators.prefix import rows_at_global_ranks
 
     li = load(spark, sf_dir, "lineitem").select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
         "l_orderkey",
         "l_linenumber",
     )
-    ranked, total = with_global_rank_and_total(
-        li, ["price_c", "l_orderkey", "l_linenumber"], "rn"
+    specs_of = lambda n: [
+        (p, int(math.floor((n - 1) * p)) + 1, (n - 1) * p - math.floor((n - 1) * p))
+        for p in _QI_PCTS  # same IEEE double products as the oracle's
+    ]
+    picked, total = rows_at_global_ranks(
+        li,
+        ["price_c", "l_orderkey", "l_linenumber"],
+        lambda n: [pos for _, lo, _ in specs_of(n) for pos in (lo, lo + 1)],
+        "rn",
     )
     if total == 0:
         # oracle parity on an empty table: the oracle's position CTE is
         # built FROM the data, so it yields zero rows — a global
         # aggregate here would instead emit 3 all-NULL rows
         return spark.createDataFrame([], "pct double, value_c double")
-    specs = []
-    for p in _QI_PCTS:
-        x = (total - 1) * p  # same IEEE double product as the oracle's
-        lo = int(math.floor(x)) + 1
-        specs.append((p, lo, x - math.floor(x)))
+    specs = specs_of(total)
     needed = sorted({pos for _, lo, _ in specs for pos in (lo, lo + 1)})
-    sel = ranked.where(F.col("rn").isin(needed)).select("rn", "price_c")
+    sel = picked.select("rn", "price_c")
     agg = sel.groupBy().agg(
         *[
             F.max(F.when(F.col("rn") == pos, F.col("price_c"))).alias(f"__v{pos}")
             for pos in needed
         ]
     )
-    out = None
+    # all 3 percentile rows come out of the ONE single-row aggregate via an
+    # exploded literal-struct array — a unionByName of per-percentile
+    # selects would re-execute the whole aggregate (and its upstream scan)
+    # once per branch
+    rows = []
     for p, lo, frac in specs:
         # lo+1 is always in `needed` by construction; a missing upper
         # neighbor (lo == n) surfaces as a NULL aggregate -> coalesce
         vlo = F.col(f"__v{lo}")
         vhi = F.coalesce(F.col(f"__v{lo + 1}"), vlo)
-        row = agg.select(
-            F.lit(float(p)).alias("pct"),
-            F.round(vlo + (vhi - vlo) * F.lit(frac), 6).alias("value_c"),
+        rows.append(
+            F.struct(
+                F.lit(float(p)).alias("pct"),
+                F.round(vlo + (vhi - vlo) * F.lit(frac), 6).alias("value_c"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.pct", "s.value_c"
+    )
 
 
 @register(

@@ -125,3 +125,58 @@ def test_ntile_fewer_rows_than_tiles(spark):
     )
     # ntile degenerates to rank when N < n_tiles (matches SQL ntile)
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_rows_at_global_ranks_matches_window(spark):
+    from query_skyline_qos_flink_spark.operators.prefix import rows_at_global_ranks
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    w = Window.orderBy(*cols)
+    full = li.withColumn("rn", F.row_number().over(w))
+    n = li.count()
+    ranks = [1, 2, n // 2, n - 1, n]
+    picked, total = rows_at_global_ranks(li, cols, lambda t: ranks)
+    assert total == n
+    got = {r.rn: r.l_extendedprice for r in picked.collect()}
+    want = {
+        r.rn: r.l_extendedprice
+        for r in full.where(F.col("rn").isin(ranks)).collect()
+    }
+    # ties on the full sort key make WHICH row holds a rank arbitrary, but
+    # l_extendedprice (the leading sort col) at each rank is deterministic
+    assert got == want
+
+
+def test_rows_at_global_ranks_out_of_range_and_dupes(spark):
+    from query_skyline_qos_flink_spark.operators.prefix import rows_at_global_ranks
+
+    df = spark.range(1, 101).select(F.col("id"))
+    picked, total = rows_at_global_ranks(df, ["id"], lambda t: [0, 5, 5, t, t + 7])
+    assert total == 100
+    assert sorted((r.id, r.rn) for r in picked.collect()) == [(5, 5), (100, 100)]
+    # no valid rank at all -> empty frame, total still exact
+    none, total2 = rows_at_global_ranks(df, ["id"], lambda t: [0, t + 1])
+    assert total2 == 100 and none.count() == 0
+
+
+def test_rows_at_global_ranks_prunes_buckets(spark):
+    """The point of rank SELECTION: non-target buckets are filtered out
+    map-side (a literal __b IN (...) predicate BELOW the exchange), so the
+    window shuffles ~k/B of the rows, not all of them."""
+    from query_skyline_qos_flink_spark.operators.prefix import rows_at_global_ranks
+
+    df = spark.range(0, 50000).select(F.col("id"))
+    picked, total = rows_at_global_ranks(df, ["id"], lambda t: [1, (t + 1) // 2])
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    below_exchange = plan.split("Exchange hashpartitioning")[-1]
+    # two target ranks in two distinct buckets -> a literal IN predicate on
+    # the bucket expression, evaluated before the shuffle (a single-bucket
+    # request simplifies to `= b`, hence two ranks here)
+    assert "Filter" in below_exchange and (
+        " IN (" in below_exchange or " INSET " in below_exchange
+    ), "no bucket-prune filter below the exchange:\n" + below_exchange[:600]
+    rows = picked.collect()
+    assert sorted(r.id for r in rows) == [0, (total + 1) // 2 - 1]
