@@ -104,3 +104,37 @@ def test_priority_list_well_formed():
     names = set(entry.queries())
     unknown = [n for n in prio if n not in names]
     assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
+
+
+def test_rotation_capacity_for_next_round():
+    """Round N's window is only a valid plan if round N+1 remains
+    SATISFIABLE: once this window is gated, the entries that must
+    front-load the next window (everything whose last row would hit the
+    staleness bound, plus every newborn left outside this window) have to
+    fit in WINDOW slots.  This is the registry-growth governor — the hard
+    ceiling is WINDOW * (MAX_STALE_ROUNDS + 1) entries, and this test
+    fails BEFORE a registration pushes the rotation into an unsatisfiable
+    corner, not one round after."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert len(names) <= WINDOW * (MAX_STALE_ROUNDS + 1), (
+        f"registry has {len(names)} entries; the rotation can cover at most "
+        f"{WINDOW * (MAX_STALE_ROUNDS + 1)} (window {WINDOW} x staleness "
+        f"{MAX_STALE_ROUNDS + 1}) — retire anchor twins "
+        "(tests/test_exact_anchors.py) before registering more"
+    )
+    upcoming = entry._ROTATED_FOR
+    rounds = {r: got for r, got in _correctness_rounds().items() if r < upcoming}
+    window = set(names[:WINDOW])
+    must_gate_next = []
+    for name in names:
+        if name in window:
+            continue  # its last-gated round becomes `upcoming`
+        last = max((r for r, got in rounds.items() if name in got), default=None)
+        if last is None or (upcoming + 1) - last > MAX_STALE_ROUNDS:
+            must_gate_next.append(name)
+    assert len(must_gate_next) <= WINDOW, (
+        f"round {upcoming + 1} would need {len(must_gate_next)} front-loaded "
+        f"entries but the window holds {WINDOW}: {must_gate_next}"
+    )
