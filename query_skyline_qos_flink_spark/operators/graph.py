@@ -98,3 +98,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("n_edges").cast("bigint"),
         F.col("n_triangles").cast("bigint"),
     )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed ``(src, dst)`` edge
+    set, run for a FIXED number of iterations.  Returns
+    ``(v, rank_micro)`` for every vertex that appears in the edge set.
+
+    All arithmetic is integer — rank in 1e-6 units (bigint), the per-edge
+    contribution is ``rank div out_degree`` (truncating division), and the
+    damping update is ``(100-d)*10^4 + (d * sum) div 100`` — so sums are
+    order-independent and the result is bit-identical across
+    partitionings AND engines, which lets an unrolled SQL CTE hash-gate
+    it exactly (float PageRank never could).  Mass at dangling vertices
+    (no out-edges) is dropped, the common simplification; a symmetrized
+    co-occurrence graph has none.
+
+    Scale shape: each iteration is one hash join of ranks to the
+    degree-annotated edge list on src plus one sum-shuffle on dst —
+    ``iterations`` is a constant, and pre-partitioning edges and ranks on
+    vertex id makes every round's join co-located on a cluster.  Ranks
+    are localCheckpoint-ed per round and the edge list once (the
+    connected_components lineage-truncation discipline — each round
+    references the previous ranks, so an unbroken lineage grows a plan
+    Catalyst re-analyzes from scratch every iteration).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * 10_000
+    ranks = verts.select("v", F.lit(1_000_000).cast("bigint").alias("r"))
+    for i in range(iterations):
+        if i:  # truncate the PREVIOUS round's lineage before reuse; the
+            # final round stays un-truncated so callers see (and plan-test)
+            # the real join+agg shape instead of a checkpoint scan
+            ranks = ranks.localCheckpoint(eager=True)
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["v"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.expr("r div deg")).alias("s"))
+        )
+        ranks = verts.join(contrib, "v", "left").select(
+            "v",
+            (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return ranks.select("v", F.col("r").alias("rank_micro"))

@@ -1396,6 +1396,51 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def _pagerank_oracle() -> str:
+    # the same 3 damped iterations, unrolled: bigint fixed-point makes
+    # every intermediate order-independent and engine-exact (duckdb's
+    # hugeint SUM and // truncation agree with Spark's bigint sum + div
+    # for these non-negative, < 2^60 values)
+    it = """
+s{i} AS (SELECT e.dst AS v, SUM(r{p}.r // deg.deg) AS s
+        FROM e JOIN deg USING (src) JOIN r{p} ON r{p}.v = e.src
+        GROUP BY e.dst),
+r{i} AS (SELECT v.v, CAST(150000 + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r
+        FROM v LEFT JOIN s{i} USING (v))"""
+    steps = ",".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM il a JOIN il b ON a.g = b.g AND a.p <> b.p),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+v AS (SELECT DISTINCT src AS v FROM e),
+r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM v),{steps}
+SELECT v AS part_id, r AS rank_micro FROM r3
+""".strip()
+
+
+@register(
+    "x_pagerank",
+    _pagerank_oracle(),
+    doc="Fixed-point integer PageRank (3 damped iterations, d=0.85) over "
+    "the symmetrized part co-purchase graph — the quality-weighting "
+    "signal a web-scale training corpus derives from its link graph. "
+    "Rank in 1e-6 bigint units with truncating-division contributions, "
+    "so each iteration is order-independent and the unrolled-CTE oracle "
+    "hash-gates it EXACTLY; ranks localCheckpoint per round (lineage "
+    "truncation), edges+degrees checkpoint once",
+)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    directed = und.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    return graph.pagerank(directed, iterations=3, damping_pct=85).select(
+        F.col("v").alias("part_id"), "rank_micro"
+    )
+
+
 @register(
     "x_exact_quantiles",
     """

@@ -789,3 +789,55 @@ def test_valid_vectors_predicate(spark):
         r.vec_id
         for r in similarity.valid_vectors(df, "embedding", nonzero=True).collect()
     ) == [1]
+
+
+def test_pagerank_matches_naive_python(spark):
+    """graph.pagerank == a driver-side naive PageRank with the same
+    integer fixed-point arithmetic, on a small asymmetric digraph with a
+    dangling vertex (4 has no out-edges: its mass drops)."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.v: r.rank_micro
+        for r in graph.pagerank(edges, iterations=3, damping_pct=85).collect()
+    }
+
+    verts = sorted({v for e in edge_list for v in e})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1_000_000 for v in verts}
+    for _ in range(3):
+        sums = {v: 0 for v in verts}
+        for s, d in edge_list:
+            sums[d] += ranks[s] // out[s]
+        ranks = {v: 150_000 + (85 * sums[v]) // 100 for v in verts}
+    assert got == ranks
+
+
+def test_pagerank_symmetric_regular_graph_uniform(spark):
+    """On a d-regular symmetric graph every vertex keeps the stationary
+    rank: contributions are rank/deg from deg neighbors, so each
+    iteration maps r -> 150000 + 85*(deg*(r div deg)) div 100 uniformly
+    — a fixpoint-structure sanity check independent of the oracle."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    # 4-cycle, symmetrized: every vertex has out-degree 2
+    und = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.v: r.rank_micro
+        for r in graph.pagerank(edges, iterations=3, damping_pct=85).collect()
+    }
+    assert len(set(got.values())) == 1 and set(got) == {0, 1, 2, 3}
+
+
+def test_pagerank_empty_edges(spark):
+    from query_skyline_qos_flink_spark.operators import graph
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(edges).count() == 0

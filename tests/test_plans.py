@@ -469,3 +469,14 @@ def test_char_entropy_partial_agg_no_join_blowup(spark):
     plan = _plan(spark, "x_char_entropy")
     assert "partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_partial_agg_no_cartesian(spark):
+    """The final (un-checkpointed) iteration must show the real shape:
+    hash equi-joins only, and the contribution sum with a map-side
+    partial aggregate — never a cartesian product or a single-partition
+    funnel over the data."""
+    plan = _plan(spark, "x_pagerank")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_sum" in plan  # map-side combine on the dst shuffle
+    assert "Exchange SinglePartition" not in plan
