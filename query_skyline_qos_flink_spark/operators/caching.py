@@ -64,3 +64,34 @@ def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
         s, d = _ORDER[0]
         _unpersist(s, d)
     return df
+
+
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the storage blocks behind a ``localCheckpoint``-ed DataFrame
+    that will never be read again.
+
+    ``DataFrame.localCheckpoint`` pins its materialized partitions in
+    executor storage (memory + disk) with no public release API, so an
+    iterative fixpoint that checkpoints every round grows storage linearly
+    with rounds.  The blocks ARE reachable: a checkpointed DataFrame's
+    analyzed plan is exactly one ``LogicalRDD`` node whose ``rdd`` field is
+    the cached RDD — unpersisting that RDD drops the blocks immediately
+    instead of waiting for the ContextCleaner to notice the JVM reference
+    died (which, driven by Python GC via py4j finalizers, can lag a whole
+    job).
+
+    MUST only be called on a superseded checkpoint: the data is NOT
+    recomputable (unpersisting a checkpoint's blocks makes the DataFrame
+    unreadable, it does not fall back to lineage).  Internal-API access is
+    guarded — on Spark Connect or a future plan shape this degrades to the
+    GC-based cleanup, never to an error.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - Connect / stopped session
+        pass

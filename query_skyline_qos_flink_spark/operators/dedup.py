@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .caching import persist_bounded as _persist
+from .caching import release_local_checkpoint as _release_ckpt
 from .joins import null_safe_semi_join
 from .text import tokens, word_shingles
 
@@ -382,6 +383,9 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the convergence diff was the old checkpoint's last reader: free
+        # its blocks now so storage stays O(1) in rounds, not O(rounds)
+        _release_ckpt(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .caching import release_local_checkpoint as _release_ckpt
+
 
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
@@ -136,11 +138,17 @@ def pagerank(
     )
     base = (100 - damping_pct) * 10_000
     ranks = verts.select("v", F.lit(1_000_000).cast("bigint").alias("r"))
+    prev_ckpt: DataFrame | None = None
     for i in range(iterations):
         if i:  # truncate the PREVIOUS round's lineage before reuse; the
             # final round stays un-truncated so callers see (and plan-test)
             # the real join+agg shape instead of a checkpoint scan
             ranks = ranks.localCheckpoint(eager=True)
+            # this eager materialization was the prior checkpoint's last
+            # reader — free its blocks so storage is O(1) in iterations
+            # (the newest checkpoint stays: the returned plan reads it)
+            _release_ckpt(prev_ckpt)
+            prev_ckpt = ranks
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["v"])
             .groupBy(F.col("dst").alias("v"))

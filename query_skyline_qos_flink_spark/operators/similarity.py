@@ -653,6 +653,11 @@ def semantic_dedup(
     pairs = (
         a.join(b, "__cell")
         .where(F.col("id_a") < F.col("id_b"))
+        # ragged guard: zip_with pads the shorter code with NULLs, which
+        # would NULL the whole fold and silently DROP the pair, while the
+        # DuckDB oracle's list_sum skips NULLs and could keep it — pin
+        # both engines to the same rule: unequal-length codes never pair
+        .where(F.size("__qa") == F.size("__qb"))
         .where(_int_sq_l2_fold(F.col("__qa"), F.col("__qb")) <= F.lit(int(radius)))
         .select("id_a", "id_b")
     )

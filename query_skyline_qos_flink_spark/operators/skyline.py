@@ -60,6 +60,10 @@ _TREE_FANOUT = 32
 # doubles + group keys; 2M rows ≈ tens of MB — well inside executor memory,
 # vastly cheaper than shuffling the full input on float keys).
 _BROADCAST_SURVIVOR_MAX = 2_000_000
+# Total bytes of the fused skycube's 2^d - 2 broadcast keysets (dim values
+# are 8-byte doubles); beyond this the cube falls back to the per-subspace
+# broadcast-semi-join loop, whose broadcasts are one subspace at a time.
+_SKYCUBE_KEYSET_MAX_BYTES = 128 << 20
 
 
 Direction = str  # 'min' | 'max'
@@ -1094,7 +1098,16 @@ def skycube(
     out = full.select(F.lit(label(names)).alias(label_col), *df.columns)
     if len(nd) < 2:
         return out
-    if full.count() > _VERIFY_MAX_ROWS:
+    n_full = full.count()
+    # collect gate scales with what actually gets BROADCAST, not just the
+    # collected rows: all 2^d - 2 proper-subspace keysets ship together,
+    # and their total is bounded by n_full * sum(|U|) * 8 bytes
+    # (sum over proper subspaces of |U| = d*2^(d-1) - d) — at the row
+    # bound with d=4 that is ~25x the full skyline itself, so a
+    # rows-only gate under-counts the executor-memory cost 25x
+    d = len(nd)
+    keyset_bytes = n_full * 8 * (d * (1 << (d - 1)) - d)
+    if n_full > _VERIFY_MAX_ROWS or keyset_bytes > _SKYCUBE_KEYSET_MAX_BYTES:
         # full-space skyline too large to collect driver-side: loop the
         # proper subspaces through the distributed operator instead
         for mask in range(1, (1 << len(nd)) - 1):
@@ -1163,6 +1176,12 @@ def skycube(
         r[label_col]: r["n"]
         for r in surv.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # the count above materialized the persisted survivors, so the tagging
+    # scan's keysets are no longer hot — release the executor copies now
+    # instead of leaking them for the session.  unpersist, NOT destroy:
+    # an evicted survivor partition may recompute the scan, and the
+    # driver can re-ship an unpersisted broadcast but not a destroyed one
+    bc.unpersist(blocking=False)
     small = [lbl for lbl, _, _ in masks if counts.get(lbl, 0) <= _VERIFY_MAX_ROWS]
     if small:
         merged = (

@@ -1413,7 +1413,7 @@ WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS src, b.p AS dst
       FROM il a JOIN il b ON a.g = b.g AND a.p <> b.p),
 deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-v AS (SELECT DISTINCT src AS v FROM e),
+v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
 r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM v),{steps}
 SELECT v AS part_id, r AS rank_micro FROM r3
 """.strip()
@@ -2385,6 +2385,7 @@ c AS (SELECT vec_id, label,
 cc AS (SELECT vec_id, label, q8, ({_SEMDEDUP_CELL}) AS cell FROM c),
 jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                          AND len(a.q8) = len(b.q8)
        WHERE CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
              i -> (a.q8[i] - b.q8[i]) * (a.q8[i] - b.q8[i]))) AS BIGINT)
              <= {_SEMDEDUP_RADIUS}),

@@ -379,6 +379,43 @@ def test_connected_components_chain_and_singletons(spark):
         connected_components(pairs, verts, max_iterations=1)
 
 
+def test_iterative_checkpoints_release_superseded_storage(spark):
+    """connected_components and graph.pagerank localCheckpoint every round
+    for lineage truncation; superseded rounds' blocks must be FREED, not
+    accumulate for the session lifetime (storage O(1) in rounds).  A
+    10-hop chain forces ~10 CC rounds; afterwards only the inputs the
+    returned plan still reads (edge list + final labels + any session
+    caches from other tests) may remain — assert the count did not grow
+    by anywhere near the round count."""
+    from query_skyline_qos_flink_spark.operators import graph
+    from query_skyline_qos_flink_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return len(jsc.getRDDStorageInfo())
+
+    n = 11
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, n + 1))}))
+    before = n_cached()
+    got = connected_components(pairs, verts)
+    assert got.where(F.col("canonical_id") == 1).count() == n
+    # edges ckpt + final labels ckpt = 2; ~10 rounds would have left ~12
+    assert n_cached() - before <= 3
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    before = n_cached()
+    ranks = graph.pagerank(edges, iterations=6)
+    assert ranks.count() == n
+    # e_deg + verts + newest ranks ckpt = 3; 6 rounds unreleased would be 8
+    assert n_cached() - before <= 4
+
+
 def test_stratified_sample_exact_k_and_partition_independent(spark):
     from query_skyline_qos_flink_spark.operators import sampling
 
@@ -841,3 +878,24 @@ def test_pagerank_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert graph.pagerank(edges).count() == 0
+
+
+def test_semantic_dedup_ragged_vectors_never_pair(spark):
+    """Unequal-length code vectors must never form a near-dup pair, by
+    explicit predicate: Spark's zip_with pads with NULL (fold -> NULL,
+    pair silently dropped) while DuckDB's list_sum skips NULLs (pair
+    possibly kept) — both engines are pinned to the drop rule, so a
+    short vector that is a prefix of a long one stays its own
+    component."""
+    from query_skyline_qos_flink_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 1.0, 1.0], 7),
+        (2, [1.0, 1.0, 1.0, 0.0], 7),  # prefix-identical but longer
+        (3, [1.0, 1.0, 1.0], 7),       # true duplicate of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    got = similarity.semantic_dedup(df, radius=10_000_000, coarse_bits=2)
+    row = got.collect()[0]
+    # 1 and 3 collapse; 2 survives despite the huge radius
+    assert (row["n_vecs"], row["n_kept"]) == (3, 2)
