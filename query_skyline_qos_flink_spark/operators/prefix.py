@@ -33,17 +33,22 @@ from .caching import persist_bounded as _persist
 
 
 def _range_bucketed(
-    df: DataFrame, sort_cols: Sequence[str]
-) -> tuple[DataFrame, list[int], int]:
+    df: DataFrame, sort_cols: Sequence[str], sample_boundaries: float | None = None
+) -> tuple[DataFrame, list[int], int, str, list[float]]:
     """Shared passes 1-3: (ranged rows with ``__b``, literal cumulative
-    offset per bucket id, total row count).
+    offset per bucket id, total row count, bucket column name, literal
+    boundaries).
 
-    The per-bucket counts are collected driver-side — at most
-    ``spark.sql.shuffle.partitions`` rows, bounded by construction — so
-    the offsets become plan literals (``element_at`` on a literal array)
-    instead of a broadcast join, and the total row count comes out of the
-    same action, sparing callers that need N (ntile, quantile positions)
-    a separate ``count()`` pass.
+    The cumulative offsets come from ONE shuffle-free global aggregate —
+    a conditional ``sum(value >= bound)`` per boundary plus ``count(*)``
+    (offset of bucket b = total - rows at-or-above bound b-1), partial
+    map-side like any global agg.  This replaces a ``groupBy`` on the
+    derived bucket id: grouping keyed every row on the B-term bucket
+    expression (too large for whole-stage codegen, so it evaluated
+    interpreted — profiled ~5x the scan cost) and paid a shuffle for at
+    most B output rows.  The total row count comes out of the same
+    action, sparing callers that need N (ntile, quantile positions) a
+    separate ``count()`` pass.
 
     Buckets on the FIRST sort column that yields at least one quantile
     boundary: a (near-)constant leading column gives no split points, and
@@ -65,8 +70,17 @@ def _range_bucketed(
         )
 
     def quantile_bounds(c: str) -> list[float]:
+        # boundaries only balance work — ANY split is correct — so a
+        # caller may trade boundary quality for probe cost: a sampled
+        # single-column probe with a loose sketch is a fraction of a
+        # full-scan approxQuantile and Catalyst prunes the parquet read
+        # to just this column
+        src, acc = df, 0.001
+        if sample_boundaries is not None:
+            src = df.select(c).sample(sample_boundaries, seed=7)
+            acc = max(0.01, 0.5 / n_ranges)
         return sorted(
-            set(df.stat.approxQuantile(c, [j / n_ranges for j in range(1, n_ranges)], 0.001))
+            set(src.stat.approxQuantile(c, [j / n_ranges for j in range(1, n_ranges)], acc))
         )
 
     bucket_col, bounds = sort_cols[0], quantile_bounds(sort_cols[0])
@@ -90,35 +104,36 @@ def _range_bucketed(
             # is NOT globally constant and must not shift bucketing to the
             # next column.
         bucket_col, bounds = c, quantile_bounds(c)
-    # bucket id = number of boundaries strictly below the value, as ONE
-    # size(filter(<literal array>)) expression — a chained when().otherwise()
-    # sum nests ~32 conditionals deep and measurably stalls the optimizer/
-    # codegen on every plan that embeds this subtree (see skyline.py's 2-D
-    # path, where the chain cost ~4x the query runtime).  NULL values yield
-    # NULL > any bound -> filter drops them -> NULL maps via coalesce to
-    # bucket 0, which sorts first — matching NULLS FIRST rank order.
-    if bounds:
-        pid = F.coalesce(
-            F.size(
-                F.filter(
-                    F.array(*[F.lit(float(b)) for b in bounds]),
-                    lambda b: b < F.col(bucket_col).cast("double"),
-                )
-            ),
-            F.lit(0),
-        )
-    else:
-        pid = F.lit(0)
+    # bucket id = number of boundaries at or below the value, as a FLAT
+    # sum of indicator whens — every term whole-stage-codegens to one
+    # branchless comparison.  (Two rejected shapes: a NESTED
+    # when().otherwise(when()...) chain stalls the optimizer ~32 plan
+    # levels deep — see skyline.py's 2-D path, where it cost ~4x the
+    # query runtime — and the previous size(filter(<literal array>))
+    # builds a 32-element array per row through the INTERPRETED
+    # higher-order-function path, which profiled at ~7x the cost of this
+    # sum on the same scan.)  NULL values: NULL >= bound is NULL -> every
+    # indicator's otherwise(0) -> bucket 0, which sorts first — matching
+    # NULLS FIRST rank order.
+    pid = F.lit(0)
+    for bnd in bounds:
+        pid = pid + F.when(
+            F.col(bucket_col).cast("double") >= F.lit(float(bnd)), 1
+        ).otherwise(0)
     ranged = df.withColumn("__b", pid)
-    counts = {
-        r["__b"]: r["count"] for r in ranged.groupBy("__b").count().collect()
-    }
-    n_buckets = len(bounds) + 1
-    offs, running = [], 0
-    for b in range(n_buckets):
-        offs.append(running)
-        running += counts.get(b, 0)
-    return ranged, offs, running
+    v = F.col(bucket_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(v >= F.lit(float(b)), 1).otherwise(0)).alias(f"__ge{i}")
+            for i, b in enumerate(bounds)
+        ],
+    ).first()
+    total = int(stats["__n"])
+    # offset of bucket b = rows strictly before it = rows below bound b-1
+    # (NULL values fail every >= and land in bucket 0, NULLS FIRST)
+    offs = [0] + [total - int(stats[f"__ge{i}"]) for i in range(len(bounds))]
+    return ranged, offs, total, bucket_col, bounds
 
 
 def _off_expr(offs: list[int]):
@@ -135,7 +150,7 @@ def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:
     # the quantile action + the offsets action + the main plan all reread
     # the input; pin the (column-pruned) projection once
     df = _persist(df)
-    ranged, offs, _ = _range_bucketed(df, sort_cols)
+    ranged, offs, _, _, _ = _range_bucketed(df, sort_cols)
     # whole-bucket prune past the prefix happens AT PLAN TIME: the offsets
     # are literals, so buckets beyond the prefix never even shuffle
     keep = [b for b, off in enumerate(offs) if off < n] or [0]
@@ -156,7 +171,7 @@ def with_global_rank_and_total(
     (ntile arithmetic, exact quantile positions) skip their own
     ``count()`` pass over the input."""
     df = _persist(df)
-    ranged, offs, total = _range_bucketed(df, sort_cols)
+    ranged, offs, total, _, _ = _range_bucketed(df, sort_cols)
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     ranked = ranged.withColumn(
         out_col, F.row_number().over(w_local) + _off_expr(offs)
@@ -182,23 +197,58 @@ def rows_at_global_ranks(
     out map-side, before the exchange, so the local-sort window shuffles
     ~``len(ranks)/n_buckets`` of the rows instead of all of them.  With k
     requested ranks and B balanced buckets the shuffled fraction is
-    <= k/B regardless of N — the only full scans left are the columnar
-    cache fill and the per-bucket count, both shuffle-free."""
-    df = _persist(df)
-    ranged, offs, total = _range_bucketed(df, sort_cols)
+    <= k/B regardless of N.  Three deliberate shapes keep every pass at
+    scan speed: the boundary probe runs on a SAMPLE of the bucket column
+    alone (any boundary choice is correct); the offsets come from the
+    shuffle-free conditional-sum aggregate (see ``_range_bucketed``); and
+    the target buckets are selected by RANGE PREDICATES on the raw
+    bucket column — literal comparisons that whole-stage-codegen and
+    push into the parquet scan's row-group stats — never by filtering on
+    the derived B-term bucket id, which is too large for codegen and
+    would evaluate interpreted on every row (profiled ~10x this plan).
+    The input is deliberately NOT persisted: no later pass reads the
+    whole rows, so Catalyst's column pruning beats a cache fill."""
+    _, offs, total, bucket_col, bounds = _range_bucketed(
+        df, sort_cols, sample_boundaries=0.05
+    )
     ranks = sorted({int(r) for r in ranks_fn(total) if 1 <= int(r) <= total})
     if not ranks:
-        empty = (
-            ranged.where(F.lit(False))
-            .withColumn(out_col, F.lit(None).cast("int"))
-            .drop("__b")
+        empty = df.where(F.lit(False)).withColumn(
+            out_col, F.lit(None).cast("int")
         )
         return empty, total
     # rank r lives in the last bucket whose cumulative offset is < r
     targets = sorted({bisect_right(offs, r - 1) - 1 for r in ranks})
+    v = F.col(bucket_col).cast("double")
+
+    def bucket_range(b: int):
+        conds = []
+        if b > 0:
+            conds.append(v >= F.lit(float(bounds[b - 1])))
+        if b < len(bounds):
+            conds.append(v < F.lit(float(bounds[b])))
+        if not conds:
+            return F.lit(True)
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        if b == 0:  # NULLs sort first: they belong to bucket 0
+            cond = cond | F.col(bucket_col).isNull()
+        return cond
+
+    keep = bucket_range(targets[0])
+    for b in targets[1:]:
+        keep = keep | bucket_range(b)
+    # bucket id re-derived ONLY on the filtered rows, via a when-chain
+    # over the (few) target buckets — the filtered set partitions across
+    # them, so the last target is the otherwise arm
+    bid = F.lit(int(targets[-1]))
+    for b in reversed(targets[:-1]):
+        bid = F.when(bucket_range(b), F.lit(int(b))).otherwise(bid)
     w_local = Window.partitionBy("__b").orderBy(*sort_cols)
     picked = (
-        ranged.where(F.col("__b").isin([int(b) for b in targets]))
+        df.where(keep)
+        .withColumn("__b", bid)
         .withColumn(out_col, F.row_number().over(w_local) + _off_expr(offs))
         .where(F.col(out_col).isin(ranks))
         .drop("__b")

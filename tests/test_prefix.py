@@ -172,11 +172,16 @@ def test_rows_at_global_ranks_prunes_buckets(spark):
     picked, total = rows_at_global_ranks(df, ["id"], lambda t: [1, (t + 1) // 2])
     plan = picked._jdf.queryExecution().executedPlan().toString()
     below_exchange = plan.split("Exchange hashpartitioning")[-1]
-    # two target ranks in two distinct buckets -> a literal IN predicate on
-    # the bucket expression, evaluated before the shuffle (a single-bucket
-    # request simplifies to `= b`, hence two ranks here)
-    assert "Filter" in below_exchange and (
-        " IN (" in below_exchange or " INSET " in below_exchange
-    ), "no bucket-prune filter below the exchange:\n" + below_exchange[:600]
+    # two target ranks in two distinct buckets -> a literal RANGE predicate
+    # on the raw bucket column, evaluated before the shuffle (codegen-able
+    # comparisons that can also push into parquet row-group stats — NOT a
+    # filter on the derived B-term bucket id, which is too large for
+    # whole-stage codegen and would evaluate interpreted on every row)
+    assert "Filter" in below_exchange and ">=" in below_exchange and (
+        "<" in below_exchange
+    ), "no range bucket-prune filter below the exchange:\n" + below_exchange[:600]
+    # the bucket id itself is rebuilt from the same ranges on the filtered
+    # rows only: a CASE over the few targets, never the full B-term sum
+    assert below_exchange.count("CASE WHEN") <= 2, below_exchange[:600]
     rows = picked.collect()
     assert sorted(r.id for r in rows) == [0, (total + 1) // 2 - 1]
