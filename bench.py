@@ -131,6 +131,7 @@ SCALING_QUERIES = {
     "x_bm25_topk": "documents",  # explode + broadcast-df + TakeOrdered
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
     "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins
+    "x_pagerank": "lineitem",  # fixed-iteration join+agg, ckpt per round
 }
 
 

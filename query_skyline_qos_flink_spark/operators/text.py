@@ -626,6 +626,96 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
     )
 
 
+def _bpe_merge_word(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair ``(a, b)`` inside one word's symbol array — the BPE apply step.
+
+    Expressed as a single-string FOLD whose accumulator is the merged
+    prefix space-joined (symbols are alnum by tokenization, so the space
+    is a safe separator and the last token is recoverable by suffix
+    test): for each next symbol x, if the accumulated last token is ``a``
+    and ``x == b``, replace that last token with ``a||b``; else append
+    x.  A freshly merged ``a||b`` token never re-merges as the left side
+    (it differs from ``a`` since ``b`` is non-empty), which is exactly
+    the non-overlap rule.  The same fold runs verbatim in DuckDB's
+    ``list_reduce`` (which seeds the accumulator with the first element,
+    matching the ``slice``+init shape here), so the merge SEQUENCE is
+    engine-exact — a global regexp_replace is NOT equivalent (its match
+    resumption skips back-to-back occurrences: 6x'a' under (a,a) gives
+    [aa,a,aa,a] instead of greedy [aa,aa,aa])."""
+    init = F.element_at(syms, 1)
+    rest = F.slice(syms, 2, F.size(syms) - 1)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a))) & (x == F.lit(b))
+        merged = F.concat(
+            F.substr(acc, F.lit(1), F.length(acc) - F.lit(len(a))), F.lit(a + b)
+        )
+        return F.when(hit, merged).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.split(F.aggregate(rest, init, step), " ")
+
+
+_BPE_PAIRS = (
+    "CASE WHEN size(syms) >= 2 THEN"
+    "  transform(sequence(1, size(syms) - 1),"
+    "            i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    " ELSE array() END"
+)
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Train ``k`` BPE merges over the corpus vocabulary (Sennrich et al.:
+    iterate argmax-pair + merge) and return the exact merge sequence
+    ``(rnk, pair, cnt)`` — the tokenizer-prep loop that
+    :func:`bpe_pair_counts` runs one step of.
+
+    Scale shape: the ONLY corpus-sized stage is the initial token explode
+    (map-side partial agg into |vocab|); every iteration then runs over
+    vocabulary rows — a |pairs| partial agg, a TakeOrderedAndProject
+    argmax (1 row to the driver: merges are inherently sequential, the
+    loop is driver orchestration of k tiny plans), and a pure
+    column-expression merge fold.  The vocabulary is localCheckpoint-ed
+    per round (the pagerank/connected-components lineage-truncation
+    discipline) with superseded checkpoints freed, so storage is O(1) in
+    ``k``.  Arithmetic is integer counts with (cnt DESC, pair ASC)
+    tie-breaking, so the merge sequence is deterministic and an
+    unrolled-CTE DuckDB oracle hash-gates it exactly."""
+    from .caching import release_local_checkpoint as _release_ckpt
+
+    spark = df.sparkSession
+    t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    cur = vocab.select("freq", chars.alias("syms")).localCheckpoint(eager=True)
+    prev = cur
+    merges: list[tuple[int, str, int]] = []
+    for rnk in range(1, k + 1):
+        top = (
+            cur.select("freq", F.explode(F.expr(_BPE_PAIRS)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rnk, top["pair"], int(top["cnt"])))
+        if rnk == k:
+            break  # the k-th merge is recorded; applying it has no reader
+        a, b = top["pair"].split(" ")
+        cur = cur.select(
+            "freq", _bpe_merge_word(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+        _release_ckpt(prev)
+        prev = cur
+    _release_ckpt(prev)
+    return spark.createDataFrame(
+        merges, schema="rnk bigint, pair string, cnt bigint"
+    )
+
+
 def pmi_top_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2290,6 +2290,72 @@ def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)
 
 
+_BPE_K = 8
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled-CTE twin of text.bpe_train: k argmax+merge iterations.
+
+    The merge step is the SAME single-string greedy fold as the Spark
+    operator (list_reduce seeds the accumulator with the first element,
+    matching Spark's aggregate(slice(...), syms[0], ...)), so the merge
+    sequence — not just the counts — is engine-exact."""
+    pair_cte = (
+        "SELECT pair, sum(freq) AS cnt FROM ("
+        "SELECT freq, unnest(list_transform(range(1, len(syms)), "
+        "j -> syms[j] || ' ' || syms[j + 1])) AS pair FROM {src}) GROUP BY 1"
+    )
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"p{i} AS ({pair_cte.format(src=f'v{i - 1}')}),\n"
+            f"m{i} AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS a, "
+            f"split_part(pair, ' ', 2) AS b "
+            f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if i < k:  # the k-th merge is recorded, never applied
+            steps.append(
+                f"v{i} AS (SELECT freq, string_split(list_reduce(syms, "
+                f"(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) "
+                f"AND x = m.b "
+                f"THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
+                f"ELSE acc || ' ' || x END), ' ') AS syms "
+                f"FROM v{i - 1}, m{i} m)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, pair, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+vocab AS (SELECT w, count(*) AS freq FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+v0 AS (SELECT freq, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+       FROM vocab),
+{",".join(steps)}
+{selects}
+""".strip()
+
+
+@register(
+    "x_bpe_train_k",
+    _bpe_train_oracle(_BPE_K),
+    doc=f"Full BPE vocabulary training loop ({_BPE_K} merges, Sennrich et "
+    "al.): iterate corpus-frequency-weighted argmax pair + greedy "
+    "non-overlapping merge over the vocabulary symbol arrays, emitting "
+    "the exact merge SEQUENCE (rnk, pair, cnt) — the tokenizer-prep "
+    "loop x_bpe_pair_counts runs one step of. Only the initial token "
+    "explode is corpus-sized; each iteration is a |pairs| partial agg + "
+    "a 1-row TakeOrderedAndProject argmax + a column-expression merge "
+    "fold, with per-round localCheckpoint and superseded-checkpoint "
+    "release (the pagerank idiom). The unrolled-CTE oracle replicates "
+    "the same greedy fold via list_reduce, so the sequence is "
+    "engine-exact — operators/text.py::bpe_train",
+)
+def x_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_train(load(spark, sf_dir, "documents"), k=_BPE_K)
+
+
 @register(
     "x_pmi_pairs",
     f"""

@@ -899,3 +899,57 @@ def test_semantic_dedup_ragged_vectors_never_pair(spark):
     row = got.collect()[0]
     # 1 and 3 collapse; 2 survives despite the huge radius
     assert (row["n_vecs"], row["n_kept"]) == (3, 2)
+
+
+def test_bpe_merge_word_greedy_nonoverlap(spark):
+    """The merge fold must be GREEDY left-to-right non-overlapping: six
+    'a's under pair (a,a) -> [aa,aa,aa].  (A global regexp_replace gets
+    this wrong — match resumption skips back-to-back occurrences and
+    yields [aa,a,aa,a] — which is why both engines run the fold.)"""
+    from query_skyline_qos_flink_spark.operators.text import _bpe_merge_word
+
+    rows = [(["a"] * 6,), (["a"],), (["a", "b", "b"],), (["x", "a", "b"],)]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    got = [r[0] for r in df.select(_bpe_merge_word(F.col("syms"), "a", "a")).collect()]
+    assert got[0] == ["aa", "aa", "aa"]
+    assert got[1] == ["a"]
+    got_ab = [r[0] for r in df.select(_bpe_merge_word(F.col("syms"), "a", "b")).collect()]
+    assert got_ab[2] == ["ab", "b"] and got_ab[3] == ["x", "ab"]
+
+
+def test_bpe_train_matches_naive_python(spark):
+    """bpe_train == a driver-side naive Sennrich BPE trainer (argmax by
+    (cnt desc, pair asc), greedy merge) on a controlled corpus."""
+    from query_skyline_qos_flink_spark.operators.text import bpe_train, tokens
+
+    corpus = ["low low low lower lowest", "new newer newest low", "wide wider new"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    k = 6
+    got = [(r.rnk, r.pair, r.cnt) for r in bpe_train(df, k=k).orderBy("rnk").collect()]
+
+    # naive reference
+    from collections import Counter
+    vocab = Counter(w for t in corpus for w in t.lower().split())
+    words = {w: list(w) for w in vocab}
+    expect = []
+    for rnk in range(1, k + 1):
+        cnt = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[f"{syms[i]} {syms[i+1]}"] += vocab[w]
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        expect.append((rnk, pair, cnt[pair]))
+        a, b = pair.split(" ")
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expect
