@@ -73,9 +73,9 @@ _DRIVER_PRIORITY = [
     "s25_stream_skyband", "x_exact_quantiles",
     # fast round-7-gated fills (buy round-10 headroom)
     "x_url_dedup", "x_dedup_sweep", "x_knn_int8_rerank",
-    "x_jpeg_ahash_dedup", "x_corpus_shuffle",
+    "x_corpus_shuffle",
     # round-9 newborns (swapped into fill slots as they land)
-    "x_bpe_train_k",
+    "x_bpe_train_k", "x_image_resize",
 ]
 # Round-10 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 10: the round-7-gated entries NOT in the

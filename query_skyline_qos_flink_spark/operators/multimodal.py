@@ -705,6 +705,78 @@ def image_ahash(
     return df.where(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_fn: Callable[[bytes], tuple] = decode_image,
+) -> DataFrame:
+    """Deterministic area (box-average) resize per image payload — the
+    standard training-pipeline preprocessing step (images normalized to a
+    fixed model resolution) as Spark-side plumbing: decode inside Arrow
+    batches, greyscale-collapse, integer box mean, and emit
+    ``(id, out_w, out_h, pix_wsum)`` where ``pix_wsum`` is the
+    position-weighted checksum ``sum(pix[y][x] * (y*out_w + x + 1))`` —
+    order-sensitive, so it pins every resized pixel's VALUE and POSITION
+    without shipping the bitmap (callers that need the pixels re-run the
+    same kernel with a bitmap schema).
+
+    When the input dims divide evenly by the output dims the box mean is
+    the exact truncating-integer mean (``sum // box_area``) — fully
+    engine-exact, which is what the closed-form oracle gates; ragged
+    ratios fall back to edge-cropped boxes (``in_dim // out_dim`` each),
+    the same convention as :func:`image_ahash`'s block grid.
+
+    mapInPandas over Arrow binary batches; one scan, no shuffle; distinct
+    payloads decode once per batch (the dedup-workload cache)."""
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "out_w bigint, out_h bigint, pix_wsum bigint"
+    )
+    weights = np.arange(1, out_w * out_h + 1, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            cache: dict[bytes, int] = {}
+            for p in pdf[payload_col]:
+                bp = bytes(p)
+                wsum = cache.get(bp)
+                if wsum is None:
+                    h, w, c, arr = decode_fn(bp)
+                    grey = arr.astype(np.int64).sum(axis=2) // c
+                    by, bx = max(h // out_h, 1), max(w // out_w, 1)
+                    hh, ww = min(h, out_h * by), min(w, out_w * bx)
+                    resized = (
+                        grey[:hh, :ww]
+                        .reshape(hh // by, by, ww // bx, bx)
+                        .sum(axis=(1, 3))[:out_h, :out_w]
+                        // (by * bx)
+                    )
+                    wsum = int(np.dot(resized.flatten(), weights[: resized.size]))
+                    cache[bp] = wsum
+                rows.append(wsum)
+            out = pd.DataFrame({"pix_wsum": rows})
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            out.insert(1, "out_w", out_w)
+            out.insert(2, "out_h", out_h)
+            yield out
+
+    # NULL payloads are excluded (engine policy, like NULL skyline dims)
+    return (
+        df.where(F.col(payload_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(fn, schema=schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL GIF codec (stdlib-only LZW) — multi-frame / animation payloads
 # ---------------------------------------------------------------------------

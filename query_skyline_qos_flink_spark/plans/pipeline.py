@@ -1797,6 +1797,41 @@ def x_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_image_resize",
+    """
+WITH bits AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('img' || CAST(doc_id % 50 AS VARCHAR)), 1, 16)
+              AS UBIGINT) AS b
+  FROM documents),
+w AS (SELECT doc_id,
+             255 * list_sum(list_transform(range(0, 64),
+                   k -> CASE WHEN (b >> (63 - k)) & 1 = 1
+                        THEN 128 * (k // 8) + 8 * (k % 8) + 38 ELSE 0 END)) AS ws
+      FROM bits)
+SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+       CAST(ws AS BIGINT) AS pix_wsum
+FROM w
+""".strip(),
+    doc="Deterministic area resize through the REAL PNG codec (the "
+    "fixed-resolution preprocessing step of an image training pipeline): "
+    "synthesize the 64x64 block-pattern PNG per doc, decode, integer "
+    "box-average down to 16x16 (4x4 boxes divide evenly, so the mean is "
+    "exact truncating-integer), and emit a position-weighted pixel "
+    "checksum that pins every resized pixel's value AND position. Each "
+    "4x4 box lies inside one 8px pattern block, so the resized pixel is "
+    "exactly the block's 0/255 bit — the oracle reproduces the checksum "
+    "closed-form from the md5 bits without decoding: 255 * sum over set "
+    "bits k of (128*(k div 8) + 8*(k mod 8) + 38). One scan + "
+    "mapInPandas, no shuffle — operators/multimodal.py::resize_images",
+)
+def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pay = multimodal.attach_synth_payload(d, "png", key_mod=50)
+    return multimodal.resize_images(pay, 16, 16)
+
+
+@register(
     "x_jpeg_ahash_dedup",
     """
 SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs

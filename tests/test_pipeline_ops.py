@@ -953,3 +953,31 @@ def test_bpe_train_matches_naive_python(spark):
                     i += 1
             words[w] = out
     assert got == expect
+
+
+def test_resize_images_exact_and_ragged(spark):
+    """Divisible dims: integer box mean is exact (checksum equals the
+    closed-form block reconstruction).  Ragged dims: edge-cropped boxes
+    (in_dim // out_dim), same convention as image_ahash's grid."""
+    import hashlib
+
+    rows = [(1,), (2,), (3,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    pay = multimodal.attach_synth_payload(df, "png", key_mod=50)
+    got = {
+        r.doc_id: r.pix_wsum
+        for r in multimodal.resize_images(pay, 16, 16).collect()
+    }
+    for doc in (1, 2, 3):
+        bits = int(hashlib.md5(f"img{doc % 50}".encode()).hexdigest()[:16], 16)
+        want = 255 * sum(
+            128 * (k // 8) + 8 * (k % 8) + 38
+            for k in range(64)
+            if (bits >> (63 - k)) & 1
+        )
+        assert got[doc] == want
+    # ragged: 64x64 -> 5x5 uses 12px boxes cropping the last 4px rows/cols;
+    # just assert it runs and stays within the 0..255-weighted bound
+    out = multimodal.resize_images(pay, 5, 5).collect()
+    assert all(0 <= r.pix_wsum <= 255 * 25 * 13 for r in out)
+    assert all((r.out_w, r.out_h) == (5, 5) for r in out)
