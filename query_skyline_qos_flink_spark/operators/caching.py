@@ -66,6 +66,25 @@ def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
     return df
 
 
+def checkpoint_rotate(df: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One round of the iterative-fixpoint checkpoint lifecycle: eagerly
+    ``localCheckpoint`` the new round's plan, then free the superseded
+    previous checkpoint, and return the new one (pass it back as ``prev``
+    next round).
+
+    The ordering IS the invariant: an unpersisted checkpoint does not
+    fall back to lineage, so ``prev`` may only be released once its last
+    reader has run — here that reader is the new checkpoint's eager
+    materialization, which happens first.  Callers whose round has a
+    LATER reader of the previous checkpoint (e.g. connected_components'
+    convergence diff joins old vs new labels AFTER both exist) must not
+    use this helper for that release — run the extra reader first, then
+    call :func:`release_local_checkpoint` directly."""
+    new = df.localCheckpoint(eager=True)
+    release_local_checkpoint(prev)
+    return new
+
+
 def release_local_checkpoint(df: DataFrame | None) -> None:
     """Free the storage blocks behind a ``localCheckpoint``-ed DataFrame
     that will never be read again.

@@ -383,8 +383,10 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        # the convergence diff was the old checkpoint's last reader: free
-        # its blocks now so storage stays O(1) in rounds, not O(rounds)
+        # the convergence diff (not the new checkpoint's materialization)
+        # was the old checkpoint's last reader, so this site cannot use
+        # caching.checkpoint_rotate — release explicitly AFTER the diff,
+        # keeping storage O(1) in rounds
         _release_ckpt(labels)
         labels = new_labels
         if changed == 0:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .caching import release_local_checkpoint as _release_ckpt
+from .caching import checkpoint_rotate as _ckpt_rotate
 
 
 def cooccurrence_edges(
@@ -142,13 +142,11 @@ def pagerank(
     for i in range(iterations):
         if i:  # truncate the PREVIOUS round's lineage before reuse; the
             # final round stays un-truncated so callers see (and plan-test)
-            # the real join+agg shape instead of a checkpoint scan
-            ranks = ranks.localCheckpoint(eager=True)
-            # this eager materialization was the prior checkpoint's last
-            # reader — free its blocks so storage is O(1) in iterations
-            # (the newest checkpoint stays: the returned plan reads it)
-            _release_ckpt(prev_ckpt)
-            prev_ckpt = ranks
+            # the real join+agg shape instead of a checkpoint scan.
+            # checkpoint_rotate frees the superseded round's blocks so
+            # storage is O(1) in iterations (the newest checkpoint stays:
+            # the returned plan reads it)
+            ranks = prev_ckpt = _ckpt_rotate(ranks, prev_ckpt)
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["v"])
             .groupBy(F.col("dst").alias("v"))

@@ -751,6 +751,13 @@ def resize_images(
                 wsum = cache.get(bp)
                 if wsum is None:
                     h, w, c, arr = decode_fn(bp)
+                    if h < out_h or w < out_w:
+                        # upscale would silently emit a checksum with the
+                        # wrong stride and false output dims — refuse
+                        raise ValueError(
+                            f"resize_images: upscale not supported "
+                            f"({w}x{h} -> {out_w}x{out_h})"
+                        )
                     grey = arr.astype(np.int64).sum(axis=2) // c
                     by, bx = max(h // out_h, 1), max(w // out_w, 1)
                     hh, ww = min(h, out_h * by), min(w, out_w * bx)

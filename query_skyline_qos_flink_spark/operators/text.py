@@ -681,6 +681,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     ``k``.  Arithmetic is integer counts with (cnt DESC, pair ASC)
     tie-breaking, so the merge sequence is deterministic and an
     unrolled-CTE DuckDB oracle hash-gates it exactly."""
+    from .caching import checkpoint_rotate as _ckpt_rotate
     from .caching import release_local_checkpoint as _release_ckpt
 
     spark = df.sparkSession
@@ -705,11 +706,10 @@ def bpe_train(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
         if rnk == k:
             break  # the k-th merge is recorded; applying it has no reader
         a, b = top["pair"].split(" ")
-        cur = cur.select(
-            "freq", _bpe_merge_word(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
-        _release_ckpt(prev)
-        prev = cur
+        cur = prev = _ckpt_rotate(
+            cur.select("freq", _bpe_merge_word(F.col("syms"), a, b).alias("syms")),
+            prev,
+        )
     _release_ckpt(prev)
     return spark.createDataFrame(
         merges, schema="rnk bigint, pair string, cnt bigint"

@@ -223,11 +223,19 @@ def _stream_replay(
     # one file per micro-batch (maxFilesPerTrigger=1), ordered by mtime:
     # batch 0 ingests exactly the N-prefix.  Wire doubles go through
     # CAST(string) — Java's shortest-round-trip repr, parsed back to the
-    # identical double by the stream's wire parser.
-    line = F.concat_ws(
-        ",",
-        F.col("id").cast("string"),
-        *[F.col(n).cast("string") for n in names],
+    # identical double by the stream's wire parser.  NULL-propagating
+    # concat + raise_error keeps the old fail-fast contract: a NULL dim
+    # must crash the harness, never write a short CSV line the stream's
+    # fixed-schema parser would misparse into a shifted point.
+    fields = [F.col("id").cast("string")] + [
+        F.col(n).cast("string") for n in names
+    ]
+    strict = fields[0]
+    for fld in fields[1:]:
+        strict = F.concat(strict, F.lit(","), fld)
+    line = F.coalesce(
+        strict,
+        F.raise_error(F.lit("stream replay: NULL wire field in fixture")),
     )
     for path, cond, mtime in (
         ("d00.csv", F.col("id") < _N_PREFIX, 1_000_000.0),

@@ -981,3 +981,12 @@ def test_resize_images_exact_and_ragged(spark):
     out = multimodal.resize_images(pay, 5, 5).collect()
     assert all(0 <= r.pix_wsum <= 255 * 25 * 13 for r in out)
     assert all((r.out_w, r.out_h) == (5, 5) for r in out)
+
+
+def test_resize_images_refuses_upscale(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    pay = multimodal.attach_synth_payload(df, "png", key_mod=50)
+    with pytest.raises(PythonException, match="upscale not supported"):
+        multimodal.resize_images(pay, 128, 128).collect()
