@@ -73,3 +73,46 @@ def test_plots_render_without_matplotlib(tmp_path):
     )
     w, h = rasterpng.read_png_size(out)
     assert w > 0 and h > 0
+
+
+def test_write_replay_split_membership_and_order(spark, tmp_path):
+    """The distributed replay split must reproduce the old pandas-slicing
+    contract exactly: batch 0 = the first ceil(0.8 n) rows in the total
+    order, batch 1 = the rest; files sorted within; mtimes pin ingestion
+    order; n rows over the cap refuse before writing."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from query_skyline_qos_flink_spark.plans import streaming_replay as sr
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(103)], "k long, uid long"
+    ).repartition(5)
+    d = str(tmp_path / "data")
+    total = sr._write_replay_split(df, ["k", "uid"], d, "csv", "unit")
+    assert total == 103
+    n1 = -(-103 * 8 // 10)  # ceil(0.8 n)
+
+    def read(p):
+        with open(p) as f:
+            return [tuple(map(int, ln.split(","))) for ln in f.read().splitlines()]
+
+    f0 = read(os.path.join(d, "f0.csv"))
+    f1 = read(os.path.join(d, "f1.csv"))
+    ordered = sorted(((i % 7, i) for i in range(103)))
+    assert f0 == ordered[:n1]          # membership AND intra-file order
+    assert f1 == ordered[n1:]
+    assert os.path.getmtime(os.path.join(d, "f0.csv")) < os.path.getmtime(
+        os.path.join(d, "f1.csv")
+    )
+
+    big = spark.range(0, 10).select(F.col("id"))
+    old_cap = sr._MAX_REPLAY_ROWS
+    sr._MAX_REPLAY_ROWS = 5
+    try:
+        with pytest.raises(RuntimeError, match="capped at 5"):
+            sr._write_replay_split(big, ["id"], str(tmp_path / "d2"), "csv", "unit")
+        assert not (tmp_path / "d2").exists()  # refused BEFORE writing
+    finally:
+        sr._MAX_REPLAY_ROWS = old_cap
