@@ -480,3 +480,48 @@ def test_pagerank_partial_agg_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "partial_sum" in plan  # map-side combine on the dst shuffle
     assert "Exchange SinglePartition" not in plan
+
+
+def test_image_resize_single_scan_no_shuffle(spark):
+    """resize_images is scan + mapInPandas only: no Exchange anywhere —
+    the resize itself never shuffles (downstream groupBys would)."""
+    plan = _plan(spark, "x_image_resize")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_iteration_plan_partial_agg_and_topk(spark):
+    """bpe_train's per-iteration argmax must be a map-side partial
+    aggregate into TakeOrderedAndProject (1-row top-k, no global sort),
+    and the merge step must be shuffle-free column expressions over the
+    checkpointed vocabulary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from query_skyline_qos_flink_spark.operators.text import (
+        _BPE_PAIRS,
+        _bpe_merge_word,
+    )
+
+    vocab = spark.createDataFrame(
+        pd.DataFrame({"freq": [3, 2], "w": ["low", "new"]})
+    ).select(
+        "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint(eager=True)
+    argmax = (
+        vocab.select("freq", F.explode(F.expr(_BPE_PAIRS)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+    )
+    plan = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the pair shuffle
+    assert "TakeOrderedAndProject" in plan  # 1-row top-k, no global sort
+    merge = vocab.select("freq", _bpe_merge_word(F.col("syms"), "l", "o").alias("syms"))
+    mplan = merge._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in mplan
