@@ -56,7 +56,17 @@ def with_int8_codes(
     """Attach symmetric-int8 codes (``array<bigint>`` in [-127, 127]) under
     the corpus-global scale.  The scale rides in as a broadcast 1-row cross
     join, so the whole pass stays declarative (Catalyst sees one scan +
-    one tiny build side; no driver action, no collect)."""
+    one tiny build side; no driver action, no collect).
+
+    Validity domain (engine policy, mirrored in the oracles' predicate):
+    NULL/empty/NaN-bearing vectors are EXCLUDED — from the scale AND from
+    the output.  Quantization is undefined for them, and they are not
+    merely self-harming: one NaN anywhere poisons ``max(abs(...))`` into
+    NaN, which silently zeroed every vector's codes before this filter
+    (found by the ragged/NaN cross-engine parity sweep)."""
+    from .similarity import valid_vectors
+
+    df = valid_vectors(df, vec_col)
     scale = corpus_maxabs(df, vec_col)
     code = F.transform(
         F.col(vec_col),
@@ -129,6 +139,9 @@ def knn_int8(
                 lambda acc, x: acc + x,
             ).alias("dist"),
         )
+        # ragged code pair -> zip_with NULL-pads -> NULL dist, which
+        # Spark's ASC window puts FIRST (DuckDB: last): drop explicitly
+        .where(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     return (
@@ -169,6 +182,8 @@ def knn_int8_rerank(
         .select(
             "q_id", "n_id", _sq_l2_fold(F.col("__qe"), F.col("__ne")).alias("dist")
         )
+        # NULL dist = ragged pair; drop, never rank (see knn_int8)
+        .where(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     return (

@@ -91,6 +91,11 @@ def knn_exact_fold(
             F.col(id_col).alias("n_id"),
             _sq_l2_fold(F.col("__q"), F.col(vec_col)).alias("dist"),
         )
+        # ragged pair -> zip_with NULL-pads -> NULL dist, which Spark's
+        # ASC window puts FIRST (DuckDB puts NULLs last): drop the pair
+        # explicitly so unequal-length vectors never rank (engine policy,
+        # mirrored in the oracle's len-equality predicate)
+        .where(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     return (
@@ -117,34 +122,48 @@ def knn_blocked(
     qpdf = query_df.select(id_col, vec_col).toPandas()
     if qpdf.empty:
         return df.sparkSession.createDataFrame([], "q_id bigint, n_id bigint, rnk int")
-    q_ids = qpdf[id_col].to_numpy()
-    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    qsq = (Q * Q).sum(axis=1)
-    bc = df.sparkSession.sparkContext.broadcast((q_ids, Q, qsq))
+    # ragged policy (the fold paths' rule, stated pairwise): a pair only
+    # ranks when both vectors share a length.  The GEMM needs rectangular
+    # matrices, so queries are GROUPED by length — one broadcast matrix
+    # per distinct query length (one group on any sane corpus) — and each
+    # batch row scores only against its matching-length group; np.stack
+    # would otherwise raise on hostile-but-legal input
+    groups = [
+        (g[id_col].to_numpy(), np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        for _, g in qpdf.groupby(qpdf[vec_col].map(len))
+    ]
+    bc = df.sparkSession.sparkContext.broadcast(
+        [(ids_, Q_, (Q_ * Q_).sum(axis=1)) for ids_, Q_ in groups]
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids, Q, qsq = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
-            d2 = (E * E).sum(axis=1)[:, None] + qsq[None, :] - 2.0 * (E @ Q.T)
+            lens = pdf[vec_col].map(len)
             rows = []
-            for qi in range(len(q_ids)):
-                mask = ids != q_ids[qi]
-                cand_ids = ids[mask]
-                cand_d = d2[mask, qi]
-                if cand_ids.size == 0:
+            for q_ids, Q, qsq in bc.value:
+                sub = pdf[lens == Q.shape[1]]
+                if sub.empty:
                     continue
-                # lexsort keeps the (dist, n_id) contract at the map-side cut:
-                # exact distance ties at the k boundary must keep smallest id
-                top = np.lexsort((cand_ids, cand_d))[:k]
-                rows.append(
-                    pd.DataFrame(
-                        {"q_id": q_ids[qi], "n_id": cand_ids[top], "dist": cand_d[top]}
+                E = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                ids = sub[id_col].to_numpy()
+                d2 = (E * E).sum(axis=1)[:, None] + qsq[None, :] - 2.0 * (E @ Q.T)
+                for qi in range(len(q_ids)):
+                    mask = ids != q_ids[qi]
+                    cand_ids = ids[mask]
+                    cand_d = d2[mask, qi]
+                    if cand_ids.size == 0:
+                        continue
+                    # lexsort keeps the (dist, n_id) contract at the
+                    # map-side cut: exact distance ties at the k boundary
+                    # must keep smallest id
+                    top = np.lexsort((cand_ids, cand_d))[:k]
+                    rows.append(
+                        pd.DataFrame(
+                            {"q_id": q_ids[qi], "n_id": cand_ids[top], "dist": cand_d[top]}
+                        )
                     )
-                )
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
@@ -215,6 +234,8 @@ def ann_bucketed(
         base.join(F.broadcast(q), "__bkt")
         .where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", _sq_l2_fold(F.col("__q"), F.col("__e")).alias("dist"))
+        # NULL dist = ragged pair; drop, never rank (see knn_exact_fold)
+        .where(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     return (
@@ -345,10 +366,15 @@ def ann_ivf(
     plain equi-join on the cell id, so the whole plan is
     scan + literal expression + one shuffle for the final per-query
     top-k.  Scale knobs: ``coarse_bits`` (cells) and ``n_probes``
-    (recall).  NULL/empty vectors excluded on both sides.
+    (recall).  NULL/empty vectors excluded on both sides, as are vectors
+    whose length differs from the DECLARED ``dim`` — the centroid sums
+    index components 1..dim, so a short vector would raise under ANSI
+    (and a long one would be silently truncated); scan-side exclusion is
+    the engine's validity policy, mirrored in the oracle's
+    ``len(embedding) = dim`` predicate.
     """
-    df = valid_vectors(df, vec_col)
-    query_df = valid_vectors(query_df, vec_col)
+    df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
+    query_df = valid_vectors(query_df, vec_col).where(F.size(vec_col) == dim)
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
     )
@@ -438,6 +464,8 @@ def ann_ivf(
             F.col("__id").alias("n_id"),
             _int_sq_l2_fold(F.col("__pq"), F.col("__qv")).alias("dist"),
         )
+        # NULL dist = ragged pair; drop, never rank (see knn_exact_fold)
+        .where(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
     return (

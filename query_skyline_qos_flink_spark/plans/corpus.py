@@ -803,7 +803,7 @@ pairs AS (
          (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
           FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
   FROM q, embeddings e
-  WHERE e.vec_id <> q.q_id
+  WHERE e.vec_id <> q.q_id AND len(q.qe) = len(e.embedding)
 ),
 ranked AS (
   SELECT q_id, n_id,
@@ -830,6 +830,12 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
+        # NULL or ragged pairs never rank: size() is NULL for a NULL
+        # vector and unequal for ragged, so one predicate covers both —
+        # and it matches the oracle's len(qe) = len(embedding) exactly
+        # (Spark's NULL dist would sort FIRST in the window; DuckDB's
+        # zip-unnest pads and sums to a real number — both wrong)
+        .where(F.size("qe") == F.size("embedding"))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),

@@ -268,6 +268,17 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=3)
 
 
+# SQL twins of similarity.valid_vectors — the oracles must replicate the
+# engine's vector-validity domain exactly or hostile-but-legal corpora
+# (NULL/empty/NaN/zero vectors) silently diverge (or crash DuckDB on a
+# NaN/inf reaching an integer cast).
+_VEC_VALID = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+)
+_VEC_NONZERO = _VEC_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
 def _bucket_sql(col: str, n_bits: int = 8) -> str:
     return " + ".join(
         f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
@@ -283,7 +294,8 @@ def _cos_oracle(bucketed: bool) -> str:
         "AND bit_count(xor(a.bkt, b.bkt)) <= 1" if bucketed else ""
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+           FROM embeddings WHERE {_VEC_NONZERO}),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
@@ -292,7 +304,8 @@ p AS (
              FROM (SELECT unnest(a.embedding) AS u) xa))
      * sqrt((SELECT sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
              FROM (SELECT unnest(b.embedding) AS v) xb))) AS cos
-  FROM e a, e b WHERE a.vec_id < b.vec_id {cand_pred})
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+    AND len(a.embedding) = len(b.embedding) {cand_pred})
 SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
 FROM p WHERE cos >= 0.4
 """.strip()
@@ -329,13 +342,15 @@ COSINE_EXACT_ANCHOR_ORACLE = _cos_oracle(bucketed=False)
 
 _ANN_ORACLE = f"""
 WITH base AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+  FROM embeddings WHERE {_VEC_VALID}),
 q AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM base WHERE vec_id BETWEEN 1 AND 5),
 pairs AS (
   SELECT q.q_id, e.vec_id AS n_id,
     (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
      FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
-  FROM q JOIN base e ON q.bkt = e.bkt AND e.vec_id <> q.q_id),
+  FROM q JOIN base e ON q.bkt = e.bkt AND e.vec_id <> q.q_id
+                      AND len(q.qe) = len(e.embedding)),
 r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
 SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5
 """.strip()
@@ -355,13 +370,15 @@ def x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_MULTIPROBE_ORACLE = f"""
 WITH base AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt FROM embeddings),
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bkt
+  FROM embeddings WHERE {_VEC_VALID}),
 q AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM base WHERE vec_id BETWEEN 1 AND 5),
 pairs AS (
   SELECT q.q_id, e.vec_id AS n_id,
     (SELECT sum((CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)) * (CAST(x.a AS DOUBLE) - CAST(x.b AS DOUBLE)))
      FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
-  FROM q JOIN base e ON bit_count(xor(q.bkt, e.bkt)) <= 1 AND e.vec_id <> q.q_id),
+  FROM q JOIN base e ON bit_count(xor(q.bkt, e.bkt)) <= 1 AND e.vec_id <> q.q_id
+                      AND len(q.qe) = len(e.embedding)),
 r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
 SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5
 """.strip()
@@ -382,17 +399,17 @@ def x_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed(e, q, k=5, n_bits=8, n_probes=9)
 
 
-_ANN_BLOCKED_ORACLE = """
+_ANN_BLOCKED_ORACLE = f"""
 WITH base AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS DOUBLE)) AS emb
-  FROM embeddings),
+  FROM embeddings WHERE {_VEC_VALID}),
 q AS (SELECT vec_id AS q_id, emb AS qe FROM base WHERE vec_id BETWEEN 1 AND 5),
 pairs AS (
   SELECT q.q_id, e.vec_id AS n_id,
     (SELECT sum((x.a - x.b) * (x.a - x.b))
      FROM (SELECT unnest(q.qe) AS a, unnest(e.emb) AS b) x) AS dist
-  FROM q, base e WHERE e.vec_id <> q.q_id),
+  FROM q, base e WHERE e.vec_id <> q.q_id AND len(q.qe) = len(e.emb)),
 r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM pairs)
 SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10
 """.strip()
@@ -409,7 +426,10 @@ SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10
     "property-tested against the fold twin instead",
 )
 def x_ann_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # validity on the RAW vectors, BEFORE quantization: floor() maps a NaN
+    # component to NULL, which would sneak past the NaN check inside
+    # knn_blocked (the oracle's valid predicate is on raw embeddings too)
+    e = similarity.valid_vectors(load(spark, sf_dir, "embeddings"), "embedding")
     eq = e.select(
         "vec_id",
         F.transform(
@@ -546,7 +566,8 @@ def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
     return f"""
 WITH q0 AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM embeddings WHERE len(embedding) = {dim}
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
 c0 AS (SELECT vec_id, qv, {cell} AS seed FROM q0),
 cent AS (SELECT seed AS cell, [{cent_list}] AS c FROM c0 GROUP BY seed),
 asg AS (SELECT v.vec_id, v.qv, ct.cell,
@@ -557,7 +578,8 @@ base_a AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
 probe AS (SELECT vec_id, qv, cell FROM asg WHERE vec_id BETWEEN 1 AND 5 AND r <= {n_probes}),
 cand AS (SELECT p.vec_id AS q_id, b.vec_id AS n_id,
                 {d.format(a='p.qv', b='b.qv')} AS dist
-         FROM probe p JOIN base_a b ON p.cell = b.cell AND b.vec_id <> p.vec_id),
+         FROM probe p JOIN base_a b ON p.cell = b.cell AND b.vec_id <> p.vec_id
+                                    AND len(p.qv) = len(b.qv)),
 r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM cand)
 SELECT q_id, n_id, rnk FROM r WHERE rnk <= {k}
 """.strip()
@@ -582,16 +604,23 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared int8-quantization CTE (mirrors operators/quantize.py exactly:
 # corpus-global scale, two IEEE ops + exact floor per component, clamp at
 # the 1-ulp-under -127 edge).
-_Q8_CTE = """
+# Validity domain mirrors quantize.valid_vectors: NULL/empty/NaN vectors
+# are excluded from the scale AND the codes (one NaN would poison the
+# corpus max into NaN).
+_Q8_VALID = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+)
+_Q8_CTE = f"""
 WITH s AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS m
-           FROM embeddings WHERE embedding IS NOT NULL),
+           FROM embeddings WHERE {_Q8_VALID}),
 c AS (SELECT vec_id,
              CASE WHEN m > 0
                   THEN list_transform(embedding, x ->
                        greatest(-127, CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)))
                   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q8
       FROM embeddings CROSS JOIN s
-      WHERE embedding IS NOT NULL)
+      WHERE {_Q8_VALID})
 """.strip()
 
 
@@ -624,7 +653,7 @@ q AS (SELECT vec_id AS q_id, q8 AS qq8 FROM c WHERE vec_id BETWEEN 1 AND 5),
 p AS (SELECT q.q_id, c.vec_id AS n_id,
              CAST(list_sum(list_transform(range(1, len(c.q8) + 1),
                   i -> (q.qq8[i] - c.q8[i]) * (q.qq8[i] - c.q8[i]))) AS BIGINT) AS dist
-      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id AND len(q.qq8) = len(c.q8)),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM p)
 SELECT q_id, n_id, CAST(rnk AS INT) AS rnk, dist FROM r WHERE rnk <= 5
 """.strip(),
@@ -649,7 +678,7 @@ q AS (SELECT vec_id AS q_id, q8 AS qq8 FROM c WHERE vec_id BETWEEN 1 AND 5),
 p AS (SELECT q.q_id, c.vec_id AS n_id,
              CAST(list_sum(list_transform(range(1, len(c.q8) + 1),
                   i -> (q.qq8[i] - c.q8[i]) * (q.qq8[i] - c.q8[i]))) AS BIGINT) AS dist
-      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id AND len(q.qq8) = len(c.q8)),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS crnk FROM p),
 cand AS (SELECT q_id, n_id FROM r WHERE crnk <= 20),
 f AS (SELECT cand.q_id, cand.n_id,
@@ -657,7 +686,8 @@ f AS (SELECT cand.q_id, cand.n_id,
          FROM (SELECT unnest(qe.embedding) AS a, unnest(ne.embedding) AS b) x) AS dist
       FROM cand
       JOIN embeddings qe ON qe.vec_id = cand.q_id
-      JOIN embeddings ne ON ne.vec_id = cand.n_id),
+      JOIN embeddings ne ON ne.vec_id = cand.n_id
+      WHERE len(qe.embedding) = len(ne.embedding)),
 rr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM f)
 SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM rr WHERE rnk <= 5
 """.strip(),

@@ -52,6 +52,8 @@ def _degen_embeddings():
         (5, [], 2),                 # empty array
         (6, [float(i) / _DIM for i in range(_DIM)], 3),
         (7, [float("nan")] + [0.2] * (_DIM - 1), 3),   # NaN component
+        (8, [0.1] * (_DIM + 16), 4),    # ragged: longer than the corpus dim
+        (9, [0.1] * (_DIM // 2), 4),    # ragged: shorter (prefix of normal)
     ]
 
 
@@ -84,3 +86,33 @@ def test_query_survives_degenerate_fixtures(spark, degen_dir, name):
     df = corpus.REGISTRY[name].fn(spark, degen_dir)
     rows = df.collect()
     assert rows is not None  # executed without a job failure
+
+
+_VECTOR_PARITY = [
+    "e2_knn_bruteforce", "x_knn_int8", "x_knn_int8_rerank",
+    "x_ann_bucketed", "x_ann_multiprobe", "x_ann_ivf", "x_ann_blocked",
+    "x_cosine_neardup", "x_semantic_dedup", "x_embed_quantize8",
+]
+
+
+@pytest.mark.parametrize("name", _VECTOR_PARITY)
+def test_vector_query_ragged_parity_with_duckdb(spark, degen_dir, name):
+    """The ragged-vector drop rule must hold CROSS-ENGINE, not just not
+    crash: every pairwise vector query produces the same row set as its
+    DuckDB oracle on the degenerate fixture (which now carries longer-
+    and shorter-than-corpus vectors).  Without the len-equality
+    predicates this diverges silently — Spark's zip_with NULL-pads while
+    DuckDB's zip-unnest sums over the overlap."""
+    import duckdb
+
+    sdf = corpus.REGISTRY[name].fn(spark, degen_dir)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "lineitem"):
+        p = os.path.join(degen_dir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark-written table: a directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    orows = sorted(tuple(r) for r in con.execute(corpus.REGISTRY[name].oracle).fetchall())
+    assert srows == orows
