@@ -58,7 +58,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         *df.columns,
         F.size(F.filter(F.split(c, WS_RE), lambda x: x != "")).cast("bigint").alias("n_ws"),
         F.size(toks).cast("bigint").alias("n_alnum"),
-        F.coalesce(F.regexp_count(c, F.lit(PUNCT_RE)), F.lit(0)).cast("bigint").alias("n_punct"),
+        F.regexp_count(c, F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
     )
 
 
@@ -79,7 +79,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
         ).cast("bigint").alias("sum_tok_len"),
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint").alias("n_stop"),
-        F.coalesce(F.regexp_count(c, F.lit(PUNCT_RE)), F.lit(0)).cast("bigint").alias("n_punct"),
+        F.regexp_count(c, F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
     )
     nt = F.col("n_tok").cast("double")
     return out.select(
@@ -126,7 +126,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     sh = word_shingles(F.col("__ftok"), 3)
     return staged.select(
         *df.columns,
-        F.md5(F.concat_ws(" ", "__ftok")).alias("fp_md5"),
+        # concat_ws SKIPS null args, so a NULL text would silently
+        # fingerprint as md5('') — pin NULL-in -> NULL-out instead;
+        # genuinely empty content (0 tokens) still hashes md5('')
+        F.when(
+            F.col(text_col).isNotNull(), F.md5(F.concat_ws(" ", "__ftok"))
+        ).alias("fp_md5"),
         F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s))))
         .otherwise(F.lit(None).cast("string")).alias("fp_minshingle"),
     )
@@ -176,9 +181,9 @@ def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     out = df.select(
         *df.columns,
-        F.coalesce(F.regexp_count(c, F.lit(EMAIL_RE)), F.lit(0)).cast("bigint").alias("n_emails"),
-        F.coalesce(F.regexp_count(c, F.lit(URL_RE)), F.lit(0)).cast("bigint").alias("n_urls"),
-        F.coalesce(F.regexp_count(c, F.lit(DIGIT_RE)), F.lit(0)).cast("bigint").alias("n_digits"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count(c, F.lit(DIGIT_RE)).cast("bigint").alias("n_digits"),
         F.length(c).cast("bigint").alias("n_chars"),
     )
     return out.select(
@@ -369,8 +374,8 @@ def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") ->
     stripped = F.regexp_replace(F.regexp_replace(c, URL_RE, " "), EMAIL_RE, " ")
     return df.select(
         *df.columns,
-        F.coalesce(F.regexp_count(c, F.lit(URL_RE)), F.lit(0)).cast("bigint").alias("n_urls"),
-        F.coalesce(F.regexp_count(c, F.lit(EMAIL_RE)), F.lit(0)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.trim(F.regexp_replace(stripped, WS_RE, " ")).alias(out_col),
     )
 
@@ -478,7 +483,7 @@ def pii_scrub(
     pats = patterns if patterns is not None else PII_PATTERNS
     c = F.col(text_col)
     counts = [
-        F.coalesce(F.regexp_count(c, F.lit(p)), F.lit(0)).cast("bigint").alias(f"n_{label}")
+        F.regexp_count(c, F.lit(p)).cast("bigint").alias(f"n_{label}")
         for label, p in pats.items()
     ]
     scrub = c

@@ -62,7 +62,9 @@ def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(toks) AS BIGINT) AS n_tok,
-  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_tok_len,
+  CAST(CASE WHEN toks IS NULL THEN NULL
+       ELSE COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) END
+       AS BIGINT) AS sum_tok_len,
   CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
   CASE WHEN len(toks) > 0
@@ -115,7 +117,8 @@ def x_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
          CASE WHEN len(toks) >= 3 THEN {_SHS} ELSE [] END AS shs
   FROM t)
 SELECT doc_id,
-  md5(array_to_string(toks, ' ')) AS fp_md5,
+  CASE WHEN toks IS NULL THEN NULL
+       ELSE md5(COALESCE(array_to_string(toks, ' '), '')) END AS fp_md5,
   CASE WHEN len(shs) > 0 THEN list_min(list_transform(shs, x -> md5(x)))
        ELSE NULL END AS fp_minshingle
 FROM s
@@ -136,7 +139,9 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_dedup_normalized",
     f"""
-{_TOK_CTE}, fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_md5 FROM t)
+{_TOK_CTE}, fp AS (SELECT doc_id,
+  CASE WHEN toks IS NULL THEN NULL
+       ELSE md5(COALESCE(array_to_string(toks, ' '), '')) END AS fp_md5 FROM t)
 SELECT min(doc_id) AS doc_id, fp_md5 FROM fp GROUP BY fp_md5
 """.strip(),
     doc="Normalize-then-dedup: exact dedup on the normalized-content "

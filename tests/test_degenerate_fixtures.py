@@ -94,25 +94,59 @@ _VECTOR_PARITY = [
     "x_cosine_neardup", "x_semantic_dedup", "x_embed_quantize8",
 ]
 
+# Text/doc queries whose oracles are pinned to the engine's NULL-text /
+# empty-content policy (counts of a NULL text are NULL on both engines;
+# an empty token stream fingerprints as md5('') on both; DuckDB's
+# array_to_string([]) is NULL where Spark's concat_ws gives '').
+_TEXT_PARITY = [
+    "e1_dedup_exact", "e3_text_stats", "x_token_stats", "x_langid",
+    "x_text_quality", "x_clean_text", "x_fingerprint", "x_char_entropy",
+    "x_repetition", "x_pattern_counts", "x_ngram_topk", "x_tfidf_topterms",
+    "x_bm25_topk", "x_bigram_lm_score", "x_pii_scrub", "x_quality_filter",
+    "x_dedup_normalized", "x_jaccard_pairs", "x_minhash_lsh_pairs",
+    "x_simhash_pairs", "x_winnow_pairs", "x_cdc_dedup", "x_span_dedup",
+    "x_url_dedup", "x_doc_chunks", "x_contamination", "x_heavy_hitters",
+    "x_dedup_clusters", "x_dup_cluster_sizes", "x_dedup_sweep",
+    "x_bpe_pair_counts", "x_bpe_train_k", "x_pmi_pairs", "x_fuzzy_match",
+    "x_blocklist_filter", "x_domain_stats", "x_datapipe_prep",
+]
 
-@pytest.mark.parametrize("name", _VECTOR_PARITY)
-def test_vector_query_ragged_parity_with_duckdb(spark, degen_dir, name):
-    """The ragged-vector drop rule must hold CROSS-ENGINE, not just not
-    crash: every pairwise vector query produces the same row set as its
-    DuckDB oracle on the degenerate fixture (which now carries longer-
-    and shorter-than-corpus vectors).  Without the len-equality
-    predicates this diverges silently — Spark's zip_with NULL-pads while
-    DuckDB's zip-unnest sums over the overlap."""
+
+def _sorted_rows(rows):
+    # None-safe deterministic ordering for set comparison
+    return sorted(rows, key=lambda r: tuple((v is None, str(type(v)), v) for v in r))
+
+
+def _degen_duckdb(degen_dir):
     import duckdb
 
-    sdf = corpus.REGISTRY[name].fn(spark, degen_dir)
-    srows = sorted(tuple(r) for r in sdf.collect())
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "lineitem"):
+    for t in (
+        "documents", "embeddings", "lineitem", "orders", "customer",
+        "part", "supplier", "nation", "region", "events",
+    ):
         p = os.path.join(degen_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table: a directory of parts
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    orows = sorted(tuple(r) for r in con.execute(corpus.REGISTRY[name].oracle).fetchall())
+    return con
+
+
+@pytest.mark.parametrize("name", _VECTOR_PARITY + _TEXT_PARITY)
+def test_query_degenerate_parity_with_duckdb(spark, degen_dir, name):
+    """Hostile-but-legal data must hold CROSS-ENGINE, not just not crash:
+    each query produces the same row set as its DuckDB oracle on the
+    degenerate fixture.  For vectors (ragged/NaN/zero/NULL) the pinned
+    rule is 'unequal lengths never pair' + the valid_vectors domain
+    (without the len-equality predicates Spark's zip_with NULL-pads
+    while DuckDB's zip-unnest sums over the overlap, and one NaN used
+    to poison the int8 corpus scale); for text the pinned rule is the
+    NULL-text/empty-content policy in _TEXT_PARITY's comment."""
+    sdf = corpus.REGISTRY[name].fn(spark, degen_dir)
+    srows = _sorted_rows([tuple(r) for r in sdf.collect()])
+    con = _degen_duckdb(degen_dir)
+    orows = _sorted_rows(
+        [tuple(r) for r in con.execute(corpus.REGISTRY[name].oracle).fetchall()]
+    )
     assert srows == orows
