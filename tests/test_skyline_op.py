@@ -673,6 +673,33 @@ def test_prob_skyline_matches_brute_with_duplicates(spark):
             assert got[o] == round(want[o], 6), (o, got[o], want[o])
 
 
+def test_prob_skyline_two_phase_fallback_matches_fused(spark, monkeypatch):
+    """Forcing the two-phase fallback (fused-candidate guard set to 0)
+    must give bit-identical results to the fused single-scan path — the
+    schedule choice is a performance decision, never a semantic one."""
+    from query_skyline_qos_flink_spark.operators import skyline as sk
+
+    rng = np.random.default_rng(47)
+    pts = rng.integers(0, 6, size=(90, 2)).astype(float)
+    keys = rng.integers(0, 12, size=90)
+    pdf = pd.DataFrame({"obj": keys, "v0": pts[:, 0], "v1": pts[:, 1]})
+    df = spark.createDataFrame(pdf)
+    for tau in (0.05, 0.4):
+        fused = sorted(
+            tuple(r) for r in sk.prob_skyline(df, ["v0", "v1"], ["obj"], tau).collect()
+        )
+        monkeypatch.setattr(sk, "_FUSED_CAND_MAX", 0)
+        two_phase = sorted(
+            tuple(r) for r in sk.prob_skyline(df, ["v0", "v1"], ["obj"], tau).collect()
+        )
+        monkeypatch.undo()
+        assert fused == two_phase
+        want = _prob_skyline_brute(pts, keys, tau)
+        assert {o: p for o, _, p in fused} == {
+            o: round(p, 6) for o, p in want.items()
+        }
+
+
 def test_prob_skyline_validates_and_handles_empty(spark):
     from query_skyline_qos_flink_spark.operators.skyline import prob_skyline
 
