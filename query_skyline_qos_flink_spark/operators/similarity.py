@@ -474,6 +474,142 @@ def ann_ivf(
     )
 
 
+def kmeans_iter(
+    df: DataFrame,
+    dim: int,
+    n_iters: int = 4,
+    coarse_bits: int = 3,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterative Lloyd's k-means over the embedding corpus, integer-exact
+    and oracle-checkable — the clustering pass a curation pipeline runs
+    for SemDeDup-style pruning, domain balancing, and diversity sampling.
+    Generalizes :func:`ann_ivf`'s single Lloyd step to ``n_iters`` full
+    iterations with the SAME determinism recipe:
+
+    * vectors quantize to integers (``floor(x * scale)``), validity =
+      :func:`valid_vectors` + declared-``dim`` length (mirrored in the
+      oracle's predicate);
+    * initial assignment = sign-bit seed over the first ``coarse_bits``
+      components (``2^coarse_bits`` clusters; labels are stable across
+      iterations — a cluster that loses all members simply disappears);
+    * each iteration recomputes element-wise FLOORED-MEAN integer
+      centroids (exact integer sums; the one division is
+      ``floor(sum / n)``, exact in float64 for ``|sum| < 2^53``) and
+      re-assigns every point to its nearest centroid by exact integer
+      squared L2, ties to the smallest cluster id.
+
+    Returns the post-final-assignment cluster report ``(cid, n_pts,
+    inertia)`` with ``inertia`` the exact bigint sum of member distances
+    — the convergence curve a pipeline plots per iteration.
+
+    Scale shape: the per-iteration state is the K-row centroid table —
+    collected to the driver (iterations are inherently sequential) and
+    inlined as ONE parsed literal expression, so every assignment is a
+    pure scan-side expression over the persisted quantized base: no
+    join, no window, no shuffle in the loop body beyond each iteration's
+    K-group partial agg.  ``n_iters + 1`` tiny jobs total; the base is
+    scanned once per iteration (unavoidable in Lloyd's) and nothing
+    corpus-sized ever moves.  Vectors carrying a NULL component are
+    excluded up front (beyond :func:`valid_vectors`): a NULL distance
+    sorts FIRST in Spark's ``sort_array`` but LAST under SQL ``ORDER
+    BY``, so leaving them in would silently diverge from the oracle; the
+    exclusion is the same scan-side validity-domain policy, mirrored in
+    the oracle's predicate."""
+    from .caching import persist_bounded as _persist
+
+    df = (
+        valid_vectors(df, vec_col)
+        .where(F.size(vec_col) == dim)
+        .where(~F.exists(vec_col, lambda x: x.isNull()))
+    )
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    )
+    base = _persist(df.select(F.col(id_col).alias("__id"), qv.alias("__qv")))
+
+    seed = F.lit(0)
+    for i in range(coarse_bits):
+        seed = seed + F.when(
+            F.element_at(F.col("__qv"), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    asg = seed.cast("long")
+
+    sums_sql = (
+        "array(" + ",".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim)) + ")"
+    )
+    spark = df.sparkSession
+    empty = spark.createDataFrame([], "cid bigint, n_pts bigint, inertia bigint")
+
+    def nearest(cent_lit) -> F.Column:
+        """(dist, cid) struct of the nearest literal centroid."""
+        return F.element_at(
+            F.sort_array(
+                F.transform(
+                    cent_lit,
+                    lambda s: F.struct(
+                        _int_sq_l2_fold(F.col("__qv"), s["v"]).alias("d"),
+                        s["c"].alias("c"),
+                    ),
+                )
+            ),
+            1,
+        )
+
+    cent_lit = None
+    for _ in range(n_iters):
+        cent = (
+            base.withColumn("__cid", asg)
+            .groupBy("__cid")
+            .agg(F.count(F.lit(1)).alias("__n"), F.expr(sums_sql).alias("__sums"))
+            .select(
+                "__cid",
+                F.expr(
+                    "transform(__sums, s -> CAST(floor(s / __n) AS BIGINT))"
+                ).alias("__c"),
+            )
+        )
+        cent_rows = sorted(
+            (r for r in cent.collect() if all(v is not None for v in r["__c"])),
+            key=lambda r: r["__cid"],
+        )
+        if not cent_rows:
+            return empty
+        cent_sql = "array(" + ",".join(
+            "named_struct('c', {c}L, 'v', array({v}))".format(
+                c=int(r["__cid"]),
+                v=",".join(f"{int(v)}L" for v in r["__c"]),
+            )
+            for r in cent_rows
+        ) + ")"
+        cent_lit = F.expr(cent_sql)
+        asg = nearest(cent_lit)["c"]
+    if cent_lit is None:  # n_iters == 0: report the seed partition, no inertia
+        return (
+            base.withColumn("__cid", asg)
+            .groupBy("__cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pts"))
+            .select(
+                F.col("__cid").cast("bigint").alias("cid"),
+                "n_pts",
+                F.lit(None).cast("bigint").alias("inertia"),
+            )
+        )
+    # project the struct once, then expand — keeps the 2^coarse_bits-way
+    # distance sort a single evaluated expression per row
+    return (
+        base.select(nearest(cent_lit).alias("__b"))
+        .select(F.col("__b.c").alias("cid"), F.col("__b.d").alias("__d"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+            F.sum("__d").cast("bigint").alias("inertia"),
+        )
+    )
+
+
 def label_centroid_cosines(
     df: DataFrame,
     vec_col: str = "embedding",

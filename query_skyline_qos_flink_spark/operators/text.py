@@ -686,14 +686,35 @@ def bpe_train(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     ``k``.  Arithmetic is integer counts with (cnt DESC, pair ASC)
     tie-breaking, so the merge sequence is deterministic and an
     unrolled-CTE DuckDB oracle hash-gates it exactly."""
-    from .caching import checkpoint_rotate as _ckpt_rotate
+    merges, _last = _bpe_loop(df, text_col, k, carry_word=False, apply_last=False)
     from .caching import release_local_checkpoint as _release_ckpt
 
-    spark = df.sparkSession
+    _release_ckpt(_last)
+    return df.sparkSession.createDataFrame(
+        merges, schema="rnk bigint, pair string, cnt bigint"
+    )
+
+
+def _bpe_loop(
+    df: DataFrame, text_col: str, k: int, carry_word: bool, apply_last: bool
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Shared BPE training loop: returns (merge sequence, final vocabulary
+    state).  ``carry_word`` keeps the source word alongside the symbol
+    array (the encoder needs the word->symbols mapping; training doesn't);
+    ``apply_last`` applies the k-th merge too (training only records it).
+    The vocabulary is localCheckpoint-ed per round — one merge fold per
+    materialization, NEVER chained as expressions: each
+    :func:`_bpe_merge_word` references its input 3x, so k chained folds
+    would grow the expression tree 3^k-fold (the connected-components
+    lineage-truncation lesson, in expression space).  The caller owns
+    releasing the returned state's checkpoint."""
+    from .caching import checkpoint_rotate as _ckpt_rotate
+
     t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    cur = vocab.select("freq", chars.alias("syms")).localCheckpoint(eager=True)
+    cols = ["w"] if carry_word else []
+    cur = vocab.select(*cols, "freq", chars.alias("syms")).localCheckpoint(eager=True)
     prev = cur
     merges: list[tuple[int, str, int]] = []
     for rnk in range(1, k + 1):
@@ -708,16 +729,55 @@ def bpe_train(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
         if top is None:
             break
         merges.append((rnk, top["pair"], int(top["cnt"])))
-        if rnk == k:
+        if rnk == k and not apply_last:
             break  # the k-th merge is recorded; applying it has no reader
         a, b = top["pair"].split(" ")
         cur = prev = _ckpt_rotate(
-            cur.select("freq", _bpe_merge_word(F.col("syms"), a, b).alias("syms")),
+            cur.select(
+                *cols, "freq", _bpe_merge_word(F.col("syms"), a, b).alias("syms")
+            ),
             prev,
         )
-    _release_ckpt(prev)
-    return spark.createDataFrame(
-        merges, schema="rnk bigint, pair string, cnt bigint"
+    return merges, cur
+
+
+def bpe_encode_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Encode the corpus with a freshly trained ``k``-merge BPE vocabulary
+    (the tokenizer APPLY step completing :func:`bpe_train`) and return
+    per-document compression stats ``(id_col, n_words, n_chars,
+    n_subwords)`` — the signal a pipeline uses to budget sequence
+    lengths and spot pathological documents (n_subwords/n_chars near 1
+    means the vocabulary never fires, i.e. out-of-domain text).
+    Documents with zero alnum tokens produce no row (engine policy: the
+    encoder's domain is the token stream).
+
+    Scale shape: the merge FOLD — the only non-trivial compute — runs
+    over the **vocabulary** (distinct words), never the corpus: the
+    shared :func:`_bpe_loop` applies one fold per localCheckpoint-ed
+    round over |vocab| rows (chaining them as expressions would grow the
+    tree 3^k-fold), and the encoded word lengths join back into the
+    corpus-sized token stream (unhinted: AQE picks a broadcast join
+    while the vocabulary fits an executor — always at test scale — and
+    degrades to a shuffle join only when Heaps'-law growth outruns it)
+    for one map-side-partial per-doc aggregation.  The final vocabulary
+    checkpoint backs the returned plan (one live |vocab|-row block; the
+    per-round rotation frees every superseded one).  All-bigint
+    output; no float discipline needed.  Unlike :func:`bpe_train` (which
+    records but never applies its k-th merge), encoding applies ALL k
+    trained merges."""
+    _, state = _bpe_loop(df, text_col, k, carry_word=True, apply_last=True)
+    enc = state.select("w", F.size("syms").cast("bigint").alias("__n_sub"))
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        toks.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("__n_sub").cast("bigint").alias("n_subwords"),
+        )
     )
 
 

@@ -606,6 +606,63 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)
 
 
+def _kmeans_oracle(dim: int = 64, coarse_bits: int = 3, n_iters: int = 4,
+                   scale: int = 1024) -> str:
+    """Unrolled-CTE twin of similarity.kmeans_iter: sign-bit seed, then
+    n_iters x (floored-mean integer centroids -> exact-integer-L2
+    nearest-centroid re-assignment, ties to smallest cluster id)."""
+    cell = " + ".join(
+        f"(CASE WHEN qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(coarse_bits)
+    )
+    cent_list = ", ".join(
+        f"CAST(floor(sum(qv[{i + 1}]) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+        for i in range(dim)
+    )
+    d = ("(SELECT sum((x.u - x.v) * (x.u - x.v)) "
+         "FROM (SELECT unnest(v.qv) AS u, unnest(ct.c) AS v) x)")
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(
+            f"c{i} AS (SELECT cid, [{cent_list}] AS c FROM a{i - 1} GROUP BY cid),\n"
+            f"s{i} AS (SELECT v.vec_id, v.qv, ct.cid, {d} AS d FROM a0 v, c{i} ct),\n"
+            f"a{i} AS (SELECT vec_id, qv, cid, d FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r "
+            f"FROM s{i}) WHERE r = 1)"
+        )
+    return f"""
+WITH q0 AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings WHERE len(embedding) = {dim}
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+a0 AS (SELECT vec_id, qv, CAST({cell} AS BIGINT) AS cid FROM q0),
+{",".join(steps)}
+SELECT cid, CAST(count(*) AS BIGINT) AS n_pts, CAST(sum(d) AS BIGINT) AS inertia
+FROM a{n_iters} GROUP BY cid
+""".strip()
+
+
+@register(
+    "x_kmeans_iter",
+    _kmeans_oracle(),
+    doc="Iterative Lloyd's k-means over the embedding corpus (4 full "
+    "iterations, 8 sign-bit-seeded clusters), integer-exact end to end: "
+    "floored-mean integer centroids from exact integer sums, "
+    "nearest-centroid re-assignment by exact integer squared L2 with "
+    "(dist, cid) tie-break, final (cid, n_pts, inertia) cluster report "
+    "— the SemDeDup-style curation clustering pass. Per-iteration state "
+    "is the 8-row centroid table (collected, inlined as one literal "
+    "expression), so every assignment is scan-side: no join, window, or "
+    "corpus shuffle in the loop; the unrolled-CTE oracle replays the "
+    "identical iteration sequence — "
+    "operators/similarity.py::kmeans_iter",
+)
+def x_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_iter(e, dim=64, n_iters=4, coarse_bits=3)
+
+
 # Shared int8-quantization CTE (mirrors operators/quantize.py exactly:
 # corpus-global scale, two IEEE ops + exact floor per component, clamp at
 # the 1-ulp-under -127 edge).
@@ -2424,6 +2481,66 @@ v0 AS (SELECT freq, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) A
 )
 def x_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train(load(spark, sf_dir, "documents"), k=_BPE_K)
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Unrolled-CTE twin of text.bpe_encode_stats: re-derive the k-merge
+    sequence exactly as _bpe_train_oracle does (same argmax + greedy-fold
+    CTEs, but carrying the word through and applying ALL k merges —
+    training never applies its k-th), then encode the vocabulary and
+    aggregate per-document compression stats through the token stream."""
+    pair_cte = (
+        "SELECT pair, sum(freq) AS cnt FROM ("
+        "SELECT freq, unnest(list_transform(range(1, len(syms)), "
+        "j -> syms[j] || ' ' || syms[j + 1])) AS pair FROM {src}) GROUP BY 1"
+    )
+    fold = (
+        "string_split(list_reduce(syms, "
+        "(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) "
+        "AND x = m.b "
+        "THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
+        "ELSE acc || ' ' || x END), ' ')"
+    )
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"p{i} AS ({pair_cte.format(src=f'v{i - 1}')}),\n"
+            f"m{i} AS (SELECT split_part(pair, ' ', 1) AS a, "
+            f"split_part(pair, ' ', 2) AS b "
+            f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),\n"
+            f"v{i} AS (SELECT w, freq, {fold} AS syms FROM v{i - 1}, m{i} m)"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+vocab AS (SELECT w, count(*) AS freq FROM e GROUP BY 1),
+v0 AS (SELECT w, freq, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       FROM vocab),
+{",".join(steps)},
+enc AS (SELECT w, len(syms) AS n_sub FROM v{k})
+SELECT e.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(length(e.w)) AS BIGINT) AS n_chars,
+  CAST(sum(enc.n_sub) AS BIGINT) AS n_subwords
+FROM e JOIN enc USING (w) GROUP BY 1
+""".strip()
+
+
+@register(
+    "x_bpe_apply",
+    _bpe_apply_oracle(_BPE_K),
+    doc=f"BPE tokenizer APPLY: encode the corpus with the freshly trained "
+    f"{_BPE_K}-merge vocabulary (x_bpe_train_k's loop, all merges "
+    "applied) and emit per-document compression stats (n_words, "
+    "n_chars, n_subwords) — the sequence-length-budget / out-of-domain "
+    "signal. The k greedy folds run over |vocab| rows only (pure column "
+    "expressions); encoded word lengths join back into the token stream "
+    "(AQE-broadcast while the vocabulary fits) for one map-side-partial "
+    "per-doc aggregation. Zero-token documents produce no row; "
+    "all-bigint output — operators/text.py::bpe_encode_stats",
+)
+def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_encode_stats(load(spark, sf_dir, "documents"), k=_BPE_K)
 
 
 @register(

@@ -92,6 +92,7 @@ _VECTOR_PARITY = [
     "e2_knn_bruteforce", "x_knn_int8", "x_knn_int8_rerank",
     "x_ann_bucketed", "x_ann_multiprobe", "x_ann_ivf", "x_ann_blocked",
     "x_cosine_neardup", "x_semantic_dedup", "x_embed_quantize8",
+    "x_kmeans_iter",
 ]
 
 # Text/doc queries whose oracles are pinned to the engine's NULL-text /
@@ -107,7 +108,8 @@ _TEXT_PARITY = [
     "x_simhash_pairs", "x_winnow_pairs", "x_cdc_dedup", "x_span_dedup",
     "x_url_dedup", "x_doc_chunks", "x_contamination", "x_heavy_hitters",
     "x_dedup_clusters", "x_dup_cluster_sizes", "x_dedup_sweep",
-    "x_bpe_pair_counts", "x_bpe_train_k", "x_pmi_pairs", "x_fuzzy_match",
+    "x_bpe_pair_counts", "x_bpe_train_k", "x_bpe_apply", "x_pmi_pairs",
+    "x_fuzzy_match",
     "x_blocklist_filter", "x_domain_stats", "x_datapipe_prep",
 ]
 

@@ -955,6 +955,122 @@ def test_bpe_train_matches_naive_python(spark):
     assert got == expect
 
 
+def test_bpe_encode_stats_matches_naive_python(spark):
+    """bpe_encode_stats == naive train-then-encode (ALL k merges applied,
+    unlike bpe_train's record-only k-th); zero-token docs emit no row."""
+    from collections import Counter
+
+    from query_skyline_qos_flink_spark.operators.text import bpe_encode_stats
+
+    corpus_txt = ["low low low lower lowest", "new newer newest low", "!!! ..."]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_txt)], "doc_id long, text string"
+    )
+    k = 5
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_subwords)
+        for r in bpe_encode_stats(df, k=k).collect()
+    }
+
+    vocab = Counter(w for t in corpus_txt for w in t.lower().split() if w.isalnum())
+    words = {w: list(w) for w in vocab}
+    for _ in range(k):
+        cnt = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[f"{syms[i]} {syms[i+1]}"] += vocab[w]
+        if not cnt:
+            break
+        a, b = min(cnt, key=lambda p: (-cnt[p], p)).split(" ")
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    expect = {}
+    for doc_id, t in enumerate(corpus_txt):
+        ws = [w for w in t.lower().split() if w.isalnum()]
+        if ws:
+            expect[doc_id] = (
+                len(ws), sum(len(w) for w in ws), sum(len(words[w]) for w in ws)
+            )
+    assert got == expect  # doc 2 (punct-only) absent from both
+
+
+def test_kmeans_iter_matches_naive_numpy(spark):
+    """kmeans_iter == a numpy Lloyd reference (floored-mean integer
+    centroids, exact integer L2, (dist, cid) tie-break) across iteration
+    counts, including duplicate points and a dying cluster."""
+    import math
+
+    from query_skyline_qos_flink_spark.operators.similarity import kmeans_iter
+
+    rng = np.random.default_rng(13)
+    dim, bits, scale = 4, 2, 100
+    vecs = rng.uniform(-1, 1, size=(80, dim)).astype(np.float32)
+    vecs[5] = vecs[9]  # duplicates
+    vecs[10:14] = np.abs(vecs[10:14])  # crowd one seed cell
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+    q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    cid = np.zeros(len(q), dtype=np.int64)
+    for i in range(bits):
+        cid += np.where(q[:, i] >= 0, 1 << i, 0)
+    for n_iters in (1, 3):
+        acid = cid.copy()
+        for _ in range(n_iters):
+            cents = {}
+            for c in np.unique(acid):
+                m = q[acid == c]
+                cents[int(c)] = np.array(
+                    [math.floor(s / len(m)) for s in m.sum(axis=0)], dtype=np.int64
+                )
+            cids = sorted(cents)
+            d = np.stack([((q - cents[c]) ** 2).sum(axis=1) for c in cids], axis=1)
+            acid = np.array([cids[j] for j in d.argmin(axis=1)])  # argmin = first min = smallest cid
+            dist = d.min(axis=1)
+        expect = {
+            int(c): (int((acid == c).sum()), int(dist[acid == c].sum()))
+            for c in np.unique(acid)
+        }
+        got = {
+            r.cid: (r.n_pts, r.inertia)
+            for r in kmeans_iter(
+                df, dim=dim, n_iters=n_iters, coarse_bits=bits, scale=scale
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_kmeans_iter_empty_and_invalid_vectors(spark):
+    """Empty input -> empty typed result; NULL/NaN/ragged/NULL-component
+    vectors are excluded by the validity domain."""
+    from query_skyline_qos_flink_spark.operators.similarity import kmeans_iter
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = kmeans_iter(empty, dim=3, n_iters=2)
+    assert out.columns == ["cid", "n_pts", "inertia"] and out.collect() == []
+
+    rows = [
+        (1, [0.5, 0.5, 0.5]),
+        (2, None),
+        (3, [float("nan"), 0.1, 0.2]),
+        (4, [0.1, 0.2]),  # ragged
+        (5, [0.1, None, 0.3]),  # NULL component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_iter(df, dim=3, n_iters=2, coarse_bits=2).collect()
+    assert [(r.cid, r.n_pts, r.inertia) for r in got] == [(3, 1, 0)]
+
+
 def test_resize_images_exact_and_ragged(spark):
     """Divisible dims: integer box mean is exact (checksum equals the
     closed-form block reconstruction).  Ragged dims: edge-cropped boxes

@@ -525,3 +525,28 @@ def test_bpe_iteration_plan_partial_agg_and_topk(spark):
     merge = vocab.select("freq", _bpe_merge_word(F.col("syms"), "l", "o").alias("syms"))
     mplan = merge._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in mplan
+
+
+def test_kmeans_iter_assignment_is_scan_side(spark):
+    """x_kmeans_iter's final cluster report must be a pure scan of the
+    persisted quantized base + literal-centroid expression + one
+    aggregate: no join, no window, no cartesian product anywhere — the
+    per-iteration centroid tables ride as inlined literals."""
+    plan = _plan(spark, "x_kmeans_iter")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "InMemoryTableScan" in plan  # the persisted base, scanned once
+
+
+def test_bpe_apply_joins_vocab_not_corpus_pairs(spark):
+    """x_bpe_apply's encode join is token-stream x encoded-vocabulary —
+    an equi-join (never a cartesian product) feeding one hash aggregate;
+    the documents scan reads only (doc_id, text)."""
+    plan = _plan(spark, "x_bpe_apply")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    doc_scans = [l for l in plan.splitlines() if "documents.parquet" in l]
+    assert doc_scans and all("source" not in l for l in doc_scans)
