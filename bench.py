@@ -132,6 +132,9 @@ SCALING_QUERIES = {
     "x_corpus_shuffle": "documents",  # range-bucketed global rank
     "x_bigram_lm_score": "documents",  # zip_with bigrams + two count joins
     "x_pagerank": "lineitem",  # fixed-iteration join+agg, ckpt per round
+    "x_kmeans_iter": "embeddings",  # literal-centroid Lloyd's, scan-side assign
+    "x_bpe_apply": "documents",  # vocab-sized merge folds + encode join
+    "x_labelprop": "lineitem",  # per-round label join + count + struct argmax
 }
 
 

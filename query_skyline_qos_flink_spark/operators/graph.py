@@ -1,4 +1,5 @@
-"""Distributed graph operators — co-occurrence edges and triangle counting.
+"""Distributed graph operators — co-occurrence edges, triangle counting,
+fixed-point PageRank, and deterministic label propagation.
 
 Complements the connected-components dedup clustering
 (``dedup.connected_components``): where CC answers "which items are
@@ -100,6 +101,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("n_edges").cast("bigint"),
         F.col("n_triangles").cast("bigint"),
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007's community
+    detection) made deterministic: every vertex starts as its own label;
+    each round every vertex adopts the most frequent label among its
+    NEIGHBORS (its own label does not vote), ties to the SMALLEST label.
+    Run for a FIXED number of rounds over an undirected ``(lo, hi)`` edge
+    set (lo < hi per row, no duplicates); returns ``(v, label)``.
+
+    The deterministic argmax ((count DESC, label ASC) — classic LPA
+    breaks ties randomly, which no oracle could gate) makes the label
+    matrix bit-identical across partitionings and engines; sync updates
+    can oscillate on bipartite structure, which a fixed iteration count
+    renders moot (the contract is the round-T state, not a fixpoint).
+
+    Scale shape: each round is one hash join of labels onto the
+    checkpointed adjacency list plus one (v, label) count shuffle and a
+    per-vertex min(struct) argmax — all-integer, map-side combinable.
+    Labels localCheckpoint per round with superseded-block release (the
+    pagerank discipline); the final round stays un-truncated so callers
+    see the real join+agg plan."""
+    und = edges.select("lo", "hi")
+    adj = (
+        und.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
+        .unionAll(und.select(F.col("hi").alias("v"), F.col("lo").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("l"))
+    prev_ckpt: DataFrame | None = None
+    for i in range(iterations):
+        if i:
+            labels = prev_ckpt = _ckpt_rotate(labels, prev_ckpt)
+        nbr = adj.join(labels.select(F.col("v").alias("n"), "l"), "n")
+        cnt = nbr.groupBy("v", "l").agg(F.count(F.lit(1)).alias("c"))
+        # argmax by (count desc, label asc) as ONE min(struct) aggregate —
+        # no per-vertex window, stays map-side combinable
+        labels = cnt.groupBy("v").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("l").alias("l")))[
+                "l"
+            ].alias("l")
+        )
+    return labels.select("v", F.col("l").alias("label"))
 
 
 def pagerank(

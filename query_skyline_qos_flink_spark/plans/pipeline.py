@@ -1533,6 +1533,44 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labelprop_oracle(iterations: int = 3) -> str:
+    it = """
+c{i} AS (SELECT a.v, l{p}.l, count(*) AS c
+         FROM adj a JOIN l{p} ON l{p}.v = a.n GROUP BY a.v, l{p}.l),
+l{i} AS (SELECT v, l FROM (SELECT v, l,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, l) AS rk
+         FROM c{i}) WHERE rk = 1)"""
+    steps = ",".join(it.format(i=i, p=i - 1) for i in range(1, iterations + 1))
+    return f"""
+WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS lo, b.p AS hi
+      FROM il a JOIN il b ON a.g = b.g AND a.p < b.p),
+adj AS (SELECT lo AS v, hi AS n FROM e UNION ALL SELECT hi, lo FROM e),
+l0 AS (SELECT DISTINCT v, v AS l FROM adj),{steps}
+SELECT v AS part_id, l AS label FROM l{iterations}
+""".strip()
+
+
+@register(
+    "x_labelprop",
+    _labelprop_oracle(3),
+    doc="Deterministic synchronous label propagation (3 rounds, Raghavan "
+    "et al.) over the part co-purchase graph — the community-detection "
+    "signal for source clustering and near-dup neighborhood analysis. "
+    "Every vertex adopts its neighbors' most frequent label, ties to the "
+    "smallest (classic LPA tie-breaks randomly — undeterminizable, so "
+    "the oracle pins (count DESC, label ASC)); per round one label join "
+    "+ one (v,label) count shuffle + a min(struct) argmax (no window), "
+    "labels checkpointed per round — operators/graph.py::label_propagation",
+)
+def x_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.label_propagation(edges, iterations=3).select(
+        F.col("v").alias("part_id"), "label"
+    )
+
+
 @register(
     "x_exact_quantiles",
     """

@@ -1071,6 +1071,44 @@ def test_kmeans_iter_empty_and_invalid_vectors(spark):
     assert [(r.cid, r.n_pts, r.inertia) for r in got] == [(3, 1, 0)]
 
 
+def test_label_propagation_matches_naive_python(spark):
+    """label_propagation == a naive synchronous LPA with the pinned
+    deterministic argmax (count desc, label asc; self never votes),
+    across iteration counts, on a graph with a bridge and a tie."""
+    from collections import Counter, defaultdict
+
+    from query_skyline_qos_flink_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    # two dense pockets + a bridge edge + a path tail (tie-rich)
+    edges = set()
+    for base in (0, 10):
+        for i in range(base, base + 6):
+            for j in range(i + 1, base + 6):
+                if rng.random() < 0.7:
+                    edges.add((i, j))
+    edges |= {(5, 10), (15, 16), (16, 17), (17, 18)}
+    df = spark.createDataFrame(sorted(edges), "lo long, hi long")
+
+    adj = defaultdict(list)
+    for lo, hi in edges:
+        adj[lo].append(hi)
+        adj[hi].append(lo)
+    for iters in (1, 3):
+        lbl = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v, ns in adj.items():
+                cnt = Counter(lbl[n] for n in ns)
+                new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+            lbl = new
+        got = {
+            r.v: r.label
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == lbl
+
+
 def test_resize_images_exact_and_ragged(spark):
     """Divisible dims: integer box mean is exact (checksum equals the
     closed-form block reconstruction).  Ragged dims: edge-cropped boxes

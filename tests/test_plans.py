@@ -550,3 +550,13 @@ def test_bpe_apply_joins_vocab_not_corpus_pairs(spark):
     assert "HashAggregate" in plan
     doc_scans = [l for l in plan.splitlines() if "documents.parquet" in l]
     assert doc_scans and all("source" not in l for l in doc_scans)
+
+
+def test_labelprop_argmax_no_window(spark):
+    """x_labelprop's per-vertex argmax must be the min(struct) aggregate
+    (map-side combinable), never a per-vertex row_number window; no
+    cartesian products anywhere in the iterated plan."""
+    plan = _plan(spark, "x_labelprop")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
