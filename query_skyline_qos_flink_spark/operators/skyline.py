@@ -64,10 +64,6 @@ _BROADCAST_SURVIVOR_MAX = 2_000_000
 # are 8-byte doubles); beyond this the cube falls back to the per-subspace
 # broadcast-semi-join loop, whose broadcasts are one subspace at a time.
 _SKYCUBE_KEYSET_MAX_BYTES = 128 << 20
-# Max candidate rows for prob_skyline's fused single-scan path (all
-# instances of skyband-owner objects); beyond this the operator falls back
-# to the two-phase filter-then-verify schedule.
-_FUSED_CAND_MAX = _VERIFY_MAX_ROWS
 
 
 Direction = str  # 'min' | 'max'
@@ -1238,18 +1234,18 @@ def prob_skyline(
        counting scan of the full input with the broadcast candidate
        matrix; each task accumulates a dense (objects x candidates)
        count block (column-chunked numpy) and emits the nonzero triples,
-       one tiny shuffle sums them.  Since every answer object owns a
-       skyband instance, the candidate set is ALL instances of
-       skyband-owner objects — when that fits the guards (the common
-       case), this single scan decides the answer exactly.
+       one tiny shuffle sums them.
     3. **Exact probabilities** from the triples (objects absent from an
        instance's triples contribute factor 1): zero factors short-limit
        to 0, positive ones fold via exp(sum(ln)) — float-order noise is
-       absorbed by the 6-dp contract.
-    4. Only when the owners' instance set breaches the candidate guards:
-       a two-phase fallback filters skyband instances by a slackened
-       per-instance probability first, then runs the exact scan over the
-       surviving objects' instances.
+       absorbed by the 6-dp contract, and the phase-2 object filter
+       keeps a 1e-9 slack so phase 3 decides boundaries exactly.
+    4. A second counting scan over ALL instances of surviving objects
+       yields exact object probabilities.  (Fusing the two scans into
+       one over all instances of skyband-owner objects was measured
+       SLOWER — the scan cost is objects x candidates per task, and the
+       probability filter shrinks phase 2 far below the owners' full
+       instance set; see the in-body note.)
 
     Bounds: candidate sets ride the ``_VERIFY_MAX_ROWS`` guard
     (raise-don't-degrade, like every counting-scan operator here); the
@@ -1401,49 +1397,34 @@ def prob_skyline(
             ),
         )
 
-    # Fused single-scan path: every answer object owns >= 1 skyband
-    # instance (step 1's certificate), so ONE counting scan over ALL
-    # instances of skyband-owner objects yields exact object
-    # probabilities directly — the per-instance probability filter of
-    # the two-phase path only exists to shrink that candidate set, and
-    # when the owners' full instance set already fits the guards the
-    # second scan is pure overhead.  Identical math either way (exact
-    # integer dominator counts; float fold order is absorbed by the
-    # 6-dp contract), so the result — and the oracle hash — is
-    # unchanged by which path runs.
-    owners = band.select(*obj_cols).distinct()
-    fused_cand = _persist(prepped.join(F.broadcast(owners), obj_cols, "leftsemi"))
-    n_fused = fused_cand.count()
-    if n_fused == 0:
+    # Two-phase schedule, MEASURED against the "fused single scan over
+    # all instances of skyband-owner objects" alternative and kept: the
+    # per-instance probability filter shrinks the phase-2 candidate
+    # matrix so hard (the counting scan is O(objects x candidates) per
+    # task) that one small scan + one tiny scan beats one medium scan —
+    # 5.4 s vs 8.1 s at sf0.1 (the fused path's owners' instance set is
+    # ~3x the skyband, and phase 2's survivors are ~100x smaller).
+    band_prepped, _ = _prep(band.drop("__D"), dims)
+    pr_a = instance_probs(band_prepped)
+    if pr_a is None:
         return empty_result()
-    if n_fused <= _FUSED_CAND_MAX and n_obj * n_fused <= 200_000_000:
-        pr_b = instance_probs(fused_cand)
-        if pr_b is None:
-            return empty_result()
-    else:
-        # Two-phase fallback: instance-probability filter on the skyband
-        # instances first, then the exact scan over survivors' instances.
-        band_prepped, _ = _prep(band.drop("__D"), dims)
-        pr_a = instance_probs(band_prepped)
-        if pr_a is None:
-            return empty_result()
-        surv = (
-            pr_a.where(F.col("__pr") >= t_eff)
-            .select(*obj_cols)
-            .distinct()
+    surv = (
+        pr_a.where(F.col("__pr") >= t_eff)
+        .select(*obj_cols)
+        .distinct()
+    )
+    # persist: the guard count and instance_probs' toArrow() would
+    # otherwise run the semi-join twice
+    phase_b_cand = _persist(prepped.join(F.broadcast(surv), obj_cols, "leftsemi"))
+    n_cand_b = phase_b_cand.count()
+    if n_cand_b == 0:
+        return empty_result()
+    if n_cand_b > _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"prob_skyline: phase-2 candidate set has {n_cand_b} rows "
+            f"(> {_VERIFY_MAX_ROWS}); raise the threshold"
         )
-        # persist: the guard count and instance_probs' toArrow() would
-        # otherwise run the semi-join twice
-        phase_b_cand = _persist(prepped.join(F.broadcast(surv), obj_cols, "leftsemi"))
-        n_cand_b = phase_b_cand.count()
-        if n_cand_b == 0:
-            return empty_result()
-        if n_cand_b > _VERIFY_MAX_ROWS:
-            raise ValueError(
-                f"prob_skyline: phase-2 candidate set has {n_cand_b} rows "
-                f"(> {_VERIFY_MAX_ROWS}); raise the threshold"
-            )
-        pr_b = instance_probs(phase_b_cand)
+    pr_b = instance_probs(phase_b_cand)
     res = (
         pr_b.groupBy(*obj_cols)
         .agg(F.sum("__pr").alias("__sp"))

@@ -664,12 +664,13 @@ FROM po WHERE round(pobj, 6) >= {_S30_TAU}
     "product over other orders of (1 - dominating-instances/instances), "
     "the order's probability the average over its instances; returns "
     "orders reaching tau=0.05 at 6 dp. Filter-then-verify, never a "
-    "quadratic join: a skyband bound certifies candidate objects "
-    "(Pr <= exp(-(D - d_own)/max_n)), then ONE counting scan with the "
-    "broadcast candidate matrix (all instances of skyband-owner "
-    "objects) produces exact per-object dominator counts; a two-phase "
-    "fallback covers guard-breaching candidate sets — "
-    "operators/skyline.py::prob_skyline. The oracle assigns "
+    "quadratic join: a skyband bound certifies candidates "
+    "(Pr <= exp(-(D - d_own)/max_n)), then two counting scans with the "
+    "broadcast candidate matrix produce exact per-object dominator "
+    "counts (measured faster than one fused owner-instance scan: the "
+    "scan is objects x candidates per task and the probability filter "
+    "shrinks phase 2 hard) — operators/skyline.py::prob_skyline. The "
+    "oracle assigns "
     "synthetic instance ids (row_number) because the fixture's "
     "(orderkey, linenumber) is NOT unique — instance identity is "
     "positional on both sides. %% 17 input filter bounds the oracle's "

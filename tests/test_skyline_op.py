@@ -673,10 +673,9 @@ def test_prob_skyline_matches_brute_with_duplicates(spark):
             assert got[o] == round(want[o], 6), (o, got[o], want[o])
 
 
-def test_prob_skyline_two_phase_fallback_matches_fused(spark, monkeypatch):
-    """Forcing the two-phase fallback (fused-candidate guard set to 0)
-    must give bit-identical results to the fused single-scan path — the
-    schedule choice is a performance decision, never a semantic one."""
+def test_prob_skyline_second_seed_matches_brute(spark):
+    """A second random seed through the full two-phase schedule == the
+    quadratic reference (complements the duplicate-heavy seed above)."""
     from query_skyline_qos_flink_spark.operators import skyline as sk
 
     rng = np.random.default_rng(47)
@@ -685,17 +684,11 @@ def test_prob_skyline_two_phase_fallback_matches_fused(spark, monkeypatch):
     pdf = pd.DataFrame({"obj": keys, "v0": pts[:, 0], "v1": pts[:, 1]})
     df = spark.createDataFrame(pdf)
     for tau in (0.05, 0.4):
-        fused = sorted(
+        got = sorted(
             tuple(r) for r in sk.prob_skyline(df, ["v0", "v1"], ["obj"], tau).collect()
         )
-        monkeypatch.setattr(sk, "_FUSED_CAND_MAX", 0)
-        two_phase = sorted(
-            tuple(r) for r in sk.prob_skyline(df, ["v0", "v1"], ["obj"], tau).collect()
-        )
-        monkeypatch.undo()
-        assert fused == two_phase
         want = _prob_skyline_brute(pts, keys, tau)
-        assert {o: p for o, _, p in fused} == {
+        assert {o: p for o, _, p in got} == {
             o: round(p, 6) for o, p in want.items()
         }
 
