@@ -71,22 +71,20 @@ _DRIVER_PRIORITY = [
     "s11_stream_replay", "s13_stream_window", "s14_stream_dedup",
     "s15_stream_join", "s18_stream_upsert", "s20_stream_dedup_watermark",
     "s25_stream_skyband", "x_exact_quantiles",
-    # fast round-7-gated fill (buy round-10 headroom)
-    "x_dedup_sweep",
     # round-9 newborns (swapped into fill slots as they land; the
     # displaced round-7 fills x_knn_int8_rerank / x_corpus_shuffle /
-    # x_url_dedup become round-10 must-gates)
+    # x_url_dedup / x_dedup_sweep become round-10 must-gates)
     "x_bpe_train_k", "x_image_resize", "x_bpe_apply", "x_kmeans_iter",
-    "x_labelprop",
+    "x_labelprop", "x_coreness",
 ]
 # Round-10 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 10: the round-7-gated entries NOT in the
 #   round-9 window (they hit the hard staleness bound at round 10) — the
-#   39 of: s1-s10 family (incl. three s9 strategies), s22-s24, s26-s29,
+#   40 of: s1-s10 family (incl. three s9 strategies), s22-s24, s26-s29,
 #   m1, e1-e3, r3/r4/r7/r9-r14/r20/r21, x_bigram_lm_score,
-#   x_knn_int8_rerank, x_corpus_shuffle, x_url_dedup, plus any round-9
-#   registrations that missed the round-9 window.
-# * 39 hard + newborns leaves ~11 slack; fill with round-8-gated entries
+#   x_knn_int8_rerank, x_corpus_shuffle, x_url_dedup, x_dedup_sweep,
+#   plus any round-9 registrations that missed the round-9 window.
+# * 40 hard + newborns leaves ~10 slack; fill with round-8-gated entries
 #   (2-stale at round 10).
 # tests/test_rotation_window.py arbitrates all of this mechanically.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -146,6 +146,56 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return labels.select("v", F.col("l").alias("label"))
 
 
+def coreness_hindex(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Distributed k-core decomposition by h-index iteration (Montresor,
+    De Pellegrini & Miorandi 2011, "Distributed k-core decomposition"):
+    every vertex starts at its degree; each round it replaces its value
+    with the H-index of its neighbors' values (the largest h such that
+    at least h neighbors hold value >= h).  The sequence is monotone
+    non-increasing and converges to the exact coreness; run for a FIXED
+    number of rounds over an undirected ``(lo, hi)`` edge set (lo < hi
+    per row, no duplicates) and return ``(v, coreness)`` — the round-T
+    state (the labelprop contract: a fixed-round result an oracle can
+    pin, upper-bounding true coreness until convergence).
+
+    The per-vertex H-index is ``max(least(rank, value))`` over neighbor
+    values sorted descending — deterministic even under rank ties,
+    because tied neighbors carry equal values, so the (rank, value)
+    multiset is order-independent.
+
+    Scale shape: each round is one hash join of values onto the
+    checkpointed adjacency list, a per-vertex descending rank (window
+    partitioned by vertex — hash-partitioned, no global sort, bounded by
+    max degree), and a map-side-combinable max aggregate; values
+    localCheckpoint per round with superseded-block release.  Unlike
+    single-k peel loops (whose survivor set collapses all-or-nothing on
+    uniform random graphs), the full decomposition is informative on any
+    degree distribution."""
+    from pyspark.sql import Window
+
+    und = edges.select("lo", "hi")
+    adj = (
+        und.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
+        .unionAll(und.select(F.col("hi").alias("v"), F.col("lo").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    c = adj.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    prev_ckpt: DataFrame | None = None
+    for i in range(rounds):
+        if i:  # pagerank's rotation discipline; final round un-truncated
+            c = prev_ckpt = _ckpt_rotate(c, prev_ckpt)
+        nbr = adj.join(c.select(F.col("v").alias("n"), "c"), "n")
+        rn = F.row_number().over(
+            Window.partitionBy("v").orderBy(F.col("c").desc())
+        )
+        c = (
+            nbr.select("v", "c", rn.alias("rn"))
+            .groupBy("v")
+            .agg(F.max(F.least("rn", "c")).alias("c"))
+        )
+    return c.select("v", F.col("c").cast("bigint").alias("coreness"))
+
+
 def pagerank(
     edges: DataFrame, iterations: int = 3, damping_pct: int = 85
 ) -> DataFrame:

@@ -1571,6 +1571,45 @@ def x_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coreness_oracle(rounds: int = 4) -> str:
+    it = """
+c{i} AS (SELECT v, max(least(rn, c)) AS c FROM (
+           SELECT a.v, c{p}.c,
+                  row_number() OVER (PARTITION BY a.v ORDER BY c{p}.c DESC) AS rn
+           FROM adj a JOIN c{p} ON c{p}.v = a.n) GROUP BY v)"""
+    steps = ",".join(it.format(i=i, p=i - 1) for i in range(1, rounds + 1))
+    return f"""
+WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS lo, b.p AS hi
+      FROM il a JOIN il b ON a.g = b.g AND a.p < b.p),
+adj AS (SELECT lo AS v, hi AS n FROM e UNION ALL SELECT hi, lo FROM e),
+c0 AS (SELECT v, count(*) AS c FROM adj GROUP BY v),{steps}
+SELECT v AS part_id, CAST(c AS BIGINT) AS coreness FROM c{rounds}
+""".strip()
+
+
+@register(
+    "x_coreness",
+    _coreness_oracle(4),
+    doc="Distributed k-core decomposition (4 h-index rounds, Montresor "
+    "et al. 2011) over the part co-purchase graph — the subgraph-density "
+    "signal that grades how deep each item sits in the co-occurrence "
+    "structure (single-k peeling is all-or-nothing on uniform random "
+    "graphs; the full decomposition is informative on any degree "
+    "distribution). Each vertex starts at its degree and repeatedly "
+    "takes the H-index of its neighbors' values — monotone to exact "
+    "coreness, contract is the round-4 state; per round one label join "
+    "+ a per-vertex descending rank + a max(least(rn,c)) aggregate, "
+    "values checkpointed per round — operators/graph.py::coreness_hindex",
+)
+def x_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.coreness_hindex(edges, rounds=4).select(
+        F.col("v").alias("part_id"), "coreness"
+    )
+
+
 @register(
     "x_exact_quantiles",
     """

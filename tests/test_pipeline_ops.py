@@ -880,6 +880,69 @@ def test_pagerank_empty_edges(spark):
     assert graph.pagerank(edges).count() == 0
 
 
+def test_coreness_matches_naive_python(spark):
+    """coreness_hindex(rounds=large) == exact coreness from a driver-side
+    peel on a graph with distinct core levels: a 4-clique (core 3) with a
+    path tail (core 1) and one degree-2 bridge vertex (core 2 — it sits
+    on a triangle with two clique members)."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    bridge = [(3, 5), (4, 5)]          # 5 closes a triangle with 3,4
+    tail = [(5, 6), (6, 7)]            # path: core 1
+    und = clique + bridge + tail
+    edges = spark.createDataFrame(und, "lo long, hi long")
+    got = {
+        r.v: r.coreness
+        for r in graph.coreness_hindex(edges, rounds=8).collect()
+    }
+
+    # driver-side exact peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v: len(ns) for v, ns in adj.items()}
+    alive = dict(adj)
+    k = 0
+    while alive:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in alive.items() if len(ns) < k]:
+                core[v] = k - 1
+                for n in alive[v]:
+                    alive[n].discard(v)
+                del alive[v]
+                changed = True
+    assert got == core
+    assert got[1] == 3 and got[5] == 2 and got[7] == 1
+
+
+def test_coreness_monotone_rounds(spark):
+    """Each additional h-index round can only lower values (monotone
+    convergence from degree down to coreness) — round 1 >= round 3
+    pointwise on a star-plus-triangle graph."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    und = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(und, "lo long, hi long")
+    r1 = {r.v: r.coreness for r in graph.coreness_hindex(edges, rounds=1).collect()}
+    r3 = {r.v: r.coreness for r in graph.coreness_hindex(edges, rounds=3).collect()}
+    assert set(r1) == set(r3)
+    assert all(r3[v] <= r1[v] for v in r1)
+
+
+def test_coreness_empty_edges(spark):
+    from query_skyline_qos_flink_spark.operators import graph
+
+    edges = spark.createDataFrame([], "lo long, hi long")
+    assert graph.coreness_hindex(edges).count() == 0
+
+
 def test_semantic_dedup_ragged_vectors_never_pair(spark):
     """Unequal-length code vectors must never form a near-dup pair, by
     explicit predicate: Spark's zip_with pads with NULL (fold -> NULL,

@@ -482,6 +482,17 @@ def test_pagerank_partial_agg_no_cartesian(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_coreness_no_cartesian_no_single_partition(spark):
+    """The final h-index round must show the real shape: a hash equi-join
+    of values onto the adjacency list, a per-vertex window (hash
+    partitioned on v — no global sort funnel), and a map-side partial
+    max aggregate."""
+    plan = _plan(spark, "x_coreness")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_max" in plan  # map-side combine on the h-index agg
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_image_resize_single_scan_no_shuffle(spark):
     """resize_images is scan + mapInPandas only: no Exchange anywhere —
     the resize itself never shuffles (downstream groupBys would)."""
