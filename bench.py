@@ -135,6 +135,7 @@ SCALING_QUERIES = {
     "x_kmeans_iter": "embeddings",  # literal-centroid Lloyd's, scan-side assign
     "x_bpe_apply": "documents",  # vocab-sized merge folds + encode join
     "x_labelprop": "lineitem",  # per-round label join + count + struct argmax
+    "x_coreness": "lineitem",  # h-index rounds: join + ranked max agg
 }
 
 
