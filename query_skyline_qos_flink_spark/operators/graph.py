@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame, functions as F
 from .caching import checkpoint_rotate as _ckpt_rotate
 
 
+def _undirected_adj(edges: DataFrame) -> DataFrame:
+    """Materialized adjacency list ``(v, n)`` of an undirected ``(lo, hi)``
+    edge set (lo < hi per row, no duplicates): both orientations, eagerly
+    localCheckpoint-ed — the iterative operators (label_propagation,
+    coreness_hindex) join against it every round, and an un-truncated
+    lineage would make Catalyst re-analyze the whole build per iteration.
+    ONE copy of the edge contract: dedup/self-loop/pre-partitioning
+    changes land here or the iterative operators silently diverge."""
+    und = edges.select("lo", "hi")
+    return (
+        und.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
+        .unionAll(und.select(F.col("hi").alias("v"), F.col("lo").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+
+
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:
@@ -123,12 +139,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Labels localCheckpoint per round with superseded-block release (the
     pagerank discipline); the final round stays un-truncated so callers
     see the real join+agg plan."""
-    und = edges.select("lo", "hi")
-    adj = (
-        und.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
-        .unionAll(und.select(F.col("hi").alias("v"), F.col("lo").alias("n")))
-        .localCheckpoint(eager=True)
-    )
+    adj = _undirected_adj(edges)
     labels = adj.select("v").distinct().select("v", F.col("v").alias("l"))
     prev_ckpt: DataFrame | None = None
     for i in range(iterations):
@@ -173,12 +184,7 @@ def coreness_hindex(edges: DataFrame, rounds: int = 4) -> DataFrame:
     degree distribution."""
     from pyspark.sql import Window
 
-    und = edges.select("lo", "hi")
-    adj = (
-        und.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
-        .unionAll(und.select(F.col("hi").alias("v"), F.col("lo").alias("n")))
-        .localCheckpoint(eager=True)
-    )
+    adj = _undirected_adj(edges)
     c = adj.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     prev_ckpt: DataFrame | None = None
     for i in range(rounds):

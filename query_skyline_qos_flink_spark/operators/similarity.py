@@ -64,6 +64,12 @@ def valid_vectors(df: DataFrame, vec_col: str, nonzero: bool = False) -> DataFra
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) > 0)
         & ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
+        # NULL components are excluded with the same rationale as NaN: a
+        # NULL poisons the distance fold to NULL, which Spark's ASC window
+        # ranks FIRST while DuckDB's unnest-sum skips the term and ranks
+        # by a fabricated real distance — the one cross-engine divergence
+        # the NaN clause alone does not close.
+        & ~F.exists(vec_col, lambda x: x.isNull())
     )
     if nonzero:
         cond = cond & F.exists(vec_col, lambda x: x != 0)

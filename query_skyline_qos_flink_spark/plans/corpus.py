@@ -807,6 +807,8 @@ pairs AS (
           FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
   FROM q, embeddings e
   WHERE e.vec_id <> q.q_id AND len(q.qe) = len(e.embedding)
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(q.qe, x -> x IS NULL)) = 0
 ),
 ranked AS (
   SELECT q_id, n_id,
@@ -833,12 +835,17 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
-        # NULL or ragged pairs never rank: size() is NULL for a NULL
-        # vector and unequal for ragged, so one predicate covers both —
-        # and it matches the oracle's len(qe) = len(embedding) exactly
-        # (Spark's NULL dist would sort FIRST in the window; DuckDB's
-        # zip-unnest pads and sums to a real number — both wrong)
+        # Pairs that cannot have a well-defined distance never rank.
+        # Three hostile-but-legal cases, each needing its own clause:
+        # NULL vector (size() is NULL -> predicate false), ragged pair
+        # (sizes differ), and equal-length vector with a NULL COMPONENT —
+        # the fold yields NULL dist, which Spark's ASC window ranks FIRST
+        # while DuckDB's unnest-sum skips the term and ranks it by a
+        # fabricated real distance.  Oracle carries the same three
+        # predicates.
         .where(F.size("qe") == F.size("embedding"))
+        .where(~F.exists("embedding", lambda x: x.isNull()))
+        .where(~F.exists("qe", lambda x: x.isNull()))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),

@@ -279,7 +279,8 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NaN/inf reaching an integer cast).
 _VEC_VALID = (
     "embedding IS NOT NULL AND len(embedding) > 0 "
-    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
 )
 _VEC_NONZERO = _VEC_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
 
@@ -572,7 +573,8 @@ def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
 WITH q0 AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM embeddings WHERE len(embedding) = {dim}
-    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 c0 AS (SELECT vec_id, qv, {cell} AS seed FROM q0),
 cent AS (SELECT seed AS cell, [{cent_list}] AS c FROM c0 GROUP BY seed),
 asg AS (SELECT v.vec_id, v.qv, ct.cell,
@@ -666,13 +668,13 @@ def x_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared int8-quantization CTE (mirrors operators/quantize.py exactly:
 # corpus-global scale, two IEEE ops + exact floor per component, clamp at
 # the 1-ulp-under -127 edge).
-# Validity domain mirrors quantize.valid_vectors: NULL/empty/NaN vectors
-# are excluded from the scale AND the codes (one NaN would poison the
-# corpus max into NaN).
-_Q8_VALID = (
-    "embedding IS NOT NULL AND len(embedding) > 0 "
-    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
-)
+# Validity domain is the one shared engine contract
+# (similarity.valid_vectors, which quantize.with_int8_codes reuses):
+# NULL/empty/NaN/NULL-component vectors are excluded from the scale AND
+# the codes (one NaN would poison the corpus max into NaN).  One constant,
+# not a re-typed copy — a domain change must hit every oracle family at
+# once or the quantize oracles silently split from the ann oracles.
+_Q8_VALID = _VEC_VALID
 _Q8_CTE = f"""
 WITH s AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS m
            FROM embeddings WHERE {_Q8_VALID}),
@@ -2496,34 +2498,49 @@ def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_K = 8
 
+# The two BPE-critical SQL fragments, shared by the train and apply oracle
+# builders (ONE copy — a fix applied to one oracle alone would make
+# x_bpe_train_k and x_bpe_apply derive different merge sequences from the
+# same corpus).  The fold is the engine-exactness-critical part: a greedy
+# left-to-right non-overlapping merge as a single-string list_reduce whose
+# accumulator seeds with the FIRST element, matching Spark's
+# aggregate(slice(arr, 2, n-1), arr[0], step) — repeated global
+# regexp_replace is NOT equivalent (match resumption skips back-to-back
+# occurrences).
+_BPE_PAIR_CTE = (
+    "SELECT pair, sum(freq) AS cnt FROM ("
+    "SELECT freq, unnest(list_transform(range(1, len(syms)), "
+    "j -> syms[j] || ' ' || syms[j + 1])) AS pair FROM {src}) GROUP BY 1"
+)
+_BPE_FOLD = (
+    "string_split(list_reduce(syms, "
+    "(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) "
+    "AND x = m.b "
+    "THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
+    "ELSE acc || ' ' || x END), ' ')"
+)
+
 
 def _bpe_train_oracle(k: int) -> str:
     """Unrolled-CTE twin of text.bpe_train: k argmax+merge iterations.
 
     The merge step is the SAME single-string greedy fold as the Spark
-    operator (list_reduce seeds the accumulator with the first element,
-    matching Spark's aggregate(slice(...), syms[0], ...)), so the merge
-    sequence — not just the counts — is engine-exact."""
-    pair_cte = (
-        "SELECT pair, sum(freq) AS cnt FROM ("
-        "SELECT freq, unnest(list_transform(range(1, len(syms)), "
-        "j -> syms[j] || ' ' || syms[j + 1])) AS pair FROM {src}) GROUP BY 1"
-    )
+    operator (see _BPE_FOLD), so the merge sequence — not just the
+    counts — is engine-exact.  Merge exhaustion (no pair left before
+    round k) needs no guard HERE: an empty m{{i}} empties v{{i}} and every
+    later p/m, so the UNION-ALL emits exactly the merges that happened —
+    the same prefix Spark's break-on-None loop records."""
     steps = []
     for i in range(1, k + 1):
         steps.append(
-            f"p{i} AS ({pair_cte.format(src=f'v{i - 1}')}),\n"
+            f"p{i} AS ({_BPE_PAIR_CTE.format(src=f'v{i - 1}')}),\n"
             f"m{i} AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS a, "
             f"split_part(pair, ' ', 2) AS b "
             f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
         )
         if i < k:  # the k-th merge is recorded, never applied
             steps.append(
-                f"v{i} AS (SELECT freq, string_split(list_reduce(syms, "
-                f"(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) "
-                f"AND x = m.b "
-                f"THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
-                f"ELSE acc || ' ' || x END), ' ') AS syms "
+                f"v{i} AS (SELECT freq, {_BPE_FOLD} AS syms "
                 f"FROM v{i - 1}, m{i} m)"
             )
     selects = " UNION ALL ".join(
@@ -2563,29 +2580,26 @@ def x_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_apply_oracle(k: int) -> str:
     """Unrolled-CTE twin of text.bpe_encode_stats: re-derive the k-merge
     sequence exactly as _bpe_train_oracle does (same argmax + greedy-fold
-    CTEs, but carrying the word through and applying ALL k merges —
+    fragments, but carrying the word through and applying ALL k merges —
     training never applies its k-th), then encode the vocabulary and
-    aggregate per-document compression stats through the token stream."""
-    pair_cte = (
-        "SELECT pair, sum(freq) AS cnt FROM ("
-        "SELECT freq, unnest(list_transform(range(1, len(syms)), "
-        "j -> syms[j] || ' ' || syms[j + 1])) AS pair FROM {src}) GROUP BY 1"
-    )
-    fold = (
-        "string_split(list_reduce(syms, "
-        "(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) "
-        "AND x = m.b "
-        "THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
-        "ELSE acc || ' ' || x END), ' ')"
-    )
+    aggregate per-document compression stats through the token stream.
+
+    Unlike the train oracle, the APPLY chain must survive merge
+    exhaustion: the encoded vocabulary is the final v{{k}}, so an empty
+    m{{i}} must pass v{{i-1}} through unchanged (LEFT JOIN + CASE), not
+    empty it — a plain cross join against the empty argmax would wipe
+    v{{i}}..v{{k}} and return zero rows on a legal corpus whose merges run
+    dry before round k (Spark's loop breaks and keeps the vocab)."""
     steps = []
     for i in range(1, k + 1):
         steps.append(
-            f"p{i} AS ({pair_cte.format(src=f'v{i - 1}')}),\n"
+            f"p{i} AS ({_BPE_PAIR_CTE.format(src=f'v{i - 1}')}),\n"
             f"m{i} AS (SELECT split_part(pair, ' ', 1) AS a, "
             f"split_part(pair, ' ', 2) AS b "
             f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),\n"
-            f"v{i} AS (SELECT w, freq, {fold} AS syms FROM v{i - 1}, m{i} m)"
+            f"v{i} AS (SELECT w, freq, "
+            f"CASE WHEN m.a IS NULL THEN syms ELSE {_BPE_FOLD} END AS syms "
+            f"FROM v{i - 1} LEFT JOIN m{i} m ON TRUE)"
         )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2689,10 +2703,7 @@ def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_RADIUS = 85_000  # int8-code squared-L2 near-dup threshold
 _SEMDEDUP_BITS = 6  # 2^6 coarse cells at fixture scale (production: 16-20)
-_SEMDEDUP_VALID = (
-    "embedding IS NOT NULL AND len(embedding) > 0 "
-    "AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
-)
+_SEMDEDUP_VALID = _VEC_VALID  # one shared validity domain (see _Q8_VALID note)
 _SEMDEDUP_CELL = " + ".join(
     f"(CASE WHEN q8[{i + 1}] < 0 THEN {1 << i} ELSE 0 END)"
     for i in range(_SEMDEDUP_BITS)

@@ -54,6 +54,11 @@ def _degen_embeddings():
         (7, [float("nan")] + [0.2] * (_DIM - 1), 3),   # NaN component
         (8, [0.1] * (_DIM + 16), 4),    # ragged: longer than the corpus dim
         (9, [0.1] * (_DIM // 2), 4),    # ragged: shorter (prefix of normal)
+        # equal-length vector with a NULL COMPONENT: the fold yields NULL
+        # dist (Spark ASC window ranks NULL first; DuckDB's unnest-sum
+        # skips the term and fabricates a real distance) — excluded by the
+        # shared validity domain on both engines (round-9 review finding)
+        (10, [0.1] * 10 + [None] + [0.1] * (_DIM - 11), 5),
     ]
 
 

@@ -1065,6 +1065,40 @@ def test_bpe_encode_stats_matches_naive_python(spark):
     assert got == expect  # doc 2 (punct-only) absent from both
 
 
+def test_bpe_apply_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """Cross-engine regression (round-9 review finding): a legal corpus
+    whose merges run dry BEFORE round k ('aa aa aa' fully merges in one
+    round) must yield the same non-empty stats from the Spark operator
+    and the unrolled-CTE oracle.  The pre-fix oracle cross-joined each
+    v{i} against a possibly-empty argmax CTE, wiping the vocabulary chain
+    and returning zero rows while Spark's loop breaks and keeps encoding."""
+    import os
+
+    import duckdb
+
+    from query_skyline_qos_flink_spark.plans import corpus
+    from query_skyline_qos_flink_spark.plans import pipeline  # noqa: F401 (register)
+
+    docs = [(1, "aa aa aa", "en", "t", 8), (2, "aa b", "en", "t", 4)]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    sdf = corpus.REGISTRY["x_bpe_apply"].fn(spark, str(tmp_path))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert srows, "Spark side must produce per-doc stats on a legal corpus"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(tmp_path, 'documents.parquet')}/*.parquet'"
+    )
+    orows = sorted(
+        tuple(r) for r in con.execute(corpus.REGISTRY["x_bpe_apply"].oracle).fetchall()
+    )
+    assert srows == orows
+
+
 def test_kmeans_iter_matches_naive_numpy(spark):
     """kmeans_iter == a numpy Lloyd reference (floored-mean integer
     centroids, exact integer L2, (dist, cid) tie-break) across iteration
