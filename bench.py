@@ -136,6 +136,8 @@ SCALING_QUERIES = {
     "x_bpe_apply": "documents",  # vocab-sized merge folds + encode join
     "x_labelprop": "lineitem",  # per-round label join + count + struct argmax
     "x_coreness": "lineitem",  # h-index rounds: join + ranked max agg
+    "x_bfs_hops": "lineitem",  # per-round relax join + partial-min shuffle
+    "x_ann_recall": "embeddings",  # IVF branch + exact broadcast-knn branch
 }
 
 

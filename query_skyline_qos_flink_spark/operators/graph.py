@@ -202,6 +202,59 @@ def coreness_hindex(edges: DataFrame, rounds: int = 4) -> DataFrame:
     return c.select("v", F.col("c").cast("bigint").alias("coreness"))
 
 
+_BFS_INF = 1 << 40  # unreached sentinel; additions over <= rounds stay finite
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected ``(lo, hi)`` edge
+    set (lo < hi per row, no duplicates), run for a FIXED number of
+    rounds.  ``seeds`` is a DataFrame with a single ``v`` column; returns
+    ``(v, hops)`` for every vertex reached within ``rounds`` hops (the
+    distance-to-nearest-seed label propagation pipelines use for
+    trusted-source proximity scoring).
+
+    Bellman-Ford-shaped relaxation, all-integer: every vertex starts at 0
+    (seed) or a finite sentinel, and each round takes
+    ``min(own, min_neighbor + 1)``.  After R rounds the value is the exact
+    hop distance for every vertex within R hops — monotone, order-
+    independent, engine-exact, so an unrolled SQL CTE hash-gates it.
+    Only vertices appearing in the edge set participate (an isolated
+    seed has no adjacency row to relax).
+
+    Scale shape: each round is one hash join of distances onto the
+    checkpointed adjacency list plus one min-shuffle (map-side
+    combinable) and a left join back to the vertex distances — the
+    pagerank iteration cost model; distances localCheckpoint per round
+    with superseded-block release, final round un-truncated."""
+    adj = _undirected_adj(edges)
+    d = (
+        adj.select("v")
+        .distinct()
+        .join(seeds.select("v", F.lit(0).alias("__s")), "v", "left")
+        .select(
+            "v",
+            F.coalesce(F.col("__s").cast("long"), F.lit(_BFS_INF).cast("long")).alias(
+                "dist"
+            ),
+        )
+    )
+    prev_ckpt: DataFrame | None = None
+    for i in range(rounds):
+        if i:  # pagerank's rotation discipline; final round un-truncated
+            d = prev_ckpt = _ckpt_rotate(d, prev_ckpt)
+        nd = (
+            adj.join(d.select(F.col("v").alias("n"), "dist"), "n")
+            .groupBy("v")
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+        )
+        d = d.join(nd, "v", "left").select(
+            "v", F.least(F.col("dist"), F.coalesce("nd", F.lit(_BFS_INF))).alias("dist")
+        )
+    return d.where(F.col("dist") < _BFS_INF).select(
+        "v", F.col("dist").cast("bigint").alias("hops")
+    )
+
+
 def pagerank(
     edges: DataFrame, iterations: int = 3, damping_pct: int = 85
 ) -> DataFrame:

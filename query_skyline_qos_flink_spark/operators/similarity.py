@@ -480,6 +480,95 @@ def ann_ivf(
     )
 
 
+def knn_exact_quantized(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Exact top-k by integer squared L2 in the SAME quantized space as
+    :func:`ann_ivf` (``floor(x * scale)`` per component) — the ground
+    truth an index-quality evaluation compares the ANN answer against.
+    Working in the quantized space (not raw floats) is what makes the
+    comparison apples-to-apples AND the result engine-exact: all
+    arithmetic is bigint, no float tie ambiguity.  Same contract as the
+    other knn paths: self excluded, ties (dist, n_id), validity =
+    :func:`valid_vectors` + declared-``dim`` length on both sides.
+
+    Scale shape: the query side broadcasts (an eval runs on a small
+    sampled query set); the base scans once; the only shuffle is the
+    final per-query top-k."""
+    df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
+    query_df = valid_vectors(query_df, vec_col).where(F.size(vec_col) == dim)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("n_id"), qv.alias("__qv"))
+    q = query_df.select(F.col(id_col).alias("q_id"), qv.alias("__pq"))
+    cand = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", _int_sq_l2_fold(F.col("__pq"), F.col("__qv")).alias("dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+def ann_recall(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_bits: int = 4,
+    n_probes: int = 2,
+    scale: int = 1024,
+) -> DataFrame:
+    """Recall@k of :func:`ann_ivf` against :func:`knn_exact_quantized` —
+    the index-quality gate a production vector pipeline runs before
+    trusting an approximate index (tune ``coarse_bits``/``n_probes``
+    until recall clears the bar, THEN deploy).  Returns one row per
+    query: ``(q_id, n_exact, n_hits)`` — integer counts, not a float
+    ratio, so the oracle hash is float-free (recall = n_hits/n_exact).
+
+    Both sides run in the same quantized space with identical tie rules,
+    so n_hits is deterministic even at distance ties.  Plan: the ANN
+    branch is ann_ivf's scan + literal-centroid assignment + one top-k
+    shuffle; the exact branch is one more base scan + top-k; the
+    comparison is a left join on (q_id, n_id) over <= |queries| * k rows."""
+    exact = knn_exact_quantized(
+        df, query_df, dim, k=k, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    ann = ann_ivf(
+        df,
+        query_df,
+        dim,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_bits=coarse_bits,
+        n_probes=n_probes,
+        scale=scale,
+    ).select("q_id", "n_id", F.lit(1).alias("__hit"))
+    return (
+        exact.join(ann, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
 def kmeans_iter(
     df: DataFrame,
     dim: int,

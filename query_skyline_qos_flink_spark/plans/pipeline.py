@@ -557,8 +557,19 @@ def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("df").desc(), F.col("bg")).limit(20)
 
 
-def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
-                k: int = 5, scale: int = 1024) -> str:
+# Integer squared-L2 between two quantized lists — the distance form every
+# vector oracle in this family shares (sequential unnest-sum matches the
+# engine's bigint fold exactly).
+_INT_L2 = ("(SELECT sum((x.u - x.v) * (x.u - x.v)) "
+           "FROM (SELECT unnest({a}) AS u, unnest({b}) AS v) x)")
+
+
+def _ivf_cte(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
+             scale: int = 1024) -> str:
+    """The IVF CTE chain (quantize -> seed cells -> floored-mean integer
+    centroids -> Lloyd re-assignment -> probe -> ranked candidates `r`),
+    shared by the x_ann_ivf oracle and the x_ann_recall oracle so both
+    gates derive the index from ONE definition."""
     cell = " + ".join(
         f"(CASE WHEN qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(coarse_bits)
@@ -567,10 +578,8 @@ def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
         f"CAST(floor(sum(qv[{i + 1}]) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
         for i in range(dim)
     )
-    d = ("(SELECT sum((x.u - x.v) * (x.u - x.v)) "
-         "FROM (SELECT unnest({a}) AS u, unnest({b}) AS v) x)")
     return f"""
-WITH q0 AS (SELECT vec_id,
+q0 AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM embeddings WHERE len(embedding) = {dim}
     AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
@@ -579,17 +588,24 @@ c0 AS (SELECT vec_id, qv, {cell} AS seed FROM q0),
 cent AS (SELECT seed AS cell, [{cent_list}] AS c FROM c0 GROUP BY seed),
 asg AS (SELECT v.vec_id, v.qv, ct.cell,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {d.format(a='v.qv', b='ct.c')}, ct.cell) AS r
+                                  ORDER BY {_INT_L2.format(a='v.qv', b='ct.c')}, ct.cell) AS r
         FROM c0 v, cent ct),
 base_a AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
 probe AS (SELECT vec_id, qv, cell FROM asg WHERE vec_id BETWEEN 1 AND 5 AND r <= {n_probes}),
 cand AS (SELECT p.vec_id AS q_id, b.vec_id AS n_id,
-                {d.format(a='p.qv', b='b.qv')} AS dist
+                {_INT_L2.format(a='p.qv', b='b.qv')} AS dist
          FROM probe p JOIN base_a b ON p.cell = b.cell AND b.vec_id <> p.vec_id
                                     AND len(p.qv) = len(b.qv)),
 r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM cand)
-SELECT q_id, n_id, rnk FROM r WHERE rnk <= {k}
 """.strip()
+
+
+def _ivf_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
+                k: int = 5, scale: int = 1024) -> str:
+    return (
+        f"WITH {_ivf_cte(dim, coarse_bits, n_probes, scale)}\n"
+        f"SELECT q_id, n_id, rnk FROM r WHERE rnk <= {k}"
+    )
 
 
 @register(
@@ -606,6 +622,48 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").between(1, 5))
     return similarity.ann_ivf(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)
+
+
+def _ann_recall_oracle(dim: int = 64, coarse_bits: int = 4, n_probes: int = 2,
+                       k: int = 5, scale: int = 1024) -> str:
+    """x_ann_recall's twin: the shared IVF CTE chain plus an exact
+    quantized-space top-k ground truth, compared per query.  Integer
+    counts only — recall@k = n_hits / n_exact, computed by the reader."""
+    return f"""
+WITH {_ivf_cte(dim, coarse_bits, n_probes, scale)},
+ivf AS (SELECT q_id, n_id FROM r WHERE rnk <= {k}),
+exr AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_INT_L2.format(a='q.qv', b='b.qv')}, b.vec_id) AS rnk
+        FROM (SELECT * FROM q0 WHERE vec_id BETWEEN 1 AND 5) q
+        JOIN q0 b ON b.vec_id <> q.vec_id),
+ex AS (SELECT q_id, n_id FROM exr WHERE rnk <= {k})
+SELECT ex.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM ex LEFT JOIN ivf ON ex.q_id = ivf.q_id AND ex.n_id = ivf.n_id
+GROUP BY ex.q_id
+""".strip()
+
+
+@register(
+    "x_ann_recall",
+    _ann_recall_oracle(),
+    doc="ANN index-quality evaluation: recall@5 of the IVF index "
+    "(x_ann_ivf's exact configuration) against the exact quantized-space "
+    "top-5 ground truth, per query — the gate a production vector "
+    "pipeline clears before trusting an approximate index (tune "
+    "coarse_bits/n_probes until recall passes, THEN deploy). Emits "
+    "integer (n_exact, n_hits) so the hash is float-free; both branches "
+    "share the quantization and tie rules, so the comparison is "
+    "deterministic even at distance ties. The exact branch is one extra "
+    "base scan + broadcast of the 5-query matrix + one top-k shuffle — "
+    "operators/similarity.py::ann_recall",
+)
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").between(1, 5))
+    return similarity.ann_recall(e, q, dim=64, k=5, coarse_bits=4, n_probes=2)
 
 
 def _kmeans_oracle(dim: int = 64, coarse_bits: int = 3, n_iters: int = 4,
@@ -1609,6 +1667,52 @@ def x_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.coreness_hindex(edges, rounds=4).select(
         F.col("v").alias("part_id"), "coreness"
+    )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    inf = 1 << 40
+    it = """
+d{i} AS (SELECT d.v, LEAST(d.dist, COALESCE(m.nd, {inf})) AS dist
+         FROM d{p} d LEFT JOIN (SELECT a.v, MIN(dp.dist) + 1 AS nd
+                                FROM adj a JOIN d{p} dp ON dp.v = a.n
+                                GROUP BY a.v) m ON m.v = d.v)"""
+    steps = ",".join(it.format(i=i, p=i - 1, inf=inf) for i in range(1, rounds + 1))
+    return f"""
+WITH il AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS lo, b.p AS hi
+      FROM il a JOIN il b ON a.g = b.g AND a.p < b.p),
+adj AS (SELECT lo AS v, hi AS n FROM e UNION ALL SELECT hi, lo FROM e),
+v AS (SELECT DISTINCT v FROM adj),
+d0 AS (SELECT v, CASE WHEN v % 100 = 0 THEN 0 ELSE {inf} END AS dist FROM v),{steps}
+SELECT v AS part_id, CAST(dist AS BIGINT) AS hops FROM d{rounds} WHERE dist < {inf}
+""".strip()
+
+
+@register(
+    "x_bfs_hops",
+    _bfs_oracle(4),
+    doc="Multi-source BFS hop distances (4 Bellman-Ford rounds) from the "
+    "part_id % 100 = 0 seed set over the part co-purchase graph — the "
+    "distance-to-trusted-source proximity signal link-graph curation "
+    "derives next to PageRank. Each round relaxes min(own, nearest "
+    "neighbor + 1) — monotone, all-integer, exact hop distance within "
+    "the round budget, so the unrolled-CTE oracle hash-gates it; per "
+    "round one join onto the checkpointed adjacency + one map-side-"
+    "combinable min shuffle (the pagerank iteration cost model) — "
+    "operators/graph.py::bfs_hops",
+)
+def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        edges.select(F.col("lo").alias("v"))
+        .unionAll(edges.select(F.col("hi").alias("v")))
+        .where(F.col("v") % 100 == 0)
+        .distinct()
+    )
+    return graph.bfs_hops(edges, seeds, rounds=4).select(
+        F.col("v").alias("part_id"), "hops"
     )
 
 

@@ -493,6 +493,27 @@ def test_coreness_no_cartesian_no_single_partition(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_bfs_hops_partial_min_no_cartesian(spark):
+    """The final BFS round must show the real shape: a hash equi-join of
+    distances onto the adjacency list and a map-side partial min for the
+    neighbor relaxation — never a cartesian or a single-partition funnel."""
+    plan = _plan(spark, "x_bfs_hops")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan  # map-side combine on the relaxation agg
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ann_recall_broadcast_query_side_no_cartesian_data_join(spark):
+    """The exact branch broadcasts the 5-row query matrix (a
+    BroadcastNestedLoopJoin over 5 rows is the intended broadcast form —
+    what must NOT appear is a shuffled cartesian of base x base), and the
+    hit comparison joins two <= |q| * k row sets."""
+    plan = _plan(spark, "x_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # query matrix and/or probe table ships broadcast
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_image_resize_single_scan_no_shuffle(spark):
     """resize_images is scan + mapInPandas only: no Exchange anywhere —
     the resize itself never shuffles (downstream groupBys would)."""
