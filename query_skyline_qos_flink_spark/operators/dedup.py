@@ -82,6 +82,15 @@ def jaccard_pairs(
 
     Output: id_a, id_b, common, n_a, n_b (exact ints) + jac double."""
     sh = _with_shingles(df, id_col, text_col, k)
+    return _jaccard_from_shingles(sh, threshold, max_df)
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard pairs over an already-shingled ``(__id, __sh)`` frame —
+    split out so eval compositions (lsh_recall_curve) can shingle ONCE and
+    feed both the ground-truth and the candidate branch."""
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     posting = sh.select("__id", F.explode("__sh").alias("__s"))
     if max_df is not None:
@@ -130,23 +139,16 @@ def minhash_signature_cols(sh_col, perms: int = MINHASH_PERMS) -> list:
     ]
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.5,
-    perms: int = MINHASH_PERMS,
-    bands: int = LSH_BANDS,
+def lsh_candidates(
+    sh: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
-
-    LSH generates candidates (any shared band); the verify stage joins the
-    two shingle sets and keeps exact Jaccard >= threshold.  Output:
-    id_a, id_b, common, n_a, n_b, jac."""
+    """Banded-LSH candidate pairs over an already-shingled ``(__id, __sh)``
+    frame: MinHash signatures, band keys, one equi-join on (band index,
+    band key), distinct ``(id_a, id_b)`` with id_a < id_b.  ONE copy of
+    the banding rule, shared by the dedup pipeline (minhash_lsh_pairs)
+    and its recall evaluation (lsh_recall_curve)."""
     rows = perms // bands
-    sh = _persist(_with_shingles(df, id_col, text_col, k))
-    sigs = sh.select("__id", "__sh", *minhash_signature_cols(F.col("__sh"), perms))
+    sigs = sh.select("__id", *minhash_signature_cols(F.col("__sh"), perms))
     band_cols = [
         F.md5(
             F.concat(
@@ -165,7 +167,7 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("e.bi").alias("__bi"), F.col("e.bk").alias("__bk"))
     a = melted.alias("a")
     b = melted.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.__bi") == F.col("b.__bi"))
@@ -175,6 +177,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    LSH generates candidates (any shared band); the verify stage joins the
+    two shingle sets and keeps exact Jaccard >= threshold.  Output:
+    id_a, id_b, common, n_a, n_b, jac."""
+    sh = _persist(_with_shingles(df, id_col, text_col, k))
+    cand = lsh_candidates(sh, perms, bands)
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     verified = (
@@ -191,6 +211,43 @@ def minhash_lsh_pairs(
         .where(F.col("jac") >= threshold)
     )
     return verified
+
+
+def lsh_recall_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH candidate recall by similarity bucket — the S-curve validation
+    that decides a banding configuration before a production dedup run:
+    for every exact-Jaccard pair >= ``threshold`` (ground truth), did the
+    banded MinHash surface it as a candidate?  Grouped by Jaccard decile
+    so the output IS the measured S-curve: high-similarity deciles must
+    approach full recall; the low tail quantifies what the banding
+    (perms/bands) trades away.  Output ``(jac_decile, n_exact, n_found)``
+    — the decile is integer arithmetic ``(common * 10) div (union)``, so
+    the whole result is engine-hash-exact with no float bucketing.
+
+    Documents shingle ONCE (both branches read the persisted shingle
+    frame); the ground-truth branch is the inverted-index equi-join, the
+    candidate branch is the banding equi-join, and the comparison joins
+    two pair sets bounded by the true near-dup volume."""
+    sh = _persist(_with_shingles(df, id_col, text_col, k))
+    truth = _jaccard_from_shingles(sh, threshold)
+    cand = lsh_candidates(sh, perms, bands).withColumn("__f", F.lit(1))
+    decile = F.expr("(common * 10) div (n_a + n_b - common)")
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(decile.cast("bigint").alias("jac_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__f", F.lit(0))).cast("bigint").alias("n_found"),
+        )
+    )
 
 
 def simhash64(

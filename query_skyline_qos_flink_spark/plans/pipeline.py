@@ -153,14 +153,20 @@ def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(fp, ["fp_md5"], "doc_id")
 
 
-_JACCARD_ORACLE = f"""
-{_SH_CTE},
+# Exact-Jaccard pair CTEs over sh0 (the _SH_CTE output) — ONE copy, shared
+# by x_jaccard_pairs and the LSH recall evaluation's ground-truth branch.
+_JACCARD_PAIRS_CTE = """
 post AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
 sizes AS (SELECT doc_id, len(shs) AS n FROM sh0),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
+""".strip()
+
+_JACCARD_ORACLE = f"""
+{_SH_CTE},
+{_JACCARD_PAIRS_CTE}
 SELECT p.id_a, p.id_b, CAST(p.common AS BIGINT) AS common,
        CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
        p.common / CAST(na.n + nb.n - p.common AS DOUBLE) AS jac
@@ -180,7 +186,11 @@ def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, threshold=0.1)
 
 
-def _minhash_oracle(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
+def _lsh_cand_cte(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
+    """The MinHash banding CTEs (sig -> band -> melt -> cand) over sh0 —
+    ONE copy of the banding rule, shared by the x_minhash_lsh_pairs
+    oracle and the recall evaluation's candidate branch (mirrors the
+    operator-side dedup.lsh_candidates split)."""
     rows = perms // bands
     sig_sql = ", ".join(
         f"list_min(list_transform(shs, s -> md5('{j}#' || s))) AS sig{j}" for j in range(perms)
@@ -193,13 +203,19 @@ def _minhash_oracle(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BAN
         f"SELECT doc_id, {b} AS bi, band{b} AS bk FROM band" for b in range(bands)
     )
     return f"""
-{_SH_CTE},
 sig AS (SELECT doc_id, shs, {sig_sql} FROM sh0),
 band AS (SELECT doc_id, {band_sql} FROM sig),
 melt AS ({melt}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM melt a JOIN melt b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+  FROM melt a JOIN melt b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+""".strip()
+
+
+def _minhash_oracle(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
+    return f"""
+{_SH_CTE},
+{_lsh_cand_cte(perms, bands)},
 ver AS (
   SELECT c.id_a, c.id_b,
          CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
@@ -220,6 +236,39 @@ FROM ver WHERE common / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
 def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+_LSH_RECALL_ORACLE = f"""
+{_SH_CTE},
+{_JACCARD_PAIRS_CTE},
+{_lsh_cand_cte()},
+truth AS (
+  SELECT p.id_a, p.id_b, p.common, na.n AS n_a, nb.n AS n_b
+  FROM pairs p JOIN sizes na ON p.id_a = na.doc_id JOIN sizes nb ON p.id_b = nb.doc_id
+  WHERE p.common / CAST(na.n + nb.n - p.common AS DOUBLE) >= 0.02)
+SELECT (t.common * 10) // (t.n_a + t.n_b - t.common) AS jac_decile,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+""".strip()
+
+
+@register(
+    "x_lsh_recall",
+    _LSH_RECALL_ORACLE,
+    doc="LSH banding-quality evaluation: candidate recall of the 16-perm "
+    "4x4-band MinHash against exact word-3-gram Jaccard pairs (>= 0.02), "
+    "grouped by Jaccard decile — the measured S-curve that validates a "
+    "banding configuration before a production dedup run (high deciles "
+    "must approach full recall; the low tail is the designed trade). "
+    "Documents shingle once for both branches; the decile is integer "
+    "div arithmetic so the gate is hash-exact — "
+    "operators/dedup.py::lsh_recall_curve",
+)
+def x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.lsh_recall_curve(d, threshold=0.02)
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:

@@ -97,7 +97,7 @@ _VECTOR_PARITY = [
     "e2_knn_bruteforce", "x_knn_int8", "x_knn_int8_rerank",
     "x_ann_bucketed", "x_ann_multiprobe", "x_ann_ivf", "x_ann_blocked",
     "x_cosine_neardup", "x_semantic_dedup", "x_embed_quantize8",
-    "x_kmeans_iter",
+    "x_kmeans_iter", "x_ann_recall",
 ]
 
 # Text/doc queries whose oracles are pinned to the engine's NULL-text /
@@ -110,6 +110,7 @@ _TEXT_PARITY = [
     "x_repetition", "x_pattern_counts", "x_ngram_topk", "x_tfidf_topterms",
     "x_bm25_topk", "x_bigram_lm_score", "x_pii_scrub", "x_quality_filter",
     "x_dedup_normalized", "x_jaccard_pairs", "x_minhash_lsh_pairs",
+    "x_lsh_recall",
     "x_simhash_pairs", "x_winnow_pairs", "x_cdc_dedup", "x_span_dedup",
     "x_url_dedup", "x_doc_chunks", "x_contamination", "x_heavy_hitters",
     "x_dedup_clusters", "x_dup_cluster_sizes", "x_dedup_sweep",

@@ -514,6 +514,15 @@ def test_ann_recall_broadcast_query_side_no_cartesian_data_join(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_lsh_recall_no_cartesian_partial_agg(spark):
+    """Both branches are equi-joins (inverted index / banding key) — never
+    a cartesian — and the decile rollup partially aggregates map-side."""
+    plan = _plan(spark, "x_lsh_recall")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_image_resize_single_scan_no_shuffle(spark):
     """resize_images is scan + mapInPandas only: no Exchange anywhere —
     the resize itself never shuffles (downstream groupBys would)."""
