@@ -68,30 +68,29 @@ _DRIVER_PRIORITY = [
     # round-7-gated fills whose plans change this round (replay input
     # path de-drivered; exact-quantiles fused) — fresh rows re-prove
     # the unchanged oracle hashes.  s14_stream_dedup / s15_stream_join /
-    # s18_stream_upsert were displaced by late round-9 newborns: the
-    # de-drivered replay feed they share is still re-proved by the four
-    # replay queries kept, and all three join the round-10 must-gates
-    # with the other round-7 rows.
+    # s18_stream_upsert / s20_stream_dedup_watermark were displaced by
+    # late round-9 newborns: the de-drivered replay feed they share is
+    # still re-proved by the three replay queries kept, and all four
+    # join the round-10 must-gates with the other round-7 rows.
     "s11_stream_replay", "s13_stream_window",
-    "s20_stream_dedup_watermark",
     "s25_stream_skyband", "x_exact_quantiles",
     # round-9 newborns (swapped into fill slots as they land; the
     # displaced round-7 fills x_knn_int8_rerank / x_corpus_shuffle /
     # x_url_dedup / x_dedup_sweep become round-10 must-gates)
     "x_bpe_train_k", "x_image_resize", "x_bpe_apply", "x_kmeans_iter",
     "x_labelprop", "x_coreness", "x_bfs_hops", "x_ann_recall",
-    "x_lsh_recall",
+    "x_lsh_recall", "r26_integrity_checks",
 ]
 # Round-10 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 10: the round-7-gated entries NOT in the
 #   round-9 window (they hit the hard staleness bound at round 10) — the
-#   43 of: s1-s10 family (incl. three s9 strategies), s22-s24, s26-s29,
+#   44 of: s1-s10 family (incl. three s9 strategies), s22-s24, s26-s29,
 #   m1, e1-e3, r3/r4/r7/r9-r14/r20/r21, x_bigram_lm_score,
 #   x_knn_int8_rerank, x_corpus_shuffle, x_url_dedup, x_dedup_sweep,
-#   s14_stream_dedup, s15_stream_join, s18_stream_upsert (displaced
-#   round-9 fills), plus any round-9 registrations that missed the
-#   round-9 window.
-# * 43 hard + newborns leaves ~7 slack; fill with round-8-gated entries
+#   s14_stream_dedup, s15_stream_join, s18_stream_upsert,
+#   s20_stream_dedup_watermark (displaced round-9 fills), plus any
+#   round-9 registrations that missed the round-9 window.
+# * 44 hard + newborns leaves ~6 slack; fill with round-8-gated entries
 #   (2-stale at round 10).
 # tests/test_rotation_window.py arbitrates all of this mechanically.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

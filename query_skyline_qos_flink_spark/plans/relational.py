@@ -1003,3 +1003,130 @@ def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("cohort_d", "offset_d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+_R26_ORACLE = """
+SELECT * FROM (
+  SELECT 'fk_orders_custkey' AS check_name,
+         CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+               ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations,
+         CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+  UNION ALL
+  SELECT 'fk_lineitem_orderkey',
+         CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_customer_nationkey',
+         CAST((SELECT count(*) FROM customer c LEFT JOIN nation n
+               ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT),
+         CAST((SELECT count(*) FROM customer) AS BIGINT)
+  UNION ALL
+  SELECT 'pk_orders_unique',
+         CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+               GROUP BY 1 HAVING count(*) > 1)) AS BIGINT),
+         CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'docs_text_nonempty',
+         CAST((SELECT count(*) FROM documents
+               WHERE text IS NULL OR length(trim(text)) = 0) AS BIGINT),
+         CAST((SELECT count(*) FROM documents) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_ship_after_order',
+         CAST((SELECT count(*) FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+               WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+  UNION ALL
+  SELECT 'customer_acctbal_nonneg',
+         CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0) AS BIGINT),
+         CAST((SELECT count(*) FROM customer) AS BIGINT)
+)
+""".strip()
+
+
+@register(
+    "r26_integrity_checks",
+    _R26_ORACLE,
+    doc="Data-quality constraint suite (the validation pass every ingest "
+    "pipeline runs before publishing a snapshot): referential integrity "
+    "(3 FK orphan checks), key uniqueness, non-empty content, a "
+    "temporal-order rule, and a domain rule — one (check_name, "
+    "n_violations, n_checked) row each. Two checks FIRE on the fixture "
+    "by design (the generator ships lines before their order date; "
+    "TPC-H allows negative balances), so the gate proves violation "
+    "counting, not just zeros. Shapes: FK checks pre-aggregate the fact "
+    "side to distinct keys before the anti join (the shuffle carries "
+    "|keys|, not |rows|); uniqueness is one partial-agg groupBy; domain "
+    "rules are conditional-sum scan aggregates; the temporal rule is "
+    "the one genuine fact-to-fact equi-join, co-locatable on a bucketed "
+    "layout. All-bigint output",
+)
+def r26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    d = load(spark, sf_dir, "documents")
+    sp = spark
+
+    def row(name: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        # each branch is a 1-row agg; the cross join of two 1-row frames
+        # is trivially broadcast
+        v = violations.select(F.col("n").alias("n_violations"))
+        k = checked.select(F.col("n").alias("n_checked"))
+        return v.crossJoin(k).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint"),
+            F.col("n_checked").cast("bigint"),
+        )
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    # FK orphans: aggregate the fact side to (key, count) FIRST so the
+    # anti join shuffles |distinct keys| rows, then sum the counts of the
+    # unmatched keys — same result as an anti join on raw rows at a
+    # fraction of the shuffle (NULL keys never match an equi-join, so
+    # they count as violations on both engines)
+    def fk_orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        per_key = fact.groupBy(F.col(fk).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        orphan = per_key.join(
+            dim.select(F.col(pk).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        return orphan.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n"))
+
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    distinct_pk = o.agg(F.countDistinct("o_orderkey").alias("n"))
+    empty_text = d.where(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    ship_viol = joined.where(F.col("l_shipdate") < F.col("o_orderdate")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ship_all = joined.agg(F.count(F.lit(1)).alias("n"))
+    acct_neg = c.where(F.col("c_acctbal") < 0).agg(F.count(F.lit(1)).alias("n"))
+
+    out = row("fk_orders_custkey", fk_orphans(o, "o_custkey", c, "c_custkey"), cnt(o))
+    for args in (
+        ("fk_lineitem_orderkey", fk_orphans(li, "l_orderkey", o, "o_orderkey"), cnt(li)),
+        ("fk_customer_nationkey", fk_orphans(c, "c_nationkey", n, "n_nationkey"), cnt(c)),
+        ("pk_orders_unique", dup_pk, distinct_pk),
+        ("docs_text_nonempty", empty_text, cnt(d)),
+        ("lineitem_ship_after_order", ship_viol, ship_all),
+        ("customer_acctbal_nonneg", acct_neg, cnt(c)),
+    ):
+        out = out.unionByName(row(*args))
+    return out

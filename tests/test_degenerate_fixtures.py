@@ -82,7 +82,7 @@ def degen_dir(spark, tmp_path_factory):
 # skyline families read the untouched (symlinked) tables and already run
 # at this sf in test_corpus, so skip them to keep the sweep fast.
 def _targets():
-    keep_prefixes = ("x_", "e1", "e2", "e3", "s21", "s32")
+    keep_prefixes = ("x_", "e1", "e2", "e3", "s21", "s32", "r26")
     return sorted(n for n in corpus.REGISTRY if n.startswith(keep_prefixes))
 
 
@@ -117,6 +117,7 @@ _TEXT_PARITY = [
     "x_bpe_pair_counts", "x_bpe_train_k", "x_bpe_apply", "x_pmi_pairs",
     "x_fuzzy_match",
     "x_blocklist_filter", "x_domain_stats", "x_datapipe_prep",
+    "r26_integrity_checks",
 ]
 
 

@@ -514,6 +514,20 @@ def test_ann_recall_broadcast_query_side_no_cartesian_data_join(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_integrity_checks_equi_joins_partial_counts(spark):
+    """Every data-sized join must be an equi hash join (FK anti joins on
+    pre-aggregated keys, the temporal-rule fact join); the only
+    nested-loop joins are the seven 1-row x 1-row result assemblies, and
+    every count partially aggregates map-side.  (Exchange SinglePartition
+    appears once per 1-row final agg — 1 row, by construction.)"""
+    plan = _plan(spark, "r26_integrity_checks")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # exactly the 7 scalar-assembly BNL joins; a data-sized nested loop
+    # would add more
+    assert plan.count("BroadcastNestedLoop") == 7
+
+
 def test_lsh_recall_no_cartesian_partial_agg(spark):
     """Both branches are equi-joins (inverted index / banding key) — never
     a cartesian — and the decile rollup partially aggregates map-side."""
