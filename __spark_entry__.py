@@ -83,15 +83,19 @@ _DRIVER_PRIORITY = [
 ]
 # Round-10 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 10: the round-7-gated entries NOT in the
-#   round-9 window (they hit the hard staleness bound at round 10) — the
-#   44 of: s1-s10 family (incl. three s9 strategies), s22-s24, s26-s29,
-#   m1, e1-e3, r3/r4/r7/r9-r14/r20/r21, x_bigram_lm_score,
+#   round-9 window (they hit the hard staleness bound at round 10).
+#   Computed MECHANICALLY from CORRECTNESS_r0*.json at round-9 end
+#   (don't re-derive by hand — the hand list missed x_bm25_topk and
+#   x_jpeg_ahash_dedup): the 46 of s1-s10 family (incl. three s9
+#   strategies), s22-s24, s26-s29, m1, e1-e3, r3/r4/r7/r9-r14/r20/r21,
+#   x_bigram_lm_score, x_bm25_topk, x_jpeg_ahash_dedup,
 #   x_knn_int8_rerank, x_corpus_shuffle, x_url_dedup, x_dedup_sweep,
 #   s14_stream_dedup, s15_stream_join, s18_stream_upsert,
 #   s20_stream_dedup_watermark (displaced round-9 fills), plus any
 #   round-9 registrations that missed the round-9 window.
-# * 44 hard + newborns leaves ~6 slack; fill with round-8-gated entries
-#   (2-stale at round 10).
+# * 46 hard + newborns leaves only ~4 slack: round 10 must budget ~4 new
+#   registrations MAX (or retire anchor twins), and round-8-gated
+#   entries fill whatever remains.
 # tests/test_rotation_window.py arbitrates all of this mechanically.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {n: corpus.REGISTRY[n].fn for n in _DRIVER_PRIORITY}
