@@ -265,17 +265,14 @@ def main() -> None:
                         errors[f"skyline_anti_{d}d_1m_sizecheck"] = traceback.format_exc(limit=6)
                 df.unpersist()
 
-        # Warm-up: first parquet scan + first Arrow/pandas-UDF exchange of a
-        # session pay one-time costs (JIT, file listing, Python worker
-        # spawn) that are not operator cost; absorb them here so the timed
-        # queries measure steady state, matching how the persisted 1M
-        # shapes are measured above.
+        # Warm-up: first parquet scan of each fixture pays one-time costs
+        # (file listing, footer reads) that are not operator cost; absorb
+        # them here so the timed queries measure steady state.  (The
+        # Python worker pool is already warm — main() spins it up before
+        # any clock starts.)
         try:
             for t in ("lineitem", "orders", "events", "documents", "embeddings"):
                 spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
-            spark.range(32).mapInPandas(
-                lambda it: it, schema="id long"
-            ).count()  # spin up the Python worker pool
         except Exception:
             pass  # warm-up is best-effort; timings just include cold costs
 

@@ -221,6 +221,7 @@ def lsh_recall_curve(
     threshold: float = 0.1,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    max_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate recall by similarity bucket — the S-curve validation
     that decides a banding configuration before a production dedup run:
@@ -233,11 +234,14 @@ def lsh_recall_curve(
     the whole result is engine-hash-exact with no float bucketing.
 
     Documents shingle ONCE (both branches read the persisted shingle
-    frame); the ground-truth branch is the inverted-index equi-join, the
-    candidate branch is the banding equi-join, and the comparison joins
-    two pair sets bounded by the true near-dup volume."""
+    frame); the ground-truth branch is the inverted-index equi-join
+    (``max_df`` caps hot-shingle posting-list fan-out, exactly as in
+    :func:`jaccard_pairs` — the escape hatch for validating on a slice
+    with frequent shingles), the candidate branch is the banding
+    equi-join, and the comparison joins two pair sets bounded by the
+    true near-dup volume."""
     sh = _persist(_with_shingles(df, id_col, text_col, k))
-    truth = _jaccard_from_shingles(sh, threshold)
+    truth = _jaccard_from_shingles(sh, threshold, max_df)
     cand = lsh_candidates(sh, perms, bands).withColumn("__f", F.lit(1))
     decile = F.expr("(common * 10) div (n_a + n_b - common)")
     return (

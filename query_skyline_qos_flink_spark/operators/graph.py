@@ -230,7 +230,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
     d = (
         adj.select("v")
         .distinct()
-        .join(seeds.select("v", F.lit(0).alias("__s")), "v", "left")
+        # distinct defensively: a duplicate seed row would fork two
+        # dist rows for its vertex through every round's left join and
+        # silently duplicate the output
+        .join(seeds.select("v").distinct().select("v", F.lit(0).alias("__s")), "v", "left")
         .select(
             "v",
             F.coalesce(F.col("__s").cast("long"), F.lit(_BFS_INF).cast("long")).alias(

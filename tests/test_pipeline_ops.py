@@ -943,6 +943,29 @@ def test_coreness_empty_edges(spark):
     assert graph.coreness_hindex(edges).count() == 0
 
 
+def test_bfs_hops_path_graph_and_duplicate_seeds(spark):
+    """Exact hop distances on a path graph; a DUPLICATE seed row must not
+    fork duplicate distance rows through the per-round left joins
+    (round-9 review finding — the operator distincts seeds internally)."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "lo long, hi long")
+    seeds = spark.createDataFrame([(1,), (1,)], "v long")
+    rows = sorted(tuple(r) for r in graph.bfs_hops(edges, seeds, rounds=3).collect())
+    assert rows == [(1, 0), (2, 1), (3, 2), (4, 3)]
+    # round budget cuts the frontier: 4 stays unreached with rounds=2
+    rows2 = sorted(tuple(r) for r in graph.bfs_hops(edges, seeds, rounds=2).collect())
+    assert rows2 == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_bfs_hops_empty_seeds(spark):
+    from query_skyline_qos_flink_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2)], "lo long, hi long")
+    seeds = spark.createDataFrame([], "v long")
+    assert graph.bfs_hops(edges, seeds, rounds=2).count() == 0
+
+
 def test_semantic_dedup_ragged_vectors_never_pair(spark):
     """Unequal-length code vectors must never form a near-dup pair, by
     explicit predicate: Spark's zip_with pads with NULL (fold -> NULL,

@@ -516,16 +516,17 @@ def test_ann_recall_broadcast_query_side_no_cartesian_data_join(spark):
 
 def test_integrity_checks_equi_joins_partial_counts(spark):
     """Every data-sized join must be an equi hash join (FK anti joins on
-    pre-aggregated keys, the temporal-rule fact join); the only
-    nested-loop joins are the seven 1-row x 1-row result assemblies, and
+    pre-aggregated keys, the temporal-rule fact join — which runs ONCE,
+    both its counts taken from a single conditional-sum pass); the only
+    nested-loop joins are the six 1-row x 1-row result assemblies, and
     every count partially aggregates map-side.  (Exchange SinglePartition
     appears once per 1-row final agg — 1 row, by construction.)"""
     plan = _plan(spark, "r26_integrity_checks")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
-    # exactly the 7 scalar-assembly BNL joins; a data-sized nested loop
-    # would add more
-    assert plan.count("BroadcastNestedLoop") == 7
+    # exactly the 6 scalar-assembly BNL joins (the fused temporal-rule
+    # row needs none); a data-sized nested loop would add more
+    assert plan.count("BroadcastNestedLoop") == 6
 
 
 def test_lsh_recall_no_cartesian_partial_agg(spark):
