@@ -187,9 +187,14 @@ def main() -> None:
     # round-9 solo run recorded skyline_anti_3d_1m at 4.3 s (vs its 1.8 s
     # steady state) purely because cold start bled past best-of-2.  The
     # warm-up measures nothing: the queries are timed, the forks are not.
-    spark.range(64, numPartitions=32).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    ).count()
+    # Best-effort: a warm-up failure must never abort the run — losing the
+    # whole perf artifact is worse than noisier first-query timings.
+    try:
+        spark.range(64, numPartitions=32).mapInPandas(
+            lambda it: (pdf for pdf in it), schema="id long"
+        ).count()
+    except Exception as exc:
+        print(f"# worker warm-up failed (continuing): {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     scaling: dict[str, dict] = {}

@@ -607,19 +607,14 @@ def kmeans_iter(
     join, no window, no shuffle in the loop body beyond each iteration's
     K-group partial agg.  ``n_iters + 1`` tiny jobs total; the base is
     scanned once per iteration (unavoidable in Lloyd's) and nothing
-    corpus-sized ever moves.  Vectors carrying a NULL component are
-    excluded up front (beyond :func:`valid_vectors`): a NULL distance
-    sorts FIRST in Spark's ``sort_array`` but LAST under SQL ``ORDER
-    BY``, so leaving them in would silently diverge from the oracle; the
-    exclusion is the same scan-side validity-domain policy, mirrored in
-    the oracle's predicate."""
+    corpus-sized ever moves.  Validity domain is :func:`valid_vectors`
+    (which excludes NULL-component vectors — a NULL distance sorts FIRST
+    in Spark's ``sort_array`` but LAST under SQL ``ORDER BY``, so leaving
+    them in would silently diverge from the oracle) plus the declared
+    ``dim`` length, mirrored in the oracle's predicate."""
     from .caching import persist_bounded as _persist
 
-    df = (
-        valid_vectors(df, vec_col)
-        .where(F.size(vec_col) == dim)
-        .where(~F.exists(vec_col, lambda x: x.isNull()))
-    )
+    df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
     )
@@ -795,10 +790,13 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Scale shape: ONE mapInPandas pass emits a dim*(dim+1)/2-row triangle
     per partition (the classic distributed Gram trick: shuffle volume is
     partitions x dim^2 regardless of row count), then one tiny keyed sum.
-    Validity policy: NULL/empty/NaN vectors are excluded, and so are
-    rows whose dimensionality differs from the table's first vector
-    (mixed dims would otherwise silently merge incompatible triangles
-    across partitions; within a partition numpy raises on ragged input).
+    Validity policy: NULL/empty/NaN/NULL-component vectors are excluded
+    (:func:`valid_vectors`), and so are rows whose dimensionality differs
+    from the corpus's MODAL dimensionality (ties broken toward the
+    smaller dim) — mixed dims would otherwise silently merge incompatible
+    triangles across partitions, and the modal rule is deterministic and
+    order-independent, so the oracle twin can replicate it exactly
+    (a "first row" rule depends on scan order).
     """
     import numpy as np
 
@@ -806,12 +804,17 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
     d = valid_vectors(df, vec_col).select(q6.alias("__q"))
-    first = d.select(F.size("__q").alias("__d")).first()
-    if first is None:
+    mode = (
+        d.groupBy(F.size("__q").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__d").asc())
+        .first()
+    )
+    if mode is None:
         return d.sparkSession.createDataFrame(
             [], "i bigint, j bigint, s_q bigint, n_rows bigint"
         )
-    d = d.where(F.size("__q") == first["__d"])
+    d = d.where(F.size("__q") == mode["__d"])
 
     def fn(batches):
         G = None

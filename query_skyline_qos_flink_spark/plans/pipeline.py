@@ -2822,8 +2822,8 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_embed_centroids",
-    """
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE {_VEC_VALID}),
 u AS (SELECT label, i AS pos,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q6
       FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)),
@@ -3020,10 +3020,14 @@ def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_embed_gram",
-    """
-WITH q AS (SELECT vec_id, i,
+    f"""
+WITH v AS (SELECT embedding FROM embeddings WHERE {_VEC_VALID}),
+dm AS (SELECT len(embedding) AS d, count(*) AS c FROM v GROUP BY 1
+       ORDER BY c DESC, d ASC LIMIT 1),
+q AS (SELECT vec_id, i,
                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-           FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+           FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+           WHERE {_VEC_VALID} AND len(embedding) = (SELECT d FROM dm)),
 g AS (SELECT a.i AS i, b.i AS j, sum(CAST(a.qv AS HUGEINT) * b.qv) AS s,
              count(*) AS n
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
@@ -3040,7 +3044,9 @@ FROM g
     "decimal(38,0) keyed sum merges — shuffle volume is partitions x "
     "dim^2 regardless of row count, and every aggregate is integer, so "
     "the hash is engine-stable with no float discipline — "
-    "operators/similarity.py::gram_matrix. The oracle is the quadratic "
+    "operators/similarity.py::gram_matrix. Validity domain mirrored "
+    "exactly: valid_vectors plus the modal-dimensionality filter "
+    "(ties to the smaller dim). The oracle is the quadratic "
     "per-component self-join (fine at gate scale)",
 )
 def x_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,7 +97,7 @@ _VECTOR_PARITY = [
     "e2_knn_bruteforce", "x_knn_int8", "x_knn_int8_rerank",
     "x_ann_bucketed", "x_ann_multiprobe", "x_ann_ivf", "x_ann_blocked",
     "x_cosine_neardup", "x_semantic_dedup", "x_embed_quantize8",
-    "x_kmeans_iter", "x_ann_recall",
+    "x_kmeans_iter", "x_ann_recall", "x_embed_centroids", "x_embed_gram",
 ]
 
 # Text/doc queries whose oracles are pinned to the engine's NULL-text /
