@@ -41,61 +41,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 9
-# Round-9 window: the 35 round-6-gated entries that sat out rounds 7-8 at
-# the staleness bound take the front, plus x_pagerank (the only entry with
-# no driver row ever).  The 14 fill slots go to round-7-gated entries
-# whose plans this round touches (the 7 streaming-replay queries get a
-# de-drivered input path; x_exact_quantiles gets the fused-rank fix) so
-# the fresh rows re-prove their hashes, then fast round-7 fills.  New
-# round-9 registrations swap into the tail fill slots as they land.
+_ROTATED_FOR = 10
+# Round-10 window: the 46 round-7-gated entries not in the round-9 window
+# hit the hard staleness bound this round and take the front.  Computed
+# MECHANICALLY from CORRECTNESS_r0*.json at round-9 end (latest driver
+# row == round 7 for exactly these 46; the one round-6 row is the retired
+# pytest-only anchor x_cosine_neardup_exact).  The 4 fill slots go to
+# round-8-gated entries whose plans this round touches (dedup/LSH and
+# graph families get the cooccurrence group cap + LSH-fed dedup-clusters
+# work); round-10 newborns swap into the fill slots as they land.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 6, skipped rounds 7-8 at the bound
-    "x_text_quality", "x_fingerprint", "x_dedup_normalized",
-    "x_jaccard_pairs", "x_cosine_neardup", "x_ann_bucketed",
-    "x_ann_multiprobe", "x_ann_blocked", "x_multimodal_meta",
-    "x_ngram_topk", "x_embed_quantize8", "x_knn_int8",
-    "x_multimodal_frames", "x_repetition", "x_pattern_counts",
-    "x_quality_filter", "x_train_test_split", "x_dedup_clusters",
-    "x_kmv_distinct", "x_hll_distinct", "x_profile_columns",
-    "x_sample_stratified", "x_bloom_prune_semi", "x_snapshot_diff",
-    "x_histogram", "x_doc_chunks", "x_contamination", "x_heavy_hitters",
-    "x_blocklist_filter", "x_image_ahash_dedup", "x_audio_features",
-    "x_image_neardup_pairs", "x_span_dedup", "x_weighted_mix",
-    "x_gif_frame_colors",
-    # never driver-gated (round-8 final-commit newborn)
-    "x_pagerank",
-    # round-7-gated fills whose plans change this round (replay input
-    # path de-drivered; exact-quantiles fused) — fresh rows re-prove
-    # the unchanged oracle hashes.  s14_stream_dedup / s15_stream_join /
-    # s18_stream_upsert / s20_stream_dedup_watermark were displaced by
-    # late round-9 newborns: the de-drivered replay feed they share is
-    # still re-proved by the three replay queries kept, and all four
-    # join the round-10 must-gates with the other round-7 rows.
-    "s11_stream_replay", "s13_stream_window",
-    "s25_stream_skyband", "x_exact_quantiles",
-    # round-9 newborns (swapped into fill slots as they land; the
-    # displaced round-7 fills x_knn_int8_rerank / x_corpus_shuffle /
-    # x_url_dedup / x_dedup_sweep become round-10 must-gates)
-    "x_bpe_train_k", "x_image_resize", "x_bpe_apply", "x_kmeans_iter",
-    "x_labelprop", "x_coreness", "x_bfs_hops", "x_ann_recall",
-    "x_lsh_recall", "r26_integrity_checks",
+    # stale: last driver row round 7, skipped rounds 8-9 at the bound
+    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
+    "m1_partition_stats",
+    "r3_window_running", "r4_semi_anti_join", "r7_json_extract",
+    "r9_sessionize", "r10_percentiles", "r11_asof_join",
+    "r12_range_join", "r13_regional_revenue", "r14_subquery_avg",
+    "r20_recursive_cte", "r21_unpivot_measures",
+    "s1_skyline_2d", "s2_skyline_maxdir", "s3_skyline_3d",
+    "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
+    "s7_skyline_filtered", "s8_skyline_groupwise",
+    "s9_twophase_angle", "s9_twophase_dim", "s9_twophase_grid",
+    "s10_snapshot_1000", "s10_snapshot_10000",
+    "s14_stream_dedup", "s15_stream_join", "s18_stream_upsert",
+    "s20_stream_dedup_watermark",
+    "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
+    "s26_skycube", "s27_reverse_skyline", "s28_kdominant_skyline",
+    "s29_skyline_layers",
+    "x_bigram_lm_score", "x_bm25_topk", "x_corpus_shuffle",
+    "x_dedup_sweep", "x_jpeg_ahash_dedup", "x_knn_int8_rerank",
+    "x_url_dedup",
+    # round-8-gated fills whose plans this round touches (cooccurrence
+    # group cap -> x_triangle_count; LSH-fed dedup-clusters ->
+    # x_minhash_lsh_pairs / x_dup_cluster_sizes / x_semantic_dedup) —
+    # fresh rows re-prove the unchanged oracle hashes.  Round-10
+    # newborns swap into these slots as they land; displaced fills
+    # simply rejoin the round-11 must-gates.
+    "x_triangle_count", "x_minhash_lsh_pairs", "x_dup_cluster_sizes",
+    "x_semantic_dedup",
 ]
-# Round-10 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 10: the round-7-gated entries NOT in the
-#   round-9 window (they hit the hard staleness bound at round 10).
-#   Computed MECHANICALLY from CORRECTNESS_r0*.json at round-9 end
-#   (don't re-derive by hand — the hand list missed x_bm25_topk and
-#   x_jpeg_ahash_dedup): the 46 of s1-s10 family (incl. three s9
-#   strategies), s22-s24, s26-s29, m1, e1-e3, r3/r4/r7/r9-r14/r20/r21,
-#   x_bigram_lm_score, x_bm25_topk, x_jpeg_ahash_dedup,
-#   x_knn_int8_rerank, x_corpus_shuffle, x_url_dedup, x_dedup_sweep,
-#   s14_stream_dedup, s15_stream_join, s18_stream_upsert,
-#   s20_stream_dedup_watermark (displaced round-9 fills), plus any
-#   round-9 registrations that missed the round-9 window.
-# * 46 hard + newborns leaves only ~4 slack: round 10 must budget ~4 new
-#   registrations MAX (or retire anchor twins), and round-8-gated
-#   entries fill whatever remains.
+# Round-11 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 11: every entry whose latest driver row
+#   is round 8 and which sits outside the round-10 window — compute
+#   mechanically from CORRECTNESS_r0*.json once the round-10 artifact
+#   lands (at round-10 planning time that set is the 50 round-8 rows
+#   minus the 4 fills above = 46 again), plus any round-10 registration
+#   that missed the round-10 window.
+# * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
+#   pattern) BEFORE registering; test_rotation_capacity_for_next_round
+#   is the governor.
 # tests/test_rotation_window.py arbitrates all of this mechanically.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {n: corpus.REGISTRY[n].fn for n in _DRIVER_PRIORITY}
