@@ -62,7 +62,7 @@ _DRIVER_PRIORITY = [
     "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
     "s7_skyline_filtered", "s8_skyline_groupwise",
     "s9_twophase_angle", "s9_twophase_dim", "s9_twophase_grid",
-    "s10_snapshot_1000", "s10_snapshot_10000",
+    "s10_snapshot_10000",
     "s14_stream_dedup", "s15_stream_join", "s18_stream_upsert",
     "s20_stream_dedup_watermark",
     "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
@@ -73,12 +73,14 @@ _DRIVER_PRIORITY = [
     "x_url_dedup",
     # round-8-gated fills whose plans this round touches (cooccurrence
     # group cap -> x_triangle_count; LSH-fed dedup-clusters ->
-    # x_minhash_lsh_pairs / x_dup_cluster_sizes / x_semantic_dedup) —
-    # fresh rows re-prove the unchanged oracle hashes.  Round-10
-    # newborns swap into these slots as they land; displaced fills
-    # simply rejoin the round-11 must-gates.
-    "x_triangle_count", "x_minhash_lsh_pairs", "x_dup_cluster_sizes",
-    "x_semantic_dedup",
+    # x_minhash_lsh_pairs / x_cdc_dedup / x_ann_ivf / x_semantic_dedup)
+    # — fresh rows re-prove the unchanged oracle hashes.  Two of the
+    # planned fills (s10_snapshot_1000, x_dup_cluster_sizes) were
+    # retired to pytest-only anchors this round, freeing their slots.
+    # Round-10 newborns swap into these slots as they land; displaced
+    # fills simply rejoin the round-11 must-gates.
+    "x_triangle_count", "x_minhash_lsh_pairs", "x_semantic_dedup",
+    "x_cdc_dedup", "x_ann_ivf",
 ]
 # Round-11 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 11: every entry whose latest driver row

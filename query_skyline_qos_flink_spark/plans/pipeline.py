@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import bloom, dedup, delta, graph, layout, multimodal, packing, profiling, quantize, sampling, similarity, sketches, text
 from ..operators.caching import persist_bounded as _persist
 from ..session import load
-from .corpus import register
+from .corpus import register, retire
 
 # ---------------------------------------------------------------------------
 # Shared duckdb SQL fragments (mirror operators/text.py exactly)
@@ -131,6 +131,14 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(d).drop("text")
 
 
+retire(
+    "x_fingerprint",
+    "stage twin: fp_md5 derivation is replayed inside x_dedup_normalized's "
+    "oracle; the 1-perm min-shingle sketch is subsumed by the full MinHash "
+    "gate x_minhash_lsh_pairs",
+)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -184,6 +192,13 @@ WHERE p.common / CAST(na.n + nb.n - p.common AS DOUBLE) >= 0.1
 def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, threshold=0.1)
+
+
+retire(
+    "x_jaccard_pairs",
+    "all-pairs ground-truth twin: x_lsh_recall's exact branch derives the "
+    "identical _JACCARD_PAIRS_CTE pair set and gates it per Jaccard decile",
+)
 
 
 def _lsh_cand_cte(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
@@ -421,6 +436,13 @@ def x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").between(1, 5))
     return similarity.ann_bucketed(e, q, k=5)
+
+
+retire(
+    "x_ann_bucketed",
+    "candidate-rule subset of x_ann_multiprobe (bit_count(xor)=0 is the "
+    "probe ball's center cell; same operator, n_probes=1)",
+)
 
 
 _ANN_MULTIPROBE_ORACLE = f"""
@@ -839,6 +861,13 @@ def x_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     q = e.where(F.col("vec_id").between(1, 5))
     return quantize.knn_int8(e, q, k=5)
+
+
+retire(
+    "x_knn_int8",
+    "coarse stage of x_knn_int8_rerank, whose oracle replays the identical "
+    "integer code-space ranking before the float rerank",
+)
 
 
 @register(
@@ -2649,6 +2678,13 @@ def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)
 
 
+retire(
+    "x_bpe_pair_counts",
+    "single iteration of the merge loop x_bpe_train_k gates end to end "
+    "(k=8 argmax+merge rounds over the same pair-count derivation)",
+)
+
+
 _BPE_K = 8
 
 # The two BPE-critical SQL fragments, shared by the train and apply oracle
@@ -3016,6 +3052,13 @@ def x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
     )
+
+
+retire(
+    "x_dup_cluster_sizes",
+    "rollup twin: two partial aggs over the identical jaccard_pairs + "
+    "connected_components output that x_dedup_clusters gates row by row",
+)
 
 
 @register(

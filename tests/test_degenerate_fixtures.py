@@ -83,12 +83,13 @@ def degen_dir(spark, tmp_path_factory):
 # at this sf in test_corpus, so skip them to keep the sweep fast.
 def _targets():
     keep_prefixes = ("x_", "e1", "e2", "e3", "s21", "s32", "r26")
-    return sorted(n for n in corpus.REGISTRY if n.startswith(keep_prefixes))
+    names = list(corpus.REGISTRY) + list(corpus.RETIRED_ANCHORS)
+    return sorted(n for n in names if n.startswith(keep_prefixes))
 
 
 @pytest.mark.parametrize("name", _targets())
 def test_query_survives_degenerate_fixtures(spark, degen_dir, name):
-    df = corpus.REGISTRY[name].fn(spark, degen_dir)
+    df = corpus.spec(name).fn(spark, degen_dir)
     rows = df.collect()
     assert rows is not None  # executed without a job failure
 
@@ -152,10 +153,10 @@ def test_query_degenerate_parity_with_duckdb(spark, degen_dir, name):
     while DuckDB's zip-unnest sums over the overlap, and one NaN used
     to poison the int8 corpus scale); for text the pinned rule is the
     NULL-text/empty-content policy in _TEXT_PARITY's comment."""
-    sdf = corpus.REGISTRY[name].fn(spark, degen_dir)
+    sdf = corpus.spec(name).fn(spark, degen_dir)
     srows = _sorted_rows([tuple(r) for r in sdf.collect()])
     con = _degen_duckdb(degen_dir)
     orows = _sorted_rows(
-        [tuple(r) for r in con.execute(corpus.REGISTRY[name].oracle).fetchall()]
+        [tuple(r) for r in con.execute(corpus.spec(name).oracle).fetchall()]
     )
     assert srows == orows

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = corpus.REGISTRY[name].fn(spark, SF)
+    df = corpus.spec(name).fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

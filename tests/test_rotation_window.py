@@ -118,11 +118,23 @@ def test_rotation_capacity_for_next_round():
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    assert len(names) <= WINDOW * (MAX_STALE_ROUNDS + 1), (
+    cap = WINDOW * (MAX_STALE_ROUNDS + 1)
+    assert len(names) <= cap, (
         f"registry has {len(names)} entries; the rotation can cover at most "
-        f"{WINDOW * (MAX_STALE_ROUNDS + 1)} (window {WINDOW} x staleness "
-        f"{MAX_STALE_ROUNDS + 1}) — retire anchor twins "
-        "(tests/test_exact_anchors.py) before registering more"
+        f"{cap} (window {WINDOW} x staleness {MAX_STALE_ROUNDS + 1}) — "
+        "retire anchor twins (tests/test_exact_anchors.py) before "
+        "registering more"
+    )
+    # Headroom governor (round-9 verdict item 2): a round must END with
+    # at least HEADROOM free slots under the hard cap, so the NEXT round
+    # can register that many operators before it has to retire anything.
+    # Running at the cap is satisfiable on paper but freezes registration
+    # — retire subsumed twins (see corpus.retire) to stay under.
+    HEADROOM = 10
+    assert len(names) <= cap - HEADROOM, (
+        f"registry has {len(names)} entries, above the {cap - HEADROOM} "
+        f"headroom bound (cap {cap} - headroom {HEADROOM}): retire anchor "
+        "twins before registering more"
     )
     upcoming = entry._ROTATED_FOR
     rounds = {r: got for r, got in _correctness_rounds().items() if r < upcoming}

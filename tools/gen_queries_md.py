@@ -40,6 +40,19 @@ def main() -> None:
     out += f"\nTotal: **{len(corpus.REGISTRY)} queries**, " + (
         f"{sum(1 for s in corpus.REGISTRY.values() if s.oracle)} oracle-gated.\n"
     )
+    if corpus.RETIRED_ANCHORS:
+        out += (
+            "\n## Retired anchors (pytest-only oracle gates)\n\n"
+            "Correctness-anchor twins that yielded their registry slots to\n"
+            "the driver-gate rotation budget; each keeps the identical\n"
+            "fn-vs-oracle hash gate in `tests/test_exact_anchors.py` at\n"
+            "sf0.001. The bracketed note names the gated query that\n"
+            "subsumes each one's oracle shape.\n\n"
+            "| Anchor | What it was |\n|---|---|\n"
+        )
+        for name, spec in corpus.RETIRED_ANCHORS.items():
+            doc = " ".join((spec.doc or "").split())
+            out += f"| `{name}` | {doc} |\n"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "QUERIES.md"), "w") as f:
         f.write(out)
