@@ -42,14 +42,35 @@ def _undirected_adj(edges: DataFrame) -> DataFrame:
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int | None = None,
 ) -> DataFrame:
     """Distinct undirected item-item edges: two items are linked iff they
     co-occur in at least one group.  Output columns ``(lo, hi)`` with
-    ``lo < hi``.  Work per group is quadratic in its distinct items —
-    bounded for order-lines-style data (TPC-H orders have <= 7 lines);
-    pre-cap pathological groups upstream if the domain allows them."""
+    ``lo < hi``.
+
+    Work per group is quadratic in its distinct items — bounded for
+    order-lines-style data (TPC-H orders have <= 7 lines), fatal on
+    hostile data (one 100k-item group emits 5e9 pairs and kills the join
+    stage).  ``max_items_per_group`` is the valve: groups with more
+    distinct items are DROPPED before the self-join, same contract as
+    the shingle index's ``max_df`` (a group shared by F items costs
+    F^2/2 join rows, so ubiquitous mega-groups carry no edge signal
+    worth their cost).  One cheap pre-aggregated count + semi-join —
+    the count shuffle carries only (group, n), never the items.  Default
+    ``None`` keeps the operator oracle-exact for registered queries on
+    the bounded fixtures."""
     pairs = df.select(group_col, F.col(item_col).alias("lo")).distinct()
+    if max_items_per_group is not None:
+        ok = (
+            pairs.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n_items"))
+            .where(F.col("_n_items") <= max_items_per_group)
+            .select(group_col)
+        )
+        pairs = pairs.join(ok, group_col, "left_semi")
     other = pairs.withColumnRenamed("lo", "hi")
     return (
         pairs.join(other, group_col)

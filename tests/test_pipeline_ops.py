@@ -1264,3 +1264,58 @@ def test_resize_images_refuses_upscale(spark):
     pay = multimodal.attach_synth_payload(df, "png", key_mod=50)
     with pytest.raises(PythonException, match="upscale not supported"):
         multimodal.resize_images(pay, 128, 128).collect()
+
+
+def test_cooccurrence_edges_group_cap(spark):
+    """max_items_per_group drops oversized groups BEFORE the quadratic
+    self-join (the max_df idiom from the shingle index): a pathological
+    group contributes no pairs, bounded groups are untouched, and the
+    default (None) keeps the uncapped oracle-exact behavior."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    rows = [("small", i) for i in (1, 2, 3)]
+    rows += [("big", i) for i in range(100, 120)]  # 20 items > cap
+    df = spark.createDataFrame(rows, "g string, item long")
+
+    capped = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_edges(
+            df, "g", "item", max_items_per_group=5
+        ).collect()
+    )
+    assert capped == [(1, 2), (1, 3), (2, 3)]  # "big" dropped whole
+
+    uncapped = graph.cooccurrence_edges(df, "g", "item").count()
+    assert uncapped == 3 + 20 * 19 // 2  # default keeps every group
+
+    # items co-occurring in BOTH a bounded and an oversized group keep
+    # their edge through the bounded group
+    df2 = spark.createDataFrame(
+        rows + [("small2", 100), ("small2", 101)], "g string, item long"
+    )
+    capped2 = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_edges(
+            df2, "g", "item", max_items_per_group=5
+        ).collect()
+    )
+    assert (100, 101) in capped2 and len(capped2) == 4
+
+
+def test_cooccurrence_edges_cap_plan_shape(spark):
+    """The cap's pre-count is a partial-aggregated shuffle on (group)
+    followed by a semi-join — no data-sized nested loop enters the plan
+    and the oversize filter sits on the aggregate, not on exploded
+    pairs."""
+    from query_skyline_qos_flink_spark.operators import graph
+
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "g string, item long")
+    plan = (
+        graph.cooccurrence_edges(df, "g", "item", max_items_per_group=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the group count
+    assert "LeftSemi" in plan
