@@ -80,7 +80,10 @@ _DRIVER_PRIORITY = [
     # Round-10 newborns swap into these slots as they land; displaced
     # fills simply rejoin the round-11 must-gates.
     "x_triangle_count", "x_minhash_lsh_pairs", "x_semantic_dedup",
-    "x_cdc_dedup", "x_ann_ivf",
+    "x_cdc_dedup",
+    # round-10 newborn (swapped into the last fill slot; the displaced
+    # x_ann_ivf fill rejoins the round-11 must-gates)
+    "x_dedup_clusters_lsh",
 ]
 # Round-11 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 11: every entry whose latest driver row

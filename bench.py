@@ -109,6 +109,7 @@ SCALING_QUERIES = {
     "x_cosine_neardup": "embeddings",
     "x_ann_blocked": "embeddings",
     "x_dedup_clusters": "documents",  # iterative min-label propagation
+    "x_dedup_clusters_lsh": "documents",  # banded candidates feeding the same CC
     "x_semantic_dedup": "embeddings",  # quantize + cell join + components
     "x_contamination": "documents",  # hash-key anti/semi join
     "x_seq_packing": "documents",  # bucketed two-pass global cumsum

@@ -140,13 +140,25 @@ def minhash_signature_cols(sh_col, perms: int = MINHASH_PERMS) -> list:
 
 
 def lsh_candidates(
-    sh: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS
+    sh: DataFrame,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs over an already-shingled ``(__id, __sh)``
     frame: MinHash signatures, band keys, one equi-join on (band index,
     band key), distinct ``(id_a, id_b)`` with id_a < id_b.  ONE copy of
     the banding rule, shared by the dedup pipeline (minhash_lsh_pairs)
-    and its recall evaluation (lsh_recall_curve)."""
+    and its recall evaluation (lsh_recall_curve).
+
+    ``max_band_df`` is the hot-bucket valve (the band-key analog of the
+    shingle index's ``max_df``): a band bucket shared by F docs emits
+    F^2/2 candidate rows, so boilerplate that collapses thousands of
+    documents onto one band key must be dropped BEFORE the pair join —
+    one pre-aggregated (band, count) + semi-join, the count shuffle
+    carries only band keys.  Buckets above the cap are dropped WHOLE
+    (their members can still pair through their other bands).  ``None``
+    keeps every bucket."""
     rows = perms // bands
     sigs = sh.select("__id", *minhash_signature_cols(F.col("__sh"), perms))
     band_cols = [
@@ -165,6 +177,14 @@ def lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"__band{b}").alias("bk")) for b in range(bands)])
         ).alias("e"),
     ).select("__id", F.col("e.bi").alias("__bi"), F.col("e.bk").alias("__bk"))
+    if max_band_df is not None:
+        ok = (
+            melted.groupBy("__bi", "__bk")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_band_df)
+            .select("__bi", "__bk")
+        )
+        melted = melted.join(ok, ["__bi", "__bk"], "left_semi")
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -187,14 +207,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
     LSH generates candidates (any shared band); the verify stage joins the
     two shingle sets and keeps exact Jaccard >= threshold.  Output:
-    id_a, id_b, common, n_a, n_b, jac."""
+    id_a, id_b, common, n_a, n_b, jac.  ``max_band_df`` passes through to
+    :func:`lsh_candidates` (hot-band-bucket valve)."""
     sh = _persist(_with_shingles(df, id_col, text_col, k))
-    cand = lsh_candidates(sh, perms, bands)
+    cand = lsh_candidates(sh, perms, bands, max_band_df)
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     verified = (

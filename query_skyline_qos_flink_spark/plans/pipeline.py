@@ -201,11 +201,18 @@ retire(
 )
 
 
-def _lsh_cand_cte(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
+def _lsh_cand_cte(
+    perms: int = dedup.MINHASH_PERMS,
+    bands: int = dedup.LSH_BANDS,
+    max_band_df: int | None = None,
+) -> str:
     """The MinHash banding CTEs (sig -> band -> melt -> cand) over sh0 —
     ONE copy of the banding rule, shared by the x_minhash_lsh_pairs
-    oracle and the recall evaluation's candidate branch (mirrors the
-    operator-side dedup.lsh_candidates split)."""
+    oracle, the recall evaluation's candidate branch, and the LSH-fed
+    clustering oracle (mirrors the operator-side dedup.lsh_candidates
+    split).  ``max_band_df`` is the literal twin of the engine-side
+    hot-band-bucket valve: buckets with more members are dropped whole
+    before the pair join."""
     rows = perms // bands
     sig_sql = ", ".join(
         f"list_min(list_transform(shs, s -> md5('{j}#' || s))) AS sig{j}" for j in range(perms)
@@ -217,25 +224,49 @@ def _lsh_cand_cte(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS
     melt = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS bi, band{b} AS bk FROM band" for b in range(bands)
     )
+    src = "melt"
+    valve = ""
+    if max_band_df is not None:
+        valve = (
+            "\nbok AS (SELECT bi, bk FROM melt GROUP BY bi, bk"
+            f" HAVING count(*) <= {max_band_df}),"
+            "\nmeltc AS (SELECT m.* FROM melt m JOIN bok USING (bi, bk)),"
+        )
+        src = "meltc"
     return f"""
 sig AS (SELECT doc_id, shs, {sig_sql} FROM sh0),
 band AS (SELECT doc_id, {band_sql} FROM sig),
-melt AS ({melt}),
+melt AS ({melt}),{valve}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM melt a JOIN melt b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+  FROM {src} a JOIN {src} b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+""".strip()
+
+
+def _lsh_ver_cte(
+    perms: int = dedup.MINHASH_PERMS,
+    bands: int = dedup.LSH_BANDS,
+    max_band_df: int | None = None,
+) -> str:
+    """Banding candidates + exact-Jaccard verification stats over sh0 —
+    ONE copy of the verify rule, shared by the x_minhash_lsh_pairs
+    oracle (threshold filter applied in its final select) and the
+    x_dedup_clusters_lsh oracle (threshold filter applied on the edge
+    set feeding the transitive closure)."""
+    return f"""
+{_lsh_cand_cte(perms, bands, max_band_df)},
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
+         CAST(len(sa.shs) AS BIGINT) AS n_a, CAST(len(sb.shs) AS BIGINT) AS n_b
+  FROM cand c JOIN sh0 sa ON c.id_a = sa.doc_id JOIN sh0 sb ON c.id_b = sb.doc_id)
 """.strip()
 
 
 def _minhash_oracle(perms: int = dedup.MINHASH_PERMS, bands: int = dedup.LSH_BANDS) -> str:
     return f"""
 {_SH_CTE},
-{_lsh_cand_cte(perms, bands)},
-ver AS (
-  SELECT c.id_a, c.id_b,
-         CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
-         CAST(len(sa.shs) AS BIGINT) AS n_a, CAST(len(sb.shs) AS BIGINT) AS n_b
-  FROM cand c JOIN sh0 sa ON c.id_a = sa.doc_id JOIN sh0 sb ON c.id_b = sb.doc_id)
+{_lsh_ver_cte(perms, bands)}
 SELECT id_a, id_b, common, n_a, n_b,
        common / CAST(n_a + n_b - common AS DOUBLE) AS jac
 FROM ver WHERE common / CAST(n_a + n_b - common AS DOUBLE) >= 0.5
@@ -1118,6 +1149,56 @@ FROM reach GROUP BY a
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, threshold=0.1).select("id_a", "id_b")
+    return dedup.connected_components(pairs, d.select("doc_id"))
+
+
+# Hot-band-bucket valve for the LSH-fed clustering path: a band bucket
+# shared by F docs emits F^2/2 candidate rows, so the cap bounds the
+# candidate join the way max_df bounds the shingle posting lists.  1000
+# is production-shaped (drops only boilerplate that collapses >1000 docs
+# onto one band key); fixture buckets top out at 4 members, so the gated
+# result is valve-invariant here while the oracle still carries the
+# literal twin of the predicate (tests/test_pipeline_ops.py proves the
+# valve fires on a hostile corpus).
+_LSH_MAX_BAND_DF = 1000
+
+_CLUSTERS_LSH_ORACLE = f"""
+WITH RECURSIVE
+jp AS (SELECT id_a, id_b FROM (
+  {_SH_CTE},
+  {_lsh_ver_cte(max_band_df=_LSH_MAX_BAND_DF)}
+  SELECT id_a, id_b FROM ver
+  WHERE common / CAST(n_a + n_b - common AS DOUBLE) >= 0.5) q),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS canonical_id
+FROM reach GROUP BY a
+""".strip()
+
+
+@register(
+    "x_dedup_clusters_lsh",
+    _CLUSTERS_LSH_ORACLE,
+    doc="Dedup clustering, 100 TB route: connected components over the "
+    "BANDED-LSH candidate pair graph (16-perm 4x4 MinHash banding, "
+    "hot-band valve max_band_df=1000, exact-Jaccard verify >= 0.5 on "
+    "candidates only) — the same min-label CC as x_dedup_clusters fed "
+    "by equi-join candidates instead of the output-bound exact "
+    "inverted-index pair join (SCALE.md: exact-path exponent ~0.5 is "
+    "the true pair volume at t=0.1; the banded path stays sublinear). "
+    "Oracle derives candidates/verification from the shared "
+    "_lsh_ver_cte fragment (one copy of the banding + valve rule) and "
+    "closes them with the same recursive-CTE transitive closure",
+)
+def x_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, threshold=0.5, max_band_df=_LSH_MAX_BAND_DF
+    ).select("id_a", "id_b")
     return dedup.connected_components(pairs, d.select("doc_id"))
 
 

@@ -114,7 +114,8 @@ _TEXT_PARITY = [
     "x_lsh_recall",
     "x_simhash_pairs", "x_winnow_pairs", "x_cdc_dedup", "x_span_dedup",
     "x_url_dedup", "x_doc_chunks", "x_contamination", "x_heavy_hitters",
-    "x_dedup_clusters", "x_dup_cluster_sizes", "x_dedup_sweep",
+    "x_dedup_clusters", "x_dedup_clusters_lsh", "x_dup_cluster_sizes",
+    "x_dedup_sweep",
     "x_bpe_pair_counts", "x_bpe_train_k", "x_bpe_apply", "x_pmi_pairs",
     "x_fuzzy_match",
     "x_blocklist_filter", "x_domain_stats", "x_datapipe_prep",

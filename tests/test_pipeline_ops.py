@@ -1319,3 +1319,41 @@ def test_cooccurrence_edges_cap_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side combine on the group count
     assert "LeftSemi" in plan
+
+
+def test_lsh_candidates_hot_band_valve(spark):
+    """max_band_df drops hot band buckets BEFORE the candidate self-join:
+    a boilerplate corpus (many docs collapsing onto identical band keys)
+    yields zero candidates under the cap, while genuinely-rare band
+    buckets still pair; default None keeps every bucket."""
+    same = "alpha beta gamma delta epsilon"  # identical shingles -> identical bands
+    rows = [(i, same) for i in range(1, 9)]  # 8 docs share every band key
+    rows += [(100, "unique one text body here"), (101, "unique one text body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup._with_shingles(df, "doc_id", "text", 3)
+
+    uncapped = dedup.lsh_candidates(sh)
+    assert uncapped.count() == 8 * 7 // 2 + 1
+
+    capped = dedup.lsh_candidates(sh, max_band_df=4)
+    got = sorted(tuple(r) for r in capped.collect())
+    assert got == [(100, 101)]  # hot buckets dropped whole, rare pair kept
+
+
+def test_lsh_candidates_valve_plan_shape(spark):
+    """The valve's pre-count is a partially aggregated shuffle on the band
+    key followed by a semi-join — no data-sized nested loop, and the cap
+    filter sits on the aggregate, not on exploded candidate pairs."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    sh = dedup._with_shingles(df, "doc_id", "text", 3)
+    plan = (
+        dedup.lsh_candidates(sh, max_band_df=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "LeftSemi" in plan

@@ -524,9 +524,34 @@ def test_integrity_checks_equi_joins_partial_counts(spark):
     plan = _plan(spark, "r26_integrity_checks")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
-    # exactly the 6 scalar-assembly BNL joins (the fused temporal-rule
-    # row needs none); a data-sized nested loop would add more
-    assert plan.count("BroadcastNestedLoop") == 6
+    # at most the 6 scalar-assembly BNL joins (1-row x 1-row result
+    # rows; the fused temporal-rule row needs none) — the exact count is
+    # an AQE/physical-planning artifact, so pin only the invariant that
+    # matters: a data-sized nested loop would push the count ABOVE 6
+    assert plan.count("BroadcastNestedLoop") <= 6
+
+
+def test_dedup_clusters_lsh_pair_stage_equi_joins_only(spark):
+    """The 100 TB dedup route must never degrade to an all-pairs shape.
+    The registered query's final plan is a localCheckpoint scan (the CC
+    loop truncates lineage per round — that discipline has its own
+    tests), so the shape assertion targets the data-sized stage: the
+    valve-capped banded candidate + exact-verify pipeline.  Band-bucket
+    candidates, the hot-band pre-count, and the verify joins are all
+    hash equi-joins with map-side partial aggregation — no cartesian, no
+    data-sized nested loop, no single-partition funnel."""
+    from query_skyline_qos_flink_spark.operators import dedup
+    from query_skyline_qos_flink_spark.plans.pipeline import _LSH_MAX_BAND_DF
+    from query_skyline_qos_flink_spark.session import load
+
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, SF, "documents"), threshold=0.5, max_band_df=_LSH_MAX_BAND_DF
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan  # map-side combine on the valve pre-count
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_lsh_recall_no_cartesian_partial_agg(spark):
