@@ -78,7 +78,7 @@ CORPUS_QUERIES = [
     "x_span_dedup",
     "x_image_neardup_pairs",
     "x_quality_filter",
-    "x_knn_int8",
+    "x_knn_int8_rerank",
     "x_hll_distinct",
     "x_jpeg_ahash_dedup",
     "x_url_dedup",
@@ -199,9 +199,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     scaling: dict[str, dict] = {}
+    spreads: dict[str, dict] = {}
 
-    def timed(name: str, fn, repeats: int = 1) -> int | None:
-        best = None
+    def timed(name: str, fn, repeats: int = 1, agg: str = "min") -> int | None:
+        reps: list[float] = []
         for _ in range(repeats):
             t0 = time.time()
             try:
@@ -210,10 +211,22 @@ def main() -> None:
                 errors[name] = traceback.format_exc(limit=6)
                 print(f"# {name}: ERROR\n{errors[name]}", file=sys.stderr)
                 return None
-            dt = round(time.time() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        timings[name] = best
-        print(f"# {name}: {n} rows in {best}s (best of {repeats})", file=sys.stderr)
+            reps.append(round(time.time() - t0, 3))
+        # min for steady-state suite queries (first rep pays codegen/AQE
+        # compile); MEDIAN for the high-variance 1M trio, where the box's
+        # proven 2-5x run-to-run spread makes a minimum an unstable
+        # round-over-round comparator (round-9 directive).
+        val = min(reps) if agg == "min" else sorted(reps)[len(reps) // 2]
+        timings[name] = val
+        if repeats > 1:
+            # full spread to BENCH_DETAIL so the next round can separate
+            # noise from regression without a worktree bisect
+            spreads[name] = {
+                "reps_s": reps,
+                "agg": agg,
+                "spread_ratio": round(max(reps) / max(min(reps), 1e-3), 2),
+            }
+        print(f"# {name}: {n} rows in {val}s ({agg} of {repeats}: {reps})", file=sys.stderr)
         return n
 
     try:
@@ -231,15 +244,18 @@ def main() -> None:
                     errors[f"skyline_anti_{d}d_1m"] = traceback.format_exc(limit=6)
                     continue
                 dims = [f"v{i}" for i in range(d)]
-                # best-of-3: the box's run-to-run variance on this shape is
-                # 2-5x (measured 6-rep spreads of 1.8-11.8 s at IDENTICAL
+                # median-of-5: the box's run-to-run variance on this shape
+                # is 2-5x (measured 6-rep spreads of 1.8-11.8 s at IDENTICAL
                 # code across two rounds' commits) — with the pre-timing
-                # worker warm-up absorbing cold start, a third rep cuts the
-                # odds of recording a doubly-unlucky minimum at ~2 s cost
+                # worker warm-up absorbing cold start, the median of five
+                # reps is a stable round-over-round comparator where
+                # best-of-3 still swung 2.45x (round-9 verdict item 5);
+                # the full rep list lands in BENCH_DETAIL's spreads block
                 n_timed = timed(
                     f"skyline_anti_{d}d_1m",
                     lambda df=df, dims=dims: skyline(df, dims).count(),
-                    repeats=3,
+                    repeats=5,
+                    agg="median",
                 )
                 # Correctness loop-closure: the 1M shapes are timed at a
                 # size the sf0.01 oracle never sees, so re-verify the WHOLE
@@ -337,6 +353,7 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "scaling": scaling,
+            "spreads": spreads,
         }
         if errors:
             detail["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
