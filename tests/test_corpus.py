@@ -41,6 +41,13 @@ def con():
 def test_query_matches_oracle(spark, con, name):
     spec = corpus.REGISTRY[name]
     sdf = spec.fn(spark, SF)
+    # Universal anti-pattern sweep, piggybacked where every registered
+    # query is already built: a shuffled cartesian over data is never the
+    # intended shape anywhere in the corpus (1-row scalar assemblies
+    # compile to BroadcastNestedLoopJoin, which specific plan tests pin
+    # per query).  tests/test_plans.py's completeness ratchet records
+    # which queries additionally carry a query-specific shape pin.
+    assert "CartesianProduct" not in sdf._jdf.queryExecution().executedPlan().toString()
     srows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
         assert srows is not None  # rows-only smoke

@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from query_skyline_qos_flink_spark.plans import corpus, pipeline, relational  # noqa: F401
+from query_skyline_qos_flink_spark.plans import (  # noqa: F401
+    corpus,
+    pipeline,
+    relational,
+    streaming_replay,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -641,3 +646,115 @@ def test_labelprop_argmax_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# Test-to-registry completeness ratchet
+# ---------------------------------------------------------------------------
+
+# Every registered query must either carry a query-specific plan pin here
+# (a `_plan(spark, "<name>")` assertion) or appear below with the reason
+# its shape is gated elsewhere.  The ratchet fails loud BOTH ways: a new
+# registration with neither forces a conscious decision, and a stale
+# exemption (a name that gains a pin, or leaves the registry) must be
+# removed.  Every registered query — pinned or exempt — additionally runs
+# the universal no-CartesianProduct sweep in tests/test_corpus.py.
+_STREAMING = (
+    "streaming-replay query: the batch-facing plan is a memory-sink read; "
+    "the in-stream shape (state store, watermark, dedup operator) is gated "
+    "by tests/test_pipeline_streaming.py / test_streaming*.py"
+)
+_FAMILY_REP = (
+    "same operator code path as a pinned family representative "
+    "(s1 scan-prune/broadcast-verify, s7 pushdown, s22/s27-s31/s34 pinned "
+    "individually; two-phase strategies share the skyline_with_pid plan "
+    "pinned via s9_twophase_dim's m2 stats twin and test_skyline_op.py)"
+)
+_SCAN_AGG = (
+    "map-only column expressions and/or one partially-aggregated groupBy "
+    "riding the scan — no join strategy to pin beyond the universal "
+    "no-cartesian sweep (test_corpus) and the scan-pruning conftest checks"
+)
+_OP_LEVEL = (
+    "shape pinned at operator level (the registered plan ends in a "
+    "localCheckpoint scan or the stage is built directly): see "
+    "test_pipeline_ops.py / test_prefix.py / test_joins.py / "
+    "test_bloom.py / test_skyline_op.py plan assertions"
+)
+_SQL_SURFACE = (
+    "relational SQL-surface query where the Catalyst-chosen strategy IS "
+    "the intended plan (grouping sets / windows / setops / pivot compile "
+    "to canonical shapes); covered by the universal no-cartesian sweep"
+)
+PLAN_PIN_EXEMPT = {
+    # streaming replay family
+    **{n: _STREAMING for n in (
+        "s11_stream_replay", "s12_stream_replay_3d", "s13_stream_window",
+        "s14_stream_dedup", "s15_stream_join", "s16_stream_session",
+        "s17_stream_static_dedup", "s18_stream_upsert",
+        "s19_stream_interval_join", "s20_stream_dedup_watermark",
+        "s21_stream_scrub", "s25_stream_skyband", "s32_stream_cdc_dedup",
+        "s35_stream_cdc_watermark",
+    )},
+    # skyline family representatives carry the pins
+    **{n: _FAMILY_REP for n in (
+        "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
+        "s5_skyline_part", "s6_skyline_events_ts", "s8_skyline_groupwise",
+        "s9_twophase_angle", "s9_twophase_dim", "s9_twophase_grid",
+        "s10_snapshot_10000", "s24_dynamic_skyline", "s26_skycube",
+        "m1_partition_stats", "m2_strategy_stats",
+    )},
+    # relational SQL surface
+    **{n: _SQL_SURFACE for n in (
+        "r1_agg_pricing_summary", "r3_window_running", "r4_semi_anti_join",
+        "r5_rollup_counts", "r6_orders_by_year", "r7_json_extract",
+        "r8_setops_nations", "r10_percentiles", "r17_pivot_priority",
+        "r18_ntile_deciles", "r19_range_frame", "r20_recursive_cte",
+        "r21_unpivot_measures",
+    )},
+    # operator-level plan assertions gate the real stage
+    **{n: _OP_LEVEL for n in (
+        "r11_asof_join", "r12_range_join",  # test_joins.py pins as-of/range
+        "x_bloom_prune_semi",  # test_bloom.py pins the bloom-semi shape
+        "x_corpus_shuffle", "x_seq_packing",  # test_prefix.py bucketed rank
+        "x_cosine_neardup",  # bucketed-pairs plan pin, test_pipeline_ops:236
+        "x_dedup_clusters", "x_dedup_clusters_lsh", "x_dedup_sweep",
+        "x_bpe_train_k",  # CC/BPE loops end in checkpoint scans; stage +
+        # storage-release contracts in test_pipeline_ops/test_caching
+        "x_triangle_count",  # orientation join shape, test_pipeline_ops
+        "e1_dedup_exact",  # exact_dedup no-window contract, test_pipeline_ops
+    )},
+    # scan + partial-agg shapes (no join to pin)
+    **{n: _SCAN_AGG for n in (
+        "e3_text_stats", "x_ann_blocked", "x_ann_multiprobe",
+        "x_audio_features", "x_bigram_lm_score", "x_clean_text",
+        "x_contamination", "x_dedup_normalized", "x_doc_chunks",
+        "x_domain_stats", "x_embed_quantize8", "x_fuzzy_match",
+        "x_gif_frame_colors", "x_heavy_hitters", "x_histogram",
+        "x_image_ahash_dedup", "x_jpeg_ahash_dedup", "x_kmv_distinct",
+        "x_knn_int8_rerank", "x_langid", "x_minhash_lsh_pairs",
+        "x_multimodal_frames", "x_multimodal_meta", "x_pattern_counts",
+        "x_profile_columns", "x_repetition", "x_sample_stratified",
+        "x_simhash_pairs", "x_snapshot_diff", "x_text_quality",
+        "x_tfidf_topterms", "x_token_stats", "x_train_test_split",
+        "x_winnow_pairs", "x_zorder_stats",
+    )},
+}
+
+
+def test_every_registered_query_plan_pinned_or_exempt():
+    import re
+
+    src = open(__file__).read()
+    pinned = set(re.findall(r'_plan\(spark,\s*"([a-z0-9_]+)"', src))
+    registered = set(corpus.REGISTRY)
+    missing = sorted(registered - pinned - set(PLAN_PIN_EXEMPT))
+    assert not missing, (
+        f"registered queries with neither a _plan pin in test_plans.py nor "
+        f"a PLAN_PIN_EXEMPT entry: {missing} — add a plan-shape test or an "
+        "exemption with the reason its shape is gated elsewhere"
+    )
+    stale = sorted(set(PLAN_PIN_EXEMPT) - registered)
+    assert not stale, f"PLAN_PIN_EXEMPT names not in the registry: {stale}"
+    double = sorted(set(PLAN_PIN_EXEMPT) & pinned)
+    assert not double, f"exempt AND pinned (drop the exemption): {double}"
