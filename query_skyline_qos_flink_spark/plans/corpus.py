@@ -839,6 +839,7 @@ pairs AS (
           FROM (SELECT unnest(q.qe) AS a, unnest(e.embedding) AS b) x) AS dist
   FROM q, embeddings e
   WHERE e.vec_id <> q.q_id AND len(q.qe) = len(e.embedding)
+    AND len(e.embedding) > 0
     AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
     AND len(list_filter(q.qe, x -> x IS NULL)) = 0
 ),
@@ -868,14 +869,17 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         # Pairs that cannot have a well-defined distance never rank.
-        # Three hostile-but-legal cases, each needing its own clause:
+        # Four hostile-but-legal cases, each needing its own clause:
         # NULL vector (size() is NULL -> predicate false), ragged pair
-        # (sizes differ), and equal-length vector with a NULL COMPONENT —
+        # (sizes differ), equal-length vector with a NULL COMPONENT —
         # the fold yields NULL dist, which Spark's ASC window ranks FIRST
         # while DuckDB's unnest-sum skips the term and ranks it by a
-        # fabricated real distance.  Oracle carries the same three
-        # predicates.
+        # fabricated real distance — and an EMPTY-EMPTY pair, where the
+        # fold returns its 0.0 init (ranks first) while the oracle's sum
+        # over an empty unnest is NULL (ranks last).  Oracle carries the
+        # same four predicates.
         .where(F.size("qe") == F.size("embedding"))
+        .where(F.size("embedding") > 0)
         .where(~F.exists("embedding", lambda x: x.isNull()))
         .where(~F.exists("qe", lambda x: x.isNull()))
         .select(

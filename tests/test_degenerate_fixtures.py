@@ -49,7 +49,13 @@ def _degen_embeddings():
         (2, normal, 1),
         (3, [-v for v in normal], 1),
         (4, None, 2),               # NULL vector
-        (5, [], 2),                 # empty array
+        # TWO empty arrays, one on e2's query side (vec_id <= 5): an
+        # empty-EMPTY pair has equal lengths, so without a size>0 clause
+        # Spark's fold returns its 0.0 init (ranks FIRST) while the
+        # oracle's sum over an empty unnest is NULL (ranks LAST) — the
+        # pair must be excluded by the validity domain on both engines
+        (5, [], 2),                 # empty array (query side)
+        (11, [], 2),                # empty array (corpus side)
         (6, [float(i) / _DIM for i in range(_DIM)], 3),
         (7, [float("nan")] + [0.2] * (_DIM - 1), 3),   # NaN component
         (8, [0.1] * (_DIM + 16), 4),    # ragged: longer than the corpus dim
