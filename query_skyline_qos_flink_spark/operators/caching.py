@@ -110,7 +110,34 @@ def release_local_checkpoint(df: DataFrame | None) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRDD":
+            _warn_release_unavailable(
+                f"analyzed plan is {plan.getClass().getSimpleName()}, not LogicalRDD"
+            )
             return
         plan.rdd().unpersist(False)
-    except Exception:  # pragma: no cover - Connect / stopped session
-        pass
+    except Exception as exc:  # pragma: no cover - Connect / stopped session
+        _warn_release_unavailable(repr(exc))
+
+
+_RELEASE_WARNED = False
+
+
+def _warn_release_unavailable(why: str) -> None:
+    """One-time observability for the guarded internal-API path: when the
+    LogicalRDD fast-release is unavailable (Spark Connect, a future plan
+    shape), every iterative operator silently reverts to O(rounds)
+    executor-storage growth — surface that regression once instead of
+    letting it hide behind the graceful degrade."""
+    global _RELEASE_WARNED
+    if _RELEASE_WARNED:
+        return
+    _RELEASE_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "release_local_checkpoint could not free checkpoint storage "
+        f"({why}); iterative operators will grow executor storage by one "
+        "checkpoint per round until the ContextCleaner catches up",
+        RuntimeWarning,
+        stacklevel=3,
+    )

@@ -135,6 +135,19 @@ def _write_replay_split(
                 for c in order_cols
             ]
         )
+        # `key <= boundary` reproduces the exact ceil(0.8 n) membership
+        # ONLY under a total order: a duplicated boundary key would
+        # silently pull every tie into batch 0 and shift the split.  The
+        # callers all pass unique keys by contract — enforce it (one
+        # count over the boundary key, pushdown-friendly) so a future
+        # non-unique caller fails fast instead of diverging.
+        n_at_boundary = df.where(key == lit).count()
+        if n_at_boundary != 1:
+            raise ValueError(
+                f"{name} replay order_cols={order_cols} is not a total "
+                f"order: boundary {tuple(boundary)} matches "
+                f"{n_at_boundary} rows — pass a unique key"
+            )
         slices = [df.where(key <= lit), df.where(key > lit)]
     for i, s in enumerate(slices):
         _write_stream_file(

@@ -42,3 +42,26 @@ def test_default_scope_derived_from_caller(spark):
     scope = next(s for s, d in caching._ORDER if d is df)
     assert scope.endswith(":test_default_scope_derived_from_caller")
     assert scope.startswith("tests.test_caching") or scope.startswith("test_caching")
+
+
+def test_release_warns_once_when_fast_path_unavailable(spark):
+    """When the LogicalRDD fast-release is unavailable (Spark Connect, a
+    future plan shape), the degrade must be OBSERVABLE: one RuntimeWarning
+    the first time, silence after — never an error."""
+    import warnings
+
+    from query_skyline_qos_flink_spark.operators import caching
+
+    not_ckpt = spark.range(3)  # analyzed plan is Range, not LogicalRDD
+    old = caching._RELEASE_WARNED
+    caching._RELEASE_WARNED = False
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            caching.release_local_checkpoint(not_ckpt)
+            caching.release_local_checkpoint(not_ckpt)
+        runtime = [x for x in w if issubclass(x.category, RuntimeWarning)]
+        assert len(runtime) == 1  # once, not per call
+        assert "checkpoint storage" in str(runtime[0].message)
+    finally:
+        caching._RELEASE_WARNED = old

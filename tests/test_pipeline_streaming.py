@@ -116,3 +116,18 @@ def test_write_replay_split_membership_and_order(spark, tmp_path):
         assert not (tmp_path / "d2").exists()  # refused BEFORE writing
     finally:
         sr._MAX_REPLAY_ROWS = old_cap
+
+
+def test_write_replay_split_rejects_non_unique_boundary(spark, tmp_path):
+    """`key <= boundary` reproduces the ceil(0.8 n) membership only under
+    a total order: a duplicated boundary key would silently pull every
+    tie into batch 0.  A non-unique order key must fail fast instead."""
+    import pytest
+
+    from query_skyline_qos_flink_spark.plans import streaming_replay as sr
+
+    dup = spark.createDataFrame(
+        [(i // 2,) for i in range(10)], "k long"  # every key duplicated
+    )
+    with pytest.raises(ValueError, match="not a total order"):
+        sr._write_replay_split(dup, ["k"], str(tmp_path / "dup"), "csv", "unit")
