@@ -143,12 +143,16 @@ SCALING_QUERIES = {
 
 
 def final_line(total: float, sf, timings: dict[str, float],
-               errors: dict[str, str]) -> str:
+               errors: dict[str, str],
+               spreads: dict[str, dict] | None = None) -> str:
     """The driver-facing summary: ONE stdout JSON line <= _MAX_STDOUT_LINE.
 
     When the per-query map outgrows the budget, keep the slowest queries
     (the perf signal) and record how many were cut; the full map always
-    lives in BENCH_DETAIL.json + stderr.
+    lives in BENCH_DETAIL.json + stderr.  ``spreads`` contributes one
+    compact max/min ratio per multi-rep query so the round artifact
+    itself records the measured variance band (full rep lists stay in
+    BENCH_DETAIL's spreads block).
     """
     out = {
         "metric": "headline_suite_total",
@@ -157,6 +161,10 @@ def final_line(total: float, sf, timings: dict[str, float],
         "sf": sf,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
+    if spreads:
+        out["spread"] = {
+            k: v["spread_ratio"] for k, v in spreads.items() if v.get("agg") == "median"
+        }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(out, separators=(",", ":"))
@@ -370,7 +378,7 @@ def main() -> None:
             pass
         print("# detail: " + json.dumps(detail), file=sys.stderr)
         print(final_line(total, detail["sf"], timings,
-                         detail.get("errors", {})))
+                         detail.get("errors", {}), spreads))
     try:
         spark.stop()
     except Exception:

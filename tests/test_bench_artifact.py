@@ -49,3 +49,22 @@ def test_final_line_truncates_errors_only_run():
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
     assert parsed["errors"] and parsed["errors_omitted"] > 0
+
+
+def test_final_line_carries_trio_spreads_within_budget():
+    """The round artifact itself (the parsed stdout line) records the
+    measured variance band for the median-agg 1M trio — compact ratios
+    only; full rep lists live in BENCH_DETAIL."""
+    timings = {name: 1.234 for name in bench.CORPUS_QUERIES}
+    spreads = {
+        f"skyline_anti_{d}d_1m": {"reps_s": [1, 2, 3, 4, 5], "agg": "median",
+                                  "spread_ratio": 4.02}
+        for d in (2, 3, 4)
+    }
+    spreads["s1_skyline_2d"] = {"reps_s": [1, 1], "agg": "min", "spread_ratio": 1.0}
+    line = bench.final_line(sum(timings.values()), 0.1, timings, {}, spreads)
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert parsed["spread"] == {f"skyline_anti_{d}d_1m": 4.02 for d in (2, 3, 4)}
+    # min-agg (best-of-2 steady-state) queries stay out of the compact map
+    assert "s1_skyline_2d" not in parsed["spread"]
