@@ -42,14 +42,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
 _ROTATED_FOR = 10
-# Round-10 window: the 46 round-7-gated entries not in the round-9 window
+# Round-10 window: the round-7-gated entries not in the round-9 window
 # hit the hard staleness bound this round and take the front.  Computed
-# MECHANICALLY from CORRECTNESS_r0*.json at round-9 end (latest driver
-# row == round 7 for exactly these 46; the one round-6 row is the retired
-# pytest-only anchor x_cosine_neardup_exact).  The 4 fill slots go to
-# round-8-gated entries whose plans this round touches (dedup/LSH and
-# graph families get the cooccurrence group cap + LSH-fed dedup-clusters
-# work); round-10 newborns swap into the fill slots as they land.
+# MECHANICALLY from CORRECTNESS_r0*.json at round-9 end: latest driver
+# row == round 7 for exactly 46 entries (the one round-6 row is the
+# retired pytest-only anchor x_cosine_neardup_exact); ONE of the 46
+# (s10_snapshot_1000) was itself retired to a pytest-only anchor this
+# round, so the front block holds the remaining 45.  The 5 fill slots
+# go to round-8-gated entries whose plans this round touches (dedup/LSH
+# and graph families get the cooccurrence group cap + LSH-fed
+# dedup-clusters work); round-10 newborns swap into the fill slots as
+# they land.
 _DRIVER_PRIORITY = [
     # stale: last driver row round 7, skipped rounds 8-9 at the bound
     "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
@@ -73,12 +76,12 @@ _DRIVER_PRIORITY = [
     "x_url_dedup",
     # round-8-gated fills whose plans this round touches (cooccurrence
     # group cap -> x_triangle_count; LSH-fed dedup-clusters ->
-    # x_minhash_lsh_pairs / x_cdc_dedup / x_ann_ivf / x_semantic_dedup)
-    # — fresh rows re-prove the unchanged oracle hashes.  Two of the
-    # planned fills (s10_snapshot_1000, x_dup_cluster_sizes) were
-    # retired to pytest-only anchors this round, freeing their slots.
-    # Round-10 newborns swap into these slots as they land; displaced
-    # fills simply rejoin the round-11 must-gates.
+    # x_minhash_lsh_pairs / x_cdc_dedup / x_semantic_dedup) — fresh rows
+    # re-prove the unchanged oracle hashes.  Two retirements freed
+    # window slots this round: s10_snapshot_1000 (a must-front entry,
+    # shrinking the front block 46 -> 45) and x_dup_cluster_sizes (a
+    # planned fill).  Round-10 newborns swap into fill slots as they
+    # land; displaced fills simply rejoin the round-11 must-gates.
     "x_triangle_count", "x_minhash_lsh_pairs", "x_semantic_dedup",
     "x_cdc_dedup",
     # round-10 newborn (swapped into the last fill slot; the displaced

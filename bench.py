@@ -177,6 +177,12 @@ def final_line(total: float, sf, timings: dict[str, float],
             out["errors"] = dict(list(out["errors"].items())[:5])
             out["errors_omitted"] = len(errors) - 5
         line = json.dumps(out, separators=(",", ":"))
+    # spread is the only other unbounded field: if trimming queries alone
+    # could not fit the budget, drop it whole (full rep lists live in
+    # BENCH_DETAIL) before touching the error map
+    if len(line) > _MAX_STDOUT_LINE and "spread" in out:
+        del out["spread"]
+        line = json.dumps(out, separators=(",", ":"))
     # an all-queries-failed run has timings == {} and the loop above never
     # fires — the errors map alone must not outgrow the capture either
     while len(line) > _MAX_STDOUT_LINE and len(out.get("errors", {})) > 1:

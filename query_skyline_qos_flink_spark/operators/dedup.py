@@ -44,6 +44,30 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return null_safe_semi_join(df, keep, eq_cols=[id_col], null_safe_cols=key_cols)
 
 
+def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """The hot-key valve, ONE copy: drop every row whose key appears in
+    more than ``cap`` rows of ``df`` — a pre-aggregated (key, count) plus
+    a left-semi join, so the extra shuffle carries only the key
+    dictionary, never the payload.  ``None`` keeps everything.
+
+    This is the shared guard for every quadratic-in-group-size self-join
+    in the engine: shingle posting lists (``max_df``), winnowing
+    fingerprints (``max_df``), LSH band buckets (``max_band_df``), and
+    co-occurrence groups (``max_items_per_group`` in operators/graph.py).
+    The justification is the same everywhere: a key shared by F rows
+    costs F^2/2 join rows, and ubiquitous keys (boilerplate, mega-groups)
+    carry no per-pair signal worth that cost."""
+    if cap is None:
+        return df
+    ok = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= cap)
+        .select(*key_cols)
+    )
+    return df.join(ok, key_cols, "left_semi")
+
+
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     # project to the two needed columns FIRST (don't cache a wide corpus),
     # then spread across cores: small doc tables often arrive as one input
@@ -92,14 +116,9 @@ def _jaccard_from_shingles(
     split out so eval compositions (lsh_recall_curve) can shingle ONCE and
     feed both the ground-truth and the candidate branch."""
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
-    posting = sh.select("__id", F.explode("__sh").alias("__s"))
-    if max_df is not None:
-        rare = (
-            posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("__s")
-        )
-        posting = posting.join(rare, "__s", "left_semi")
+    posting = drop_hot_keys(
+        sh.select("__id", F.explode("__sh").alias("__s")), ["__s"], max_df
+    )
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
@@ -177,14 +196,7 @@ def lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"__band{b}").alias("bk")) for b in range(bands)])
         ).alias("e"),
     ).select("__id", F.col("e.bi").alias("__bi"), F.col("e.bk").alias("__bk"))
-    if max_band_df is not None:
-        ok = (
-            melted.groupBy("__bi", "__bk")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_band_df)
-            .select("__bi", "__bk")
-        )
-        melted = melted.join(ok, ["__bi", "__bk"], "left_semi")
+    melted = drop_hot_keys(melted, ["__bi", "__bk"], max_band_df)
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -560,16 +572,10 @@ def winnow_pairs(
         k=k,
         w=w,
     )
-    post = fp.select("doc_id", F.explode("fps").alias("fp"))
-    if max_df is not None:
-        # fps are distinct per doc, so count(*) per fp == doc frequency
-        rare = (
-            post.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("fp")
-        )
-        post = post.join(rare, "fp", "left_semi")
+    # fps are distinct per doc, so count(*) per fp == doc frequency
+    post = drop_hot_keys(
+        fp.select("doc_id", F.explode("fps").alias("fp")), ["fp"], max_df
+    )
     a, b = post.alias("a"), post.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .caching import checkpoint_rotate as _ckpt_rotate
+from .dedup import drop_hot_keys
 
 
 def _undirected_adj(edges: DataFrame) -> DataFrame:
@@ -62,15 +63,11 @@ def cooccurrence_edges(
     the count shuffle carries only (group, n), never the items.  Default
     ``None`` keeps the operator oracle-exact for registered queries on
     the bounded fixtures."""
-    pairs = df.select(group_col, F.col(item_col).alias("lo")).distinct()
-    if max_items_per_group is not None:
-        ok = (
-            pairs.groupBy(group_col)
-            .agg(F.count(F.lit(1)).alias("_n_items"))
-            .where(F.col("_n_items") <= max_items_per_group)
-            .select(group_col)
-        )
-        pairs = pairs.join(ok, group_col, "left_semi")
+    pairs = drop_hot_keys(
+        df.select(group_col, F.col(item_col).alias("lo")).distinct(),
+        [group_col],
+        max_items_per_group,
+    )
     other = pairs.withColumnRenamed("lo", "hi")
     return (
         pairs.join(other, group_col)

@@ -115,8 +115,16 @@ def _write_replay_split(
     query is batch-membership-determined) but it keeps the files
     byte-stable across runs.  Returns the total row count, enforcing
     ``_MAX_REPLAY_ROWS`` before anything is written."""
+    # Request ranks k AND k+1 in the same bucket-pruned selection: the
+    # divergence condition for `key <= boundary` membership is exactly
+    # "the boundary key spills past rank k" (ties wholly inside batch 0
+    # are harmless — `<=` pulls precisely the first k rows then), and
+    # comparing the two picked rows detects it with zero extra jobs.
     picked, total = rows_at_global_ranks(
-        df, order_cols, lambda n: [-(-n * 8 // 10)], "__rn"
+        df,
+        order_cols,
+        lambda n: [-(-n * 8 // 10), -(-n * 8 // 10) + 1],
+        "__rn",
     )
     if total > _MAX_REPLAY_ROWS:
         raise RuntimeError(
@@ -124,10 +132,22 @@ def _write_replay_split(
             f"{_MAX_REPLAY_ROWS} rows (got {total}); run it at a smaller sf"
         )
     os.makedirs(data_dir, exist_ok=True)
-    boundary = picked.select(*order_cols).first()
+    k = -(-total * 8 // 10)
+    by_rank = {r["__rn"]: r for r in picked.collect()}
+    boundary, after = by_rank.get(k), by_rank.get(k + 1)
     if boundary is None:  # empty fixture: one (possibly empty) batch
         slices = [df, df.limit(0)]
     else:
+        if after is not None and all(
+            after[c] == boundary[c] for c in order_cols
+        ):
+            raise ValueError(
+                f"{name} replay order_cols={order_cols} is not a total "
+                f"order at the split: the boundary key "
+                f"{tuple(boundary[c] for c in order_cols)} extends past "
+                f"rank {k}, which would pull its ties into batch 0 — "
+                "pass a unique key"
+            )
         key = F.struct(*[F.col(c) for c in order_cols])
         lit = F.struct(
             *[
@@ -135,19 +155,6 @@ def _write_replay_split(
                 for c in order_cols
             ]
         )
-        # `key <= boundary` reproduces the exact ceil(0.8 n) membership
-        # ONLY under a total order: a duplicated boundary key would
-        # silently pull every tie into batch 0 and shift the split.  The
-        # callers all pass unique keys by contract — enforce it (one
-        # count over the boundary key, pushdown-friendly) so a future
-        # non-unique caller fails fast instead of diverging.
-        n_at_boundary = df.where(key == lit).count()
-        if n_at_boundary != 1:
-            raise ValueError(
-                f"{name} replay order_cols={order_cols} is not a total "
-                f"order: boundary {tuple(boundary)} matches "
-                f"{n_at_boundary} rows — pass a unique key"
-            )
         slices = [df.where(key <= lit), df.where(key > lit)]
     for i, s in enumerate(slices):
         _write_stream_file(

@@ -68,3 +68,20 @@ def test_final_line_carries_trio_spreads_within_budget():
     assert parsed["spread"] == {f"skyline_anti_{d}d_1m": 4.02 for d in (2, 3, 4)}
     # min-agg (best-of-2 steady-state) queries stay out of the compact map
     assert "s1_skyline_2d" not in parsed["spread"]
+
+
+def test_final_line_drops_spread_before_busting_budget():
+    """spread is the only other unbounded field — a pathological spread
+    map must be dropped whole (BENCH_DETAIL keeps the data) rather than
+    ship an over-budget line the driver would truncate mid-JSON."""
+    timings = {f"x_query_with_a_rather_long_name_{i:03d}": float(i) for i in range(200)}
+    spreads = {
+        f"x_query_with_a_rather_long_name_{i:03d}": {
+            "reps_s": [1], "agg": "median", "spread_ratio": 1.23}
+        for i in range(200)
+    }
+    errors = {f"err_{i}": "Traceback: " + "x" * 500 for i in range(40)}
+    line = bench.final_line(sum(timings.values()), 0.1, timings, errors, spreads)
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert "spread" not in parsed  # dropped whole, JSON stays parseable

@@ -118,16 +118,29 @@ def test_write_replay_split_membership_and_order(spark, tmp_path):
         sr._MAX_REPLAY_ROWS = old_cap
 
 
-def test_write_replay_split_rejects_non_unique_boundary(spark, tmp_path):
-    """`key <= boundary` reproduces the ceil(0.8 n) membership only under
-    a total order: a duplicated boundary key would silently pull every
-    tie into batch 0.  A non-unique order key must fail fast instead."""
+def test_write_replay_split_rejects_boundary_tie_spill(spark, tmp_path):
+    """`key <= boundary` reproduces the ceil(0.8 n) membership unless the
+    boundary key spills past rank k (its ties would be pulled into batch
+    0) — that exact condition must fail fast, detected for free from the
+    rank-k/rank-k+1 selection.  Ties wholly INSIDE batch 0 are benign
+    and must still split exactly."""
+    import os as _os
+
     import pytest
 
     from query_skyline_qos_flink_spark.plans import streaming_replay as sr
 
-    dup = spark.createDataFrame(
-        [(i // 2,) for i in range(10)], "k long"  # every key duplicated
+    # 10 rows, k = 8: ranks 8 and 9 share key 9 -> boundary spills
+    spill = spark.createDataFrame(
+        [(k,) for k in [1, 2, 3, 4, 5, 6, 7, 9, 9, 9]], "k long"
     )
-    with pytest.raises(ValueError, match="not a total order"):
-        sr._write_replay_split(dup, ["k"], str(tmp_path / "dup"), "csv", "unit")
+    with pytest.raises(ValueError, match="not a total order at the split"):
+        sr._write_replay_split(spill, ["k"], str(tmp_path / "dup"), "csv", "unit")
+
+    # duplicates below the boundary: rank 8 = key 3, rank 9 = key 4 ->
+    # `<= 3` pulls exactly the first 8 rows; the split must succeed
+    benign = spark.createDataFrame([(i // 2,) for i in range(10)], "k long")
+    d = str(tmp_path / "benign")
+    assert sr._write_replay_split(benign, ["k"], d, "csv", "unit") == 10
+    with open(_os.path.join(d, "f0.csv")) as f:
+        assert len(f.read().splitlines()) == 8  # exact ceil(0.8 n) membership
