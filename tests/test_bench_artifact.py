@@ -85,3 +85,14 @@ def test_final_line_drops_spread_before_busting_budget():
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
     assert "spread" not in parsed  # dropped whole, JSON stays parseable
+
+
+def test_bench_query_lists_resolve_in_registry():
+    """Retiring a query must not leave a dangling name in bench's suite or
+    scaling lists (the x_knn_int8 retirement briefly did): every name
+    must resolve in the live registry at import time, not at bench time."""
+    from query_skyline_qos_flink_spark.plans import corpus
+
+    missing = [n for n in bench.CORPUS_QUERIES if n not in corpus.REGISTRY]
+    missing += [n for n in bench.SCALING_QUERIES if n not in corpus.REGISTRY]
+    assert not missing, f"bench references unregistered queries: {missing}"
