@@ -773,3 +773,43 @@ def test_prob_skyline_includes_objects_rounding_up_to_threshold(spark):
     df = spark.createDataFrame(pdf)
     out = {r.obj: r.p_r for r in prob_skyline(df, ["v0", "v1"], ["obj"], 0.666667).collect()}
     assert out.get(1) == 0.666667, out
+
+
+def test_chunked_broadcast_verify_matches_bounded_path(spark):
+    """Survivor volumes past _VERIFY_MAX_ROWS take the chunked distributed
+    merge (hash-chunk the candidates, one broadcast-verify pass per
+    chunk) instead of a single-task merge: forcing a tiny bound must
+    reproduce the bounded path's skyline EXACTLY, row for row."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+    from query_skyline_qos_flink_spark.sources.generators import points
+
+    df = points(spark, 50_000, 3, "anti_correlated", domain=10000, seed=7)
+    full = sorted(tuple(r) for r in sky.skyline(df, ["v0", "v1", "v2"]).collect())
+    old = sky._VERIFY_MAX_ROWS
+    try:
+        sky._VERIFY_MAX_ROWS = 500  # survivors >> 500 -> chunked path
+        chunked = sorted(
+            tuple(r) for r in sky.skyline(df, ["v0", "v1", "v2"]).collect()
+        )
+    finally:
+        sky._VERIFY_MAX_ROWS = old
+    assert len(full) > 500  # the forced bound actually engaged the path
+    assert chunked == full
+
+
+def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
+    """All-duplicate dim rows hash to ONE chunk (every other chunk empty):
+    the strict test must keep every tie (duplicate-retention policy) and
+    an empty reference chunk must be a no-op, not a crash."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    dup = spark.createDataFrame(
+        [(i, 1.0, 2.0) for i in range(2000)], "id long, a double, b double"
+    )
+    old = sky._VERIFY_MAX_ROWS
+    try:
+        sky._VERIFY_MAX_ROWS = 100
+        out = sky._merge_survivors(dup, ["a", "b"])
+        assert out.count() == 2000
+    finally:
+        sky._VERIFY_MAX_ROWS = old
