@@ -458,10 +458,15 @@ def skyband(
       for true members; for false survivors the same count certifies
       exclusion (B3: at least k of their dominators are in the union).
 
-    The candidate set is bounded by the same ``_VERIFY_MAX_ROWS`` guard
-    as the skyline merge; unlike the skyline there is no tree-merge
-    fallback (dominator COUNTS don't tree-merge), so a pathological band
-    raises rather than silently degrading."""
+    The candidate set is bounded by the ``_VERIFY_MAX_ROWS`` broadcast
+    guard; unlike the skyline there is no tree-merge fallback (dominator
+    COUNTS don't tree-merge), but counts ARE additive over a partition
+    of the candidate union, so volumes past the bound take a chunked
+    counting pipeline (one pass per <=bound-size hash-chunk of the
+    union, running counts accumulated across passes, rows early-dropped
+    the moment their running count reaches ``k`` — counts only grow).
+    Only a union past ``32 x _VERIFY_MAX_ROWS`` (where the stacked chunk
+    broadcasts would stop being a rounding error) still raises."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from .skyline_kernel import _count_dominators_vs, skyband_mask
@@ -527,9 +532,8 @@ def skyband(
     phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
     n = phase1.count()
     if n > _VERIFY_MAX_ROWS:
-        raise ValueError(
-            f"skyband: candidate union has {n} rows (> {_VERIFY_MAX_ROWS}); "
-            "raise k selectivity or partition count"
+        return _chunked_skyband_verify(
+            phase1, prep_cols, k, count_col, out_cols, n
         )
     spark = phase1.sparkSession
     cand_pdf = phase1.select(*prep_cols).toPandas()
@@ -555,6 +559,75 @@ def skyband(
                 yield out
 
     return phase1.mapInPandas(verify, schema=schema).select(*out_cols, count_col)
+
+
+def _chunked_skyband_verify(
+    phase1: DataFrame,
+    prep_cols: list[str],
+    k: int,
+    count_col: str,
+    out_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """Skyband verification for candidate unions past the broadcast bound:
+    dominator counts are ADDITIVE over a partition of the union, so the
+    counting scan becomes one chained pass per ``<= _VERIFY_MAX_ROWS``-row
+    hash-chunk of the candidates, each pass adding that chunk's dominator
+    counts to the running column and dropping rows the moment the running
+    count reaches ``k`` (counts only grow, so the early drop is exact —
+    B3 certifies such rows are excluded either way).
+
+    The passes chain LAZILY into one streaming mapInPandas pipeline: no
+    intermediate materialization, each worker holds the chunk arrays
+    (total = the whole candidate dim-matrix, n x d doubles) plus one
+    Arrow batch.  That stacked-broadcast total is the scale bound, so a
+    union past ``_TREE_FANOUT x _VERIFY_MAX_ROWS`` rows (~12.8M, >3 GB
+    of float64 matrices per worker at d=4) still raises — at that band
+    volume the query itself is mis-specified (raise k selectivity or
+    pre-filter)."""
+    if n > _TREE_FANOUT * _VERIFY_MAX_ROWS:
+        raise ValueError(
+            f"skyband: candidate union has {n} rows "
+            f"(> {_TREE_FANOUT * _VERIFY_MAX_ROWS}); raise k selectivity "
+            "or partition count"
+        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .skyline_kernel import _count_dominators_vs
+
+    spark = phase1.sparkSession
+    n_chunks = -(-n // _VERIFY_MAX_ROWS)
+    chunk_expr = F.pmod(
+        F.hash(*[F.col(c) for c in prep_cols]), F.lit(n_chunks)
+    )
+    schema = StructType(
+        list(phase1.schema.fields) + [StructField(count_col, LongType())]
+    )
+    cur = phase1
+    for i in range(n_chunks):
+        ref_pdf = (
+            phase1.where(chunk_expr == i).select(*prep_cols).toPandas()
+        )
+        arr = np.ascontiguousarray(ref_pdf.to_numpy(dtype=np.float64))
+        bc = spark.sparkContext.broadcast(arr)
+
+        def count_pass(
+            batches: Iterator[pd.DataFrame], bc=bc, first=(i == 0)
+        ) -> Iterator[pd.DataFrame]:
+            ref = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+                add = _count_dominators_vs(pts, ref)
+                out = pdf.copy()
+                out[count_col] = add if first else out[count_col].to_numpy() + add
+                out = out.loc[out[count_col] < k]
+                if not out.empty:
+                    yield out
+
+        cur = cur.mapInPandas(count_pass, schema=schema)
+    return cur.select(*out_cols, count_col)
 
 
 def _keyed_candidates(spark, cand_tbl) -> DataFrame:

@@ -813,3 +813,35 @@ def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
         assert out.count() == 2000
     finally:
         sky._VERIFY_MAX_ROWS = old
+
+
+def test_chunked_skyband_counts_match_bounded_path(spark):
+    """Candidate unions past _VERIFY_MAX_ROWS take the chunked counting
+    pipeline (dominator counts are additive over a partition of the
+    union; rows early-drop at running count >= k).  A forced tiny bound
+    must reproduce the bounded path's band AND exact dominator counts
+    row for row; a union past _TREE_FANOUT x bound still raises."""
+    import pytest
+
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+    from query_skyline_qos_flink_spark.sources.generators import points
+
+    df = points(spark, 60_000, 3, "anti_correlated", domain=10000, seed=11)
+    full = sorted(tuple(r) for r in sky.skyband(df, ["v0", "v1", "v2"], k=3).collect())
+    old = sky._VERIFY_MAX_ROWS
+    try:
+        sky._VERIFY_MAX_ROWS = 1000  # union ~24.7k -> 25 chunks
+        chunked = sorted(
+            tuple(r) for r in sky.skyband(df, ["v0", "v1", "v2"], k=3).collect()
+        )
+    finally:
+        sky._VERIFY_MAX_ROWS = old
+    assert len(full) > 1000  # the forced bound actually engaged the path
+    assert chunked == full  # membership AND counts identical
+
+    try:
+        sky._VERIFY_MAX_ROWS = 10  # fanout cap: 32 x 10 << union
+        with pytest.raises(ValueError, match="candidate union"):
+            sky.skyband(df, ["v0", "v1", "v2"], k=3).count()
+    finally:
+        sky._VERIFY_MAX_ROWS = old
