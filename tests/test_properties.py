@@ -188,3 +188,52 @@ def test_kdominant_kernel_properties(rows, k):
     brute = kdominant_mask_brute(pts, kk)
     assert ((counts == 0) == brute).all()
     assert (kdominant_mask_brute(pts, d) == skyline_mask_brute(pts)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(points_strategy, st.integers(min_value=1, max_value=6))
+def test_chunked_dominated_filter_equals_single_pass(rows, n_chunks):
+    """The fact _chunked_broadcast_verify (operators/skyline.py) relies
+    on: progressively filtering candidates against an arbitrary partition
+    of the reference set (logical AND across chunks) equals one pass
+    against the whole reference — strict dominance is a set property."""
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        dominated_mask_vs_sorted,
+    )
+
+    pts = np.asarray(rows, dtype=np.float64)
+
+    def dominated_by(cand, ref):
+        if ref.shape[0] == 0 or cand.shape[0] == 0:
+            return np.zeros(cand.shape[0], dtype=bool)
+        rs = ref.sum(axis=1)
+        order = np.argsort(rs, kind="stable")
+        return dominated_mask_vs_sorted(
+            cand, cand.sum(axis=1), ref[order], rs[order]
+        )
+
+    single = pts[~dominated_by(pts, pts)]
+    assign = np.arange(len(pts)) % n_chunks
+    cur = pts
+    for c in range(n_chunks):
+        ref = pts[assign == c]
+        cur = cur[~dominated_by(cur, ref)]
+    assert sorted(map(tuple, cur)) == sorted(map(tuple, single))
+
+
+@settings(max_examples=50, deadline=None)
+@given(points_strategy, st.integers(min_value=1, max_value=6))
+def test_dominator_counts_additive_over_reference_partition(rows, n_chunks):
+    """The fact _chunked_skyband_verify relies on: dominator counts sum
+    exactly across any partition of the reference set."""
+    from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+        _count_dominators_vs,
+    )
+
+    pts = np.asarray(rows, dtype=np.float64)
+    whole = _count_dominators_vs(pts, pts)
+    assign = np.arange(len(pts)) % n_chunks
+    partial = np.zeros(len(pts), dtype=np.int64)
+    for c in range(n_chunks):
+        partial += _count_dominators_vs(pts, pts[assign == c])
+    assert (partial == whole).all()
