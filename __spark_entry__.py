@@ -41,60 +41,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 10
-# Round-10 window: the round-7-gated entries not in the round-9 window
-# hit the hard staleness bound this round and take the front.  Computed
-# MECHANICALLY from CORRECTNESS_r0*.json at round-9 end: latest driver
-# row == round 7 for exactly 46 entries (the one round-6 row is the
-# retired pytest-only anchor x_cosine_neardup_exact); ONE of the 46
-# (s10_snapshot_1000) was itself retired to a pytest-only anchor this
-# round, so the front block holds the remaining 45.  The 5 fill slots
-# go to round-8-gated entries whose plans this round touches (dedup/LSH
-# and graph families get the cooccurrence group cap + LSH-fed
-# dedup-clusters work); round-10 newborns swap into the fill slots as
-# they land.
+_ROTATED_FOR = 11
+# Round-11 window: the 44 entries whose latest driver row is round 8
+# (computed MECHANICALLY from CORRECTNESS_r0*.json at round-10 end;
+# matches the round-10 verdict's own mechanical count) hit the hard
+# staleness bound and take the front.  The 6 fill slots go to
+# round-9-gated entries whose plans this round touches: the multimodal
+# decode family (the 4:2:0 / progressive JPEG codec work lands in
+# operators/multimodal.py, so x_image_ahash_dedup /
+# x_image_neardup_pairs / x_image_resize / x_multimodal_meta /
+# x_gif_frame_colors re-prove the decode plumbing) and
+# s25_stream_skyband (the skyband chunked-merge de-skew).  Round-11
+# newborns swap into fill slots as they land; displaced fills rejoin
+# the round-12 must-gates.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 7, skipped rounds 8-9 at the bound
-    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
-    "m1_partition_stats",
-    "r3_window_running", "r4_semi_anti_join", "r7_json_extract",
-    "r9_sessionize", "r10_percentiles", "r11_asof_join",
-    "r12_range_join", "r13_regional_revenue", "r14_subquery_avg",
-    "r20_recursive_cte", "r21_unpivot_measures",
-    "s1_skyline_2d", "s2_skyline_maxdir", "s3_skyline_3d",
-    "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
-    "s7_skyline_filtered", "s8_skyline_groupwise",
-    "s9_twophase_angle", "s9_twophase_dim", "s9_twophase_grid",
-    "s10_snapshot_10000",
-    "s14_stream_dedup", "s15_stream_join", "s18_stream_upsert",
-    "s20_stream_dedup_watermark",
-    "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
-    "s26_skycube", "s27_reverse_skyline", "s28_kdominant_skyline",
-    "s29_skyline_layers",
-    "x_bigram_lm_score", "x_bm25_topk", "x_corpus_shuffle",
-    "x_dedup_sweep", "x_jpeg_ahash_dedup", "x_knn_int8_rerank",
-    "x_url_dedup",
-    # round-8-gated fills whose plans this round touches (cooccurrence
-    # group cap -> x_triangle_count; LSH-fed dedup-clusters ->
-    # x_minhash_lsh_pairs / x_cdc_dedup / x_semantic_dedup) — fresh rows
-    # re-prove the unchanged oracle hashes.  Two retirements freed
-    # window slots this round: s10_snapshot_1000 (a must-front entry,
-    # shrinking the front block 46 -> 45) and x_dup_cluster_sizes (a
-    # planned fill).  Round-10 newborns swap into fill slots as they
-    # land; displaced fills simply rejoin the round-11 must-gates.
-    "x_triangle_count", "x_minhash_lsh_pairs", "x_semantic_dedup",
-    "x_cdc_dedup",
-    # round-10 newborn (swapped into the last fill slot; the displaced
-    # x_ann_ivf fill rejoins the round-11 must-gates)
-    "x_dedup_clusters_lsh",
+    # stale: last driver row round 8, skipped rounds 9-10 at the bound
+    "m2_strategy_stats", "r15_grouping_sets", "r16_lag_delta",
+    "r17_pivot_priority", "r18_ntile_deciles", "r19_range_frame",
+    "r1_agg_pricing_summary", "r22_topn_per_group", "r23_salted_skew_join",
+    "r24_event_funnel", "r25_cohort_retention", "r2_join_topk_revenue",
+    "r5_rollup_counts", "r6_orders_by_year", "r8_setops_nations",
+    "s12_stream_replay_3d", "s16_stream_session",
+    "s17_stream_static_dedup", "s19_stream_interval_join",
+    "s21_stream_scrub", "s30_prob_skyline", "s31_thick_skyline",
+    "s32_stream_cdc_dedup", "s33_grouped_skyband", "s34_skycube_4d",
+    "s35_stream_cdc_watermark", "x_ann_ivf", "x_char_entropy",
+    "x_clean_text", "x_datapipe_prep", "x_domain_stats",
+    "x_embed_centroids", "x_embed_gram", "x_fuzzy_match", "x_langid",
+    "x_pii_scrub", "x_pmi_pairs", "x_quantiles_interp", "x_seq_packing",
+    "x_simhash_pairs", "x_tfidf_topterms", "x_token_stats",
+    "x_winnow_pairs", "x_zorder_stats",
+    # round-9-gated fills whose plans this round touches (see above)
+    "x_image_ahash_dedup", "x_image_neardup_pairs", "x_image_resize",
+    "x_multimodal_meta", "x_gif_frame_colors", "s25_stream_skyband",
 ]
-# Round-11 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 11: every entry whose latest driver row
-#   is round 8 and which sits outside the round-10 window — compute
-#   mechanically from CORRECTNESS_r0*.json once the round-10 artifact
-#   lands (at round-10 planning time that set is the 50 round-8 rows
-#   minus the 4 fills above = 46 again), plus any round-10 registration
-#   that missed the round-10 window.
+# Round-12 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 12: every entry whose latest driver
+#   row is round 9 and which sits outside this round-11 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-11
+#   artifact lands (at round-11 planning time: 46 round-9 rows minus
+#   the 6 fills above = 40), plus any round-11 registration that
+#   missed the round-11 window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
