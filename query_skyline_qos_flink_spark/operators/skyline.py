@@ -262,27 +262,55 @@ def _broadcast_verify(
     result count iff the result is exactly the skyline (a false survivor
     would be dominated and drop; a missed survivor would pass and add)."""
     spark = cur.sparkSession
-    dims_pdf = (ref if ref is not None else cur).select(*prep_cols).toPandas()
+    self_ref = ref is None
+    dims_pdf = (cur if self_ref else ref).select(*prep_cols).toPandas()
     arr = np.ascontiguousarray(dims_pdf.to_numpy(dtype=np.float64))
     ssum = arr.sum(axis=1)
     order = np.argsort(ssum, kind="stable")
     arr, ssum = arr[order], ssum[order]
     exact = sums_exact(arr)
-    # exact f32 fast path (integer-domain data): halves comparison traffic
+    # exact f32 fast path (integer-domain data): halves comparison traffic.
+    # When ref IS the candidate set (self_ref), the flags computed from
+    # ``arr`` cover the candidates too, so the f32 matrix can be broadcast
+    # directly.  When ref is an EXTERNAL reference (chunked merge, verify
+    # probes), the candidates may not share ref's exactness — deciding the
+    # fast paths from ref alone corrupts results (r10 ADVICE: an f32-exact
+    # ref chunk vs a non-f32-representable candidate like 0.1 reports
+    # domination that f64 denies) — so broadcast the f64 matrix plus the
+    # ref-side eligibility flags and re-qualify PER CANDIDATE BATCH below.
     f32 = exact_f32(arr)
-    if f32 is not None:
+    if self_ref and f32 is not None:
         arr = np.ascontiguousarray(f32)
-    bc = spark.sparkContext.broadcast((arr, ssum, f32 is not None, exact))
+    bc = spark.sparkContext.broadcast((arr, ssum, f32 is not None, exact, self_ref))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sky, sky_sum, use_f32, exact_mode = bc.value
+        sky, sky_sum, ref_f32_ok, ref_exact, self_mode = bc.value
+        sky32 = sky if sky.dtype == np.float32 else None
         for pdf in batches:
             if pdf.empty:
                 continue
             pts = pdf[prep_cols].to_numpy(dtype=np.float64)
             psum = pts.sum(axis=1)
-            cand = pts.astype(np.float32) if use_f32 else pts
-            dom = dominated_mask_vs_sorted(cand, psum, sky, sky_sum, exact=exact_mode)
+            if self_mode:
+                # candidates are ref rows: ref-wide flags already cover them
+                cand, work, exact_mode = (
+                    pts.astype(np.float32) if ref_f32_ok else pts, sky, ref_exact
+                )
+            else:
+                # fast paths only when this batch qualifies too: exact-sum
+                # mode needs BOTH sides' computed sums exact, the f32 kernel
+                # needs both sides losslessly representable (the general
+                # f64 path is exact for arbitrary floats, so disqualifying
+                # a batch costs speed, never correctness)
+                exact_mode = ref_exact and sums_exact(pts)
+                cand32 = exact_f32(pts) if ref_f32_ok else None
+                if cand32 is not None:
+                    if sky32 is None:
+                        sky32 = sky.astype(np.float32)
+                    cand, work = cand32, sky32
+                else:
+                    cand, work = pts, sky
+            dom = dominated_mask_vs_sorted(cand, psum, work, sky_sum, exact=exact_mode)
             out = pdf.loc[~dom]
             if not out.empty:
                 yield out
@@ -348,6 +376,19 @@ def _merge_survivors(local_df: DataFrame, prep_cols: list[str]) -> DataFrame:
     return _broadcast_verify(cur, prep_cols)
 
 
+def _uniform_chunk_col(n_chunks: int) -> Column:
+    """Uniform chunk id for the distributed-merge passes: consecutive
+    ``monotonically_increasing_id`` values within each task cycle
+    round-robin through the chunks, so every chunk holds at most
+    ``ceil(rows_in_task / n_chunks)`` rows per task — bounded by
+    construction even on an all-duplicates corpus, where a dim-hash key
+    would co-locate every row into one chunk (r10 verdict).  The id is
+    NOT stable across recomputation (it encodes task index + row
+    position), so callers MUST persist the frame carrying this column
+    before reading it more than once."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_chunks))
+
+
 def _chunked_broadcast_verify(
     cur: DataFrame, prep_cols: list[str], n: int
 ) -> DataFrame:
@@ -369,17 +410,17 @@ def _chunked_broadcast_verify(
     (~1M survivors, measured) the single task ran >10 min while this
     loop finishes in under a minute.
 
-    Chunking hashes the dim columns, so duplicated dim-rows co-locate —
-    an adversarial all-duplicates corpus degrades to one big chunk
-    (driver pull n x d doubles, still far below the old single task's
-    cost); real survivor sets hash near-uniformly."""
+    Chunking uses a uniform row key (:func:`_uniform_chunk_col`), NOT a
+    dim hash: the progressive filter is exact under ANY partition of the
+    reference set (property-tested: chunk composability), so nothing
+    requires duplicate dim-rows to co-locate — and a dim hash would let
+    an adversarial all-duplicates corpus collapse into one oversized
+    chunk.  The row key keeps every chunk near ``n / n_chunks`` by
+    construction.  The chunk column is persisted with the frame because
+    ``monotonically_increasing_id`` is only stable for a pinned
+    partitioning — each pass re-reads the SAME materialized assignment."""
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
-    base = _persist(
-        cur.withColumn(
-            "__vchunk",
-            F.pmod(F.hash(*[F.col(c) for c in prep_cols]), F.lit(n_chunks)),
-        )
-    )
+    base = _persist(cur.withColumn("__vchunk", _uniform_chunk_col(n_chunks)))
     out = base
     for i in range(n_chunks):
         ref = base.where(F.col("__vchunk") == i)
@@ -597,8 +638,16 @@ def _chunked_skyband_verify(
 
     spark = phase1.sparkSession
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
-    chunk_expr = F.pmod(
-        F.hash(*[F.col(c) for c in prep_cols]), F.lit(n_chunks)
+    # Uniform row-key chunks (see _uniform_chunk_col): counts are additive
+    # over ANY partition of the union (property-tested), so no dim-hash
+    # co-location is needed and every chunk stays <= ~n/n_chunks even on
+    # an all-duplicates corpus.  The assignment is materialized once (the
+    # id is unstable across recomputation) as a dims-only projection —
+    # n x d values, the same volume each pass broadcasts anyway.
+    chunks = _persist(
+        phase1.select(*prep_cols).withColumn(
+            "__vchunk", _uniform_chunk_col(n_chunks)
+        )
     )
     schema = StructType(
         list(phase1.schema.fields) + [StructField(count_col, LongType())]
@@ -606,7 +655,7 @@ def _chunked_skyband_verify(
     cur = phase1
     for i in range(n_chunks):
         ref_pdf = (
-            phase1.where(chunk_expr == i).select(*prep_cols).toPandas()
+            chunks.where(F.col("__vchunk") == i).drop("__vchunk").toPandas()
         )
         arr = np.ascontiguousarray(ref_pdf.to_numpy(dtype=np.float64))
         bc = spark.sparkContext.broadcast(arr)

@@ -798,9 +798,10 @@ def test_chunked_broadcast_verify_matches_bounded_path(spark):
 
 
 def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
-    """All-duplicate dim rows hash to ONE chunk (every other chunk empty):
-    the strict test must keep every tie (duplicate-retention policy) and
-    an empty reference chunk must be a no-op, not a crash."""
+    """An all-duplicates corpus through the forced chunked path: the
+    strict test must keep every tie (duplicate-retention policy) whatever
+    chunk each copy lands in, and reference chunks that happen to be
+    empty must be a no-op, not a crash."""
     from query_skyline_qos_flink_spark.operators import skyline as sky
 
     dup = spark.createDataFrame(
@@ -813,6 +814,54 @@ def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
         assert out.count() == 2000
     finally:
         sky._VERIFY_MAX_ROWS = old
+
+
+def test_uniform_chunks_bounded_on_all_duplicates(spark):
+    """The chunked merges key chunks on a uniform row id, not a dim hash
+    (r10 verdict): on an all-duplicates corpus — the dim-hash worst case,
+    which collapsed into ONE oversized chunk — every chunk must stay near
+    n / n_chunks (round-robin within each task bounds it by construction
+    at ceil(task_rows / n_chunks) summed over tasks)."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    dup = spark.createDataFrame(
+        [(1.0, 2.0)] * 5000, "a double, b double"
+    ).repartition(8)
+    counts = [
+        r["cnt"]
+        for r in dup.withColumn("c", sky._uniform_chunk_col(10))
+        .groupBy("c")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert len(counts) == 10  # no collapse, no empty chunks
+    assert max(counts) <= 5000 // 10 + 8  # n/n_chunks + one per task
+
+
+def test_broadcast_verify_fast_paths_requalify_per_batch(spark):
+    """r10 ADVICE (medium): ``_broadcast_verify`` decided the f32 and
+    exact-sum fast paths from ``ref`` ALONE; with an external reference
+    (chunked merge, verify probes) a qualifying ref against a
+    non-qualifying candidate silently corrupted the comparison.  Both
+    directions must now re-qualify per candidate batch."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    # f32 direction: ref value float32(0.1) is f32-exact; candidate 0.1
+    # is not.  In f64 ref.a > cand.a -> no domination -> the candidate
+    # SURVIVES; casting the candidate to f32 (the old bug) made the
+    # values equal and dropped it.
+    r = float(np.float32(0.1))
+    ref = spark.createDataFrame([(r, 1.0)], "a double, b double")
+    cand = spark.createDataFrame([(0.1, 2.0)], "a double, b double")
+    assert len(sky._broadcast_verify(cand, ["a", "b"], ref=ref).collect()) == 1
+
+    # exact-sum direction: integral ref (4, 0) strictly dominates
+    # candidate (4, 1e-45), but their COMPUTED f64 sums tie (4.0 + 1e-45
+    # == 4.0), so the strict-sum shortcut (valid only when both sides'
+    # sums are exact) would keep the dominated row.
+    ref2 = spark.createDataFrame([(4.0, 0.0)], "a double, b double")
+    cand2 = spark.createDataFrame([(4.0, 1e-45)], "a double, b double")
+    assert len(sky._broadcast_verify(cand2, ["a", "b"], ref=ref2).collect()) == 0
 
 
 def test_chunked_skyband_counts_match_bounded_path(spark):
