@@ -51,7 +51,10 @@ from query_skyline_qos_flink_spark.sources.generators import points  # noqa: E40
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # The driver keeps only the last 2000 chars of stdout; leave headroom for
 # a trailing newline and any stray warning the JVM writes on shutdown.
-_MAX_STDOUT_LINE = 1700
+# (1850 since r11: the spread map now carries every median-agg suite
+# query, worth ~150 chars of the old margin; 150 chars of slack remain —
+# r10's shutdown wrote nothing after the final line.)
+_MAX_STDOUT_LINE = 1850
 CORPUS_QUERIES = [
     "s1_skyline_2d",
     "s3_skyline_3d",
@@ -101,6 +104,20 @@ CORPUS_QUERIES = [
     "m2_strategy_stats",
     "x_semantic_dedup",
 ]
+# Suite queries whose round-10 artifact recorded a >2x rep spread
+# (BENCH_r10 spreads block): timed median-of-3 with the full rep list
+# recorded, so round-over-round regression calls on them can be
+# adjudicated from the artifact alone instead of a worktree A/B (round-10
+# verdict item 5).  The rest stay best-of-2 keep-min (the first rep pays
+# one-time codegen/AQE-compile cost that is not operator cost).
+HIGH_VARIANCE_QUERIES = {
+    "s1_skyline_2d", "s3_skyline_3d", "s4_skyline_4d",
+    "s8_skyline_groupwise", "s9_twophase_dim", "m1_partition_stats",
+    "m2_strategy_stats", "s22_skyband", "s23_top_dominating",
+    "s24_dynamic_skyline", "s27_reverse_skyline", "s28_kdominant_skyline",
+    "s31_thick_skyline", "x_bigram_lm_score", "x_bm25_topk",
+    "x_datapipe_prep", "x_image_neardup_pairs", "x_minhash_lsh_pairs",
+}
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
 SCALING_QUERIES = {
@@ -162,12 +179,32 @@ def final_line(total: float, sf, timings: dict[str, float],
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     if spreads:
+        # 1-dp ratios: the artifact needs the BAND (is 2x noise here?),
+        # not the third digit — exact ratios + rep lists are in BENCH_DETAIL
         out["spread"] = {
-            k: v["spread_ratio"] for k, v in spreads.items() if v.get("agg") == "median"
+            k: round(v["spread_ratio"], 1)
+            for k, v in spreads.items()
+            if v.get("agg") == "median"
         }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(out, separators=(",", ":"))
+    # spread is the other unbounded field: shrink it BEFORE trimming
+    # queries (r10 ADVICE: trimming queries first let a large spread map
+    # evict the slow-query entries this line exists to preserve) — but
+    # smallest-ratio-first, so the high-variance entries (the
+    # regression-adjudication signal) survive longest; full rep lists
+    # live in BENCH_DETAIL either way
+    n_spread = len(out.get("spread", {}))
+    while len(line) > _MAX_STDOUT_LINE and out.get("spread"):
+        sp = out["spread"]
+        del sp[min(sp, key=sp.get)]
+        if sp:
+            out["spread_omitted"] = n_spread - len(sp)
+        else:
+            del out["spread"]
+            out["spread_omitted"] = n_spread
+        line = json.dumps(out, separators=(",", ":"))
     keep = sorted(timings, key=timings.get, reverse=True)
     while len(line) > _MAX_STDOUT_LINE and keep:
         keep = keep[:-5]
@@ -176,12 +213,6 @@ def final_line(total: float, sf, timings: dict[str, float],
         if "errors" in out and len(out["errors"]) > 5:
             out["errors"] = dict(list(out["errors"].items())[:5])
             out["errors_omitted"] = len(errors) - 5
-        line = json.dumps(out, separators=(",", ":"))
-    # spread is the only other unbounded field: if trimming queries alone
-    # could not fit the budget, drop it whole (full rep lists live in
-    # BENCH_DETAIL) before touching the error map
-    if len(line) > _MAX_STDOUT_LINE and "spread" in out:
-        del out["spread"]
         line = json.dumps(out, separators=(",", ":"))
     # an all-queries-failed run has timings == {} and the loop above never
     # fires — the errors map alone must not outgrow the capture either
@@ -317,7 +348,9 @@ def main() -> None:
         # are not operator cost; the min measures the steady state.
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
-            timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(), repeats=2)
+            reps, agg = (3, "median") if name in HIGH_VARIANCE_QUERIES else (2, "min")
+            timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(),
+                  repeats=reps, agg=agg)
 
         if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
                 and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):
@@ -367,10 +400,13 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "scaling": scaling,
-            "spreads": spreads,
         }
         if errors:
             detail["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
+        # spreads LAST: the stderr dump's tail end is what survives inside
+        # the driver's 2000-char capture alongside the final line, so the
+        # rep lists for the high-variance queries sit closest to it
+        detail["spreads"] = spreads
         # Full detail (scaling block, untruncated error lines) goes to a
         # sidecar + stderr; the driver only captures the LAST 2000 chars of
         # stdout, so the machine-readable final line must stay compact

@@ -1,12 +1,14 @@
 """LLM-data-pipeline query corpus — dedup / similarity / text / multimodal.
 
 Registered into the same REGISTRY as the declared corpus (``corpus.py``).
-Where the operator is deterministic and SQL-expressible, the duckdb oracle
-replicates the FULL pipeline (including MinHash-LSH candidate generation —
-possible because the hash family is md5-based and portable).  The two
-float-summation-order-sensitive scale paths (blocked-GEMM knn, SimHash
-pandas UDF) are registered without oracles -> driver rows-only check;
-property tests cross-validate them against their exact twins.
+EVERY registered query carries a duckdb oracle (QUERIES.md records the
+generated count): the oracle replicates the FULL pipeline, including
+MinHash-LSH candidate generation — possible because the hash family is
+md5-based and portable.  Float-summation-order-sensitive scale paths
+(blocked-GEMM knn, SimHash pandas UDF) reach oracle parity through
+integer-exact formulations (quantized fixed-point accumulation, rounded
+rank keys) and are additionally cross-validated against their exact twins
+by property tests.
 """
 
 from __future__ import annotations

@@ -65,26 +65,53 @@ def test_final_line_carries_trio_spreads_within_budget():
     line = bench.final_line(sum(timings.values()), 0.1, timings, {}, spreads)
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
-    assert parsed["spread"] == {f"skyline_anti_{d}d_1m": 4.02 for d in (2, 3, 4)}
+    assert parsed["spread"] == {f"skyline_anti_{d}d_1m": 4.0 for d in (2, 3, 4)}
     # min-agg (best-of-2 steady-state) queries stay out of the compact map
     assert "s1_skyline_2d" not in parsed["spread"]
 
 
-def test_final_line_drops_spread_before_busting_budget():
-    """spread is the only other unbounded field — a pathological spread
-    map must be dropped whole (BENCH_DETAIL keeps the data) rather than
-    ship an over-budget line the driver would truncate mid-JSON."""
+def test_final_line_trims_spread_smallest_first_before_queries():
+    """spread is the only other unbounded field — an oversized spread map
+    must shrink smallest-ratio-first BEFORE the per-query map is touched
+    (r10 ADVICE: the old order let spread evict slow-query entries), and
+    the highest-ratio entries — the regression-adjudication signal —
+    survive longest."""
     timings = {f"x_query_with_a_rather_long_name_{i:03d}": float(i) for i in range(200)}
     spreads = {
         f"x_query_with_a_rather_long_name_{i:03d}": {
-            "reps_s": [1], "agg": "median", "spread_ratio": 1.23}
+            "reps_s": [1], "agg": "median", "spread_ratio": 1.0 + i / 100}
         for i in range(200)
     }
     errors = {f"err_{i}": "Traceback: " + "x" * 500 for i in range(40)}
     line = bench.final_line(sum(timings.values()), 0.1, timings, errors, spreads)
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
-    assert "spread" not in parsed  # dropped whole, JSON stays parseable
+    if "spread" in parsed:
+        # survivors are the HIGHEST ratios
+        assert max(spreads[k]["spread_ratio"] for k in spreads) in parsed["spread"].values()
+    assert parsed.get("spread_omitted", 0) + len(parsed.get("spread", {})) == 200
+
+
+def test_final_line_carries_full_high_variance_spread_at_suite_size():
+    """The r11 contract: at the REAL suite size, the final line keeps the
+    spread ratio of every median-agg query (the HIGH_VARIANCE_QUERIES set
+    plus the 1M trio) without trimming — BENCH_r11 must carry spreads for
+    every query whose r10 spread exceeded 2x (r10 verdict item 5)."""
+    timings = {name: 1.234 for name in bench.CORPUS_QUERIES}
+    for d in (2, 3, 4):
+        timings[f"skyline_anti_{d}d_1m"] = 9.87
+    spreads = {
+        name: {"reps_s": [1.0, 2.0, 3.0], "agg": "median", "spread_ratio": 11.63}
+        for name in bench.HIGH_VARIANCE_QUERIES
+    }
+    for d in (2, 3, 4):
+        spreads[f"skyline_anti_{d}d_1m"] = {
+            "reps_s": [1, 2, 3, 4, 5], "agg": "median", "spread_ratio": 11.63}
+    line = bench.final_line(sum(timings.values()), 0.1, timings, {}, spreads)
+    assert len(line) <= bench._MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert set(parsed["spread"]) == set(spreads)  # nothing trimmed
+    assert "spread_omitted" not in parsed
 
 
 def test_bench_query_lists_resolve_in_registry():
