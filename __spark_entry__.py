@@ -46,12 +46,15 @@ _ROTATED_FOR = 11
 # (computed MECHANICALLY from CORRECTNESS_r0*.json at round-10 end;
 # matches the round-10 verdict's own mechanical count) hit the hard
 # staleness bound and take the front.  The 6 fill slots go to
-# round-9-gated entries whose plans this round touches: the multimodal
-# decode family (the 4:2:0 / progressive JPEG codec work lands in
-# operators/multimodal.py, so x_image_ahash_dedup /
-# x_image_neardup_pairs / x_image_resize / x_multimodal_meta /
-# x_gif_frame_colors re-prove the decode plumbing) and
-# s25_stream_skyband (the skyband chunked-merge de-skew).  Round-11
+# entries whose plans this round touches: the multimodal decode family
+# (the 4:2:0 / progressive JPEG codec work lands in
+# operators/multimodal.py — x_jpeg_ahash_dedup and
+# x_image_neardup_pairs now CARRY subsampled + progressive fixtures, and
+# x_image_ahash_dedup / x_image_resize / x_multimodal_meta re-prove the
+# shared decode plumbing) and s25_stream_skyband (the skyband
+# chunked-merge de-skew).  x_jpeg_ahash_dedup is round-10-gated but its
+# fixture changed, so it re-gates ahead of untouched round-9 entries;
+# the remaining fills are round-9-gated.  Round-11
 # newborns swap into fill slots as they land; displaced fills rejoin
 # the round-12 must-gates.
 _DRIVER_PRIORITY = [
@@ -73,7 +76,7 @@ _DRIVER_PRIORITY = [
     "x_winnow_pairs", "x_zorder_stats",
     # round-9-gated fills whose plans this round touches (see above)
     "x_image_ahash_dedup", "x_image_neardup_pairs", "x_image_resize",
-    "x_multimodal_meta", "x_gif_frame_colors", "s25_stream_skyband",
+    "x_multimodal_meta", "x_jpeg_ahash_dedup", "s25_stream_skyband",
 ]
 # Round-12 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 12: every entry whose latest driver

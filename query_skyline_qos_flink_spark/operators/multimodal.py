@@ -203,11 +203,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     Supports every 8-bit-depth color type — 0 greyscale, 2 RGB,
     3 palette (PLTE indices resolved to RGB; a tRNS alpha table is
     ignored), 4 grey+alpha, 6 RGBA — both non-interlaced and Adam7
-    interlaced.  Baseline JPEG payloads (FFD8 magic) dispatch to
-    :func:`decode_jpeg`.  WebP, sub-8-bit PNG depths and progressive/
-    subsampled JPEG still need an external decoder (e.g. pillow) — pass
-    your own ``decode_fn`` for those.  Raises ``ValueError`` on
-    unrecognized or unsupported payloads.
+    interlaced.  JPEG payloads (FFD8 magic) dispatch to
+    :func:`decode_jpeg` — baseline AND progressive, any chroma
+    subsampling.  WebP, sub-8-bit PNG depths and 12-bit/arithmetic JPEG
+    still need an external decoder (e.g. pillow) — pass your own
+    ``decode_fn`` for those.  Raises ``ValueError`` on unrecognized or
+    unsupported payloads.
 
     When Pillow is importable the PNG branch dispatches to it (bit-exact,
     C-speed); see ``SPARK_GRAFT_IMAGE_BACKEND`` at the top of this module
@@ -629,7 +630,14 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
     each odd id carries its even predecessor's image with block
     ``(key * 7) % 64`` inverted — a known Hamming-1 perturbation — so the
     ground-truth near-dup pairs are exactly (2m, 2m+1) with distance 1,
-    closed-form for a SQL oracle."""
+    closed-form for a SQL oracle.
+
+    The CODEC rotates by pair class (``(key // 2) % 4``): 1 -> baseline
+    4:2:0-subsampled color JPEG, 3 -> progressive 4:2:0 color JPEG, else
+    PNG — every perceptual-hash bit is exact under all three (the
+    pattern is block-aligned, DC-only, constant-chroma), so the neardup
+    contract is codec-independent and the oracle stays closed-form while
+    the query exercises every decode path."""
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
 
@@ -641,10 +649,36 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
             for i in pdf[id_col].astype("int64"):
                 key = int(i) - (int(i) % 2)
                 flip = (key * 7) % 64 if i % 2 else None
-                payloads.append(synth_png_payload(key, flip_block=flip))
+                cls = (key // 2) % 4
+                if cls in (1, 3):
+                    # synth_jpeg_payload picks 420/progressive by key % 4;
+                    # key is even, so re-key to the matching variant while
+                    # keeping the md5 pattern keyed by the PAIR key via
+                    # the shared bits derivation below
+                    payloads.append(_synth_jpeg_twin(key, cls, flip))
+                else:
+                    payloads.append(synth_png_payload(key, flip_block=flip))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+@_lru_cache(maxsize=4096)
+def _synth_jpeg_twin(key: int, cls: int, flip_block: int | None) -> bytes:
+    """4:2:0 color JPEG twin for the neardup fixture: same md5 block
+    pattern as ``synth_png_payload(key)`` (values 192/64), baseline for
+    ``cls == 1``, progressive for ``cls == 3``."""
+    import numpy as np
+
+    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    if flip_block is not None:
+        bits ^= 1 << (63 - flip_block)
+    blocks = np.array(
+        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
+    ).reshape(AHASH_GRID, AHASH_GRID)
+    pix = np.kron(blocks * 128 + 64, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([pix, pix, pix], axis=-1)
+    return encode_jpeg(rgb, subsample="420", progressive=cls == 3)
 
 
 def image_ahash(
@@ -1064,16 +1098,21 @@ def extract_gif_frame_colors(
 
 
 # ---------------------------------------------------------------------------
-# REAL baseline JPEG codec (numpy + struct, no external libs)
+# REAL JPEG codec (numpy + struct, no external libs)
 # ---------------------------------------------------------------------------
 #
-# Baseline DCT, 8-bit, Huffman (ITU T.81): greyscale and 4:4:4 YCbCr.
-# Progressive scans, chroma subsampling, 12-bit precision and arithmetic
-# coding raise ValueError (external-decoder integration points).  The
-# encoder uses the Annex K quantization + Huffman tables, so any standard
-# decoder reads its output; the decoder builds canonical Huffman tables
-# from whatever DHT declares, so it reads standard baseline files, not
-# just ours.  Restart markers (DRI/RSTn) are honored.
+# 8-bit Huffman DCT (ITU T.81): baseline (SOF0/1) greyscale and YCbCr
+# with ARBITRARY sampling factors (4:4:4, 4:2:0, 4:2:2, ... — the
+# dominant real-crawl encodings), and PROGRESSIVE (SOF2) streams with
+# spectral selection + successive approximation (DC/AC first and
+# refinement scans, EOBn run codes).  12-bit precision, arithmetic
+# coding, lossless and hierarchical SOFs raise ValueError
+# (external-decoder integration points).  The encoder uses the Annex K
+# quantization + Huffman tables (plus a spec-valid static AC table
+# carrying the progressive-only EOBn symbols), so any standard decoder
+# reads its output; the decoder builds canonical Huffman tables from
+# whatever DHT declares, so it reads standard files, not just ours.
+# Restart markers (DRI/RSTn) are honored.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1144,6 +1183,21 @@ _HUFF_AC_C = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14) that the baseline
+# Annex K AC tables do not define (libjpeg ships optimized per-file tables
+# in progressive mode).  This static table assigns every progressive AC
+# symbol — EOB0..EOB14, ZRL, and all (run, size 1..10) pairs — a 9-bit
+# canonical code: 176 symbols < 2^9 - 1, so the all-ones code stays
+# unused and the table is spec-valid; the decoder reads it from DHT like
+# any other table.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
 )
 
 
@@ -1220,13 +1274,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg(pix) -> bytes:
-    """REAL baseline JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB
-    ``(h, w, 3)`` ndarray -> JFIF bytes (Annex K quant + Huffman tables,
-    4:4:4, no subsampling).  Standard decoders read the output; the synth
-    fixtures below use it so the decode path is exercised end-to-end."""
-    import struct as _struct
-
+def _jpeg_quantized_components(pix, subsample: str):
+    """Forward path shared by the baseline and progressive encoders:
+    color-convert, (optionally) subsample chroma, pad each component to
+    its MCU grid, FDCT + quantize.  Returns ``(h, w, grey, comps)`` with
+    ``comps`` a list of ``(hi, vi, tq, coef)`` where ``coef`` is the
+    ``(blocks_y, blocks_x, 64)`` int64 zigzag-order quantized-coefficient
+    array (MCU-padded)."""
     import numpy as np
 
     pix = np.asarray(pix, dtype=np.uint8)
@@ -1234,73 +1288,300 @@ def encode_jpeg(pix) -> bytes:
         pix = pix[..., 0]  # single-channel (h, w, 1) is greyscale
     if pix.ndim == 3 and pix.shape[2] != 3:
         raise ValueError(f"encode_jpeg: expected (h, w), (h, w, 1) or (h, w, 3), got {pix.shape}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"encode_jpeg: subsample must be '444' or '420', got {subsample!r}")
     grey = pix.ndim == 2
     h, w = pix.shape[:2]
     if grey:
-        comps = [pix.astype(np.float64)]
+        planes = [pix.astype(np.float64)]
     else:
         rgb = pix.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        comps = [
+        planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    sub420 = subsample == "420" and not grey
+    # sampling factors: 4:2:0 gives luma (2, 2) against chroma (1, 1)
+    samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samps[: len(planes)])
+    vmax = max(s[1] for s in samps[: len(planes)])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if sub420:
+        # chroma = 2x2 box mean of the (edge-padded-to-even) full-res plane
+        eh, ew = h + (h & 1), w + (w & 1)
+        for ci in (1, 2):
+            p = np.empty((eh, ew), dtype=np.float64)
+            p[:h, :w] = planes[ci]
+            p[h:, :w] = p[h - 1 : h, :w]
+            p[:, w:] = p[:, w - 1 : w]
+            planes[ci] = p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+
     d = _dct_matrix()
     ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8)
+    comps = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        tq = 0 if ci == 0 else 1
+        by, bx = mcuy * vi, mcux * hi
+        ph, pw = plane.shape
+        p = np.empty((by * 8, bx * 8), dtype=np.float64)
+        p[:ph, :pw] = plane
+        p[ph:, :pw] = p[ph - 1 : ph, :pw]  # edge-replicate padding
+        p[:, pw:] = p[:, pw - 1 : pw]
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("ij,njk,kl->nil", d, blocks, d.T)
+        qz = np.round(coef / (ql if tq == 0 else qc)).astype(np.int64)
+        comps.append((hi, vi, tq, qz.reshape(by, bx, 64)[..., _ZIGZAG]))
+    return h, w, grey, comps
+
+
+def _emit_ac_band(wtr, enc_ac_t, zz, lo: int, hi: int) -> None:
+    """Baseline-style run/size coding of ``zz[lo..hi]`` (used whole-band
+    by the baseline scan and per-band by progressive first scans via
+    :func:`_encode_progressive_scans`, which handles EOB runs itself)."""
+    run = 0
+    last_nz = lo - 1
+    for i in range(hi, lo - 1, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(lo, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac_t[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(int(zz[i]))
+        code, ln = enc_ac_t[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(bits, s)
+        run = 0
+    if last_nz < hi:
+        code, ln = enc_ac_t[0x00]  # EOB
+        wtr.write(code, ln)
+
+
+def _encode_baseline_entropy(comps) -> bytes:
+    """Interleaved single-scan baseline entropy coding over the MCU grid
+    (general sampling factors: each MCU carries hi x vi blocks per
+    component in raster order)."""
     enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
     enc_ac = [_huff_encode_table(*_HUFF_AC_L), _huff_encode_table(*_HUFF_AC_C)]
-
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = []
-    for c in comps:
-        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        p[:h, :w] = c
-        p[h:, :w] = c[-1:, :]  # edge-replicate padding
-        p[:, w:] = p[:, w - 1 : w]
-        planes.append(p)
-
     wtr = _JpegBitWriter()
     pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, p in enumerate(planes):
-                t = 0 if ci == 0 else 1
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = d @ block @ d.T
-                q = ql if t == 0 else qc
-                qz = np.round(coef / q).astype(np.int64)
-                zz = [int(qz.flat[_ZIGZAG[i]]) for i in range(64)]
-                s, bits = _magnitude(zz[0] - pred[ci])
-                pred[ci] = zz[0]
-                code, ln = enc_dc[t][s]
+    mcuy = comps[0][3].shape[0] // comps[0][1]
+    mcux = comps[0][3].shape[1] // comps[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi, tq, coef) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = coef[my * vi + v, mx * hi + hh]
+                        s, bits = _magnitude(int(zz[0]) - pred[ci])
+                        pred[ci] = int(zz[0])
+                        code, ln = enc_dc[tq][s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(bits, s)
+                        _emit_ac_band(wtr, enc_ac[tq], zz, 1, 63)
+    return wtr.flush()
+
+
+def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
+    """Progressive (SOF2) entropy coding: a 4-phase scan script that
+    exercises every scan type a progressive decoder must implement —
+    interleaved DC first (Al=1), DC refinement (Al=0), per-component AC
+    first (band 1..63, Al=1) with EOB-run coding, and per-component AC
+    refinement (Al=0) with correction bits.  Returns a list of
+    ``(sos_header_payload, entropy_bytes)``.
+
+    Mirrors ITU T.81 G.1.2 (the successive-approximation encoder libjpeg
+    implements): DC point transform is an arithmetic shift, AC first
+    scans code ``coef >> Al`` magnitudes with EOBn run codes, refinement
+    scans emit one correction bit per already-nonzero coefficient and
+    run/size codes only for newly-nonzero ones."""
+    enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
+    prog_ac = _huff_encode_table(*_HUFF_AC_PROG)
+    enc_ac = [prog_ac, prog_ac]  # EOBn symbols live only in the prog table
+    scans = []
+    mcuy = comps[0][3].shape[0] // comps[0][1]
+    mcux = comps[0][3].shape[1] // comps[0][0]
+
+    def sos_payload(comp_ids, ss, se, ah, al):
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 0 else 1
+            b += bytes([cid + 1, (t << 4) | t])
+        return b + bytes([ss, se, (ah << 4) | al])
+
+    # --- scan 1: interleaved DC first, Al=1 ---
+    wtr = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi, tq, coef) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        dc = int(coef[my * vi + v, mx * hi + hh, 0]) >> 1
+                        s, bits = _magnitude(dc - pred[ci])
+                        pred[ci] = dc
+                        code, ln = enc_dc[tq][s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(bits, s)
+    scans.append((sos_payload(list(range(len(comps))), 0, 0, 0, 1), wtr.flush()))
+
+    # --- scan 2: interleaved DC refinement, Ah=1 -> Al=0 ---
+    wtr = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for _ci, (hi, vi, _tq, coef) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        wtr.write(int(coef[my * vi + v, mx * hi + hh, 0]) & 1, 1)
+    scans.append((sos_payload(list(range(len(comps))), 0, 0, 1, 0), wtr.flush()))
+
+    # --- per-component AC scans (non-interleaved, spec-required ns=1) ---
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    for ci, (hi, vi, tq, coef) in enumerate(comps):
+        # the non-interleaved block grid EXCLUDES MCU padding blocks
+        # (T.81 A.2.2): ceil of the component's own sample dimensions
+        nby = -(-(-(-(h * vi) // vmax)) // 8)
+        nbx = -(-(-(-(w * hi) // hmax)) // 8)
+        ac = enc_ac[tq]
+
+        # AC first: band 1..63 at Al=1, EOBn run coding across blocks
+        wtr = _JpegBitWriter()
+        eobrun = 0
+        pend = []  # no correction bits in first scans; kept for symmetry
+
+        def flush_eobrun(wtr, ac, eobrun, pend):
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac[nb << 4]
                 wtr.write(code, ln)
-                if s:
-                    wtr.write(bits, s)
+                if nb:
+                    wtr.write(eobrun - (1 << nb), nb)
+            for bit in pend:
+                wtr.write(bit, 1)
+            return 0, []
+
+        for byi in range(nby):
+            for bxi in range(nbx):
+                zz = coef[byi, bxi]
+                # AC point transform truncates toward ZERO (T.81 G.1.2.2;
+                # DC uses the arithmetic shift, AC does not)
+                band = [
+                    (abs(int(zz[k])) >> 1) * (1 if int(zz[k]) >= 0 else -1)
+                    for k in range(1, 64)
+                ]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+                    continue
+                eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
                 run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
+                last_nz = max(k for k, v in enumerate(band) if v)
+                for k in range(last_nz + 1):
+                    if band[k] == 0:
                         run += 1
                         continue
                     while run > 15:
-                        code, ln = enc_ac[t][0xF0]  # ZRL
+                        code, ln = ac[0xF0]
                         wtr.write(code, ln)
                         run -= 16
-                    s, bits = _magnitude(zz[i])
-                    code, ln = enc_ac[t][(run << 4) | s]
+                    s, bits = _magnitude(band[k])
+                    code, ln = ac[(run << 4) | s]
                     wtr.write(code, ln)
                     wtr.write(bits, s)
                     run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[t][0x00]  # EOB
+                if last_nz < 62:
+                    eobrun += 1  # trailing EOB joins the run
+        flush_eobrun(wtr, ac, eobrun, pend)
+        scans.append((sos_payload([ci], 1, 63, 0, 1), wtr.flush()))
+
+        # AC refinement: Ah=1 -> Al=0 (correction bits, T.81 G.1.2.3 /
+        # libjpeg encode_mcu_AC_refine): EOB = last NEWLY-nonzero index
+        # (|coef| == 1); already-nonzero coefficients — including those
+        # past EOB — contribute one buffered correction bit each, flushed
+        # after the next Huffman code (ZRL, run/size, or the EOBn that
+        # closes the run the block joins)
+        wtr = _JpegBitWriter()
+        eobrun = 0
+        pend = []
+        for byi in range(nby):
+            for bxi in range(nbx):
+                zz = coef[byi, bxi]
+                absv = [abs(int(zz[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs that cannot fold into the EOB run are emitted
+                    # BEFORE dispatching on t (libjpeg ordering): the
+                    # decoder's ZRL advance consumes the buffered
+                    # correction bits of the positions it passes
+                    while run > 15 and k <= eob:
+                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+                        code, ln = ac[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly nonzero — emit run/size + sign
+                    eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+                    code, ln = ac[(run << 4) | 1]
                     wtr.write(code, ln)
-    entropy = wtr.flush()
+                    wtr.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    # block ends in an EOB: join the run, buffering the
+                    # trailing correction bits to emit after the EOBn code
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF:
+                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+        flush_eobrun(wtr, ac, eobrun, pend)
+        scans.append((sos_payload([ci], 1, 63, 1, 0), wtr.flush()))
+    return scans
+
+
+def encode_jpeg(pix, subsample: str = "444", progressive: bool = False) -> bytes:
+    """REAL JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB ``(h, w, 3)``
+    ndarray -> JFIF bytes (Annex K quant + Huffman tables).
+
+    ``subsample``: ``"444"`` (no subsampling) or ``"420"`` (2x2 chroma
+    subsampling, the dominant real-crawl encoding; ignored for
+    greyscale).  ``progressive``: emit an SOF2 successive-approximation
+    stream (DC Al=1 + refine, per-component AC Al=1 + refine) instead of
+    a single baseline SOF0 scan.  Standard decoders read both forms; the
+    synth fixtures below use them so every decode path is exercised
+    end-to-end."""
+    import struct as _struct
+
+    h, w, grey, comps = _jpeg_quantized_components(pix, subsample)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return _struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1312,24 +1593,31 @@ def encode_jpeg(pix) -> bytes:
         out += seg(0xFFDB, b"\x01" + bytes(_JPEG_QC[_ZIGZAG[i]] for i in range(64)))
     nc = len(comps)
     sof = _struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
-    out += seg(0xFFC0, sof)
+    for ci, (hi, vi, tq, _coef) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
 
     def dht(cls: int, tid: int, spec) -> bytes:
         bits, vals = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, _HUFF_AC_L)
+    ac_spec = _HUFF_AC_PROG if progressive else _HUFF_AC_L
+    out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, ac_spec)
     if not grey:
-        out += dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
-    sos = bytes([nc])
-    for ci in range(nc):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += entropy
+        out += dht(0, 1, _HUFF_DC_C) + dht(
+            1, 1, _HUFF_AC_PROG if progressive else _HUFF_AC_C
+        )
+    if progressive:
+        for sos_payload, entropy in _encode_progressive_scans(comps, grey, h, w):
+            out += seg(0xFFDA, sos_payload)
+            out += entropy
+    else:
+        sos = bytes([nc])
+        for ci, (_hi, _vi, tq, _coef) in enumerate(comps):
+            sos += bytes([ci + 1, (tq << 4) | tq])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xFFDA, sos)
+        out += _encode_baseline_entropy(comps)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1385,6 +1673,16 @@ class _JpegBitReader:
                 return v
         raise ValueError("invalid JPEG Huffman code")
 
+    def next_marker_pos(self) -> int:
+        """Byte position of the first marker at/after the read cursor —
+        where the parse loop resumes after an entropy-coded scan."""
+        d, p = self.data, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(d)
+
 
 class _RestartMarker(Exception):
     def __init__(self, n: int):
@@ -1397,13 +1695,154 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _jpeg_geometry(h, w, comps):
+    """Frame geometry: (hmax, vmax, mcux, mcuy, per-comp dict) where each
+    comp carries its MCU-padded block grid (interleaved scans) and its
+    non-interleaved block grid (ns=1 scans exclude MCU padding blocks,
+    T.81 A.2.2/A.2.3)."""
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []
+    for _cid, hi, vi, _tq in comps:
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        geo.append({
+            "hi": hi, "vi": vi,
+            "pad_bx": mcux * hi, "pad_by": mcuy * vi,
+            "ni_bx": -(-cw // 8), "ni_by": -(-ch // 8),
+        })
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _scan_units(geo, mcux, mcuy, scan_cis):
+    """Yield restart units (lists of ``(ci, by, bx)`` block coords) in
+    scan order: a single-component scan is non-interleaved (one block per
+    unit over the component's own grid); a multi-component scan
+    interleaves hi x vi blocks per component per MCU."""
+    if len(scan_cis) == 1:
+        ci = scan_cis[0]
+        g = geo[ci]
+        for by in range(g["ni_by"]):
+            for bx in range(g["ni_bx"]):
+                yield [(ci, by, bx)]
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for ci in scan_cis:
+                g = geo[ci]
+                for v in range(g["vi"]):
+                    for hh in range(g["hi"]):
+                        unit.append((ci, my * g["vi"] + v, mx * g["hi"] + hh))
+            yield unit
+
+
+def _decode_block_baseline(rdr, hdc, hac, pred, out):
+    """One baseline block: DC diff + full AC band into ``out`` (zigzag
+    order, quantized); returns the new DC predictor."""
+    s = rdr.huff(hdc)
+    pred += _extend(rdr.bits(s), s) if s else 0
+    out[0] = pred
+    i = 1
+    while i < 64:
+        rs = rdr.huff(hac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                i += 16  # ZRL
+                continue
+            break  # EOB
+        i += r
+        if i > 63:
+            raise ValueError("JPEG AC index overflow")
+        out[i] = _extend(rdr.bits(s), s)
+        i += 1
+    return pred
+
+
+def _decode_ac_first(rdr, hac, out, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.2.2): places
+    ``value << Al`` coefficients, honours EOBn run codes."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.huff(hac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rdr.bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        out[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(rdr, hac, out, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3 decode /
+    libjpeg decode_mcu_AC_refine): one correction bit per already-nonzero
+    coefficient passed, run/size codes place newly-nonzero +-(1 << Al)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.huff(hac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                val = 0  # ZRL: advance 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refinement scan: size != 1")
+                val = p1 if rdr.bits(1) else m1
+            while k <= se:
+                c = int(out[k])
+                if c != 0:
+                    if rdr.bits(1) and (c & p1) == 0:
+                        out[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                out[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(out[k])
+            if c != 0:
+                if rdr.bits(1) and (c & p1) == 0:
+                    out[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
-    """REAL baseline JPEG decoder (numpy + struct): returns (height,
-    width, channels, ndarray[h, w, c] uint8).  Handles greyscale and
-    4:4:4 YCbCr baseline scans with canonical Huffman tables from DHT and
-    restart markers; progressive (SOF2), subsampled chroma, 12-bit and
-    arithmetic-coded files raise ValueError (external-decoder integration
-    points)."""
+    """REAL JPEG decoder (numpy + struct): returns (height, width,
+    channels, ndarray[h, w, c] uint8).
+
+    Handles baseline (SOF0/1) greyscale and YCbCr with ARBITRARY sampling
+    factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; chroma is nearest-neighbor
+    upsampled) and PROGRESSIVE (SOF2) streams — spectral selection,
+    successive approximation (DC + AC refinement scans, EOBn run codes),
+    canonical Huffman tables from DHT, restart markers.  12-bit
+    precision, arithmetic coding, lossless and hierarchical SOFs raise
+    ValueError (external-decoder integration points)."""
     import struct as _struct
 
     import numpy as np
@@ -1414,13 +1853,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     qt: dict[int, "object"] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    coefs = None
+    geom = None
+    scans_done = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while payload[pos + 1] == 0xFF:  # fill bytes before a marker
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("JPEG truncated in marker fill")
         marker = payload[pos + 1]
-        if marker == 0xD9:
+        if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn) carry no length segment
+            pos += 2
+            continue
         (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
         data = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -1435,7 +1886,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 tbl = np.zeros(64, dtype=np.float64)
                 for i in range(64):
                     tbl[_ZIGZAG[i]] = data[off + 1 + i]
-                qt[tq] = tbl.reshape(8, 8)
+                qt[tq] = tbl
                 off += 65
         elif marker == 0xC4:  # DHT
             off = 0
@@ -1448,123 +1899,186 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 vals = list(data[off + 17 : off + 17 + nv])
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = _struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("JPEG sampling factors out of range")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            geom = _jpeg_geometry(h, w, comps)
+            coefs = None
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (lossless/arithmetic/hierarchical) unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             h, w, comps = frame
+            hmax, vmax, mcux, mcuy, geo = geom
+            if coefs is None:
+                coefs = [
+                    np.zeros((g["pad_by"], g["pad_bx"], 64), dtype=np.int32)
+                    for g in geo
+                ]
             ns = data[0]
-            if ns != len(comps):
-                # a spec-valid baseline file may put each component in its
-                # own scan (non-interleaved); decoding only the first scan
-                # would silently return luma-only data as "greyscale"
-                raise ValueError(
-                    "non-interleaved (multi-scan) JPEG unsupported: scan has "
-                    f"{ns} of {len(comps)} frame components"
-                )
-            scan = []
+            scan = []  # (ci, td, ta)
             for si in range(ns):
                 cs, tt = data[1 + si * 2 : 3 + si * 2]
-                for cid, tq in comps:
+                for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
                     if cid == cs:
-                        scan.append((tt >> 4, tt & 0x0F, tq))
+                        scan.append((ci, tt >> 4, tt & 0x0F))
                         break
                 else:
                     raise ValueError("JPEG scan names unknown component")
-            d = _dct_matrix()
-            bh, bw = (h + 7) // 8, (w + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan]
+            ss, se, aa = data[1 + ns * 2 : 4 + ns * 2]
+            ah, al = aa >> 4, aa & 0x0F
+            if not progressive:
+                if ns != len(comps):
+                    # a spec-valid baseline file may put each component in
+                    # its own scan (non-interleaved); decoding only the
+                    # first scan would silently return luma-only data
+                    raise ValueError(
+                        "non-interleaved (multi-scan) JPEG unsupported: scan has "
+                        f"{ns} of {len(comps)} frame components"
+                    )
+                ss, se, ah, al = 0, 63, 0, 0
+            else:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive JPEG: DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive JPEG: AC scan must be single-component")
+                if ss > se or se > 63:
+                    raise ValueError("progressive JPEG: bad spectral band")
             rdr = _JpegBitReader(payload, pos)
-            pred = [0] * len(scan)
-            mcu = 0
-            by = bx = 0
-            while by < bh:
+            scan_cis = [ci for ci, _td, _ta in scan]
+            td_ta = {ci: (td, ta) for ci, td, ta in scan}
+            pred = {ci: 0 for ci in scan_cis}
+            eobrun = 0
+            unit_i = 0
+            units = _scan_units(geo, mcux, mcuy, scan_cis)
+            total_units = (
+                geo[scan_cis[0]]["ni_by"] * geo[scan_cis[0]]["ni_bx"]
+                if len(scan_cis) == 1
+                else mcux * mcuy
+            )
+            for unit in units:
                 try:
-                    for ci, (td, ta, tq) in enumerate(scan):
-                        zz = np.zeros(64, dtype=np.float64)
-                        s = rdr.huff(huff[(0, td)])
-                        diff = _extend(rdr.bits(s), s) if s else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        i = 1
-                        while i < 64:
-                            rs = rdr.huff(huff[(1, ta)])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    i += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            i += r
-                            if i > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[i] = _extend(rdr.bits(s), s)
-                            i += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz
-                        blk = d.T @ (coef.reshape(8, 8) * qt[tq]) @ d + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                    for ci, by, bx in unit:
+                        out = coefs[ci][by, bx]
+                        td, ta = td_ta[ci]
+                        if not progressive:
+                            pred[ci] = _decode_block_baseline(
+                                rdr, huff[(0, td)], huff[(1, ta)], pred[ci], out
+                            )
+                        elif ss == 0 and ah == 0:  # DC first
+                            s = rdr.huff(huff[(0, td)])
+                            pred[ci] += _extend(rdr.bits(s), s) if s else 0
+                            out[0] = pred[ci] << al
+                        elif ss == 0:  # DC refinement: one bit per block
+                            if rdr.bits(1):
+                                out[0] = int(out[0]) | (1 << al)
+                        elif ah == 0:  # AC first
+                            eobrun = _decode_ac_first(
+                                rdr, huff[(1, ta)], out, ss, se, al, eobrun
+                            )
+                        else:  # AC refinement
+                            eobrun = _decode_ac_refine(
+                                rdr, huff[(1, ta)], out, ss, se, al, eobrun
+                            )
                 except _RestartMarker:
                     raise ValueError("JPEG restart marker misaligned with interval")
-                mcu += 1
-                bx += 1
-                if bx == bw:
-                    bx = 0
-                    by += 1
-                if restart_interval and mcu % restart_interval == 0 and by < bh:
+                unit_i += 1
+                if (
+                    restart_interval
+                    and unit_i % restart_interval == 0
+                    and unit_i < total_units
+                ):
                     rdr.skip_restart()
-                    pred = [0] * len(scan)
-            arr = [np.clip(p[:h, :w], 0.0, 255.0) for p in planes]
-            if len(arr) == 1:
-                out = arr[0][..., None]
-            elif len(arr) == 3:
-                y, cb, cr = arr
-                r = y + 1.402 * (cr - 128.0)
-                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-                b = y + 1.772 * (cb - 128.0)
-                out = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
-            else:
-                raise ValueError("JPEG: only 1 or 3 components supported")
-            return h, w, out.shape[2], (out + 0.5).astype(np.uint8)
-        elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            # standalone markers (TEM, RSTn) carry no length segment: the
-            # two bytes parsed as ``ln`` belong to the NEXT marker, so undo
-            # the generic ``pos += 2 + ln`` advance back to just past the
-            # 2-byte marker itself
-            pos -= ln
-        # APPn / COM / others: skipped via the generic length field
-    raise ValueError("JPEG missing SOS scan")
+                    pred = {ci: 0 for ci in scan_cis}
+                    eobrun = 0
+            scans_done += 1
+            pos = rdr.next_marker_pos()
+            if not progressive:
+                break  # baseline: single interleaved scan holds everything
+        # APPn / COM / DNL / others: skipped via the generic length field
+    if frame is None or scans_done == 0:
+        raise ValueError("JPEG missing SOS scan")
+
+    # reconstruct: dequantize + IDCT all blocks per component, assemble,
+    # crop MCU padding, nearest-neighbor upsample subsampled chroma
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy, geo = geom
+    d = _dct_matrix()
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("JPEG scan references missing quant table")
+        C = coefs[ci]
+        by, bx = C.shape[:2]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., _ZIGZAG] = C
+        blocks = (nat * qt[tq]).reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", d.T, blocks, d) + 128.0
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        plane = np.clip(plane[:ch, :cw], 0.0, 255.0)
+        if (ch, cw) != (h, w):
+            yi = (np.arange(h) * vi) // vmax
+            xi = (np.arange(w) * hi) // hmax
+            plane = plane[yi][:, xi]
+        planes.append(plane)
+    if len(planes) == 1:
+        out = planes[0][..., None]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+    else:
+        raise ValueError("JPEG: only 1 or 3 components supported")
+    return h, w, out.shape[2], (out + 0.5).astype(np.uint8)
 
 
 @_lru_cache(maxsize=4096)
-def synth_jpeg_payload(key: int, block_px: int = 8) -> bytes:
-    """64×64 greyscale baseline JPEG whose 8×8 block pattern encodes the
-    same 64 md5 bits as :func:`synth_png_payload` (values 192/64 instead
-    of 255/0).  Every pattern block is a constant, JPEG-block-aligned
-    8×8 square, so only DC coefficients survive the FDCT and the worst
-    reconstruction error is quant/16 <= 1 grey level — the aHash block
-    means stay within ±1 of {64, 192}, far from the global-mean
-    threshold, so :func:`image_ahash` provably recovers the md5 bits and
-    a SQL oracle states the clustering closed-form WITHOUT decoding."""
+def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = None) -> bytes:
+    """64×64 JPEG whose 8×8 block pattern encodes the same 64 md5 bits as
+    :func:`synth_png_payload` (values 192/64 instead of 255/0).
+
+    The ENCODING rotates by key class so the oracle-gated ahash queries
+    drive every decode path the codec supports: ``key % 4 == 1`` is a
+    4:2:0-subsampled baseline COLOR file, ``key % 4 == 3`` a 4:2:0
+    PROGRESSIVE color file, the rest greyscale baseline.  The color
+    variants carry R=G=B, so Y equals the pattern exactly and both
+    chroma planes are the constant 128 (DC-only, exactly representable,
+    and invariant under subsampling) — every variant reconstructs within
+    ±1 grey level of the pattern.  Every pattern block is a constant,
+    JPEG-block-aligned 8×8 square, so only DC coefficients survive the
+    FDCT and the worst reconstruction error is quant/16 <= 1 grey level
+    — the aHash block means stay within ±1 of {64, 192}, far from the
+    global-mean threshold, so :func:`image_ahash` provably recovers the
+    md5 bits and a SQL oracle states the clustering closed-form WITHOUT
+    decoding, whichever encoding the key lands on."""
     import numpy as np
 
     bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    if flip_block is not None:
+        bits ^= 1 << (63 - flip_block)  # Hamming-1 perturbation (near-dup twin)
     blocks = np.array(
         [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
     ).reshape(AHASH_GRID, AHASH_GRID)
     pix = np.kron(blocks * 128 + 64, np.ones((block_px, block_px), dtype=np.uint8))
+    variant = key % 4
+    if variant in (1, 3):
+        rgb = np.stack([pix, pix, pix], axis=-1)
+        return encode_jpeg(rgb, subsample="420", progressive=variant == 3)
     return encode_jpeg(pix)

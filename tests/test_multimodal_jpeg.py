@@ -93,12 +93,98 @@ def test_rejects_bad_and_truncated():
             decode_jpeg(payload[:cut])
 
 
-def test_rejects_progressive_sof():
+def test_rejects_doctored_progressive_sof():
+    """Progressive streams ARE decoded now, but a doctored SOF0->SOF2 flip
+    leaves a spec-invalid scan header (a progressive DC scan must have
+    Se=0, yet the baseline SOS says Se=63) — reject, don't misdecode."""
     payload = bytearray(encode_jpeg(_smooth(16, 16)))
     idx = payload.find(b"\xff\xc0")
     payload[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(payload))
+
+
+def test_420_roundtrip_close_and_declares_subsampling():
+    """4:2:0 chroma subsampling (the dominant real-crawl encoding): the
+    stream must declare luma sampling 0x22, and smooth color content must
+    survive the subsample + nearest-upsample round trip."""
+    g = _smooth(48, 40)
+    rgb = np.stack([g, g[::-1], _smooth(48, 40, seed=3)], axis=-1).astype(np.uint8)
+    payload = encode_jpeg(rgb, subsample="420")
+    sof = payload.find(b"\xff\xc0")
+    assert payload[sof + 11] == 0x22  # first component: hi=2, vi=2
+    p444 = encode_jpeg(rgb)
+    assert len(payload) < len(p444)  # chroma blocks actually dropped
+    h, w, c, arr = decode_jpeg(payload)
+    assert (h, w, c) == (48, 40, 3)
+    err = np.abs(arr.astype(int) - rgb.astype(int))
+    assert err.max() <= 40 and err.mean() < 6.0  # chroma edges pay the subsample
+
+
+def test_420_constant_chroma_matches_444_exactly():
+    """R=G=B content has constant (128) chroma — invariant under 2x2
+    box subsampling — so the 4:2:0 decode must be pixel-identical to the
+    4:4:4 decode (the property the synth fixture contract relies on)."""
+    g = _smooth(33, 31)  # odd dims: exercises chroma edge padding
+    rgb = np.stack([g, g, g], axis=-1)
+    a444 = decode_jpeg(encode_jpeg(rgb))[3]
+    a420 = decode_jpeg(encode_jpeg(rgb, subsample="420"))[3]
+    assert np.array_equal(a444, a420)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) streams carry the SAME quantized coefficients
+    split across DC/AC first + successive-approximation refinement scans,
+    so the decode must be BIT-IDENTICAL to the baseline encoding of the
+    same image — across grey / 4:4:4 / 4:2:0."""
+    g = _smooth(48, 40)
+    rgb = np.stack([g, g[::-1], _smooth(48, 40, seed=3)], axis=-1).astype(np.uint8)
+    for pix, kw in [
+        (g, {}),
+        (rgb, {}),
+        (rgb, {"subsample": "420"}),
+    ]:
+        base = decode_jpeg(encode_jpeg(pix, **kw))[3]
+        prog_payload = encode_jpeg(pix, progressive=True, **kw)
+        assert prog_payload.find(b"\xff\xc2") > 0  # SOF2
+        assert prog_payload.count(b"\xff\xda") >= 4  # multi-scan
+        prog = decode_jpeg(prog_payload)[3]
+        assert np.array_equal(base, prog)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_progressive_equals_baseline_property(h, w, seed):
+    """Noise content (worst case for EOB runs, ZRL folding, and
+    refinement correction bits) at arbitrary sizes: progressive and
+    baseline encodings of the same pixels decode identically, for both
+    subsampling modes."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    for ss in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(px, subsample=ss))[3]
+        prog = decode_jpeg(encode_jpeg(px, subsample=ss, progressive=True))[3]
+        assert np.array_equal(base, prog), (h, w, seed, ss)
+
+
+def test_synth_payload_rotates_encodings():
+    """The fixture contract behind x_jpeg_ahash_dedup: key % 4 == 1 emits
+    a baseline 4:2:0 color stream, key % 4 == 3 a progressive 4:2:0
+    color stream, the rest greyscale baseline — and every variant still
+    decodes to the md5 block pattern (asserted by
+    test_synth_payload_bits_closed_form, whose key sweep covers all
+    variants)."""
+    p_grey = synth_jpeg_payload(0)
+    p_420 = synth_jpeg_payload(1)
+    p_prog = synth_jpeg_payload(3)
+    assert p_grey.find(b"\xff\xc0") > 0 and p_grey[p_grey.find(b"\xff\xc0") + 9] == 1
+    sof = p_420.find(b"\xff\xc0")
+    assert sof > 0 and p_420[sof + 9] == 3 and p_420[sof + 11] == 0x22
+    assert p_prog.find(b"\xff\xc2") > 0 and p_prog.count(b"\xff\xda") >= 4
 
 
 def test_synth_payload_bits_closed_form():
