@@ -50,8 +50,9 @@ _ROTATED_FOR = 11
 # (the 4:2:0 / progressive JPEG codec work lands in
 # operators/multimodal.py — x_jpeg_ahash_dedup and
 # x_image_neardup_pairs now CARRY subsampled + progressive fixtures, and
-# x_image_ahash_dedup / x_image_resize / x_multimodal_meta re-prove the
-# shared decode plumbing) and s25_stream_skyband (the skyband
+# x_image_ahash_dedup / x_image_resize re-prove the shared decode
+# plumbing, and x_audio_features now carries G.711 mu-law / A-law
+# fixtures through the new compressed-WAV reader) and s25_stream_skyband (the skyband
 # chunked-merge de-skew).  x_jpeg_ahash_dedup is round-10-gated but its
 # fixture changed, so it re-gates ahead of untouched round-9 entries;
 # the remaining fills are round-9-gated.  Round-11
@@ -76,14 +77,15 @@ _DRIVER_PRIORITY = [
     "x_winnow_pairs", "x_zorder_stats",
     # round-9-gated fills whose plans this round touches (see above)
     "x_image_ahash_dedup", "x_image_neardup_pairs", "x_image_resize",
-    "x_multimodal_meta", "x_jpeg_ahash_dedup", "s25_stream_skyband",
+    "x_audio_features", "x_jpeg_ahash_dedup", "s25_stream_skyband",
 ]
 # Round-12 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 12: every entry whose latest driver
 #   row is round 9 and which sits outside this round-11 window —
 #   compute mechanically from CORRECTNESS_r0*.json once the round-11
 #   artifact lands (at round-11 planning time: 46 round-9 rows minus
-#   the 6 fills above = 40), plus any round-11 registration that
+#   the 5 round-9 fills above = 41; x_jpeg_ahash_dedup is a round-10
+#   re-gate, not a round-9 fill), plus any round-11 registration that
 #   missed the round-11 window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round

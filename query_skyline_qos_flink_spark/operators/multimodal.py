@@ -332,14 +332,16 @@ AUDIO_META_SCHEMA = (
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
-    """REAL codec for PCM WAV (stdlib ``wave`` — no external libs):
-    returns (n_channels, sample_rate, n_frames, duration_ms, peak_amplitude).
+    """REAL codec for WAV (no external libs): returns (n_channels,
+    sample_rate, n_frames, duration_ms, peak_amplitude).
 
-    Compressed formats (mp3/ogg/flac) dispatch to ``soundfile`` when it is
-    importable (flac/ogg; mp3 needs its libsndfile build) — otherwise pass
-    your own ``decode_fn``.  PCM WAV always uses the stdlib path (already
-    exact and allocation-bound).  Raises ``wave.Error`` on non-WAV
-    payloads no installed backend recognizes."""
+    PCM WAV uses the stdlib ``wave`` path (exact and allocation-bound);
+    G.711 mu-law / A-law and IMA ADPCM WAVs — the compressed tags
+    ``wave`` rejects — expand through the from-scratch
+    :func:`decode_wav_samples` RIFF reader.  Remaining compressed
+    formats (mp3/ogg/flac) dispatch to ``soundfile`` when it is
+    importable — otherwise pass your own ``decode_fn``.  Raises
+    ``wave.Error`` on payloads no installed backend recognizes."""
     import io
     import struct as _struct
     import wave
@@ -347,6 +349,16 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
     try:
         wav = wave.open(io.BytesIO(payload), "rb")
     except wave.Error as wave_err:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import numpy as np
+
+            try:
+                nch, sr, samples = decode_wav_samples(payload)
+            except ValueError:
+                raise wave_err from None  # unknown tag: same error contract
+            nf = samples.shape[0]
+            peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
+            return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
         try:
             import soundfile as _sf
         except ImportError:
@@ -568,12 +580,20 @@ def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None
 
 @_lru_cache(maxsize=4096)
 def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
-    """Mono PCM16 WAV with closed-form truth: ``n_frames = 800 + (key % 5)
-    * 160`` alternating ±``amp`` square-wave samples where ``amp = 2000 +
-    (key % 7) * 1000`` — so the decoded peak amplitude is exactly ``amp``
-    and ``duration_ms = n_frames // 8`` (sr 8000), both integer-exact for
-    a SQL oracle."""
+    """Mono WAV with closed-form truth: ``n_frames = 800 + (key % 5) *
+    160`` alternating ±``amp`` square-wave samples where ``amp = 2000 +
+    (key % 7) * 1000``; ``duration_ms = n_frames // 8`` (sr 8000).
+
+    The ENCODING rotates by key class so the oracle-gated audio query
+    drives every real decode path: ``key % 3 == 1`` emits a G.711
+    mu-law WAV (format tag 7), ``key % 3 == 2`` an A-law WAV (tag 6),
+    the rest PCM16.  G.711 is LOSSY — the decoded peak is the nearest
+    G.711 level of ``amp`` — but the quantization is a fixed 256-entry
+    table, so the peak stays closed-form: the oracle states the
+    quantized level per (law, amp) class as a literal (computed from the
+    same canonical tables, pinned by tests)."""
     import io
+    import struct as _struct
     import wave
 
     import numpy as np
@@ -582,6 +602,21 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
     amp = 2000 + (key % 7) * 1000
     samples = np.full(n_frames, amp, dtype=np.int16)
     samples[1::2] = -amp
+    variant = key % 3
+    if variant in (1, 2):
+        law = "mulaw" if variant == 1 else "alaw"
+        tag = 7 if variant == 1 else 6
+        data = _g711_encode(samples, law)
+        fmt = _struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+        fact = _struct.pack("<I", n_frames)
+        body = (
+            b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + _struct.pack("<I", len(fact)) + fact
+            + b"data" + _struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
         wv.setnchannels(1)
@@ -589,6 +624,247 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
         wv.setframerate(sample_rate)
         wv.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-WAV codecs (numpy + struct, no external libs)
+# ---------------------------------------------------------------------------
+#
+# The stdlib ``wave`` module reads only PCM; real-world audio corpora are
+# full of G.711 mu-law / A-law (telephony, format tags 7 / 6) and IMA
+# ADPCM (format tag 0x11) WAV files.  These decoders parse the RIFF
+# container directly and expand to int16 — G.711 is a vectorized 256-entry
+# table lookup, IMA ADPCM the standard step/index predictor loop.  Other
+# compressed formats (mp3/ogg/flac) remain ``soundfile`` integration
+# points in :func:`decode_audio`.
+
+
+def _g711_tables():
+    """(mu-law, A-law) decode tables: 256 int16 values each, from the
+    canonical CCITT G.711 expansion formulas (mu-law 0x00 -> -32124,
+    0xFF -> 0; A-law 0x55 -> -8, 0xD5 -> +8 — the classic table values)."""
+    import numpy as np
+
+    mu = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mu[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[b] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_G711_MULAW, _G711_ALAW = None, None
+
+
+def _g711_decode(data: bytes, law: str):
+    """Vectorized G.711 expansion: one byte per sample -> int16."""
+    import numpy as np
+
+    global _G711_MULAW, _G711_ALAW
+    if _G711_MULAW is None:
+        _G711_MULAW, _G711_ALAW = _g711_tables()
+    table = _G711_MULAW if law == "mulaw" else _G711_ALAW
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _g711_encode(samples, law: str) -> bytes:
+    """Nearest-level G.711 compression (fixture-side; exact inverse of
+    the decode table by construction — no sign-convention drift)."""
+    import numpy as np
+
+    global _G711_MULAW, _G711_ALAW
+    if _G711_MULAW is None:
+        _G711_MULAW, _G711_ALAW = _g711_tables()
+    table = (_G711_MULAW if law == "mulaw" else _G711_ALAW).astype(np.int32)
+    s = np.asarray(samples, dtype=np.int32)
+    # 256 levels only: brute-force nearest level, lowest code on ties
+    codes = np.abs(s[:, None] - table[None, :]).argmin(axis=1).astype(np.uint8)
+    return codes.tobytes()
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode_block(data: bytes, nch: int):
+    """One IMA ADPCM block -> int16 array (frames, nch).  Per channel: a
+    4-byte header (predictor int16 LE, step index, reserved) counting as
+    frame 0, then 4-byte nibble groups interleaved across channels."""
+    import struct as _struct
+
+    import numpy as np
+
+    preds, idxs = [], []
+    for c in range(nch):
+        p, i, _r = _struct.unpack_from("<hBB", data, c * 4)
+        preds.append(p)
+        idxs.append(min(max(i, 0), 88))
+    body = data[4 * nch :]
+    # nibbles per channel, in decode order (low nibble first within a byte)
+    per_ch: list[list[int]] = [[] for _ in range(nch)]
+    for gi in range(0, len(body), 4 * nch):
+        for c in range(nch):
+            for b in body[gi + c * 4 : gi + c * 4 + 4]:
+                per_ch[c].append(b & 0x0F)
+                per_ch[c].append(b >> 4)
+    nfr = 1 + (len(per_ch[0]) if per_ch[0] else 0)
+    out = np.empty((nfr, nch), dtype=np.int16)
+    for c in range(nch):
+        pred, idx = preds[c], idxs[c]
+        out[0, c] = pred
+        for fi, n in enumerate(per_ch[c], start=1):
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if n & 4:
+                diff += step
+            if n & 2:
+                diff += step >> 1
+            if n & 1:
+                diff += step >> 2
+            pred = pred - diff if n & 8 else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            idx = min(max(idx + _IMA_INDEX[n & 7], 0), 88)
+            out[fi, c] = pred
+        if len(per_ch[c]) != len(per_ch[0]):
+            raise ValueError("ADPCM block: ragged channel nibble counts")
+    return out
+
+
+def _ima_adpcm_encode(samples, block_frames: int = 505) -> tuple[bytes, int]:
+    """Mono IMA ADPCM compression (fixture-side, standard quantizer).
+    Returns (data bytes, block_align)."""
+    import struct as _struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if block_frames % 2 == 0:
+        block_frames += 1  # 1 header frame + even nibble count
+    block_align = 4 + (block_frames - 1) // 2
+    out = bytearray()
+    idx = 0
+    for bs in range(0, len(s), block_frames):
+        blk = s[bs : bs + block_frames]
+        pred = int(blk[0])
+        out += _struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for x in blk[1:]:
+            step = _IMA_STEPS[idx]
+            delta = int(x) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            # reconstruct exactly as the decoder will
+            diff = step >> 3
+            if n & 4:
+                diff += step
+            if n & 2:
+                diff += step >> 1
+            if n & 1:
+                diff += step >> 2
+            pred = pred - diff if n & 8 else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            idx = min(max(idx + _IMA_INDEX[n & 7], 0), 88)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        # pad the final short block to block_align
+        pad = block_align - (4 + len(nibbles) // 2)
+        out += bytes(pad)
+    return bytes(out), block_align
+
+
+def decode_wav_samples(payload: bytes):
+    """From-scratch RIFF/WAVE reader for the compressed format tags the
+    stdlib ``wave`` module rejects — G.711 mu-law (7), A-law (6), IMA
+    ADPCM (0x11) — plus 8/16-bit PCM (1) for completeness.  Returns
+    ``(n_channels, sample_rate, int16 ndarray (frames, channels))``."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n_frames_fact = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, nch, rate, _br, balign, bits = _struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (tag, nch, rate, balign, bits)
+        elif cid == b"fact" and len(body) >= 4:
+            (n_frames_fact,) = _struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate, balign, bits = fmt
+    if nch < 1:
+        raise ValueError("WAV: zero channels")
+    if tag == 1:  # PCM
+        if bits == 16:
+            arr = np.frombuffer(data[: len(data) // (2 * nch) * 2 * nch], dtype="<i2")
+        elif bits == 8:
+            arr = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+            ) << 8
+        else:
+            raise ValueError(f"WAV PCM bits {bits} unsupported here")
+        return nch, rate, arr.reshape(-1, nch)
+    if tag in (6, 7):  # G.711: one byte per sample
+        law = "alaw" if tag == 6 else "mulaw"
+        arr = _g711_decode(data[: len(data) // nch * nch], law)
+        out = arr.reshape(-1, nch)
+        if n_frames_fact is not None:
+            out = out[:n_frames_fact]
+        return nch, rate, out
+    if tag == 0x11:  # IMA ADPCM
+        if balign < 4 * nch:
+            raise ValueError("ADPCM block align too small")
+        blocks = []
+        for bs in range(0, len(data) // balign * balign, balign):
+            blocks.append(_ima_adpcm_decode_block(data[bs : bs + balign], nch))
+        if not blocks:
+            raise ValueError("ADPCM: no complete block")
+        out = np.concatenate(blocks, axis=0)
+        if n_frames_fact is not None:
+            out = out[:n_frames_fact]
+        return nch, rate, out
+    raise ValueError(f"WAV format tag {tag} unsupported (mp3/ogg/flac need soundfile)")
 
 
 def attach_synth_payload(
