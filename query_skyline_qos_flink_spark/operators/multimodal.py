@@ -1670,24 +1670,27 @@ def _encode_baseline_entropy(comps) -> bytes:
 
 
 def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
-    """Progressive (SOF2) entropy coding: a 4-phase scan script that
-    exercises every scan type a progressive decoder must implement —
-    interleaved DC first (Al=1), DC refinement (Al=0), per-component AC
-    first (band 1..63, Al=1) with EOB-run coding, and per-component AC
-    refinement (Al=0) with correction bits.  Returns a list of
-    ``(sos_header_payload, entropy_bytes)``.
+    """Progressive (SOF2) entropy coding following libjpeg's DEFAULT
+    ``jpeg_simple_progression`` scan script — the structure of virtually
+    every real-world progressive JPEG: an interleaved DC-first scan at
+    Al=1, per-component AC first scans with SPECTRAL band splits (luma
+    1-5 then 6-63 at Al=2, chroma 1-63 at Al=1), multi-level AC
+    refinement (luma 2->1->0, chroma 1->0) with EOBn run codes and
+    buffered correction bits, and a DC refinement scan.  Returns a list
+    of ``(sos_header_payload, entropy_bytes)``.
 
-    Mirrors ITU T.81 G.1.2 (the successive-approximation encoder libjpeg
-    implements): DC point transform is an arithmetic shift, AC first
-    scans code ``coef >> Al`` magnitudes with EOBn run codes, refinement
-    scans emit one correction bit per already-nonzero coefficient and
-    run/size codes only for newly-nonzero ones."""
+    Mirrors ITU T.81 G.1.2: the DC point transform is an arithmetic
+    shift; AC first scans code ``|coef| >> Al`` magnitudes (truncation
+    toward zero) with EOBn run codes; a refinement scan from Ah=Al+1
+    emits one correction bit (``(|coef| >> Al) & 1``) per
+    already-visible coefficient and run/size codes for the newly-visible
+    ones (``|coef| >> Al == 1``), per libjpeg encode_mcu_AC_refine."""
     enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
     prog_ac = _huff_encode_table(*_HUFF_AC_PROG)
-    enc_ac = [prog_ac, prog_ac]  # EOBn symbols live only in the prog table
-    scans = []
     mcuy = comps[0][3].shape[0] // comps[0][1]
     mcux = comps[0][3].shape[1] // comps[0][0]
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
 
     def sos_payload(comp_ids, ss, se, ah, al):
         b = bytes([len(comp_ids)])
@@ -1696,125 +1699,117 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
             b += bytes([cid + 1, (t << 4) | t])
         return b + bytes([ss, se, (ah << 4) | al])
 
-    # --- scan 1: interleaved DC first, Al=1 ---
-    wtr = _JpegBitWriter()
-    pred = [0] * len(comps)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (hi, vi, tq, coef) in enumerate(comps):
-                for v in range(vi):
-                    for hh in range(hi):
-                        dc = int(coef[my * vi + v, mx * hi + hh, 0]) >> 1
-                        s, bits = _magnitude(dc - pred[ci])
-                        pred[ci] = dc
-                        code, ln = enc_dc[tq][s]
-                        wtr.write(code, ln)
-                        if s:
-                            wtr.write(bits, s)
-    scans.append((sos_payload(list(range(len(comps))), 0, 0, 0, 1), wtr.flush()))
+    def ni_grid(ci):
+        # non-interleaved block grid EXCLUDES MCU padding (T.81 A.2.2)
+        hi, vi = comps[ci][0], comps[ci][1]
+        return (
+            -(-(-(-(h * vi) // vmax)) // 8),
+            -(-(-(-(w * hi) // hmax)) // 8),
+        )
 
-    # --- scan 2: interleaved DC refinement, Ah=1 -> Al=0 ---
-    wtr = _JpegBitWriter()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for _ci, (hi, vi, _tq, coef) in enumerate(comps):
-                for v in range(vi):
-                    for hh in range(hi):
-                        wtr.write(int(coef[my * vi + v, mx * hi + hh, 0]) & 1, 1)
-    scans.append((sos_payload(list(range(len(comps))), 0, 0, 1, 0), wtr.flush()))
+    def flush_eobrun(wtr, eobrun, pend):
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            code, ln = prog_ac[nb << 4]
+            wtr.write(code, ln)
+            if nb:
+                wtr.write(eobrun - (1 << nb), nb)
+        for bit in pend:
+            wtr.write(bit, 1)
+        return 0, []
 
-    # --- per-component AC scans (non-interleaved, spec-required ns=1) ---
-    hmax = max(c[0] for c in comps)
-    vmax = max(c[1] for c in comps)
-    for ci, (hi, vi, tq, coef) in enumerate(comps):
-        # the non-interleaved block grid EXCLUDES MCU padding blocks
-        # (T.81 A.2.2): ceil of the component's own sample dimensions
-        nby = -(-(-(-(h * vi) // vmax)) // 8)
-        nbx = -(-(-(-(w * hi) // hmax)) // 8)
-        ac = enc_ac[tq]
+    def dc_first(wtr, cis, al):
+        pred = {ci: 0 for ci in cis}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cis:
+                    hi, vi, tq, coef = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc = int(coef[my * vi + v, mx * hi + hh, 0]) >> al
+                            s, bits = _magnitude(dc - pred[ci])
+                            pred[ci] = dc
+                            code, ln = enc_dc[tq][s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(bits, s)
 
-        # AC first: band 1..63 at Al=1, EOBn run coding across blocks
-        wtr = _JpegBitWriter()
-        eobrun = 0
-        pend = []  # no correction bits in first scans; kept for symmetry
+    def dc_refine(wtr, cis, al):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cis:
+                    hi, vi, _tq, coef = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            wtr.write(
+                                (int(coef[my * vi + v, mx * hi + hh, 0]) >> al) & 1, 1
+                            )
 
-        def flush_eobrun(wtr, ac, eobrun, pend):
-            if eobrun > 0:
-                nb = eobrun.bit_length() - 1
-                code, ln = ac[nb << 4]
-                wtr.write(code, ln)
-                if nb:
-                    wtr.write(eobrun - (1 << nb), nb)
-            for bit in pend:
-                wtr.write(bit, 1)
-            return 0, []
-
+    def ac_first(wtr, ci, ss, se, al):
+        coef = comps[ci][3]
+        nby, nbx = ni_grid(ci)
+        eobrun, pend = 0, []
         for byi in range(nby):
             for bxi in range(nbx):
                 zz = coef[byi, bxi]
-                # AC point transform truncates toward ZERO (T.81 G.1.2.2;
-                # DC uses the arithmetic shift, AC does not)
-                band = [
-                    (abs(int(zz[k])) >> 1) * (1 if int(zz[k]) >= 0 else -1)
-                    for k in range(1, 64)
-                ]
-                if not any(band):
+                # AC point transform truncates toward ZERO (T.81 G.1.2.2)
+                band = {
+                    k: (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+                    for k in range(ss, se + 1)
+                }
+                if not any(band.values()):
                     eobrun += 1
                     if eobrun == 0x7FFF:
-                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+                        eobrun, pend = flush_eobrun(wtr, eobrun, pend)
                     continue
-                eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
+                eobrun, pend = flush_eobrun(wtr, eobrun, pend)
                 run = 0
-                last_nz = max(k for k, v in enumerate(band) if v)
-                for k in range(last_nz + 1):
+                last_nz = max(k for k, v in band.items() if v)
+                for k in range(ss, last_nz + 1):
                     if band[k] == 0:
                         run += 1
                         continue
                     while run > 15:
-                        code, ln = ac[0xF0]
+                        code, ln = prog_ac[0xF0]
                         wtr.write(code, ln)
                         run -= 16
                     s, bits = _magnitude(band[k])
-                    code, ln = ac[(run << 4) | s]
+                    code, ln = prog_ac[(run << 4) | s]
                     wtr.write(code, ln)
                     wtr.write(bits, s)
                     run = 0
-                if last_nz < 62:
+                if last_nz < se:
                     eobrun += 1  # trailing EOB joins the run
-        flush_eobrun(wtr, ac, eobrun, pend)
-        scans.append((sos_payload([ci], 1, 63, 0, 1), wtr.flush()))
+        flush_eobrun(wtr, eobrun, pend)
 
-        # AC refinement: Ah=1 -> Al=0 (correction bits, T.81 G.1.2.3 /
-        # libjpeg encode_mcu_AC_refine): EOB = last NEWLY-nonzero index
-        # (|coef| == 1); already-nonzero coefficients — including those
-        # past EOB — contribute one buffered correction bit each, flushed
-        # after the next Huffman code (ZRL, run/size, or the EOBn that
-        # closes the run the block joins)
-        wtr = _JpegBitWriter()
-        eobrun = 0
-        pend = []
+    def ac_refine(wtr, ci, ss, se, al):
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine, generalized to any
+        # Al: visible-at-this-level t = |coef| >> Al; newly nonzero iff
+        # t == 1; EOB = last newly-nonzero index; already-visible
+        # coefficients (t > 1) — including those past EOB — contribute
+        # one buffered correction bit each, flushed after the next
+        # Huffman code (ZRL, run/size, or the closing EOBn)
+        coef = comps[ci][3]
+        nby, nbx = ni_grid(ci)
+        eobrun, pend = 0, []
         for byi in range(nby):
             for bxi in range(nbx):
                 zz = coef[byi, bxi]
-                absv = [abs(int(zz[k])) for k in range(64)]
-                eob = 0
-                for k in range(1, 64):
-                    if absv[k] == 1:
+                tval = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+                eob = ss - 1
+                for k in range(ss, se + 1):
+                    if tval[k] == 1:
                         eob = k
                 run = 0
                 br: list[int] = []
-                for k in range(1, 64):
-                    t = absv[k]
+                for k in range(ss, se + 1):
+                    t = tval[k]
                     if t == 0:
                         run += 1
                         continue
-                    # ZRLs that cannot fold into the EOB run are emitted
-                    # BEFORE dispatching on t (libjpeg ordering): the
-                    # decoder's ZRL advance consumes the buffered
-                    # correction bits of the positions it passes
                     while run > 15 and k <= eob:
-                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
-                        code, ln = ac[0xF0]
+                        eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+                        code, ln = prog_ac[0xF0]
                         wtr.write(code, ln)
                         run -= 16
                         for bit in br:
@@ -1823,9 +1818,9 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                     if t > 1:
                         br.append(t & 1)
                         continue
-                    # t == 1: newly nonzero — emit run/size + sign
-                    eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
-                    code, ln = ac[(run << 4) | 1]
+                    # t == 1: newly visible — run/size + sign
+                    eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+                    code, ln = prog_ac[(run << 4) | 1]
                     wtr.write(code, ln)
                     wtr.write(1 if int(zz[k]) > 0 else 0, 1)
                     for bit in br:
@@ -1833,14 +1828,42 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                     br = []
                     run = 0
                 if run > 0 or br:
-                    # block ends in an EOB: join the run, buffering the
-                    # trailing correction bits to emit after the EOBn code
                     eobrun += 1
                     pend.extend(br)
                     if eobrun == 0x7FFF:
-                        eobrun, pend = flush_eobrun(wtr, ac, eobrun, pend)
-        flush_eobrun(wtr, ac, eobrun, pend)
-        scans.append((sos_payload([ci], 1, 63, 1, 0), wtr.flush()))
+                        eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+        flush_eobrun(wtr, eobrun, pend)
+
+    # libjpeg jpeg_simple_progression scripts
+    if grey or len(comps) == 1:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+    scans = []
+    for cis, ss, se, ah, al in script:
+        wtr = _JpegBitWriter()
+        if ss == 0 and ah == 0:
+            dc_first(wtr, cis, al)
+        elif ss == 0:
+            dc_refine(wtr, cis, al)
+        elif ah == 0:
+            ac_first(wtr, cis[0], ss, se, al)
+        else:
+            ac_refine(wtr, cis[0], ss, se, al)
+        scans.append((sos_payload(cis, ss, se, ah, al), wtr.flush()))
     return scans
 
 
