@@ -2273,16 +2273,20 @@ def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY doc_id % 40
 """.strip(),
-    doc="Image dedup through the REAL baseline JPEG codec (from-scratch "
-    "Annex-K encoder + general Huffman/IDCT decoder, "
+    doc="Image dedup through the REAL JPEG codec (from-scratch Annex-K "
+    "encoder + general Huffman/IDCT decoder, "
     "operators/multimodal.py::encode_jpeg/decode_jpeg): synthesize a "
-    "64x64 greyscale JPEG per doc (payload class = doc_id % 40), decode, "
-    "compute the 64-bit average-hash, group documents by hash. The synth "
-    "pattern is 8x8-block-constant and JPEG-block-aligned, so only DC "
-    "coefficients survive the FDCT and reconstruction error is <= 1 grey "
-    "level — the aHash provably equals the md5-derived bit pattern and "
-    "the oracle recovers the clustering closed-form WITHOUT decoding. "
-    "Scale: one scan + mapInPandas, shuffle only (hash) pairs",
+    "64x64 JPEG per doc (payload class = doc_id % 40) whose ENCODING "
+    "rotates by class — greyscale baseline, 4:2:0-subsampled color "
+    "(class % 4 == 1), progressive 4:2:0 color with the libjpeg default "
+    "10-scan script (class % 4 == 3) — decode, compute the 64-bit "
+    "average-hash, group documents by hash. The synth pattern is "
+    "8x8-block-constant, JPEG-block-aligned and constant-chroma, so "
+    "only DC coefficients survive the FDCT under every encoding and "
+    "reconstruction error is <= 1 grey level — the aHash provably "
+    "equals the md5-derived bit pattern and the oracle recovers the "
+    "clustering closed-form WITHOUT decoding. Scale: one scan + "
+    "mapInPandas, shuffle only (hash) pairs",
 )
 def x_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -2344,15 +2348,19 @@ SELECT CAST(d.doc_id AS BIGINT) AS id_a,
 FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
 WHERE d.doc_id % 2 = 0
 """.strip(),
-    doc="Image NEAR-dup pairs through the real PNG codec: odd docs carry "
-    "their even predecessor's image with one 8x8 block inverted (a known "
-    "Hamming-1 aHash perturbation), then the generic 16-bit-chunk "
-    "pigeonhole blocking (operators/dedup.py::hamming_neardup_pairs, "
-    "shared with SimHash) recovers exactly the (2m, 2m+1) twin pairs at "
-    "distance 1 — closed-form for the oracle, no decode needed. Distinct "
-    "md5-derived class hashes are ~32 bits apart, so no cross-class pair "
-    "survives the <=3 refine. Scale: explode x4 chunk rows, equi-join on "
-    "chunk value, exact bit_count refine; pixels never shuffle",
+    doc="Image NEAR-dup pairs through the real image codecs: odd docs "
+    "carry their even predecessor's image with one 8x8 block inverted "
+    "(a known Hamming-1 aHash perturbation), the CODEC rotating by pair "
+    "class — PNG, baseline 4:2:0 color JPEG, progressive 4:2:0 JPEG — "
+    "then the generic 16-bit-chunk pigeonhole blocking "
+    "(operators/dedup.py::hamming_neardup_pairs, shared with SimHash) "
+    "recovers exactly the (2m, 2m+1) twin pairs at distance 1 — the "
+    "block-aligned DC-only constant-chroma pattern makes every aHash "
+    "bit exact under all three codecs, so the oracle stays closed-form, "
+    "no decode needed. Distinct md5-derived class hashes are ~32 bits "
+    "apart, so no cross-class pair survives the <=3 refine. Scale: "
+    "explode x4 chunk rows, equi-join on chunk value, exact bit_count "
+    "refine; pixels never shuffle",
 )
 def x_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
