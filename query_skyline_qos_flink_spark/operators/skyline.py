@@ -613,7 +613,8 @@ def _chunked_skyband_verify(
     """Skyband verification for candidate unions past the broadcast bound:
     dominator counts are ADDITIVE over a partition of the union, so the
     counting scan becomes one chained pass per ``<= _VERIFY_MAX_ROWS``-row
-    hash-chunk of the candidates, each pass adding that chunk's dominator
+    chunk of the candidates — ascending coordinate-sum range buckets, the
+    strongest dominators first — each pass adding that chunk's dominator
     counts to the running column and dropping rows the moment the running
     count reaches ``k`` (counts only grow, so the early drop is exact —
     B3 certifies such rows are excluded either way).
@@ -638,24 +639,50 @@ def _chunked_skyband_verify(
 
     spark = phase1.sparkSession
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
-    # Uniform row-key chunks (see _uniform_chunk_col): counts are additive
-    # over ANY partition of the union (property-tested), so no dim-hash
-    # co-location is needed and every chunk stays <= ~n/n_chunks even on
-    # an all-duplicates corpus.  The assignment is materialized once (the
-    # id is unstable across recomputation) as a dims-only projection —
-    # n x d values, the same volume each pass broadcasts anyway.
-    chunks = _persist(
-        phase1.select(*prep_cols).withColumn(
-            "__vchunk", _uniform_chunk_col(n_chunks)
+    # Chunk membership is a free choice — counts are additive over ANY
+    # partition of the union (property-tested) — so pick the partition
+    # that maximizes the early-drop: ascending COORDINATE-SUM range
+    # buckets (approx-quantile boundaries).  The lowest-sum rows are the
+    # strongest dominators, so pass 0 pushes most rows to the k bound
+    # and later passes stream a fraction of the union.  Measured at 10M
+    # 3-D anti-correlated k=4 (SCALE.md): 168 s cold vs 294 s for
+    # sum-agnostic uniform chunks — 1.75x — with identical results.
+    # Buckets above the bound (ties on the boundaries; the all-duplicates
+    # corpus collapses to ONE bucket) split by a uniform row-hash
+    # sub-key, restoring the per-chunk size bound; the assignment is
+    # materialized once as a dims-only projection because the row id
+    # inside the sub-key is unstable across recomputation.
+    sum_col = sum((F.col(c) for c in prep_cols[1:]), F.col(prep_cols[0]))
+    bucket = F.lit(0)
+    if n_chunks > 1:
+        bnds = phase1.select(sum_col.alias("__s")).approxQuantile(
+            "__s", [i / n_chunks for i in range(1, n_chunks)], 0.001
         )
+        for i, b in enumerate(bnds):
+            bucket = F.when(sum_col > F.lit(float(b)), F.lit(i + 1)).otherwise(bucket)
+    chunks = _persist(
+        phase1.select(*prep_cols)
+        .withColumn("__vbucket", bucket)
+        .withColumn("__vrow", F.monotonically_increasing_id())
     )
+    sizes = {
+        r["__vbucket"]: r["cnt"]
+        for r in chunks.groupBy("__vbucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    plan = []  # ascending-sum pass order: (bucket, sub_index, n_sub)
+    for b in sorted(sizes):
+        n_sub = max(1, -(-sizes[b] // _VERIFY_MAX_ROWS))
+        plan.extend((b, j, n_sub) for j in range(n_sub))
     schema = StructType(
         list(phase1.schema.fields) + [StructField(count_col, LongType())]
     )
     cur = phase1
-    for i in range(n_chunks):
+    for i, (b, j, n_sub) in enumerate(plan):
+        sel = F.col("__vbucket") == b
+        if n_sub > 1:
+            sel = sel & (F.pmod(F.hash(F.col("__vrow")), F.lit(n_sub)) == j)
         ref_pdf = (
-            chunks.where(F.col("__vchunk") == i).drop("__vchunk").toPandas()
+            chunks.where(sel).select(*prep_cols).toPandas()
         )
         arr = np.ascontiguousarray(ref_pdf.to_numpy(dtype=np.float64))
         bc = spark.sparkContext.broadcast(arr)

@@ -109,17 +109,27 @@ def test_image_ahash_hamming_locality(spark):
 
 
 def test_synth_wav_features_exact(spark):
+    from tests.test_wav_codecs import _ALAW_PEAKS, _MULAW_PEAKS
+
     d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
     pay = mm.attach_synth_payload(d, "wav")
     got = {r["doc_id"]: r for r in mm.extract_audio_meta(pay).collect()}
     for k in range(40):
         nf = 800 + (k % 5) * 160
         amp = 2000 + (k % 7) * 1000
+        # the fixture rotates encodings: PCM peaks are exact, the G.711
+        # variants land on the nearest mu-law / A-law level (the same
+        # literals the x_audio_features oracle states)
+        want_peak = (
+            amp if k % 3 == 0
+            else _MULAW_PEAKS[amp] if k % 3 == 1
+            else _ALAW_PEAKS[amp]
+        )
         r = got[k]
         assert (r["n_channels"], r["sample_rate"]) == (1, 8000)
         assert r["n_frames"] == nf
         assert r["duration_ms"] == nf // 8
-        assert r["peak_amplitude"] == amp
+        assert r["peak_amplitude"] == want_peak
 
 
 def test_attach_synth_payload_key_mod_shares_bytes(spark):

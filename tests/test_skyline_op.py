@@ -816,6 +816,26 @@ def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
         sky._VERIFY_MAX_ROWS = old
 
 
+def test_chunked_skyband_all_duplicates_splits_buckets(spark):
+    """Sum-range chunking degenerates to ONE bucket when every row has
+    the same coordinate sum (the all-duplicates corpus): the uniform
+    row-hash sub-key must split it back under the bound and the chained
+    counting passes must still be exact (duplicates never dominate, so
+    every row survives with count 0)."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    dup = spark.createDataFrame(
+        [(i, 1.0, 2.0) for i in range(3000)], "id long, a double, b double"
+    )
+    old = sky._VERIFY_MAX_ROWS
+    try:
+        sky._VERIFY_MAX_ROWS = 200  # union 3000 -> 15 sub-chunks of one bucket
+        out = sky.skyband(dup, ["a", "b"], k=2)
+        assert out.count() == 3000
+    finally:
+        sky._VERIFY_MAX_ROWS = old
+
+
 def test_uniform_chunks_bounded_on_all_duplicates(spark):
     """The chunked merges key chunks on a uniform row id, not a dim hash
     (r10 verdict): on an all-duplicates corpus — the dim-hash worst case,
