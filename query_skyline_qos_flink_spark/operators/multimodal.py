@@ -355,10 +355,16 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
             try:
                 nch, sr, samples = decode_wav_samples(payload)
             except ValueError:
-                raise wave_err from None  # unknown tag: same error contract
-            nf = samples.shape[0]
-            peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
-            return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
+                # tag/structure the from-scratch reader doesn't cover
+                # (IEEE-float, EXTENSIBLE, GSM, truncated fmt, ...): fall
+                # THROUGH to soundfile below rather than giving up — an
+                # installed backend may still decode it (r11 review: the
+                # early re-raise here regressed soundfile-decodable WAVs)
+                pass
+            else:
+                nf = samples.shape[0]
+                peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
+                return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
         try:
             import soundfile as _sf
         except ImportError:
@@ -537,6 +543,26 @@ AHASH_GRID = 8  # 8x8 blocks -> 64-bit average-hash
 from functools import lru_cache as _lru_cache  # noqa: E402
 
 
+def _md5_block_pixels(key: int, flip_block: int | None, on: int, off: int,
+                      block_px: int = 8):
+    """The 64-bit md5 block pattern EVERY synth image fixture shares:
+    block i is ``on`` iff bit i of ``md5("img{key}")`` is set, else
+    ``off``; ``flip_block`` inverts one bit — the Hamming-1 near-dup
+    twin.  One home so the PNG / JPEG / twin fixtures can never silently
+    diverge on the pattern contract."""
+    import numpy as np
+
+    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+    if flip_block is not None:
+        bits ^= 1 << (63 - flip_block)
+    blocks = np.array(
+        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
+    ).reshape(AHASH_GRID, AHASH_GRID)
+    return np.kron(
+        blocks * (on - off) + off, np.ones((block_px, block_px), dtype=np.uint8)
+    )
+
+
 @_lru_cache(maxsize=4096)
 def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None) -> bytes:
     """64×64 greyscale PNG whose 8×8 block pattern encodes 64 bits derived
@@ -549,15 +575,7 @@ def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None
     import struct as _struct
     import zlib as _zlib
 
-    import numpy as np
-
-    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
-    if flip_block is not None:
-        bits ^= 1 << (63 - flip_block)
-    blocks = np.array(
-        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
-    ).reshape(AHASH_GRID, AHASH_GRID)
-    pix = np.kron(blocks * 255, np.ones((block_px, block_px), dtype=np.uint8))
+    pix = _md5_block_pixels(key, flip_block, on=255, off=0, block_px=block_px)
     h, w = pix.shape
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -824,6 +842,13 @@ def decode_wav_samples(payload: bytes):
         body = payload[pos + 8 : pos + 8 + sz]
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                # a legacy 14-byte WAVEFORMAT (no bits field) or truncated
+                # chunk: ValueError, NOT a leaking struct.error — callers
+                # key their fallback/skip logic on the documented errors
+                # (r11 review: struct.error escaped decode_audio and would
+                # kill the Spark task instead of erroring cleanly)
+                raise ValueError(f"WAV fmt chunk too short ({len(body)} bytes)")
             tag, nch, rate, _br, balign, bits = _struct.unpack_from("<HHIIHH", body, 0)
             fmt = (tag, nch, rate, balign, bits)
         elif cid == b"fact" and len(body) >= 4:
@@ -946,13 +971,7 @@ def _synth_jpeg_twin(key: int, cls: int, flip_block: int | None) -> bytes:
     ``cls == 1``, progressive for ``cls == 3``."""
     import numpy as np
 
-    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
-    if flip_block is not None:
-        bits ^= 1 << (63 - flip_block)
-    blocks = np.array(
-        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
-    ).reshape(AHASH_GRID, AHASH_GRID)
-    pix = np.kron(blocks * 128 + 64, np.ones((8, 8), dtype=np.uint8))
+    pix = _md5_block_pixels(key, flip_block, on=192, off=64)
     rgb = np.stack([pix, pix, pix], axis=-1)
     return encode_jpeg(rgb, subsample="420", progressive=cls == 3)
 
@@ -1616,9 +1635,10 @@ def _jpeg_quantized_components(pix, subsample: str):
 
 
 def _emit_ac_band(wtr, enc_ac_t, zz, lo: int, hi: int) -> None:
-    """Baseline-style run/size coding of ``zz[lo..hi]`` (used whole-band
-    by the baseline scan and per-band by progressive first scans via
-    :func:`_encode_progressive_scans`, which handles EOB runs itself)."""
+    """Run/size coding of the AC band ``zz[lo..hi]`` for the BASELINE
+    scan (always called with the full band 1..63; progressive first
+    scans inline their own loop in :func:`_encode_progressive_scans`
+    because they add the point transform and EOBn run coding)."""
     run = 0
     last_nz = lo - 1
     for i in range(hi, lo - 1, -1):
@@ -1746,9 +1766,11 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                             )
 
     def ac_first(wtr, ci, ss, se, al):
+        # no correction bits exist in a first scan, so flush_eobrun is
+        # always called with an empty pending list here
         coef = comps[ci][3]
         nby, nbx = ni_grid(ci)
-        eobrun, pend = 0, []
+        eobrun = 0
         for byi in range(nby):
             for bxi in range(nbx):
                 zz = coef[byi, bxi]
@@ -1760,9 +1782,9 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                 if not any(band.values()):
                     eobrun += 1
                     if eobrun == 0x7FFF:
-                        eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+                        eobrun, _ = flush_eobrun(wtr, eobrun, [])
                     continue
-                eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+                eobrun, _ = flush_eobrun(wtr, eobrun, [])
                 run = 0
                 last_nz = max(k for k, v in band.items() if v)
                 for k in range(ss, last_nz + 1):
@@ -1780,7 +1802,7 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                     run = 0
                 if last_nz < se:
                     eobrun += 1  # trailing EOB joins the run
-        flush_eobrun(wtr, eobrun, pend)
+        flush_eobrun(wtr, eobrun, [])
 
     def ac_refine(wtr, ci, ss, se, al):
         # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine, generalized to any
@@ -2369,13 +2391,7 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     decoding, whichever encoding the key lands on."""
     import numpy as np
 
-    bits = int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
-    if flip_block is not None:
-        bits ^= 1 << (63 - flip_block)  # Hamming-1 perturbation (near-dup twin)
-    blocks = np.array(
-        [(bits >> (63 - i)) & 1 for i in range(AHASH_GRID * AHASH_GRID)], dtype=np.uint8
-    ).reshape(AHASH_GRID, AHASH_GRID)
-    pix = np.kron(blocks * 128 + 64, np.ones((block_px, block_px), dtype=np.uint8))
+    pix = _md5_block_pixels(key, flip_block, on=192, off=64, block_px=block_px)
     variant = key % 4
     if variant in (1, 3):
         rgb = np.stack([pix, pix, pix], axis=-1)

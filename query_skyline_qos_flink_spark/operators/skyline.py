@@ -416,16 +416,32 @@ def _chunked_broadcast_verify(
     requires duplicate dim-rows to co-locate — and a dim hash would let
     an adversarial all-duplicates corpus collapse into one oversized
     chunk.  The row key keeps every chunk near ``n / n_chunks`` by
-    construction.  The chunk column is persisted with the frame because
-    ``monotonically_increasing_id`` is only stable for a pinned
-    partitioning — each pass re-reads the SAME materialized assignment."""
+    construction.
+
+    The assignment frame's lifetime is the LOOP, not the result: every
+    reference pull (``toPandas`` inside :func:`_broadcast_verify`) runs
+    eagerly in the loop body, and the returned filter chain references
+    only ``cur`` — so the unstable row id is pinned with a DIRECT
+    ``persist`` (the bounded registry's per-scope cap would evict it
+    mid-loop once the per-pass ``out`` persists pile up, r11 review) and
+    released as soon as the loop ends."""
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
-    base = _persist(cur.withColumn("__vchunk", _uniform_chunk_col(n_chunks)))
-    out = base
-    for i in range(n_chunks):
-        ref = base.where(F.col("__vchunk") == i)
-        out = _persist(_broadcast_verify(out, prep_cols, ref=ref))
-    return out.drop("__vchunk")
+    assign = (
+        cur.select(*prep_cols)
+        .withColumn("__vchunk", _uniform_chunk_col(n_chunks))
+        .persist()
+    )
+    try:
+        out = cur
+        for i in range(n_chunks):
+            ref = assign.where(F.col("__vchunk") == i).drop("__vchunk")
+            out = _persist(_broadcast_verify(out, prep_cols, ref=ref))
+    finally:
+        try:
+            assign.unpersist(blocking=False)
+        except Exception:
+            pass
+    return out
 
 
 def skyline_verify_count(df: DataFrame, dims: Sequence, result: DataFrame) -> int:
@@ -655,35 +671,61 @@ def _chunked_skyband_verify(
     sum_col = sum((F.col(c) for c in prep_cols[1:]), F.col(prep_cols[0]))
     bucket = F.lit(0)
     if n_chunks > 1:
-        bnds = phase1.select(sum_col.alias("__s")).approxQuantile(
-            "__s", [i / n_chunks for i in range(1, n_chunks)], 0.001
+        bnds = sorted(
+            set(
+                phase1.select(sum_col.alias("__s")).approxQuantile(
+                    "__s", [i / n_chunks for i in range(1, n_chunks)], 0.001
+                )
+            )
         )
-        for i, b in enumerate(bnds):
-            bucket = F.when(sum_col > F.lit(float(b)), F.lit(i + 1)).otherwise(bucket)
-    chunks = _persist(
+        if bnds:
+            # bucket id = number of boundaries strictly below the sum: one
+            # size(filter(<literal array>)) expression, NOT a chained
+            # when().otherwise() — a 31-deep nested conditional makes every
+            # optimizer/codegen walk quadratic-ish (~4x at 32 buckets,
+            # measured for the 2-D range bucketing above)
+            bucket = F.size(
+                F.filter(
+                    F.array(*[F.lit(float(b)) for b in bnds]),
+                    lambda b: b < sum_col,
+                )
+            )
+    # The assignment's lifetime is the LOOP: every reference pull below is
+    # eager, and the returned counting chain references only phase1 — so
+    # the unstable row id is pinned with a DIRECT persist (the bounded
+    # registry could evict it mid-loop, r11 review) and released as soon
+    # as the pulls are done.
+    chunks = (
         phase1.select(*prep_cols)
         .withColumn("__vbucket", bucket)
         .withColumn("__vrow", F.monotonically_increasing_id())
+        .persist()
     )
-    sizes = {
-        r["__vbucket"]: r["cnt"]
-        for r in chunks.groupBy("__vbucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    plan = []  # ascending-sum pass order: (bucket, sub_index, n_sub)
-    for b in sorted(sizes):
-        n_sub = max(1, -(-sizes[b] // _VERIFY_MAX_ROWS))
-        plan.extend((b, j, n_sub) for j in range(n_sub))
+    try:
+        sizes = {
+            r["__vbucket"]: r["cnt"]
+            for r in chunks.groupBy("__vbucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        plan = []  # ascending-sum pass order: (bucket, sub_index, n_sub)
+        for b in sorted(sizes):
+            n_sub = max(1, -(-sizes[b] // _VERIFY_MAX_ROWS))
+            plan.extend((b, j, n_sub) for j in range(n_sub))
+        refs = []
+        for b, j, n_sub in plan:
+            sel = F.col("__vbucket") == b
+            if n_sub > 1:
+                sel = sel & (F.pmod(F.hash(F.col("__vrow")), F.lit(n_sub)) == j)
+            refs.append(chunks.where(sel).select(*prep_cols).toPandas())
+    finally:
+        try:
+            chunks.unpersist(blocking=False)
+        except Exception:
+            pass
     schema = StructType(
         list(phase1.schema.fields) + [StructField(count_col, LongType())]
     )
     cur = phase1
-    for i, (b, j, n_sub) in enumerate(plan):
-        sel = F.col("__vbucket") == b
-        if n_sub > 1:
-            sel = sel & (F.pmod(F.hash(F.col("__vrow")), F.lit(n_sub)) == j)
-        ref_pdf = (
-            chunks.where(sel).select(*prep_cols).toPandas()
-        )
+    for i, ref_pdf in enumerate(refs):
         arr = np.ascontiguousarray(ref_pdf.to_numpy(dtype=np.float64))
         bc = spark.sparkContext.broadcast(arr)
 
