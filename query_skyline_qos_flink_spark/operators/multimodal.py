@@ -1558,6 +1558,14 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit the RSTn marker — markers sit
+        OUTSIDE the entropy stream, so no byte stuffing applies."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category size, appended bits) for a DC diff / AC level (F.1.2.1)."""
@@ -1583,8 +1591,10 @@ def _jpeg_quantized_components(pix, subsample: str):
         pix = pix[..., 0]  # single-channel (h, w, 1) is greyscale
     if pix.ndim == 3 and pix.shape[2] != 3:
         raise ValueError(f"encode_jpeg: expected (h, w), (h, w, 1) or (h, w, 3), got {pix.shape}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"encode_jpeg: subsample must be '444' or '420', got {subsample!r}")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError(
+            f"encode_jpeg: subsample must be '444', '422' or '420', got {subsample!r}"
+        )
     grey = pix.ndim == 2
     h, w = pix.shape[:2]
     if grey:
@@ -1597,22 +1607,26 @@ def _jpeg_quantized_components(pix, subsample: str):
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    sub420 = subsample == "420" and not grey
-    # sampling factors: 4:2:0 gives luma (2, 2) against chroma (1, 1)
-    samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    # sampling factors: 4:2:0 gives luma (2, 2) against chroma (1, 1);
+    # 4:2:2 halves chroma horizontally only — luma (2, 1)
+    sub = subsample if not grey else "444"
+    y_samp = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sub]
+    samps = [y_samp, (1, 1), (1, 1)]
     hmax = max(s[0] for s in samps[: len(planes)])
     vmax = max(s[1] for s in samps[: len(planes)])
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    if sub420:
-        # chroma = 2x2 box mean of the (edge-padded-to-even) full-res plane
-        eh, ew = h + (h & 1), w + (w & 1)
+    if sub != "444":
+        # chroma = fh x fv box mean of the (edge-padded) full-res plane
+        fh, fv = y_samp
+        eh = -(-h // fv) * fv
+        ew = -(-w // fh) * fh
         for ci in (1, 2):
             p = np.empty((eh, ew), dtype=np.float64)
             p[:h, :w] = planes[ci]
             p[h:, :w] = p[h - 1 : h, :w]
             p[:, w:] = p[:, w - 1 : w]
-            planes[ci] = p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            planes[ci] = p.reshape(eh // fv, fv, ew // fh, fh).mean(axis=(1, 3))
 
     d = _dct_matrix()
     ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)
@@ -1663,18 +1677,25 @@ def _emit_ac_band(wtr, enc_ac_t, zz, lo: int, hi: int) -> None:
         wtr.write(code, ln)
 
 
-def _encode_baseline_entropy(comps) -> bytes:
+def _encode_baseline_entropy(comps, restart_interval: int = 0) -> bytes:
     """Interleaved single-scan baseline entropy coding over the MCU grid
     (general sampling factors: each MCU carries hi x vi blocks per
-    component in raster order)."""
+    component in raster order).  ``restart_interval`` > 0 emits RSTn
+    markers (cycling 0-7) every that many MCUs, resetting DC predictors."""
     enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
     enc_ac = [_huff_encode_table(*_HUFF_AC_L), _huff_encode_table(*_HUFF_AC_C)]
     wtr = _JpegBitWriter()
     pred = [0] * len(comps)
     mcuy = comps[0][3].shape[0] // comps[0][1]
     mcux = comps[0][3].shape[1] // comps[0][0]
+    mcu_i, rst = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                pred = [0] * len(comps)
+            mcu_i += 1
             for ci, (hi, vi, tq, coef) in enumerate(comps):
                 for v in range(vi):
                     for hh in range(hi):
@@ -1689,7 +1710,8 @@ def _encode_baseline_entropy(comps) -> bytes:
     return wtr.flush()
 
 
-def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
+def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
+                              restart_interval: int = 0):
     """Progressive (SOF2) entropy coding following libjpeg's DEFAULT
     ``jpeg_simple_progression`` scan script — the structure of virtually
     every real-world progressive JPEG: an interleaved DC-first scan at
@@ -1740,8 +1762,14 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
 
     def dc_first(wtr, cis, al):
         pred = {ci: 0 for ci in cis}
+        mcu_i, rst = 0, 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    wtr.restart(rst)
+                    rst += 1
+                    pred = {ci: 0 for ci in cis}
+                mcu_i += 1
                 for ci in cis:
                     hi, vi, tq, coef = comps[ci]
                     for v in range(vi):
@@ -1755,8 +1783,13 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
                                 wtr.write(bits, s)
 
     def dc_refine(wtr, cis, al):
+        mcu_i, rst = 0, 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    wtr.restart(rst)
+                    rst += 1
+                mcu_i += 1
                 for ci in cis:
                     hi, vi, _tq, coef = comps[ci]
                     for v in range(vi):
@@ -1771,8 +1804,14 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
         coef = comps[ci][3]
         nby, nbx = ni_grid(ci)
         eobrun = 0
+        blk_i, rst = 0, 0
         for byi in range(nby):
             for bxi in range(nbx):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    eobrun, _ = flush_eobrun(wtr, eobrun, [])  # runs cannot cross RSTn
+                    wtr.restart(rst)
+                    rst += 1
+                blk_i += 1
                 zz = coef[byi, bxi]
                 # AC point transform truncates toward ZERO (T.81 G.1.2.2)
                 band = {
@@ -1814,8 +1853,15 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
         coef = comps[ci][3]
         nby, nbx = ni_grid(ci)
         eobrun, pend = 0, []
+        blk_i, rst = 0, 0
         for byi in range(nby):
             for bxi in range(nbx):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    # EOB runs and buffered correction bits cannot cross RSTn
+                    eobrun, pend = flush_eobrun(wtr, eobrun, pend)
+                    wtr.restart(rst)
+                    rst += 1
+                blk_i += 1
                 zz = coef[byi, bxi]
                 tval = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
                 eob = ss - 1
@@ -1889,17 +1935,20 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int):
     return scans
 
 
-def encode_jpeg(pix, subsample: str = "444", progressive: bool = False) -> bytes:
+def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
+                restart_interval: int = 0) -> bytes:
     """REAL JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB ``(h, w, 3)``
     ndarray -> JFIF bytes (Annex K quant + Huffman tables).
 
-    ``subsample``: ``"444"`` (no subsampling) or ``"420"`` (2x2 chroma
-    subsampling, the dominant real-crawl encoding; ignored for
-    greyscale).  ``progressive``: emit an SOF2 successive-approximation
-    stream (DC Al=1 + refine, per-component AC Al=1 + refine) instead of
-    a single baseline SOF0 scan.  Standard decoders read both forms; the
-    synth fixtures below use them so every decode path is exercised
-    end-to-end."""
+    ``subsample``: ``"444"`` (no subsampling), ``"422"`` (2x1 horizontal
+    chroma subsampling) or ``"420"`` (2x2, the dominant real-crawl
+    encoding); ignored for greyscale.  ``progressive``: emit an SOF2
+    stream following libjpeg's default 10-scan progression instead of a
+    single baseline SOF0 scan.  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (baseline and
+    progressive DC scans) / blocks (progressive AC scans).  Standard
+    decoders read every form; the synth fixtures below use them so every
+    decode path is exercised end-to-end."""
     import struct as _struct
 
     h, w, grey, comps = _jpeg_quantized_components(pix, subsample)
@@ -1928,8 +1977,12 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False) -> bytes
         out += dht(0, 1, _HUFF_DC_C) + dht(
             1, 1, _HUFF_AC_PROG if progressive else _HUFF_AC_C
         )
+    if restart_interval:
+        out += seg(0xFFDD, _struct.pack(">H", restart_interval))
     if progressive:
-        for sos_payload, entropy in _encode_progressive_scans(comps, grey, h, w):
+        for sos_payload, entropy in _encode_progressive_scans(
+            comps, grey, h, w, restart_interval
+        ):
             out += seg(0xFFDA, sos_payload)
             out += entropy
     else:
@@ -1938,7 +1991,7 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False) -> bytes
             sos += bytes([ci + 1, (tq << 4) | tq])
         sos += b"\x00\x3f\x00"
         out += seg(0xFFDA, sos)
-        out += _encode_baseline_entropy(comps)
+        out += _encode_baseline_entropy(comps, restart_interval)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1982,8 +2035,14 @@ class _JpegBitReader:
         self.acc = 0
         self.nbits = 0
         d = self.data
-        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
+        # the byte-align padding before RSTn can itself be a stuffed 0xFF
+        # (all-ones pad -> FF 00 in the stream), so scan forward to the
+        # next real marker rather than requiring RSTn at the cursor
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 < len(d) and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
 
     def huff(self, table) -> int:
         code = 0

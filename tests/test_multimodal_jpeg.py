@@ -171,6 +171,29 @@ def test_progressive_equals_baseline_property(h, w, seed):
         assert np.array_equal(base, prog), (h, w, seed, ss)
 
 
+def test_422_and_restart_intervals_decode_identical():
+    """4:2:2 subsampling and DRI/RSTn restart intervals (baseline MCU
+    units AND progressive block units, incl. EOB-run flushes at the
+    boundary and the stuffed-0xFF-pad-before-RSTn case) must not change
+    a single pixel relative to the restart-free encoding."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (29, 37, 3)).astype(np.uint8)
+    for ss in ("444", "422", "420"):
+        base = decode_jpeg(encode_jpeg(px, subsample=ss))[3]
+        for prog in (False, True):
+            for ri in (1, 3, 7):
+                got = decode_jpeg(
+                    encode_jpeg(px, subsample=ss, progressive=prog, restart_interval=ri)
+                )[3]
+                assert np.array_equal(base, got), (ss, prog, ri)
+    # 4:2:2 declares hi=2, vi=1 and is exact on constant-chroma content
+    g = _smooth(33, 31)
+    rgb = np.stack([g, g, g], axis=-1)
+    p422 = encode_jpeg(rgb, subsample="422")
+    assert p422[p422.find(b"\xff\xc0") + 11] == 0x21
+    assert np.array_equal(decode_jpeg(encode_jpeg(rgb))[3], decode_jpeg(p422)[3])
+
+
 def test_synth_payload_rotates_encodings():
     """The fixture contract behind x_jpeg_ahash_dedup: key % 4 == 1 emits
     a baseline 4:2:0 color stream, key % 4 == 3 a progressive 4:2:0
