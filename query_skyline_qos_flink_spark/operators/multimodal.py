@@ -223,8 +223,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         if backend == "pillow":  # explicit opt-in only (IDCT LSB drift)
             return _decode_image_pillow(payload)
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp  # lossless VP8L from scratch
+
+        return decode_webp(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG or JPEG (bad signature)")
+        raise ValueError("not a PNG, JPEG or WebP (bad signature)")
     if backend != "builtin":
         return _decode_image_pillow(payload)
     pos, w = 8, None
@@ -905,6 +909,7 @@ def attach_synth_payload(
     fixtures)."""
     gen = {
         "png": synth_png_payload,
+        "image": synth_image_payload,  # PNG / lossless-WebP rotation
         "wav": synth_wav_payload,
         "gif": synth_gif_payload,
         "jpeg": synth_jpeg_payload,
@@ -934,11 +939,12 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
     closed-form for a SQL oracle.
 
     The CODEC rotates by pair class (``(key // 2) % 4``): 1 -> baseline
-    4:2:0-subsampled color JPEG, 3 -> progressive 4:2:0 color JPEG, else
-    PNG — every perceptual-hash bit is exact under all three (the
-    pattern is block-aligned, DC-only, constant-chroma), so the neardup
-    contract is codec-independent and the oracle stays closed-form while
-    the query exercises every decode path."""
+    4:2:0-subsampled color JPEG, 3 -> progressive 4:2:0 color JPEG,
+    2 -> lossless WebP (VP8L), else PNG — every perceptual-hash bit is
+    exact under all four (the pattern is block-aligned, DC-only,
+    constant-chroma, and WebP is lossless), so the neardup contract is
+    codec-independent and the oracle stays closed-form while the query
+    exercises every decode path."""
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
 
@@ -952,16 +958,43 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
                 flip = (key * 7) % 64 if i % 2 else None
                 cls = (key // 2) % 4
                 if cls in (1, 3):
-                    # synth_jpeg_payload picks 420/progressive by key % 4;
-                    # key is even, so re-key to the matching variant while
-                    # keeping the md5 pattern keyed by the PAIR key via
-                    # the shared bits derivation below
                     payloads.append(_synth_jpeg_twin(key, cls, flip))
+                elif cls == 2:
+                    # lossless-WebP twin: identical md5 aHash bits (see
+                    # synth_image_payload), so the Hamming-1 contract holds
+                    payloads.append(_synth_webp_twin(key, flip))
                 else:
                     payloads.append(synth_png_payload(key, flip_block=flip))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+@_lru_cache(maxsize=4096)
+def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
+    """Rotating-codec image fixture for the perceptual-hash queries:
+    ``key % 5 == 2`` emits the md5 block pattern as a LOSSLESS WebP
+    (VP8L; 2 colors -> color-indexing transform with 8-pixel bundling),
+    everything else as the PNG of :func:`synth_png_payload`.  The aHash
+    bit pattern is identical either way: WebP decodes to RGBA whose
+    channel mean is a strictly monotone map of the grey value
+    ({0, 255} -> {63.75, 255}), and both colors always occur, so the
+    global-mean threshold still splits the blocks exactly on the md5
+    bits."""
+    if key % 5 == 2:
+        from .webp import encode_webp
+
+        pix = _md5_block_pixels(key, flip_block, on=255, off=0)
+        return encode_webp(pix)
+    return synth_png_payload(key, flip_block=flip_block)
+
+
+@_lru_cache(maxsize=4096)
+def _synth_webp_twin(key: int, flip_block: int | None) -> bytes:
+    """Lossless-WebP twin for the neardup fixture (0/255 md5 pattern)."""
+    from .webp import encode_webp
+
+    return encode_webp(_md5_block_pixels(key, flip_block, on=255, off=0))
 
 
 @_lru_cache(maxsize=4096)

@@ -2210,7 +2210,9 @@ def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY doc_id % 50
 """.strip(),
-    doc="Image near-dup dedup through the REAL PNG codec: synthesize a "
+    doc="Image near-dup dedup through the REAL image codecs (PNG, and "
+    "lossless WebP/VP8L for key classes doc_id % 50 with class % 5 == 2 "
+    "— color-indexing transform, 8-pixel bundling): synthesize a "
     "64x64 greyscale PNG per doc (payload class = doc_id % 50, so ~N/50 "
     "docs share each image bit-for-bit), decode with the stdlib PNG "
     "decoder, compute a 64-bit average-hash (8x8 block means vs global "
@@ -2224,7 +2226,7 @@ FROM documents GROUP BY doc_id % 50
 )
 def x_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
-    pay = multimodal.attach_synth_payload(d, "png", key_mod=50)
+    pay = multimodal.attach_synth_payload(d, "image", key_mod=50)
     hashed = multimodal.image_ahash(pay)
     return hashed.groupBy("ahash").agg(
         F.min("doc_id").cast("bigint").alias("min_doc"),
