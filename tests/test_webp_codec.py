@@ -52,6 +52,27 @@ def test_roundtrip_feature_matrix():
     _roundtrip(np.full((10, 33, 3), 201, np.uint8))  # one long run
 
 
+def test_roundtrip_property():
+    """Arbitrary sizes x content classes x feature flags: lossless means
+    decode(encode(x)) == x ALWAYS — no tolerance anywhere."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=10_000),
+        levels=st.sampled_from([2, 5, 17, 256]),
+        cache=st.booleans(),
+    )
+    def run(h, w, seed, levels, cache):
+        rng = np.random.default_rng(seed)
+        px = (rng.integers(0, levels, (h, w, 3)) * (255 // (levels - 1))).astype(np.uint8)
+        _roundtrip(px, use_cache=cache)
+
+    run()
+
+
 def test_plane_code_table_matches_spec_prefix():
     """The first plane codes listed in the VP8L specification."""
     assert W._PLANE[:24] == [
