@@ -110,6 +110,12 @@ CORPUS_QUERIES = [
 # adjudicated from the artifact alone instead of a worktree A/B (round-10
 # verdict item 5).  The rest stay best-of-2 keep-min (the first rep pays
 # one-time codegen/AQE-compile cost that is not operator cost).
+# NOTE the min->median switch SHIFTS the recorded value for bimodal
+# queries rather than signalling a regression: m2_strategy_stats reps
+# are ~[4, 0.5, 5] in BOTH r10 and r11 (a rep is fast when it inherits
+# the previous rep's bounded-registry persists, slow when they were
+# evicted), so its r10 min-of-2 read 0.53 where the r11 median reads
+# ~4 at identical code — the rep lists in the artifact adjudicate.
 HIGH_VARIANCE_QUERIES = {
     "s1_skyline_2d", "s3_skyline_3d", "s4_skyline_4d",
     "s8_skyline_groupwise", "s9_twophase_dim", "m1_partition_stats",
