@@ -361,6 +361,29 @@ def test_rejects_lossy_and_garbage():
             W.decode_webp(p[:cut])
 
 
+def test_vp8x_container_with_metadata_chunks():
+    """Real lossless files saved with metadata are VP8X containers: a
+    VP8X header + skippable ICCP/EXIF chunks + the VP8L payload.  The
+    decoder must find and decode the VP8L; the animation flag raises."""
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (6, 9, 3)).astype(np.uint8)
+    simple = W.encode_webp(px)
+    vp8l_off = simple.find(b"VP8L")
+    vp8l_chunk = simple[vp8l_off:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    iccp = b"ICCP" + struct.pack("<I", 5) + b"fake\x00" + b"\x00"  # odd size padded
+    body = b"WEBP" + vp8x + iccp + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    h, w, c, arr = W.decode_webp(payload)
+    assert (h, w, c) == (6, 9, 4)
+    assert np.array_equal(arr[..., :3], px)
+    # animation flag (bit 1 of the first VP8X byte) raises
+    anim = bytearray(payload)
+    anim[payload.find(b"VP8X") + 8] |= 0x02
+    with pytest.raises(ValueError, match="animated"):
+        W.decode_webp(bytes(anim))
+
+
 def test_decode_image_dispatches_webp():
     from query_skyline_qos_flink_spark.operators.multimodal import decode_image
 
