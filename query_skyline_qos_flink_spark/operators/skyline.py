@@ -715,7 +715,15 @@ def _chunked_skyband_verify(
             sel = F.col("__vbucket") == b
             if n_sub > 1:
                 sel = sel & (F.pmod(F.hash(F.col("__vrow")), F.lit(n_sub)) == j)
-            refs.append(chunks.where(sel).select(*prep_cols).toPandas())
+            # keep only the compact float64 matrix (which the broadcasts
+            # need anyway) — retaining the pandas frames too would double
+            # the driver's peak at the n x d scale bound (r11 review)
+            refs.append(
+                np.ascontiguousarray(
+                    chunks.where(sel).select(*prep_cols).toPandas()
+                    .to_numpy(dtype=np.float64)
+                )
+            )
     finally:
         try:
             chunks.unpersist(blocking=False)
@@ -725,8 +733,7 @@ def _chunked_skyband_verify(
         list(phase1.schema.fields) + [StructField(count_col, LongType())]
     )
     cur = phase1
-    for i, ref_pdf in enumerate(refs):
-        arr = np.ascontiguousarray(ref_pdf.to_numpy(dtype=np.float64))
+    for i, arr in enumerate(refs):
         bc = spark.sparkContext.broadcast(arr)
 
         def count_pass(

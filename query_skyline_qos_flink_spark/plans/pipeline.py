@@ -2356,7 +2356,8 @@ WHERE d.doc_id % 2 = 0
     doc="Image NEAR-dup pairs through the real image codecs: odd docs "
     "carry their even predecessor's image with one 8x8 block inverted "
     "(a known Hamming-1 aHash perturbation), the CODEC rotating by pair "
-    "class — PNG, baseline 4:2:0 color JPEG, progressive 4:2:0 JPEG — "
+    "class — PNG, baseline 4:2:0 color JPEG, lossless WebP (VP8L), "
+    "progressive 4:2:0 JPEG — "
     "then the generic 16-bit-chunk pigeonhole blocking "
     "(operators/dedup.py::hamming_neardup_pairs, shared with SimHash) "
     "recovers exactly the (2m, 2m+1) twin pairs at distance 1 — the "

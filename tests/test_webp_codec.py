@@ -316,7 +316,9 @@ def test_predictor_modes_decode_exactly(mode):
                 L = int(exp[y, x - 1])
                 T = int(exp[y - 1, x])
                 TL = int(exp[y - 1, x - 1])
-                TR = int(exp[y - 1, x + 1]) if x + 1 < w else int(exp[y - 1, x])
+                # spec border rule: rightmost column's TR = leftmost pixel
+                # of the SAME row
+                TR = int(exp[y - 1, x + 1]) if x + 1 < w else int(exp[y, 0])
                 pred = _spec_pred(mode, L, T, TL, TR)
             exp[y, x] = W._add_pixels(residuals[y * w + x], pred)
     assert np.array_equal(got, exp.astype(np.uint32)), mode
