@@ -629,11 +629,11 @@ def _chunked_skyband_verify(
     """Skyband verification for candidate unions past the broadcast bound:
     dominator counts are ADDITIVE over a partition of the union, so the
     counting scan becomes one chained pass per ``<= _VERIFY_MAX_ROWS``-row
-    chunk of the candidates — ascending coordinate-sum range buckets, the
-    strongest dominators first — each pass adding that chunk's dominator
-    counts to the running column and dropping rows the moment the running
-    count reaches ``k`` (counts only grow, so the early drop is exact —
-    B3 certifies such rows are excluded either way).
+    uniform-row-key chunk of the candidates, each pass adding that
+    chunk's dominator counts to the running column and dropping rows the
+    moment the running count reaches ``k`` (counts only grow, so the
+    early drop is exact — B3 certifies such rows are excluded either
+    way).
 
     The passes chain LAZILY into one streaming mapInPandas pipeline: no
     intermediate materialization, each worker holds the chunk arrays
@@ -655,72 +655,40 @@ def _chunked_skyband_verify(
 
     spark = phase1.sparkSession
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
-    # Chunk membership is a free choice — counts are additive over ANY
-    # partition of the union (property-tested) — so pick the partition
-    # that maximizes the early-drop: ascending COORDINATE-SUM range
-    # buckets (approx-quantile boundaries).  The lowest-sum rows are the
-    # strongest dominators, so pass 0 pushes most rows to the k bound
-    # and later passes stream a fraction of the union.  Measured at 10M
-    # 3-D anti-correlated k=4 (SCALE.md): 168 s cold vs 294 s for
-    # sum-agnostic uniform chunks — 1.75x — with identical results.
-    # Buckets above the bound (ties on the boundaries; the all-duplicates
-    # corpus collapses to ONE bucket) split by a uniform row-hash
-    # sub-key, restoring the per-chunk size bound; the assignment is
-    # materialized once as a dims-only projection because the row id
-    # inside the sub-key is unstable across recomputation.
-    sum_col = sum((F.col(c) for c in prep_cols[1:]), F.col(prep_cols[0]))
-    bucket = F.lit(0)
-    if n_chunks > 1:
-        bnds = sorted(
-            set(
-                phase1.select(sum_col.alias("__s")).approxQuantile(
-                    "__s", [i / n_chunks for i in range(1, n_chunks)], 0.001
-                )
-            )
-        )
-        if bnds:
-            # bucket id = number of boundaries strictly below the sum: one
-            # size(filter(<literal array>)) expression, NOT a chained
-            # when().otherwise() — a 31-deep nested conditional makes every
-            # optimizer/codegen walk quadratic-ish (~4x at 32 buckets,
-            # measured for the 2-D range bucketing above)
-            bucket = F.size(
-                F.filter(
-                    F.array(*[F.lit(float(b)) for b in bnds]),
-                    lambda b: b < sum_col,
-                )
-            )
-    # The assignment's lifetime is the LOOP: every reference pull below is
-    # eager, and the returned counting chain references only phase1 — so
-    # the unstable row id is pinned with a DIRECT persist (the bounded
+    # Uniform row-key chunks (see _uniform_chunk_col): counts are
+    # additive over ANY partition of the union (property-tested), and the
+    # key bounds every chunk by construction even on an all-duplicates
+    # corpus.  An ascending-coordinate-sum chunk ORDER (strongest
+    # dominators first, maximizing the count-to-k early drop) was A/B
+    # probed at 10M 3-D k=4 and REVERTED with numbers: the prototype's
+    # apparent 1.75x cold win was same-session plan-cache inheritance
+    # (its phase-1 union came from the prior run's persisted plan — its
+    # "cold" beat uniform's warm, the tell); a fresh-session production
+    # run measured 285 s cold / 173 s warm vs uniform's 294 / 177 —
+    # inside noise, not worth the extra quantile pass + tie-bucket
+    # sub-splitting (SCALE.md records both probes).
+    #
+    # The assignment's lifetime is the LOOP: every reference pull below
+    # is eager, and the returned counting chain references only phase1 —
+    # so the unstable row id is pinned with a DIRECT persist (the bounded
     # registry could evict it mid-loop, r11 review) and released as soon
     # as the pulls are done.
     chunks = (
         phase1.select(*prep_cols)
-        .withColumn("__vbucket", bucket)
-        .withColumn("__vrow", F.monotonically_increasing_id())
+        .withColumn("__vchunk", _uniform_chunk_col(n_chunks))
         .persist()
     )
     try:
-        sizes = {
-            r["__vbucket"]: r["cnt"]
-            for r in chunks.groupBy("__vbucket").agg(F.count("*").alias("cnt")).collect()
-        }
-        plan = []  # ascending-sum pass order: (bucket, sub_index, n_sub)
-        for b in sorted(sizes):
-            n_sub = max(1, -(-sizes[b] // _VERIFY_MAX_ROWS))
-            plan.extend((b, j, n_sub) for j in range(n_sub))
         refs = []
-        for b, j, n_sub in plan:
-            sel = F.col("__vbucket") == b
-            if n_sub > 1:
-                sel = sel & (F.pmod(F.hash(F.col("__vrow")), F.lit(n_sub)) == j)
+        for i in range(n_chunks):
             # keep only the compact float64 matrix (which the broadcasts
             # need anyway) — retaining the pandas frames too would double
             # the driver's peak at the n x d scale bound (r11 review)
             refs.append(
                 np.ascontiguousarray(
-                    chunks.where(sel).select(*prep_cols).toPandas()
+                    chunks.where(F.col("__vchunk") == i)
+                    .select(*prep_cols)
+                    .toPandas()
                     .to_numpy(dtype=np.float64)
                 )
             )

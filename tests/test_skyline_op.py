@@ -817,11 +817,10 @@ def test_chunked_verify_retains_duplicates_and_survives_empty_chunks(spark):
 
 
 def test_chunked_skyband_all_duplicates_splits_buckets(spark):
-    """Sum-range chunking degenerates to ONE bucket when every row has
-    the same coordinate sum (the all-duplicates corpus): the uniform
-    row-hash sub-key must split it back under the bound and the chained
-    counting passes must still be exact (duplicates never dominate, so
-    every row survives with count 0)."""
+    """The all-duplicates corpus through the forced chunked counting
+    path: uniform row-key chunks stay bounded by construction and the
+    chained counting passes must be exact (duplicates never dominate,
+    so every row survives with count 0)."""
     from query_skyline_qos_flink_spark.operators import skyline as sky
 
     dup = spark.createDataFrame(
