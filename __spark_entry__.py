@@ -41,52 +41,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 11
-# Round-11 window: the 44 entries whose latest driver row is round 8
-# (computed MECHANICALLY from CORRECTNESS_r0*.json at round-10 end;
-# matches the round-10 verdict's own mechanical count) hit the hard
-# staleness bound and take the front.  The 6 fill slots go to
-# entries whose plans this round touches: the multimodal decode family
-# (the 4:2:0 / progressive JPEG codec work lands in
-# operators/multimodal.py — x_jpeg_ahash_dedup and
-# x_image_neardup_pairs now CARRY subsampled + progressive fixtures, and
-# x_image_ahash_dedup / x_image_resize re-prove the shared decode
-# plumbing, and x_audio_features now carries G.711 mu-law / A-law
-# fixtures through the new compressed-WAV reader) and s25_stream_skyband (the skyband
-# chunked-merge de-skew).  x_jpeg_ahash_dedup is round-10-gated but its
-# fixture changed, so it re-gates ahead of untouched round-9 entries;
-# the remaining fills are round-9-gated.  Round-11
-# newborns swap into fill slots as they land; displaced fills rejoin
-# the round-12 must-gates.
+_ROTATED_FOR = 12
+# Round-12 window: the 41 entries whose latest driver row is round 9
+# (computed MECHANICALLY from the union of CORRECTNESS_r01..r11.json;
+# matches the round-11 verdict's own mechanical count) hit the hard
+# staleness bound and take the front.  The 9 fill slots split two ways:
+# 4 go to entries whose plans or results this round touches —
+# x_image_ahash_dedup / x_image_neardup_pairs carry the new lossy-WebP
+# fixtures through the shared decode plumbing, m2_strategy_stats gets
+# the persist-lifetime fix (verdict item 4), and x_seq_packing re-gates
+# after its regression A/B (verdict item 3) — and 5 go to the round-10
+# skyline-family entries that ride the chunked-merge code path whose
+# chunk-id derivation is being made recompute-deterministic this round
+# (ADVICE item 1): s22/s23/s24/s28/s29.  Pulling those 5 forward also
+# flattens round 13's must-gate load from 49 (every round-10 row would
+# hit the bound at once) to 44, leaving real fill slack next round.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 8, skipped rounds 9-10 at the bound
-    "m2_strategy_stats", "r15_grouping_sets", "r16_lag_delta",
-    "r17_pivot_priority", "r18_ntile_deciles", "r19_range_frame",
-    "r1_agg_pricing_summary", "r22_topn_per_group", "r23_salted_skew_join",
-    "r24_event_funnel", "r25_cohort_retention", "r2_join_topk_revenue",
-    "r5_rollup_counts", "r6_orders_by_year", "r8_setops_nations",
-    "s12_stream_replay_3d", "s16_stream_session",
-    "s17_stream_static_dedup", "s19_stream_interval_join",
-    "s21_stream_scrub", "s30_prob_skyline", "s31_thick_skyline",
-    "s32_stream_cdc_dedup", "s33_grouped_skyband", "s34_skycube_4d",
-    "s35_stream_cdc_watermark", "x_ann_ivf", "x_char_entropy",
-    "x_clean_text", "x_datapipe_prep", "x_domain_stats",
-    "x_embed_centroids", "x_embed_gram", "x_fuzzy_match", "x_langid",
-    "x_pii_scrub", "x_pmi_pairs", "x_quantiles_interp", "x_seq_packing",
-    "x_simhash_pairs", "x_tfidf_topterms", "x_token_stats",
-    "x_winnow_pairs", "x_zorder_stats",
-    # round-9-gated fills whose plans this round touches (see above)
-    "x_image_ahash_dedup", "x_image_neardup_pairs", "x_image_resize",
-    "x_audio_features", "x_jpeg_ahash_dedup", "s25_stream_skyband",
+    # stale: last driver row round 9, skipped rounds 10-11 at the bound
+    "r26_integrity_checks", "s11_stream_replay", "s13_stream_window",
+    "x_ann_blocked", "x_ann_multiprobe", "x_ann_recall", "x_bfs_hops",
+    "x_blocklist_filter", "x_bloom_prune_semi", "x_bpe_apply",
+    "x_bpe_train_k", "x_contamination", "x_coreness", "x_cosine_neardup",
+    "x_dedup_clusters", "x_dedup_normalized", "x_doc_chunks",
+    "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
+    "x_heavy_hitters", "x_histogram", "x_hll_distinct", "x_kmeans_iter",
+    "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
+    "x_multimodal_frames", "x_multimodal_meta", "x_ngram_topk",
+    "x_pagerank", "x_pattern_counts", "x_profile_columns",
+    "x_quality_filter", "x_repetition", "x_sample_stratified",
+    "x_snapshot_diff", "x_span_dedup", "x_text_quality",
+    "x_train_test_split", "x_weighted_mix",
+    # fills: plans/results this round touches (see worksheet above)
+    "x_image_ahash_dedup", "x_image_neardup_pairs", "m2_strategy_stats",
+    "x_seq_packing",
+    # fills: round-10 skyline family on the chunk-id code path, pulled
+    # forward to flatten round 13's must-gate load
+    "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
+    "s28_kdominant_skyline", "s29_skyline_layers",
 ]
-# Round-12 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 12: every entry whose latest driver
-#   row is round 9 and which sits outside this round-11 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-11
-#   artifact lands (at round-11 planning time: 46 round-9 rows minus
-#   the 5 round-9 fills above = 41; x_jpeg_ahash_dedup is a round-10
-#   re-gate, not a round-9 fill), plus any round-11 registration that
-#   missed the round-11 window.
+# Round-13 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 13: every entry whose latest driver
+#   row is round 10 and which sits outside this round-12 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-12
+#   artifact lands (at round-12 planning time: 49 round-10 rows minus
+#   the 5 round-10 fills above = 44), plus any round-12 registration
+#   that missed the round-12 window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
