@@ -868,8 +868,14 @@ def decode_wav_samples(payload: bytes):
         if bits == 16:
             arr = np.frombuffer(data[: len(data) // (2 * nch) * 2 * nch], dtype="<i2")
         elif bits == 8:
+            # trim to whole frames like the 16-bit / G.711 paths: a
+            # ragged data chunk must raise the documented WAV error from
+            # reshape's caller, not numpy's generic one (r11 ADVICE)
             arr = (
-                np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+                np.frombuffer(
+                    data[: len(data) // nch * nch], dtype=np.uint8
+                ).astype(np.int16)
+                - 128
             ) << 8
         else:
             raise ValueError(f"WAV PCM bits {bits} unsupported here")

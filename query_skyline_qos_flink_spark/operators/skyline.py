@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .caching import persist_bounded as _persist
+from .caching import release_local_checkpoint
 from .joins import null_safe_semi_join
 from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask, sums_exact
 
@@ -382,10 +383,24 @@ def _uniform_chunk_col(n_chunks: int) -> Column:
     round-robin through the chunks, so every chunk holds at most
     ``ceil(rows_in_task / n_chunks)`` rows per task — bounded by
     construction even on an all-duplicates corpus, where a dim-hash key
-    would co-locate every row into one chunk (r10 verdict).  The id is
-    NOT stable across recomputation (it encodes task index + row
-    position), so callers MUST persist the frame carrying this column
-    before reading it more than once."""
+    would co-locate every row into one chunk (r10 verdict).
+
+    The id is NOT stable across recomputation (it encodes task index +
+    row position), and no deterministic function of the row VALUES can
+    replace it without reintroducing the skew: duplicates are
+    indistinguishable by value, so a value-derived key necessarily
+    co-locates an all-duplicates corpus (a value-hash-bucketed
+    ``row_number`` window splits them, but its window partition IS the
+    duplicate group — single-task at exactly the adversarial input).
+    Callers therefore MUST pin the frame carrying this column with an
+    eager ``localCheckpoint`` (not a plain ``persist``) before reading
+    it more than once: a checkpoint freezes the materialized assignment,
+    so a lost/evicted block FAILS the job (fail-stop) instead of
+    silently recomputing a different assignment that could overlap or
+    miss rows across chunks (r11 ADVICE).  On a multi-node deployment
+    where executor loss must be survivable, substitute a reliable
+    ``checkpoint()`` (HDFS-backed) at the same two call sites — the
+    lifetime contract is identical."""
     return F.pmod(F.monotonically_increasing_id(), F.lit(n_chunks))
 
 
@@ -421,15 +436,16 @@ def _chunked_broadcast_verify(
     The assignment frame's lifetime is the LOOP, not the result: every
     reference pull (``toPandas`` inside :func:`_broadcast_verify`) runs
     eagerly in the loop body, and the returned filter chain references
-    only ``cur`` — so the unstable row id is pinned with a DIRECT
-    ``persist`` (the bounded registry's per-scope cap would evict it
-    mid-loop once the per-pass ``out`` persists pile up, r11 review) and
-    released as soon as the loop ends."""
+    only ``cur`` — so the unstable row id is pinned with an eager
+    ``localCheckpoint`` (a plain ``persist`` can be evicted and silently
+    recomputed with a DIFFERENT assignment, over- or under-covering the
+    reference set, r11 ADVICE; a checkpoint is fail-stop) and released
+    as soon as the loop ends."""
     n_chunks = -(-n // _VERIFY_MAX_ROWS)
     assign = (
         cur.select(*prep_cols)
         .withColumn("__vchunk", _uniform_chunk_col(n_chunks))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         out = cur
@@ -437,10 +453,7 @@ def _chunked_broadcast_verify(
             ref = assign.where(F.col("__vchunk") == i).drop("__vchunk")
             out = _persist(_broadcast_verify(out, prep_cols, ref=ref))
     finally:
-        try:
-            assign.unpersist(blocking=False)
-        except Exception:
-            pass
+        release_local_checkpoint(assign)
     return out
 
 
@@ -670,13 +683,15 @@ def _chunked_skyband_verify(
     #
     # The assignment's lifetime is the LOOP: every reference pull below
     # is eager, and the returned counting chain references only phase1 —
-    # so the unstable row id is pinned with a DIRECT persist (the bounded
-    # registry could evict it mid-loop, r11 review) and released as soon
-    # as the pulls are done.
+    # so the unstable row id is pinned with an eager localCheckpoint
+    # (persist could be evicted and silently recomputed with a DIFFERENT
+    # assignment — overlap double-counts dominators, a gap undercounts;
+    # a checkpoint is fail-stop on block loss, r11 ADVICE) and released
+    # as soon as the pulls are done.
     chunks = (
         phase1.select(*prep_cols)
         .withColumn("__vchunk", _uniform_chunk_col(n_chunks))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         refs = []
@@ -693,10 +708,7 @@ def _chunked_skyband_verify(
                 )
             )
     finally:
-        try:
-            chunks.unpersist(blocking=False)
-        except Exception:
-            pass
+        release_local_checkpoint(chunks)
     schema = StructType(
         list(phase1.schema.fields) + [StructField(count_col, LongType())]
     )

@@ -175,3 +175,21 @@ def test_decode_audio_error_contract():
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + bytes(4)
     with pytest.raises(wave.Error):
         decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_riff_reader_8bit_pcm_ragged_data_trims_to_whole_frames():
+    """A stereo 8-bit PCM data chunk with a trailing partial frame (odd
+    byte count) must trim to whole frames like the 16-bit / G.711 paths,
+    not die in numpy's generic reshape error (r11 ADVICE)."""
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8)
+    data = bytes([128, 128, 255, 0, 200])  # 2 whole frames + 1 stray byte
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"\x00"  # word-align the odd-sized chunk
+    )
+    nch, sr, arr = decode_wav_samples(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (nch, sr) == (2, 8000)
+    assert arr.shape == (2, 2)
+    assert np.array_equal(arr, np.array([[0, 0], [32512, -32768]], dtype=np.int16))

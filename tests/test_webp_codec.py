@@ -48,7 +48,12 @@ def test_roundtrip_feature_matrix():
     _roundtrip((rng.integers(0, 2, (19, 29)) * 255).astype(np.uint8))  # 2 colors
     _roundtrip((rng.integers(0, 4, (19, 29)) * 80).astype(np.uint8))  # 4
     _roundtrip((rng.integers(0, 13, (19, 29)) * 19).astype(np.uint8))  # 13
-    _roundtrip((rng.integers(0, 40, (19, 29, 3)) * 6).astype(np.uint8), use_palette=True)
+    # 0-xbits density (17..256 colors): draw pixels FROM a 200-color
+    # palette — the old `integers(0,40,(h,w,3))*6` fixture had 549 unique
+    # colors, so use_palette=True silently exercised the no-transform
+    # path (now a ValueError, r11 ADVICE)
+    pal200 = rng.integers(0, 256, (200, 3)).astype(np.uint8)
+    _roundtrip(pal200[rng.integers(0, 200, (19, 29))], use_palette=True)
     _roundtrip(np.full((10, 33, 3), 201, np.uint8))  # one long run
 
 
@@ -394,3 +399,16 @@ def test_decode_image_dispatches_webp():
     h, w, c, arr = decode_image(W.encode_webp(px))
     assert (h, w, c) == (8, 8, 4)
     assert np.array_equal(arr[..., :3], px)
+
+
+def test_explicit_palette_over_256_colors_raises():
+    """use_palette=True on a >256-color image must raise, not silently
+    fall through to no transform (which would also swallow an explicit
+    use_subtract_green via the elif, r11 ADVICE)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert len(np.unique(px.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="palette"):
+        W.encode_webp(px, use_palette=True)
+    with pytest.raises(ValueError, match="palette"):
+        W.encode_webp(px, use_palette=True, use_subtract_green=True)
