@@ -205,10 +205,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     ignored), 4 grey+alpha, 6 RGBA — both non-interlaced and Adam7
     interlaced.  JPEG payloads (FFD8 magic) dispatch to
     :func:`decode_jpeg` — baseline AND progressive, any chroma
-    subsampling.  WebP, sub-8-bit PNG depths and 12-bit/arithmetic JPEG
-    still need an external decoder (e.g. pillow) — pass your own
-    ``decode_fn`` for those.  Raises ``ValueError`` on unrecognized or
-    unsupported payloads.
+    subsampling.  WebP dispatches to :func:`..webp.decode_webp` —
+    lossless VP8L natively, lossy VP8 through the system libwebp
+    (``operators/libwebp_bridge.py``) when that library is present.
+    Sub-8-bit PNG depths and 12-bit/arithmetic JPEG still need an
+    external decoder (e.g. pillow) — pass your own ``decode_fn`` for
+    those.  Raises ``ValueError`` on unrecognized or unsupported
+    payloads.
 
     When Pillow is importable the PNG branch dispatches to it (bit-exact,
     C-speed); see ``SPARK_GRAFT_IMAGE_BACKEND`` at the top of this module
@@ -944,13 +947,15 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
     ground-truth near-dup pairs are exactly (2m, 2m+1) with distance 1,
     closed-form for a SQL oracle.
 
-    The CODEC rotates by pair class (``(key // 2) % 4``): 1 -> baseline
+    The CODEC rotates by pair class (``(key // 2) % 5``): 1 -> baseline
     4:2:0-subsampled color JPEG, 3 -> progressive 4:2:0 color JPEG,
-    2 -> lossless WebP (VP8L), else PNG — every perceptual-hash bit is
-    exact under all four (the pattern is block-aligned, DC-only,
-    constant-chroma, and WebP is lossless), so the neardup contract is
-    codec-independent and the oracle stays closed-form while the query
-    exercises every decode path."""
+    2 -> lossless WebP (VP8L), 4 -> LOSSY-VP8 WebP (system libwebp,
+    quality 90; VP8L fallback when absent), else PNG — every
+    perceptual-hash bit is exact under all five (the pattern is
+    block-aligned, DC-only, constant-chroma; the lossy classes quantize
+    inside a ~190-grey-level threshold margin, sweep-pinned in tests),
+    so the neardup contract is codec-independent and the oracle stays
+    closed-form while the query exercises every decode path."""
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"
 
@@ -962,13 +967,14 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
             for i in pdf[id_col].astype("int64"):
                 key = int(i) - (int(i) % 2)
                 flip = (key * 7) % 64 if i % 2 else None
-                cls = (key // 2) % 4
+                cls = (key // 2) % 5
                 if cls in (1, 3):
                     payloads.append(_synth_jpeg_twin(key, cls, flip))
-                elif cls == 2:
-                    # lossless-WebP twin: identical md5 aHash bits (see
+                elif cls in (2, 4):
+                    # WebP twins — lossless VP8L (2) / lossy VP8 (4):
+                    # identical md5 aHash bits either way (see
                     # synth_image_payload), so the Hamming-1 contract holds
-                    payloads.append(_synth_webp_twin(key, flip))
+                    payloads.append(_synth_webp_twin(key, flip, lossy=cls == 4))
                 else:
                     payloads.append(synth_png_payload(key, flip_block=flip))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
@@ -981,26 +987,47 @@ def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
     """Rotating-codec image fixture for the perceptual-hash queries:
     ``key % 5 == 2`` emits the md5 block pattern as a LOSSLESS WebP
     (VP8L; 2 colors -> color-indexing transform with 8-pixel bundling),
-    everything else as the PNG of :func:`synth_png_payload`.  The aHash
-    bit pattern is identical either way: WebP decodes to RGBA whose
-    channel mean is a strictly monotone map of the grey value
-    ({0, 255} -> {63.75, 255}), and both colors always occur, so the
-    global-mean threshold still splits the blocks exactly on the md5
-    bits."""
+    ``key % 5 == 4`` as a LOSSY-VP8 WebP (system libwebp, quality 90 —
+    falling back to VP8L when the library is absent), everything else as
+    the PNG of :func:`synth_png_payload`.  The aHash bit pattern is
+    identical under every class: WebP decodes to RGBA whose channel mean
+    is a strictly monotone map of the grey value ({0, 255} ->
+    {63.75, 255}), both colors always occur, and the pattern is
+    16px-macroblock-aligned with ~190-grey-level block separation, so
+    lossy ringing never crosses the global-mean threshold (pinned for a
+    300-key sweep at qualities 75/90/95 in tests/test_libwebp_bridge.py)
+    — the global-mean threshold always recovers exactly the md5 bits."""
     if key % 5 == 2:
         from .webp import encode_webp
 
         pix = _md5_block_pixels(key, flip_block, on=255, off=0)
         return encode_webp(pix)
+    if key % 5 == 4:
+        from . import libwebp_bridge
+        from .webp import encode_webp
+
+        pix = _md5_block_pixels(key, flip_block, on=255, off=0)
+        if libwebp_bridge.available():
+            return libwebp_bridge.encode_webp_lossy(pix, quality=90.0)
+        return encode_webp(pix)  # lossless fallback: identical aHash bits
     return synth_png_payload(key, flip_block=flip_block)
 
 
 @_lru_cache(maxsize=4096)
-def _synth_webp_twin(key: int, flip_block: int | None) -> bytes:
-    """Lossless-WebP twin for the neardup fixture (0/255 md5 pattern)."""
+def _synth_webp_twin(key: int, flip_block: int | None, lossy: bool = False) -> bytes:
+    """WebP twin for the neardup fixture (0/255 md5 pattern): lossless
+    VP8L by default; ``lossy=True`` emits a lossy-VP8 stream through the
+    system libwebp (quality 90), falling back to VP8L when the library
+    is absent — the aHash contract is identical either way."""
     from .webp import encode_webp
 
-    return encode_webp(_md5_block_pixels(key, flip_block, on=255, off=0))
+    pix = _md5_block_pixels(key, flip_block, on=255, off=0)
+    if lossy:
+        from . import libwebp_bridge
+
+        if libwebp_bridge.available():
+            return libwebp_bridge.encode_webp_lossy(pix, quality=90.0)
+    return encode_webp(pix)
 
 
 @_lru_cache(maxsize=4096)

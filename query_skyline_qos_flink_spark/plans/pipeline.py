@@ -2210,9 +2210,10 @@ def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY doc_id % 50
 """.strip(),
-    doc="Image near-dup dedup through the REAL image codecs (PNG, and "
+    doc="Image near-dup dedup through the REAL image codecs (PNG; "
     "lossless WebP/VP8L for key classes doc_id % 50 with class % 5 == 2 "
-    "— color-indexing transform, 8-pixel bundling): synthesize a "
+    "— color-indexing transform, 8-pixel bundling; LOSSY-VP8 WebP via "
+    "the system libwebp for class % 5 == 4, quality 90): synthesize a "
     "64x64 greyscale PNG per doc (payload class = doc_id % 50, so ~N/50 "
     "docs share each image bit-for-bit), decode with the stdlib PNG "
     "decoder, compute a 64-bit average-hash (8x8 block means vs global "
@@ -2357,12 +2358,12 @@ WHERE d.doc_id % 2 = 0
     "carry their even predecessor's image with one 8x8 block inverted "
     "(a known Hamming-1 aHash perturbation), the CODEC rotating by pair "
     "class — PNG, baseline 4:2:0 color JPEG, lossless WebP (VP8L), "
-    "progressive 4:2:0 JPEG — "
+    "progressive 4:2:0 JPEG, lossy-VP8 WebP (system libwebp, q90) — "
     "then the generic 16-bit-chunk pigeonhole blocking "
     "(operators/dedup.py::hamming_neardup_pairs, shared with SimHash) "
     "recovers exactly the (2m, 2m+1) twin pairs at distance 1 — the "
     "block-aligned DC-only constant-chroma pattern makes every aHash "
-    "bit exact under all three codecs, so the oracle stays closed-form, "
+    "bit exact under all five codecs, so the oracle stays closed-form, "
     "no decode needed. Distinct md5-derived class hashes are ~32 bits "
     "apart, so no cross-class pair survives the <=3 refine. Scale: "
     "explode x4 chunk rows, equi-join on chunk value, exact bit_count "

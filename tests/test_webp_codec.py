@@ -339,7 +339,11 @@ def test_color_transform_decodes_exactly():
     bw.write(1, 1)
     bw.write(1, 2)  # color transform
     bw.write(2, 3)  # block 16
-    _emit_sub_literals(bw, [0xFF000000 | (g2b << 16) | (g2r << 8) | r2b])
+    # ColorTransformElement packing per spec: r2b in RED, g2b in GREEN,
+    # g2r in BLUE (this test originally encoded a rotated packing that
+    # the decoder mirrored — both fixed via the r12 libwebp conformance
+    # suite, which decodes real libwebp streams)
+    _emit_sub_literals(bw, [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r])
     bw.write(0, 1)
     _emit_literals(bw, residuals)
     _h, _w, _c, arr = W.decode_webp(_wrap(bw))
@@ -359,8 +363,11 @@ def test_color_transform_decodes_exactly():
 def test_rejects_lossy_and_garbage():
     with pytest.raises(ValueError):
         W.decode_webp(b"\x00\x01")
+    # an EMPTY lossy VP8 chunk: rejected by libwebp when the bridge is
+    # available ("could not decode"), by the dispatcher ("lossy ...
+    # libwebp") when it is not — a ValueError either way
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="decode|lossy"):
         W.decode_webp(lossy)
     p = W.encode_webp(np.zeros((4, 4, 3), np.uint8))
     for cut in (10, 20, len(p) - 2):
