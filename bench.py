@@ -5,7 +5,7 @@ Workloads:
   d=2/3/4, domain [0,10000] — generated in-engine (sources/generators.py,
   same distributions as the reference's producer).  Reference totals at the
   same shape: ~17-19s (2-D), ~27s (3-D), ~700s (4-D).  The point set is
-  persisted before timing and each shape runs twice keeping the min, so the
+  persisted before timing and each shape runs median-of-5, so the
   number measures the skyline operator, not generation or JIT warm-up.
 * Declared-corpus headliners at $SPARK_GRAFT_SF_DIR (default sf0.1).
 * LLM-pipeline scale paths at TWO sfs (default sf0.01 vs sf0.1): the
@@ -51,10 +51,11 @@ from query_skyline_qos_flink_spark.sources.generators import points  # noqa: E40
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # The driver keeps only the last 2000 chars of stdout; leave headroom for
 # a trailing newline and any stray warning the JVM writes on shutdown.
-# (1850 since r11: the spread map now carries every median-agg suite
-# query, worth ~150 chars of the old margin; 150 chars of slack remain —
-# r10's shutdown wrote nothing after the final line.)
-_MAX_STDOUT_LINE = 1850
+# (Back to 1800 in r12 per ADVICE: r11's 1850 left only ~150 chars for a
+# shutdown warning to land AFTER the final line without truncating it
+# mid-object.  The spread map no longer needs the margin — it carries
+# only the >=2x-ratio entries now that every suite query is median-agg.)
+_MAX_STDOUT_LINE = 1800
 CORPUS_QUERIES = [
     "s1_skyline_2d",
     "s3_skyline_3d",
@@ -104,26 +105,15 @@ CORPUS_QUERIES = [
     "m2_strategy_stats",
     "x_semantic_dedup",
 ]
-# Suite queries whose round-10 artifact recorded a >2x rep spread
-# (BENCH_r10 spreads block): timed median-of-3 with the full rep list
-# recorded, so round-over-round regression calls on them can be
-# adjudicated from the artifact alone instead of a worktree A/B (round-10
-# verdict item 5).  The rest stay best-of-2 keep-min (the first rep pays
-# one-time codegen/AQE-compile cost that is not operator cost).
-# NOTE the min->median switch SHIFTS the recorded value for bimodal
-# queries rather than signalling a regression: m2_strategy_stats reps
-# are ~[4, 0.5, 5] in BOTH r10 and r11 (a rep is fast when it inherits
-# the previous rep's bounded-registry persists, slow when they were
-# evicted), so its r10 min-of-2 read 0.53 where the r11 median reads
-# ~4 at identical code — the rep lists in the artifact adjudicate.
-HIGH_VARIANCE_QUERIES = {
-    "s1_skyline_2d", "s3_skyline_3d", "s4_skyline_4d",
-    "s8_skyline_groupwise", "s9_twophase_dim", "m1_partition_stats",
-    "m2_strategy_stats", "s22_skyband", "s23_top_dominating",
-    "s24_dynamic_skyline", "s27_reverse_skyline", "s28_kdominant_skyline",
-    "s31_thick_skyline", "x_bigram_lm_score", "x_bm25_topk",
-    "x_datapipe_prep", "x_image_neardup_pairs", "x_minhash_lsh_pairs",
-}
+# r12 (verdict item 5): EVERY suite query is timed median-of-3 with its
+# full rep list recorded in BENCH_DETAIL, so the headline map carries ONE
+# aggregation semantics (the final line says `"agg":"median"`) and
+# round-over-round diffs stop silently comparing a min to a median.
+# r10/r11 mixed min-of-2 and median-of-3 entries, which made bimodal
+# queries (m2_strategy_stats reps ~[4, 0.5, 5]) read as 9x "regressions"
+# at identical code.  The first rep's one-time codegen/AQE-compile cost
+# is naturally discarded by the median (it is almost always the max);
+# the rep lists adjudicate anything surprising.
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
 SCALING_QUERIES = {
@@ -182,16 +172,21 @@ def final_line(total: float, sf, timings: dict[str, float],
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "agg": "median",  # every entry in `queries` is a median (r12)
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     if spreads:
-        # 1-dp ratios: the artifact needs the BAND (is 2x noise here?),
-        # not the third digit — exact ratios + rep lists are in BENCH_DETAIL
+        # 1-dp ratios for the entries whose reps actually spread (>= 2x
+        # — the regression-adjudication band): with every suite query
+        # median-agg now, an unfiltered map would list the whole suite;
+        # exact ratios + full rep lists are in BENCH_DETAIL either way
         out["spread"] = {
             k: round(v["spread_ratio"], 1)
             for k, v in spreads.items()
-            if v.get("agg") == "median"
+            if v.get("agg") == "median" and v["spread_ratio"] >= 2.0
         }
+        if not out["spread"]:
+            del out["spread"]
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(out, separators=(",", ":"))
@@ -263,10 +258,12 @@ def main() -> None:
                 print(f"# {name}: ERROR\n{errors[name]}", file=sys.stderr)
                 return None
             reps.append(round(time.time() - t0, 3))
-        # min for steady-state suite queries (first rep pays codegen/AQE
-        # compile); MEDIAN for the high-variance 1M trio, where the box's
-        # proven 2-5x run-to-run spread makes a minimum an unstable
-        # round-over-round comparator (round-9 directive).
+        # MEDIAN everywhere since r12 (one agg semantics across the
+        # artifact): the first rep pays codegen/AQE compile and lands at
+        # the max, so the median discards it; the box's proven 2-5x
+        # run-to-run spread makes a minimum an unstable round-over-round
+        # comparator (round-9 directive).  agg="min" remains for ad-hoc
+        # callers only.
         val = min(reps) if agg == "min" else sorted(reps)[len(reps) // 2]
         timings[name] = val
         if repeats > 1:
@@ -282,8 +279,8 @@ def main() -> None:
 
     try:
         # BASELINE workload shapes (1M anti-correlated, domain [0,10000]).
-        # Persist the input first so the timing excludes generation; two runs
-        # keep-min to suppress single-run VM noise (round-3/4 directive).
+        # Persist the input first so the timing excludes generation;
+        # median-of-5 to suppress run-to-run VM noise.
         if not os.environ.get("BENCH_SKIP_1M"):
             for d in (2, 3, 4):
                 try:
@@ -349,14 +346,13 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; timings just include cold costs
 
-        # best-of-2, same keep-min policy as the 1M shapes: the first run
-        # of a plan pays one-time codegen/broadcast/AQE-compile costs that
-        # are not operator cost; the min measures the steady state.
+        # median-of-3 for every suite entry (one agg semantics across the
+        # headline map, r12): the first rep's one-time codegen/broadcast/
+        # AQE-compile cost lands at the max and the median discards it.
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
-            reps, agg = (3, "median") if name in HIGH_VARIANCE_QUERIES else (2, "min")
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(),
-                  repeats=reps, agg=agg)
+                  repeats=3, agg="median")
 
         if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
                 and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):

@@ -60,10 +60,18 @@ def skyline_partition_stats(
     local = prepped.groupBy("pid").applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )
-    # no persist here: _merge_survivors persists its input as its first
-    # step, and cache lookup matches by analyzed plan, so the local_sizes
-    # aggregate below reads the same cached data — a second registration
-    # would double-book registry slots for one DataFrame
+    # Eagerly checkpoint the local-skyline frame: it is TINY (one local
+    # skyline per partition) but costs a full applyInPandas pass over the
+    # input, and THREE consumers read it (local_sizes, the merge's
+    # broadcast pulls, the survivors count through the merge filter).
+    # Relying on the merge's bounded-registry persist instead let
+    # back-to-back calls (m2 runs this twice, bench reps run m2 five
+    # times) evict it between passes and silently re-run the heavy pass
+    # per consumer — the measured 0.7 s / 5-9 s rep bimodality of
+    # m2_strategy_stats (r11 verdict item 4).  A checkpoint is immune to
+    # registry churn; the blocks are freed by the ContextCleaner when the
+    # result DataFrame dies.
+    local = local.localCheckpoint(eager=True)
     local_sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("local_size"))
     merged = _merge_survivors(local, prep_cols)
     survivors = merged.groupBy("pid").agg(F.count(F.lit(1)).alias("survivors"))

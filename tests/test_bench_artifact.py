@@ -61,13 +61,19 @@ def test_final_line_carries_trio_spreads_within_budget():
                                   "spread_ratio": 4.02}
         for d in (2, 3, 4)
     }
-    spreads["s1_skyline_2d"] = {"reps_s": [1, 1], "agg": "min", "spread_ratio": 1.0}
+    spreads["s1_skyline_2d"] = {"reps_s": [1, 1], "agg": "min", "spread_ratio": 9.0}
+    spreads["s3_skyline_3d"] = {"reps_s": [1, 1.1, 1], "agg": "median",
+                                "spread_ratio": 1.1}
     line = bench.final_line(sum(timings.values()), 0.1, timings, {}, spreads)
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
+    assert parsed["agg"] == "median"
     assert parsed["spread"] == {f"skyline_anti_{d}d_1m": 4.0 for d in (2, 3, 4)}
-    # min-agg (best-of-2 steady-state) queries stay out of the compact map
+    # ad-hoc min-agg entries AND tight (<2x) medians stay out of the
+    # compact map — with the whole suite median-agg since r12, only the
+    # >=2x band is adjudication signal
     assert "s1_skyline_2d" not in parsed["spread"]
+    assert "s3_skyline_3d" not in parsed["spread"]
 
 
 def test_final_line_trims_spread_smallest_first_before_queries():
@@ -79,7 +85,7 @@ def test_final_line_trims_spread_smallest_first_before_queries():
     timings = {f"x_query_with_a_rather_long_name_{i:03d}": float(i) for i in range(200)}
     spreads = {
         f"x_query_with_a_rather_long_name_{i:03d}": {
-            "reps_s": [1], "agg": "median", "spread_ratio": 1.0 + i / 100}
+            "reps_s": [1], "agg": "median", "spread_ratio": 2.0 + i / 100}
         for i in range(200)
     }
     errors = {f"err_{i}": "Traceback: " + "x" * 500 for i in range(40)}
@@ -92,17 +98,23 @@ def test_final_line_trims_spread_smallest_first_before_queries():
     assert parsed.get("spread_omitted", 0) + len(parsed.get("spread", {})) == 200
 
 
-def test_final_line_carries_full_high_variance_spread_at_suite_size():
-    """The r11 contract: at the REAL suite size, the final line keeps the
-    spread ratio of every median-agg query (the HIGH_VARIANCE_QUERIES set
-    plus the 1M trio) without trimming — BENCH_r11 must carry spreads for
-    every query whose r10 spread exceeded 2x (r10 verdict item 5)."""
+def test_final_line_carries_realistic_wide_spread_at_suite_size():
+    """At the REAL suite size with every query median-agg (r12), the final
+    line must keep the spread ratio of every >=2x-band entry at the r11
+    artifact's measured band width (18 suite entries + the 1M trio)
+    without trimming — the adjudication signal survives whole."""
     timings = {name: 1.234 for name in bench.CORPUS_QUERIES}
     for d in (2, 3, 4):
         timings[f"skyline_anti_{d}d_1m"] = 9.87
     spreads = {
-        name: {"reps_s": [1.0, 2.0, 3.0], "agg": "median", "spread_ratio": 11.63}
-        for name in bench.HIGH_VARIANCE_QUERIES
+        name: {
+            "reps_s": [1.0, 2.0, 3.0],
+            "agg": "median",
+            # 21 entries land in the >=2x band, the rest stay tight —
+            # the r11-measured shape of a full median-agg suite
+            "spread_ratio": 11.63 if i < 18 else 1.3,
+        }
+        for i, name in enumerate(bench.CORPUS_QUERIES)
     }
     for d in (2, 3, 4):
         spreads[f"skyline_anti_{d}d_1m"] = {
@@ -110,7 +122,8 @@ def test_final_line_carries_full_high_variance_spread_at_suite_size():
     line = bench.final_line(sum(timings.values()), 0.1, timings, {}, spreads)
     assert len(line) <= bench._MAX_STDOUT_LINE
     parsed = json.loads(line)
-    assert set(parsed["spread"]) == set(spreads)  # nothing trimmed
+    expect = {k for k, v in spreads.items() if v["spread_ratio"] >= 2.0}
+    assert set(parsed["spread"]) == expect  # nothing trimmed
     assert "spread_omitted" not in parsed
 
 
