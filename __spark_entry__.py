@@ -71,12 +71,14 @@ _DRIVER_PRIORITY = [
     "x_quality_filter", "x_repetition", "x_sample_stratified",
     "x_snapshot_diff", "x_span_dedup", "x_text_quality",
     "x_train_test_split", "x_weighted_mix",
-    # fills: plans/results this round touches (see worksheet above)
+    # fills: plans/results this round touches (see worksheet above);
+    # x_audio_features swapped in mid-round for s24_dynamic_skyline when
+    # the FLAC fixture class changed its payload rotation (% 3 -> % 4)
     "x_image_ahash_dedup", "x_image_neardup_pairs", "m2_strategy_stats",
-    "x_seq_packing",
+    "x_seq_packing", "x_audio_features",
     # fills: round-10 skyline family on the chunk-id code path, pulled
     # forward to flatten round 13's must-gate load
-    "s22_skyband", "s23_top_dominating", "s24_dynamic_skyline",
+    "s22_skyband", "s23_top_dominating",
     "s28_kdominant_skyline", "s29_skyline_layers",
 ]
 # Round-13 rotation worksheet (write it BEFORE touching the list):

@@ -1,0 +1,567 @@
+"""REAL FLAC codec — numpy + pure Python, no external libs.
+
+Decoder: the full fixed-blocksize feature surface a real FLAC file uses —
+STREAMINFO + skipped metadata blocks, frame sync with CRC-8-checked
+headers and CRC-16-checked frames, UTF-8-coded frame/sample numbers,
+every block-size/sample-rate/sample-size header code, all four channel
+assignments (independent, left/side, right/side, mid/side with the
+side channel's extra bit), wasted-bits unary prefixes, and all four
+subframe types (CONSTANT, VERBATIM, FIXED orders 0-4, LPC up to order 32
+with signed quantized coefficients and arithmetic-shift prediction),
+with Rice / Rice2 partitioned residuals including the escape-to-raw
+partitions.
+
+Encoder (fixture-side): a spec-conforming subset any standard decoder
+reads — 16-bit, fixed 4096-sample blocking, independent channels,
+CONSTANT / VERBATIM / FIXED-order subframes chosen per block by residual
+cost, single-partition Rice residuals with per-block parameter search and
+escape fallback, correct CRC-8/CRC-16 and a STREAMINFO carrying the
+stream MD5.  It exists so the decoder is exercised end-to-end on
+bit-exact round trips (FLAC is lossless: decode(encode(x)) == x always).
+
+Unlike MP3/Vorbis there are NO normative probability or Huffman tables —
+the format is fully self-describing — which is what makes a from-scratch
+implementation tractable and auditable here.  This mirrors the public
+FLAC bitstream specification (RFC 9639); nothing derives from the
+reference repo (which has no audio handling at all).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# ---------------------------------------------------------------------------
+# CRCs (RFC 9639 §9.1/§9.2): CRC-8 poly 0x07, CRC-16 poly 0x8005, init 0
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+# ---------------------------------------------------------------------------
+# MSB-first bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC convention — opposite of VP8L)."""
+
+    __slots__ = ("data", "byte_pos", "bit_pos")
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.byte_pos = byte_pos
+        self.bit_pos = 0  # bits consumed of data[byte_pos]
+
+    def bits(self, n: int) -> int:
+        out = 0
+        while n:
+            if self.byte_pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - self.bit_pos
+            take = min(n, avail)
+            cur = self.data[self.byte_pos]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit_pos += take
+            if self.bit_pos == 8:
+                self.byte_pos += 1
+                self.bit_pos = 0
+            n -= take
+        return out
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        """Count 0 bits until the terminating 1 bit (FLAC unary)."""
+        n = 0
+        while True:
+            if self.byte_pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated in unary")
+            cur = self.data[self.byte_pos]
+            rem = 8 - self.bit_pos
+            chunk = cur & ((1 << rem) - 1)
+            if chunk == 0:
+                n += rem
+                self.byte_pos += 1
+                self.bit_pos = 0
+                continue
+            lead = rem - chunk.bit_length()
+            n += lead
+            self.bit_pos += lead + 1
+            if self.bit_pos == 8:
+                self.byte_pos += 1
+                self.bit_pos = 0
+            return n
+
+    def align(self) -> None:
+        if self.bit_pos:
+            self.byte_pos += 1
+            self.bit_pos = 0
+
+
+class _BitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.cur = (self.cur << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.cur >> self.nbits) & 0xFF)
+        self.cur &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# frame-header code tables (RFC 9639 §9.1.1-9.1.4)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """UTF-8-style frame/sample number (up to 36 bits / 7 bytes)."""
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    n_follow = 0
+    mask = 0x40
+    while b0 & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("FLAC bad coded number")
+    val = b0 & (mask - 1)
+    for _ in range(n_follow):
+        b = br.bits(8)
+        if b >> 6 != 0b10:
+            raise ValueError("FLAC bad coded-number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _write_coded_number(out: bytearray, val: int) -> None:
+    if val < 0x80:
+        out.append(val)
+        return
+    parts = []
+    n = 1
+    while True:
+        cap = 6 - n if n < 7 else 0  # payload bits in the lead byte
+        if n < 7 and val < (1 << (cap + 6 * n)):
+            break
+        n += 1
+        if n == 7:
+            break
+    for _ in range(n):
+        parts.append(0x80 | (val & 0x3F))
+        val >>= 6
+    if n == 7:
+        lead = 0xFE
+        if val:
+            raise ValueError("coded number out of range")
+    else:
+        lead = (0xFF00 >> (n + 1)) & 0xFF | val
+    out.append(lead & 0xFF)
+    out.extend(reversed(parts))
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("FLAC reserved residual method")
+    pbits = 4 + method  # Rice parameter width (4 or 5)
+    escape = (1 << pbits) - 1
+    po = br.bits(4)
+    n_part = 1 << po
+    if blocksize % n_part or (blocksize >> po) <= order:
+        raise ValueError("FLAC bad partition order")
+    res: list[int] = []
+    for p in range(n_part):
+        count = (blocksize >> po) - (order if p == 0 else 0)
+        param = br.bits(pbits)
+        if param == escape:
+            nb = br.bits(5)
+            if nb:
+                res.extend(br.signed(nb) for _ in range(count))
+            else:
+                res.extend(0 for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.unary()
+                v = (q << param) | br.bits(param) if param else q
+                res.append(-(v >> 1) - 1 if v & 1 else v >> 1)
+    return res
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.bits(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.bits(6)
+    wasted = 0
+    if br.bits(1):
+        wasted = br.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = br.signed(eff)
+        out = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [br.signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        out = [br.signed(eff) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for i, r in enumerate(res):
+            pos = order + i
+            pred = sum(c * out[pos - 1 - j] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        out = [br.signed(eff) for _ in range(order)]
+        prec = br.bits(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC invalid LPC precision")
+        shift = br.signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [br.signed(prec) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        for i, r in enumerate(res):
+            pos = order + i
+            acc = sum(c * out[pos - 1 - j] for j, c in enumerate(coefs))
+            out.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"FLAC reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes):
+    """(n_channels, sample_rate, ndarray[frames, channels] int32).
+
+    16-bit streams fit int16 range by construction; callers needing int16
+    can cast.  Raises ``ValueError`` on anything malformed — including
+    CRC-8/CRC-16 mismatches, which real decoders treat as hard sync
+    errors."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        last = payload[pos] >> 7
+        btype = payload[pos] & 0x7F
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("FLAC metadata block truncated")
+        pos += 4 + ln
+        if btype == 0:
+            if ln < 34:
+                raise ValueError("FLAC STREAMINFO too short")
+            mbr = _BitReader(body)
+            mbr.bits(16)  # min block size
+            mbr.bits(16)  # max block size
+            mbr.bits(24)  # min frame size
+            mbr.bits(24)  # max frame size
+            sr = mbr.bits(20)
+            nch = mbr.bits(3) + 1
+            bps = mbr.bits(5) + 1
+            total = mbr.bits(36)
+            info = (sr, nch, bps, total)
+        elif btype == 127:
+            raise ValueError("FLAC invalid metadata block type")
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    sr_si, nch_si, bps_si, total = info
+    channels: list[list[int]] = [[] for _ in range(nch_si)]
+    while pos < len(payload):
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError("FLAC lost frame sync")
+        if br.bits(1):
+            raise ValueError("FLAC reserved frame bit set")
+        br.bits(1)  # blocking strategy (number semantics only)
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        ss_code = br.bits(3)
+        if br.bits(1):
+            raise ValueError("FLAC reserved frame bit set")
+        _read_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("FLAC reserved block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = br.bits(8) + 1
+        elif bs_code == 7:
+            blocksize = br.bits(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            sr = sr_si
+        elif sr_code in _SAMPLE_RATES:
+            sr = _SAMPLE_RATES[sr_code]
+        elif sr_code == 12:
+            sr = br.bits(8) * 1000
+        elif sr_code == 13:
+            sr = br.bits(16)
+        elif sr_code == 14:
+            sr = br.bits(16) * 10
+        else:
+            raise ValueError("FLAC invalid sample rate code")
+        bps = bps_si if ss_code == 0 else _SAMPLE_SIZES.get(ss_code)
+        if bps is None:
+            raise ValueError("FLAC reserved sample size code")
+        br.align()  # CRC-8 covers whole header bytes
+        hdr_end = br.byte_pos
+        if crc8(payload[frame_start:hdr_end]) != br.bits(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        if ch_code <= 7:
+            nch = ch_code + 1
+            if nch != nch_si:
+                raise ValueError("FLAC frame/STREAMINFO channel mismatch")
+            subs = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch_si != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo stream")
+            # the SIDE channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, blocksize, bps + 1)
+                right = _decode_subframe(br, blocksize, bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    mm = (m << 1) | (s & 1)
+                    left.append((mm + s) >> 1)
+                    right.append((mm - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError("FLAC reserved channel assignment")
+        br.align()
+        if crc16(payload[frame_start : br.byte_pos]) != br.bits(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for ch, sub in zip(channels, subs):
+            ch.extend(sub)
+        pos = br.byte_pos
+    if total and any(len(c) > total for c in channels):
+        channels = [c[:total] for c in channels]
+    arr = np.array(channels, dtype=np.int64).T if channels[0] else (
+        np.zeros((0, nch_si), dtype=np.int64)
+    )
+    return nch_si, sr_si, arr.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-side)
+# ---------------------------------------------------------------------------
+
+_BLOCK = 4096
+
+
+def _rice_cost(res: list[int], param: int) -> int:
+    total = 0
+    for r in res:
+        z = (-r << 1) - 1 if r < 0 else r << 1  # zigzag magnitude
+        total += (z >> param) + 1 + param
+    return total
+
+
+def _encode_residual(bw: _BitWriter, res: list[int]) -> None:
+    """Single-partition Rice with parameter search; escape to raw when
+    Rice degenerates (pathological residual magnitudes)."""
+    best_p, best_cost = 0, None
+    for p in range(15):
+        c = _rice_cost(res, p)
+        if best_cost is None or c < best_cost:
+            best_p, best_cost = p, c
+    max_mag = max((abs(r) for r in res), default=0)
+    raw_bits = max(max_mag.bit_length() + 1, 1)
+    bw.write(0, 2)  # Rice, 4-bit params
+    bw.write(0, 4)  # partition order 0
+    if raw_bits > 30 or best_cost > raw_bits * len(res):
+        bw.write(0b1111, 4)  # escape
+        bw.write(raw_bits, 5)
+        for r in res:
+            bw.write(r, raw_bits)
+        return
+    bw.write(best_p, 4)
+    for r in res:
+        z = (-r << 1) - 1 if r < 0 else r << 1
+        bw.write_unary(z >> best_p)
+        if best_p:
+            bw.write(z, best_p)
+
+
+def _encode_subframe(bw: _BitWriter, block: list[int], bps: int) -> None:
+    if all(v == block[0] for v in block):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(block[0], bps)
+        return
+    # pick the cheapest fixed order by sum-of-abs residual (order 0 is
+    # always a candidate, so a best order always exists; VERBATIM is a
+    # decoder-only path here, exercised by hand-built test streams)
+    best_order, best_res, best_cost = 0, list(block), sum(abs(v) for v in block)
+    for order, coefs in _FIXED_COEFS.items():
+        if order == 0 or len(block) <= order:
+            continue
+        res = [
+            block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(block))
+        ]
+        cost = sum(abs(r) for r in res)
+        if cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    bw.write(0, 1)
+    bw.write(8 + best_order, 6)  # FIXED
+    bw.write(0, 1)
+    for v in block[:best_order]:
+        bw.write(v, bps)
+    _encode_residual(bw, best_res)
+
+
+def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
+    """Losslessly encode int samples (1-D mono or (frames, channels)) at
+    ``bps`` (<= 16 here) into a spec-conforming FLAC stream."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if n and (arr.min() < lo or arr.max() > hi):
+        raise ValueError(f"samples exceed {bps}-bit range")
+    # stream MD5 is over interleaved little-endian samples
+    md5 = hashlib.md5(
+        arr.astype("<i2" if bps == 16 else "<i1").tobytes()
+    ).digest()
+    si = _BitWriter()
+    si.write(_BLOCK, 16)
+    si.write(_BLOCK, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + md5
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last metadata block, type 0 (STREAMINFO)
+    out += len(body).to_bytes(3, "big")
+    out += body
+    for fi, start in enumerate(range(0, max(n, 1), _BLOCK)):
+        block = arr[start : start + _BLOCK]
+        bs = len(block)
+        if bs == 0:
+            break
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize; number = frame index
+        hdr.write(7, 4)  # block size: 16-bit value - 1 at header end
+        hdr.write(13, 4)  # sample rate: 16-bit Hz at header end
+        hdr.write(nch - 1, 4)  # independent channels
+        hdr.write({8: 1, 12: 2, 16: 4}.get(bps, 4), 3)
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        hb = bytearray(hdr.bytes())
+        _write_coded_number(hb, fi)
+        hb += struct.pack(">H", bs - 1)
+        hb += struct.pack(">H", sample_rate)
+        hb.append(crc8(bytes(hb)))
+        fw = _BitWriter()
+        for ch in range(nch):
+            _encode_subframe(fw, [int(v) for v in block[:, ch]], bps)
+        fw.align()
+        frame = bytes(hb) + fw.bytes()
+        out += frame + struct.pack(">H", crc16(frame))
+    return bytes(out)

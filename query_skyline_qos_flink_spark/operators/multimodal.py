@@ -345,10 +345,12 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
     PCM WAV uses the stdlib ``wave`` path (exact and allocation-bound);
     G.711 mu-law / A-law and IMA ADPCM WAVs — the compressed tags
     ``wave`` rejects — expand through the from-scratch
-    :func:`decode_wav_samples` RIFF reader.  Remaining compressed
-    formats (mp3/ogg/flac) dispatch to ``soundfile`` when it is
-    importable — otherwise pass your own ``decode_fn``.  Raises
-    ``wave.Error`` on payloads no installed backend recognizes."""
+    :func:`decode_wav_samples` RIFF reader; FLAC through the
+    from-scratch :mod:`.flac` codec (lossless, fully self-describing —
+    no soundfile needed).  Remaining compressed formats (mp3/ogg)
+    dispatch to ``soundfile`` when it is importable — otherwise pass
+    your own ``decode_fn``.  Raises ``wave.Error`` on payloads no
+    installed backend recognizes."""
     import io
     import struct as _struct
     import wave
@@ -356,6 +358,18 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
     try:
         wav = wave.open(io.BytesIO(payload), "rb")
     except wave.Error as wave_err:
+        if payload[:4] == b"fLaC":
+            import numpy as np
+
+            from .flac import decode_flac
+
+            try:
+                nch, sr, samples = decode_flac(payload)
+            except ValueError:
+                raise wave.Error("malformed FLAC payload") from None
+            nf = samples.shape[0]
+            peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
+            return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             import numpy as np
 
@@ -605,18 +619,21 @@ def synth_png_payload(key: int, block_px: int = 8, flip_block: int | None = None
 
 @_lru_cache(maxsize=4096)
 def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
-    """Mono WAV with closed-form truth: ``n_frames = 800 + (key % 5) *
-    160`` alternating ±``amp`` square-wave samples where ``amp = 2000 +
-    (key % 7) * 1000``; ``duration_ms = n_frames // 8`` (sr 8000).
+    """Mono audio payload with closed-form truth: ``n_frames = 800 +
+    (key % 5) * 160`` alternating ±``amp`` square-wave samples where
+    ``amp = 2000 + (key % 7) * 1000``; ``duration_ms = n_frames // 8``
+    (sr 8000).
 
     The ENCODING rotates by key class so the oracle-gated audio query
-    drives every real decode path: ``key % 3 == 1`` emits a G.711
-    mu-law WAV (format tag 7), ``key % 3 == 2`` an A-law WAV (tag 6),
-    the rest PCM16.  G.711 is LOSSY — the decoded peak is the nearest
-    G.711 level of ``amp`` — but the quantization is a fixed 256-entry
-    table, so the peak stays closed-form: the oracle states the
-    quantized level per (law, amp) class as a literal (computed from the
-    same canonical tables, pinned by tests)."""
+    drives every real decode path: ``key % 4 == 1`` emits a G.711
+    mu-law WAV (format tag 7), ``key % 4 == 2`` an A-law WAV (tag 6),
+    ``key % 4 == 3`` a FLAC stream (from-scratch :mod:`.flac` codec —
+    LOSSLESS, so its peak is exactly ``amp`` like PCM), the rest PCM16
+    WAV.  G.711 is LOSSY — the decoded peak is the nearest G.711 level
+    of ``amp`` — but the quantization is a fixed 256-entry table, so the
+    peak stays closed-form: the oracle states the quantized level per
+    (law, amp) class as a literal (computed from the same canonical
+    tables, pinned by tests)."""
     import io
     import struct as _struct
     import wave
@@ -627,7 +644,11 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
     amp = 2000 + (key % 7) * 1000
     samples = np.full(n_frames, amp, dtype=np.int16)
     samples[1::2] = -amp
-    variant = key % 3
+    variant = key % 4
+    if variant == 3:
+        from .flac import encode_flac
+
+        return encode_flac(samples, sample_rate)
     if variant in (1, 2):
         law = "mulaw" if variant == 1 else "alaw"
         tag = 7 if variant == 1 else 6
@@ -659,9 +680,10 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
 # full of G.711 mu-law / A-law (telephony, format tags 7 / 6) and IMA
 # ADPCM (format tag 0x11) WAV files.  These decoders parse the RIFF
 # container directly and expand to int16 — G.711 is a vectorized 256-entry
-# table lookup, IMA ADPCM the standard step/index predictor loop.  Other
-# compressed formats (mp3/ogg/flac) remain ``soundfile`` integration
-# points in :func:`decode_audio`.
+# table lookup, IMA ADPCM the standard step/index predictor loop.  FLAC
+# decodes through the from-scratch :mod:`.flac` codec; the remaining
+# compressed formats (mp3/ogg) are ``soundfile`` integration points in
+# :func:`decode_audio`.
 
 
 def _g711_tables():
@@ -902,7 +924,7 @@ def decode_wav_samples(payload: bytes):
         if n_frames_fact is not None:
             out = out[:n_frames_fact]
         return nch, rate, out
-    raise ValueError(f"WAV format tag {tag} unsupported (mp3/ogg/flac need soundfile)")
+    raise ValueError(f"WAV format tag {tag} unsupported (mp3/ogg need soundfile)")
 
 
 def attach_synth_payload(

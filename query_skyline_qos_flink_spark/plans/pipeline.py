@@ -2309,37 +2309,38 @@ SELECT doc_id,
        CAST(8000 AS BIGINT) AS sample_rate,
        CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
        CAST((800 + (doc_id % 5) * 160) // 8 AS BIGINT) AS duration_ms,
-       CAST(CASE doc_id % 3
-            WHEN 0 THEN 2000 + (doc_id % 7) * 1000
+       CAST(CASE doc_id % 4
             WHEN 1 THEN CASE doc_id % 7 WHEN 0 THEN 1980 WHEN 1 THEN 3004
                  WHEN 2 THEN 4092 WHEN 3 THEN 5116 WHEN 4 THEN 5884
                  WHEN 5 THEN 6908 ELSE 7932 END
-            ELSE CASE doc_id % 7 WHEN 0 THEN 2016 WHEN 1 THEN 3008
+            WHEN 2 THEN CASE doc_id % 7 WHEN 0 THEN 2016 WHEN 1 THEN 3008
                  WHEN 2 THEN 4032 WHEN 3 THEN 4992 WHEN 4 THEN 6016
                  WHEN 5 THEN 7040 ELSE 8064 END
+            ELSE 2000 + (doc_id % 7) * 1000
             END AS BIGINT) AS peak_amplitude
 FROM documents
 """.strip(),
-    doc="Audio feature extraction through the REAL WAV codecs: synthesize a "
-    "mono square-wave WAV per doc (n_frames and amplitude are integer "
-    "functions of doc_id) whose ENCODING rotates by doc_id % 3 — PCM16 "
-    "(stdlib wave), G.711 mu-law (tag 7), G.711 A-law (tag 6), the "
-    "latter two through the from-scratch RIFF reader "
-    "(operators/multimodal.py::decode_wav_samples) — decode via "
-    "mapInPandas, emit channels / sample-rate / frames / duration / "
-    "peak. PCM peaks are exactly +-amp; G.711 is lossy through a FIXED "
-    "256-level table, so the decoded peak is the nearest G.711 level of "
-    "amp and the oracle states those quantized levels as literals "
-    "(pinned against the canonical CCITT tables by "
+    doc="Audio feature extraction through the REAL audio codecs: "
+    "synthesize a mono square wave per doc (n_frames and amplitude are "
+    "integer functions of doc_id) whose ENCODING rotates by doc_id % 4 "
+    "— PCM16 WAV (stdlib wave), G.711 mu-law (tag 7), G.711 A-law "
+    "(tag 6) through the from-scratch RIFF reader "
+    "(operators/multimodal.py::decode_wav_samples), and FLAC through "
+    "the from-scratch operators/flac.py codec — decode via mapInPandas, "
+    "emit channels / sample-rate / frames / duration / peak. PCM and "
+    "FLAC peaks are exactly +-amp (FLAC is lossless); G.711 is lossy "
+    "through a FIXED 256-level table, so the decoded peak is the "
+    "nearest G.711 level of amp and the oracle states those quantized "
+    "levels as literals (pinned against the canonical CCITT tables by "
     "tests/test_wav_codecs.py) — every feature stays closed-form "
     "WITHOUT the oracle decoding anything",
 )
 def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
-    # the payload depends only on doc_id % 3 / % 5 / % 7, all preserved by
-    # % 105 — folding keys makes the synth lru_cache actually hit (the
-    # G.711 nearest-level encode is the priciest fixture synth)
-    pay = multimodal.attach_synth_payload(d, "wav", key_mod=105)
+    # the payload depends only on doc_id % 4 / % 5 / % 7, all preserved
+    # by % 140 — folding keys makes the synth lru_cache actually hit
+    # (the G.711 nearest-level encode is the priciest fixture synth)
+    pay = multimodal.attach_synth_payload(d, "wav", key_mod=140)
     return multimodal.extract_audio_meta(pay).select(
         "doc_id", "n_channels", "sample_rate", "n_frames", "duration_ms", "peak_amplitude"
     )

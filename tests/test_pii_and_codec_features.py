@@ -117,13 +117,14 @@ def test_synth_wav_features_exact(spark):
     for k in range(40):
         nf = 800 + (k % 5) * 160
         amp = 2000 + (k % 7) * 1000
-        # the fixture rotates encodings: PCM peaks are exact, the G.711
-        # variants land on the nearest mu-law / A-law level (the same
-        # literals the x_audio_features oracle states)
+        # the fixture rotates encodings: PCM and FLAC peaks are exact
+        # (lossless), the G.711 variants land on the nearest mu-law /
+        # A-law level (the same literals the x_audio_features oracle
+        # states)
         want_peak = (
-            amp if k % 3 == 0
-            else _MULAW_PEAKS[amp] if k % 3 == 1
-            else _ALAW_PEAKS[amp]
+            _MULAW_PEAKS[amp] if k % 4 == 1
+            else _ALAW_PEAKS[amp] if k % 4 == 2
+            else amp
         )
         r = got[k]
         assert (r["n_channels"], r["sample_rate"]) == (1, 8000)

@@ -80,18 +80,21 @@ def test_oracle_peak_literals_pin_the_tables():
 
 
 def test_synth_wav_variants_decode_closed_form():
-    """decode_audio over all six (codec x amp/frames) variant shapes
-    reproduces the oracle's closed-form features exactly."""
-    for key in range(21):
+    """decode_audio over every (codec x amp/frames) variant shape
+    reproduces the oracle's closed-form features exactly — PCM and FLAC
+    lossless (peak == amp), G.711 at the pinned quantized levels."""
+    for key in range(28):
         nch, sr, nf, dur, peak = decode_audio(synth_wav_payload(key))
         amp = 2000 + (key % 7) * 1000
         want_peak = (
-            amp if key % 3 == 0
-            else _MULAW_PEAKS[amp] if key % 3 == 1
-            else _ALAW_PEAKS[amp]
+            _MULAW_PEAKS[amp] if key % 4 == 1
+            else _ALAW_PEAKS[amp] if key % 4 == 2
+            else amp  # PCM (0) and FLAC (3) are exact
         )
         assert (nch, sr, nf, dur) == (1, 8000, 800 + (key % 5) * 160, (800 + (key % 5) * 160) // 8)
         assert peak == want_peak, (key, peak, want_peak)
+        if key % 4 == 3:
+            assert synth_wav_payload(key)[:4] == b"fLaC"
 
 
 def test_riff_reader_pcm_parity_with_stdlib():
