@@ -208,7 +208,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     subsampling.  WebP dispatches to :func:`..webp.decode_webp` —
     lossless VP8L natively, lossy VP8 through the system libwebp
     (``operators/libwebp_bridge.py``) when that library is present.
-    Sub-8-bit PNG depths and 12-bit/arithmetic JPEG still need an
+    Sub-8-bit PNG depths and arithmetic-coded JPEG still need an
     external decoder (e.g. pillow) — pass your own ``decode_fn`` for
     those.  Raises ``ValueError`` on unrecognized or unsupported
     payloads.
@@ -1484,13 +1484,14 @@ def extract_gif_frame_colors(
 # REAL JPEG codec (numpy + struct, no external libs)
 # ---------------------------------------------------------------------------
 #
-# 8-bit Huffman DCT (ITU T.81): baseline (SOF0/1) greyscale and YCbCr
-# with ARBITRARY sampling factors (4:4:4, 4:2:0, 4:2:2, ... — the
-# dominant real-crawl encodings), and PROGRESSIVE (SOF2) streams with
+# Huffman DCT (ITU T.81): baseline/extended (SOF0/1) greyscale and
+# YCbCr with ARBITRARY sampling factors (4:4:4, 4:2:0, 4:2:2, ... — the
+# dominant real-crawl encodings), PROGRESSIVE (SOF2) streams with
 # spectral selection + successive approximation (DC/AC first and
-# refinement scans, EOBn run codes).  12-bit precision, arithmetic
-# coding, lossless and hierarchical SOFs raise ValueError
-# (external-decoder integration points).  The encoder uses the Annex K
+# refinement scans, EOBn run codes), and 12-BIT extended-sequential
+# precision (16-bit DQT, 2048 level shift, >>4 downshift to the uint8
+# contract).  Arithmetic coding, lossless and hierarchical SOFs raise
+# ValueError (external-decoder integration points).  The encoder uses the Annex K
 # quantization + Huffman tables (plus a spec-valid static AC table
 # carrying the progressive-only EOBn symbols), so any standard decoder
 # reads its output; the decoder builds canonical Huffman tables from
@@ -1582,6 +1583,23 @@ _HUFF_AC_PROG = (
     + [0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)],
 )
+# 12-bit-precision tables (Annex K only covers 8-bit sample statistics):
+# flat canonical codes over the FULL 12-bit symbol alphabets — DC
+# categories 0..15 as 16 five-bit codes (of 32; the reserved all-ones
+# code stays unused), AC run/size with sizes 1..14 as 240 nine-bit codes
+# (of 512).  Spec-valid like the flat progressive table above; the
+# encoder trades compression for unconditional coverage, which is the
+# right fixture-side trade.
+_HUFF_DC_12 = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_HUFF_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
 
 
 def _dct_matrix():
@@ -1665,16 +1683,29 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _jpeg_quantized_components(pix, subsample: str):
+def _jpeg_quantized_components(pix, subsample: str, precision: int = 8):
     """Forward path shared by the baseline and progressive encoders:
     color-convert, (optionally) subsample chroma, pad each component to
     its MCU grid, FDCT + quantize.  Returns ``(h, w, grey, comps)`` with
     ``comps`` a list of ``(hi, vi, tq, coef)`` where ``coef`` is the
     ``(blocks_y, blocks_x, 64)`` int64 zigzag-order quantized-coefficient
-    array (MCU-padded)."""
+    array (MCU-padded).
+
+    ``precision`` 12 takes uint16 samples in [0, 4095], level-shifts by
+    2048 and quantizes with the Annex-K tables scaled x16 (the standard
+    practice for 12-bit: coefficient magnitudes grow 16x, so the scaled
+    tables keep 8-bit-like quality; they need a 16-bit DQT)."""
     import numpy as np
 
-    pix = np.asarray(pix, dtype=np.uint8)
+    if precision == 8:
+        pix = np.asarray(pix, dtype=np.uint8)
+    elif precision == 12:
+        pix = np.asarray(pix)
+        if pix.dtype.kind not in "iu" or (pix.size and (pix.min() < 0 or pix.max() > 4095)):
+            raise ValueError("12-bit JPEG input must be integers in [0, 4095]")
+        pix = pix.astype(np.uint16)
+    else:
+        raise ValueError("encode_jpeg precision must be 8 or 12")
     if pix.ndim == 3 and pix.shape[2] == 1:
         pix = pix[..., 0]  # single-channel (h, w, 1) is greyscale
     if pix.ndim == 3 and pix.shape[2] != 3:
@@ -1685,6 +1716,7 @@ def _jpeg_quantized_components(pix, subsample: str):
         )
     grey = pix.ndim == 2
     h, w = pix.shape[:2]
+    center = 128.0 if precision == 8 else 2048.0
     if grey:
         planes = [pix.astype(np.float64)]
     else:
@@ -1692,8 +1724,8 @@ def _jpeg_quantized_components(pix, subsample: str):
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+            0.5 * r - 0.418688 * g - 0.081312 * b + center,
         ]
     # sampling factors: 4:2:0 gives luma (2, 2) against chroma (1, 1);
     # 4:2:2 halves chroma horizontally only — luma (2, 1)
@@ -1717,8 +1749,9 @@ def _jpeg_quantized_components(pix, subsample: str):
             planes[ci] = p.reshape(eh // fv, fv, ew // fh, fh).mean(axis=(1, 3))
 
     d = _dct_matrix()
-    ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)
-    qc = np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8)
+    qscale = 1.0 if precision == 8 else 16.0
+    ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8) * qscale
+    qc = np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8) * qscale
     comps = []
     for ci, plane in enumerate(planes):
         hi, vi = samps[ci]
@@ -1729,7 +1762,7 @@ def _jpeg_quantized_components(pix, subsample: str):
         p[:ph, :pw] = plane
         p[ph:, :pw] = p[ph - 1 : ph, :pw]  # edge-replicate padding
         p[:, pw:] = p[:, pw - 1 : pw]
-        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - center
         coef = np.einsum("ij,njk,kl->nil", d, blocks, d.T)
         qz = np.round(coef / (ql if tq == 0 else qc)).astype(np.int64)
         comps.append((hi, vi, tq, qz.reshape(by, bx, 64)[..., _ZIGZAG]))
@@ -1765,13 +1798,20 @@ def _emit_ac_band(wtr, enc_ac_t, zz, lo: int, hi: int) -> None:
         wtr.write(code, ln)
 
 
-def _encode_baseline_entropy(comps, restart_interval: int = 0) -> bytes:
+def _encode_baseline_entropy(comps, restart_interval: int = 0,
+                             precision: int = 8) -> bytes:
     """Interleaved single-scan baseline entropy coding over the MCU grid
     (general sampling factors: each MCU carries hi x vi blocks per
     component in raster order).  ``restart_interval`` > 0 emits RSTn
-    markers (cycling 0-7) every that many MCUs, resetting DC predictors."""
-    enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
-    enc_ac = [_huff_encode_table(*_HUFF_AC_L), _huff_encode_table(*_HUFF_AC_C)]
+    markers (cycling 0-7) every that many MCUs, resetting DC predictors.
+    12-bit precision swaps in the flat full-alphabet tables (one table
+    pair for both luma and chroma)."""
+    if precision == 12:
+        enc_dc = [_huff_encode_table(*_HUFF_DC_12)] * 2
+        enc_ac = [_huff_encode_table(*_HUFF_AC_12)] * 2
+    else:
+        enc_dc = [_huff_encode_table(*_HUFF_DC_L), _huff_encode_table(*_HUFF_DC_C)]
+        enc_ac = [_huff_encode_table(*_HUFF_AC_L), _huff_encode_table(*_HUFF_AC_C)]
     wtr = _JpegBitWriter()
     pred = [0] * len(comps)
     mcuy = comps[0][3].shape[0] // comps[0][1]
@@ -2024,7 +2064,7 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
 
 
 def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, precision: int = 8) -> bytes:
     """REAL JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB ``(h, w, 3)``
     ndarray -> JFIF bytes (Annex K quant + Huffman tables).
 
@@ -2034,37 +2074,73 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
     stream following libjpeg's default 10-scan progression instead of a
     single baseline SOF0 scan.  ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every that many MCUs (baseline and
-    progressive DC scans) / blocks (progressive AC scans).  Standard
-    decoders read every form; the synth fixtures below use them so every
-    decode path is exercised end-to-end."""
+    progressive DC scans) / blocks (progressive AC scans).
+    ``precision`` 12 takes uint16 samples in [0, 4095] and emits an
+    EXTENDED SEQUENTIAL (SOF1) stream — 16-bit quant tables (Annex-K
+    x16), flat full-alphabet Huffman tables — the 12-bit form T.81
+    actually allows (true baseline SOF0 is 8-bit-only; 12-bit
+    progressive is out of scope here and raises).  Standard decoders
+    read every form; the synth fixtures below use them so every decode
+    path is exercised end-to-end."""
     import struct as _struct
 
-    h, w, grey, comps = _jpeg_quantized_components(pix, subsample)
+    if precision not in (8, 12):
+        raise ValueError("encode_jpeg precision must be 8 or 12")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit progressive JPEG not supported here")
+    h, w, grey, comps = _jpeg_quantized_components(pix, subsample, precision)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return _struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(_JPEG_QL[_ZIGZAG[i]] for i in range(64)))
-    if not grey:
-        out += seg(0xFFDB, b"\x01" + bytes(_JPEG_QC[_ZIGZAG[i]] for i in range(64)))
+    if precision == 12:
+        # Pq=1: 16-bit big-endian entries
+        out += seg(
+            0xFFDB,
+            b"\x10" + b"".join(
+                _struct.pack(">H", _JPEG_QL[_ZIGZAG[i]] * 16) for i in range(64)
+            ),
+        )
+        if not grey:
+            out += seg(
+                0xFFDB,
+                b"\x11" + b"".join(
+                    _struct.pack(">H", _JPEG_QC[_ZIGZAG[i]] * 16) for i in range(64)
+                ),
+            )
+    else:
+        out += seg(0xFFDB, b"\x00" + bytes(_JPEG_QL[_ZIGZAG[i]] for i in range(64)))
+        if not grey:
+            out += seg(0xFFDB, b"\x01" + bytes(_JPEG_QC[_ZIGZAG[i]] for i in range(64)))
     nc = len(comps)
-    sof = _struct.pack(">BHHB", 8, h, w, nc)
+    sof = _struct.pack(">BHHB", precision, h, w, nc)
     for ci, (hi, vi, tq, _coef) in enumerate(comps):
         sof += bytes([ci + 1, (hi << 4) | vi, tq])
-    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
+    if progressive:
+        sof_marker = 0xFFC2
+    elif precision == 12:
+        sof_marker = 0xFFC1  # extended sequential
+    else:
+        sof_marker = 0xFFC0
+    out += seg(sof_marker, sof)
 
     def dht(cls: int, tid: int, spec) -> bytes:
         bits, vals = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    ac_spec = _HUFF_AC_PROG if progressive else _HUFF_AC_L
-    out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, ac_spec)
-    if not grey:
-        out += dht(0, 1, _HUFF_DC_C) + dht(
-            1, 1, _HUFF_AC_PROG if progressive else _HUFF_AC_C
-        )
+    if precision == 12:
+        out += dht(0, 0, _HUFF_DC_12) + dht(1, 0, _HUFF_AC_12)
+        if not grey:
+            out += dht(0, 1, _HUFF_DC_12) + dht(1, 1, _HUFF_AC_12)
+    else:
+        ac_spec = _HUFF_AC_PROG if progressive else _HUFF_AC_L
+        out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, ac_spec)
+        if not grey:
+            out += dht(0, 1, _HUFF_DC_C) + dht(
+                1, 1, _HUFF_AC_PROG if progressive else _HUFF_AC_C
+            )
     if restart_interval:
         out += seg(0xFFDD, _struct.pack(">H", restart_interval))
     if progressive:
@@ -2079,7 +2155,7 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
             sos += bytes([ci + 1, (tq << 4) | tq])
         sos += b"\x00\x3f\x00"
         out += seg(0xFFDA, sos)
-        out += _encode_baseline_entropy(comps, restart_interval)
+        out += _encode_baseline_entropy(comps, restart_interval, precision)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -2304,13 +2380,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL JPEG decoder (numpy + struct): returns (height, width,
     channels, ndarray[h, w, c] uint8).
 
-    Handles baseline (SOF0/1) greyscale and YCbCr with ARBITRARY sampling
-    factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; chroma is nearest-neighbor
-    upsampled) and PROGRESSIVE (SOF2) streams — spectral selection,
-    successive approximation (DC + AC refinement scans, EOBn run codes),
-    canonical Huffman tables from DHT, restart markers.  12-bit
-    precision, arithmetic coding, lossless and hierarchical SOFs raise
-    ValueError (external-decoder integration points)."""
+    Handles baseline/extended (SOF0/1) greyscale and YCbCr with ARBITRARY
+    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; chroma is
+    nearest-neighbor upsampled) and PROGRESSIVE (SOF2) streams —
+    spectral selection, successive approximation (DC + AC refinement
+    scans, EOBn run codes), canonical Huffman tables from DHT, restart
+    markers — at 8- OR 12-bit sample precision (12-bit: 16-bit DQT
+    entries, 2048 level shift; output is downshifted to the uint8
+    contract, samples >> 4).  Arithmetic coding, lossless and
+    hierarchical SOFs raise ValueError (external-decoder integration
+    points)."""
     import struct as _struct
 
     import numpy as np
@@ -2321,6 +2400,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     qt: dict[int, "object"] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    precision = 8
     progressive = False
     restart_interval = 0
     coefs = None
@@ -2347,15 +2427,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
             off = 0
             while off < len(data):
                 pq, tq = data[off] >> 4, data[off] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit JPEG quant tables unsupported")
-                if off + 65 > len(data):
+                if pq not in (0, 1):
+                    raise ValueError("JPEG DQT precision out of range")
+                step = 1 + pq  # Pq=1: 16-bit big-endian entries (12-bit streams)
+                if off + 1 + 64 * step > len(data):
                     raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros(64, dtype=np.float64)
                 for i in range(64):
-                    tbl[_ZIGZAG[i]] = data[off + 1 + i]
+                    v = data[off + 1 + i * step]
+                    if pq:
+                        v = (v << 8) | data[off + 2 + i * step]
+                    tbl[_ZIGZAG[i]] = v
                 qt[tq] = tbl
-                off += 65
+                off += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(data):
@@ -2369,8 +2453,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 off += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = _struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            if prec not in (8, 12):
+                raise ValueError("only 8- and 12-bit JPEG supported")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 is 8-bit-only (T.81)")
+            precision = prec
             progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
@@ -2485,6 +2572,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     h, w, comps = frame
     hmax, vmax, _mcux, _mcuy, geo = geom
     d = _dct_matrix()
+    center = 128.0 if precision == 8 else 2048.0
+    maxval = 255.0 if precision == 8 else 4095.0
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         if tq not in qt:
@@ -2494,11 +2583,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
         nat = np.zeros((by, bx, 64), dtype=np.float64)
         nat[..., _ZIGZAG] = C
         blocks = (nat * qt[tq]).reshape(-1, 8, 8)
-        px = np.einsum("ij,njk,kl->nil", d.T, blocks, d) + 128.0
+        px = np.einsum("ij,njk,kl->nil", d.T, blocks, d) + center
         plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ch = -(-(h * vi) // vmax)
         cw = -(-(w * hi) // hmax)
-        plane = np.clip(plane[:ch, :cw], 0.0, 255.0)
+        plane = np.clip(plane[:ch, :cw], 0.0, maxval)
         if (ch, cw) != (h, w):
             yi = (np.arange(h) * vi) // vmax
             xi = (np.arange(w) * hi) // hmax
@@ -2508,13 +2597,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
         out = planes[0][..., None]
     elif len(planes) == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        out = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
+        out = np.clip(np.stack([r, g, b], axis=-1), 0.0, maxval)
     else:
         raise ValueError("JPEG: only 1 or 3 components supported")
-    return h, w, out.shape[2], (out + 0.5).astype(np.uint8)
+    samples = (out + 0.5).astype(np.int32)
+    if precision == 12:
+        # uint8 contract: 12-bit samples downshift losslessly by 4 bits
+        # (12-bit fixtures bake values on the <<4 grid, so round trips
+        # through the shift stay exact)
+        samples = np.minimum(samples, 4095) >> 4
+    return h, w, out.shape[2], np.minimum(samples, 255).astype(np.uint8)
 
 
 @_lru_cache(maxsize=4096)
@@ -2525,11 +2620,15 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     The ENCODING rotates by key class so the oracle-gated ahash queries
     drive every decode path the codec supports: ``key % 4 == 1`` is a
     4:2:0-subsampled baseline COLOR file, ``key % 4 == 3`` a 4:2:0
-    PROGRESSIVE color file, the rest greyscale baseline.  The color
-    variants carry R=G=B, so Y equals the pattern exactly and both
-    chroma planes are the constant 128 (DC-only, exactly representable,
-    and invariant under subsampling) — every variant reconstructs within
-    ±1 grey level of the pattern.  Every pattern block is a constant,
+    PROGRESSIVE color file, ``key % 4 == 2`` a 12-BIT extended-
+    sequential (SOF1) greyscale file with the pattern on the ``<<4``
+    grid (decodes back to uint8 via the documented ``>> 4`` downshift —
+    exactly the pattern, since DC-only blocks on that grid quantize
+    losslessly), the rest 8-bit greyscale baseline.  The color variants
+    carry R=G=B, so Y equals the pattern exactly and both chroma planes
+    are the constant 128 (DC-only, exactly representable, and invariant
+    under subsampling) — every variant reconstructs within ±1 grey
+    level of the pattern.  Every pattern block is a constant,
     JPEG-block-aligned 8×8 square, so only DC coefficients survive the
     FDCT and the worst reconstruction error is quant/16 <= 1 grey level
     — the aHash block means stay within ±1 of {64, 192}, far from the
@@ -2543,4 +2642,6 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     if variant in (1, 3):
         rgb = np.stack([pix, pix, pix], axis=-1)
         return encode_jpeg(rgb, subsample="420", progressive=variant == 3)
+    if variant == 2:
+        return encode_jpeg(pix.astype(np.uint16) << 4, precision=12)
     return encode_jpeg(pix)

@@ -197,16 +197,21 @@ def test_422_and_restart_intervals_decode_identical():
 def test_synth_payload_rotates_encodings():
     """The fixture contract behind x_jpeg_ahash_dedup: key % 4 == 1 emits
     a baseline 4:2:0 color stream, key % 4 == 3 a progressive 4:2:0
-    color stream, the rest greyscale baseline — and every variant still
-    decodes to the md5 block pattern (asserted by
+    color stream, key % 4 == 2 a 12-bit extended-sequential (SOF1)
+    greyscale stream, the rest 8-bit greyscale baseline — and every
+    variant still decodes to the md5 block pattern (asserted by
     test_synth_payload_bits_closed_form, whose key sweep covers all
     variants)."""
     p_grey = synth_jpeg_payload(0)
     p_420 = synth_jpeg_payload(1)
+    p_12 = synth_jpeg_payload(2)
     p_prog = synth_jpeg_payload(3)
     assert p_grey.find(b"\xff\xc0") > 0 and p_grey[p_grey.find(b"\xff\xc0") + 9] == 1
     sof = p_420.find(b"\xff\xc0")
     assert sof > 0 and p_420[sof + 9] == 3 and p_420[sof + 11] == 0x22
+    sof12 = p_12.find(b"\xff\xc1")
+    assert sof12 > 0 and p_12[sof12 + 4] == 12  # SOF1, precision byte 12
+    assert p_12.find(b"\xff\xdb") > 0 and p_12[p_12.find(b"\xff\xdb") + 4] == 0x10
     assert p_prog.find(b"\xff\xc2") > 0 and p_prog.count(b"\xff\xda") >= 4
 
 
@@ -278,3 +283,45 @@ def test_encoder_input_shapes():
     assert encode_jpeg(single) == encode_jpeg(g)
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))
+
+
+def test_12bit_grey_dc_pattern_exact():
+    """12-bit extended-sequential (SOF1): DC-only block pattern on the
+    <<4 grid decodes EXACTLY back to the 8-bit pattern through the
+    documented >>4 downshift."""
+    from query_skyline_qos_flink_spark.operators.multimodal import _md5_block_pixels
+
+    pix8 = _md5_block_pixels(9, None, on=192, off=64)
+    p = encode_jpeg(pix8.astype(np.uint16) << 4, precision=12)
+    assert b"\xff\xc1" in p
+    h, w, c, arr = decode_jpeg(p)
+    assert (h, w, c) == (64, 64, 1)
+    assert np.array_equal(arr[..., 0], pix8)
+
+
+def test_12bit_color_matches_8bit_error_envelope():
+    """Same content encoded at 8-bit and at 12-bit (<<4) must decode to
+    near-identical uint8 images — the x16-scaled quant tables keep the
+    12-bit path's loss envelope at the 8-bit level."""
+    rng = np.random.default_rng(6)
+    col8 = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    _, _, _, a8 = decode_jpeg(encode_jpeg(col8))
+    _, _, _, a12 = decode_jpeg(
+        encode_jpeg(col8.astype(np.uint16) << 4, precision=12)
+    )
+    assert np.abs(a12.astype(int) - a8.astype(int)).max() <= 2
+
+
+def test_12bit_input_and_marker_validation():
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
+    with pytest.raises(ValueError, match="0, 4095"):
+        encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(np.zeros((8, 8), np.uint16), precision=12, progressive=True)
+    # SOF0 is 8-bit-only per T.81: a 12-bit stream relabeled SOF0 raises
+    good = encode_jpeg(np.full((8, 8), 1024, np.uint16), precision=12)
+    bad = bytearray(good)
+    bad[good.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(bad))
