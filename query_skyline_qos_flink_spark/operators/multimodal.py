@@ -1393,14 +1393,29 @@ def _lzw_encode_simple(indices: bytes, min_code: int) -> bytes:
 
 @_lru_cache(maxsize=4096)
 def synth_gif_payload(key: int, size: int = 16) -> bytes:
-    """Animated GIF fixture with closed-form truth: ``(key % 4) + 1``
+    """Animated-image fixture with closed-form truth: ``(key % 4) + 1``
     solid-color frames of ``size``×``size`` pixels; frame ``i``'s RGB is
     the first three bytes of ``md5("gif{key}:{i}")`` — so the mean color
     of each REAL-decoded frame equals a hex-parse a SQL oracle can
-    recompute without decoding."""
+    recompute without decoding.
+
+    The CONTAINER rotates by key class: ``key % 5 == 3`` emits an
+    animated WebP (VP8X + ANIM/ANMF around lossless VP8L frames — mean
+    colors identical, every frame opaque and full-canvas), the rest an
+    animated GIF — so the oracle-gated frames query drives both
+    multi-frame decode paths."""
     import numpy as np
 
     n_frames = (key % 4) + 1
+    if key % 5 == 3:
+        from .webp import encode_webp_anim
+
+        frames = []
+        for i in range(n_frames):
+            digest = hashlib.md5(f"gif{key}:{i}".encode()).hexdigest()
+            rgb = [int(digest[c : c + 2], 16) for c in (0, 2, 4)]
+            frames.append(np.full((size, size, 3), rgb, dtype=np.uint8))
+        return encode_webp_anim(frames)
     palette = np.zeros((4, 3), dtype=np.uint8)
     for i in range(n_frames):
         digest = hashlib.md5(f"gif{key}:{i}".encode()).hexdigest()
@@ -1426,15 +1441,28 @@ def synth_gif_payload(key: int, size: int = 16) -> bytes:
     return bytes(out)
 
 
+def decode_frames(payload: bytes) -> tuple[int, int, int, "object"]:
+    """Multi-frame decode dispatcher: GIF87a/89a through
+    :func:`decode_gif`, WebP (animated or still) through
+    :func:`..webp.decode_webp_frames` — one ``(n, h, w, frames[n,h,w,3])``
+    contract either way."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp_frames
+
+        return decode_webp_frames(payload)
+    return decode_gif(payload)
+
+
 def extract_gif_frame_colors(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    decode_fn: Callable[[bytes], tuple] = decode_gif,
+    decode_fn: Callable[[bytes], tuple] = decode_frames,
 ) -> DataFrame:
-    """One row per decoded GIF frame with its exact integer mean color —
-    the video-analysis fan-out over a REAL multi-frame codec: decode once
-    per payload inside mapInPandas, emit (id, frame_idx, r, g, b).  Only
+    """One row per decoded animation frame with its exact integer mean
+    color — the video-analysis fan-out over the REAL multi-frame codecs
+    (GIF and animated WebP via :func:`decode_frames`): decode once per
+    payload inside mapInPandas, emit (id, frame_idx, r, g, b).  Only
     per-frame statistics cross the Arrow boundary; pixels never leave the
     worker."""
     import numpy as np

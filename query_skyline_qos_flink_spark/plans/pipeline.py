@@ -2515,14 +2515,16 @@ WHERE i <= (doc_id % 25) % 4
 @register(
     "x_gif_frame_colors",
     _gif_oracle(),
-    doc="Video-style frame analysis through the REAL multi-frame GIF codec "
-    "(stdlib LZW, operators/multimodal.py::decode_gif): each doc carries "
-    "an animated GIF of (key % 4) + 1 solid-color frames whose colors are "
-    "md5-derived, the decoder reconstructs every frame (color table, "
-    "compositing), and the exact integer mean color per frame is emitted "
-    "— which the duckdb oracle recomputes as a hex-parse, closed-form, "
-    "WITHOUT decoding. One mapInPandas scan; only per-frame statistics "
-    "cross the Arrow boundary, pixels never leave the worker",
+    doc="Video-style frame analysis through the REAL multi-frame codecs "
+    "(GIF via stdlib-LZW decode_gif; animated WebP via the VP8X+ANIM/"
+    "ANMF compositor operators/webp.py::decode_webp_frames, key class "
+    "% 5 == 3): each doc carries (key % 4) + 1 solid-color frames whose "
+    "colors are md5-derived, the decoder reconstructs every frame "
+    "(color table / canvas compositing), and the exact integer mean "
+    "color per frame is emitted — which the duckdb oracle recomputes as "
+    "a hex-parse, closed-form, WITHOUT decoding. One mapInPandas scan; "
+    "only per-frame statistics cross the Arrow boundary, pixels never "
+    "leave the worker",
 )
 def x_gif_frame_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")

@@ -419,3 +419,101 @@ def test_explicit_palette_over_256_colors_raises():
         W.encode_webp(px, use_palette=True)
     with pytest.raises(ValueError, match="palette"):
         W.encode_webp(px, use_palette=True, use_subtract_green=True)
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+
+def test_anim_solid_frames_roundtrip():
+    f = [np.full((16, 16, 3), c, np.uint8) for c in ([9, 200, 40], [255, 0, 0], [1, 2, 3])]
+    p = W.encode_webp_anim(f)
+    assert p[12:16] == b"VP8X" and b"ANIM" in p and p.count(b"ANMF") == 3
+    n, h, w, frames = W.decode_webp_frames(p)
+    assert (n, h, w) == (3, 16, 16)
+    for i, fr in enumerate(f):
+        assert np.array_equal(frames[i], fr), i
+
+
+def test_anim_offsets_blend_and_dispose():
+    """Frame 2 is a smaller patch at an offset: without dispose it sits on
+    the persisted frame-1 canvas; frame 3 carries dispose-to-background,
+    so frame 4 (a no-op transparent overlay via no-blend=False... use a
+    patch) shows the background outside its rect."""
+    base = np.full((8, 8, 3), [10, 20, 30], np.uint8)
+    patch = np.full((4, 4, 3), [200, 100, 0], np.uint8)
+    p = W.encode_webp_anim(
+        [base, patch, patch],
+        offsets=[(0, 0), (2, 2), (4, 4)],
+        dispose=[False, True, False],
+        bg=(255, 255, 255, 255),
+    )
+    n, h, w, frames = W.decode_webp_frames(p)
+    assert (n, h, w) == (3, 8, 8)
+    # frame 0: the base
+    assert np.array_equal(frames[0], base)
+    # frame 1: patch composited onto the persisted base
+    assert frames[1][0, 0].tolist() == [10, 20, 30]
+    assert frames[1][3, 3].tolist() == [200, 100, 0]
+    # frame 1's rect was disposed to background before frame 2
+    assert frames[2][2, 2].tolist() == [255, 255, 255]  # disposed area
+    assert frames[2][0, 0].tolist() == [10, 20, 30]  # untouched base
+    assert frames[2][5, 5].tolist() == [200, 100, 0]  # new patch
+
+
+def test_anim_no_blend_overwrites_alpha():
+    """A no-blend RGBA frame with alpha 0 must OVERWRITE the canvas (the
+    region then shows the ANIM background through the transparent
+    pixels), where the default alpha-blend would leave the canvas."""
+    base = np.full((4, 4, 3), [50, 60, 70], np.uint8)
+    clear = np.zeros((4, 4, 4), np.uint8)  # fully transparent
+    p_blend = W.encode_webp_anim([base, clear], bg=(1, 2, 3, 255))
+    p_over = W.encode_webp_anim([base, clear], blend=[True, False], bg=(1, 2, 3, 255))
+    _, _, _, fb = W.decode_webp_frames(p_blend)
+    _, _, _, fo = W.decode_webp_frames(p_over)
+    assert fb[1][0, 0].tolist() == [50, 60, 70]  # blend: canvas persists
+    assert fo[1][0, 0].tolist() == [1, 2, 3]  # overwrite: bg shows through
+
+
+def test_still_webp_decodes_as_one_frame():
+    px = np.full((5, 7, 3), [4, 5, 6], np.uint8)
+    n, h, w, frames = W.decode_webp_frames(W.encode_webp(px))
+    assert (n, h, w) == (1, 5, 7)
+    assert np.array_equal(frames[0], px)
+
+
+def test_anim_validation():
+    with pytest.raises(ValueError, match="even"):
+        W.encode_webp_anim([np.zeros((4, 4, 3), np.uint8)], offsets=[(1, 0)])
+    f = np.zeros((4, 4, 3), np.uint8)
+    p = bytearray(W.encode_webp_anim([f]))
+    # frame rect beyond canvas: shrink the canvas in VP8X
+    i = p.index(b"VP8X") + 8 + 4
+    p[i : i + 3] = (1).to_bytes(3, "little")  # canvas width 2 < frame 4
+    with pytest.raises(ValueError, match="canvas"):
+        W.decode_webp_frames(bytes(p))
+    with pytest.raises(ValueError):
+        W.decode_webp_frames(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_decode_frames_dispatcher():
+    from query_skyline_qos_flink_spark.operators.multimodal import (
+        decode_frames,
+        synth_gif_payload,
+    )
+
+    # key % 5 == 3 -> animated WebP; others -> GIF. Same closed-form
+    # frame colors either way (the x_gif_frame_colors contract).
+    import hashlib
+
+    for key in (3, 8, 13, 5, 6):
+        payload = synth_gif_payload(key)
+        is_webp = key % 5 == 3
+        assert (payload[:4] == b"RIFF") == is_webp
+        n, h, w, frames = decode_frames(payload)
+        assert n == (key % 4) + 1
+        for i in range(n):
+            digest = hashlib.md5(f"gif{key}:{i}".encode()).hexdigest()
+            want = [int(digest[c : c + 2], 16) for c in (0, 2, 4)]
+            assert frames[i].reshape(-1, 3).mean(axis=0).round().astype(int).tolist() == want, (key, i)
