@@ -193,6 +193,22 @@ def test_our_decoder_reads_libwebp_lossless_streams_bit_exact():
         (rng.integers(0, 5, (64, 64)) * 60).astype(np.uint8),
         np.tile(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8), (8, 8, 1)),
     ]
+    # 160x160 structured "photo": large enough that libwebp enables its
+    # heavier stream features (entropy-image prefix groups, cross-color,
+    # color cache) that the small cases above may not trigger
+    y, x = np.mgrid[0:160, 0:160]
+    base = np.sin(x / 9.0) * 60 + np.cos(y / 13.0) * 50 + 128
+    tex = rng.integers(-12, 13, (160, 160))
+    cases.append(
+        np.stack(
+            [
+                np.clip(base + tex, 0, 255),
+                np.clip(base[::-1] + tex, 0, 255),
+                np.clip((x + y) // 2 % 256 + tex, 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+    )
     for px in cases:
         payload = B.encode_webp_lossless(px)
         assert payload[12:16] == b"VP8L"
