@@ -53,9 +53,11 @@ _ROTATED_FOR = 12
 # after its regression A/B (verdict item 3) — and 5 go to the round-10
 # skyline-family entries that ride the chunked-merge code path whose
 # chunk-id derivation is being made recompute-deterministic this round
-# (ADVICE item 1): s22/s23/s24/s28/s29.  Pulling those 5 forward also
-# flattens round 13's must-gate load from 49 (every round-10 row would
-# hit the bound at once) to 44, leaving real fill slack next round.
+# (ADVICE item 1): s22/s23/s28/s29 (s24_dynamic_skyline was swapped out
+# mid-round for x_audio_features when the FLAC fixture class changed its
+# results).  Pulling those 4 forward flattens round 13's must-gate load
+# from 49 (every round-10 row would hit the bound at once) to 45,
+# leaving 5 fill slots next round.
 _DRIVER_PRIORITY = [
     # stale: last driver row round 9, skipped rounds 10-11 at the bound
     "r26_integrity_checks", "s11_stream_replay", "s13_stream_window",
@@ -86,8 +88,9 @@ _DRIVER_PRIORITY = [
 #   row is round 10 and which sits outside this round-12 window —
 #   compute mechanically from CORRECTNESS_r0*.json once the round-12
 #   artifact lands (at round-12 planning time: 49 round-10 rows minus
-#   the 5 round-10 fills above = 44), plus any round-12 registration
-#   that missed the round-12 window.
+#   the 4 round-10 fills above = 45, incl. s24_dynamic_skyline, which
+#   was displaced mid-round by x_audio_features), plus any round-12
+#   registration that missed the round-12 window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.

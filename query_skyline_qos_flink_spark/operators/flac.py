@@ -200,6 +200,11 @@ def _read_coded_number(br: _BitReader) -> int:
 
 
 def _write_coded_number(out: bytearray, val: int) -> None:
+    if val >= 1 << 36:
+        # the 7-byte 0xFE form caps at exactly 36 bits; the old guard
+        # only fired at 2^42 and silently emitted an 8-byte encoding the
+        # reader mis-parses (r12 review finding)
+        raise ValueError("coded number out of range (36 bits max)")
     if val < 0x80:
         out.append(val)
         return
@@ -508,9 +513,13 @@ def _encode_subframe(bw: _BitWriter, block: list[int], bps: int) -> None:
 
 def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
     """Losslessly encode int samples (1-D mono or (frames, channels)) at
-    ``bps`` (<= 16 here) into a spec-conforming FLAC stream."""
+    ``bps`` in [4, 16] into a spec-conforming FLAC stream."""
     import numpy as np
 
+    if not 4 <= bps <= 16:
+        raise ValueError("encode_flac supports 4-16 bits per sample")
+    if not 1 <= sample_rate <= 655350:
+        raise ValueError("FLAC frame-header sample rate out of range")
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -520,10 +529,29 @@ def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if n and (arr.min() < lo or arr.max() > hi):
         raise ValueError(f"samples exceed {bps}-bit range")
-    # stream MD5 is over interleaved little-endian samples
+    # stream MD5 is over interleaved little-endian samples at
+    # ceil(bps / 8) bytes each (RFC 9639 §8.2 — a 12-bit stream hashes
+    # 2-byte samples; the old 1-byte truncation failed flac -t, r12
+    # review finding)
     md5 = hashlib.md5(
-        arr.astype("<i2" if bps == 16 else "<i1").tobytes()
+        arr.astype("<i2" if bps > 8 else "<i1").tobytes()
     ).digest()
+    # frame-header sample-rate strategy: a dedicated table code when one
+    # exists (no trailing bytes), else 16-bit Hz (code 13), else
+    # 16-bit-x10 Hz (code 14) for the >65535 rates like 88.2/96/176.4k
+    rate_code = {v: k for k, v in _SAMPLE_RATES.items()}.get(sample_rate)
+    rate_tail = b""
+    if rate_code is None:
+        if sample_rate <= 0xFFFF:
+            rate_code = 13
+            rate_tail = struct.pack(">H", sample_rate)
+        elif sample_rate % 10 == 0:
+            rate_code = 14
+            rate_tail = struct.pack(">H", sample_rate // 10)
+        else:
+            raise ValueError(
+                f"sample rate {sample_rate} not frame-header encodable"
+            )
     si = _BitWriter()
     si.write(_BLOCK, 16)
     si.write(_BLOCK, 16)
@@ -548,15 +576,18 @@ def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocksize; number = frame index
         hdr.write(7, 4)  # block size: 16-bit value - 1 at header end
-        hdr.write(13, 4)  # sample rate: 16-bit Hz at header end
+        hdr.write(rate_code, 4)
         hdr.write(nch - 1, 4)  # independent channels
-        hdr.write({8: 1, 12: 2, 16: 4}.get(bps, 4), 3)
+        # exact sample-size code when one exists; 0 = "from STREAMINFO"
+        # for the in-between bps values (a code-4 default would mislabel
+        # a 10-bit stream as 16-bit)
+        hdr.write({8: 1, 12: 2, 16: 4}.get(bps, 0), 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         hb = bytearray(hdr.bytes())
         _write_coded_number(hb, fi)
         hb += struct.pack(">H", bs - 1)
-        hb += struct.pack(">H", sample_rate)
+        hb += rate_tail
         hb.append(crc8(bytes(hb)))
         fw = _BitWriter()
         for ch in range(nch):

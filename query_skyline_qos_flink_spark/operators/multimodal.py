@@ -196,6 +196,31 @@ def _unfilter(raw_arr, bpp: int):
     return out
 
 
+def _jpeg_precision(payload: bytes) -> int:
+    """Sample precision from the first SOF marker (8 on any parse
+    trouble — the caller's decoder will raise the real error)."""
+    import struct as _struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return 8
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return payload[pos + 4] if pos + 4 < len(payload) else 8
+        if pos + 4 > len(payload):
+            return 8
+        (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + ln
+    return 8
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL codec for 8-bit PNG (stdlib ``zlib``/``struct`` — no external
     libs): returns (height, width, channels, ndarray[h, w, c] uint8).
@@ -223,7 +248,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
 
     backend = _image_backend()
     if payload[:2] == b"\xff\xd8":
-        if backend == "pillow":  # explicit opt-in only (IDCT LSB drift)
+        # explicit opt-in only (IDCT LSB drift) — but Pillow's JPEG
+        # plugin is 8-bit-only, so 12-bit (SOF precision 12) streams
+        # stay on the builtin decoder even under the pillow backend
+        # (r12 review: the 12-bit fixture class crashed pillow-backend
+        # deployments mid-task)
+        if backend == "pillow" and _jpeg_precision(payload) == 8:
             return _decode_image_pillow(payload)
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -366,10 +396,17 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
             try:
                 nch, sr, samples = decode_flac(payload)
             except ValueError:
-                raise wave.Error("malformed FLAC payload") from None
-            nf = samples.shape[0]
-            peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
-            return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
+                # stream shape the from-scratch decoder rejects (e.g. a
+                # CRC mismatch libFLAC would tolerate-and-log): fall
+                # THROUGH to soundfile below rather than giving up —
+                # same r11-regression lesson as the RIFF branch under
+                # this one (an early re-raise here would mask an
+                # installed backend that can decode it)
+                pass
+            else:
+                nf = samples.shape[0]
+                peak = int(np.abs(samples.astype(np.int64)).max()) if nf else 0
+                return nch, sr, nf, nf * 1000 // sr if sr else 0, peak
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             import numpy as np
 

@@ -321,3 +321,51 @@ def test_decode_audio_malformed_flac_raises_wave_error():
 
     with pytest.raises(wave.Error):
         decode_audio(b"fLaC" + b"\x00" * 10)
+
+
+def test_md5_uses_two_bytes_per_sample_above_8_bits():
+    """RFC 9639: the STREAMINFO MD5 hashes ceil(bps/8)-byte little-endian
+    samples — a 12-bit stream hashes 2-byte samples (r12 review: the
+    1-byte truncation failed standard verifying decoders)."""
+    import hashlib as _h
+
+    arr = np.array([1000, -1000, 2047, -2048], np.int16)
+    p = FL.encode_flac(arr, 8000, bps=12)
+    want = _h.md5(arr.astype("<i2").tobytes()).digest()
+    # STREAMINFO: 4 magic + 4 block header + 18 fixed bytes, then MD5
+    assert p[4 + 4 + 18 : 4 + 4 + 34] == want
+    nch, sr, got = FL.decode_flac(p)
+    assert np.array_equal(got[:, 0], arr)
+
+
+def test_high_sample_rates_use_table_or_x10_codes():
+    """88.2/96k have dedicated table codes; 176400+10 is neither in the
+    table nor 16-bit-representable but IS x10-encodable; a rate no code
+    can express raises a clear ValueError, not struct.error."""
+    arr = np.arange(100, dtype=np.int16)
+    for sr in (88200, 96000, 176400, 192000, 655350, 72000, 44100):
+        nch, got_sr, a = FL.decode_flac(FL.encode_flac(arr, sr))
+        assert got_sr == sr, sr
+    with pytest.raises(ValueError, match="sample rate"):
+        FL.encode_flac(arr, 655351)
+    with pytest.raises(ValueError, match="sample rate"):
+        FL.encode_flac(arr, 0)
+
+
+def test_coded_number_36_bit_cap_enforced():
+    out = bytearray()
+    FL._write_coded_number(out, (1 << 36) - 1)
+    br = FL._BitReader(bytes(out))
+    assert FL._read_coded_number(br) == (1 << 36) - 1
+    with pytest.raises(ValueError, match="36"):
+        FL._write_coded_number(bytearray(), 1 << 36)
+
+
+def test_nonstandard_bps_roundtrip_and_limits():
+    """bps without an exact frame-header code (e.g. 10) rides the
+    from-STREAMINFO code 0 and still round-trips exactly."""
+    arr = np.array([511, -512, 100, -1], np.int16)
+    nch, sr, got = FL.decode_flac(FL.encode_flac(arr, 8000, bps=10))
+    assert np.array_equal(got[:, 0], arr)
+    with pytest.raises(ValueError, match="4-16"):
+        FL.encode_flac(arr, 8000, bps=24)

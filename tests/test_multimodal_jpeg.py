@@ -325,3 +325,20 @@ def test_12bit_input_and_marker_validation():
     bad[good.index(b"\xff\xc1") + 1] = 0xC0
     with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_precision_sniffer():
+    """decode_image routes 12-bit streams away from the 8-bit-only Pillow
+    backend; the sniffer must read the SOF precision byte through APPn /
+    DQT / DHT / DRI segments and default to 8 on anything odd."""
+    from query_skyline_qos_flink_spark.operators.multimodal import _jpeg_precision
+
+    g8 = encode_jpeg(_smooth(16, 16))
+    g12 = encode_jpeg(
+        (_smooth(16, 16).astype(np.uint16) << 4), precision=12
+    )
+    prog = encode_jpeg(_smooth(16, 16), progressive=True)
+    assert _jpeg_precision(g8) == 8
+    assert _jpeg_precision(g12) == 12
+    assert _jpeg_precision(prog) == 8
+    assert _jpeg_precision(b"\xff\xd8\xff") == 8  # truncated -> default

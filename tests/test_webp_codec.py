@@ -517,3 +517,49 @@ def test_decode_frames_dispatcher():
             digest = hashlib.md5(f"gif{key}:{i}".encode()).hexdigest()
             want = [int(digest[c : c + 2], 16) for c in (0, 2, 4)]
             assert frames[i].reshape(-1, 3).mean(axis=0).round().astype(int).tolist() == want, (key, i)
+
+
+def test_anim_lossy_frame_with_alpha_chunk():
+    """Real-world animated WebP frames are lossy VP8 with an ALPH chunk —
+    spec-valid only inside a VP8X container, which the frame re-wrapper
+    must reconstruct (r12 review: a bare RIFF+ALPH was rejected by
+    libwebp, failing the dominant animated-WebP form)."""
+    from query_skyline_qos_flink_spark.operators import libwebp_bridge as B
+
+    if not B.available():
+        pytest.skip("libwebp shared library not present")
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., :3] = 120
+    img[..., 3] = 255
+    img[:8, :, 3] = 128
+    still = B.encode_webp_lossy(img, 90.0)
+    assert still[12:16] == b"VP8X"  # alpha forces the extended container
+    pos, subs = 12, b""
+    while pos + 8 <= len(still):
+        cid = still[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", still, pos + 4)
+        if cid in (b"ALPH", b"VP8 ", b"VP8L"):
+            subs += still[pos : pos + 8 + sz + (sz & 1)]
+        pos += 8 + sz + (sz & 1)
+    assert subs[:4] == b"ALPH"
+    anmf = (
+        bytes(6)
+        + (15).to_bytes(3, "little") * 2
+        + (100).to_bytes(3, "little")
+        + bytes([0])
+        + subs
+    )
+    vp8x = bytes([0x12, 0, 0, 0]) + (15).to_bytes(3, "little") * 2
+    anim = bytes([255, 255, 255, 255]) + struct.pack("<H", 0)
+    body = (
+        b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        + b"ANIM" + struct.pack("<I", len(anim)) + anim
+        + b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        + (b"\x00" if len(anmf) & 1 else b"")
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    n, h, w, frames = W.decode_webp_frames(payload)
+    assert (n, h, w) == (1, 16, 16)
+    # semi-transparent top half composites toward the white background
+    assert abs(int(frames[0][0, 0, 0]) - 187) <= 3
+    assert abs(int(frames[0][15, 15, 0]) - 120) <= 3
