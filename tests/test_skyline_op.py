@@ -913,3 +913,26 @@ def test_chunked_skyband_counts_match_bounded_path(spark):
             sky.skyband(df, ["v0", "v1", "v2"], k=3).count()
     finally:
         sky._VERIFY_MAX_ROWS = old
+
+
+def test_partition_stats_scan_side_prune_route_parity(spark, monkeypatch):
+    """The wide-cluster route: when session parallelism dwarfs the spatial
+    partition count, skyline_partition_stats pre-prunes on the scan
+    splits before the pid exchange (exact: the skyline of a union is the
+    skyline of the union of per-slice skylines).  Forcing the route must
+    reproduce the direct route's stats EXACTLY against brute force."""
+    from query_skyline_qos_flink_spark.operators import metrics as M
+
+    df = points(spark, 4000, 2, "anti_correlated", domain=1000, seed=9)
+    direct = M.skyline_partition_stats(
+        df, ["v0", "v1"], strategy="dim", num_partitions=8, domain=1000.0
+    ).toPandas().set_index("pid").sort_index()
+    monkeypatch.setattr(M, "_PRUNE_PARALLELISM_FACTOR", 0)
+    pruned_df = M.skyline_partition_stats(
+        df, ["v0", "v1"], strategy="dim", num_partitions=8, domain=1000.0
+    )
+    # the route actually engaged: a mapInPandas stage precedes the exchange
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") >= 1
+    pruned = pruned_df.toPandas().set_index("pid").sort_index()
+    assert pruned.equals(direct)
