@@ -222,21 +222,22 @@ def _jpeg_precision(payload: bytes) -> int:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
-    """REAL codec for 8-bit PNG (stdlib ``zlib``/``struct`` — no external
+    """REAL codec for PNG (stdlib ``zlib``/``struct`` — no external
     libs): returns (height, width, channels, ndarray[h, w, c] uint8).
 
-    Supports every 8-bit-depth color type — 0 greyscale, 2 RGB,
-    3 palette (PLTE indices resolved to RGB; a tRNS alpha table is
-    ignored), 4 grey+alpha, 6 RGBA — both non-interlaced and Adam7
-    interlaced.  JPEG payloads (FFD8 magic) dispatch to
+    Supports every spec-valid (depth, color type) combination — depths
+    1/2/4 (packed, MSB-first; greyscale scales to 8-bit, palette
+    indices resolve through PLTE), 8, and 16 (reduced to 8 bits via the
+    standard high-byte take) across color types 0 greyscale, 2 RGB,
+    3 palette (a tRNS alpha table is ignored), 4 grey+alpha, 6 RGBA —
+    both non-interlaced and Adam7 interlaced.  JPEG payloads (FFD8 magic) dispatch to
     :func:`decode_jpeg` — baseline AND progressive, any chroma
     subsampling.  WebP dispatches to :func:`..webp.decode_webp` —
     lossless VP8L natively, lossy VP8 through the system libwebp
     (``operators/libwebp_bridge.py``) when that library is present.
-    Sub-8-bit PNG depths and arithmetic-coded JPEG still need an
-    external decoder (e.g. pillow) — pass your own ``decode_fn`` for
-    those.  Raises ``ValueError`` on unrecognized or unsupported
-    payloads.
+    Arithmetic-coded JPEG still needs an external decoder (e.g.
+    pillow) — pass your own ``decode_fn`` for it.  Raises
+    ``ValueError`` on unrecognized or unsupported payloads.
 
     When Pillow is importable the PNG branch dispatches to it (bit-exact,
     C-speed); see ``SPARK_GRAFT_IMAGE_BACKEND`` at the top of this module
@@ -273,11 +274,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         data = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = _struct.unpack(">IIBBBBB", data)
-            if depth != 8 or interlace > 1:
+            if depth not in (1, 2, 4, 8, 16) or interlace > 1:
                 raise ValueError(f"unsupported PNG: depth={depth} interlace={interlace}")
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if channels is None:
                 raise ValueError(f"unsupported PNG color type {ctype}")
+            # spec-valid depth/type combinations (PNG §11.2.2)
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
+            if depth == 16 and ctype == 3:
+                raise ValueError("PNG 16-bit palette is not a valid combination")
         elif tag == b"PLTE":
             if len(data) % 3:
                 raise ValueError("PNG PLTE length not a multiple of 3")
@@ -289,14 +295,46 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = _zlib.decompress(bytes(idat))
-    bpp = channels  # bytes per pixel at depth 8
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as exc:
+        # contract: ValueError on malformed payloads — a leaking
+        # zlib.error would kill the Spark task instead of erroring
+        # cleanly (same class as the r11 struct.error fix in the RIFF
+        # reader; surfaced by the r12 missing-IDAT test)
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
+    # PNG filtering operates on BYTES: bpp (the filter's left-neighbor
+    # distance) is the byte width of one pixel, floored at 1 for the
+    # packed sub-8-bit depths (PNG §7.2)
+    bits_pp = channels * depth
+    bpp = max(1, bits_pp // 8)
+
+    def _rows_to_samples(rows_2d, width):
+        """(rows, stride) unfiltered bytes -> (rows, width, channels)
+        uint8 samples: unpack sub-8-bit (MSB-first), take the high byte
+        of 16-bit (the standard 8-bit reduction, like the 12-bit JPEG
+        path's >>4), pass 8-bit through."""
+        rows = rows_2d.shape[0]
+        if depth == 8:
+            return rows_2d.reshape(rows, width, channels)
+        if depth == 16:
+            return rows_2d.reshape(rows, width, channels, 2)[..., 0]
+        bits = np.unpackbits(rows_2d, axis=1)[:, : width * depth]
+        if depth == 1:
+            s = bits
+        else:
+            s = (
+                bits.reshape(rows, width, depth)
+                * (1 << np.arange(depth - 1, -1, -1, dtype=np.uint8))
+            ).sum(axis=2).astype(np.uint8)
+        return s.reshape(rows, width, 1)
+
     if interlace == 0:
-        stride = w * channels
+        stride = -(-w * bits_pp // 8)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG data length mismatch")
         raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        out = _unfilter(raw_arr, bpp).reshape(h, w, channels)
+        out = _rows_to_samples(_unfilter(raw_arr, bpp), w)
     else:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the full grid by each pass's (origin, step) lattice
@@ -307,7 +345,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = -(-pw * bits_pp // 8)
             need = ph * (pstride + 1)
             if off + need > len(raw):
                 raise ValueError("PNG interlaced data length mismatch")
@@ -315,10 +353,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
                 ph, pstride + 1
             )
             off += need
-            sub = _unfilter(block, bpp).reshape(ph, pw, channels)
+            sub = _rows_to_samples(_unfilter(block, bpp), pw)
             out[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise ValueError("PNG interlaced data length mismatch")
+    if ctype == 0 and depth < 8:
+        out = out * np.uint8(255 // ((1 << depth) - 1))  # 1/2/4-bit grey scale-up
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")

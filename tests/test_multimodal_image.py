@@ -86,25 +86,25 @@ def test_decode_image_filtered_rows():
 def test_decode_image_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_image(b"not a png")
-    # 16-bit depth rejected
     import struct
-    import zlib
 
-    def chunk(tag, data):
+    def ihdr_png(depth, ctype):
         return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0))
+            + _chunk(b"IEND", b"")
         )
 
-    png16 = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + chunk(b"IEND", b"")
-    )
+    # spec-invalid (depth, color type) combinations
+    with pytest.raises(ValueError, match="invalid for color type"):
+        decode_image(ihdr_png(4, 2))  # sub-8 RGB
+    with pytest.raises(ValueError, match="palette"):
+        decode_image(ihdr_png(16, 3))  # 16-bit palette
+    with pytest.raises(ValueError, match="depth"):
+        decode_image(ihdr_png(3, 0))  # depth not in {1,2,4,8,16}
+    # valid header but missing IDAT still raises
     with pytest.raises(ValueError):
-        decode_image(png16)
+        decode_image(ihdr_png(16, 2))
 
 
 def test_extract_image_meta_spark_path(spark):
@@ -306,3 +306,105 @@ def test_decode_image_adam7_filtered_subimages():
     )
     hh, ww, cc, arr = decode_image(png)
     assert np.array_equal(arr, pix)
+
+
+def _png(w, h, depth, ctype, raw_rows: bytes, plte: bytes | None = None,
+         interlace: int = 0) -> bytes:
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw_rows)) + _chunk(b"IEND", b"")
+
+
+def _pack_bits(samples_row: np.ndarray, depth: int) -> bytes:
+    """MSB-first sub-8-bit packing of one row of samples."""
+    bits = []
+    for v in samples_row:
+        bits.extend((int(v) >> (depth - 1 - i)) & 1 for i in range(depth))
+    bits += [0] * (-len(bits) % 8)
+    return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+
+
+def test_decode_image_sub8_grey_depths():
+    """1/2/4-bit greyscale: packed MSB-first, scaled to 8-bit with the
+    exact 255/(2^d-1) factor; includes a Sub-filtered row (bpp=1 byte
+    lane on PACKED bytes, per spec)."""
+    rng = np.random.default_rng(3)
+    for depth in (1, 2, 4):
+        h, w = 5, 11
+        maxv = (1 << depth) - 1
+        samples = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+        rows = b"".join(b"\x00" + _pack_bits(samples[y], depth) for y in range(h))
+        hh, ww, cc, arr = decode_image(_png(w, h, depth, 0, rows))
+        assert (hh, ww, cc) == (h, w, 1)
+        assert np.array_equal(arr[..., 0], samples * (255 // maxv)), depth
+        # Sub filter on packed bytes: reconstructed[i] = raw[i] + recon[i-1]
+        packed = _pack_bits(samples[0], depth)
+        deltas = bytes(
+            (packed[i] - (packed[i - 1] if i else 0)) & 0xFF
+            for i in range(len(packed))
+        )
+        one = _png(w, 1, depth, 0, b"\x01" + deltas)
+        _, _, _, arr1 = decode_image(one)
+        assert np.array_equal(arr1[0, :, 0], samples[0] * (255 // maxv)), depth
+
+
+def test_decode_image_sub8_palette():
+    """4-bit palette: two indices per byte resolve through PLTE."""
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    h, w = 4, 7
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    rows = b"".join(b"\x00" + _pack_bits(idx[y], 4) for y in range(h))
+    hh, ww, cc, arr = decode_image(_png(w, h, 4, 3, rows, plte=palette.tobytes()))
+    assert (hh, ww, cc) == (h, w, 3)
+    assert np.array_equal(arr, palette[idx])
+
+
+def test_decode_image_16bit_grey_and_rgb():
+    """16-bit samples reduce to 8 bits by the standard high-byte take;
+    the low byte must not leak into neighbors through the filter lanes
+    (bpp = 2 per channel)."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    h, w = 6, 5
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    rows = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", int(v)) for v in g16[y])
+        for y in range(h)
+    )
+    hh, ww, cc, arr = decode_image(_png(w, h, 16, 0, rows))
+    assert (hh, ww, cc) == (h, w, 1)
+    assert np.array_equal(arr[..., 0], (g16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    rows = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", int(v)) for v in rgb16[y].reshape(-1))
+        for y in range(h)
+    )
+    hh, ww, cc, arr = decode_image(_png(w, h, 16, 2, rows))
+    assert (hh, ww, cc) == (h, w, 3)
+    assert np.array_equal(arr, (rgb16 >> 8).astype(np.uint8))
+
+
+def test_decode_image_sub8_adam7():
+    """1-bit Adam7: each pass packs its own sub-image rows independently."""
+    from query_skyline_qos_flink_spark.operators.multimodal import _ADAM7
+
+    rng = np.random.default_rng(9)
+    h = w = 9  # exercises every pass incl. ragged tails
+    img = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += b"".join(b"\x00" + _pack_bits(sub[y], 1) for y in range(sub.shape[0]))
+    hh, ww, cc, arr = decode_image(_png(w, h, 1, 0, raw, interlace=1))
+    assert (hh, ww, cc) == (h, w, 1)
+    assert np.array_equal(arr[..., 0], img * 255)
