@@ -1331,12 +1331,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
     (n_frames, height, width, ndarray[n, h, w, 3] uint8).
 
     Supports global and local color tables, per-frame sub-rectangles
-    composited onto the running canvas (disposal methods 0/1 — none /
-    keep), GIF89a transparency (transparent pixels leave the canvas
-    unchanged), and interlaced frames.  Disposal methods 2/3
-    (restore-to-background/previous) are not implemented — rare in data
-    payloads and irrelevant to frame statistics.  Raises ``ValueError``
-    on non-GIF or corrupt streams.
+    composited onto the running canvas with ALL disposal methods (0/1
+    none/keep, 2 restore-to-background — the frame rect refills with
+    the logical screen's background color — and 3 restore-to-previous),
+    GIF89a transparency (transparent pixels leave the canvas
+    unchanged), and interlaced frames.  Raises ``ValueError`` on
+    non-GIF or corrupt streams.
 
     Dispatches to Pillow when importable (bit-exact for the supported
     disposal methods; see ``SPARK_GRAFT_IMAGE_BACKEND``)."""
@@ -1356,8 +1356,13 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    bg_rgb = None
+    if gct is not None and payload[11] < len(gct):
+        bg_rgb = gct[payload[11]]
+        canvas[:] = bg_rgb
     frames: list["np.ndarray"] = []
     transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -1366,12 +1371,13 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
         if block == 0x21:  # extension: label + length-prefixed sub-blocks
             label = payload[pos]
             pos += 1
-            if label == 0xF9:  # graphic control: transparency flag + index
+            if label == 0xF9:  # graphic control: transparency + disposal
                 ln = payload[pos]
                 gce = payload[pos + 1 : pos + 1 + ln]
                 if len(gce) < 4:
                     raise ValueError("corrupt GIF graphic-control extension")
                 transparent = gce[3] if (gce[0] & 0x01) else None
+                disposal = (gce[0] >> 2) & 0x07
             while True:
                 ln = payload[pos]
                 pos += 1 + ln
@@ -1417,13 +1423,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
             idx = de
         patch = table[idx]
         region = canvas[y0 : y0 + ih, x0 : x0 + iw]
+        prev = region.copy() if disposal == 3 else None
         if transparent is not None:
             mask = idx != transparent
             region[mask] = patch[mask]
         else:
             region[:] = patch
         frames.append(canvas.copy())
+        if disposal == 2:
+            # restore-to-background: the frame RECT refills with the
+            # logical screen background (black when no GCT entry)
+            region[:] = bg_rgb if bg_rgb is not None else 0
+        elif disposal == 3:
+            region[:] = prev  # restore-to-previous
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no frames")
     return len(frames), h, w, np.stack(frames)

@@ -230,3 +230,94 @@ def test_decode_gif_truncated_gce_raises_valueerror():
     payload[at:at] = bytes([0x21, 0xF9, 2, 0x01, 0x00, 0x00])
     with pytest.raises(ValueError, match="graphic-control"):
         decode_gif(bytes(payload))
+
+
+def _gif_with_disposals(disposals, size=8):
+    """Two-color GIF: full-canvas frame 0 (color A), then a half-rect
+    frame per disposal entry (color B), each carrying a GCE with that
+    disposal method."""
+    pal = np.array([[200, 10, 10], [10, 200, 10], [10, 10, 200], [0, 0, 0]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += size.to_bytes(2, "little") * 2
+    out.append(0x80 | 0x01)  # GCT, 4 entries
+    out += bytes([2, 0])  # background color index 2 (blue)
+    out += pal.tobytes()
+
+    def frame(color_idx, x0, y0, fw, fh, disposal):
+        b = bytearray()
+        b += bytes([0x21, 0xF9, 4, (disposal & 0x07) << 2, 0, 0, 0, 0])
+        b += bytes([0x2C])
+        b += x0.to_bytes(2, "little") + y0.to_bytes(2, "little")
+        b += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        b += bytes([0x00, 2])
+        data = _lzw_encode_real(bytes([color_idx]) * (fw * fh), 2)
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            b += bytes([len(chunk)]) + chunk
+        b += bytes([0])
+        return bytes(b)
+
+    out += frame(0, 0, 0, size, size, 0)  # full red base, no disposal
+    for d in disposals:
+        out += frame(1, 0, 0, size, size // 2, d)  # green top half
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_disposal_restore_to_background():
+    """Disposal 2: after the frame shows, its RECT refills with the
+    logical-screen background color before the next frame draws."""
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_gif
+
+    p = _gif_with_disposals([2, 0])
+    n, h, w, frames = decode_gif(p)
+    assert n == 3
+    assert frames[1][0, 0].tolist() == [10, 200, 10]  # green overlay shown
+    # frame 2 draws green again over a rect that was RESTORED to blue —
+    # the bottom half (never touched by overlays) keeps the red base
+    assert frames[2][0, 0].tolist() == [10, 200, 10]
+    assert frames[2][h - 1, 0].tolist() == [200, 10, 10]
+    # the restore is observable with a THIRD frame that doesn't cover the
+    # rect: build one with a 1x1 frame after a disposal-2 overlay
+    p2 = _gif_with_disposals([2])
+    # append nothing: the disposal fires after the LAST frame too, which
+    # only affects the (unemitted) next state — frames themselves pinned:
+    n2, _, _, f2 = decode_gif(p2)
+    assert f2[1][0, 0].tolist() == [10, 200, 10]
+
+
+def test_gif_disposal_restore_to_previous():
+    """Disposal 3: the frame's rect reverts to the pre-frame canvas, so a
+    following frame composites over the ORIGINAL base, not the overlay."""
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_gif
+
+    p = _gif_with_disposals([3, 3])
+    n, h, w, frames = decode_gif(p)
+    assert n == 3
+    base_red = [200, 10, 10]
+    green = [10, 200, 10]
+    assert frames[0][0, 0].tolist() == base_red
+    assert frames[1][0, 0].tolist() == green
+    # frame 2's overlay draws over the RESTORED red base; transparent
+    # comparison: pixel outside the overlay rect stays red in all frames
+    assert frames[2][h - 1, 0].tolist() == base_red
+    assert frames[2][0, 0].tolist() == green
+
+
+def test_gif_background_canvas_under_partial_first_frame():
+    """A first frame that does NOT cover the canvas leaves the background
+    color (GCT[bg index]) visible, per the logical screen descriptor."""
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_gif
+
+    pal = np.array([[200, 10, 10], [10, 200, 10], [10, 10, 200], [0, 0, 0]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += (8).to_bytes(2, "little") * 2
+    out.append(0x80 | 0x01)
+    out += bytes([2, 0])  # background index 2 (blue)
+    out += pal.tobytes()
+    out += bytes([0x2C]) + bytes(4) + (4).to_bytes(2, "little") * 2 + bytes([0x00, 2])
+    data = _lzw_encode_real(bytes([0]) * 16, 2)
+    out += bytes([len(data)]) + data + bytes([0]) + bytes([0x3B])
+    n, h, w, frames = decode_gif(bytes(out))
+    assert frames[0][0, 0].tolist() == [200, 10, 10]  # the 4x4 patch
+    assert frames[0][7, 7].tolist() == [10, 10, 200]  # background shows
