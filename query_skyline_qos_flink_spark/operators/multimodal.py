@@ -196,6 +196,76 @@ def _unfilter(raw_arr, bpp: int):
     return out
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL codec for uncompressed Windows BMP (BITMAPINFOHEADER and the
+    V4/V5 extensions, which share its leading fields): returns
+    (height, width, channels, ndarray[h, w, c] uint8).
+
+    Supports 1/4/8-bit palette images (BGRA quad color table, sub-8
+    indices packed MSB-first), 24-bit BGR and 32-bit BGRA/BGRX (the
+    fourth byte is returned as alpha verbatim), bottom-up and top-down
+    (negative height) row orders, and the 4-byte row stride padding.
+    RLE and BITFIELDS compressions raise ``ValueError`` — rare in data
+    payloads and an external-decoder seam like arithmetic JPEG."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = _struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP: OS/2 core headers unsupported")
+    w, h_signed = _struct.unpack_from("<ii", payload, 18)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    (compression,) = _struct.unpack_from("<I", payload, 30)
+    (clr_used,) = _struct.unpack_from("<I", payload, 46)
+    if compression != 0:
+        raise ValueError(f"BMP compression {compression} unsupported (RLE/bitfields)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"BMP bit depth {bpp} unsupported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("BMP dimensions out of range")
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    stride = (w * bpp + 31) // 32 * 4
+    px = payload[data_off : data_off + stride * h]
+    if len(px) != stride * h:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp in (1, 4, 8):
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        quads = payload[pal_off : pal_off + 4 * n_colors]
+        if len(quads) != 4 * n_colors:
+            raise ValueError("BMP color table truncated")
+        pal = np.frombuffer(quads, dtype=np.uint8).reshape(-1, 4)[:, :3][:, ::-1]
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            if bpp == 1:
+                idx = bits
+            else:
+                idx = (
+                    bits.reshape(h, w, 4)
+                    * (1 << np.arange(3, -1, -1, dtype=np.uint8))
+                ).sum(axis=2).astype(np.uint8)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return h, w, 3, np.ascontiguousarray(pal[idx])
+    nch = bpp // 8
+    arr = rows[:, : w * nch].reshape(h, w, nch)
+    if nch == 3:
+        out = arr[..., ::-1]  # BGR -> RGB
+    else:
+        out = arr[..., [2, 1, 0, 3]]  # BGRA -> RGBA
+    return h, w, nch, np.ascontiguousarray(out)
+
+
 def _jpeg_precision(payload: bytes) -> int:
     """Sample precision from the first SOF marker (8 on any parse
     trouble — the caller's decoder will raise the real error)."""
@@ -235,8 +305,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     subsampling.  WebP dispatches to :func:`..webp.decode_webp` —
     lossless VP8L natively, lossy VP8 through the system libwebp
     (``operators/libwebp_bridge.py``) when that library is present.
-    Arithmetic-coded JPEG still needs an external decoder (e.g.
-    pillow) — pass your own ``decode_fn`` for it.  Raises
+    BMP payloads (BM magic) dispatch to :func:`decode_bmp`
+    (uncompressed 1/4/8-bit palette + 24/32-bit).  Arithmetic-coded
+    JPEG and RLE/bitfields BMP still need an external decoder (e.g.
+    pillow) — pass your own ``decode_fn`` for those.  Raises
     ``ValueError`` on unrecognized or unsupported payloads.
 
     When Pillow is importable the PNG branch dispatches to it (bit-exact,
@@ -261,8 +333,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         from .webp import decode_webp  # lossless VP8L from scratch
 
         return decode_webp(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG, JPEG or WebP (bad signature)")
+        raise ValueError("not a PNG, JPEG, WebP or BMP (bad signature)")
     if backend != "builtin":
         return _decode_image_pillow(payload)
     pos, w = 8, None

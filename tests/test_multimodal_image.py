@@ -408,3 +408,82 @@ def test_decode_image_sub8_adam7():
     hh, ww, cc, arr = decode_image(_png(w, h, 1, 0, raw, interlace=1))
     assert (hh, ww, cc) == (h, w, 1)
     assert np.array_equal(arr[..., 0], img * 255)
+
+
+def _bmp(pix: np.ndarray, bpp: int, top_down=False, palette=None) -> bytes:
+    """Hand-built uncompressed BMP writer for decoder tests."""
+    import struct
+
+    h, w = pix.shape[:2]
+    stride = (w * bpp + 31) // 32 * 4
+    rows = []
+    for y in range(h):
+        if bpp == 24:
+            row = pix[y, :, ::-1].tobytes()
+        elif bpp == 32:
+            row = pix[y][:, [2, 1, 0, 3]].tobytes()
+        elif bpp == 8:
+            row = pix[y].tobytes()
+        else:  # 1 / 4-bit indices
+            bits = []
+            for v in pix[y]:
+                bits.extend((int(v) >> (bpp - 1 - i)) & 1 for i in range(bpp))
+            bits += [0] * (-len(bits) % 8)
+            row = np.packbits(np.array(bits, np.uint8)).tobytes()
+        rows.append(row + bytes(stride - len(row)))
+    body = b"".join(rows if top_down else rows[::-1])
+    pal_bytes = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    data_off = 14 + 40 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(body), 2835, 2835, n_colors, 0
+    )
+    return hdr + dib + pal_bytes + body
+
+
+def test_decode_image_bmp_24_and_32():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    for td in (False, True):
+        h, w, c, arr = decode_bmp(_bmp(rgb, 24, top_down=td))
+        assert (h, w, c) == (5, 7, 3) and np.array_equal(arr, rgb), td
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    h, w, c, arr = decode_bmp(_bmp(rgba, 32))
+    assert (h, w, c) == (4, 3, 4) and np.array_equal(arr, rgba)
+    # decode_image dispatches on the BM magic
+    h, w, c, arr = decode_image(_bmp(rgb, 24))
+    assert np.array_equal(arr, rgb)
+
+
+def test_decode_image_bmp_palette_depths():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(17)
+    for bpp, ncol in ((1, 2), (4, 16), (8, 200)):
+        palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (6, 9), dtype=np.uint8)
+        h, w, c, arr = decode_bmp(_bmp(idx, bpp, palette=palette))
+        assert (h, w, c) == (6, 9, 3)
+        assert np.array_equal(arr, palette[idx]), bpp
+
+
+def test_decode_image_bmp_validation():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(19)
+    good = _bmp(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8), 24)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMxx")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-5])
+    rle = bytearray(good)
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(rle))
