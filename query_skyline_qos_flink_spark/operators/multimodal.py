@@ -1158,24 +1158,27 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
 @_lru_cache(maxsize=4096)
 def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
     """Rotating-codec image fixture for the perceptual-hash queries:
-    ``key % 5 == 2`` emits the md5 block pattern as a LOSSLESS WebP
+    ``key % 6 == 2`` emits the md5 block pattern as a LOSSLESS WebP
     (VP8L; 2 colors -> color-indexing transform with 8-pixel bundling),
-    ``key % 5 == 4`` as a LOSSY-VP8 WebP (system libwebp, quality 90 —
-    falling back to VP8L when the library is absent), everything else as
-    the PNG of :func:`synth_png_payload`.  The aHash bit pattern is
-    identical under every class: WebP decodes to RGBA whose channel mean
-    is a strictly monotone map of the grey value ({0, 255} ->
-    {63.75, 255}), both colors always occur, and the pattern is
-    16px-macroblock-aligned with ~190-grey-level block separation, so
-    lossy ringing never crosses the global-mean threshold (pinned for a
-    300-key sweep at qualities 75/90/95 in tests/test_libwebp_bridge.py)
-    — the global-mean threshold always recovers exactly the md5 bits."""
-    if key % 5 == 2:
+    ``key % 6 == 4`` as a LOSSY-VP8 WebP (system libwebp, quality 90 —
+    falling back to VP8L when the library is absent), ``key % 6 == 5``
+    as a 24-bit uncompressed BMP, everything else as the PNG of
+    :func:`synth_png_payload`.  The aHash bit pattern is identical
+    under every class: WebP decodes to RGBA whose channel mean is a
+    strictly monotone map of the grey value ({0, 255} -> {63.75, 255}),
+    BMP expands grey to exact R=G=B, both colors always occur, and the
+    pattern is 16px-macroblock-aligned with ~190-grey-level block
+    separation, so lossy ringing never crosses the global-mean
+    threshold (pinned for a key sweep at qualities 75/90/95 in
+    tests/test_libwebp_bridge.py) — the global-mean threshold always
+    recovers exactly the md5 bits."""
+    cls = key % 6
+    if cls == 2:
         from .webp import encode_webp
 
         pix = _md5_block_pixels(key, flip_block, on=255, off=0)
         return encode_webp(pix)
-    if key % 5 == 4:
+    if cls == 4:
         from . import libwebp_bridge
         from .webp import encode_webp
 
@@ -1183,7 +1186,31 @@ def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
         if libwebp_bridge.available():
             return libwebp_bridge.encode_webp_lossy(pix, quality=90.0)
         return encode_webp(pix)  # lossless fallback: identical aHash bits
+    if cls == 5:
+        return _synth_bmp_payload(key, flip_block)
     return synth_png_payload(key, flip_block=flip_block)
+
+
+def _synth_bmp_payload(key: int, flip_block: int | None) -> bytes:
+    """24-bit uncompressed BMP of the md5 block pattern (grey as exact
+    R=G=B, bottom-up rows, stride-padded) — the BMP leg of the rotating
+    fixture; :func:`decode_bmp` recovers the exact pattern."""
+    import struct as _struct
+
+    pix = _md5_block_pixels(key, flip_block, on=255, off=0)
+    h, w = pix.shape
+    stride = (w * 24 + 31) // 32 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([v, v, v]) for v in pix[y])
+        rows.append(row + bytes(stride - len(row)))
+    body = b"".join(rows)
+    data_off = 14 + 40
+    hdr = b"BM" + _struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + body
 
 
 @_lru_cache(maxsize=4096)

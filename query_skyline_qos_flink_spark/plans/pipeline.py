@@ -2211,9 +2211,10 @@ SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_doc
 FROM documents GROUP BY doc_id % 50
 """.strip(),
     doc="Image near-dup dedup through the REAL image codecs (PNG; "
-    "lossless WebP/VP8L for key classes doc_id % 50 with class % 5 == 2 "
+    "lossless WebP/VP8L for key classes doc_id % 50 with class % 6 == 2 "
     "— color-indexing transform, 8-pixel bundling; LOSSY-VP8 WebP via "
-    "the system libwebp for class % 5 == 4, quality 90): synthesize a "
+    "the system libwebp for class % 6 == 4, quality 90; 24-bit BMP for "
+    "class % 6 == 5): synthesize a "
     "64x64 greyscale PNG per doc (payload class = doc_id % 50, so ~N/50 "
     "docs share each image bit-for-bit), decode with the stdlib PNG "
     "decoder, compute a 64-bit average-hash (8x8 block means vs global "

@@ -111,9 +111,9 @@ def test_lossy_fixture_ahash_bits_exact_sweep():
 
 
 def test_synth_image_payload_lossy_class():
-    """key % 5 == 4 emits a lossy VP8 stream whose decode still recovers
+    """key % 6 == 4 emits a lossy VP8 stream whose decode still recovers
     the exact md5 aHash bits (the dedup-clustering contract)."""
-    for key in (4, 9, 14, 19, 24, 49):
+    for key in (4, 10, 16, 22, 28, 46):
         payload = synth_image_payload(key)
         assert payload[12:16] == b"VP8 ", key
         _, _, _, arr = decode_image(payload)

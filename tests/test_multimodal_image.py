@@ -487,3 +487,26 @@ def test_decode_image_bmp_validation():
     rle[30] = 1  # BI_RLE8
     with pytest.raises(ValueError, match="compression"):
         decode_bmp(bytes(rle))
+
+
+def test_synth_image_payload_bmp_class():
+    """key % 6 == 5 emits a 24-bit BMP whose decode recovers exactly the
+    md5 aHash bits (the rotating-fixture contract)."""
+    import hashlib
+
+    from query_skyline_qos_flink_spark.operators.multimodal import (
+        AHASH_GRID,
+        synth_image_payload,
+    )
+
+    for key in (5, 11, 17, 23, 47):
+        payload = synth_image_payload(key)
+        assert payload[:2] == b"BM", key
+        h, w, c, arr = decode_image(payload)
+        assert (h, w, c) == (64, 64, 3)
+        grey = arr.astype(np.float64).mean(axis=2)
+        blocks = grey.reshape(AHASH_GRID, 8, AHASH_GRID, 8).mean(axis=(1, 3))
+        v = 0
+        for b in (blocks >= blocks.mean()).flatten():
+            v = (v << 1) | int(b)
+        assert v == int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
