@@ -86,16 +86,26 @@ def skyline_partition_stats(
         def _prune_batches(batches):
             import pandas as pd
 
-            # buffer the task's batches: one kernel call per (task, pid)
-            # instead of per (Arrow batch, pid) — thousands of tiny
-            # pandas slices cost more than the pruning saves
-            buf = [b for b in batches if not b.empty]
-            if not buf:
-                return
-            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            for _pid_val, grp in pdf.groupby("pid", sort=False):
-                pts = grp[prep_cols].to_numpy(dtype="float64")
-                yield grp.loc[skyline_mask(pts)]
+            # running per-pid skyline across the task's batches: memory
+            # is bounded by SURVIVOR count, never by the task's input —
+            # buffering whole scan splits would hold a multi-GB frame
+            # per task on exactly the huge-scan scenario this route
+            # exists for (r12 review; same incremental shape as
+            # skyline.py's _local_skyline_iter)
+            run: dict = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for pid_val, grp in pdf.groupby("pid", sort=False):
+                    cur = run.get(pid_val)
+                    cand = (
+                        grp
+                        if cur is None
+                        else pd.concat([cur, grp], ignore_index=True)
+                    )
+                    pts = cand[prep_cols].to_numpy(dtype="float64")
+                    run[pid_val] = cand.loc[skyline_mask(pts)]
+            yield from run.values()
 
         pre = prepped.mapInPandas(_prune_batches, schema=prepped.schema)
     local = pre.groupBy("pid").applyInPandas(

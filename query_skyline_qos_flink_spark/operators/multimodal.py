@@ -83,13 +83,14 @@ def _decode_image_pillow(payload: bytes) -> tuple[int, int, int, "object"]:
     if im.mode == "P":
         im = im.convert("RGB")
     elif im.mode not in ("L", "LA", "RGB", "RGBA"):
-        # keep the builtin codec's raise-don't-degrade contract: the
-        # from-scratch decoder rejects sub/above-8-bit depths (mode 'I',
-        # '1', 'I;16', ...) with ValueError, and a lossy convert('RGB')
-        # here would instead feed clamped garbage into perceptual hashes
+        # raise-don't-degrade: a lossy convert('RGB') here would feed
+        # clamped garbage into perceptual hashes.  Non-8-bit PNG depths
+        # never reach this path (decode_image sniffs the IHDR depth and
+        # keeps them on the builtin decoder); anything else landing in
+        # an exotic Pillow mode errors cleanly.
         raise ValueError(
-            f"unsupported image mode {im.mode!r} (builtin codec parity: "
-            "8-bit L/LA/RGB/RGBA/palette only)"
+            f"unsupported image mode {im.mode!r} "
+            "(8-bit L/LA/RGB/RGBA/palette only)"
         )
     arr = np.asarray(im, dtype=np.uint8)
     if arr.ndim == 2:
@@ -337,7 +338,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         return decode_bmp(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG, JPEG, WebP or BMP (bad signature)")
-    if backend != "builtin":
+    # IHDR is mandatory-first (PNG §11.2.2): byte 24 is the bit depth.
+    # Pillow's PNG modes for depth 1 ('1') and 16 ('I'/'I;16') fall
+    # outside the normalized L/LA/RGB/RGBA contract, so non-8-bit
+    # depths stay on the builtin decoder under every backend — the
+    # same cross-environment-determinism policy as 12-bit JPEG (r12
+    # review: identical payloads must never decode in one executor and
+    # raise in another depending on an installed library).
+    if backend != "builtin" and len(payload) > 24 and payload[24] == 8:
         return _decode_image_pillow(payload)
     pos, w = 8, None
     idat = bytearray()
@@ -436,7 +444,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        out = palette[out.reshape(h, w)]
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            # ValueError, not a task-killing IndexError — the same
+            # contract decode_bmp enforces (r12 review)
+            raise ValueError("PNG palette index out of range")
+        out = palette[idx]
         channels = 3
     return h, w, channels, out
 
@@ -1439,13 +1452,17 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
     unchanged), and interlaced frames.  Raises ``ValueError`` on
     non-GIF or corrupt streams.
 
-    Dispatches to Pillow when importable (bit-exact for the supported
-    disposal methods; see ``SPARK_GRAFT_IMAGE_BACKEND``)."""
+    Stays on the builtin decoder under the default ``auto`` backend —
+    the same policy as JPEG: Pillow's GIF plugin differs on background
+    fill (it leaves undrawn canvas at palette index 0 rather than the
+    logical screen's background color) and on disposal-2 restores, so a
+    silent swap would make frame statistics environment-dependent.
+    ``SPARK_GRAFT_IMAGE_BACKEND=pillow`` opts in explicitly."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
-    if _image_backend() != "builtin":
+    if _image_backend() == "pillow":
         return _decode_gif_pillow(payload)
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")

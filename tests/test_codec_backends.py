@@ -68,10 +68,16 @@ def test_png_decode_bit_identical_across_backends(backend_env):
 
 @needs_pillow
 def test_gif_decode_bit_identical_across_backends(backend_env):
-    keys = [0, 3, 9]
+    """Explicit pillow opt-in vs builtin on the fixture shapes (full-
+    canvas frames, no disposal/transparency — the subset where Pillow
+    and the spec-background builtin semantics coincide).  Keys avoid the
+    %5==3 class, which emits animated WebP, not GIF; under the default
+    `auto` backend GIF stays builtin (see decode_gif), so there is no
+    silent swap to test there."""
+    keys = [0, 1, 9]
     backend_env("builtin")
     ref = {k: mm.decode_gif(mm.synth_gif_payload(k)) for k in keys}
-    backend_env("auto")
+    backend_env("pillow")
     fast = {k: mm.decode_gif(mm.synth_gif_payload(k)) for k in keys}
     for k in keys:
         assert ref[k][:3] == fast[k][:3]

@@ -264,44 +264,53 @@ def _gif_with_disposals(disposals, size=8):
     return bytes(out)
 
 
+def _tiny_probe_frame(size=8):
+    """A 1x1 bottom-right frame that does NOT cover the overlay rect, so
+    the post-disposal canvas state is OBSERVABLE in its emitted frame."""
+    b = bytearray()
+    b += bytes([0x2C])
+    b += (size - 1).to_bytes(2, "little") * 2
+    b += (1).to_bytes(2, "little") * 2
+    b += bytes([0x00, 2])
+    data = _lzw_encode_real(bytes([3]), 2)
+    b += bytes([len(data)]) + data + bytes([0])
+    return bytes(b)
+
+
 def test_gif_disposal_restore_to_background():
     """Disposal 2: after the frame shows, its RECT refills with the
-    logical-screen background color before the next frame draws."""
+    logical-screen background color — observed through a follow-up frame
+    that does NOT repaint the rect (r12 review: the first version only
+    used covering frames, which a no-op disposal also satisfies)."""
     from query_skyline_qos_flink_spark.operators.multimodal import decode_gif
 
-    p = _gif_with_disposals([2, 0])
+    p = _gif_with_disposals([2])[:-1] + _tiny_probe_frame() + bytes([0x3B])
     n, h, w, frames = decode_gif(p)
     assert n == 3
     assert frames[1][0, 0].tolist() == [10, 200, 10]  # green overlay shown
-    # frame 2 draws green again over a rect that was RESTORED to blue —
-    # the bottom half (never touched by overlays) keeps the red base
-    assert frames[2][0, 0].tolist() == [10, 200, 10]
-    assert frames[2][h - 1, 0].tolist() == [200, 10, 10]
-    # the restore is observable with a THIRD frame that doesn't cover the
-    # rect: build one with a 1x1 frame after a disposal-2 overlay
-    p2 = _gif_with_disposals([2])
-    # append nothing: the disposal fires after the LAST frame too, which
-    # only affects the (unemitted) next state — frames themselves pinned:
-    n2, _, _, f2 = decode_gif(p2)
-    assert f2[1][0, 0].tolist() == [10, 200, 10]
+    # probe frame: the overlay rect was restored to the BACKGROUND color
+    # (index 2 = blue); the untouched bottom half keeps the red base
+    assert frames[2][0, 0].tolist() == [10, 10, 200]
+    assert frames[2][h - 2, 0].tolist() == [200, 10, 10]
+    assert frames[2][h - 1, w - 1].tolist() == [0, 0, 0]  # the probe pixel
 
 
 def test_gif_disposal_restore_to_previous():
-    """Disposal 3: the frame's rect reverts to the pre-frame canvas, so a
-    following frame composites over the ORIGINAL base, not the overlay."""
+    """Disposal 3: the frame's rect reverts to the PRE-FRAME canvas —
+    observed through a non-covering probe frame."""
     from query_skyline_qos_flink_spark.operators.multimodal import decode_gif
 
-    p = _gif_with_disposals([3, 3])
+    p = _gif_with_disposals([3])[:-1] + _tiny_probe_frame() + bytes([0x3B])
     n, h, w, frames = decode_gif(p)
     assert n == 3
     base_red = [200, 10, 10]
     green = [10, 200, 10]
     assert frames[0][0, 0].tolist() == base_red
     assert frames[1][0, 0].tolist() == green
-    # frame 2's overlay draws over the RESTORED red base; transparent
-    # comparison: pixel outside the overlay rect stays red in all frames
-    assert frames[2][h - 1, 0].tolist() == base_red
-    assert frames[2][0, 0].tolist() == green
+    # probe frame: the overlay rect REVERTED to the red base (disposal 3),
+    # NOT to the blue background (disposal 2) and not kept green
+    assert frames[2][0, 0].tolist() == base_red
+    assert frames[2][h - 1, w - 1].tolist() == [0, 0, 0]
 
 
 def test_gif_background_canvas_under_partial_first_frame():

@@ -510,3 +510,14 @@ def test_synth_image_payload_bmp_class():
         for b in (blocks >= blocks.mean()).flatten():
             v = (v << 1) | int(b)
         assert v == int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
+
+
+def test_decode_image_palette_index_out_of_range_raises_value_error():
+    """A 2-bit palette PNG with a 2-entry PLTE and index 3 must raise the
+    documented ValueError, not a task-killing IndexError (r12 review —
+    reachable since sub-8 palette support)."""
+    palette = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.array([[0, 1, 3]], np.uint8)  # 3 >= len(PLTE)
+    rows = b"\x00" + _pack_bits(idx[0], 2)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(_png(3, 1, 2, 3, rows, plte=palette.tobytes()))
