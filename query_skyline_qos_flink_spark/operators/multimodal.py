@@ -267,6 +267,79 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, "object"]:
     return h, w, nch, np.ascontiguousarray(out)
 
 
+def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL codec for ICO/CUR favicons: returns the LARGEST image's
+    (height, width, channels, ndarray) — the favicon-crawl convention.
+
+    Each directory entry is either a full PNG stream (decoded via
+    :func:`decode_image`) or a headerless BMP DIB whose height field
+    counts BOTH the XOR color image and the 1-bit AND transparency mask
+    (halved here; for <32-bpp entries the AND mask is applied as alpha).
+    Built entirely on :func:`decode_bmp` by synthesizing the missing
+    BITMAPFILEHEADER."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(payload) < 6 or payload[:4] not in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        raise ValueError("not an ICO/CUR payload")
+    (count,) = _struct.unpack_from("<H", payload, 4)
+    if count == 0:
+        raise ValueError("ICO has no images")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(payload):
+            raise ValueError("ICO directory truncated")
+        bw, bh = payload[off], payload[off + 1]
+        w = bw or 256  # 0 means 256
+        h = bh or 256
+        size, img_off = _struct.unpack_from("<II", payload, off + 8)
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, img_off, size)
+    w, h, img_off, size = best
+    img = payload[img_off : img_off + size]
+    if len(img) != size:
+        raise ValueError("ICO image data truncated")
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_image(img)
+    # headerless DIB: height counts XOR + AND mask rows — halve it and
+    # re-wrap with a synthetic BITMAPFILEHEADER for decode_bmp
+    if len(img) < 40:
+        raise ValueError("ICO DIB truncated")
+    (hdr_size,) = _struct.unpack_from("<I", img, 0)
+    dib_w, dib_h2 = _struct.unpack_from("<ii", img, 4)
+    _planes, bpp = _struct.unpack_from("<HH", img, 12)
+    dib_h = dib_h2 // 2 if dib_h2 > 0 else -((-dib_h2) // 2)
+    fixed = bytearray(img)
+    _struct.pack_into("<i", fixed, 8, dib_h)
+    (clr_used,) = _struct.unpack_from("<I", img, 32)
+    n_colors = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    xor_stride = (dib_w * bpp + 31) // 32 * 4
+    data_off = 14 + hdr_size + 4 * n_colors
+    bmp = (
+        b"BM"
+        + _struct.pack("<IHHI", 14 + len(fixed), 0, 0, data_off)
+        + bytes(fixed)
+    )
+    hh, ww, cc, arr = decode_bmp(bmp)
+    # the 1-bit AND mask follows the XOR rows: set bit = transparent
+    and_off = hdr_size + 4 * n_colors + xor_stride * abs(dib_h)
+    and_stride = (dib_w + 31) // 32 * 4
+    need = and_stride * abs(dib_h)
+    if bpp < 32 and len(img) >= and_off + need:
+        rows = np.frombuffer(
+            img[and_off : and_off + need], dtype=np.uint8
+        ).reshape(abs(dib_h), and_stride)
+        if dib_h2 > 0:
+            rows = rows[::-1]
+        mask = np.unpackbits(rows, axis=1)[:, :dib_w]
+        alpha = np.where(mask == 1, 0, 255).astype(np.uint8)
+        arr = np.concatenate([arr[..., :3], alpha[..., None]], axis=2)
+        cc = 4
+    return hh, ww, cc, arr
+
+
 def _jpeg_precision(payload: bytes) -> int:
     """Sample precision from the first SOF marker (8 on any parse
     trouble — the caller's decoder will raise the real error)."""
@@ -307,7 +380,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     lossless VP8L natively, lossy VP8 through the system libwebp
     (``operators/libwebp_bridge.py``) when that library is present.
     BMP payloads (BM magic) dispatch to :func:`decode_bmp`
-    (uncompressed 1/4/8-bit palette + 24/32-bit).  Arithmetic-coded
+    (uncompressed 1/4/8-bit palette + 24/32-bit); ICO/CUR favicons to
+    :func:`decode_ico` (largest entry, PNG or headerless DIB + AND
+    mask).  Arithmetic-coded
     JPEG and RLE/bitfields BMP still need an external decoder (e.g.
     pillow) — pass your own ``decode_fn`` for those.  Raises
     ``ValueError`` on unrecognized or unsupported payloads.
@@ -336,8 +411,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         return decode_webp(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return decode_ico(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG, JPEG, WebP or BMP (bad signature)")
+        raise ValueError("not a PNG, JPEG, WebP, BMP or ICO (bad signature)")
     # IHDR is mandatory-first (PNG §11.2.2): byte 24 is the bit depth.
     # Pillow's PNG modes for depth 1 ('1') and 16 ('I'/'I;16') fall
     # outside the normalized L/LA/RGB/RGBA contract, so non-8-bit

@@ -521,3 +521,90 @@ def test_decode_image_palette_index_out_of_range_raises_value_error():
     rows = b"\x00" + _pack_bits(idx[0], 2)
     with pytest.raises(ValueError, match="palette index"):
         decode_image(_png(3, 1, 2, 3, rows, plte=palette.tobytes()))
+
+
+def _ico(entries: list[bytes], sizes: list[tuple[int, int]]) -> bytes:
+    import struct
+
+    out = bytearray(b"\x00\x00\x01\x00") + struct.pack("<H", len(entries))
+    off = 6 + 16 * len(entries)
+    for (w, h), img in zip(sizes, entries):
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, 32, len(img), off)
+        off += len(img)
+    for img in entries:
+        out += img
+    return bytes(out)
+
+
+def _ico_dib(pix_rgba: np.ndarray, mask: np.ndarray | None = None) -> bytes:
+    """Headerless 32-bpp ICO DIB (doubled height) with an AND mask."""
+    import struct
+
+    h, w = pix_rgba.shape[:2]
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0)
+    rows = b"".join(pix_rgba[y][:, [2, 1, 0, 3]].tobytes() for y in range(h - 1, -1, -1))
+    if mask is None:
+        mask = np.zeros((h, w), np.uint8)
+    and_stride = (w + 31) // 32 * 4
+    mrows = b""
+    for y in range(h - 1, -1, -1):
+        bits = np.packbits(mask[y]).tobytes()
+        mrows += bits + bytes(and_stride - len(bits))
+    return dib + rows + mrows
+
+
+def test_decode_ico_png_and_dib_entries():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_ico
+
+    rng = np.random.default_rng(23)
+    # small PNG entry + larger 32-bpp DIB entry: the LARGER one wins
+    png_small = _png(4, 4, 8, 0, b"".join(b"\x00" + bytes([9] * 4) for _ in range(4)))
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    ico = _ico([png_small, _ico_dib(rgba)], [(4, 4), (8, 8)])
+    h, w, c, arr = decode_ico(ico)
+    assert (h, w, c) == (8, 8, 4)
+    assert np.array_equal(arr, rgba)  # 32bpp: alpha verbatim, no AND mask
+    # PNG-only ICO dispatches through decode_image
+    ico2 = _ico([png_small], [(4, 4)])
+    h, w, c, arr = decode_image(ico2)
+    assert (h, w, c, int(arr[0, 0, 0])) == (4, 4, 1, 9)
+
+
+def test_decode_ico_and_mask_becomes_alpha():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_bmp, decode_ico
+    import struct
+
+    # 24-bpp DIB with an AND mask marking one corner transparent
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    h, w = 4, 4
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0, 0, 0, 0, 0, 0)
+    stride = (w * 24 + 31) // 32 * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = rgb[y, :, ::-1].tobytes()
+        rows += row + bytes(stride - len(row))
+    mask = np.zeros((h, w), np.uint8)
+    mask[0, 0] = 1  # top-left transparent
+    and_stride = (w + 31) // 32 * 4
+    mrows = b""
+    for y in range(h - 1, -1, -1):
+        bits = np.packbits(mask[y]).tobytes()
+        mrows += bits + bytes(and_stride - len(bits))
+    ico = _ico([dib + rows + mrows], [(4, 4)])
+    hh, ww, cc, arr = decode_ico(ico)
+    assert (hh, ww, cc) == (4, 4, 4)
+    assert np.array_equal(arr[..., :3], rgb)
+    assert arr[0, 0, 3] == 0 and arr[3, 3, 3] == 255
+
+
+def test_decode_ico_validation():
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_ico
+
+    with pytest.raises(ValueError):
+        decode_ico(b"\x01\x00\x01\x00")
+    with pytest.raises(ValueError, match="no images"):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ico(b"\x00\x00\x01\x00\x01\x00" + bytes(10))
