@@ -86,26 +86,36 @@ def skyline_partition_stats(
         def _prune_batches(batches):
             import pandas as pd
 
-            # running per-pid skyline across the task's batches: memory
-            # is bounded by SURVIVOR count, never by the task's input —
-            # buffering whole scan splits would hold a multi-GB frame
-            # per task on exactly the huge-scan scenario this route
-            # exists for (r12 review; same incremental shape as
-            # skyline.py's _local_skyline_iter)
-            run: dict = {}
+            # running per-pid skyline across the task's batches — memory
+            # bounded by survivors + a compaction buffer, never the
+            # task's whole input (r12 review; the _local_skyline_iter
+            # shape).  Rows ACCUMULATE per pid and the kernel runs only
+            # when the pending buffer outgrows the survivor set (or at
+            # the end): per-Arrow-batch re-pruning over the full
+            # survivor set would pay batches x survivors kernel work on
+            # anti-correlated data (r12 third review).
+            pend: dict = {}
+            rows: dict = {}
+
+            def compact(pid_val):
+                cand = pd.concat(pend[pid_val], ignore_index=True)
+                pts = cand[prep_cols].to_numpy(dtype="float64")
+                mask = skyline_mask(pts)
+                kept = cand if mask.all() else cand.loc[mask]
+                pend[pid_val] = [kept]
+                rows[pid_val] = len(kept)
+                return kept
+
             for pdf in batches:
                 if pdf.empty:
                     continue
                 for pid_val, grp in pdf.groupby("pid", sort=False):
-                    cur = run.get(pid_val)
-                    cand = (
-                        grp
-                        if cur is None
-                        else pd.concat([cur, grp], ignore_index=True)
-                    )
-                    pts = cand[prep_cols].to_numpy(dtype="float64")
-                    run[pid_val] = cand.loc[skyline_mask(pts)]
-            yield from run.values()
+                    pend.setdefault(pid_val, []).append(grp)
+                    rows[pid_val] = rows.get(pid_val, 0) + len(grp)
+                    if rows[pid_val] >= max(50_000, 2 * len(pend[pid_val][0])):
+                        compact(pid_val)
+            for pid_val in pend:
+                yield compact(pid_val)
 
         pre = prepped.mapInPandas(_prune_batches, schema=prepped.schema)
     local = pre.groupBy("pid").applyInPandas(

@@ -44,13 +44,16 @@ from pyspark.sql import DataFrame, functions as F
 #
 #   SPARK_GRAFT_IMAGE_BACKEND = auto | builtin | pillow
 #
-# ``auto`` (default) uses Pillow only for the LOSSLESS formats (PNG, GIF),
-# whose decode is bit-exact by spec — outputs are hash-identical under
-# either backend (tests/test_codec_backends.py).  Baseline JPEG stays on
-# the from-scratch codec even under ``auto``: libjpeg's fixed-point IDCT
-# may legally differ by ±1 LSB from the exact float IDCT, so swapping it
-# mid-corpus would change perceptual hashes; set ``pillow`` to force it
-# (e.g. a 100 TB run that standardizes on libjpeg-turbo throughout).
+# ``auto`` (default) uses Pillow only for 8-bit-depth PNG, whose decode
+# is bit-exact by spec — outputs are hash-identical under either backend
+# (tests/test_codec_backends.py).  JPEG and GIF stay on the from-scratch
+# codecs even under ``auto``: libjpeg's fixed-point IDCT may legally
+# differ by ±1 LSB from the exact float IDCT, and Pillow's GIF plugin
+# differs on background fill and disposal-2 restores, so swapping either
+# mid-corpus would change frame/perceptual hashes; set ``pillow`` to
+# force them (e.g. a 100 TB run that standardizes on libjpeg-turbo
+# throughout).  Non-8-bit PNG depths, BMP and ICO always decode
+# builtin.
 
 
 def _image_backend() -> str:
@@ -287,6 +290,7 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
     if count == 0:
         raise ValueError("ICO has no images")
     best = None
+    best_key = None
     for i in range(count):
         off = 6 + 16 * i
         if off + 16 > len(payload):
@@ -294,9 +298,14 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
         bw, bh = payload[off], payload[off + 1]
         w = bw or 256  # 0 means 256
         h = bh or 256
+        (bits,) = _struct.unpack_from("<H", payload, off + 6)
         size, img_off = _struct.unpack_from("<II", payload, off + 8)
-        if best is None or w * h > best[0] * best[1]:
-            best = (w, h, img_off, size)
+        # area first, bit depth as the tie-break (the icon-loader
+        # convention: a 48x48 set lists 4/8/32-bpp variants — pick the
+        # richest, r12 third review)
+        key = (w * h, bits)
+        if best_key is None or key > best_key:
+            best, best_key = (w, h, img_off, size), key
     w, h, img_off, size = best
     img = payload[img_off : img_off + size]
     if len(img) != size:
@@ -314,6 +323,10 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
     fixed = bytearray(img)
     _struct.pack_into("<i", fixed, 8, dib_h)
     (clr_used,) = _struct.unpack_from("<I", img, 32)
+    if clr_used > 256 or hdr_size > len(img):
+        # ValueError, not a struct.error from an overflowed synthetic
+        # file header (r12 third review — the r11 RIFF contract)
+        raise ValueError("ICO DIB color table / header size out of range")
     n_colors = clr_used or ((1 << bpp) if bpp <= 8 else 0)
     xor_stride = (dib_w * bpp + 31) // 32 * 4
     data_off = 14 + hdr_size + 4 * n_colors
@@ -323,11 +336,18 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
         + bytes(fixed)
     )
     hh, ww, cc, arr = decode_bmp(bmp)
-    # the 1-bit AND mask follows the XOR rows: set bit = transparent
+    # the 1-bit AND mask follows the XOR rows: set bit = transparent.
+    # It applies to every sub-32-bpp entry AND to legacy 32-bpp BGRX
+    # icons whose alpha bytes are all zero (the pre-Vista renderer
+    # convention: all-zero alpha means "use the AND mask" — without
+    # this the icon decodes fully transparent, r12 third review)
     and_off = hdr_size + 4 * n_colors + xor_stride * abs(dib_h)
     and_stride = (dib_w + 31) // 32 * 4
     need = and_stride * abs(dib_h)
-    if bpp < 32 and len(img) >= and_off + need:
+    if cc == 4 and int(arr[..., 3].max(initial=0)) == 0 and len(img) >= and_off + need:
+        arr = arr[..., :3]
+        cc = 3
+    if cc == 3 and len(img) >= and_off + need:
         rows = np.frombuffer(
             img[and_off : and_off + need], dtype=np.uint8
         ).reshape(abs(dib_h), and_stride)
@@ -523,9 +543,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
             raise ValueError("palette PNG missing PLTE chunk")
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= len(palette):
-            # ValueError, not a task-killing IndexError — the same
-            # contract decode_bmp enforces (r12 review)
-            raise ValueError("PNG palette index out of range")
+            # out-of-range indices decode as BLACK, matching Pillow's
+            # zero-padded 256-entry palette: the 8-bit pillow dispatch
+            # means a strict raise here would make the same payload
+            # decode in a Pillow executor and fail in a bare one —
+            # cross-environment determinism wins (r12 third review;
+            # the first-pass fix raised, trading an IndexError crash
+            # for an environment-dependent ValueError)
+            pad = np.zeros((256, 3), dtype=np.uint8)
+            pad[: len(palette)] = palette
+            palette = pad
         out = palette[idx]
         channels = 3
     return h, w, channels, out

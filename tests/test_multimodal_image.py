@@ -512,15 +512,18 @@ def test_synth_image_payload_bmp_class():
         assert v == int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)
 
 
-def test_decode_image_palette_index_out_of_range_raises_value_error():
-    """A 2-bit palette PNG with a 2-entry PLTE and index 3 must raise the
-    documented ValueError, not a task-killing IndexError (r12 review —
-    reachable since sub-8 palette support)."""
+def test_decode_image_palette_index_out_of_range_decodes_black():
+    """A 2-bit palette PNG with a 2-entry PLTE and index 3 decodes the
+    out-of-range pixel as BLACK — Pillow's zero-padded-palette leniency,
+    adopted for cross-environment determinism (a builtin-only raise
+    would make the same payload decode under Pillow and fail without
+    it; the naive palette[idx] was a task-killing IndexError)."""
     palette = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
     idx = np.array([[0, 1, 3]], np.uint8)  # 3 >= len(PLTE)
     rows = b"\x00" + _pack_bits(idx[0], 2)
-    with pytest.raises(ValueError, match="palette index"):
-        decode_image(_png(3, 1, 2, 3, rows, plte=palette.tobytes()))
+    h, w, c, arr = decode_image(_png(3, 1, 2, 3, rows, plte=palette.tobytes()))
+    assert (h, w, c) == (1, 3, 3)
+    assert arr[0].tolist() == [[1, 2, 3], [4, 5, 6], [0, 0, 0]]
 
 
 def _ico(entries: list[bytes], sizes: list[tuple[int, int]]) -> bytes:
@@ -608,3 +611,58 @@ def test_decode_ico_validation():
         decode_ico(b"\x00\x00\x01\x00\x00\x00")
     with pytest.raises(ValueError, match="truncated"):
         decode_ico(b"\x00\x00\x01\x00\x01\x00" + bytes(10))
+
+
+def test_decode_ico_legacy_bgrx_uses_and_mask():
+    """Pre-Vista 32-bpp BGRX icons carry alpha bytes of 0 everywhere and
+    rely on the AND mask: the decoder must take transparency from the
+    mask instead of returning an all-transparent image."""
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_ico
+
+    rng = np.random.default_rng(31)
+    rgba = np.concatenate(
+        [rng.integers(0, 256, (4, 4, 3)), np.zeros((4, 4, 1))], axis=2
+    ).astype(np.uint8)
+    mask = np.zeros((4, 4), np.uint8)
+    mask[0, 0] = 1
+    ico = _ico([_ico_dib(rgba, mask=mask)], [(4, 4)])
+    h, w, c, arr = decode_ico(ico)
+    assert (h, w, c) == (4, 4, 4)
+    assert np.array_equal(arr[..., :3], rgba[..., :3])
+    assert arr[0, 0, 3] == 0 and arr[3, 3, 3] == 255
+
+
+def test_decode_ico_area_tie_breaks_on_bit_depth():
+    """Equal-area entries pick the richest bit depth (directories list
+    low depths first; the 32-bpp variant must win)."""
+    import struct
+
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_ico
+
+    rng = np.random.default_rng(37)
+    rgba = rng.integers(1, 256, (4, 4, 4), dtype=np.uint8)
+    # 8-bpp palette entry (solid index 0 = red) vs 32-bpp entry, same size
+    pal_dib = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 8, 0, 0, 0, 0, 2, 0)
+    pal_dib += bytes([0, 0, 200, 0, 0, 0, 0, 0])  # BGRA quads: red, black
+    pal_dib += (b"\x00" * 4) * 4  # 4 rows of 4 indices (stride 4)
+    pal_dib += bytes(4 * 4 // 8 + 2) * 0 + bytes(16)  # AND mask rows (stride 4)
+    entries = [pal_dib, _ico_dib(rgba)]
+    out = bytearray(b"\x00\x00\x01\x00") + struct.pack("<H", 2)
+    off = 6 + 32
+    for bits, img in ((8, pal_dib), (32, _ico_dib(rgba))):
+        out += bytes([4, 4, 0, 0]) + struct.pack("<HHII", 1, bits, len(img), off)
+        off += len(img)
+    out += pal_dib + _ico_dib(rgba)
+    h, w, c, arr = decode_ico(bytes(out))
+    assert np.array_equal(arr, rgba)  # the 32-bpp entry won the tie
+
+
+def test_decode_ico_malformed_color_count_raises_value_error():
+    import struct
+
+    from query_skyline_qos_flink_spark.operators.multimodal import decode_ico
+
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 8, 0, 0, 0, 0, 0x7FFFFFFF, 0)
+    ico = _ico([dib + bytes(64)], [(4, 4)])
+    with pytest.raises(ValueError, match="color table"):
+        decode_ico(ico)
