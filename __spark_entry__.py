@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     "x_ann_blocked", "x_ann_multiprobe", "x_ann_recall", "x_bfs_hops",
     "x_blocklist_filter", "x_bloom_prune_semi", "x_bpe_apply",
     "x_bpe_train_k", "x_contamination", "x_coreness", "x_cosine_neardup",
-    "x_dedup_clusters", "x_dedup_normalized", "x_doc_chunks",
+    "x_dedup_normalized", "x_doc_chunks",
     "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
     "x_heavy_hitters", "x_histogram", "x_hll_distinct", "x_kmeans_iter",
     "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
@@ -75,9 +75,12 @@ _DRIVER_PRIORITY = [
     "x_train_test_split", "x_weighted_mix",
     # fills: plans/results this round touches (see worksheet above);
     # x_audio_features swapped in mid-round for s24_dynamic_skyline when
-    # the FLAC fixture class changed its payload rotation (% 3 -> % 4)
+    # the FLAC fixture class changed its payload rotation (% 3 -> % 4);
+    # s36_stream_metrics (newborn, verdict item 6: oracle-gated O15-O19
+    # metrics record) took x_dedup_clusters's slot when that exact-Jaccard
+    # stage twin was retired to tests/test_exact_anchors.py mid-round
     "x_image_ahash_dedup", "x_image_neardup_pairs", "m2_strategy_stats",
-    "x_seq_packing", "x_audio_features",
+    "x_seq_packing", "x_audio_features", "s36_stream_metrics",
     # fills: round-10 skyline family on the chunk-id code path, pulled
     # forward to flatten round 13's must-gate load
     "s22_skyband", "s23_top_dominating",

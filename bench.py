@@ -359,7 +359,9 @@ def main() -> None:
             rowcount = lambda d, t: spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
             for name, table in SCALING_QUERIES.items():
                 try:
-                    spec = corpus.REGISTRY[name]
+                    # spec() also resolves retired anchors (x_dedup_clusters:
+                    # the exact-path exponent is still the SCALE.md datum)
+                    spec = corpus.spec(name)
                     t0 = time.time()
                     spec.fn(spark, SMALL_SF_DIR).count()
                     t_small = round(time.time() - t0, 3)

@@ -1204,6 +1204,20 @@ def x_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, d.select("doc_id"))
 
 
+# Retired round 12 (slot freed for s36_stream_metrics): the exact-Jaccard
+# pair stage is the documented NON-scale twin of the banded-LSH route, and
+# the min-label CC it feeds is the identical operator x_dedup_clusters_lsh
+# gates — the anchor keeps the exact-path oracle (incl. the recursive-CTE
+# closure) green every pytest run (tests/test_exact_anchors.py); the
+# sf-scaling exponent measurement stays in bench.py's SCALING_QUERIES via
+# corpus.spec, which resolves retired anchors.
+retire(
+    "x_dedup_clusters",
+    "stage twin of x_dedup_clusters_lsh (same connected_components; the "
+    "exact-Jaccard pair feed is the documented non-scale path)",
+)
+
+
 @register(
     "x_dedup_sweep",
     f"""

@@ -186,9 +186,18 @@ def _replay_oracle(dims: list[tuple[str, str]]) -> str:
     )
 
 
-def _stream_replay(
-    spark: SparkSession, sf_dir: str, dims: list[tuple[str, str]]
-) -> DataFrame:
+def _run_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: list[tuple[str, str]],
+    *,
+    emit_points: bool = True,
+    per_pid_breakdown: bool = False,
+) -> list[pd.DataFrame]:
+    """Shared s11/s12/s36 harness: build the two-file producer fixture,
+    derive the barrier thresholds, run the full streaming pipeline, and
+    return the finalized per-query metric frames (one pdf per completed
+    micro-batch of queries)."""
     names = [n for n, _ in dims]
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", *[s for _, s in dims]
@@ -284,12 +293,20 @@ def _stream_replay(
         strategy="dim",
         domain=_DOMAIN,
         on_result=results.append,
-        emit_points=True,
+        emit_points=emit_points,
+        per_pid_breakdown=per_pid_breakdown,
     )
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("stream replay timed out after 600 s")
+    return results
 
+
+def _stream_replay(
+    spark: SparkSession, sf_dir: str, dims: list[tuple[str, str]]
+) -> DataFrame:
+    names = [n for n, _ in dims]
+    results = _run_replay(spark, sf_dir, dims, emit_points=True)
     rows = [
         (str(m.query_id), int(pt[0]), *[float(v) for v in pt[1:]])
         for mdf in results
@@ -323,6 +340,103 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_replay(spark, sf_dir, _DIMS_3D)
+
+
+# Oracle for the streaming METRICS record (reference O15/O16 sizes +
+# O18/O19 Optimality ingredients), replayed through the identical fixture
+# and barriers as s11.  Everything gated is integer-exact: per reporting
+# partition the local skyline size and the global-skyline survivor count
+# (optimality == round(sum(survivors/local_size)/P, 4) by construction —
+# the float itself is NOT hashed because cross-engine summation order is
+# not contractual), plus the per-query record_count (max ingested id + 1
+# at barrier time) and global skyline_size.  The pid expression is the
+# literal SQL twin of partitioners.mr_dim with the replay's fixed
+# domain/P (width = _DOMAIN / _P), same shape as the m1 oracle.
+def _metrics_oracle(dims: list[tuple[str, str]]) -> str:
+    names = [n for n, _ in dims]
+    src = ", ".join(f"{s} AS {n}" for n, s in dims)
+    width = _DOMAIN / _P
+    notnull = " AND ".join(f"{n} IS NOT NULL AND NOT isnan({n})" for n in names)
+    dom = (
+        " AND ".join(f"q.{n} <= p.{n}" for n in names)
+        + " AND ("
+        + " OR ".join(f"q.{n} < p.{n}" for n in names)
+        + ")"
+    )
+    return f"""
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS id,
+         {src}
+  FROM lineitem
+),
+snap AS (
+  SELECT 'q_prefix' AS query_id, * FROM base WHERE id < {_N_PREFIX}
+  UNION ALL
+  SELECT 'q_full' AS query_id, * FROM base
+),
+val AS (
+  SELECT *,
+         LEAST(GREATEST(CAST(FLOOR({names[0]} / {width}) AS INTEGER), 0), {_P - 1}) AS pid,
+         id % 64 AS sub
+  FROM snap WHERE {notnull}
+),
+loc0 AS (
+  SELECT p.* FROM val p WHERE NOT EXISTS (
+    SELECT 1 FROM val q
+    WHERE q.query_id = p.query_id AND q.pid = p.pid AND q.sub = p.sub AND {dom})
+),
+loc AS (
+  SELECT p.* FROM loc0 p WHERE NOT EXISTS (
+    SELECT 1 FROM loc0 q
+    WHERE q.query_id = p.query_id AND q.pid = p.pid AND {dom})
+),
+gsky AS (
+  SELECT p.* FROM loc p WHERE NOT EXISTS (
+    SELECT 1 FROM loc q WHERE q.query_id = p.query_id AND {dom})
+),
+sizes AS (SELECT query_id, pid, count(*) AS local_size FROM loc GROUP BY query_id, pid),
+surv AS (SELECT query_id, pid, count(*) AS survivors FROM gsky GROUP BY query_id, pid),
+meta AS (SELECT query_id, CAST(max(id) + 1 AS BIGINT) AS record_count FROM snap GROUP BY query_id),
+ssize AS (SELECT query_id, CAST(count(*) AS BIGINT) AS skyline_size FROM gsky GROUP BY query_id)
+SELECT z.query_id, z.pid, z.local_size,
+       CAST(COALESCE(v.survivors, 0) AS BIGINT) AS survivors,
+       m.record_count, ss.skyline_size
+FROM sizes z
+LEFT JOIN surv v ON v.query_id = z.query_id AND v.pid = z.pid
+JOIN meta m ON m.query_id = z.query_id
+JOIN ssize ss ON ss.query_id = z.query_id
+""".strip()
+
+
+@register(
+    "s36_stream_metrics",
+    _metrics_oracle(_DIMS_2D),
+    doc="Streaming metrics record end to end (reference O15-O19, "
+    "FlinkSkyline.java:566-608): the s11 replay's finalize_results output "
+    "gated as integers — per reporting partition (local_size, global "
+    "survivors), the Optimality numerator/denominator pieces, plus "
+    "record_count (max ingested id + 1 at barrier time) and the global "
+    "skyline_size.  O20's wall-clock latency decomposition stays "
+    "pytest-gated (tests/test_streaming.py) because time is not "
+    "oracle-comparable",
+)
+def s36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    results = _run_replay(
+        spark, sf_dir, _DIMS_2D, emit_points=False, per_pid_breakdown=True
+    )
+    rows = [
+        (str(m.query_id), int(pid), int(loc), int(srv),
+         int(m.record_count), int(m.skyline_size))
+        for mdf in results
+        for m in mdf.itertuples()
+        for pid, loc, srv in m.pid_breakdown
+    ]
+    cols = ["query_id", "pid", "local_size", "survivors", "record_count", "skyline_size"]
+    schema = (
+        "query_id string, pid int, local_size bigint, survivors bigint, "
+        "record_count bigint, skyline_size bigint"
+    )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=schema)
 
 
 _WIN_US = 3_600_000_000  # 1 h tumbling window == watermark delay

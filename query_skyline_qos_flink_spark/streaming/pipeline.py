@@ -69,6 +69,7 @@ def run_pipeline(
     collector_csv: str | None = None,
     available_now: bool = True,
     emit_points: bool = False,
+    per_pid_breakdown: bool = False,
 ):
     """Parse raw string streams, run the stateful skyline, finalize each
     micro-batch of partials, and hand the per-query metrics to
@@ -121,6 +122,7 @@ def run_pipeline(
             complete,
             num_partitions=num_partitions,
             emit_points=emit_points,
+            per_pid_breakdown=per_pid_breakdown,
             # continuous mode gets the reference's O20 wall/ingest split;
             # availableNow replays backfill files at full speed, where the
             # wall span measures replay throughput, not ingestion

@@ -275,6 +275,7 @@ def finalize_results(
     num_partitions: int = 8,
     emit_points: bool = False,
     replay: bool = True,
+    per_pid_breakdown: bool = False,
 ) -> pd.DataFrame:
     """Global phase (reference O15-O21) over collected partials: per-query
     global skyline merge, Optimality, and the metrics record — including
@@ -284,6 +285,14 @@ def finalize_results(
     ``emit_points`` mirrors the reference's skyline-point emission flag
     (``FlinkSkyline.java:610-623``): adds a ``skyline_points`` column with
     each survivor as ``[id, v0, v1, ...]``, sorted by id.
+
+    ``per_pid_breakdown`` adds a ``pid_breakdown`` column carrying the
+    Optimality metric's integer ingredients per reporting partition —
+    ``[[pid, local_size, survivors], ...]`` sorted by pid (reference
+    O18-O19, ``FlinkSkyline.java:590-608``): ``optimality ==
+    round(sum(survivors/local_size)/num_partitions, 4)`` by construction.
+    The integer form is what the s36_stream_metrics driver row hash-gates
+    (floats would be at the mercy of summation order across engines).
 
     ``replay=False`` enables the reference's continuous-mode O20 latency
     decomposition (``FlinkSkyline.java:574-588``): ``mapWall = lastArrival
@@ -297,6 +306,7 @@ def finalize_results(
         t0 = time.perf_counter()
         pts_rows = g[g["id"].notna()]
         points: list[list[float]] = []
+        breakdown: list[list[int]] = []
         if len(pts_rows):
             pts = np.array([np.asarray(v, dtype=np.float64) for v in pts_rows["values"]])
             mask = skyline_mask(pts)
@@ -310,7 +320,9 @@ def finalize_results(
             for pid, pg in pts_rows.groupby("pid"):
                 local_size = int(pg["local_size"].iloc[0])
                 if local_size > 0:
-                    ratios += len(surv[surv["pid"] == pid]) / local_size
+                    n_surv = int(len(surv[surv["pid"] == pid]))
+                    ratios += n_surv / local_size
+                    breakdown.append([int(pid), local_size, n_surv])
             optimality = ratios / num_partitions
         else:
             sky_size, optimality = 0, 0.0
@@ -344,6 +356,7 @@ def finalize_results(
                 "total_processing_time_ms": total_ms,
                 "query_latency_ms": total_ms,
                 **({"skyline_points": points} if emit_points else {}),
+                **({"pid_breakdown": breakdown} if per_pid_breakdown else {}),
             }
         )
     return pd.DataFrame(rows)

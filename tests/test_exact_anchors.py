@@ -15,7 +15,9 @@ artifact the driver's hash sees).
 Retired in round 8: x_cosine_neardup_exact (all-pairs cosine twin,
 registered rounds 5-7).  Retired in round 10: s10_snapshot_1000,
 x_fingerprint, x_jaccard_pairs, x_ann_bucketed, x_knn_int8,
-x_bpe_pair_counts, x_dup_cluster_sizes — each retire() call in
+x_bpe_pair_counts, x_dup_cluster_sizes.  Retired in round 12:
+x_dedup_clusters (exact-Jaccard stage twin of x_dedup_clusters_lsh;
+slot freed for s36_stream_metrics) — each retire() call in
 plans/ records which gated query subsumes it.
 """
 
@@ -59,6 +61,7 @@ def test_retired_anchor_population():
         "s10_snapshot_1000",
         "x_ann_bucketed",
         "x_bpe_pair_counts",
+        "x_dedup_clusters",
         "x_dup_cluster_sizes",
         "x_fingerprint",
         "x_jaccard_pairs",

@@ -694,7 +694,7 @@ PLAN_PIN_EXEMPT = {
         "s17_stream_static_dedup", "s18_stream_upsert",
         "s19_stream_interval_join", "s20_stream_dedup_watermark",
         "s21_stream_scrub", "s25_stream_skyband", "s32_stream_cdc_dedup",
-        "s35_stream_cdc_watermark",
+        "s35_stream_cdc_watermark", "s36_stream_metrics",
     )},
     # skyline family representatives carry the pins
     **{n: _FAMILY_REP for n in (
@@ -718,7 +718,7 @@ PLAN_PIN_EXEMPT = {
         "x_bloom_prune_semi",  # test_bloom.py pins the bloom-semi shape
         "x_corpus_shuffle", "x_seq_packing",  # test_prefix.py bucketed rank
         "x_cosine_neardup",  # bucketed-pairs plan pin, test_pipeline_ops:236
-        "x_dedup_clusters", "x_dedup_clusters_lsh", "x_dedup_sweep",
+        "x_dedup_clusters_lsh", "x_dedup_sweep",
         "x_bpe_train_k",  # CC/BPE loops end in checkpoint scans; stage +
         # storage-release contracts in test_pipeline_ops/test_caching
         "x_triangle_count",  # orientation join shape, test_pipeline_ops

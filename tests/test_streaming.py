@@ -123,6 +123,20 @@ def test_streaming_skyline_end_to_end(spark, stream_dirs):
     assert metrics.iloc[0]["record_count"] >= 500
     assert 0 < metrics.iloc[0]["optimality"] <= 1.0
 
+    # per_pid_breakdown (the s36_stream_metrics integer surface) carries
+    # exactly the Optimality ingredients: sum(survivors/local_size)/P
+    # reproduces the float, survivor counts sum to the global size, and
+    # each partition's survivors are bounded by its local skyline
+    bd = finalize_results(res, num_partitions=4, per_pid_breakdown=True)
+    row = bd.iloc[0]
+    pieces = row["pid_breakdown"]
+    assert pieces == sorted(pieces)  # sorted by pid, deterministic order
+    assert all(0 <= srv <= loc for _pid, loc, srv in pieces)
+    assert sum(srv for _pid, _loc, srv in pieces) == row["skyline_size"]
+    assert row["optimality"] == round(
+        sum(srv / loc for _pid, loc, srv in pieces) / 4, 4
+    )
+
 
 def test_streaming_barrier_holds_until_enough_records(spark, stream_dirs):
     data_dir, query_dir, ckpt = stream_dirs
