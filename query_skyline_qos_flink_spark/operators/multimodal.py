@@ -940,6 +940,143 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+@_lru_cache(maxsize=4096)
+def synth_container_payload(key: int) -> bytes:
+    """Audio CONTAINER fixture with closed-form truth — the crawl-side
+    sniff-and-route shape: ``key % 3`` rotates the container family and
+    every metadata field is an integer function of ``k = key // 3`` so
+    the x_multimodal_meta oracle states them without parsing anything.
+
+    * class 0 — MP3 (operators/mpeg_audio.py): CBR Layer III silence,
+      MPEG version driven by the sample-rate class (44.1/48 kHz MPEG-1,
+      32 kHz MPEG-1 third class), ``1 + k%2`` channels, bitrate
+      ``[64,96,128,160][k%4]`` kbps, ``8 + k%7`` audio frames; odd ``k``
+      prepends the CBR 'Info' (Xing) metadata frame, ``k%5 == 0`` a
+      leading ID3v2 tag of ``50 + k%37`` content bytes.
+    * class 1 — Ogg (operators/ogg.py): even ``k`` Vorbis (ident header
+      rate ``[8000,16000,44100,48000][k%4]``, nominal bitrate
+      ``64 + (k%9)*16`` kbps, terminal granule ``2000 + (k%5)*800``
+      samples, ``1 + k%3`` data pages; ``k%4 == 2`` makes the first data
+      packet 600 bytes laced at 2 segments/page to force a continued
+      page), odd ``k`` Opus (OpusHead, pre-skip 312, ``20 + k%10``
+      20 ms frames at the canonical 48 kHz).
+    * class 2 — PCM16 WAV: :func:`synth_wav_payload` with key ``4*k``
+      (forces the PCM variant of its ``%4`` codec rotation).
+
+    Every output-relevant period divides ``lcm(2,3,4,5,7,9,10) = 1260``,
+    so callers fold ids with ``key_mod = 3 * 1260 = 3780`` and the
+    lru_cache covers the whole payload space."""
+    c, k = key % 3, key // 3
+    if c == 0:
+        from . import mpeg_audio
+
+        return mpeg_audio.write_mp3(
+            n_frames=8 + k % 7,
+            sample_rate=(44100, 48000, 32000)[k % 3],
+            bitrate_kbps=(64, 96, 128, 160)[k % 4],
+            n_channels=1 + k % 2,
+            xing=k % 2 == 1,
+            id3_content=(50 + k % 37) if k % 5 == 0 else 0,
+        )
+    if c == 1:
+        from . import ogg
+
+        ch = 1 + (k // 2) % 2
+        if k % 2 == 0:
+            rate = (8000, 16000, 44100, 48000)[k % 4]
+            samples = 2000 + (k % 5) * 800
+            ident = ogg.write_vorbis_ident(ch, rate, (64 + (k % 9) * 16) * 1000)
+            n_data = 1 + k % 3
+            data = [
+                bytes(((k + i * 31 + j) % 256) for j in range(40))
+                for i in range(n_data)
+            ]
+            if k % 4 == 2:  # force the packet-continuation path
+                data[0] = bytes(((k + j) % 256) for j in range(600))
+            pages = [([ident], 0), ([b"\x03vorbis-comment-stub", b"\x05setup-stub"], 0)]
+            for i, d in enumerate(data):
+                last = i == n_data - 1
+                pages.append(([d], samples if last else samples * (i + 1) // n_data))
+            return ogg.write_ogg(pages, max_segs_per_page=2 if k % 4 == 2 else 255)
+        head = ogg.write_opus_head(ch, 312, 16000)
+        granule = 312 + 960 * (20 + k % 10)
+        return ogg.write_ogg(
+            [([head], 0), ([b"OpusTags-stub"], 0), ([bytes(20)], granule)]
+        )
+    return synth_wav_payload(4 * k)
+
+
+CONTAINER_META_SCHEMA = (
+    "container string, n_channels bigint, sample_rate bigint, "
+    "n_units bigint, duration_ms bigint, bitrate_kbps bigint"
+)
+
+
+def sniff_container_meta(payload: bytes) -> tuple:
+    """Magic-byte dispatch to the real container parsers: MP3 frame walk
+    (ID3-aware), Ogg page walk (Vorbis/Opus ident), RIFF/FLAC via
+    :func:`decode_audio`.  ``n_units`` is the container's natural unit —
+    MP3 audio frames, Ogg pages, WAV/FLAC sample frames.  Unknown magic
+    raises (crawl sniffing must route or fail, never guess)."""
+    if payload[:4] == b"OggS":
+        from . import ogg
+
+        m = ogg.parse_ogg_meta(payload)
+        return (
+            f"ogg-{m['codec']}", m["n_channels"], m["sample_rate"],
+            m["n_pages"], m["duration_ms"], m["bitrate_kbps"],
+        )
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from . import mpeg_audio
+
+        m = mpeg_audio.parse_mp3_meta(payload)
+        return (
+            "mp3", m["n_channels"], m["sample_rate"],
+            m["n_frames"], m["duration_ms"], m["bitrate_kbps"],
+        )
+    if payload[:4] in (b"RIFF", b"fLaC"):
+        ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
+        # PCM16 bit budget; the compressed-WAV tags carry their own rates
+        return ("wav", ch, rate, n_frames, duration_ms, rate * 16 * ch // 1000)
+    raise ValueError("container sniff: unrecognized magic bytes")
+
+
+def extract_container_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sniff_fn: Callable[[bytes], tuple] = sniff_container_meta,
+) -> DataFrame:
+    """Container-metadata extraction over Arrow ``mapInPandas`` batches —
+    the same distributed shape as :func:`extract_media_meta`, with the
+    REAL mp3/ogg/wav container layer instead of the fake decode."""
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, {CONTAINER_META_SCHEMA}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            metas = [sniff_fn(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                metas,
+                columns=[
+                    "container", "n_channels", "sample_rate",
+                    "n_units", "duration_ms", "bitrate_kbps",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return (
+        df.where(F.col(payload_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(fn, schema=schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL compressed-WAV codecs (numpy + struct, no external libs)
 # ---------------------------------------------------------------------------
@@ -1212,6 +1349,7 @@ def attach_synth_payload(
         "wav": synth_wav_payload,
         "gif": synth_gif_payload,
         "jpeg": synth_jpeg_payload,
+        "container": synth_container_payload,
     }[kind]
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, payload binary"

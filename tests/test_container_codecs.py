@@ -1,0 +1,221 @@
+"""MP3 / Ogg container layer (operators/mpeg_audio.py, operators/ogg.py).
+
+Writer/parser pairs are independent code paths over the public framing
+specs; these tests pin frame-length arithmetic against hand-computed
+values, exercise every strictness rejection, check the Ogg CRC against an
+independent bit-serial twin, and prove the synth fixture's closed-form
+oracle over its ENTIRE folded key space (the x_multimodal_meta gate in
+miniature, no Spark session needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from query_skyline_qos_flink_spark.operators import mpeg_audio as ma
+from query_skyline_qos_flink_spark.operators import multimodal as mm
+from query_skyline_qos_flink_spark.operators import ogg
+
+
+# ---------------------------------------------------------------- MP3 ----
+
+
+def test_frame_length_hand_computed():
+    # V1 L3 128 kbps @ 44100: floor(144*128000/44100) = 417 (+1 padded)
+    h = ma.parse_frame_header(bytes((0xFF, 0xFB, 0x90, 0xC0)))
+    assert (h["version"], h["layer"], h["bitrate_kbps"]) == ("1", 3, 128)
+    assert h["frame_length"] == 417 and h["samples_per_frame"] == 1152
+    padded = ma.parse_frame_header(bytes((0xFF, 0xFB, 0x92, 0xC0)))
+    assert padded["frame_length"] == 418
+    # MPEG2.5 L3 8 kbps @ 8000: 72*8000/8000 = 72 bytes, 576 samples
+    h25 = ma.parse_frame_header(bytes((0xFF, 0xE3, 0x18, 0xC0)))
+    assert (h25["version"], h25["sample_rate"]) == ("2.5", 8000)
+    assert h25["frame_length"] == 72 and h25["samples_per_frame"] == 576
+    # V1 L1 stereo 384 samples: (12*bitrate/sr + pad)*4
+    h1 = ma.parse_frame_header(bytes((0xFF, 0xFF, 0x90, 0x00)))
+    assert h1["layer"] == 1 and h1["samples_per_frame"] == 384
+    assert h1["frame_length"] == (12 * h1["bitrate_kbps"] * 1000 // 44100) * 4
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        bytes((0xFE, 0xFB, 0x90, 0xC0)),  # lost sync
+        bytes((0xFF, 0xEB, 0x90, 0xC0)),  # reserved version bits (01)
+        bytes((0xFF, 0xF9, 0x90, 0xC0)),  # reserved layer bits (00)
+        bytes((0xFF, 0xFB, 0x00, 0xC0)),  # free-format bitrate
+        bytes((0xFF, 0xFB, 0xF0, 0xC0)),  # invalid bitrate index 15
+        bytes((0xFF, 0xFB, 0x9C, 0xC0)),  # reserved sample-rate index
+        bytes((0xFF, 0xFB, 0x90)),  # truncated header
+    ],
+)
+def test_frame_header_rejections(bad):
+    with pytest.raises(ValueError):
+        ma.parse_frame_header(bad)
+
+
+@pytest.mark.parametrize("sr", [44100, 48000, 32000, 22050, 16000, 11025, 8000])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_mp3_write_parse_roundtrip(sr, ch):
+    br = 64 if sr >= 32000 else 32
+    b = ma.write_mp3(11, sr, br, ch, xing=sr % 3 == 0, id3_content=64)
+    m = ma.parse_mp3_meta(b)
+    spf = 1152 if sr >= 32000 else 576
+    assert m["n_frames"] == 11 and m["sample_rate"] == sr
+    assert m["n_channels"] == ch and m["bitrate_kbps"] == br
+    assert m["duration_ms"] == 11 * spf * 1000 // sr
+    assert m["has_id3v2"] and m["has_xing"] == (sr % 3 == 0) and not m["vbr"]
+    s = ma.decode_mp3_samples(b)
+    assert s.shape == (11 * spf, ch) and s.dtype == np.int16 and not s.any()
+
+
+def test_mp3_id3_and_trailing_strictness():
+    b = ma.write_mp3(5)
+    assert ma.parse_mp3_meta(b + b"TAG" + bytes(125))["n_frames"] == 5
+    with pytest.raises(ValueError, match="sync|truncated"):
+        ma.parse_mp3_meta(b + b"garbage!")
+    with pytest.raises(ValueError, match="truncated"):
+        ma.parse_mp3_meta(b[:-3])
+    with pytest.raises(ValueError, match="syncsafe"):
+        ma.parse_mp3_meta(b"ID3" + bytes((3, 0, 0, 0, 0, 0, 0x80)) + b)
+    with pytest.raises(ValueError, match="extends past"):
+        ma.parse_mp3_meta(b"ID3" + bytes((3, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F)) + b)
+    # ID3v2 footer flag adds 10 bytes to the skip
+    tag = bytearray(ma.write_id3v2(20))
+    tag[5] |= 0x10
+    assert ma.parse_mp3_meta(bytes(tag) + bytes(10) + b)["n_frames"] == 5
+
+
+def test_mp3_xing_crosscheck_and_param_change():
+    b = bytearray(ma.write_mp3(6, xing=True))
+    meta = ma.parse_mp3_meta(bytes(b))
+    assert meta["has_xing"] and meta["n_frames"] == 6
+    # tamper the Xing frame count -> walk disagrees -> reject
+    xo = 4 + 17 + 8  # header + V1-mono side info + 'Info'+flags
+    b[xo : xo + 4] = (7).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="Xing frame count"):
+        ma.parse_mp3_meta(bytes(b))
+    # mid-stream sample-rate change
+    with pytest.raises(ValueError, match="parameters changed"):
+        ma.parse_mp3_meta(ma.write_mp3(2, 44100) + ma.write_mp3(2, 48000))
+
+
+def test_mp3_spectral_data_is_the_declared_seam():
+    b = bytearray(ma.write_mp3(3))
+    # set a bit inside granule 0's part2_3_length (side-info bit 18+)
+    b[4 + 2] |= 0x20
+    with pytest.raises(NotImplementedError, match="decode_fn seam"):
+        ma.decode_mp3_samples(bytes(b))
+    # layer II: header parses and walks, sample decode is behind the seam
+    h = bytes((0xFF, 0xFD, 0x90, 0xC0))  # V1 L2 160 kbps @ 44100
+    frame = h + bytes(ma.parse_frame_header(h)["frame_length"] - 4)
+    assert ma.parse_mp3_meta(frame * 4)["n_frames"] == 4
+    with pytest.raises(NotImplementedError, match="layer I/II"):
+        ma.decode_mp3_samples(frame * 4)
+
+
+# ---------------------------------------------------------------- Ogg ----
+
+
+def test_ogg_crc_table_matches_bitserial_twin():
+    for n in (0, 1, 7, 26, 255, 1024):
+        d = bytes((i * 131 + n * 17) % 256 for i in range(n))
+        assert ogg.ogg_crc(d) == ogg.ogg_crc_bitserial(d)
+
+
+def test_ogg_page_roundtrip_lacing_edges():
+    pkts = [b"", b"x" * 255, b"y" * 510, b"tail"]  # empty + exact multiples
+    raw = ogg.write_ogg([(pkts, 123456789)])
+    pages = ogg.parse_ogg_pages(raw)
+    assert pages[0]["header_type"] & 0x02 and pages[-1]["header_type"] & 0x04
+    assert pages[-1]["granule"] == 123456789
+    assert ogg.reassemble_packets(pages) == pkts
+
+
+def test_ogg_continuation_across_pages():
+    big = bytes(i % 251 for i in range(600))
+    raw = ogg.write_ogg([([b"head"], 0), ([big, b"z"], 77)], max_segs_per_page=2)
+    pages = ogg.parse_ogg_pages(raw)
+    assert len(pages) == 3  # head page + 600B split over two pages
+    assert pages[2]["header_type"] & 0x01  # continuation flag
+    assert pages[1]["granule"] == -1  # completes no packet
+    assert ogg.reassemble_packets(pages) == [b"head", big, b"z"]
+
+
+def test_ogg_strictness_rejections():
+    raw = bytearray(ogg.write_ogg([([b"p1"], 5)]))
+    flipped = bytearray(raw)
+    flipped[-1] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        ogg.parse_ogg_pages(bytes(flipped))
+    with pytest.raises(ValueError, match="page sync"):
+        ogg.parse_ogg_pages(b"NotOggS" + bytes(raw))
+    with pytest.raises(ValueError, match="truncated"):
+        ogg.parse_ogg_pages(bytes(raw[:-1]))
+    vers = bytearray(raw)
+    vers[4] = 1
+    vers[22:26] = ogg.ogg_crc(bytes(vers[:22]) + bytes(4) + bytes(vers[26:])).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="version"):
+        ogg.parse_ogg_pages(bytes(vers))
+    # a stream that ends mid-packet must not reassemble
+    open_pkt = ogg.write_ogg([([bytes(600)], 9)], max_segs_per_page=2)
+    first_page_end = 27 + 2 + 510
+    with pytest.raises(ValueError, match="mid-packet"):
+        ogg.reassemble_packets(ogg.parse_ogg_pages(open_pkt[:first_page_end]))
+
+
+def test_vorbis_and_opus_ident_meta():
+    ident = ogg.write_vorbis_ident(2, 44100, 160000)
+    raw = ogg.write_ogg([([ident], 0), ([b"c", b"s"], 0), ([b"d"], 88200)])
+    m = ogg.parse_ogg_meta(raw)
+    assert m == {
+        "codec": "vorbis", "n_channels": 2, "sample_rate": 44100,
+        "n_pages": 3, "duration_ms": 2000, "bitrate_kbps": 160,
+    }
+    head = ogg.write_opus_head(1, 312, 8000)
+    raw2 = ogg.write_ogg([([head], 0), ([b"OpusTags"], 0), ([b"d"], 312 + 24000)])
+    m2 = ogg.parse_ogg_meta(raw2)
+    assert m2["codec"] == "opus" and m2["sample_rate"] == 48000
+    assert m2["duration_ms"] == 500 and m2["bitrate_kbps"] == 0
+    with pytest.raises(ValueError, match="unrecognized first packet"):
+        ogg.parse_ogg_meta(ogg.write_ogg([([b"\x01theora?"], 0)]))
+    # two concatenated single-page streams = two serials under one walk
+    two = ogg.write_ogg([([ident], 0)], serial=1) + ogg.write_ogg([([ident], 0)], serial=2)
+    with pytest.raises(ValueError, match="multiplexed"):
+        ogg.parse_ogg_meta(two)
+
+
+# ------------------------------------------------- fixture closed form ----
+
+
+def test_container_fixture_closed_form_full_key_space():
+    """Every key of the folded fixture space parses back to exactly the
+    integer formulas the x_multimodal_meta oracle states."""
+    for key in range(3780):
+        got = mm.sniff_container_meta(mm.synth_container_payload(key))
+        c, k = key % 3, key // 3
+        if c == 0:
+            sr = (44100, 48000, 32000)[k % 3]
+            n = 8 + k % 7
+            want = ("mp3", 1 + k % 2, sr, n, n * 1152 * 1000 // sr,
+                    (64, 96, 128, 160)[k % 4])
+        elif c == 1:
+            ch = 1 + (k // 2) % 2
+            if k % 2 == 0:
+                rate = (8000, 16000, 44100, 48000)[k % 4]
+                s = 2000 + (k % 5) * 800
+                want = ("ogg-vorbis", ch, rate,
+                        3 + k % 3 + (1 if k % 4 == 2 else 0),
+                        s * 1000 // rate, 64 + (k % 9) * 16)
+            else:
+                want = ("ogg-opus", ch, 48000, 3, 20 * (20 + k % 10), 0)
+        else:
+            n = 800 + ((4 * k) % 5) * 160
+            want = ("wav", 1, 8000, n, n // 8, 128)
+        assert got == want, (key, got, want)
+
+
+def test_sniff_unknown_magic_raises():
+    with pytest.raises(ValueError, match="unrecognized magic"):
+        mm.sniff_container_meta(b"\x89PNG\r\n\x1a\n not audio")
