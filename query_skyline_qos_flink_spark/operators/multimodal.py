@@ -942,31 +942,34 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
 
 @_lru_cache(maxsize=4096)
 def synth_container_payload(key: int) -> bytes:
-    """Audio CONTAINER fixture with closed-form truth — the crawl-side
-    sniff-and-route shape: ``key % 3`` rotates the container family and
-    every metadata field is an integer function of ``k = key // 3`` so
+    """A/V CONTAINER fixture with closed-form truth — the crawl-side
+    sniff-and-route shape: ``key % 4`` rotates the container family and
+    every metadata field is an integer function of ``k = key // 4`` so
     the x_multimodal_meta oracle states them without parsing anything.
 
     * class 0 — MP3 (operators/mpeg_audio.py): CBR Layer III silence,
-      MPEG version driven by the sample-rate class (44.1/48 kHz MPEG-1,
-      32 kHz MPEG-1 third class), ``1 + k%2`` channels, bitrate
-      ``[64,96,128,160][k%4]`` kbps, ``8 + k%7`` audio frames; odd ``k``
-      prepends the CBR 'Info' (Xing) metadata frame, ``k%5 == 0`` a
-      leading ID3v2 tag of ``50 + k%37`` content bytes.
+      sample rate ``[44100,48000,32000][k%3]`` (all MPEG-1), ``1 + k%2``
+      channels, bitrate ``[64,96,128,160][k%4]`` kbps, ``8 + k%7`` audio
+      frames; odd ``k`` prepends the CBR 'Info' (Xing) metadata frame,
+      ``k%5 == 0`` a leading ID3v2 tag of ``50 + k%37`` content bytes.
     * class 1 — Ogg (operators/ogg.py): even ``k`` Vorbis (ident header
       rate ``[8000,16000,44100,48000][k%4]``, nominal bitrate
-      ``64 + (k%9)*16`` kbps, terminal granule ``2000 + (k%5)*800``
+      ``64 + (k%5)*16`` kbps, terminal granule ``2000 + (k%5)*800``
       samples, ``1 + k%3`` data pages; ``k%4 == 2`` makes the first data
       packet 600 bytes laced at 2 segments/page to force a continued
       page), odd ``k`` Opus (OpusHead, pre-skip 312, ``20 + k%10``
       20 ms frames at the canonical 48 kHz).
     * class 2 — PCM16 WAV: :func:`synth_wav_payload` with key ``4*k``
       (forces the PCM variant of its ``%4`` codec rotation).
+    * class 3 — MP4 (operators/mp4.py): ``1 + k%3`` alternating
+      vide/soun tracks (video-first iff ``(k//2)%2 == 0``), movie
+      timescale 600 (even ``k``, mvhd v0) or 90000 (odd ``k``, mvhd v1),
+      duration ``(2 + k%5) * timescale + k%7`` units.
 
-    Every output-relevant period divides ``lcm(2,3,4,5,7,9,10) = 1260``,
-    so callers fold ids with ``key_mod = 3 * 1260 = 3780`` and the
-    lru_cache covers the whole payload space."""
-    c, k = key % 3, key // 3
+    Every output-relevant period divides ``lcm(2,3,4,5,7,10) = 420``, so
+    callers fold ids with ``key_mod = 4 * 420 = 1680`` and the lru_cache
+    covers the whole payload space."""
+    c, k = key % 4, key // 4
     if c == 0:
         from . import mpeg_audio
 
@@ -985,7 +988,7 @@ def synth_container_payload(key: int) -> bytes:
         if k % 2 == 0:
             rate = (8000, 16000, 44100, 48000)[k % 4]
             samples = 2000 + (k % 5) * 800
-            ident = ogg.write_vorbis_ident(ch, rate, (64 + (k % 9) * 16) * 1000)
+            ident = ogg.write_vorbis_ident(ch, rate, (64 + (k % 5) * 16) * 1000)
             n_data = 1 + k % 3
             data = [
                 bytes(((k + i * 31 + j) % 256) for j in range(40))
@@ -1003,7 +1006,18 @@ def synth_container_payload(key: int) -> bytes:
         return ogg.write_ogg(
             [([head], 0), ([b"OpusTags-stub"], 0), ([bytes(20)], granule)]
         )
-    return synth_wav_payload(4 * k)
+    if c == 2:
+        return synth_wav_payload(4 * k)
+    from . import mp4
+
+    ts = 600 if k % 2 == 0 else 90000
+    return mp4.write_mp4(
+        n_tracks=1 + k % 3,
+        timescale=ts,
+        duration_units=(2 + k % 5) * ts + k % 7,
+        first_video=(k // 2) % 2 == 0,
+        mvhd_v1=k % 2 == 1,
+    )
 
 
 CONTAINER_META_SCHEMA = (
@@ -1014,10 +1028,21 @@ CONTAINER_META_SCHEMA = (
 
 def sniff_container_meta(payload: bytes) -> tuple:
     """Magic-byte dispatch to the real container parsers: MP3 frame walk
-    (ID3-aware), Ogg page walk (Vorbis/Opus ident), RIFF/FLAC via
-    :func:`decode_audio`.  ``n_units`` is the container's natural unit —
-    MP3 audio frames, Ogg pages, WAV/FLAC sample frames.  Unknown magic
-    raises (crawl sniffing must route or fail, never guess)."""
+    (ID3-aware), Ogg page walk (Vorbis/Opus ident), ISO-BMFF box walk,
+    RIFF/FLAC via :func:`decode_audio`.  The shared columns carry each
+    container's natural semantics (documented per family): ``n_units`` is
+    MP3 audio frames / Ogg pages / WAV sample frames / MP4 tracks;
+    for MP4 ``n_channels`` is the audio-track count and ``sample_rate``
+    the movie timescale.  Unknown magic raises (crawl sniffing must
+    route or fail, never guess)."""
+    if payload[4:8] == b"ftyp":
+        from . import mp4
+
+        m = mp4.parse_mp4_meta(payload)
+        return (
+            "mp4", m["n_audio"], m["timescale"],
+            m["n_tracks"], m["duration_ms"], 0,
+        )
     if payload[:4] == b"OggS":
         from . import ogg
 

@@ -101,6 +101,24 @@ def test_mp3_xing_crosscheck_and_param_change():
         ma.parse_mp3_meta(ma.write_mp3(2, 44100) + ma.write_mp3(2, 48000))
 
 
+def test_mp3_crc_protected_frames_parse_and_decode():
+    """protection bit 0 (CRC-16 present) shifts the side info by 2 bytes;
+    the walk, Xing offset and silence decode must all honor it.  The CRC
+    value itself is skipped, not verified — a wrong local CRC model would
+    reject valid real-world files, the one thing a strict sniffer must
+    never do."""
+    plain = ma.write_mp3(4)
+    hdr = bytearray(plain[:4])
+    hdr[1] &= 0xFE  # protection_bit = 0 -> CRC present
+    flen = ma.parse_frame_header(bytes(hdr))["frame_length"]
+    assert flen == len(plain) // 4  # frame length excludes nothing: CRC is inside
+    frame = bytes(hdr) + b"\xAB\xCD" + bytes(flen - 6)  # crc + side + stuffing
+    m = ma.parse_mp3_meta(frame * 4)
+    assert m["n_frames"] == 4 and m["sample_rate"] == 44100
+    s = ma.decode_mp3_samples(frame * 4)
+    assert s.shape == (4 * 1152, 1) and not s.any()
+
+
 def test_mp3_spectral_data_is_the_declared_seam():
     b = bytearray(ma.write_mp3(3))
     # set a bit inside granule 0's part2_3_length (side-info bit 18+)
@@ -186,15 +204,54 @@ def test_vorbis_and_opus_ident_meta():
         ogg.parse_ogg_meta(two)
 
 
+# ---------------------------------------------------------------- MP4 ----
+
+
+from query_skyline_qos_flink_spark.operators import mp4  # noqa: E402
+
+
+@pytest.mark.parametrize("mvhd_v1", [False, True])
+@pytest.mark.parametrize("nt", [1, 2, 3, 5])
+def test_mp4_write_parse_roundtrip(nt, mvhd_v1):
+    ts = 90000 if mvhd_v1 else 600
+    b = mp4.write_mp4(nt, ts, ts * 3 + 17, first_video=nt % 2 == 0, mvhd_v1=mvhd_v1)
+    m = mp4.parse_mp4_meta(b)
+    nv = sum(1 for i in range(nt) if (i % 2 == 0) == (nt % 2 == 0))
+    assert m["brand"] == "isom" and m["n_tracks"] == nt
+    assert (m["n_video"], m["n_audio"]) == (nv, nt - nv)
+    assert m["timescale"] == ts and m["duration_ms"] == (ts * 3 + 17) * 1000 // ts
+
+
+def test_mp4_strictness_and_unknown_box_skip():
+    b = mp4.write_mp4(2, 1000, 5000)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4_meta(b[:-5])  # truncated trailing box
+    with pytest.raises(ValueError, match="missing ftyp"):
+        mp4.parse_mp4_meta(b[20:])  # clean strip of the 20-byte ftyp box
+    with pytest.raises(ValueError):
+        mp4.parse_mp4_meta(b[:30])  # moov gone
+    # oversized inner box: size field escapes its container
+    evil = bytearray(b)
+    moov_at = b.find(b"moov") - 4
+    evil[moov_at : moov_at + 4] = (len(b) + 50).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="out of bounds"):
+        mp4.parse_mp4_meta(bytes(evil))
+    # unknown top-level and unknown moov-child boxes are skipped by size
+    # (the format's own forward-compat rule), incl. a largesize escape
+    free = (12).to_bytes(4, "big") + b"free" + bytes(4)
+    large = (1).to_bytes(4, "big") + b"skip" + (20).to_bytes(8, "big") + bytes(4)
+    assert mp4.parse_mp4_meta(b + free + large)["n_tracks"] == 2
+
+
 # ------------------------------------------------- fixture closed form ----
 
 
 def test_container_fixture_closed_form_full_key_space():
     """Every key of the folded fixture space parses back to exactly the
     integer formulas the x_multimodal_meta oracle states."""
-    for key in range(3780):
+    for key in range(1680):
         got = mm.sniff_container_meta(mm.synth_container_payload(key))
-        c, k = key % 3, key // 3
+        c, k = key % 4, key // 4
         if c == 0:
             sr = (44100, 48000, 32000)[k % 3]
             n = 8 + k % 7
@@ -207,12 +264,19 @@ def test_container_fixture_closed_form_full_key_space():
                 s = 2000 + (k % 5) * 800
                 want = ("ogg-vorbis", ch, rate,
                         3 + k % 3 + (1 if k % 4 == 2 else 0),
-                        s * 1000 // rate, 64 + (k % 9) * 16)
+                        s * 1000 // rate, 64 + (k % 5) * 16)
             else:
                 want = ("ogg-opus", ch, 48000, 3, 20 * (20 + k % 10), 0)
-        else:
+        elif c == 2:
             n = 800 + ((4 * k) % 5) * 160
             want = ("wav", 1, 8000, n, n // 8, 128)
+        else:
+            nt = 1 + k % 3
+            fv = (k // 2) % 2 == 0
+            n_audio = nt // 2 if fv else (nt + 1) // 2
+            ts = 600 if k % 2 == 0 else 90000
+            dur = ((2 + k % 5) * ts + k % 7) * 1000 // ts
+            want = ("mp4", n_audio, ts, nt, dur, 0)
         assert got == want, (key, got, want)
 
 
