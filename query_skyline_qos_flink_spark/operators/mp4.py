@@ -55,13 +55,15 @@ def _find(b: bytes, start: int, end: int, btype: bytes):
     return None
 
 
-def _fullbox(b: bytes, s: int):
-    """(version, body_offset) of a full box starting at payload ``s``."""
+def _fullbox(b: bytes, s: int, e: int):
+    """(version, body_offset) of a full box spanning ``[s, e)``."""
+    if s + 4 > e:
+        raise ValueError("mp4: truncated full-box version/flags")
     return b[s], s + 4
 
 
 def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
-    ver, o = _fullbox(b, s)
+    ver, o = _fullbox(b, s, e)
     if ver == 1:
         if o + 28 > e:
             raise ValueError("mp4: truncated mvhd v1")

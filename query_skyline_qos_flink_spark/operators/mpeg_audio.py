@@ -206,18 +206,11 @@ def write_mp3(
     return bytes(out)
 
 
-def parse_mp3_meta(b: bytes) -> dict:
-    """Walk every frame of an MP3 payload and return its exact metadata:
-
-    ``version layer sample_rate n_channels bitrate_kbps n_frames
-    duration_ms vbr has_id3v2 has_xing``
-
-    ``n_frames``/``duration_ms`` count AUDIO frames only (a leading
-    Xing/Info metadata frame is excluded, and its frame-count field is
-    cross-checked against the walk when present).  ``bitrate_kbps`` is
-    the header bitrate of the first audio frame.  A trailing 128-byte
-    ID3v1 tag is tolerated; any other trailing or interleaved garbage,
-    truncation, or mid-stream version/layer/sample-rate change raises."""
+def _walk(b: bytes):
+    """Shared frame walk for meta and decode (one copy of the tag-trim
+    and consistency rules): returns ``(meta, audio_frames)`` where
+    ``audio_frames`` is the list of ``(offset, header)`` EXCLUDING a
+    leading Xing/Info metadata frame."""
     off = skip_id3v2(b)
     has_id3v2 = off > 0
     end = len(b)
@@ -260,7 +253,7 @@ def parse_mp3_meta(b: bytes) -> dict:
             f"mp3: Xing frame count {xing_frames} != walked {len(audio)}"
         )
     spf = first["samples_per_frame"]
-    return {
+    meta = {
         "version": first["version"],
         "layer": first["layer"],
         "sample_rate": first["sample_rate"],
@@ -272,6 +265,22 @@ def parse_mp3_meta(b: bytes) -> dict:
         "has_id3v2": has_id3v2,
         "has_xing": has_xing,
     }
+    return meta, audio
+
+
+def parse_mp3_meta(b: bytes) -> dict:
+    """Walk every frame of an MP3 payload and return its exact metadata:
+
+    ``version layer sample_rate n_channels bitrate_kbps n_frames
+    duration_ms vbr has_id3v2 has_xing``
+
+    ``n_frames``/``duration_ms`` count AUDIO frames only (a leading
+    Xing/Info metadata frame is excluded, and its frame-count field is
+    cross-checked against the walk when present).  ``bitrate_kbps`` is
+    the header bitrate of the first audio frame.  A trailing 128-byte
+    ID3v1 tag is tolerated; any other trailing or interleaved garbage,
+    truncation, or mid-stream version/layer/sample-rate change raises."""
+    return _walk(b)[0]
 
 
 class _BitReader:
@@ -320,30 +329,18 @@ def decode_mp3_samples(b: bytes):
     ``NotImplementedError`` naming the seam — never a guessed waveform."""
     import numpy as np
 
-    meta = parse_mp3_meta(b)
+    meta, audio = _walk(b)
     if meta["layer"] != 3:
         raise NotImplementedError(
             "mpeg audio: layer I/II subband decode is behind the decode_fn "
             "seam (COVERAGE.md 'Beyond the reference')"
         )
-    off = skip_id3v2(b)
-    end = len(b)
-    if end - off >= 128 and b[end - 128 : end - 125] == b"TAG":
-        end -= 128
-    n_audio, skipped_meta = 0, False
-    while off < end:
-        hdr = parse_frame_header(b, off)
-        xo = off + _xing_offset(hdr)
-        if not skipped_meta and n_audio == 0 and b[xo : xo + 4] in _XING_TAGS:
-            skipped_meta = True
-        else:
-            if any(_granule_spectral_bits(b, off, hdr)):
-                raise NotImplementedError(
-                    "mp3: spectral data present — Huffman/IMDCT/synthesis is "
-                    "the declared decode_fn seam (no conformance target in "
-                    "this sandbox to validate the ISO tables against)"
-                )
-            n_audio += 1
-        off += hdr["frame_length"]
+    for off, hdr in audio:
+        if any(_granule_spectral_bits(b, off, hdr)):
+            raise NotImplementedError(
+                "mp3: spectral data present — Huffman/IMDCT/synthesis is "
+                "the declared decode_fn seam (no conformance target in "
+                "this sandbox to validate the ISO tables against)"
+            )
     spf = _samples_per_frame(meta["version"], 3)
-    return np.zeros((n_audio * spf, meta["n_channels"]), dtype=np.int16)
+    return np.zeros((meta["n_frames"] * spf, meta["n_channels"]), dtype=np.int16)

@@ -1031,10 +1031,11 @@ def sniff_container_meta(payload: bytes) -> tuple:
     (ID3-aware), Ogg page walk (Vorbis/Opus ident), ISO-BMFF box walk,
     RIFF/FLAC via :func:`decode_audio`.  The shared columns carry each
     container's natural semantics (documented per family): ``n_units`` is
-    MP3 audio frames / Ogg pages / WAV sample frames / MP4 tracks;
+    MP3 audio frames / Ogg pages / WAV+FLAC sample frames / MP4 tracks;
     for MP4 ``n_channels`` is the audio-track count and ``sample_rate``
-    the movie timescale.  Unknown magic raises (crawl sniffing must
-    route or fail, never guess)."""
+    the movie timescale; ``bitrate_kbps`` is the fmt byte-rate for WAV
+    and 0 for the VBR containers (FLAC/MP4).  Unknown magic raises
+    (crawl sniffing must route or fail, never guess)."""
     if payload[4:8] == b"ftyp":
         from . import mp4
 
@@ -1061,11 +1062,33 @@ def sniff_container_meta(payload: bytes) -> tuple:
             "mp3", m["n_channels"], m["sample_rate"],
             m["n_frames"], m["duration_ms"], m["bitrate_kbps"],
         )
-    if payload[:4] in (b"RIFF", b"fLaC"):
+    if payload[:4] == b"fLaC":
         ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
-        # PCM16 bit budget; the compressed-WAV tags carry their own rates
-        return ("wav", ch, rate, n_frames, duration_ms, rate * 16 * ch // 1000)
+        # lossless VBR: no fixed stream bitrate to report
+        return ("flac", ch, rate, n_frames, duration_ms, 0)
+    if payload[:4] == b"RIFF":
+        ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
+        # true stream bitrate from the fmt chunk's byte-rate field (exact
+        # for PCM and G.711; what a router budgets transfer on)
+        byte_rate = _riff_fmt_byte_rate(payload)
+        return ("wav", ch, rate, n_frames, duration_ms, byte_rate * 8 // 1000)
     raise ValueError("container sniff: unrecognized magic bytes")
+
+
+def _riff_fmt_byte_rate(payload: bytes) -> int:
+    """avg-bytes-per-second from the RIFF fmt chunk (offset 8 within it)."""
+    import struct as _struct
+
+    off, end = 12, len(payload)  # past 'RIFF'<size>'WAVE'
+    while off + 8 <= end:
+        cid = payload[off : off + 4]
+        size = _struct.unpack_from("<I", payload, off + 4)[0]
+        if cid == b"fmt ":
+            if size < 16 or off + 8 + 16 > end:
+                raise ValueError("wav: truncated fmt chunk")
+            return _struct.unpack_from("<I", payload, off + 16)[0]
+        off += 8 + size + (size & 1)
+    raise ValueError("wav: missing fmt chunk")
 
 
 def extract_container_meta(

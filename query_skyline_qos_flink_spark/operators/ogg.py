@@ -120,8 +120,9 @@ def write_ogg(
                 htype |= 0x02  # BOS
             if pi == n_pages_meta - 1 and ci == len(chunks) - 1:
                 htype |= 0x04  # EOS
-            # RFC 3533: a page that completes no packet stores granule -1
-            ends_packet = bool(lc) and lc[-1] < 255
+            # RFC 3533: a page that completes no packet stores granule -1;
+            # ANY sub-255 lacing value means some packet ended on this page
+            ends_packet = any(lv < 255 for lv in lc)
             g = granule if (ci == len(chunks) - 1 or ends_packet) else -1
             out += _page(htype, g, serial, seq, sg, lc)
             seq += 1
@@ -231,6 +232,13 @@ def parse_ogg_meta(b: bytes) -> dict:
         raise ValueError("ogg: multiplexed streams not supported here")
     if not pages[0]["header_type"] & 0x02 or not pages[-1]["header_type"] & 0x04:
         raise ValueError("ogg: missing BOS/EOS flags")
+    # page sequence must be 0..n-1: catches dropped pages AND same-serial
+    # chained streams (both pass CRC/lacing but misreport duration/pages)
+    for i, pg in enumerate(pages):
+        if pg["seq"] != i:
+            raise ValueError(
+                f"ogg: page sequence broken at index {i} (seq {pg['seq']})"
+            )
     first = reassemble_packets(pages[:1])
     if not first:
         raise ValueError("ogg: BOS page carries no complete packet")

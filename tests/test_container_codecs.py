@@ -283,3 +283,63 @@ def test_container_fixture_closed_form_full_key_space():
 def test_sniff_unknown_magic_raises():
     with pytest.raises(ValueError, match="unrecognized magic"):
         mm.sniff_container_meta(b"\x89PNG\r\n\x1a\n not audio")
+
+
+# -------------------------------------------- review-pass regressions ----
+
+
+def test_ogg_rejects_chained_and_gapped_streams():
+    """Round-12 review: same-serial chained streams and dropped pages pass
+    CRC/lacing but break the 0..n-1 page sequence — both must raise, not
+    sniff as valid-but-shorter audio."""
+    ident = ogg.write_vorbis_ident(1, 48000, 0)
+    one = ogg.write_ogg([([ident], 0), ([b"d"], 48000)], serial=7)
+    with pytest.raises(ValueError, match="sequence"):
+        ogg.parse_ogg_meta(one + one)  # chained: seq restarts at 0
+    three = ogg.write_ogg([([ident], 0), ([b"c"], 0), ([b"d"], 48000)], serial=7)
+    pages = ogg.parse_ogg_pages(three)
+    # drop the middle page (packet-aligned, CRC-intact)
+    start1 = three.find(b"OggS", 4)
+    start2 = three.find(b"OggS", start1 + 4)
+    with pytest.raises(ValueError, match="sequence"):
+        ogg.parse_ogg_meta(three[:start1] + three[start2:])
+    assert [p["seq"] for p in pages] == [0, 1, 2]
+
+
+def test_ogg_spill_page_granule_when_it_completes_a_packet():
+    """Round-12 review: a spilled page whose FIRST lacing closes an
+    earlier packet completes that packet, so it must carry the granule,
+    not -1 (RFC 3533)."""
+    raw = ogg.write_ogg([([b"a" * 10, b"x" * 600], 100)], max_segs_per_page=2)
+    pages = ogg.parse_ogg_pages(raw)
+    # lacing [10,255],[255,90]: page 0 completes packet 'a'
+    assert pages[0]["granule"] == 100
+    assert ogg.reassemble_packets(pages) == [b"a" * 10, b"x" * 600]
+
+
+def test_mp4_empty_mvhd_payload_is_valueerror():
+    b = mp4.write_mp4(1, 1000, 5000)
+    moov_payload = b.find(b"moov") + 4
+    evil = bytearray(b)
+    # shrink mvhd to an 8-byte (empty-payload) box and pad its old body
+    # with a free box so moov still tiles
+    old_size = int.from_bytes(b[moov_payload : moov_payload + 4], "big")
+    evil[moov_payload : moov_payload + 4] = (8).to_bytes(4, "big")
+    fill = old_size - 8
+    evil[moov_payload + 8 : moov_payload + old_size] = (
+        fill.to_bytes(4, "big") + b"free" + bytes(fill - 8)
+    )
+    with pytest.raises(ValueError, match="truncated full-box|truncated mvhd"):
+        mp4.parse_mp4_meta(bytes(evil))
+
+
+def test_sniff_flac_identity_and_g711_bitrate():
+    """Round-12 review: FLAC must route as 'flac' (bitrate 0, VBR), and a
+    G.711 WAV must report its true 64 kbps byte-rate, not a PCM16 one."""
+    flac_payload = mm.synth_wav_payload(3)  # variant 3 = FLAC
+    got = mm.sniff_container_meta(flac_payload)
+    assert got[0] == "flac" and got[5] == 0
+    assert got[1:5] == (1, 8000, 800 + (3 % 5) * 160, (800 + 480) // 8)
+    mulaw = mm.synth_wav_payload(5)  # variant 1 = G.711 mu-law, 8-bit
+    got2 = mm.sniff_container_meta(mulaw)
+    assert got2[0] == "wav" and got2[5] == 64
