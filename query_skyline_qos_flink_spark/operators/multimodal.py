@@ -943,8 +943,8 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
 @_lru_cache(maxsize=4096)
 def synth_container_payload(key: int) -> bytes:
     """A/V CONTAINER fixture with closed-form truth — the crawl-side
-    sniff-and-route shape: ``key % 4`` rotates the container family and
-    every metadata field is an integer function of ``k = key // 4`` so
+    sniff-and-route shape: ``key % 5`` rotates the container family and
+    every metadata field is an integer function of ``k = key // 5`` so
     the x_multimodal_meta oracle states them without parsing anything.
 
     * class 0 — MP3 (operators/mpeg_audio.py): CBR Layer III silence,
@@ -965,11 +965,16 @@ def synth_container_payload(key: int) -> bytes:
       vide/soun tracks (video-first iff ``(k//2)%2 == 0``), movie
       timescale 600 (even ``k``, mvhd v0) or 90000 (odd ``k``, mvhd v1),
       duration ``(2 + k%5) * timescale + k%7`` units.
+    * class 4 — WebM (operators/webm.py): ``1 + k%3`` alternating
+      video/audio TrackEntries (video-first iff ``(k//2)%2 == 0``),
+      Duration ``1500 + (k%7)*500`` ms at the default 1e6 ns
+      TimestampScale; odd ``k`` writes the Segment with the all-ones
+      unknown-size escape (the live-muxed real-world shape).
 
     Every output-relevant period divides ``lcm(2,3,4,5,7,10) = 420``, so
-    callers fold ids with ``key_mod = 4 * 420 = 1680`` and the lru_cache
+    callers fold ids with ``key_mod = 5 * 420 = 2100`` and the lru_cache
     covers the whole payload space."""
-    c, k = key % 4, key // 4
+    c, k = key % 5, key // 5
     if c == 0:
         from . import mpeg_audio
 
@@ -1008,15 +1013,24 @@ def synth_container_payload(key: int) -> bytes:
         )
     if c == 2:
         return synth_wav_payload(4 * k)
-    from . import mp4
+    if c == 3:
+        from . import mp4
 
-    ts = 600 if k % 2 == 0 else 90000
-    return mp4.write_mp4(
+        ts = 600 if k % 2 == 0 else 90000
+        return mp4.write_mp4(
+            n_tracks=1 + k % 3,
+            timescale=ts,
+            duration_units=(2 + k % 5) * ts + k % 7,
+            first_video=(k // 2) % 2 == 0,
+            mvhd_v1=k % 2 == 1,
+        )
+    from . import webm
+
+    return webm.write_webm(
         n_tracks=1 + k % 3,
-        timescale=ts,
-        duration_units=(2 + k % 5) * ts + k % 7,
+        duration_ms=1500 + (k % 7) * 500,
         first_video=(k // 2) % 2 == 0,
-        mvhd_v1=k % 2 == 1,
+        unknown_segment_size=k % 2 == 1,
     )
 
 
@@ -1042,6 +1056,14 @@ def sniff_container_meta(payload: bytes) -> tuple:
         m = mp4.parse_mp4_meta(payload)
         return (
             "mp4", m["n_audio"], m["timescale"],
+            m["n_tracks"], m["duration_ms"], 0,
+        )
+    if payload[:4] == b"\x1aE\xdf\xa3":  # EBML header magic
+        from . import webm
+
+        m = webm.parse_webm_meta(payload)
+        return (
+            m["doctype"], m["n_audio"], m["timescale_ns"],
             m["n_tracks"], m["duration_ms"], 0,
         )
     if payload[:4] == b"OggS":

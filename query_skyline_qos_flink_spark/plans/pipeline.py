@@ -558,18 +558,21 @@ def x_ann_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_multimodal_meta",
     """
-WITH m AS (SELECT doc_id, doc_id % 4 AS c, (doc_id % 1680) // 4 AS k FROM documents)
+WITH m AS (SELECT doc_id, doc_id % 5 AS c, (doc_id % 2100) // 5 AS k FROM documents)
 SELECT doc_id,
-  CASE c WHEN 0 THEN 'mp3' WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
+  CASE c WHEN 0 THEN 'mp3' WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' WHEN 4 THEN 'webm'
        ELSE CASE WHEN k % 2 = 0 THEN 'ogg-vorbis' ELSE 'ogg-opus' END END AS container,
   CAST(CASE c WHEN 0 THEN 1 + k % 2 WHEN 2 THEN 1
        WHEN 3 THEN CASE WHEN (k // 2) % 2 = 0
+                   THEN (1 + k % 3) // 2 ELSE (2 + k % 3) // 2 END
+       WHEN 4 THEN CASE WHEN (k // 2) % 2 = 0
                    THEN (1 + k % 3) // 2 ELSE (2 + k % 3) // 2 END
        ELSE 1 + (k // 2) % 2 END AS BIGINT) AS n_channels,
   CAST(CASE c
        WHEN 0 THEN CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
        WHEN 2 THEN 8000
        WHEN 3 THEN CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END
+       WHEN 4 THEN 1000000
        ELSE CASE WHEN k % 2 = 1 THEN 48000 ELSE
             CASE k % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END
        END END AS BIGINT) AS sample_rate,
@@ -577,6 +580,7 @@ SELECT doc_id,
        WHEN 0 THEN 8 + k % 7
        WHEN 2 THEN 800 + ((4 * k) % 5) * 160
        WHEN 3 THEN 1 + k % 3
+       WHEN 4 THEN 1 + k % 3
        ELSE CASE WHEN k % 2 = 1 THEN 3
             ELSE 3 + k % 3 + CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END END
        END AS BIGINT) AS n_units,
@@ -586,6 +590,7 @@ SELECT doc_id,
        WHEN 2 THEN (800 + ((4 * k) % 5) * 160) // 8
        WHEN 3 THEN ((2 + k % 5) * CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END + k % 7)
             * 1000 // CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END
+       WHEN 4 THEN 1500 + (k % 7) * 500
        ELSE CASE WHEN k % 2 = 1 THEN 20 * (20 + k % 10)
             ELSE (2000 + (k % 5) * 800) * 1000 //
                  CASE k % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END
@@ -594,20 +599,24 @@ SELECT doc_id,
        WHEN 0 THEN CASE k % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128 ELSE 160 END
        WHEN 2 THEN 128
        WHEN 3 THEN 0
+       WHEN 4 THEN 0
        ELSE CASE WHEN k % 2 = 1 THEN 0 ELSE 64 + (k % 5) * 16 END
        END AS BIGINT) AS bitrate_kbps
 FROM m
 """.strip(),
     doc="Multimodal container sniffing through the REAL container "
     "parsers — the crawl-side route/filter/measure step that needs no "
-    "sample decode: payload class rotates doc_id % 4 across MP3 (CBR "
+    "sample decode: payload class rotates doc_id % 5 across MP3 (CBR "
     "Layer III frame walk with ID3v2 skip and Xing/Info cross-check, "
     "operators/mpeg_audio.py), Ogg (CRC-verified page walk, packet "
     "reassembly incl. a forced continued-page class, Vorbis ident / "
     "OpusHead headers with granule-exact durations, operators/ogg.py), "
-    "PCM16 WAV (RIFF via the real decode_audio path) and MP4 (ISO-BMFF "
+    "PCM16 WAV (RIFF via the real decode_audio path), MP4 (ISO-BMFF "
     "box walk: ftyp brand, mvhd v0/v1 timescale-exact duration, "
-    "per-trak hdlr kinds, operators/mp4.py); emits codec identity, "
+    "per-trak hdlr kinds, operators/mp4.py) and WebM (EBML varint "
+    "element walk incl. the unknown-size Segment escape, float "
+    "Duration, TrackEntry kinds, operators/webm.py); emits codec "
+    "identity, "
     "channels, rate, native unit count, duration and bitrate, every "
     "field pinned closed-form by the oracle from the synth formulas. "
     "The sample/spectral decode behind these containers stays the "
@@ -619,7 +628,7 @@ FROM m
 )
 def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
-    pay = multimodal.attach_synth_payload(d, "container", key_mod=1680)
+    pay = multimodal.attach_synth_payload(d, "container", key_mod=2100)
     return multimodal.extract_container_meta(pay)
 
 

@@ -243,15 +243,50 @@ def test_mp4_strictness_and_unknown_box_skip():
     assert mp4.parse_mp4_meta(b + free + large)["n_tracks"] == 2
 
 
+# --------------------------------------------------------------- WebM ----
+
+
+from query_skyline_qos_flink_spark.operators import webm  # noqa: E402
+
+
+@pytest.mark.parametrize("unknown_size", [False, True])
+@pytest.mark.parametrize("nt", [1, 2, 3, 4])
+def test_webm_write_parse_roundtrip(nt, unknown_size):
+    b = webm.write_webm(nt, 2500 + nt * 7, first_video=nt % 2 == 0,
+                        unknown_segment_size=unknown_size)
+    m = webm.parse_webm_meta(b)
+    nv = sum(1 for i in range(nt) if (i % 2 == 0) == (nt % 2 == 0))
+    assert m["doctype"] == "webm" and m["n_tracks"] == nt
+    assert (m["n_video"], m["n_audio"]) == (nv, nt - nv)
+    assert m["duration_ms"] == 2500 + nt * 7 and m["timescale_ns"] == 1_000_000
+
+
+def test_webm_strictness_and_unknown_element_skip():
+    b = webm.write_webm(2, 100)
+    with pytest.raises(ValueError):
+        webm.parse_webm_meta(b[:-3])  # element overruns its parent
+    with pytest.raises(ValueError, match="missing EBML header"):
+        webm.parse_webm_meta(b[12:])  # clean strip of the 12-byte header elem
+    with pytest.raises(ValueError):
+        webm.parse_webm_meta(b[10:])  # mid-element cut: still rejected
+    with pytest.raises(ValueError, match="invalid varint"):
+        webm.parse_webm_meta(b"\x00\x01\x02")
+    # a Void (0xEC) element after the Segment is skipped by size
+    void = bytes([0xEC, 0x84]) + bytes(4)
+    assert webm.parse_webm_meta(b + void)["n_tracks"] == 2
+    # the all-ones SIZE escape at width 1 must read as unknown, not 127
+    # (exercised structurally by the unknown-size Segment roundtrip above)
+
+
 # ------------------------------------------------- fixture closed form ----
 
 
 def test_container_fixture_closed_form_full_key_space():
     """Every key of the folded fixture space parses back to exactly the
     integer formulas the x_multimodal_meta oracle states."""
-    for key in range(1680):
+    for key in range(2100):
         got = mm.sniff_container_meta(mm.synth_container_payload(key))
-        c, k = key % 4, key // 4
+        c, k = key % 5, key // 5
         if c == 0:
             sr = (44100, 48000, 32000)[k % 3]
             n = 8 + k % 7
@@ -270,13 +305,18 @@ def test_container_fixture_closed_form_full_key_space():
         elif c == 2:
             n = 800 + ((4 * k) % 5) * 160
             want = ("wav", 1, 8000, n, n // 8, 128)
-        else:
+        elif c == 3:
             nt = 1 + k % 3
             fv = (k // 2) % 2 == 0
             n_audio = nt // 2 if fv else (nt + 1) // 2
             ts = 600 if k % 2 == 0 else 90000
             dur = ((2 + k % 5) * ts + k % 7) * 1000 // ts
             want = ("mp4", n_audio, ts, nt, dur, 0)
+        else:
+            nt = 1 + k % 3
+            fv = (k // 2) % 2 == 0
+            n_audio = nt // 2 if fv else (nt + 1) // 2
+            want = ("webm", n_audio, 1_000_000, nt, 1500 + (k % 7) * 500, 0)
         assert got == want, (key, got, want)
 
 
