@@ -1,0 +1,97 @@
+"""WARC source (sources/warc.py): record layer + Spark scan.
+
+The writer and parser are independent paths over the public ISO 28500
+framing; the Spark test drives the binaryFile → mapInPandas explosion
+end to end on a deterministic two-file fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from query_skyline_qos_flink_spark.sources import warc
+
+
+def _rec(i: int, gz: bool) -> bytes:
+    return warc.write_warc_record(
+        "response" if i % 2 == 0 else "request",
+        f"body-{i}".encode() * (i + 1),
+        record_id=f"<urn:uuid:{i:04d}>",
+        target_uri=f"https://example.org/{i}",
+        content_type="text/html",
+        gzip_member=gz,
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip_multi_record(gz):
+    blob = b"".join(_rec(i, gz) for i in range(5))
+    recs = warc.parse_warc_records(blob)
+    assert len(recs) == 5
+    for i, r in enumerate(recs):
+        assert r["warc_type"] == ("response" if i % 2 == 0 else "request")
+        assert r["record_id"] == f"<urn:uuid:{i:04d}>"
+        assert r["target_uri"] == f"https://example.org/{i}"
+        assert r["body"] == f"body-{i}".encode() * (i + 1)
+        assert r["content_length"] == len(r["body"])
+    # offsets are the resumable split points: strictly increasing, first 0
+    offs = [r["offset"] for r in recs]
+    assert offs[0] == 0 and offs == sorted(set(offs))
+    if gz:
+        # each gzip member's offset points at a real member boundary
+        for o in offs:
+            assert blob[o : o + 2] == b"\x1f\x8b"
+
+
+def test_warc_strictness():
+    good = _rec(0, False)
+    with pytest.raises(ValueError, match="bad version line"):
+        warc.parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="shorter than Content-Length"):
+        warc.parse_warc_records(good[:-6])
+    with pytest.raises(ValueError, match="terminator"):
+        warc.parse_warc_records(good[:-2])
+    with pytest.raises(ValueError, match="non-numeric Content-Length"):
+        warc.parse_warc_records(good.replace(b"Content-Length: 6", b"Content-Length: six"))
+    with pytest.raises(ValueError, match="without Content-Length"):
+        warc.parse_warc_records(good.replace(b"Content-Length", b"X-Length"))
+    with pytest.raises(ValueError, match="corrupt gzip|truncated gzip"):
+        bad = bytearray(_rec(0, True))
+        bad[12] ^= 0xFF
+        warc.parse_warc_records(bytes(bad))
+    with pytest.raises(ValueError, match="truncated gzip"):
+        warc.parse_warc_records(_rec(0, True)[:-4])
+    # trailing garbage after a record is a broken stream, not extra data
+    with pytest.raises(ValueError, match="version line|truncated"):
+        warc.parse_warc_records(good + b"junk")
+
+
+def test_read_warc_spark_scan(spark, tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(b"".join(_rec(i, True) for i in range(4)))
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(b"".join(_rec(i, False) for i in range(3)))
+    with open(os.path.join(d, "ignored.txt"), "wb") as f:
+        f.write(b"not a warc")
+    df = warc.read_warc(spark, d)
+    rows = df.collect()
+    assert len(rows) == 7
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["path"]), []).append(r)
+    assert len(by_file["a.warc.gz"]) == 4 and len(by_file["b.warc"]) == 3
+    # metadata filter stays Catalyst-side and projects without bodies
+    n_resp = df.where(df.warc_type == "response").select("target_uri").count()
+    assert n_resp == 2 + 2  # i in {0,2} per file shape
+    got = sorted(
+        (os.path.basename(r["path"]), r["record_id"], bytes(r["body"])) for r in rows
+    )
+    want = sorted(
+        [("a.warc.gz", f"<urn:uuid:{i:04d}>", f"body-{i}".encode() * (i + 1)) for i in range(4)]
+        + [("b.warc", f"<urn:uuid:{i:04d}>", f"body-{i}".encode() * (i + 1)) for i in range(3)]
+    )
+    assert got == want
