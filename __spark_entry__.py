@@ -93,7 +93,15 @@ _DRIVER_PRIORITY = [
 #   artifact lands (at round-12 planning time: 49 round-10 rows minus
 #   the 4 round-10 fills above = 45, incl. s24_dynamic_skyline, which
 #   was displaced mid-round by x_audio_features), plus any round-12
-#   registration that missed the round-12 window.
+#   registration that missed the round-12 window (none as of the
+#   round-12 session end: the only newborn, s36_stream_metrics, sits in
+#   this window via the slot freed by retiring x_dedup_clusters).
+# * Round-12 mid-round changes a round-13 rotation must know about:
+#   x_dedup_clusters is RETIRED (anchor-gated, no staleness obligation);
+#   x_multimodal_meta's fixture is now the 5-class container rotation
+#   (mp3/ogg/wav/mp4/webm, key_mod 2100) — any future payload-class
+#   change re-rotates its results, so pull it into the window in the
+#   same round as any such change.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
