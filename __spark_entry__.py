@@ -68,7 +68,7 @@ _DRIVER_PRIORITY = [
     "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
     "x_heavy_hitters", "x_histogram", "x_hll_distinct", "x_kmeans_iter",
     "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
-    "x_multimodal_frames", "x_multimodal_meta", "x_ngram_topk",
+    "x_multimodal_meta", "x_ngram_topk",
     "x_pagerank", "x_pattern_counts", "x_profile_columns",
     "x_quality_filter", "x_repetition", "x_sample_stratified",
     "x_snapshot_diff", "x_span_dedup", "x_text_quality",
@@ -81,6 +81,9 @@ _DRIVER_PRIORITY = [
     # stage twin was retired to tests/test_exact_anchors.py mid-round
     "x_image_ahash_dedup", "x_image_neardup_pairs", "m2_strategy_stats",
     "x_seq_packing", "x_audio_features", "s36_stream_metrics",
+    # newborn x_warc_extract took x_multimodal_frames's slot when that
+    # plumbing twin was retired (see the retire() call in plans/pipeline)
+    "x_warc_extract",
     # fills: round-10 skyline family on the chunk-id code path, pulled
     # forward to flatten round 13's must-gate load
     "s22_skyband", "s23_top_dominating",

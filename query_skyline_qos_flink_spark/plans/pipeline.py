@@ -1020,6 +1020,104 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(enriched, max_frames=4)
 
 
+# Retired round 12 (slot freed for x_warc_extract): the fake-digest frame
+# fan-out is the PLUMBING twin of x_gif_frame_colors, which drives the
+# identical explode-payload-into-per-frame-rows shape through the REAL
+# GIF/animated-WebP decoders under its own oracle; sample_frames and the
+# frame_fn seam stay pytest-covered (tests/test_pipeline_ops.py), and the
+# anchor keeps this exact fake-path oracle green every run.
+retire(
+    "x_multimodal_frames",
+    "plumbing twin of x_gif_frame_colors (same per-frame fan-out shape "
+    "through mapInPandas; that query drives it through the real codecs)",
+)
+
+
+_WARC_CTYPE = "text/plain; charset=utf-8"
+
+
+@register(
+    "x_warc_extract",
+    f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+       '{_WARC_CTYPE}' AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS body_md5
+FROM documents WHERE text IS NOT NULL
+""".strip(),
+    doc="WARC crawl extraction end to end (sources/warc.py): the harness "
+    "writes the documents table out as spec-shaped .warc.gz files (one "
+    "gzip member per record, interleaved request records, executor-side "
+    "one-file-per-group writes), then read_warc_responses scans them "
+    "back — binaryFile -> ONE fused Arrow pass doing record framing, "
+    "response filter and strict HTTP status/header/payload split — and "
+    "the gate pins per-document status, content-type, byte count and "
+    "payload md5 against the closed-form documents oracle. This is the "
+    "Common-Crawl WET-extraction shape; at 100 TB the parallel unit is "
+    "the WARC file (~100k files/crawl), the scan saturates without "
+    "intra-file splits, and payloads cross into Python exactly once. "
+    "NULL-text docs are excluded by the engine NULL policy on both "
+    "engines",
+)
+def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources import warc as warc_src
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    workdir = tempfile.mkdtemp(prefix="warc_extract_")
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        blob = bytearray()
+        for r in pdf.sort_values("doc_id").itertuples():
+            body = str(r.text).encode("utf-8")
+            status = 404 if r.doc_id % 10 == 7 else 200
+            http = (
+                f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            blob += warc_src.write_warc_record(
+                "request",
+                b"GET / HTTP/1.1\r\n\r\n",
+                record_id=f"<urn:req:{r.doc_id}>",
+                target_uri=f"https://fixture.invalid/{r.doc_id}",
+            )
+            blob += warc_src.write_warc_record(
+                "response",
+                http,
+                record_id=f"<urn:doc:{r.doc_id}>",
+                target_uri=f"https://fixture.invalid/{r.doc_id}",
+                content_type="application/http;msgtype=response",
+            )
+        with open(os.path.join(workdir, f"part-{fid:03d}.warc.gz"), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+    n_files = (
+        d.withColumn("file_id", F.col("doc_id") % 8)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id bigint, n bigint")
+        .count()
+    )
+    if n_files == 0:
+        raise RuntimeError("warc fixture: no files written")
+    resp = warc_src.read_warc_responses(spark, workdir, pattern="*.warc.gz")
+    return resp.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1).cast("bigint").alias("doc_id"),
+        F.col("http_status").cast("bigint").alias("http_status"),
+        F.col("content_type"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("body_md5"),
+    )
+
+
 @register(
     "x_repetition",
     f"""

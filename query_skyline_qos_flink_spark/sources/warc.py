@@ -144,6 +144,37 @@ def write_warc_record(
     return co.compress(raw) + co.flush()
 
 
+def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
+    """Split a WARC ``response`` record body into ``(status,
+    content_type, payload)`` per the HTTP/1.x message layout (status
+    line, CRLF headers, blank line, payload).  Strict: a malformed
+    status line or header block raises — the WET-extraction step must
+    never hand a half-parsed page downstream as page text."""
+    line_end = body.find(CRLF)
+    if line_end < 0:
+        raise ValueError("http: truncated status line")
+    parts = body[:line_end].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/") or not parts[1].isdigit():
+        raise ValueError(f"http: bad status line {body[:line_end][:40]!r}")
+    status = int(parts[1])
+    content_type = ""
+    pos = line_end + 2
+    while True:
+        nl = body.find(CRLF, pos)
+        if nl < 0:
+            raise ValueError("http: truncated header block")
+        line = body[pos:nl]
+        pos = nl + 2
+        if not line:
+            break
+        if b":" not in line:
+            raise ValueError(f"http: malformed header line {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        if k.strip().lower() == b"content-type":
+            content_type = v.strip().decode("latin-1")
+    return status, content_type, body[pos:]
+
+
 WARC_SCHEMA = (
     "path string, offset bigint, warc_type string, record_id string, "
     "target_uri string, content_type string, content_length bigint, body binary"
@@ -183,3 +214,49 @@ def read_warc(spark, path: str, pattern: str = "*.warc*"):
                 ]
 
     return files.mapInPandas(explode, schema=WARC_SCHEMA)
+
+
+RESPONSES_SCHEMA = (
+    "path string, offset bigint, record_id string, target_uri string, "
+    "http_status int, content_type string, payload binary"
+)
+
+
+def read_warc_responses(spark, path: str, pattern: str = "*.warc*"):
+    """The WET-extraction shape, fused into ONE Arrow pass: WARC record
+    explosion + ``response``-type filter + HTTP split, so page payloads
+    cross the Python boundary exactly once.  Non-response records
+    (request/metadata/warcinfo) are dropped inside the batch."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = []
+                for r in parse_warc_records(bytes(row["content"])):
+                    if r["warc_type"] != "response":
+                        continue
+                    status, ctype, payload = parse_http_response(r["body"])
+                    rows.append(
+                        (
+                            row["path"], r["offset"], r["record_id"],
+                            r["target_uri"], status, ctype, payload,
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "path", "offset", "record_id", "target_uri",
+                            "http_status", "content_type", "payload",
+                        ],
+                    )
+
+    return files.mapInPandas(extract, schema=RESPONSES_SCHEMA)

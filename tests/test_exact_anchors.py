@@ -17,7 +17,9 @@ registered rounds 5-7).  Retired in round 10: s10_snapshot_1000,
 x_fingerprint, x_jaccard_pairs, x_ann_bucketed, x_knn_int8,
 x_bpe_pair_counts, x_dup_cluster_sizes.  Retired in round 12:
 x_dedup_clusters (exact-Jaccard stage twin of x_dedup_clusters_lsh;
-slot freed for s36_stream_metrics) — each retire() call in
+slot freed for s36_stream_metrics) and x_multimodal_frames (fake-digest
+plumbing twin of x_gif_frame_colors' real frame fan-out; slot freed for
+x_warc_extract) — each retire() call in
 plans/ records which gated query subsumes it.
 """
 
@@ -66,6 +68,7 @@ def test_retired_anchor_population():
         "x_fingerprint",
         "x_jaccard_pairs",
         "x_knn_int8",
+        "x_multimodal_frames",
     ]
     overlap = set(corpus.RETIRED_ANCHORS) & set(corpus.REGISTRY)
     assert not overlap, f"names both retired and registered: {overlap}"

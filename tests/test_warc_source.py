@@ -69,6 +69,43 @@ def test_warc_strictness():
         warc.parse_warc_records(good + b"junk")
 
 
+def test_parse_http_response():
+    body = b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>page</html>"
+    status, ctype, payload = warc.parse_http_response(body)
+    assert (status, ctype, payload) == (200, "text/html; charset=utf-8", b"<html>page</html>")
+    # empty payload + no content-type
+    assert warc.parse_http_response(b"HTTP/1.0 404 NF\r\n\r\n") == (404, "", b"")
+    for bad in (
+        b"not http at all",
+        b"HTTP/1.1 OK\r\n\r\n",  # non-numeric status
+        b"HTTP/1.1 200 OK\r\nheader-without-colon\r\n\r\n",
+        b"HTTP/1.1 200 OK\r\nTruncated: yes",
+    ):
+        with pytest.raises(ValueError, match="http:"):
+            warc.parse_http_response(bad)
+
+
+def test_read_warc_responses_fused(spark, tmp_path):
+    d = str(tmp_path)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello page"
+    )
+    blob = warc.write_warc_record(
+        "request", b"GET / HTTP/1.1\r\n\r\n", record_id="<urn:req:1>"
+    ) + warc.write_warc_record(
+        "response", http, record_id="<urn:resp:1>",
+        target_uri="https://example.org/p",
+    )
+    with open(os.path.join(d, "f.warc.gz"), "wb") as f:
+        f.write(blob)
+    rows = warc.read_warc_responses(spark, d).collect()
+    assert len(rows) == 1  # the request record is dropped inside the batch
+    r = rows[0]
+    assert r["http_status"] == 200 and r["content_type"] == "text/plain"
+    assert bytes(r["payload"]) == b"hello page"
+    assert r["record_id"] == "<urn:resp:1>"
+
+
 def test_read_warc_spark_scan(spark, tmp_path):
     d = str(tmp_path)
     with open(os.path.join(d, "a.warc.gz"), "wb") as f:
