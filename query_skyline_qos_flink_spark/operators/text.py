@@ -987,3 +987,84 @@ def char_entropy(
             F.abs(F.round(-F.sum(p * F.log(p)), 6)).alias("entropy_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HTML -> text (the WET-extraction step after the WARC response split)
+# --------------------------------------------------------------------------
+
+_HTML_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+_HTML_BLOCK_TAGS = frozenset(
+    "p div br li ul ol h1 h2 h3 h4 h5 h6 tr table section article header "
+    "footer blockquote pre hr dd dt figure figcaption aside nav main "
+    "form fieldset address".split()
+)
+
+
+def html_to_text(html: str) -> str:
+    """Visible text of an HTML document via the stdlib parser: content of
+    ``script``/``style``/``noscript``/``template`` is suppressed, block
+    elements break lines, character references decode
+    (``convert_charrefs``), comments/PIs/attributes are dropped, runs of
+    whitespace collapse (newlines preserved as single breaks).  The
+    stdlib parser is deliberately lenient about malformed markup —
+    crawl HTML is malformed HTML; leniency here mirrors what browsers
+    and production extractors do, while the WARC/HTTP layers below it
+    stay strict about FRAMING."""
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _HTML_SKIP_TAGS:
+                self._skip += 1
+            elif tag in _HTML_BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _HTML_SKIP_TAGS:
+                self._skip = max(0, self._skip - 1)
+            elif tag in _HTML_BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.parts.append(data)
+
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    raw = "".join(ex.parts)
+    lines = [" ".join(ln.split()) for ln in raw.split("\n")]
+    out: list[str] = []
+    for ln in lines:
+        if ln:
+            out.append(ln)
+    return "\n".join(out)
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched HTML text extraction over ``mapInPandas`` (the same
+    distributed shape as the codec decodes — per-document parsing is
+    irreducibly per-row Python; everything before and after stays
+    JVM-side).  All input columns pass through, ``out_col`` is
+    appended."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # StructType.add mutates in place — build a fresh copy
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def fn(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf[html_col].map(
+                lambda h: html_to_text(h) if h is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)

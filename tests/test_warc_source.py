@@ -132,3 +132,41 @@ def test_read_warc_spark_scan(spark, tmp_path):
         + [("b.warc", f"<urn:uuid:{i:04d}>", f"body-{i}".encode() * (i + 1)) for i in range(3)]
     )
     assert got == want
+
+
+# ---------------------------------------------------- HTML -> text (WET) ----
+
+
+def test_html_to_text_visible_content():
+    from query_skyline_qos_flink_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Head&amp;line</h1><p>first <b>bold</b> para</p>"
+        "<ul><li>one</li><li>two&#33;</li></ul>"
+        "<noscript>hidden</noscript>"
+        "<!-- comment --><div>  spaced   out  </div></body></html>"
+    )
+    got = html_to_text(html)
+    assert got == "T\nHead&line\nfirst bold para\none\ntwo!\nspaced out"
+    # malformed crawl HTML stays lenient: unclosed tags still yield text
+    assert html_to_text("<p>open <b>bold") == "open bold"
+    # script is a CDATA element per the stdlib parser (browser behavior):
+    # the inner "<script>" is literal data and the FIRST </script> closes
+    # it, so the stray x and end tag surface — non-nesting is correct
+    assert html_to_text("<script><script></script>x</script>after") == "xafter"
+    # noscript parses normally, so the depth counter really nests there
+    assert html_to_text("<noscript><noscript></noscript>x</noscript>after") == "after"
+    assert html_to_text("") == ""
+
+
+def test_extract_html_text_spark(spark):
+    from query_skyline_qos_flink_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>alpha</p><script>no</script>"), (2, None), (3, "plain")],
+        "doc_id bigint, html string",
+    )
+    rows = {r["doc_id"]: r["text"] for r in extract_html_text(df).collect()}
+    assert rows == {1: "alpha", 2: None, 3: "plain"}
