@@ -138,6 +138,70 @@ def write_id3v2(content_size: int) -> bytes:
     return b"ID3" + bytes((3, 0, 0)) + _syncsafe(content_size) + bytes(content_size)
 
 
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def write_id3v2_tags(frames: dict[str, str], version: int = 3) -> bytes:
+    """ID3v2.3/2.4 tag carrying UTF-capable text frames (v2.3 encodes
+    UTF-16 with BOM, v2.4 UTF-8 — each version's native Unicode form)."""
+    if version not in (3, 4):
+        raise ValueError("id3v2: only v2.3/v2.4 are written")
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4 or not fid.startswith("T"):
+            raise ValueError(f"id3v2: not a text frame id {fid!r}")
+        if version == 4:
+            payload = b"\x03" + text.encode("utf-8")
+            size = _syncsafe(len(payload))
+        else:
+            payload = b"\x01" + text.encode("utf-16")  # BOM included
+            size = len(payload).to_bytes(4, "big")
+        body += fid.encode("latin-1") + size + b"\x00\x00" + payload
+    return b"ID3" + bytes((version, 0, 0)) + _syncsafe(len(body)) + bytes(body)
+
+
+def parse_id3v2_tags(b: bytes) -> dict[str, str]:
+    """Text frames (``T***``) of a leading ID3v2.3/2.4 tag as
+    ``{frame_id: text}``.  v2.4 frame sizes are syncsafe, v2.3 raw;
+    all four declared text encodings decode; padding ends the walk;
+    a frame overrunning the tag raises.  Non-text frames (APIC etc.)
+    are skipped by size.  Returns ``{}`` when no tag is present."""
+    total = skip_id3v2(b)
+    if total == 0:
+        return {}
+    version = b[3]
+    end = total - (10 if b[5] & 0x10 else 0)
+    off, out = 10, {}
+    while off + 10 <= end:
+        fid = b[off : off + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if version >= 4:
+            if any(x & 0x80 for x in b[off + 4 : off + 8]):
+                raise ValueError("id3v2.4: non-syncsafe frame size")
+            size = (
+                (b[off + 4] << 21) | (b[off + 5] << 14)
+                | (b[off + 6] << 7) | b[off + 7]
+            )
+        else:
+            size = int.from_bytes(b[off + 4 : off + 8], "big")
+        payload_at = off + 10
+        if payload_at + size > end:
+            raise ValueError(f"id3v2: frame {fid!r} overruns the tag")
+        if fid.startswith(b"T") and size >= 1:
+            enc = b[payload_at]
+            codec = _ID3_ENCODINGS.get(enc)
+            if codec is None:
+                raise ValueError(f"id3v2: unknown text encoding {enc}")
+            try:
+                text = b[payload_at + 1 : payload_at + size].decode(codec)
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"id3v2: undecodable {fid!r} frame: {exc}") from None
+            out[fid.decode("latin-1")] = text.rstrip("\x00")
+        off = payload_at + size
+    return out
+
+
 _XING_TAGS = (b"Xing", b"Info")
 
 

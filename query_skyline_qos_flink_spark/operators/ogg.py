@@ -159,6 +159,64 @@ def write_opus_head(
     return bytes(p)
 
 
+def write_vorbis_comments(
+    tags: dict[str, str], vendor: str = "spark-graft", opus: bool = False
+) -> bytes:
+    """A VorbisComment packet (Vorbis I §5 / used verbatim by Opus as
+    ``OpusTags``, RFC 7845 §5.2): length-prefixed vendor string +
+    ``KEY=value`` entries, all little-endian u32 lengths, UTF-8."""
+    head = b"OpusTags" if opus else b"\x03vorbis"
+    out = bytearray(head)
+    v = vendor.encode("utf-8")
+    out += len(v).to_bytes(4, "little") + v
+    out += len(tags).to_bytes(4, "little")
+    for k, val in tags.items():
+        entry = f"{k}={val}".encode("utf-8")
+        out += len(entry).to_bytes(4, "little") + entry
+    if not opus:
+        out += b"\x01"  # framing bit
+    return bytes(out)
+
+
+def parse_vorbis_comments(packet: bytes) -> tuple[str, dict[str, str]]:
+    """``(vendor, {KEY: value})`` from a VorbisComment / OpusTags packet.
+    Keys are case-insensitive per spec and normalized to upper case; an
+    entry without ``=`` or a length overrunning the packet raises."""
+    if packet.startswith(b"\x03vorbis"):
+        off = 7
+    elif packet.startswith(b"OpusTags"):
+        off = 8
+    else:
+        raise ValueError("vorbis-comment: bad packet magic")
+
+    def u32(o: int) -> int:
+        if o + 4 > len(packet):
+            raise ValueError("vorbis-comment: truncated length field")
+        return int.from_bytes(packet[o : o + 4], "little")
+
+    vlen = u32(off)
+    off += 4
+    if off + vlen > len(packet):
+        raise ValueError("vorbis-comment: vendor overruns the packet")
+    vendor = packet[off : off + vlen].decode("utf-8")
+    off += vlen
+    count = u32(off)
+    off += 4
+    tags: dict[str, str] = {}
+    for _ in range(count):
+        elen = u32(off)
+        off += 4
+        if off + elen > len(packet):
+            raise ValueError("vorbis-comment: entry overruns the packet")
+        entry = packet[off : off + elen].decode("utf-8")
+        off += elen
+        if "=" not in entry:
+            raise ValueError(f"vorbis-comment: entry without '=': {entry[:40]!r}")
+        k, val = entry.split("=", 1)
+        tags[k.upper()] = val
+    return vendor, tags
+
+
 def parse_ogg_pages(b: bytes) -> list[dict]:
     """Strict page walk: returns per-page dicts with ``header_type
     granule serial seq lacing body``; raises on bad magic, version,

@@ -383,3 +383,43 @@ def test_sniff_flac_identity_and_g711_bitrate():
     mulaw = mm.synth_wav_payload(5)  # variant 1 = G.711 mu-law, 8-bit
     got2 = mm.sniff_container_meta(mulaw)
     assert got2[0] == "wav" and got2[5] == 64
+
+
+# ------------------------------------------------------ tag metadata ----
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_id3v2_text_frames_roundtrip(version):
+    tags = {"TIT2": "Ünïcode Title", "TPE1": "Artist/灰", "TLAN": "deu"}
+    blob = ma.write_id3v2_tags(tags, version=version) + ma.write_mp3(3)
+    assert ma.parse_id3v2_tags(blob) == tags
+    # the framed mp3 stream still walks cleanly behind the tag
+    assert ma.parse_mp3_meta(blob)["n_frames"] == 3
+    # no tag -> empty dict, not an error
+    assert ma.parse_id3v2_tags(ma.write_mp3(1)) == {}
+
+
+def test_id3v2_tag_strictness():
+    blob = bytearray(ma.write_id3v2_tags({"TIT2": "x"}, version=3))
+    blob[14] = 0xFF  # frame size high byte -> overruns the tag
+    with pytest.raises(ValueError, match="overruns the tag"):
+        ma.parse_id3v2_tags(bytes(blob))
+    enc = bytearray(ma.write_id3v2_tags({"TIT2": "x"}, version=4))
+    enc[20] = 9  # unknown text encoding byte
+    with pytest.raises(ValueError, match="unknown text encoding"):
+        ma.parse_id3v2_tags(bytes(enc))
+
+
+@pytest.mark.parametrize("opus", [False, True])
+def test_vorbis_comments_roundtrip(opus):
+    tags = {"TITLE": "Süße Träume", "ARTIST": "a=b weird", "LANGUAGE": "de"}
+    pkt = ogg.write_vorbis_comments(tags, vendor="vend", opus=opus)
+    vendor, got = ogg.parse_vorbis_comments(pkt)
+    assert vendor == "vend" and got == tags  # keys already upper
+    # lowercase keys normalize up; values keep '=' after the first
+    pkt2 = ogg.write_vorbis_comments({"title": "x=y"}, opus=opus)
+    assert ogg.parse_vorbis_comments(pkt2)[1] == {"TITLE": "x=y"}
+    with pytest.raises(ValueError, match="bad packet magic"):
+        ogg.parse_vorbis_comments(b"\x04vorbis junk")
+    with pytest.raises(ValueError, match="overruns the packet"):
+        ogg.parse_vorbis_comments(pkt[: len(pkt) - 3])
