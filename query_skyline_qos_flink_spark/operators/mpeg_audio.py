@@ -160,41 +160,77 @@ def write_id3v2_tags(frames: dict[str, str], version: int = 3) -> bytes:
     return b"ID3" + bytes((version, 0, 0)) + _syncsafe(len(body)) + bytes(body)
 
 
+def _de_unsync(data: bytes) -> bytes:
+    """Reverse ID3v2 unsynchronisation: every 0xFF 0x00 becomes 0xFF."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
 def parse_id3v2_tags(b: bytes) -> dict[str, str]:
     """Text frames (``T***``) of a leading ID3v2.3/2.4 tag as
-    ``{frame_id: text}``.  v2.4 frame sizes are syncsafe, v2.3 raw;
-    all four declared text encodings decode; padding ends the walk;
-    a frame overrunning the tag raises.  Non-text frames (APIC etc.)
-    are skipped by size.  Returns ``{}`` when no tag is present."""
+    ``{frame_id: text}``.  Handles v2.4 syncsafe vs v2.3 raw frame
+    sizes, tag-level unsynchronisation (v2.3 de-unsyncs the whole body;
+    in v2.4 the tag flag means every frame is unsynchronised), the
+    per-frame v2.4 unsync format flag (0x02), and the extended header
+    of both versions; all four declared text encodings decode; padding
+    ends the walk; a frame overrunning the tag raises.  Non-text frames
+    (APIC etc.) are skipped by size.  Returns ``{}`` when no tag is
+    present; raises on versions other than 2.3/2.4 rather than walking
+    them with the wrong layout (v2.2 uses 3-byte ids/sizes)."""
     total = skip_id3v2(b)
     if total == 0:
         return {}
-    version = b[3]
-    end = total - (10 if b[5] & 0x10 else 0)
-    off, out = 10, {}
-    while off + 10 <= end:
-        fid = b[off : off + 4]
+    version, tag_flags = b[3], b[5]
+    if version not in (3, 4):
+        raise ValueError(
+            f"id3v2.{version}: unsupported tag version (only 2.3/2.4 parse; "
+            "2.2 uses 3-byte frame ids/sizes)"
+        )
+    tag_unsync = bool(tag_flags & 0x80)
+    body = b[10 : total - (10 if tag_flags & 0x10 else 0)]
+    if version == 3 and tag_unsync:
+        # v2.3 applies unsynchronisation to the assembled tag as a whole
+        body = _de_unsync(body)
+    off = 0
+    if tag_flags & 0x40:  # extended header
+        if version == 4:
+            if len(body) < 4 or any(x & 0x80 for x in body[:4]):
+                raise ValueError("id3v2.4: bad extended-header size")
+            ext = (body[0] << 21) | (body[1] << 14) | (body[2] << 7) | body[3]
+            off = ext  # v2.4 size INCLUDES the size field itself
+        else:
+            if len(body) < 4:
+                raise ValueError("id3v2.3: truncated extended header")
+            off = 4 + int.from_bytes(body[:4], "big")  # size EXCLUDES itself
+        if off > len(body):
+            raise ValueError("id3v2: extended header overruns the tag")
+    out: dict[str, str] = {}
+    while off + 10 <= len(body):
+        fid = body[off : off + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
-        if version >= 4:
-            if any(x & 0x80 for x in b[off + 4 : off + 8]):
+        if version == 4:
+            if any(x & 0x80 for x in body[off + 4 : off + 8]):
                 raise ValueError("id3v2.4: non-syncsafe frame size")
             size = (
-                (b[off + 4] << 21) | (b[off + 5] << 14)
-                | (b[off + 6] << 7) | b[off + 7]
+                (body[off + 4] << 21) | (body[off + 5] << 14)
+                | (body[off + 6] << 7) | body[off + 7]
             )
         else:
-            size = int.from_bytes(b[off + 4 : off + 8], "big")
+            size = int.from_bytes(body[off + 4 : off + 8], "big")
+        frame_flags = body[off + 9]
         payload_at = off + 10
-        if payload_at + size > end:
+        if payload_at + size > len(body):
             raise ValueError(f"id3v2: frame {fid!r} overruns the tag")
         if fid.startswith(b"T") and size >= 1:
-            enc = b[payload_at]
+            payload = body[payload_at : payload_at + size]
+            if version == 4 and (tag_unsync or frame_flags & 0x02):
+                payload = _de_unsync(payload)
+            enc = payload[0]
             codec = _ID3_ENCODINGS.get(enc)
             if codec is None:
                 raise ValueError(f"id3v2: unknown text encoding {enc}")
             try:
-                text = b[payload_at + 1 : payload_at + size].decode(codec)
+                text = payload[1:].decode(codec)
             except UnicodeDecodeError as exc:
                 raise ValueError(f"id3v2: undecodable {fid!r} frame: {exc}") from None
             out[fid.decode("latin-1")] = text.rstrip("\x00")

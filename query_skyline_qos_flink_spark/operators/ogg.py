@@ -181,11 +181,15 @@ def write_vorbis_comments(
 def parse_vorbis_comments(packet: bytes) -> tuple[str, dict[str, str]]:
     """``(vendor, {KEY: value})`` from a VorbisComment / OpusTags packet.
     Keys are case-insensitive per spec and normalized to upper case; an
-    entry without ``=`` or a length overrunning the packet raises."""
+    entry without ``=`` or a length overrunning the packet raises.
+    Vorbis packets must end with the set framing bit and nothing after it
+    (Vorbis I §5: a missing framing bit means a truncated/corrupt
+    packet); OpusTags MAY carry arbitrary binary after the entries —
+    RFC 7845 §5.2 explicitly reserves that suffix — so it is ignored."""
     if packet.startswith(b"\x03vorbis"):
-        off = 7
+        off, opus = 7, False
     elif packet.startswith(b"OpusTags"):
-        off = 8
+        off, opus = 8, True
     else:
         raise ValueError("vorbis-comment: bad packet magic")
 
@@ -214,6 +218,11 @@ def parse_vorbis_comments(packet: bytes) -> tuple[str, dict[str, str]]:
             raise ValueError(f"vorbis-comment: entry without '=': {entry[:40]!r}")
         k, val = entry.split("=", 1)
         tags[k.upper()] = val
+    if not opus:
+        if off >= len(packet) or not packet[off] & 0x01:
+            raise ValueError("vorbis-comment: missing framing bit")
+        if off + 1 != len(packet):
+            raise ValueError("vorbis-comment: trailing bytes after framing bit")
     return vendor, tags
 
 

@@ -1001,6 +1001,35 @@ _HTML_BLOCK_TAGS = frozenset(
 )
 
 
+from html.parser import HTMLParser as _HTMLParser  # noqa: E402  (stdlib)
+
+
+class _HtmlTextExtractor(_HTMLParser):
+    """Module-level so :func:`html_to_text` doesn't rebuild the class per
+    document on the mapInPandas hot path (round-12 review finding)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _HTML_SKIP_TAGS:
+            self._skip += 1
+        elif tag in _HTML_BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _HTML_SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _HTML_BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.parts.append(data)
+
+
 def html_to_text(html: str) -> str:
     """Visible text of an HTML document via the stdlib parser: content of
     ``script``/``style``/``noscript``/``template`` is suppressed, block
@@ -1011,31 +1040,7 @@ def html_to_text(html: str) -> str:
     crawl HTML is malformed HTML; leniency here mirrors what browsers
     and production extractors do, while the WARC/HTTP layers below it
     stay strict about FRAMING."""
-    from html.parser import HTMLParser
-
-    class _Extractor(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.parts: list[str] = []
-            self._skip = 0
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _HTML_SKIP_TAGS:
-                self._skip += 1
-            elif tag in _HTML_BLOCK_TAGS:
-                self.parts.append("\n")
-
-        def handle_endtag(self, tag):
-            if tag in _HTML_SKIP_TAGS:
-                self._skip = max(0, self._skip - 1)
-            elif tag in _HTML_BLOCK_TAGS:
-                self.parts.append("\n")
-
-        def handle_data(self, data):
-            if not self._skip:
-                self.parts.append(data)
-
-    ex = _Extractor()
+    ex = _HtmlTextExtractor()
     ex.feed(html)
     ex.close()
     raw = "".join(ex.parts)

@@ -51,14 +51,26 @@ def _read_vint(b: bytes, off: int, end: int, keep_marker: bool):
     return value, off + length
 
 
+# Unknown-size is legal only for elements the spec marks unknownsizeallowed
+# (Segment and Cluster in Matroska/WebM); anywhere else it would silently
+# swallow the siblings of a malformed element, so it raises instead.
+_UNKNOWN_SIZE_OK = frozenset({0x18538067, 0x1F43B675})  # Segment, Cluster
+
+
 def _walk_elements(b: bytes, start: int, end: int):
     """Yield ``(element_id, payload_start, payload_end)``; an unknown-size
-    element (legal for Segment per the spec) extends to ``end``."""
+    Segment/Cluster extends to ``end``, any other unknown-size element
+    raises."""
     off = start
     while off < end:
         eid, off = _read_vint(b, off, end, keep_marker=True)
         size, off = _read_vint(b, off, end, keep_marker=False)
         if size is None:
+            if eid not in _UNKNOWN_SIZE_OK:
+                raise ValueError(
+                    f"ebml: unknown-size escape on element 0x{eid:X} "
+                    "(only Segment/Cluster may omit their size)"
+                )
             yield eid, off, end
             return  # unknown size swallows the rest of the scope
         if off + size > end:
@@ -130,7 +142,10 @@ def parse_webm_meta(b: bytes) -> dict:
     return {
         "doctype": doctype,
         "timescale_ns": timescale,
-        "duration_ms": int(duration_ticks) * timescale // 1_000_000,
+        # scale BEFORE truncating: with a coarse timescale (1e9 ns = 1 s
+        # ticks) a fractional tick is a real sub-second duration that
+        # int(ticks) would drop whole
+        "duration_ms": int(duration_ticks * timescale) // 1_000_000,
         "n_tracks": n_tracks,
         "n_video": n_video,
         "n_audio": n_audio,

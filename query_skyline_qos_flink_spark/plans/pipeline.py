@@ -1058,10 +1058,15 @@ FROM documents WHERE text IS NOT NULL
     "the WARC file (~100k files/crawl), the scan saturates without "
     "intra-file splits, and payloads cross into Python exactly once. "
     "NULL-text docs are excluded by the engine NULL policy on both "
-    "engines",
+    "engines. The FIXTURE write (executor tasks into a driver tmpdir) "
+    "is harness-only and assumes local mode's shared filesystem — in "
+    "production the WARC files already exist in object storage and only "
+    "the read side runs; the harness materializes the (row-capped) "
+    "result so the tmpdir can be removed before returning",
 )
 def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     import pandas as pd
@@ -1071,6 +1076,12 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("text").isNotNull()
     )
+    n_docs = d.count()
+    if n_docs > 2_000_000:
+        raise RuntimeError(
+            f"x_warc_extract is a correctness harness, capped at 2M docs "
+            f"(got {n_docs}); run it at a smaller sf"
+        )
     workdir = tempfile.mkdtemp(prefix="warc_extract_")
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1109,13 +1120,26 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_files == 0:
         raise RuntimeError("warc fixture: no files written")
     resp = warc_src.read_warc_responses(spark, workdir, pattern="*.warc.gz")
-    return resp.select(
+    out = resp.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1).cast("bigint").alias("doc_id"),
         F.col("http_status").cast("bigint").alias("http_status"),
         F.col("content_type"),
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("body_md5"),
     )
+    # materialize the doc-capped result, then drop the fixture files —
+    # returning the lazy scan would pin the tmpdir for the caller's
+    # lifetime (round-12 review: each invocation leaked a text-corpus
+    # copy into /tmp)
+    try:
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    schema = (
+        "doc_id bigint, http_status bigint, content_type string, "
+        "n_bytes bigint, body_md5 string"
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 @register(

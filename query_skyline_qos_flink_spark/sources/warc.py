@@ -181,6 +181,26 @@ WARC_SCHEMA = (
 )
 
 
+def _scan_files(spark, path: str, pattern: str):
+    """Shared ``binaryFile`` scan for both readers: one (path, content)
+    row per WARC file — the format's natural parallel unit."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+
+def _iter_file_records(batches):
+    """Shared per-file record walk for both readers: yields
+    ``(path, record_dict)`` across every file of every Arrow batch."""
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            for rec in parse_warc_records(bytes(row["content"])):
+                yield row["path"], rec
+
+
 def read_warc(spark, path: str, pattern: str = "*.warc*"):
     """WARC file scan → one DataFrame row per record.
 
@@ -191,29 +211,20 @@ def read_warc(spark, path: str, pattern: str = "*.warc*"):
     Catalyst-side from here on."""
     import pandas as pd
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .load(path)
-        .select("path", "content")
-    )
+    cols = [
+        "path", "offset", "warc_type", "record_id",
+        "target_uri", "content_type", "content_length", "body",
+    ]
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs = parse_warc_records(bytes(row["content"]))
-                if not recs:
-                    continue
-                out = pd.DataFrame(recs)
-                out.insert(0, "path", row["path"])
-                yield out[
-                    [
-                        "path", "offset", "warc_type", "record_id",
-                        "target_uri", "content_type", "content_length", "body",
-                    ]
-                ]
+        rows = [
+            (path, *[rec[c] for c in cols[1:]])
+            for path, rec in _iter_file_records(batches)
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(explode, schema=WARC_SCHEMA)
+    return _scan_files(spark, path, pattern).mapInPandas(explode, schema=WARC_SCHEMA)
 
 
 RESPONSES_SCHEMA = (
@@ -226,37 +237,29 @@ def read_warc_responses(spark, path: str, pattern: str = "*.warc*"):
     """The WET-extraction shape, fused into ONE Arrow pass: WARC record
     explosion + ``response``-type filter + HTTP split, so page payloads
     cross the Python boundary exactly once.  Non-response records
-    (request/metadata/warcinfo) are dropped inside the batch."""
+    (request/metadata/warcinfo) are dropped inside the batch.  Shares
+    the scan and record walk with :func:`read_warc`."""
     import pandas as pd
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .load(path)
-        .select("path", "content")
-    )
-
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = []
-                for r in parse_warc_records(bytes(row["content"])):
-                    if r["warc_type"] != "response":
-                        continue
-                    status, ctype, payload = parse_http_response(r["body"])
-                    rows.append(
-                        (
-                            row["path"], r["offset"], r["record_id"],
-                            r["target_uri"], status, ctype, payload,
-                        )
-                    )
-                if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "path", "offset", "record_id", "target_uri",
-                            "http_status", "content_type", "payload",
-                        ],
-                    )
+        rows = []
+        for path, r in _iter_file_records(batches):
+            if r["warc_type"] != "response":
+                continue
+            status, ctype, payload = parse_http_response(r["body"])
+            rows.append(
+                (path, r["offset"], r["record_id"], r["target_uri"],
+                 status, ctype, payload)
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "offset", "record_id", "target_uri",
+                    "http_status", "content_type", "payload",
+                ],
+            )
 
-    return files.mapInPandas(extract, schema=RESPONSES_SCHEMA)
+    return _scan_files(spark, path, pattern).mapInPandas(
+        extract, schema=RESPONSES_SCHEMA
+    )

@@ -423,3 +423,83 @@ def test_vorbis_comments_roundtrip(opus):
         ogg.parse_vorbis_comments(b"\x04vorbis junk")
     with pytest.raises(ValueError, match="overruns the packet"):
         ogg.parse_vorbis_comments(pkt[: len(pkt) - 3])
+
+
+# ------------------------------------------- second-review regressions ----
+
+
+def test_webm_unknown_size_only_on_segment_cluster():
+    """Round-12 review: an unknown-size Info would swallow Tracks and
+    misreport a 2-track file as trackless — only Segment/Cluster may
+    omit their size (Matroska unknownsizeallowed)."""
+    import struct
+
+    b = webm.write_webm(2, 100)
+    info_at = b.find(bytes.fromhex("1549A966"))
+    evil = bytearray(b)
+    # Info's 1-byte size varint sits right after its 4-byte id
+    assert evil[info_at + 4] & 0x80
+    evil[info_at + 4 : info_at + 5] = b"\x01" + b"\xff" * 7
+    with pytest.raises(ValueError, match="unknown-size escape"):
+        webm.parse_webm_meta(bytes(evil))
+
+
+def test_webm_duration_scales_before_truncating():
+    """Round-12 review: a fractional tick is a real sub-timescale span —
+    int(ticks) before scaling dropped it whole (2.5 ticks at 1 s/tick
+    read as 2000 ms instead of 2500)."""
+    import struct
+
+    # 1-byte TimestampScale can't hold 1e9, so build the Info element by
+    # hand: TimestampScale = 1e9 ns (1 s ticks), Duration = 2.5 ticks
+    info = webm._elem(webm._TIMESTAMP_SCALE, (1_000_000_000).to_bytes(4, "big"))
+    info += webm._elem(webm._DURATION, struct.pack(">d", 2.5))
+    head = webm._elem(webm._EBML, webm._elem(webm._DOCTYPE, b"webm"))
+    seg = webm._elem(webm._SEGMENT, webm._elem(webm._INFO, info))
+    m = webm.parse_webm_meta(head + seg)
+    assert m["timescale_ns"] == 1_000_000_000
+    assert m["duration_ms"] == 2500  # was 2000 with truncate-then-scale
+
+
+def test_vorbis_comment_framing_bit_and_trailing():
+    """Round-12 review: a Vorbis comment packet without its framing bit
+    (truncation) or with trailing bytes must raise; OpusTags keeps its
+    RFC-sanctioned ignorable binary suffix."""
+    pkt = ogg.write_vorbis_comments({"TITLE": "t"})
+    with pytest.raises(ValueError, match="framing bit"):
+        ogg.parse_vorbis_comments(pkt[:-1])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        ogg.parse_vorbis_comments(pkt + b"x")
+    opus = ogg.write_vorbis_comments({"TITLE": "t"}, opus=True)
+    assert ogg.parse_vorbis_comments(opus + b"\x00ignorable")[1] == {"TITLE": "t"}
+
+
+def test_id3v2_unsync_extended_header_and_version_gate():
+    """Round-12 review: tag-level unsynchronisation, extended headers and
+    the v2.2 layout must not be walked with the v2.3/2.4 layout."""
+    # v2.3 tag-level unsync: a UTF-16 frame is full of 0xFF bytes; apply
+    # the spec transform to the assembled body and set the tag flag
+    inner = ma.write_id3v2_tags({"TIT2": "ABC"}, version=3)
+    body = inner[10:]
+    unsynced = body.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3" + bytes((3, 0, 0x80)) + ma._syncsafe(len(unsynced)) + unsynced
+    assert ma.parse_id3v2_tags(tag) == {"TIT2": "ABC"}
+    # v2.4 per-frame unsync flag
+    payload = b"\x03" + "café".encode("utf-8")
+    unsynced_p = payload.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + ma._syncsafe(len(unsynced_p)) + b"\x00\x02" + unsynced_p
+    tag4 = b"ID3" + bytes((4, 0, 0)) + ma._syncsafe(len(frame)) + frame
+    assert ma.parse_id3v2_tags(tag4) == {"TIT2": "café"}
+    # v2.3 extended header (size excludes its own 4 size bytes)
+    ext = (6).to_bytes(4, "big") + bytes(6)
+    frames = ma.write_id3v2_tags({"TALB": "A"}, version=3)[10:]
+    tag3e = b"ID3" + bytes((3, 0, 0x40)) + ma._syncsafe(len(ext + frames)) + ext + frames
+    assert ma.parse_id3v2_tags(tag3e) == {"TALB": "A"}
+    # v2.4 extended header (syncsafe size INCLUDES itself)
+    ext4 = ma._syncsafe(6) + bytes((1, 0))
+    tag4e = b"ID3" + bytes((4, 0, 0x40)) + ma._syncsafe(len(ext4 + frame)) + ext4 + frame
+    assert ma.parse_id3v2_tags(tag4e) == {"TIT2": "café"}
+    # v2.2: clear unsupported-version error, not a misleading overrun
+    tag22 = b"ID3" + bytes((2, 0, 0)) + ma._syncsafe(11) + b"TT2" + bytes(8)
+    with pytest.raises(ValueError, match="unsupported tag version"):
+        ma.parse_id3v2_tags(tag22)
