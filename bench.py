@@ -148,6 +148,8 @@ SCALING_QUERIES = {
     "x_pagerank": "lineitem",  # fixed-iteration join+agg, ckpt per round
     "x_kmeans_iter": "embeddings",  # literal-centroid Lloyd's, scan-side assign
     "x_bpe_apply": "documents",  # vocab-sized merge folds + encode join
+    "x_multimodal_meta": "documents",  # container sniff: scan + mapInPandas
+    "x_warc_extract": "documents",  # warc write+scan+HTTP split roundtrip
     "x_labelprop": "lineitem",  # per-round label join + count + struct argmax
     "x_coreness": "lineitem",  # h-index rounds: join + ranked max agg
     "x_bfs_hops": "lineitem",  # per-round relax join + partial-min shuffle

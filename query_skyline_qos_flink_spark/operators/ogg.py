@@ -112,10 +112,17 @@ def write_ogg(
             (lacing[i : i + max_segs_per_page], segs[i : i + max_segs_per_page])
             for i in range(0, len(lacing), max_segs_per_page)
         ] or [([], [])]
+        prev_open = False
         for ci, (lc, sg) in enumerate(chunks):
             htype = 0
-            if ci > 0:
-                htype |= 0x01  # continues a packet split by the page break
+            # the continuation flag means a PACKET spans the page break —
+            # true only when the previous chunk's last lacing was 255
+            # (hypothesis-found: two 0-length packets at max_segs=1 split
+            # into two pages, but the second continues nothing)
+            if ci > 0 and prev_open:
+                htype |= 0x01
+            if lc:
+                prev_open = lc[-1] == 255
             if pi == 0 and ci == 0:
                 htype |= 0x02  # BOS
             if pi == n_pages_meta - 1 and ci == len(chunks) - 1:

@@ -1,0 +1,66 @@
+"""Hypothesis roundtrip properties for the container framing layers.
+
+The hand-written edge tests (tests/test_container_codecs.py,
+test_warc_source.py) pin known boundaries — 255-lacing, exact multiples,
+continuation, empty packets; these properties sweep the space between
+them: ANY packet list must page-encode and reassemble identically under
+ANY segment budget, and ANY record list must WARC-roundtrip under both
+packagings.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from query_skyline_qos_flink_spark.operators import ogg
+from query_skyline_qos_flink_spark.sources import warc
+
+_packet = st.binary(min_size=0, max_size=700)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pages=st.lists(
+        st.tuples(
+            st.lists(_packet, min_size=0, max_size=4),
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    max_segs=st.integers(min_value=1, max_value=255),
+)
+def test_ogg_page_roundtrip_property(pages, max_segs):
+    raw = ogg.write_ogg(pages, max_segs_per_page=max_segs)
+    parsed = ogg.parse_ogg_pages(raw)  # CRC + framing verified per page
+    assert parsed[0]["header_type"] & 0x02
+    assert parsed[-1]["header_type"] & 0x04
+    assert [p["seq"] for p in parsed] == list(range(len(parsed)))
+    want = [pk for packets, _g in pages for pk in packets]
+    assert ogg.reassemble_packets(parsed) == want
+    # the final logical page's granule survives on the final physical page
+    assert parsed[-1]["granule"] == pages[-1][1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.binary(min_size=0, max_size=300),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(recs, gz):
+    blob = b"".join(
+        warc.write_warc_record(t, body, record_id=f"<urn:p:{i}>", gzip_member=gz)
+        for i, (t, body) in enumerate(recs)
+    )
+    parsed = warc.parse_warc_records(blob)
+    assert [(r["warc_type"], r["body"]) for r in parsed] == recs
+    assert [r["record_id"] for r in parsed] == [f"<urn:p:{i}>" for i in range(len(recs))]
+    offs = [r["offset"] for r in parsed]
+    assert offs == sorted(set(offs)) and offs[0] == 0
