@@ -64,3 +64,16 @@ def test_warc_roundtrip_property(recs, gz):
     assert [r["record_id"] for r in parsed] == [f"<urn:p:{i}>" for i in range(len(recs))]
     offs = [r["offset"] for r in parsed]
     assert offs == sorted(set(offs)) and offs[0] == 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(n=st.integers(min_value=0, max_value=2**55 - 2))
+def test_ebml_size_varint_roundtrip_property(n):
+    from query_skyline_qos_flink_spark.operators import webm
+
+    enc = webm._vint_size(n)
+    val, nxt = webm._read_vint(enc, 0, len(enc), keep_marker=False)
+    assert val == n and nxt == len(enc)
+    # minimal width: one byte narrower cannot represent n
+    width = len(enc)
+    assert width == 1 or n >= (1 << (7 * (width - 1))) - 1
