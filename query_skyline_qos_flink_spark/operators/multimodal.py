@@ -270,6 +270,179 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, "object"]:
     return h, w, nch, np.ascontiguousarray(out)
 
 
+def decode_tiff(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL codec for baseline uncompressed TIFF (TIFF 6.0 §2-8, the
+    scanned-document / raw-export shape crawls carry): both byte orders
+    (``II``/``MM``), IFD0, Compression=1, chunky planar config, 8 bits
+    per sample, 1/3/4 samples per pixel (grey / RGB / RGBA), any
+    strip layout (RowsPerStrip + StripOffsets/StripByteCounts, SHORT or
+    LONG).  Returns (height, width, channels, ndarray[h, w, c] uint8).
+    LZW/PackBits/JPEG-in-TIFF compression, tiles, planar=2 and other
+    bit depths raise — external-decoder seam, same policy as arithmetic
+    JPEG."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("tiff: bad byte-order/magic header")
+    bo = "<" if payload[:2] == b"II" else ">"
+
+    def u16(o):
+        return _struct.unpack_from(bo + "H", payload, o)[0]
+
+    def u32(o):
+        return _struct.unpack_from(bo + "I", payload, o)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        raise ValueError("tiff: IFD offset out of bounds")
+    n = u16(ifd)
+    if ifd + 2 + 12 * n > len(payload):
+        raise ValueError("tiff: truncated IFD")
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def values(off) -> list[int]:
+        typ, cnt = u16(off + 2), u32(off + 4)
+        sz = _TYPE_SIZE.get(typ)
+        if sz is None:
+            raise ValueError(f"tiff: unsupported field type {typ}")
+        at = off + 8 if sz * cnt <= 4 else u32(off + 8)
+        if at + sz * cnt > len(payload):
+            raise ValueError("tiff: field values out of bounds")
+        rd = {1: lambda o: payload[o], 3: u16, 4: u32}[typ]
+        return [rd(at + i * sz) for i in range(cnt)]
+
+    tags = {}
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tags[u16(off)] = off
+    need = lambda t, name: values(tags[t]) if t in tags else (_ for _ in ()).throw(
+        ValueError(f"tiff: missing required tag {name}")
+    )
+    w = need(256, "ImageWidth")[0]
+    h = need(257, "ImageLength")[0]
+    comp = values(tags[259])[0] if 259 in tags else 1
+    if comp != 1:
+        raise ValueError(
+            f"tiff: compression {comp} is behind the external-decoder seam "
+            "(only baseline uncompressed decodes natively)"
+        )
+    spp = values(tags[277])[0] if 277 in tags else 1
+    if spp not in (1, 3, 4):
+        raise ValueError(f"tiff: unsupported SamplesPerPixel {spp}")
+    bps = values(tags[258]) if 258 in tags else [1]
+    if any(x != 8 for x in bps):
+        raise ValueError(f"tiff: only 8 bits/sample decodes natively (got {bps})")
+    planar = values(tags[284])[0] if 284 in tags else 1
+    if planar != 1:
+        raise ValueError("tiff: planar configuration 2 is not supported")
+    rows_per_strip = values(tags[278])[0] if 278 in tags else h
+    offsets = need(273, "StripOffsets")
+    counts = need(279, "StripByteCounts")
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: StripOffsets/StripByteCounts length mismatch")
+    expected_strips = -(-h // rows_per_strip) if h else 0
+    if len(offsets) != expected_strips:
+        raise ValueError(
+            f"tiff: {len(offsets)} strips but {expected_strips} expected "
+            f"for {h} rows at {rows_per_strip} rows/strip"
+        )
+    data = bytearray()
+    for row0, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("tiff: strip out of bounds")
+        rows_here = min(rows_per_strip, h - row0 * rows_per_strip)
+        if c != rows_here * w * spp:
+            raise ValueError("tiff: strip byte count disagrees with geometry")
+        data += payload[o : o + c]
+    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    return h, w, spp, np.ascontiguousarray(arr)
+
+
+def encode_tiff(
+    arr, little_endian: bool = True, rows_per_strip: int | None = None
+) -> bytes:
+    """Baseline uncompressed TIFF writer (the :func:`decode_tiff` twin
+    for fixtures/round-trips): chunky, 8 bits/sample, strip layout
+    controlled by ``rows_per_strip``."""
+    import struct as _struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    if spp not in (1, 3, 4):
+        raise ValueError("tiff: 1/3/4 channels only")
+    rps = rows_per_strip or h
+    bo = "<" if little_endian else ">"
+    strips = [a[r : r + rps].tobytes() for r in range(0, h, rps)]
+    entries = []  # (tag, type, count, value_or_bytes)
+    # data layout: header(8) + IFD + value spillover + strips
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [1])
+    entry(262, 3, [1 if spp == 1 else 2])  # PhotometricInterpretation
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(273, 4, [0] * len(strips))  # patched below
+    entry(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_at = 8
+    spill_at = ifd_at + 2 + 12 * n + 4
+    _TS = {3: 2, 4: 4}
+    spill = bytearray()
+    for tag, typ, vals in entries:
+        if _TS[typ] * len(vals) > 4:
+            spill += b"".join(
+                _struct.pack(bo + ("H" if typ == 3 else "I"), v) for v in vals
+            )
+    strips_at = spill_at + len(spill)
+    # patch strip offsets now that the layout is known
+    offs, pos = [], strips_at
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    out = bytearray()
+    out += (b"II*\x00" if little_endian else b"MM\x00*")
+    out += _struct.pack(bo + "I", ifd_at)
+    out += _struct.pack(bo + "H", n)
+    spos = spill_at
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = offs
+        fmt = "H" if typ == 3 else "I"
+        out += _struct.pack(bo + "HHI", tag, typ, len(vals))
+        size = _TS[typ] * len(vals)
+        if size <= 4:
+            packed = b"".join(_struct.pack(bo + fmt, v) for v in vals)
+            out += packed + bytes(4 - size)
+        else:
+            out += _struct.pack(bo + "I", spos)
+            spos += size
+    out += _struct.pack(bo + "I", 0)  # next-IFD pointer
+    # re-emit spill with the patched strip offsets
+    spill = bytearray()
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = offs
+        if _TS[typ] * len(vals) > 4:
+            spill += b"".join(
+                _struct.pack(bo + ("H" if typ == 3 else "I"), v) for v in vals
+            )
+    out += spill
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL codec for ICO/CUR favicons: returns the LARGEST image's
     (height, width, channels, ndarray) — the favicon-crawl convention.
@@ -400,10 +573,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     lossless VP8L natively, lossy VP8 through the system libwebp
     (``operators/libwebp_bridge.py``) when that library is present.
     BMP payloads (BM magic) dispatch to :func:`decode_bmp`
-    (uncompressed 1/4/8-bit palette + 24/32-bit); ICO/CUR favicons to
+    (uncompressed 1/4/8-bit palette + 24/32-bit); TIFF (II*/MM* magic)
+    to :func:`decode_tiff` (baseline uncompressed, both byte orders,
+    any strip layout); ICO/CUR favicons to
     :func:`decode_ico` (largest entry, PNG or headerless DIB + AND
     mask).  Arithmetic-coded
-    JPEG and RLE/bitfields BMP still need an external decoder (e.g.
+    JPEG, RLE/bitfields BMP and compressed/tiled TIFF still need an
+    external decoder (e.g.
     pillow) — pass your own ``decode_fn`` for those.  Raises
     ``ValueError`` on unrecognized or unsupported payloads.
 
@@ -431,10 +607,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         return decode_webp(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return decode_ico(payload)
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG, JPEG, WebP, BMP or ICO (bad signature)")
+        raise ValueError("not a PNG, JPEG, WebP, BMP, TIFF or ICO (bad signature)")
     # IHDR is mandatory-first (PNG §11.2.2): byte 24 is the bit depth.
     # Pillow's PNG modes for depth 1 ('1') and 16 ('I'/'I;16') fall
     # outside the normalized L/LA/RGB/RGBA contract, so non-8-bit
@@ -1088,6 +1266,16 @@ def sniff_container_meta(payload: bytes) -> tuple:
         ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
         # lossless VBR: no fixed stream bitrate to report
         return ("flac", ch, rate, n_frames, duration_ms, 0)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from . import avi
+
+        m = avi.parse_avi_meta(payload)
+        # sample_rate carries the integer video fps (1e6/usec-per-frame,
+        # floored) — the AVI analog of a timescale
+        return (
+            "avi", m["n_audio"], 1_000_000 // m["usec_per_frame"],
+            m["total_frames"], m["duration_ms"], 0,
+        )
     if payload[:4] == b"RIFF":
         ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
         # true stream bitrate from the fmt chunk's byte-rate field (exact

@@ -503,3 +503,73 @@ def test_id3v2_unsync_extended_header_and_version_gate():
     tag22 = b"ID3" + bytes((2, 0, 0)) + ma._syncsafe(11) + b"TT2" + bytes(8)
     with pytest.raises(ValueError, match="unsupported tag version"):
         ma.parse_id3v2_tags(tag22)
+
+
+# ------------------------------------------------------- AVI / TIFF ----
+
+
+from query_skyline_qos_flink_spark.operators import avi  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "streams", [("vids",), ("vids", "auds"), ("auds",), ("vids", "auds", "auds")]
+)
+def test_avi_write_parse_roundtrip(streams):
+    b = avi.write_avi(250, 40000, streams, width=320, height=240)
+    m = avi.parse_avi_meta(b)
+    assert m["total_frames"] == 250 and m["usec_per_frame"] == 40000
+    assert m["n_streams"] == len(streams)
+    assert m["n_video"] == streams.count("vids")
+    assert m["n_audio"] == streams.count("auds")
+    assert m["duration_ms"] == 10000
+    assert (m["width"], m["height"]) == (320, 240)
+
+
+def test_avi_strictness_and_sniff():
+    b = avi.write_avi(10, streams=("vids", "auds"))
+    with pytest.raises(ValueError):
+        avi.parse_avi_meta(b[:-3])  # RIFF size overruns
+    with pytest.raises(ValueError, match="not a RIFF-AVI"):
+        avi.parse_avi_meta(b"RIFX" + b[4:])
+    with pytest.raises(ValueError, match="missing hdrl/avih"):
+        avi.parse_avi_meta(b.replace(b"avih", b"xxxx"))
+    # declared vs walked stream count cross-check
+    with pytest.raises(ValueError, match="declares"):
+        avi.parse_avi_meta(avi.write_avi(5, streams=("vids",)).replace(
+            b"\x01\x00\x00\x00" + b"\x00" * 4 + b"\x40\x00\x00\x00",  # nStreams=1
+            b"\x02\x00\x00\x00" + b"\x00" * 4 + b"\x40\x00\x00\x00",
+        ))
+    # sniff dispatch: AVI wins over the generic RIFF/WAV branch
+    got = mm.sniff_container_meta(b)
+    assert got == ("avi", 1, 1_000_000 // 33333, 10, 33333 * 10 // 1000, 0)
+
+
+@pytest.mark.parametrize("le", [True, False])
+@pytest.mark.parametrize("spp", [1, 3, 4])
+@pytest.mark.parametrize("rps", [None, 3])
+def test_tiff_roundtrip(le, spp, rps):
+    h, w = 7, 5
+    arr = np.arange(h * w * spp, dtype=np.uint8).reshape(h, w, spp)
+    b = mm.encode_tiff(arr, little_endian=le, rows_per_strip=rps)
+    gh, gw, gc, out = mm.decode_tiff(b)
+    assert (gh, gw, gc) == (h, w, spp)
+    assert (out == arr).all()
+    # and through the generic image dispatch
+    gh2, gw2, gc2, out2 = mm.decode_image(b)
+    assert (out2 == arr).all() and (gh2, gw2, gc2) == (h, w, spp)
+
+
+def test_tiff_strictness():
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    b = bytearray(mm.encode_tiff(arr))
+    with pytest.raises(ValueError, match="bad byte-order"):
+        mm.decode_tiff(b"XX*\x00" + bytes(b[4:]))
+    # compression tag -> declared external-decoder seam
+    comp_b = mm.encode_tiff(arr)
+    at = comp_b.find((259).to_bytes(2, "little"))
+    evil = bytearray(comp_b)
+    evil[at + 8] = 5  # Compression = LZW
+    with pytest.raises(ValueError, match="external-decoder seam"):
+        mm.decode_tiff(bytes(evil))
+    with pytest.raises(ValueError):
+        mm.decode_tiff(comp_b[:30])  # truncated IFD / strips
