@@ -77,3 +77,25 @@ def test_ebml_size_varint_roundtrip_property(n):
     # minimal width: one byte narrower cannot represent n
     width = len(enc)
     assert width == 1 or n >= (1 << (7 * (width - 1))) - 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    spp=st.sampled_from([1, 3, 4]),
+    rps=st.integers(min_value=1, max_value=14),
+    le=st.booleans(),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_tiff_roundtrip_property(h, w, spp, rps, le, seed):
+    import numpy as np
+
+    from query_skyline_qos_flink_spark.operators import multimodal as mm
+
+    arr = ((np.arange(h * w * spp) * 31 + seed) % 256).astype(np.uint8).reshape(
+        h, w, spp
+    )
+    b = mm.encode_tiff(arr, little_endian=le, rows_per_strip=rps)
+    gh, gw, gc, out = mm.decode_tiff(b)
+    assert (gh, gw, gc) == (h, w, spp) and (out == arr).all()
