@@ -76,7 +76,10 @@ def parse_avi_meta(b: bytes) -> dict:
     uspf, total_frames, declared_streams = avih[0], avih[4], avih[6]
     if uspf == 0:
         raise ValueError("avi: zero MicroSecPerFrame")
-    if n_streams_seen and declared_streams != n_streams_seen:
+    # unconditional (round-12 review: the old `if n_streams_seen` guard
+    # skipped the check exactly when the discrepancy was largest — a
+    # declared-N-streams file with NO strl headers parsed as valid)
+    if declared_streams != n_streams_seen:
         raise ValueError(
             f"avi: avih declares {declared_streams} streams, hdrl carries "
             f"{n_streams_seen}"

@@ -288,10 +288,18 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, "object"]:
         raise ValueError("tiff: bad byte-order/magic header")
     bo = "<" if payload[:2] == b"II" else ">"
 
+    # every read is bounds-checked so a corrupt crawl object surfaces as
+    # the documented ValueError, never struct.error/IndexError escaping a
+    # mapInPandas task (round-12 review; same policy as the PNG/RIFF
+    # paths' zlib.error/struct.error wrapping)
     def u16(o):
+        if o + 2 > len(payload):
+            raise ValueError(f"tiff: truncated read at byte {o}")
         return _struct.unpack_from(bo + "H", payload, o)[0]
 
     def u32(o):
+        if o + 4 > len(payload):
+            raise ValueError(f"tiff: truncated read at byte {o}")
         return _struct.unpack_from(bo + "I", payload, o)[0]
 
     ifd = u32(4)
@@ -317,27 +325,51 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, "object"]:
     for i in range(n):
         off = ifd + 2 + 12 * i
         tags[u16(off)] = off
-    need = lambda t, name: values(tags[t]) if t in tags else (_ for _ in ()).throw(
-        ValueError(f"tiff: missing required tag {name}")
-    )
+    def need(t, name):
+        vals = values(tags[t]) if t in tags else None
+        if not vals:  # absent OR a degenerate count=0 field
+            raise ValueError(f"tiff: missing required tag {name}")
+        return vals
+
+    def opt1(t, default):
+        if t not in tags:
+            return default
+        vals = values(tags[t])
+        if not vals:
+            raise ValueError(f"tiff: tag {t} present with count 0")
+        return vals[0]
+
     w = need(256, "ImageWidth")[0]
     h = need(257, "ImageLength")[0]
-    comp = values(tags[259])[0] if 259 in tags else 1
+    if w == 0 or h == 0:
+        raise ValueError("tiff: zero-pixel image")
+    comp = opt1(259, 1)
     if comp != 1:
         raise ValueError(
             f"tiff: compression {comp} is behind the external-decoder seam "
             "(only baseline uncompressed decodes natively)"
         )
-    spp = values(tags[277])[0] if 277 in tags else 1
+    spp = opt1(277, 1)
     if spp not in (1, 3, 4):
         raise ValueError(f"tiff: unsupported SamplesPerPixel {spp}")
     bps = values(tags[258]) if 258 in tags else [1]
     if any(x != 8 for x in bps):
         raise ValueError(f"tiff: only 8 bits/sample decodes natively (got {bps})")
-    planar = values(tags[284])[0] if 284 in tags else 1
-    if planar != 1:
+    if opt1(284, 1) != 1:
         raise ValueError("tiff: planar configuration 2 is not supported")
-    rows_per_strip = values(tags[278])[0] if 278 in tags else h
+    # PhotometricInterpretation (round-12 review): 0 WhiteIsZero inverts,
+    # 1 BlackIsZero / 2 RGB pass through, 3 palette and beyond are the
+    # external-decoder seam — decoding indices as gray would be a silent
+    # wrong answer, the one thing the policy forbids
+    photometric = opt1(262, 1 if spp == 1 else 2)
+    if photometric not in (0, 1, 2):
+        raise ValueError(
+            f"tiff: photometric {photometric} (palette/CMYK/YCbCr) is "
+            "behind the external-decoder seam"
+        )
+    rows_per_strip = opt1(278, h)
+    if rows_per_strip == 0:
+        raise ValueError("tiff: zero RowsPerStrip")
     offsets = need(273, "StripOffsets")
     counts = need(279, "StripByteCounts")
     if len(offsets) != len(counts):
@@ -357,6 +389,8 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, "object"]:
             raise ValueError("tiff: strip byte count disagrees with geometry")
         data += payload[o : o + c]
     arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 0:  # WhiteIsZero: baseline-required inversion
+        arr = 255 - arr
     return h, w, spp, np.ascontiguousarray(arr)
 
 
@@ -391,21 +425,23 @@ def encode_tiff(
     entry(262, 3, [1 if spp == 1 else 2])  # PhotometricInterpretation
     entry(277, 3, [spp])
     entry(278, 4, [rps])
-    entry(273, 4, [0] * len(strips))  # patched below
+    entry(273, 4, None)  # resolved to the strip offsets below
     entry(279, 4, [len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
     n = len(entries)
     ifd_at = 8
     spill_at = ifd_at + 2 + 12 * n + 4
     _TS = {3: 2, 4: 4}
-    spill = bytearray()
-    for tag, typ, vals in entries:
-        if _TS[typ] * len(vals) > 4:
-            spill += b"".join(
-                _struct.pack(bo + ("H" if typ == 3 else "I"), v) for v in vals
-            )
-    strips_at = spill_at + len(spill)
-    # patch strip offsets now that the layout is known
+    # spill size depends only on value COUNTS (273's count = n strips),
+    # so the whole layout is known before any bytes are emitted — one
+    # emission pass, no placeholder/patch coupling (round-12 review)
+    count_of = lambda vals: len(strips) if vals is None else len(vals)
+    spill_len = sum(
+        _TS[typ] * count_of(vals)
+        for _tag, typ, vals in entries
+        if _TS[typ] * count_of(vals) > 4
+    )
+    strips_at = spill_at + spill_len
     offs, pos = [], strips_at
     for s in strips:
         offs.append(pos)
@@ -414,29 +450,19 @@ def encode_tiff(
     out += (b"II*\x00" if little_endian else b"MM\x00*")
     out += _struct.pack(bo + "I", ifd_at)
     out += _struct.pack(bo + "H", n)
-    spos = spill_at
+    spill = bytearray()
     for tag, typ, vals in entries:
-        if tag == 273:
+        if vals is None:
             vals = offs
         fmt = "H" if typ == 3 else "I"
         out += _struct.pack(bo + "HHI", tag, typ, len(vals))
-        size = _TS[typ] * len(vals)
-        if size <= 4:
-            packed = b"".join(_struct.pack(bo + fmt, v) for v in vals)
-            out += packed + bytes(4 - size)
+        packed = b"".join(_struct.pack(bo + fmt, v) for v in vals)
+        if len(packed) <= 4:
+            out += packed + bytes(4 - len(packed))
         else:
-            out += _struct.pack(bo + "I", spos)
-            spos += size
+            out += _struct.pack(bo + "I", spill_at + len(spill))
+            spill += packed
     out += _struct.pack(bo + "I", 0)  # next-IFD pointer
-    # re-emit spill with the patched strip offsets
-    spill = bytearray()
-    for tag, typ, vals in entries:
-        if tag == 273:
-            vals = offs
-        if _TS[typ] * len(vals) > 4:
-            spill += b"".join(
-                _struct.pack(bo + ("H" if typ == 3 else "I"), v) for v in vals
-            )
     out += spill
     for s in strips:
         out += s
@@ -1228,7 +1254,10 @@ def sniff_container_meta(payload: bytes) -> tuple:
     the movie timescale; ``bitrate_kbps`` is the fmt byte-rate for WAV
     and 0 for the VBR containers (FLAC/MP4).  Unknown magic raises
     (crawl sniffing must route or fail, never guess)."""
-    if payload[4:8] == b"ftyp":
+    # the ftyp probe sits at offset 4, where RIFF stores its little-endian
+    # size — a ~1.88 GB RIFF file (size 0x70797466 = 'ftyp') would collide,
+    # so RIFF magic at offset 0 wins the dispatch (round-12 review)
+    if payload[:4] != b"RIFF" and payload[4:8] == b"ftyp":
         from . import mp4
 
         m = mp4.parse_mp4_meta(payload)

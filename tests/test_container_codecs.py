@@ -573,3 +573,45 @@ def test_tiff_strictness():
         mm.decode_tiff(bytes(evil))
     with pytest.raises(ValueError):
         mm.decode_tiff(comp_b[:30])  # truncated IFD / strips
+
+
+def test_third_review_regressions():
+    """Round-12 third-review findings: TIFF error-type contract,
+    WhiteIsZero, palette seam, AVI zero-strl cross-check, RIFF/ftyp
+    sniff-ordering collision guard."""
+    import struct
+
+    # (1) malformed TIFFs surface as ValueError, never struct/Index/ZeroDiv
+    for bad in (b"II*\x00", b"II*\x00\x08\x00"):
+        with pytest.raises(ValueError):
+            mm.decode_tiff(bad)
+    base = mm.encode_tiff(np.zeros((4, 4), dtype=np.uint8), rows_per_strip=2)
+    rps_at = base.find((278).to_bytes(2, "little"))
+    zero_rps = bytearray(base)
+    zero_rps[rps_at + 8 : rps_at + 12] = bytes(4)
+    with pytest.raises(ValueError, match="zero RowsPerStrip"):
+        mm.decode_tiff(bytes(zero_rps))
+    # (2) WhiteIsZero inverts; palette photometric is the declared seam
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    wz = bytearray(mm.encode_tiff(arr))
+    ph_at = wz.find((262).to_bytes(2, "little"))
+    wz[ph_at + 8] = 0
+    gh, gw, gc, out = mm.decode_tiff(bytes(wz))
+    assert (out == (255 - arr)).all()
+    pal = bytearray(mm.encode_tiff(arr))
+    pal[ph_at + 8] = 3
+    with pytest.raises(ValueError, match="external-decoder seam"):
+        mm.decode_tiff(bytes(pal))
+    # (3) AVI declaring streams with NO strl headers must not parse
+    hdrl_only = avi._list(b"hdrl", avi._chunk(b"avih", struct.pack(
+        "<10I", 33333, 0, 0, 0, 10, 0, 3, 0, 64, 48) + bytes(16)))
+    body = b"AVI " + hdrl_only + avi._list(b"movi", b"")
+    no_strl = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="declares 3 streams, hdrl carries 0"):
+        avi.parse_avi_meta(no_strl)
+    # (4) a RIFF payload whose size field spells 'ftyp' still routes RIFF
+    collision = bytearray(avi.write_avi(5))
+    assert mm.sniff_container_meta(bytes(collision))[0] == "avi"
+    collision[4:8] = b"ftyp"  # corrupt size -> RIFF branch must own it
+    with pytest.raises(ValueError, match="avi:"):
+        mm.sniff_container_meta(bytes(collision))
