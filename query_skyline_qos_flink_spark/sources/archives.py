@@ -33,16 +33,22 @@ def parse_zip_members(b: bytes) -> list[dict]:
     offset body`` per member, with the CRC of every decompressed body
     verified.  Raises on a missing/ambiguous EOCD, entry-count or
     signature mismatches, zip64 markers, and unsupported methods."""
-    at = b.rfind(_EOCD_SIG)
-    if at < 0:
-        raise ValueError("zip: no end-of-central-directory record")
-    if at + 22 > len(b):
-        raise ValueError("zip: truncated EOCD")
-    (n_disk, cd_start_disk, n_here, n_total, cd_size, cd_off, comment_len) = (
-        struct.unpack_from("<HHHHIIH", b, at + 4)
-    )
-    if at + 22 + comment_len != len(b):
-        raise ValueError("zip: trailing bytes after the EOCD comment")
+    # scan backward for the EOCD whose comment length reaches EXACTLY the
+    # end of the payload — an archive comment may itself contain the
+    # signature bytes, so the last occurrence is not automatically the
+    # record (APPNOTE's own recommended search)
+    at = len(b)
+    fields = None
+    while True:
+        at = b.rfind(_EOCD_SIG, 0, at)
+        if at < 0:
+            raise ValueError("zip: no consistent end-of-central-directory record")
+        if at + 22 <= len(b):
+            cand = struct.unpack_from("<HHHHIIH", b, at + 4)
+            if at + 22 + cand[6] == len(b):
+                fields = cand
+                break
+    (n_disk, cd_start_disk, n_here, n_total, cd_size, cd_off, _comment_len) = fields
     if n_disk or cd_start_disk:
         raise ValueError("zip: multi-disk archives are not supported")
     if n_here != n_total or 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
@@ -209,17 +215,18 @@ def _read_archive(spark, path: str, pattern: str, parse):
     )
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows = []
         for pdf in batches:
             for _, row in pdf.iterrows():
-                for m in parse(bytes(row["content"])):
-                    rows.append(
-                        (row["path"], m["name"], m["offset"], m["size"], m["body"])
+                # one output frame per archive so member bodies never
+                # accumulate across files within the Arrow batch
+                rows = [
+                    (row["path"], m["name"], m["offset"], m["size"], m["body"])
+                    for m in parse(bytes(row["content"]))
+                ]
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["path", "member", "offset", "size", "body"]
                     )
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["path", "member", "offset", "size", "body"]
-            )
 
     return files.mapInPandas(explode, schema=ARCHIVE_SCHEMA)
 

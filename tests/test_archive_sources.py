@@ -29,12 +29,20 @@ def test_zip_roundtrip(deflate):
 
 def test_zip_strictness():
     z = ar.write_zip(_MEMBERS)
-    with pytest.raises(ValueError, match="trailing bytes"):
+    # appended garbage breaks EOCD consistency: no record reaches the end
+    with pytest.raises(ValueError, match="no consistent end-of-central"):
         ar.parse_zip_members(z + b"xx")
     with pytest.raises(ValueError):
         ar.parse_zip_members(z[:-5])  # EOCD cut
-    with pytest.raises(ValueError, match="no end-of-central-directory"):
+    with pytest.raises(ValueError, match="no consistent end-of-central"):
         ar.parse_zip_members(b"PK\x03\x04 not a full zip")
+    # an archive COMMENT containing the EOCD signature must not mis-anchor
+    commented = bytearray(z)
+    comment = b"see PK\x05\x06 in docs"
+    commented[-2:] = len(comment).to_bytes(2, "little")
+    commented += comment
+    got = ar.parse_zip_members(bytes(commented))
+    assert [(m["name"], m["body"]) for m in got] == _MEMBERS
     # flip one deflate byte -> corrupt stream or CRC mismatch, never silence
     data_at = z.find(b"a.txt") + 5
     bad = bytearray(z)
