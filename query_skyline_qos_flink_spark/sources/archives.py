@@ -33,21 +33,29 @@ def parse_zip_members(b: bytes) -> list[dict]:
     offset body`` per member, with the CRC of every decompressed body
     verified.  Raises on a missing/ambiguous EOCD, entry-count or
     signature mismatches, zip64 markers, and unsupported methods."""
-    # scan backward for the EOCD whose comment length reaches EXACTLY the
-    # end of the payload — an archive comment may itself contain the
-    # signature bytes, so the last occurrence is not automatically the
-    # record (APPNOTE's own recommended search)
+    # scan for EVERY EOCD candidate whose comment length reaches exactly
+    # the end of the payload — an archive comment may itself contain the
+    # signature bytes, and a crafted consistent fake near the end would
+    # otherwise hijack the whole member walk (round-12 review: fail
+    # closed on ambiguity rather than trust proximity to EOF)
+    candidates = []
     at = len(b)
-    fields = None
     while True:
         at = b.rfind(_EOCD_SIG, 0, at)
         if at < 0:
-            raise ValueError("zip: no consistent end-of-central-directory record")
+            break
         if at + 22 <= len(b):
             cand = struct.unpack_from("<HHHHIIH", b, at + 4)
             if at + 22 + cand[6] == len(b):
-                fields = cand
-                break
+                candidates.append((at, cand))
+    if not candidates:
+        raise ValueError("zip: no consistent end-of-central-directory record")
+    if len(candidates) > 1:
+        raise ValueError(
+            "zip: ambiguous end-of-central-directory (multiple consistent "
+            "records — comment-embedded fake or corrupt archive)"
+        )
+    at, fields = candidates[0]
     (n_disk, cd_start_disk, n_here, n_total, cd_size, cd_off, _comment_len) = fields
     if n_disk or cd_start_disk:
         raise ValueError("zip: multi-disk archives are not supported")
@@ -57,19 +65,23 @@ def parse_zip_members(b: bytes) -> list[dict]:
         raise ValueError("zip: central directory overruns the EOCD")
     members, off = [], cd_off
     for _ in range(n_total):
+        if off + 46 > len(b):
+            raise ValueError(f"zip: truncated central-directory entry at byte {off}")
         if b[off : off + 4] != _CD_SIG:
             raise ValueError(f"zip: bad central-directory signature at byte {off}")
         (
             _ver_made, _ver_need, flags, method, _time, _date, crc, csize, size,
             name_len, extra_len, comment_len2, _disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", b, off + 4)
+        if off + 46 + name_len > len(b):
+            raise ValueError(f"zip: central-directory name out of bounds at byte {off}")
         name = b[off + 46 : off + 46 + name_len].decode("utf-8", "surrogateescape")
         off += 46 + name_len + extra_len + comment_len2
         if flags & 0x1:
             raise ValueError(f"zip: member {name!r} is encrypted")
         if method not in (0, 8):
             raise ValueError(f"zip: member {name!r} method {method} unsupported")
-        if b[lho : lho + 4] != _LOCAL_SIG:
+        if lho + 30 > len(b) or b[lho : lho + 4] != _LOCAL_SIG:
             raise ValueError(f"zip: member {name!r} local header missing")
         lname_len, lextra_len = struct.unpack_from("<HH", b, lho + 26)
         data_at = lho + 30 + lname_len + lextra_len
@@ -77,10 +89,23 @@ def parse_zip_members(b: bytes) -> list[dict]:
             raise ValueError(f"zip: member {name!r} data out of bounds")
         raw = b[data_at : data_at + csize]
         if method == 8:
+            # bounded inflate (round-12 review: a zip bomb must raise,
+            # never materialize unbounded output before the size check)
+            d = zlib.decompressobj(wbits=-15)
             try:
-                body = zlib.decompress(raw, wbits=-15)
+                body = d.decompress(raw, size + 1)
             except zlib.error as exc:
                 raise ValueError(f"zip: member {name!r} corrupt deflate: {exc}") from None
+            if len(body) > size:
+                raise ValueError(
+                    f"zip: member {name!r} inflates past its declared size"
+                )
+            if not d.eof:
+                raise ValueError(f"zip: member {name!r} deflate stream truncated")
+            if d.unused_data:
+                raise ValueError(
+                    f"zip: member {name!r} trailing bytes inside its csize span"
+                )
         else:
             body = raw
         if len(body) != size:
@@ -92,6 +117,11 @@ def parse_zip_members(b: bytes) -> list[dict]:
                 "name": name, "method": method, "size": size,
                 "csize": csize, "crc32": crc, "offset": lho, "body": body,
             }
+        )
+    if off != cd_off + cd_size:
+        raise ValueError(
+            f"zip: central directory consumed {off - cd_off} bytes but the "
+            f"EOCD declares {cd_size}"
         )
     return members
 
@@ -127,12 +157,26 @@ def write_zip(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
     return bytes(out)
 
 
+def _tar_octal(field: bytes) -> int:
+    s = field.split(b"\x00")[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise ValueError(f"tar: bad octal field {field!r}") from None
+
+
 def parse_tar_members(b: bytes) -> list[dict]:
     """POSIX ustar walk: 512-byte blocks, octal size fields, per-header
     CHECKSUM verification, regular files and directories; pax/GNU
     long-name typeflags raise at a declared seam.  The two-zero-block
-    terminator is required (a tar that just stops is truncated)."""
+    terminator is required (a tar that just stops is truncated), and
+    only zero padding may follow it — trailing garbage (or a second
+    concatenated archive, which would otherwise silently lose ALL its
+    members) raises."""
     members, off = [], 0
+    octal = _tar_octal
     while True:
         if off + 512 > len(b):
             raise ValueError("tar: truncated header block")
@@ -140,16 +184,12 @@ def parse_tar_members(b: bytes) -> list[dict]:
         if hdr == bytes(512):
             if b[off + 512 : off + 1024] != bytes(512):
                 raise ValueError("tar: missing second terminator block")
+            if any(b[off + 1024 :]):
+                raise ValueError(
+                    "tar: non-zero bytes after the terminator (trailing "
+                    "garbage or a concatenated archive)"
+                )
             break
-
-        def octal(field: bytes) -> int:
-            s = field.split(b"\x00")[0].strip()
-            if not s:
-                return 0
-            try:
-                return int(s, 8)
-            except ValueError:
-                raise ValueError(f"tar: bad octal field {field!r}") from None
 
         stored = octal(hdr[148:156])
         summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
@@ -207,12 +247,9 @@ ARCHIVE_SCHEMA = (
 def _read_archive(spark, path: str, pattern: str, parse):
     import pandas as pd
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .load(path)
-        .select("path", "content")
-    )
+    from .warc import _scan_files  # one binaryFile scan shared repo-wide
+
+    files = _scan_files(spark, path, pattern)
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
