@@ -41,70 +41,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 12
-# Round-12 window: the 41 entries whose latest driver row is round 9
-# (computed MECHANICALLY from the union of CORRECTNESS_r01..r11.json;
-# matches the round-11 verdict's own mechanical count) hit the hard
-# staleness bound and take the front.  The 9 fill slots split two ways:
-# 4 go to entries whose plans or results this round touches —
-# x_image_ahash_dedup / x_image_neardup_pairs carry the new lossy-WebP
-# fixtures through the shared decode plumbing, m2_strategy_stats gets
-# the persist-lifetime fix (verdict item 4), and x_seq_packing re-gates
-# after its regression A/B (verdict item 3) — and 5 go to the round-10
-# skyline-family entries that ride the chunked-merge code path whose
-# chunk-id derivation is being made recompute-deterministic this round
-# (ADVICE item 1): s22/s23/s28/s29 (s24_dynamic_skyline was swapped out
-# mid-round for x_audio_features when the FLAC fixture class changed its
-# results).  Pulling those 4 forward flattens round 13's must-gate load
-# from 49 (every round-10 row would hit the bound at once) to 45,
-# leaving 5 fill slots next round.
+_ROTATED_FOR = 13
+# Round-13 window: the 45 entries whose latest driver row is round 10
+# (computed MECHANICALLY from the union of CORRECTNESS_r01..r12.json;
+# matches the round-12 verdict's own mechanical count and the round-12
+# worksheet below) hit the hard staleness bound and take the front.
+# The 5 fill slots go to entries whose plans or results this round
+# touches or re-adjudicates: x_warc_extract carries the new bounded
+# .warc.gz inflate guard (ADVICE item 1) through its code path,
+# x_multimodal_meta's mp3 class rides the ID3v1-trim retry fix
+# (ADVICE item 2), x_ann_ivf re-gates after its fresh-session A/B
+# probe (verdict item 4; x_minhash_lsh_pairs, the other mover, is
+# already in the must-gate front), and two round-11 entries
+# (x_token_stats, x_simhash_pairs) are pulled forward to flatten the
+# round-14 must-gate load from 45 to 43.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 9, skipped rounds 10-11 at the bound
-    "r26_integrity_checks", "s11_stream_replay", "s13_stream_window",
-    "x_ann_blocked", "x_ann_multiprobe", "x_ann_recall", "x_bfs_hops",
-    "x_blocklist_filter", "x_bloom_prune_semi", "x_bpe_apply",
-    "x_bpe_train_k", "x_contamination", "x_coreness", "x_cosine_neardup",
-    "x_dedup_normalized", "x_doc_chunks",
-    "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
-    "x_heavy_hitters", "x_histogram", "x_hll_distinct", "x_kmeans_iter",
-    "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
-    "x_multimodal_meta", "x_ngram_topk",
-    "x_pagerank", "x_pattern_counts", "x_profile_columns",
-    "x_quality_filter", "x_repetition", "x_sample_stratified",
-    "x_snapshot_diff", "x_span_dedup", "x_text_quality",
-    "x_train_test_split", "x_weighted_mix",
-    # fills: plans/results this round touches (see worksheet above);
-    # x_audio_features swapped in mid-round for s24_dynamic_skyline when
-    # the FLAC fixture class changed its payload rotation (% 3 -> % 4);
-    # s36_stream_metrics (newborn, verdict item 6: oracle-gated O15-O19
-    # metrics record) took x_dedup_clusters's slot when that exact-Jaccard
-    # stage twin was retired to tests/test_exact_anchors.py mid-round
-    "x_image_ahash_dedup", "x_image_neardup_pairs", "m2_strategy_stats",
-    "x_seq_packing", "x_audio_features", "s36_stream_metrics",
-    # newborn x_warc_extract took x_multimodal_frames's slot when that
-    # plumbing twin was retired (see the retire() call in plans/pipeline)
-    "x_warc_extract",
-    # fills: round-10 skyline family on the chunk-id code path, pulled
-    # forward to flatten round 13's must-gate load
-    "s22_skyband", "s23_top_dominating",
-    "s28_kdominant_skyline", "s29_skyline_layers",
+    # stale: last driver row round 10, at the bound for round 13
+    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
+    "m1_partition_stats", "r10_percentiles", "r11_asof_join",
+    "r12_range_join", "r13_regional_revenue", "r14_subquery_avg",
+    "r20_recursive_cte", "r21_unpivot_measures", "r3_window_running",
+    "r4_semi_anti_join", "r7_json_extract", "r9_sessionize",
+    "s10_snapshot_10000", "s14_stream_dedup", "s15_stream_join",
+    "s18_stream_upsert", "s1_skyline_2d", "s20_stream_dedup_watermark",
+    "s24_dynamic_skyline", "s26_skycube", "s27_reverse_skyline",
+    "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
+    "s5_skyline_part", "s6_skyline_events_ts", "s7_skyline_filtered",
+    "s8_skyline_groupwise", "s9_twophase_angle", "s9_twophase_dim",
+    "s9_twophase_grid", "x_bigram_lm_score", "x_bm25_topk",
+    "x_cdc_dedup", "x_corpus_shuffle", "x_dedup_clusters_lsh",
+    "x_dedup_sweep", "x_knn_int8_rerank", "x_minhash_lsh_pairs",
+    "x_semantic_dedup", "x_triangle_count", "x_url_dedup",
+    # fills: plans/results this round touches (see header comment)
+    "x_warc_extract", "x_multimodal_meta", "x_ann_ivf",
+    "x_token_stats", "x_simhash_pairs",
 ]
-# Round-13 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 13: every entry whose latest driver
-#   row is round 10 and which sits outside this round-12 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-12
-#   artifact lands (at round-12 planning time: 49 round-10 rows minus
-#   the 4 round-10 fills above = 45, incl. s24_dynamic_skyline, which
-#   was displaced mid-round by x_audio_features), plus any round-12
-#   registration that missed the round-12 window (none as of the
-#   round-12 session end: the only newborn, s36_stream_metrics, sits in
-#   this window via the slot freed by retiring x_dedup_clusters).
-# * Round-12 mid-round changes a round-13 rotation must know about:
-#   x_dedup_clusters is RETIRED (anchor-gated, no staleness obligation);
-#   x_multimodal_meta's fixture is now the 5-class container rotation
-#   (mp3/ogg/wav/mp4/webm, key_mod 2100) — any future payload-class
-#   change re-rotates its results, so pull it into the window in the
-#   same round as any such change.
+# Round-14 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 14: every entry whose latest driver
+#   row is round 11 and which sits outside this round-13 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-13
+#   artifact lands (at round-13 planning time: 45 round-11 rows minus
+#   the 2 round-11 fills above, x_token_stats and x_simhash_pairs,
+#   = 43), plus any round-13 registration that missed the round-13
+#   window.
+# * Round-13 mid-round changes a round-14 rotation must know about:
+#   track any fill-slot swaps for newborns here (the round-12
+#   precedent: a newborn takes a fill slot, the displaced fill entry
+#   returns to its staleness cohort).
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
