@@ -10,11 +10,14 @@ ZIP is walked from the END-of-central-directory record per the public
 PKWARE APPNOTE layout — the central directory is the archive's source of
 truth (local headers can lie; appended garbage hides members from
 stream-order readers) — with each entry's local header cross-checked and
-stored/deflated payloads decompressed via stdlib ``zlib``.  TAR is the
-POSIX ustar layout: 512-byte blocks, octal fields, and the HEADER
-CHECKSUM verified per block (the spec's own integrity hook that lenient
-readers skip).  Zip64 and pax/GNU long-name extensions raise cleanly at
-a declared seam rather than mis-walking.
+stored/deflated payloads decompressed via stdlib ``zlib``, and zip64
+archives (>= 65535 members or >= 4 GiB offsets — routine at crawl
+scale) resolved through the EOCD64 record/locator and per-entry 0x0001
+extra fields.  TAR is the POSIX ustar layout: 512-byte blocks, octal
+(or GNU base-256) fields, and the HEADER CHECKSUM verified per block
+(the spec's own integrity hook that lenient readers skip) — plus the
+pax (``x``/``g``) and old-GNU (``L``/``K``) long-name extensions that
+modern ``tar`` emits by default.
 """
 
 from __future__ import annotations
@@ -24,15 +27,52 @@ import zlib
 from collections.abc import Iterator
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 _CD_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
+
+
+def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
+    """Walk the extra-field area for the 0x0001 zip64 record and pull the
+    values for the masked central-directory fields, in the spec's fixed
+    order (size, csize, lho, disk).  Strict: the extra area must be a
+    well-formed (id, len, data) sequence and the zip64 record must hold
+    exactly the masked fields."""
+    width = {"size": 8, "csize": 8, "lho": 8, "disk": 4}
+    at = 0
+    while at + 4 <= len(extra):
+        fid, flen = struct.unpack_from("<HH", extra, at)
+        at += 4
+        if at + flen > len(extra):
+            raise ValueError(f"zip: member {name!r} extra field overruns its area")
+        if fid == 0x0001:
+            want = sum(width[k] for k in need)
+            if flen != want:
+                raise ValueError(
+                    f"zip: member {name!r} zip64 extra holds {flen} bytes but "
+                    f"the masked fields need {want}"
+                )
+            vals, vat = {}, at
+            for k in need:
+                if width[k] == 8:
+                    vals[k] = struct.unpack_from("<Q", extra, vat)[0]
+                else:
+                    vals[k] = struct.unpack_from("<I", extra, vat)[0]
+                vat += width[k]
+            return vals
+        at += flen
+    if at != len(extra):
+        raise ValueError(f"zip: member {name!r} trailing junk in the extra area")
+    raise ValueError(f"zip: member {name!r} masks fields but has no zip64 extra")
 
 
 def parse_zip_members(b: bytes) -> list[dict]:
     """Central-directory walk: returns ``name method size csize crc32
     offset body`` per member, with the CRC of every decompressed body
     verified.  Raises on a missing/ambiguous EOCD, entry-count or
-    signature mismatches, zip64 markers, and unsupported methods."""
+    signature mismatches, inconsistent zip64 records, and unsupported
+    methods."""
     # scan for EVERY EOCD candidate whose comment length reaches exactly
     # the end of the payload — an archive comment may itself contain the
     # signature bytes, and a crafted consistent fake near the end would
@@ -57,11 +97,48 @@ def parse_zip_members(b: bytes) -> list[dict]:
         )
     at, fields = candidates[0]
     (n_disk, cd_start_disk, n_here, n_total, cd_size, cd_off, _comment_len) = fields
-    if n_disk or cd_start_disk:
+    if (n_disk not in (0, 0xFFFF)) or (cd_start_disk not in (0, 0xFFFF)):
         raise ValueError("zip: multi-disk archives are not supported")
-    if n_here != n_total or 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
-        raise ValueError("zip: zip64 (or split) archive is a declared seam")
-    if cd_off + cd_size > at:
+    # zip64: masked EOCD fields (or a locator abutting the EOCD) hand the
+    # real values to the EOCD64 record.  The locator MUST directly
+    # precede the EOCD and the EOCD64 record must abut its locator —
+    # strict layout per APPNOTE 4.3.14/4.3.15, which also keeps the
+    # comment-consistency scan above authoritative.
+    cd_end_bound = at
+    masked = 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off)
+    has_loc = at >= 20 and b[at - 20 : at - 16] == _EOCD64_LOC_SIG
+    if masked or has_loc:
+        if not has_loc:
+            raise ValueError("zip: zip64 markers in the EOCD but no EOCD64 locator")
+        loc_disk, z64_off, n_disks = struct.unpack_from("<IQI", b, at - 16)
+        if loc_disk or n_disks != 1:
+            raise ValueError("zip: multi-disk zip64 archives are not supported")
+        if z64_off + 56 > at - 20 or b[z64_off : z64_off + 4] != _EOCD64_SIG:
+            raise ValueError("zip: EOCD64 record missing at the locator offset")
+        (
+            reclen, _zver_made, _zver_need, z_disk, z_cd_disk,
+            z_here, z_total, z_cd_size, z_cd_off,
+        ) = struct.unpack_from("<QHHIIQQQQ", b, z64_off + 4)
+        if reclen < 44:
+            raise ValueError("zip: EOCD64 record shorter than its fixed fields")
+        if z64_off + 12 + reclen != at - 20:
+            raise ValueError("zip: EOCD64 record does not abut its locator")
+        if z_disk or z_cd_disk:
+            raise ValueError("zip: multi-disk zip64 archives are not supported")
+        # unmasked EOCD fields must agree with the EOCD64 record
+        for small, mask, big, label in (
+            (n_here, 0xFFFF, z_here, "entry count"),
+            (n_total, 0xFFFF, z_total, "total entry count"),
+            (cd_size, 0xFFFFFFFF, z_cd_size, "directory size"),
+            (cd_off, 0xFFFFFFFF, z_cd_off, "directory offset"),
+        ):
+            if small != mask and small != big:
+                raise ValueError(f"zip: EOCD {label} disagrees with the EOCD64 record")
+        n_here, n_total, cd_size, cd_off = z_here, z_total, z_cd_size, z_cd_off
+        cd_end_bound = z64_off
+    if n_here != n_total:
+        raise ValueError("zip: split archives are not supported")
+    if cd_off + cd_size > cd_end_bound:
         raise ValueError("zip: central directory overruns the EOCD")
     members, off = [], cd_off
     for _ in range(n_total):
@@ -71,11 +148,31 @@ def parse_zip_members(b: bytes) -> list[dict]:
             raise ValueError(f"zip: bad central-directory signature at byte {off}")
         (
             _ver_made, _ver_need, flags, method, _time, _date, crc, csize, size,
-            name_len, extra_len, comment_len2, _disk, _iattr, _eattr, lho,
+            name_len, extra_len, comment_len2, disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", b, off + 4)
-        if off + 46 + name_len > len(b):
-            raise ValueError(f"zip: central-directory name out of bounds at byte {off}")
+        if off + 46 + name_len + extra_len > len(b):
+            raise ValueError(f"zip: central-directory entry out of bounds at byte {off}")
         name = b[off + 46 : off + 46 + name_len].decode("utf-8", "surrogateescape")
+        # zip64 per-entry: masked fields live in the 0x0001 extra record,
+        # in the spec's fixed order, only the masked ones present
+        need = []
+        if size == 0xFFFFFFFF:
+            need.append("size")
+        if csize == 0xFFFFFFFF:
+            need.append("csize")
+        if lho == 0xFFFFFFFF:
+            need.append("lho")
+        if disk == 0xFFFF:
+            need.append("disk")
+        if need:
+            extra = b[off + 46 + name_len : off + 46 + name_len + extra_len]
+            vals = _zip64_extra(extra, need, name)
+            size = vals.get("size", size)
+            csize = vals.get("csize", csize)
+            lho = vals.get("lho", lho)
+            disk = vals.get("disk", disk)
+        if disk:
+            raise ValueError(f"zip: member {name!r} on a non-zero disk")
         off += 46 + name_len + extra_len + comment_len2
         if flags & 0x1:
             raise ValueError(f"zip: member {name!r} is encrypted")
@@ -126,9 +223,18 @@ def parse_zip_members(b: bytes) -> list[dict]:
     return members
 
 
-def write_zip(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
+def write_zip(
+    members: list[tuple[str, bytes]], deflate: bool = True, zip64: bool = False
+) -> bytes:
     """Spec-shaped ZIP writer (the fixture twin of
-    :func:`parse_zip_members`)."""
+    :func:`parse_zip_members`).
+
+    ``zip64=True`` forces the zip64 format everywhere — masked
+    size/csize/offset fields with 0x0001 extra records per entry plus the
+    EOCD64 record and locator — which is spec-legal at any size and lets
+    a small fixture exercise the 64-bit walk.  The EOCD64/locator pair is
+    also emitted automatically whenever a count or offset overflows its
+    EOCD field (>= 65535 members, >= 4 GiB offsets)."""
     out, cd = bytearray(), bytearray()
     for name, body in members:
         nb = name.encode("utf-8")
@@ -144,16 +250,37 @@ def write_zip(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
             "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw), len(body), len(nb), 0
         )
         out += nb + raw
-        cd += _CD_SIG + struct.pack(
-            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, len(raw),
-            len(body), len(nb), 0, 0, 0, 0, 0, lho,
-        )
-        cd += nb
+        if zip64 or len(raw) >= 0xFFFFFFFF or len(body) >= 0xFFFFFFFF or lho >= 0xFFFFFFFF:
+            extra = struct.pack("<HHQQQ", 0x0001, 24, len(body), len(raw), lho)
+            cd += _CD_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", 45, 45, 0, method, 0, 0, crc,
+                0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
+                0xFFFFFFFF,
+            )
+            cd += nb + extra
+        else:
+            cd += _CD_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, len(raw),
+                len(body), len(nb), 0, 0, 0, 0, 0, lho,
+            )
+            cd += nb
     cd_off = len(out)
     out += cd
-    out += _EOCD_SIG + struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(cd), cd_off, 0
-    )
+    n = len(members)
+    if zip64 or n >= 0xFFFF or cd_off >= 0xFFFFFFFF or len(cd) >= 0xFFFFFFFF:
+        z64_off = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0, n, n, len(cd), cd_off
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, z64_off, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, min(n, 0xFFFF), min(n, 0xFFFF),
+            min(len(cd), 0xFFFFFFFF), min(cd_off, 0xFFFFFFFF), 0,
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, n, n, len(cd), cd_off, 0
+        )
     return bytes(out)
 
 
@@ -167,21 +294,100 @@ def _tar_octal(field: bytes) -> int:
         raise ValueError(f"tar: bad octal field {field!r}") from None
 
 
+def _tar_num(field: bytes) -> int:
+    """Numeric header field: octal per POSIX, or GNU base-256 (high bit
+    of the first byte set, remaining bits a big-endian binary value) for
+    values the octal field cannot hold (>= 8 GiB sizes)."""
+    if field and field[0] & 0x80:
+        val = field[0] & 0x7F
+        for byte in field[1:]:
+            val = (val << 8) | byte
+        return val
+    return _tar_octal(field)
+
+
+def _pax_records(data: bytes, at_byte: int) -> dict[str, str]:
+    """Strict pax extended-header record parse per POSIX.1-2001:
+    ``"%d %s=%s\\n" % (length, keyword, value)`` where *length* counts
+    the ENTIRE record including its own digits, the space, and the
+    trailing newline.  Later records override earlier ones (the spec's
+    stated precedence); any malformed record raises."""
+    recs: dict[str, str] = {}
+    at = 0
+    while at < len(data):
+        sp = data.find(b" ", at, at + 20)
+        if sp < 0 or not data[at:sp].isdigit():
+            raise ValueError(f"tar: bad pax record length at byte {at_byte + at}")
+        reclen = int(data[at:sp])
+        if reclen < sp - at + 3 or at + reclen > len(data):
+            raise ValueError(
+                f"tar: pax record length {reclen} out of bounds at byte "
+                f"{at_byte + at}"
+            )
+        if data[at + reclen - 1 : at + reclen] != b"\n":
+            raise ValueError(
+                f"tar: pax record missing trailing newline at byte {at_byte + at}"
+            )
+        body = data[sp + 1 : at + reclen - 1]
+        eq = body.find(b"=")
+        if eq < 0:
+            raise ValueError(f"tar: pax record without '=' at byte {at_byte + at}")
+        try:
+            key = body[:eq].decode("utf-8")
+        except UnicodeDecodeError:
+            raise ValueError(
+                f"tar: pax keyword is not UTF-8 at byte {at_byte + at}"
+            ) from None
+        recs[key] = body[eq + 1 :].decode("utf-8", "surrogateescape")
+        at += reclen
+    return recs
+
+
+def _gnu_longdata(data: bytes, size: int, flag: bytes, off: int) -> str:
+    """GNU 'L'/'K' payload: the long name, NUL-terminated; anything after
+    the first NUL must be zero padding."""
+    if size < 1:
+        raise ValueError(f"tar: empty GNU {flag!r} long-name block at byte {off}")
+    raw = data[:size]
+    nul = raw.find(b"\x00")
+    if nul < 0:
+        nul = size  # GNU tar always NUL-terminates, but accept a full field
+    elif any(raw[nul:]):
+        raise ValueError(
+            f"tar: junk after the NUL in GNU {flag!r} long name at byte {off}"
+        )
+    return raw[:nul].decode("utf-8", "surrogateescape")
+
+
 def parse_tar_members(b: bytes) -> list[dict]:
-    """POSIX ustar walk: 512-byte blocks, octal size fields, per-header
-    CHECKSUM verification, regular files and directories; pax/GNU
-    long-name typeflags raise at a declared seam.  The two-zero-block
-    terminator is required (a tar that just stops is truncated), and
-    only zero padding may follow it — trailing garbage (or a second
-    concatenated archive, which would otherwise silently lose ALL its
-    members) raises."""
+    """POSIX ustar + pax walk: 512-byte blocks, octal (or GNU base-256)
+    size fields, per-header CHECKSUM verification.  Long names arrive
+    three ways and all are honored with the POSIX precedence
+    (pax ``x`` path > GNU ``L`` longname > pax ``g`` global path >
+    ustar prefix+name): pax extended headers (typeflag ``x`` per-file /
+    ``g`` global, strict ``"len key=value\\n"`` records), GNU longname /
+    longlink blocks (``L``/``K``), and the ustar 155-byte prefix field.
+    A pax ``size`` record overrides the header size for the following
+    member's data run.  The two-zero-block terminator is required (a tar
+    that just stops is truncated), only zero padding may follow it —
+    trailing garbage (or a second concatenated archive, which would
+    otherwise silently lose ALL its members) raises — and an extension
+    header with no following file header is a dangling error, never
+    silently dropped."""
     members, off = [], 0
-    octal = _tar_octal
+    g_over: dict[str, str] = {}  # pax 'g' globals, persist until overridden
+    x_over: dict[str, str] | None = None  # pax 'x', applies to next file only
+    longname: str | None = None  # GNU 'L', next file only
+    longlink: str | None = None  # GNU 'K', next file only
     while True:
         if off + 512 > len(b):
             raise ValueError("tar: truncated header block")
         hdr = b[off : off + 512]
         if hdr == bytes(512):
+            if x_over is not None or longname is not None or longlink is not None:
+                raise ValueError(
+                    "tar: dangling pax/GNU extension header before the terminator"
+                )
             if b[off + 512 : off + 1024] != bytes(512):
                 raise ValueError("tar: missing second terminator block")
             if any(b[off + 1024 :]):
@@ -191,50 +397,133 @@ def parse_tar_members(b: bytes) -> list[dict]:
                 )
             break
 
-        stored = octal(hdr[148:156])
+        stored = _tar_octal(hdr[148:156])
         summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
         if stored != summed:
             raise ValueError(f"tar: header checksum mismatch at byte {off}")
-        name = hdr[:100].split(b"\x00")[0].decode("utf-8", "surrogateescape")
         typeflag = hdr[156:157]
-        if typeflag in (b"x", b"g", b"L", b"K"):
-            raise ValueError(
-                f"tar: pax/GNU extension typeflag {typeflag!r} is a declared seam"
-            )
-        size = octal(hdr[124:136])
+        size = _tar_num(hdr[124:136])
         data_at = off + 512
         if data_at + size > len(b):
-            raise ValueError(f"tar: member {name!r} data out of bounds")
-        if typeflag in (b"0", b"\x00"):
-            members.append(
-                {"name": name, "size": size, "offset": off,
-                 "body": b[data_at : data_at + size]}
-            )
+            raise ValueError(f"tar: member data out of bounds at byte {off}")
+        data = b[data_at : data_at + size]
+
+        if typeflag in (b"x", b"g"):
+            recs = _pax_records(data, data_at)
+            if typeflag == b"g":
+                g_over.update(recs)
+            else:
+                if x_over is not None:
+                    raise ValueError(f"tar: consecutive pax 'x' headers at byte {off}")
+                x_over = recs
+        elif typeflag in (b"L", b"K"):
+            val = _gnu_longdata(data, size, typeflag, data_at)
+            if typeflag == b"L":
+                if longname is not None:
+                    raise ValueError(
+                        f"tar: consecutive GNU 'L' longname blocks at byte {off}"
+                    )
+                longname = val
+            else:
+                if longlink is not None:
+                    raise ValueError(
+                        f"tar: consecutive GNU 'K' longlink blocks at byte {off}"
+                    )
+                longlink = val
+        else:
+            name = hdr[:100].split(b"\x00")[0].decode("utf-8", "surrogateescape")
+            # ustar prefix field: a 155-byte path prefix joined with '/'
+            if hdr[257:262] == b"ustar":
+                prefix = hdr[345:500].split(b"\x00")[0].decode(
+                    "utf-8", "surrogateescape"
+                )
+                if prefix:
+                    name = f"{prefix}/{name}"
+            if "path" in g_over:
+                name = g_over["path"]
+            if longname is not None:
+                name = longname
+            if x_over is not None and "path" in x_over:
+                name = x_over["path"]
+            eff = dict(g_over)
+            if x_over is not None:
+                eff.update(x_over)
+            if "size" in eff:
+                if not eff["size"].isdigit():
+                    raise ValueError(
+                        f"tar: non-numeric pax size record {eff['size']!r}"
+                    )
+                size = int(eff["size"])
+                if data_at + size > len(b):
+                    raise ValueError(
+                        f"tar: member {name!r} pax-size data out of bounds"
+                    )
+                data = b[data_at : data_at + size]
+            if typeflag in (b"0", b"\x00"):
+                members.append(
+                    {"name": name, "size": size, "offset": off, "body": data}
+                )
+            x_over, longname, longlink = None, None, None
         off = data_at + (size + 511) // 512 * 512
     return members
 
 
-def write_tar(members: list[tuple[str, bytes]]) -> bytes:
-    """ustar writer (fixture twin of :func:`parse_tar_members`)."""
+def _tar_block(name: bytes, size: int, typeflag: int) -> bytearray:
+    hdr = bytearray(512)
+    hdr[0 : len(name)] = name
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}\x00".encode()
+    hdr[136:148] = b"00000000000\x00"
+    hdr[156] = typeflag
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    hdr[148:156] = b" " * 8
+    hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+    return hdr
+
+
+def _pad512(body: bytes) -> bytes:
+    return body + bytes((512 - len(body) % 512) % 512)
+
+
+def pax_record(key: str, value: str) -> bytes:
+    """One POSIX.1-2001 extended-header record; the length prefix counts
+    itself, so the digit width is found by fixpoint."""
+    body = f" {key}={value}\n".encode("utf-8")
+    digits = 1
+    while len(str(len(body) + digits)) > digits:
+        digits += 1
+    return str(len(body) + digits).encode() + body
+
+
+def write_tar(members: list[tuple[str, bytes]], long_names: str = "pax") -> bytes:
+    """ustar/pax writer (fixture twin of :func:`parse_tar_members`).
+
+    Names longer than the 100-byte ustar field are carried per
+    ``long_names``: ``"pax"`` (POSIX.1-2001 ``x`` extended header with a
+    ``path`` record — what GNU/BSD tar emit by default), ``"gnu"``
+    (old-GNU ``L`` longname block), or ``"error"`` (raise, the pre-pax
+    strict-ustar behavior)."""
+    if long_names not in ("pax", "gnu", "error"):
+        raise ValueError(f"tar: unknown long_names mode {long_names!r}")
     out = bytearray()
-    for name, body in members:
+    for i, (name, body) in enumerate(members):
         nb = name.encode("utf-8")
         if len(nb) > 100:
-            raise ValueError("tar: name longer than the ustar field")
-        hdr = bytearray(512)
-        hdr[0 : len(nb)] = nb
-        hdr[100:108] = b"0000644\x00"
-        hdr[108:116] = b"0000000\x00"
-        hdr[116:124] = b"0000000\x00"
-        hdr[124:136] = f"{len(body):011o}\x00".encode()
-        hdr[136:148] = b"00000000000\x00"
-        hdr[156] = 0x30  # regular file
-        hdr[257:263] = b"ustar\x00"
-        hdr[263:265] = b"00"
-        hdr[148:156] = b" " * 8
-        checksum = sum(hdr)
-        hdr[148:156] = f"{checksum:06o}\x00 ".encode()
-        out += hdr + body + bytes((512 - len(body) % 512) % 512)
+            if long_names == "error":
+                raise ValueError("tar: name longer than the ustar field")
+            if long_names == "pax":
+                recs = pax_record("path", name)
+                out += _tar_block(f"PaxHeaders.0/{i}".encode(), len(recs), ord("x"))
+                out += _pad512(recs)
+            else:
+                out += _tar_block(b"././@LongLink", len(nb) + 1, ord("L"))
+                out += _pad512(nb + b"\x00")
+            nb = nb[:100]
+        out += _tar_block(nb, len(body), 0x30)
+        out += _pad512(body)
     out += bytes(1024)
     return bytes(out)
 

@@ -68,14 +68,191 @@ def test_tar_roundtrip_and_strictness():
         ar.parse_tar_members(bytes(bad))
     with pytest.raises(ValueError):
         ar.parse_tar_members(t[:-700])  # terminator cut
-    # a pax extension header is a declared seam, not a mis-walk
-    pax = bytearray(ar.write_tar([("f", b"d")]))
-    pax[156] = ord("x")
-    # recompute the checksum so ONLY the typeflag rule fires
-    pax[148:156] = b" " * 8
-    pax[148:156] = f"{sum(pax[:512]):06o}\x00 ".encode()
-    with pytest.raises(ValueError, match="declared seam"):
-        ar.parse_tar_members(bytes(pax))
+
+
+_LONG = "deep/" + "n" * 140 + "/leaf.txt"
+
+
+@pytest.mark.parametrize("mode", ["pax", "gnu"])
+def test_tar_long_names_roundtrip(mode):
+    members = [("short", b"s"), (_LONG, b"L" * 700), ("z", b"")]
+    t = ar.write_tar(members, long_names=mode)
+    got = ar.parse_tar_members(t)
+    assert [(m["name"], m["body"]) for m in got] == members
+    # strict-ustar mode still refuses long names
+    with pytest.raises(ValueError, match="longer than the ustar field"):
+        ar.write_tar([(_LONG, b"x")], long_names="error")
+
+
+def test_tar_stdlib_cross_conformance(tmp_path):
+    """Our pax/GNU output must be readable by stdlib tarfile, and stdlib
+    tarfile's pax/GNU/ustar output (incl. the 155-byte prefix split) must
+    be readable by our strict walk — an independent conformance target."""
+    import io
+    import tarfile
+
+    for mode in ("pax", "gnu"):
+        t = ar.write_tar([("short", b"s"), (_LONG, b"L" * 700)], long_names=mode)
+        tf = tarfile.open(fileobj=io.BytesIO(t))
+        assert tf.getnames() == ["short", _LONG]
+        assert tf.extractfile(_LONG).read() == b"L" * 700
+    prefix_name = "p" * 120 + "/" + "q" * 80  # forces the ustar prefix split
+    for fmt, name in (
+        (tarfile.PAX_FORMAT, _LONG),
+        (tarfile.GNU_FORMAT, _LONG),
+        (tarfile.USTAR_FORMAT, prefix_name),
+    ):
+        buf = io.BytesIO()
+        tf = tarfile.open(fileobj=buf, mode="w", format=fmt)
+        for n, b in (("plain", b"1"), (name, b"2" * 600)):
+            ti = tarfile.TarInfo(n)
+            ti.size = len(b)
+            tf.addfile(ti, io.BytesIO(b))
+        tf.close()
+        got = ar.parse_tar_members(buf.getvalue())
+        assert [(m["name"], m["body"]) for m in got] == [
+            ("plain", b"1"), (name, b"2" * 600)
+        ]
+
+
+def test_tar_pax_semantics():
+    """pax record overrides: x > L > g > header; size override; base-256
+    numeric fields; strict malformed-record rejection."""
+    # hand-build: global 'g' path + a file -> global wins over header name
+    g_recs = ar.pax_record("path", "global/name.txt")
+    blocks = (
+        bytes(ar._tar_block(b"pax_global", len(g_recs), ord("g")))
+        + ar._pad512(g_recs)
+        + bytes(ar._tar_block(b"hdrname", 4, 0x30))
+        + ar._pad512(b"body")
+        + bytes(1024)
+    )
+    got = ar.parse_tar_members(blocks)
+    assert [(m["name"], m["body"]) for m in got] == [("global/name.txt", b"body")]
+
+    # per-file 'x' path beats a pending GNU 'L' longname, which beats 'g'
+    x_recs = ar.pax_record("path", "x/wins.txt")
+    blocks = (
+        bytes(ar._tar_block(b"pax_global", len(g_recs), ord("g")))
+        + ar._pad512(g_recs)
+        + bytes(ar._tar_block(b"././@LongLink", 7, ord("L")))
+        + ar._pad512(b"Lname\x00\x00")
+        + bytes(ar._tar_block(b"pax_x", len(x_recs), ord("x")))
+        + ar._pad512(x_recs)
+        + bytes(ar._tar_block(b"hdrname", 2, 0x30))
+        + ar._pad512(b"xy")
+        + bytes(1024)
+    )
+    got = ar.parse_tar_members(blocks)
+    assert got[0]["name"] == "x/wins.txt"
+    # ...and the overrides are consumed: a second file reverts to 'g'
+    # pax size override: header says 0, the record carries the truth
+    s_recs = ar.pax_record("size", "6")
+    blocks = (
+        bytes(ar._tar_block(b"pax_x", len(s_recs), ord("x")))
+        + ar._pad512(s_recs)
+        + bytes(ar._tar_block(b"f", 0, 0x30))
+        + ar._pad512(b"sixchr")
+        + bytes(1024)
+    )
+    # NOTE: data run is sized by the pax record, not the zeroed header
+    got = ar.parse_tar_members(blocks)
+    assert got[0]["body"] == b"sixchr" and got[0]["size"] == 6
+
+    # GNU base-256 size field
+    hdr = ar._tar_block(b"big", 5, 0x30)
+    hdr[124:136] = b"\x80" + bytes(10) + bytes([5])
+    hdr[148:156] = b" " * 8
+    hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+    got = ar.parse_tar_members(bytes(hdr) + ar._pad512(b"12345") + bytes(1024))
+    assert got[0]["body"] == b"12345"
+
+    # malformed pax records raise, never mis-walk
+    for bad in (b"7 a=b\n", b"xx path=p\n", b"9 path_p!\n", b"999 a=b\n"):
+        blocks = (
+            bytes(ar._tar_block(b"pax_x", len(bad), ord("x")))
+            + ar._pad512(bad)
+            + bytes(ar._tar_block(b"f", 0, 0x30))
+            + bytes(1024)
+        )
+        with pytest.raises(ValueError, match="pax record"):
+            ar.parse_tar_members(blocks)
+    # dangling extension header before the terminator
+    x = ar.pax_record("path", "dangling")
+    blocks = bytes(ar._tar_block(b"pax_x", len(x), ord("x"))) + ar._pad512(x) + bytes(1024)
+    with pytest.raises(ValueError, match="dangling"):
+        ar.parse_tar_members(blocks)
+    # consecutive 'x' headers without a file between them
+    blocks = (
+        bytes(ar._tar_block(b"pax_x", len(x), ord("x")))
+        + ar._pad512(x)
+        + bytes(ar._tar_block(b"pax_x", len(x), ord("x")))
+        + ar._pad512(x)
+        + bytes(ar._tar_block(b"f", 0, 0x30))
+        + bytes(1024)
+    )
+    with pytest.raises(ValueError, match="consecutive pax"):
+        ar.parse_tar_members(blocks)
+
+
+def test_zip64_roundtrip_and_strictness():
+    """Forced-zip64 fixtures exercise the EOCD64/locator + 0x0001 extra
+    walk; stdlib zipfile is the independent conformance target."""
+    import io
+    import struct
+    import zipfile
+
+    z = ar.write_zip(_MEMBERS, zip64=True)
+    got = ar.parse_zip_members(z)
+    assert [(m["name"], m["body"]) for m in got] == _MEMBERS
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == _MEMBERS
+
+    # masked EOCD without a locator -> raise
+    plain = bytearray(ar.write_zip(_MEMBERS))
+    e_at = plain.rfind(b"PK\x05\x06")
+    struct.pack_into("<H", plain, e_at + 10, 0xFFFF)  # mask total count
+    with pytest.raises(ValueError, match="no EOCD64 locator"):
+        ar.parse_zip_members(bytes(plain))
+
+    # corrupt the locator's EOCD64 offset -> record missing
+    zb = bytearray(z)
+    loc_at = zb.rfind(b"PK\x06\x07")
+    struct.pack_into("<Q", zb, loc_at + 8, 7)
+    with pytest.raises(ValueError, match="EOCD64 record missing"):
+        ar.parse_zip_members(bytes(zb))
+
+    # EOCD64 count disagreeing with an unmasked EOCD count -> raise
+    zb = bytearray(z)
+    z64_at = zb.rfind(b"PK\x06\x06")
+    struct.pack_into("<Q", zb, z64_at + 24, 99)  # EOCD64 n_here
+    with pytest.raises(ValueError, match="disagrees|split"):
+        ar.parse_zip_members(bytes(zb))
+
+    # zip64 extra holding the wrong byte count -> raise
+    zb = bytearray(z)
+    cd_at = zb.find(b"PK\x01\x02")
+    name_len = struct.unpack_from("<H", zb, cd_at + 28)[0]
+    struct.pack_into("<H", zb, cd_at + 46 + name_len + 2, 16)  # extra len 24->16
+    with pytest.raises(ValueError, match="zip64 extra|extra field"):
+        ar.parse_zip_members(bytes(zb))
+
+
+def test_zip64_many_members():
+    """>65535 members overflows the EOCD count field: the writer emits
+    the EOCD64 pair automatically and the walk recovers every member."""
+    import io
+    import zipfile
+
+    big = [(f"m{i:06d}", b"x") for i in range(65_600)]
+    z = ar.write_zip(big, deflate=False)
+    assert b"PK\x06\x06" in z and b"PK\x06\x07" in z
+    got = ar.parse_zip_members(z)
+    assert len(got) == 65_600
+    assert got[0]["name"] == "m000000" and got[-1]["name"] == "m065599"
+    assert all(m["body"] == b"x" for m in got[:3])
+    # stdlib conformance on the auto-zip64 output
+    assert len(zipfile.ZipFile(io.BytesIO(z)).infolist()) == 65_600
 
 
 @settings(max_examples=40, deadline=None)
@@ -85,7 +262,7 @@ def test_tar_roundtrip_and_strictness():
             st.text(
                 alphabet=st.characters(min_codepoint=97, max_codepoint=122),
                 min_size=1,
-                max_size=20,
+                max_size=160,  # past the 100-byte ustar field: pax/GNU path
             ),
             st.binary(min_size=0, max_size=600),
         ),
@@ -93,11 +270,13 @@ def test_tar_roundtrip_and_strictness():
         max_size=5,
     ),
     deflate=st.booleans(),
+    zip64=st.booleans(),
+    long_names=st.sampled_from(["pax", "gnu"]),
 )
-def test_archive_roundtrip_property(members, deflate):
-    z = ar.parse_zip_members(ar.write_zip(members, deflate=deflate))
+def test_archive_roundtrip_property(members, deflate, zip64, long_names):
+    z = ar.parse_zip_members(ar.write_zip(members, deflate=deflate, zip64=zip64))
     assert [(m["name"], m["body"]) for m in z] == members
-    t = ar.parse_tar_members(ar.write_tar(members))
+    t = ar.parse_tar_members(ar.write_tar(members, long_names=long_names))
     assert [(m["name"], m["body"]) for m in t] == members
 
 
