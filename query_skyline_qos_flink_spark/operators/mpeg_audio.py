@@ -311,27 +311,43 @@ def _walk(b: bytes):
     and consistency rules): returns ``(meta, audio_frames)`` where
     ``audio_frames`` is the list of ``(offset, header)`` EXCLUDING a
     leading Xing/Info metadata frame."""
-    off = skip_id3v2(b)
-    has_id3v2 = off > 0
+    start = skip_id3v2(b)
+    has_id3v2 = start > 0
+
+    def walk_to(end: int) -> list:
+        if start >= end:
+            raise ValueError("mp3: no frames after tags")
+        frames, off = [], start
+        first = None
+        while off < end:
+            hdr = parse_frame_header(b, off)
+            if first is None:
+                first = hdr
+            elif (hdr["version"], hdr["layer"], hdr["sample_rate"], hdr["n_channels"]) != (
+                first["version"], first["layer"], first["sample_rate"], first["n_channels"]
+            ):
+                raise ValueError(f"mp3: stream parameters changed at byte {off}")
+            if off + hdr["frame_length"] > end:
+                raise ValueError(f"mp3: truncated frame at byte {off}")
+            frames.append((off, hdr))
+            off += hdr["frame_length"]
+        return frames
+
     end = len(b)
-    if end - off >= 128 and b[end - 128 : end - 125] == b"TAG":
-        end -= 128
-    if off >= end:
-        raise ValueError("mp3: no frames after tags")
-    frames = []
-    first = None
-    while off < end:
-        hdr = parse_frame_header(b, off)
-        if first is None:
-            first = hdr
-        elif (hdr["version"], hdr["layer"], hdr["sample_rate"], hdr["n_channels"]) != (
-            first["version"], first["layer"], first["sample_rate"], first["n_channels"]
-        ):
-            raise ValueError(f"mp3: stream parameters changed at byte {off}")
-        if off + hdr["frame_length"] > end:
-            raise ValueError(f"mp3: truncated frame at byte {off}")
-        frames.append((off, hdr))
-        off += hdr["frame_length"]
+    if end - start >= 128 and b[end - 128 : end - 125] == b"TAG":
+        # 'TAG' at end-128 is USUALLY an ID3v1 trailer, but those three
+        # bytes can also fall mid-frame of valid audio — trimming
+        # unconditionally would then fail-closed reject a legitimate
+        # stream as truncated (round-12 ADVICE).  Walk untrimmed first;
+        # only a failing walk treats the trailer as a tag.
+        try:
+            frames = walk_to(end)
+        except ValueError:
+            end -= 128
+            frames = walk_to(end)
+    else:
+        frames = walk_to(end)
+    first = frames[0][1]
     # Xing/Info detection on the first frame
     has_xing, vbr, xing_frames = False, False, None
     f0_off, f0 = frames[0]

@@ -30,20 +30,55 @@ from collections.abc import Iterator
 
 CRLF = b"\r\n"
 
+# Decompression ceilings (round-12 ADVICE): gzip carries no trustworthy
+# declared output size, so a crafted .warc.gz bomb could exhaust executor
+# memory inside mapInPandas before any strictness check fires.  Common
+# Crawl caps files at ~1 GB compressed with one ~page-sized record per
+# member, so these bounds are far above any legitimate crawl shape.
+MAX_MEMBER_BYTES = 1 << 30  # 1 GiB per gzip member
+MAX_FILE_BYTES = 4 << 30  # 4 GiB decompressed per file
+_INFLATE_CHUNK = 1 << 20
+
 
 def _gzip_members(b: bytes):
-    """Yield ``(member_offset, decompressed_bytes)`` per gzip member."""
+    """Yield ``(member_offset, decompressed_bytes)`` per gzip member.
+
+    Inflation is chunked and bounded (``MAX_MEMBER_BYTES`` per member,
+    ``MAX_FILE_BYTES`` per file) — mirroring the zip-bomb guard in
+    ``sources/archives.py``, which can lean on the archive's declared
+    size where gzip cannot."""
     off = 0
+    total = 0
     while off < len(b):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        parts = []
+        produced = 0
+        buf = b[off:]
         try:
-            out = d.decompress(b[off:])
+            while True:
+                chunk = d.decompress(buf, _INFLATE_CHUNK)
+                produced += len(chunk)
+                total += len(chunk)
+                if produced > MAX_MEMBER_BYTES:
+                    raise ValueError(
+                        f"warc.gz: gzip member at byte {off} inflates past "
+                        f"the {MAX_MEMBER_BYTES}-byte member ceiling"
+                    )
+                if total > MAX_FILE_BYTES:
+                    raise ValueError(
+                        f"warc.gz: file inflates past the "
+                        f"{MAX_FILE_BYTES}-byte per-file ceiling"
+                    )
+                parts.append(chunk)
+                if d.eof or not d.unconsumed_tail:
+                    break
+                buf = d.unconsumed_tail
         except zlib.error as exc:
             raise ValueError(f"warc.gz: corrupt gzip member at byte {off}: {exc}") from exc
         if not d.eof:
             raise ValueError(f"warc.gz: truncated gzip member at byte {off}")
         consumed = len(b) - off - len(d.unused_data)
-        yield off, out
+        yield off, b"".join(parts)
         off += consumed
 
 

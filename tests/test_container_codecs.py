@@ -73,6 +73,17 @@ def test_mp3_write_parse_roundtrip(sr, ch):
 def test_mp3_id3_and_trailing_strictness():
     b = ma.write_mp3(5)
     assert ma.parse_mp3_meta(b + b"TAG" + bytes(125))["n_frames"] == 5
+    # round-12 ADVICE: 'TAG' landing MID-FRAME at exactly end-128 is
+    # audio data, not an ID3v1 trailer — the untrimmed walk must win
+    # (before the fix this was fail-closed rejected as a truncated frame)
+    midframe = bytearray(b)
+    assert len(b) > 200  # the last frame's stuffing covers end-128
+    midframe[-128:-125] = b"TAG"
+    assert ma.parse_mp3_meta(bytes(midframe))["n_frames"] == 5
+    # ...and a REAL ID3v1 trailer whose tag body itself contains frame
+    # sync bytes still trims (the untrimmed walk fails first)
+    tagged = b + b"TAG" + b"\xff\xfb" * 62 + b"\x00"
+    assert ma.parse_mp3_meta(tagged)["n_frames"] == 5
     with pytest.raises(ValueError, match="sync|truncated"):
         ma.parse_mp3_meta(b + b"garbage!")
     with pytest.raises(ValueError, match="truncated"):

@@ -69,6 +69,39 @@ def test_warc_strictness():
         warc.parse_warc_records(good + b"junk")
 
 
+def test_warc_gzip_bomb_ceilings(monkeypatch):
+    """Round-12 ADVICE: inflation is chunked and bounded — a crafted
+    .warc.gz bomb raises at the ceiling instead of materializing."""
+    import zlib
+
+    # a legitimate large-ish record passes under the real ceilings
+    big = warc.write_warc_record("resource", b"A" * 300_000, "<urn:uuid:big>")
+    assert warc.parse_warc_records(big)[0]["content_length"] == 300_000
+
+    monkeypatch.setattr(warc, "MAX_MEMBER_BYTES", 100_000)
+    with pytest.raises(ValueError, match="member ceiling"):
+        warc.parse_warc_records(big)
+
+    # per-file ceiling across many members, each under the member bound
+    monkeypatch.setattr(warc, "MAX_MEMBER_BYTES", 1_000_000)
+    monkeypatch.setattr(warc, "MAX_FILE_BYTES", 500_000)
+    blob = b"".join(
+        warc.write_warc_record("resource", b"B" * 200_000, f"<urn:uuid:{i}>")
+        for i in range(4)
+    )
+    with pytest.raises(ValueError, match="per-file ceiling"):
+        warc.parse_warc_records(blob)
+
+    # a raw (non-warc) zero bomb also hits the guard, not memory
+    monkeypatch.setattr(warc, "MAX_MEMBER_BYTES", 1_000_000)
+    monkeypatch.setattr(warc, "MAX_FILE_BYTES", 4 << 30)
+    co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    bomb = co.compress(bytes(50_000_000)) + co.flush()
+    assert len(bomb) < 100_000  # tiny on the wire
+    with pytest.raises(ValueError, match="member ceiling"):
+        warc.parse_warc_records(bomb)
+
+
 def test_parse_http_response():
     body = b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>page</html>"
     status, ctype, payload = warc.parse_http_response(body)
