@@ -72,9 +72,13 @@ _DRIVER_PRIORITY = [
     "x_cdc_dedup", "x_corpus_shuffle", "x_dedup_clusters_lsh",
     "x_dedup_sweep", "x_knn_int8_rerank", "x_minhash_lsh_pairs",
     "x_semantic_dedup", "x_triangle_count", "x_url_dedup",
-    # fills: plans/results this round touches (see header comment)
+    # fills: plans/results this round touches (see header comment);
+    # newborn x_archive_extract (gated zip64 + pax/GNU long-name fixture
+    # rotation, verdict items 2-3) took x_token_stats's slot mid-round —
+    # x_token_stats returns to its round-11 staleness cohort, offset by
+    # x_quantiles_interp retiring to the anchor set in the same commit
     "x_warc_extract", "x_multimodal_meta", "x_ann_ivf",
-    "x_token_stats", "x_simhash_pairs",
+    "x_archive_extract", "x_simhash_pairs",
 ]
 # Round-14 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 14: every entry whose latest driver

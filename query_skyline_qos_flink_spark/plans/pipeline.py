@@ -1143,6 +1143,102 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_archive_extract",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS body_md5
+FROM documents WHERE text IS NOT NULL
+""".strip(),
+    doc="Archive-packaged corpus extraction end to end (sources/"
+    "archives.py): the harness writes the documents table out as strict "
+    "spec-shaped archives — even file ids as ZIP (every 4th FORCED zip64, "
+    "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures), "
+    "odd file ids as tar with >100-byte member paths carried via pax "
+    "extended headers or old-GNU longname blocks (alternating, so both "
+    "long-name routes rotate through the gate) — then read_zip/read_tar "
+    "scan them back (binaryFile -> mapInPandas member explosion, "
+    "central-directory/checksummed-header walks, CRC verify) and the "
+    "gate pins per-document archive kind, byte count and payload md5 "
+    "against the closed-form documents oracle. At 100 TB the parallel "
+    "unit is the archive file, same as the WARC scan. The FIXTURE write "
+    "is harness-only (local-mode shared filesystem); in production the "
+    "archives already exist in object storage and only the read side "
+    "runs; the harness materializes the (row-capped) result so the "
+    "tmpdir can be removed before returning",
+)
+def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources import archives as ar_src
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    n_docs = d.count()
+    if n_docs > 2_000_000:
+        raise RuntimeError(
+            f"x_archive_extract is a correctness harness, capped at 2M docs "
+            f"(got {n_docs}); run it at a smaller sf"
+        )
+    workdir = tempfile.mkdtemp(prefix="archive_extract_")
+    deep = "d" * 120  # member paths past the 100-byte ustar field
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        members = [
+            (f"corpus/{deep}/doc-{int(r.doc_id):012d}.txt",
+             str(r.text).encode("utf-8"))
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        if fid % 2 == 0:
+            blob, ext = ar_src.write_zip(members, zip64=fid % 4 == 0), "zip"
+        else:
+            blob = ar_src.write_tar(
+                members, long_names="pax" if fid % 4 == 1 else "gnu"
+            )
+            ext = "tar"
+        with open(os.path.join(workdir, f"part-{fid:03d}.{ext}"), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+    # file_id = doc_id % 8 keeps doc parity == file parity, so the oracle's
+    # zip/tar split is the closed form doc_id % 2
+    n_files = (
+        d.withColumn("file_id", F.col("doc_id") % 8)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id bigint, n bigint")
+        .count()
+    )
+    if n_files == 0:
+        raise RuntimeError("archive fixture: no files written")
+    rows = (
+        ar_src.read_zip(spark, workdir)
+        .withColumn("archive", F.lit("zip"))
+        .unionByName(
+            ar_src.read_tar(spark, workdir).withColumn("archive", F.lit("tar"))
+        )
+    )
+    out = rows.select(
+        F.regexp_extract("member", r"doc-(\d+)\.txt", 1).cast("bigint").alias("doc_id"),
+        "archive",
+        F.col("size").cast("bigint").alias("n_bytes"),
+        F.md5("body").alias("body_md5"),
+    )
+    try:
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    schema = "doc_id bigint, archive string, n_bytes bigint, body_md5 string"
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+@register(
     "x_repetition",
     f"""
 {_TOK_CTE},
@@ -3495,6 +3591,22 @@ def x_quantiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(F.array(*rows)).alias("s")).select(
         "s.pct", "s.value_c"
     )
+
+
+# Retired round 13 (slot freed for x_archive_extract): the interpolated
+# percentiles are the method twin of the still-gated x_exact_quantiles —
+# both ride the SAME rows_at_global_ranks range-bucketed rank assembly,
+# and only the final selection differs (one deterministic interpolation
+# expression over two integer order statistics vs the rank-position row).
+# The anchor keeps the full oracle compare green every pytest run
+# (tests/test_exact_anchors.py), and the no-join plan-shape test stays on
+# via corpus.spec.
+retire(
+    "x_quantiles_interp",
+    "method twin of x_exact_quantiles (same rows_at_global_ranks "
+    "rank-bucketed assembly; only the final interpolation expression "
+    "differs)",
+)
 
 
 @register(

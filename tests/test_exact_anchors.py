@@ -20,7 +20,9 @@ x_dedup_clusters (exact-Jaccard stage twin of x_dedup_clusters_lsh;
 slot freed for s36_stream_metrics) and x_multimodal_frames (fake-digest
 plumbing twin of x_gif_frame_colors' real frame fan-out; slot freed for
 x_warc_extract) — each retire() call in
-plans/ records which gated query subsumes it.
+plans/ records which gated query subsumes it.  Retired in round 13:
+x_quantiles_interp (method twin of x_exact_quantiles over the same
+rows_at_global_ranks assembly; slot freed for x_archive_extract).
 """
 
 from __future__ import annotations
@@ -69,6 +71,7 @@ def test_retired_anchor_population():
         "x_jaccard_pairs",
         "x_knn_int8",
         "x_multimodal_frames",
+        "x_quantiles_interp",
     ]
     overlap = set(corpus.RETIRED_ANCHORS) & set(corpus.REGISTRY)
     assert not overlap, f"names both retired and registered: {overlap}"
