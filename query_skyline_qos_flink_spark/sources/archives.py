@@ -532,6 +532,93 @@ ARCHIVE_SCHEMA = (
     "path string, member string, offset bigint, size bigint, body binary"
 )
 
+# Compressed-tar ceilings: like .warc.gz (see sources/warc.py), a
+# compressed tar declares no trustworthy output size up front, so a
+# bomb must hit a ceiling instead of executor memory.  4 GiB matches
+# the WARC per-file bound; a legitimate shard archive sits far below.
+MAX_TAR_BYTES = 4 << 30
+_INFLATE_CHUNK = 1 << 20
+
+
+def _sniff_tar_codec(b: bytes):
+    """Return ``(kind, make_decompressor)`` for a compressed-tar
+    envelope, or ``(None, None)`` for plain bytes."""
+    if b[:2] == b"\x1f\x8b":
+        return "gz", lambda: zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    if b[:3] == b"BZh":
+        import bz2
+
+        return "bz2", bz2.BZ2Decompressor
+    if b[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return "xz", lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    return None, None
+
+
+def maybe_decompress_tar(b: bytes) -> bytes:
+    """Transparent .tar.gz / .tar.bz2 / .tar.xz envelope removal, sniffed
+    by magic (gzip ``1f 8b``, bzip2 ``BZh``, xz ``fd 37 7a 58 5a 00``) —
+    the three compressions stdlib decodes and real corpus drops ship.
+
+    Inflation is chunked against ``MAX_TAR_BYTES`` (a compressed tar
+    declares no trustworthy output size, so a bomb must hit a ceiling,
+    not executor memory — same rule as the .warc.gz guard).
+    Concatenated streams are decoded per each format's own spec (all
+    three define the concatenation as one logical stream; gzip's pigz/
+    bgzf and xz's stream padding make this routine in the wild), but
+    non-stream trailing garbage raises.  A truncated stream raises."""
+    kind, make = _sniff_tar_codec(b)
+    if kind is None:
+        return b
+    parts, total = [], 0
+    buf = b
+    while True:  # one iteration per concatenated stream
+        d = make()
+        while True:  # bounded chunks within the stream
+            try:
+                chunk = d.decompress(buf, _INFLATE_CHUNK)
+            except Exception as exc:
+                raise ValueError(
+                    f"tar.{kind}: corrupt compressed stream: {exc}"
+                ) from exc
+            total += len(chunk)
+            if total > MAX_TAR_BYTES:
+                raise ValueError(
+                    f"tar.{kind}: inflates past the {MAX_TAR_BYTES}-byte ceiling"
+                )
+            parts.append(chunk)
+            if d.eof:
+                break
+            if kind == "gz":
+                if not d.unconsumed_tail:
+                    raise ValueError("tar.gz: truncated gzip stream")
+                buf = d.unconsumed_tail
+            else:
+                if d.needs_input:
+                    raise ValueError(f"tar.{kind}: truncated compressed stream")
+                buf = b""
+        rest = d.unused_data
+        if not rest:
+            return b"".join(parts)
+        if kind == "xz" and not any(rest):
+            # xz stream padding: NUL bytes in 4-byte multiples
+            if len(rest) % 4:
+                raise ValueError("tar.xz: stream padding not a multiple of 4")
+            return b"".join(parts)
+        next_kind, _ = _sniff_tar_codec(rest)
+        if next_kind != kind:
+            raise ValueError(
+                f"tar.{kind}: trailing bytes after the compressed stream "
+                "(garbage, not a concatenated member)"
+            )
+        buf = rest
+
+
+def parse_tar_any(b: bytes) -> list[dict]:
+    """:func:`parse_tar_members` with the compressed-envelope sniff."""
+    return parse_tar_members(maybe_decompress_tar(b))
+
 
 def _read_archive(spark, path: str, pattern: str, parse):
     import pandas as pd
@@ -562,6 +649,8 @@ def read_zip(spark, path: str, pattern: str = "*.zip"):
     return _read_archive(spark, path, pattern, parse_zip_members)
 
 
-def read_tar(spark, path: str, pattern: str = "*.tar"):
-    """ustar archive scan → one row per regular-file member."""
-    return _read_archive(spark, path, pattern, parse_tar_members)
+def read_tar(spark, path: str, pattern: str = "*.tar*"):
+    """ustar/pax archive scan → one row per regular-file member; plain,
+    ``.tar.gz``, ``.tar.bz2`` and ``.tar.xz`` envelopes are sniffed by
+    magic (pass ``pattern="*.tgz"`` for that spelling)."""
+    return _read_archive(spark, path, pattern, parse_tar_any)

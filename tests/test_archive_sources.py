@@ -195,6 +195,63 @@ def test_tar_pax_semantics():
         ar.parse_tar_members(blocks)
 
 
+def test_tar_compressed_envelopes(spark, tmp_path):
+    """.tar.gz/.tar.bz2/.tar.xz sniffed by magic: stdlib-written
+    compressed tars parse, concatenated gzip members are one logical
+    stream per the gzip spec, bombs hit the ceiling, truncation and
+    trailing garbage raise."""
+    import bz2
+    import gzip
+    import lzma
+
+    t = ar.write_tar(_MEMBERS)
+    for comp in (gzip.compress, bz2.compress, lzma.compress):
+        got = ar.parse_tar_any(comp(t))
+        assert [(m["name"], m["body"]) for m in got] == _MEMBERS
+    # plain bytes pass straight through
+    assert [(m["name"], m["body"]) for m in ar.parse_tar_any(t)] == _MEMBERS
+    # concatenated gzip members decode as ONE stream (pigz/bgzf shape)
+    half = len(t) // 2
+    two = gzip.compress(t[:half]) + gzip.compress(t[half:])
+    assert [(m["name"], m["body"]) for m in ar.parse_tar_any(two)] == _MEMBERS
+    # xz stream padding (4-byte NUL multiples) is legal
+    assert [
+        (m["name"], m["body"]) for m in ar.parse_tar_any(lzma.compress(t) + bytes(8))
+    ] == _MEMBERS
+    with pytest.raises(ValueError, match="stream padding"):
+        ar.parse_tar_any(lzma.compress(t) + bytes(6))
+    # trailing garbage after the stream raises
+    for comp in (gzip.compress, bz2.compress, lzma.compress):
+        with pytest.raises(ValueError, match="trailing bytes|corrupt"):
+            ar.parse_tar_any(comp(t) + b"JUNKJUNK")
+    # truncation raises
+    for comp in (gzip.compress, bz2.compress, lzma.compress):
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            ar.parse_tar_any(comp(t)[:-5])
+    # a zero bomb hits the ceiling, not memory
+    import query_skyline_qos_flink_spark.sources.archives as armod
+
+    old = armod.MAX_TAR_BYTES
+    armod.MAX_TAR_BYTES = 1_000_000
+    try:
+        with pytest.raises(ValueError, match="ceiling"):
+            ar.parse_tar_any(gzip.compress(bytes(50_000_000)))
+    finally:
+        armod.MAX_TAR_BYTES = old
+    # Spark scan picks up compressed spellings through the default glob
+    d = str(tmp_path)
+    with open(os.path.join(d, "a.tar"), "wb") as f:
+        f.write(ar.write_tar([("p", b"plain")]))
+    with open(os.path.join(d, "b.tar.gz"), "wb") as f:
+        f.write(gzip.compress(ar.write_tar([("g", b"gzipped")])))
+    with open(os.path.join(d, "c.tar.xz"), "wb") as f:
+        f.write(lzma.compress(ar.write_tar([("x", b"xzed")])))
+    rows = ar.read_tar(spark, d).collect()
+    assert sorted((r["member"], bytes(r["body"])) for r in rows) == [
+        ("g", b"gzipped"), ("p", b"plain"), ("x", b"xzed")
+    ]
+
+
 def test_zip64_roundtrip_and_strictness():
     """Forced-zip64 fixtures exercise the EOCD64/locator + 0x0001 extra
     walk; stdlib zipfile is the independent conformance target."""
