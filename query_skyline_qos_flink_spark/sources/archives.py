@@ -10,7 +10,7 @@ ZIP is walked from the END-of-central-directory record per the public
 PKWARE APPNOTE layout — the central directory is the archive's source of
 truth (local headers can lie; appended garbage hides members from
 stream-order readers) — with each entry's local header cross-checked and
-stored/deflated payloads decompressed via stdlib ``zlib``, and zip64
+stored/deflate/bzip2/LZMA payloads decompressed via stdlib, and zip64
 archives (>= 65535 members or >= 4 GiB offsets — routine at crawl
 scale) resolved through the EOCD64 record/locator and per-entry 0x0001
 extra fields.  TAR is the POSIX ustar layout: 512-byte blocks, octal
@@ -65,6 +65,81 @@ def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
     if at != len(extra):
         raise ValueError(f"zip: member {name!r} trailing junk in the extra area")
     raise ValueError(f"zip: member {name!r} masks fields but has no zip64 extra")
+
+
+def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
+    """Decompress one ZIP member body, bounded by its declared size
+    (round-12 review: a zip bomb must raise, never materialize unbounded
+    output before the size check).  Methods per APPNOTE 4.4.5: 0 stored,
+    8 deflate, 12 bzip2, 14 LZMA (version/propsize header + raw LZMA1
+    properties byte and dict size, APPNOTE 5.8)."""
+    if method == 0:
+        return raw
+    if method == 8:
+        d = zlib.decompressobj(wbits=-15)
+    elif method == 12:
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+    else:  # method == 14
+        import lzma
+
+        if len(raw) < 9:
+            raise ValueError(f"zip: member {name!r} LZMA header truncated")
+        _version, props_size = struct.unpack_from("<HH", raw, 0)
+        if props_size != 5 or 4 + props_size > len(raw):
+            raise ValueError(
+                f"zip: member {name!r} LZMA properties size {props_size} != 5"
+            )
+        pb_lp_lc, dict_size = raw[4], struct.unpack_from("<I", raw, 5)[0]
+        if pb_lp_lc >= 9 * 5 * 5:
+            raise ValueError(f"zip: member {name!r} bad LZMA properties byte")
+        lc, rest = pb_lp_lc % 9, pb_lp_lc // 9
+        lp, pb = rest % 5, rest // 5
+        d = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{
+                "id": lzma.FILTER_LZMA1,
+                "lc": lc, "lp": lp, "pb": pb,
+                "dict_size": max(dict_size, 4096),
+            }],
+        )
+        raw = raw[9:]
+    try:
+        body = d.decompress(raw, size + 1)
+        # a no-EOS LZMA stream (flag bit 1 unset) ends exactly at the
+        # declared size; further calls would block on needs_input
+        while len(body) <= size and not getattr(d, "eof", True) and not getattr(
+            d, "needs_input", True
+        ):
+            body += d.decompress(b"", size + 1 - len(body))
+    except Exception as exc:
+        raise ValueError(f"zip: member {name!r} corrupt stream: {exc}") from None
+    if len(body) > size:
+        raise ValueError(f"zip: member {name!r} inflates past its declared size")
+    if method == 8:
+        if not d.eof:
+            raise ValueError(f"zip: member {name!r} deflate stream truncated")
+        if d.unused_data:
+            raise ValueError(
+                f"zip: member {name!r} trailing bytes inside its csize span"
+            )
+    elif method == 12:
+        if not d.eof:
+            raise ValueError(f"zip: member {name!r} bzip2 stream truncated")
+        if d.unused_data:
+            raise ValueError(
+                f"zip: member {name!r} trailing bytes inside its csize span"
+            )
+    else:
+        # LZMA: with EOS, eof is set and unused_data must be empty; a
+        # no-EOS stream simply ends at size (the size-mismatch check
+        # below the call is the integrity hook, plus the CRC)
+        if d.eof and d.unused_data:
+            raise ValueError(
+                f"zip: member {name!r} trailing bytes inside its csize span"
+            )
+    return body
 
 
 def parse_zip_members(b: bytes) -> list[dict]:
@@ -176,7 +251,7 @@ def parse_zip_members(b: bytes) -> list[dict]:
         off += 46 + name_len + extra_len + comment_len2
         if flags & 0x1:
             raise ValueError(f"zip: member {name!r} is encrypted")
-        if method not in (0, 8):
+        if method not in (0, 8, 12, 14):
             raise ValueError(f"zip: member {name!r} method {method} unsupported")
         if lho + 30 > len(b) or b[lho : lho + 4] != _LOCAL_SIG:
             raise ValueError(f"zip: member {name!r} local header missing")
@@ -185,26 +260,7 @@ def parse_zip_members(b: bytes) -> list[dict]:
         if data_at + csize > len(b):
             raise ValueError(f"zip: member {name!r} data out of bounds")
         raw = b[data_at : data_at + csize]
-        if method == 8:
-            # bounded inflate (round-12 review: a zip bomb must raise,
-            # never materialize unbounded output before the size check)
-            d = zlib.decompressobj(wbits=-15)
-            try:
-                body = d.decompress(raw, size + 1)
-            except zlib.error as exc:
-                raise ValueError(f"zip: member {name!r} corrupt deflate: {exc}") from None
-            if len(body) > size:
-                raise ValueError(
-                    f"zip: member {name!r} inflates past its declared size"
-                )
-            if not d.eof:
-                raise ValueError(f"zip: member {name!r} deflate stream truncated")
-            if d.unused_data:
-                raise ValueError(
-                    f"zip: member {name!r} trailing bytes inside its csize span"
-                )
-        else:
-            body = raw
+        body = _decompress_member(raw, size, method, name)
         if len(body) != size:
             raise ValueError(f"zip: member {name!r} size mismatch")
         if zlib.crc32(body) & 0xFFFFFFFF != crc:

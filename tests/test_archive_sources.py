@@ -195,6 +195,47 @@ def test_tar_pax_semantics():
         ar.parse_tar_members(blocks)
 
 
+def test_zip_bzip2_and_lzma_members():
+    """APPNOTE methods 12 (bzip2) and 14 (LZMA, version/propsize header
+    + raw LZMA1 props): stdlib zipfile output is the independent
+    conformance source; corrupt streams and bombs still raise."""
+    import io
+    import struct
+    import zipfile
+
+    M = [("a.txt", b"hello world" * 100), ("b.bin", bytes(range(256)) * 20), ("e", b"")]
+    for comp, want_method in ((zipfile.ZIP_BZIP2, 12), (zipfile.ZIP_LZMA, 14)):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", comp) as z:
+            for n, body in M:
+                z.writestr(n, body)
+        got = ar.parse_zip_members(buf.getvalue())
+        assert [(m["name"], m["body"]) for m in got] == M
+        assert {m["method"] for m in got} == {want_method}
+        # flip a byte inside the first member's stream -> corrupt/CRC raise
+        bad = bytearray(buf.getvalue())
+        data_at = bad.find(b"a.txt") + 5 + (9 if want_method == 14 else 4)
+        bad[data_at] ^= 0xFF
+        with pytest.raises(ValueError, match="corrupt|CRC|size mismatch|truncated"):
+            ar.parse_zip_members(bytes(bad))
+        # lie about the size -> bounded decompress raises, never inflates
+        lied = bytearray(buf.getvalue())
+        lho_at = lied.find(b"PK\x03\x04")
+        cd_at = lied.find(b"PK\x01\x02")
+        for spot in (lho_at + 22, cd_at + 24):
+            struct.pack_into("<I", lied, spot, 3)
+        with pytest.raises(ValueError, match="past its declared size"):
+            ar.parse_zip_members(bytes(lied))
+    # a bad LZMA properties header raises cleanly
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_LZMA) as z:
+        z.writestr("x", b"payload")
+    broken = bytearray(buf.getvalue())
+    broken[broken.find(b"x") + 1 + 2] = 99  # props_size low byte inside member
+    with pytest.raises(ValueError, match="LZMA properties|corrupt"):
+        ar.parse_zip_members(bytes(broken))
+
+
 def test_tar_compressed_envelopes(spark, tmp_path):
     """.tar.gz/.tar.bz2/.tar.xz sniffed by magic: stdlib-written
     compressed tars parse, concatenated gzip members are one logical
