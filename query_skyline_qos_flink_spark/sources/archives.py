@@ -609,6 +609,10 @@ def _sniff_tar_codec(b: bytes):
         import lzma
 
         return "xz", lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    if b[:4] == b"\x28\xb5\x2f\xfd":
+        # declared seam, not a mis-walk: no stdlib zstd codec on 3.11
+        # (compression.zstd arrives in 3.14) and no bundled library
+        raise ValueError("tar.zst: zstd is a declared seam (no stdlib codec)")
     return None, None
 
 

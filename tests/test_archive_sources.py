@@ -251,6 +251,9 @@ def test_tar_compressed_envelopes(spark, tmp_path):
         assert [(m["name"], m["body"]) for m in got] == _MEMBERS
     # plain bytes pass straight through
     assert [(m["name"], m["body"]) for m in ar.parse_tar_any(t)] == _MEMBERS
+    # zstd is a DECLARED seam with a clear error, not a ustar mis-walk
+    with pytest.raises(ValueError, match="zstd is a declared seam"):
+        ar.parse_tar_any(b"\x28\xb5\x2f\xfd" + t)
     # concatenated gzip members decode as ONE stream (pigz/bgzf shape)
     half = len(t) // 2
     two = gzip.compress(t[:half]) + gzip.compress(t[half:])
