@@ -125,7 +125,7 @@ _TEXT_PARITY = [
     "x_bpe_pair_counts", "x_bpe_train_k", "x_bpe_apply", "x_pmi_pairs",
     "x_fuzzy_match",
     "x_blocklist_filter", "x_domain_stats", "x_datapipe_prep",
-    "r26_integrity_checks", "x_warc_extract",
+    "r26_integrity_checks", "x_warc_extract", "x_archive_extract",
 ]
 
 
