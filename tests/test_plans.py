@@ -734,6 +734,7 @@ PLAN_PIN_EXEMPT = {
         "x_image_ahash_dedup", "x_jpeg_ahash_dedup", "x_kmv_distinct",
         "x_knn_int8_rerank", "x_langid", "x_minhash_lsh_pairs",
         "x_multimodal_meta", "x_pattern_counts", "x_warc_extract",
+        "x_archive_extract",
         "x_profile_columns", "x_repetition", "x_sample_stratified",
         "x_simhash_pairs", "x_snapshot_diff", "x_text_quality",
         "x_tfidf_topterms", "x_token_stats", "x_train_test_split",
