@@ -84,14 +84,17 @@ _DRIVER_PRIORITY = [
 # * MUST take the front at round 14: every entry whose latest driver
 #   row is round 11 and which sits outside this round-13 window —
 #   compute mechanically from CORRECTNESS_r0*.json once the round-13
-#   artifact lands (at round-13 planning time: 45 round-11 rows minus
-#   the 2 round-11 fills above, x_token_stats and x_simhash_pairs,
-#   = 43), plus any round-13 registration that missed the round-13
-#   window.
+#   artifact lands (at round-13 session end: 45 round-11 rows minus
+#   the 2 round-11 fills above, x_ann_ivf and x_simhash_pairs, minus
+#   x_quantiles_interp which retired to the anchor set = 42), plus any
+#   round-13 registration that missed the round-13 window (none as of
+#   session end: the only newborn, x_archive_extract, sits in the
+#   window via the swap below).
 # * Round-13 mid-round changes a round-14 rotation must know about:
-#   track any fill-slot swaps for newborns here (the round-12
-#   precedent: a newborn takes a fill slot, the displaced fill entry
-#   returns to its staleness cohort).
+#   newborn x_archive_extract took x_token_stats's fill slot (so
+#   x_token_stats is back in the round-11 staleness cohort counted
+#   above); x_quantiles_interp is RETIRED (anchor-gated, no staleness
+#   obligation).
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
