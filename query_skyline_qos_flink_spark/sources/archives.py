@@ -96,12 +96,15 @@ def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
             raise ValueError(f"zip: member {name!r} bad LZMA properties byte")
         lc, rest = pb_lp_lc % 9, pb_lp_lc // 9
         lp, pb = rest % 5, rest // 5
+        # the dictionary buffer is allocated up front: clamp a crafted
+        # multi-GiB dict_size to what the declared output can ever
+        # reference (back-references never reach past the output size)
         d = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW,
             filters=[{
                 "id": lzma.FILTER_LZMA1,
                 "lc": lc, "lp": lp, "pb": pb,
-                "dict_size": max(dict_size, 4096),
+                "dict_size": max(4096, min(dict_size, max(size, 4096))),
             }],
         )
         raw = raw[9:]
