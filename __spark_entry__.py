@@ -52,9 +52,11 @@ _ROTATED_FOR = 13
 # x_multimodal_meta's mp3 class rides the ID3v1-trim retry fix
 # (ADVICE item 2), x_ann_ivf re-gates after its fresh-session A/B
 # probe (verdict item 4; x_minhash_lsh_pairs, the other mover, is
-# already in the must-gate front), and two round-11 entries
-# (x_token_stats, x_simhash_pairs) are pulled forward to flatten the
-# round-14 must-gate load from 45 to 43.
+# already in the must-gate front), newborn x_archive_extract holds the
+# slot originally planned for x_token_stats (see the fill-slot note in
+# the list), and x_simhash_pairs is pulled forward from the round-11
+# cohort — with x_quantiles_interp retired, the round-14 must-gate
+# load flattens from 45 to 42 (the worksheet below is authoritative).
 _DRIVER_PRIORITY = [
     # stale: last driver row round 10, at the bound for round 13
     "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",

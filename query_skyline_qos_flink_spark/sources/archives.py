@@ -32,14 +32,24 @@ _EOCD64_LOC_SIG = b"PK\x06\x07"
 _CD_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
 
+# Decompression ceilings (round-13 review): the bounded inflate trusts
+# the DECLARED member size, but that field is attacker-controlled too —
+# a bomb that declares its true huge size (trivial with zip64 + LZMA's
+# ~10000x ratios) would otherwise materialize it.  Same bounds rationale
+# as sources/warc.py: far above any legitimate corpus-drop member.
+MAX_ZIP_MEMBER_BYTES = 1 << 30  # 1 GiB declared size per member
+MAX_ZIP_TOTAL_BYTES = 4 << 30  # 4 GiB decompressed per archive
+
 
 def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
     """Walk the extra-field area for the 0x0001 zip64 record and pull the
     values for the masked central-directory fields, in the spec's fixed
-    order (size, csize, lho, disk).  Strict: the extra area must be a
-    well-formed (id, len, data) sequence and the zip64 record must hold
-    exactly the masked fields."""
+    order (size, csize, lho, disk).  Strict: the ENTIRE extra area must
+    be a well-formed (id, len, data) sequence — not just the prefix up
+    to the zip64 record — exactly one zip64 record may appear, and it
+    must hold exactly the masked fields."""
     width = {"size": 8, "csize": 8, "lho": 8, "disk": 4}
+    vals: dict[str, int] | None = None
     at = 0
     while at + 4 <= len(extra):
         fid, flen = struct.unpack_from("<HH", extra, at)
@@ -47,6 +57,8 @@ def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
         if at + flen > len(extra):
             raise ValueError(f"zip: member {name!r} extra field overruns its area")
         if fid == 0x0001:
+            if vals is not None:
+                raise ValueError(f"zip: member {name!r} duplicate zip64 extra")
             want = sum(width[k] for k in need)
             if flen != want:
                 raise ValueError(
@@ -60,11 +72,12 @@ def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
                 else:
                     vals[k] = struct.unpack_from("<I", extra, vat)[0]
                 vat += width[k]
-            return vals
         at += flen
     if at != len(extra):
         raise ValueError(f"zip: member {name!r} trailing junk in the extra area")
-    raise ValueError(f"zip: member {name!r} masks fields but has no zip64 extra")
+    if vals is None:
+        raise ValueError(f"zip: member {name!r} masks fields but has no zip64 extra")
+    return vals
 
 
 def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
@@ -183,7 +196,13 @@ def parse_zip_members(b: bytes) -> list[dict]:
     # strict layout per APPNOTE 4.3.14/4.3.15, which also keeps the
     # comment-consistency scan above authoritative.
     cd_end_bound = at
-    masked = 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off)
+    # a masked DISK field is a zip64 marker too (round-13 review: a
+    # stripped multi-disk zip64 part must fail closed, not walk as a
+    # complete single-disk archive)
+    masked = (
+        0xFFFF in (n_here, n_total, n_disk, cd_start_disk)
+        or 0xFFFFFFFF in (cd_size, cd_off)
+    )
     has_loc = at >= 20 and b[at - 20 : at - 16] == _EOCD64_LOC_SIG
     if masked or has_loc:
         if not has_loc:
@@ -219,6 +238,7 @@ def parse_zip_members(b: bytes) -> list[dict]:
     if cd_off + cd_size > cd_end_bound:
         raise ValueError("zip: central directory overruns the EOCD")
     members, off = [], cd_off
+    total_out = 0
     for _ in range(n_total):
         if off + 46 > len(b):
             raise ValueError(f"zip: truncated central-directory entry at byte {off}")
@@ -262,6 +282,20 @@ def parse_zip_members(b: bytes) -> list[dict]:
         data_at = lho + 30 + lname_len + lextra_len
         if data_at + csize > len(b):
             raise ValueError(f"zip: member {name!r} data out of bounds")
+        # absolute ceilings (round-13 review): the declared size bounds
+        # the inflate below, but it is attacker-controlled — an honest-
+        # declaration bomb must hit these, not executor memory
+        if size > MAX_ZIP_MEMBER_BYTES:
+            raise ValueError(
+                f"zip: member {name!r} declares {size} bytes, past the "
+                f"{MAX_ZIP_MEMBER_BYTES}-byte member ceiling"
+            )
+        total_out += size
+        if total_out > MAX_ZIP_TOTAL_BYTES:
+            raise ValueError(
+                f"zip: archive inflates past the {MAX_ZIP_TOTAL_BYTES}-byte "
+                "per-archive ceiling"
+            )
         raw = b[data_at : data_at + csize]
         body = _decompress_member(raw, size, method, name)
         if len(body) != size:
@@ -293,10 +327,18 @@ def write_zip(
     EOCD64 record and locator — which is spec-legal at any size and lets
     a small fixture exercise the 64-bit walk.  The EOCD64/locator pair is
     also emitted automatically whenever a count or offset overflows its
-    EOCD field (>= 65535 members, >= 4 GiB offsets)."""
+    EOCD field (>= 65535 members, >= 4 GiB offsets).  A single >= 4 GiB
+    member BODY would additionally need local-header zip64 extras this
+    in-memory fixture writer cannot meaningfully test, so it raises
+    cleanly instead."""
     out, cd = bytearray(), bytearray()
     for name, body in members:
         nb = name.encode("utf-8")
+        if len(body) >= 0xFFFFFFFF:
+            raise ValueError(
+                "write_zip: >= 4 GiB member bodies need local-header zip64 "
+                "extras, which this fixture writer does not emit"
+            )
         crc = zlib.crc32(body) & 0xFFFFFFFF
         if deflate:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)

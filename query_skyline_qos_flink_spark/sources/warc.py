@@ -46,40 +46,49 @@ def _gzip_members(b: bytes):
     Inflation is chunked and bounded (``MAX_MEMBER_BYTES`` per member,
     ``MAX_FILE_BYTES`` per file) — mirroring the zip-bomb guard in
     ``sources/archives.py``, which can lean on the archive's declared
-    size where gzip cannot."""
+    size where gzip cannot.  INPUT is fed in bounded memoryview slices
+    too (round-13 review): slicing the remaining tail per member would
+    memcpy O(members × file_size) on a real ~1 GB / ~20k-member crawl
+    file — the feed/position bookkeeping below keeps the walk linear."""
+    mv = memoryview(b)
+    n = len(b)
     off = 0
     total = 0
-    while off < len(b):
+    while off < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        parts = []
+        parts: list[bytes] = []
         produced = 0
-        buf = b[off:]
-        try:
-            while True:
-                chunk = d.decompress(buf, _INFLATE_CHUNK)
-                produced += len(chunk)
-                total += len(chunk)
-                if produced > MAX_MEMBER_BYTES:
-                    raise ValueError(
-                        f"warc.gz: gzip member at byte {off} inflates past "
-                        f"the {MAX_MEMBER_BYTES}-byte member ceiling"
-                    )
-                if total > MAX_FILE_BYTES:
-                    raise ValueError(
-                        f"warc.gz: file inflates past the "
-                        f"{MAX_FILE_BYTES}-byte per-file ceiling"
-                    )
-                parts.append(chunk)
-                if d.eof or not d.unconsumed_tail:
-                    break
-                buf = d.unconsumed_tail
-        except zlib.error as exc:
-            raise ValueError(f"warc.gz: corrupt gzip member at byte {off}: {exc}") from exc
-        if not d.eof:
-            raise ValueError(f"warc.gz: truncated gzip member at byte {off}")
-        consumed = len(b) - off - len(d.unused_data)
+        pos = off
+        while True:
+            feed = d.unconsumed_tail
+            if not feed:
+                feed = mv[pos : pos + _INFLATE_CHUNK]
+                pos += len(feed)
+            try:
+                chunk = d.decompress(feed, _INFLATE_CHUNK)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"warc.gz: corrupt gzip member at byte {off}: {exc}"
+                ) from exc
+            produced += len(chunk)
+            total += len(chunk)
+            if produced > MAX_MEMBER_BYTES:
+                raise ValueError(
+                    f"warc.gz: gzip member at byte {off} inflates past "
+                    f"the {MAX_MEMBER_BYTES}-byte member ceiling"
+                )
+            if total > MAX_FILE_BYTES:
+                raise ValueError(
+                    f"warc.gz: file inflates past the "
+                    f"{MAX_FILE_BYTES}-byte per-file ceiling"
+                )
+            parts.append(chunk)
+            if d.eof:
+                break
+            if not d.unconsumed_tail and pos >= n:
+                raise ValueError(f"warc.gz: truncated gzip member at byte {off}")
         yield off, b"".join(parts)
-        off += consumed
+        off = pos - len(d.unused_data)
 
 
 def parse_warc_records(b: bytes) -> list[dict]:
