@@ -1157,7 +1157,9 @@ FROM documents WHERE text IS NOT NULL
     "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures), "
     "odd file ids as tar with >100-byte member paths carried via pax "
     "extended headers or old-GNU longname blocks (alternating, so both "
-    "long-name routes rotate through the gate) — then read_zip/read_tar "
+    "long-name routes rotate through the gate; one pax and one gnu file "
+    "additionally ride gzip/xz envelopes through the magic-sniffed "
+    "compressed-tar path) — then read_zip/read_tar "
     "scan them back (binaryFile -> mapInPandas member explosion, "
     "central-directory/checksummed-header walks, CRC verify) and the "
     "gate pins per-document archive kind, byte count and payload md5 "
@@ -1203,6 +1205,17 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 members, long_names="pax" if fid % 4 == 1 else "gnu"
             )
             ext = "tar"
+            # two of the four tar files ride a compressed envelope so the
+            # sniffed decompress paths sit under the driver gate too (the
+            # oracle is envelope-invariant: same members either way)
+            if fid == 5:
+                import gzip
+
+                blob, ext = gzip.compress(blob), "tar.gz"
+            elif fid == 7:
+                import lzma
+
+                blob, ext = lzma.compress(blob), "tar.xz"
         with open(os.path.join(workdir, f"part-{fid:03d}.{ext}"), "wb") as f:
             f.write(blob)
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})

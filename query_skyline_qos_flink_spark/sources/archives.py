@@ -250,7 +250,13 @@ def parse_zip_members(b: bytes) -> list[dict]:
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", b, off + 4)
         if off + 46 + name_len + extra_len > len(b):
             raise ValueError(f"zip: central-directory entry out of bounds at byte {off}")
-        name = b[off + 46 : off + 46 + name_len].decode("utf-8", "surrogateescape")
+        # APPNOTE APPENDIX D: names are CP437 unless general-purpose bit
+        # 11 (the EFS flag) declares UTF-8 — matching stdlib zipfile
+        name_raw = b[off + 46 : off + 46 + name_len]
+        if flags & 0x800:
+            name = name_raw.decode("utf-8", "surrogateescape")
+        else:
+            name = name_raw.decode("cp437")
         # zip64 per-entry: masked fields live in the 0x0001 extra record,
         # in the spec's fixed order, only the masked ones present
         need = []
@@ -348,20 +354,21 @@ def write_zip(
             raw, method = body, 0
         lho = len(out)
         out += _LOCAL_SIG + struct.pack(
-            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw), len(body), len(nb), 0
+            "<HHHHHIIIHH", 20, 0x800, method, 0, 0, crc, len(raw), len(body),
+            len(nb), 0,  # 0x800: names are UTF-8 (EFS flag, APPENDIX D)
         )
         out += nb + raw
         if zip64 or len(raw) >= 0xFFFFFFFF or len(body) >= 0xFFFFFFFF or lho >= 0xFFFFFFFF:
             extra = struct.pack("<HHQQQ", 0x0001, 24, len(body), len(raw), lho)
             cd += _CD_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", 45, 45, 0, method, 0, 0, crc,
+                "<HHHHHHIIIHHHHHII", 45, 45, 0x800, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
                 0xFFFFFFFF,
             )
             cd += nb + extra
         else:
             cd += _CD_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, len(raw),
+                "<HHHHHHIIIHHHHHII", 20, 20, 0x800, method, 0, 0, crc, len(raw),
                 len(body), len(nb), 0, 0, 0, 0, 0, lho,
             )
             cd += nb
