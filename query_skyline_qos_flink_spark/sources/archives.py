@@ -352,6 +352,11 @@ def write_zip(
             method = 8
         else:
             raw, method = body, 0
+        if len(raw) >= 0xFFFFFFFF:  # deflate can EXPAND past the body guard
+            raise ValueError(
+                "write_zip: >= 4 GiB member bodies need local-header zip64 "
+                "extras, which this fixture writer does not emit"
+            )
         lho = len(out)
         out += _LOCAL_SIG + struct.pack(
             "<HHHHHIIIHH", 20, 0x800, method, 0, 0, crc, len(raw), len(body),
@@ -683,13 +688,28 @@ def maybe_decompress_tar(b: bytes) -> bytes:
     kind, make = _sniff_tar_codec(b)
     if kind is None:
         return b
+    magic = {"gz": b"\x1f\x8b", "bz2": b"BZh", "xz": b"\xfd7zXZ\x00"}[kind]
+    mv = memoryview(b)
+    n = len(b)
     parts, total = [], 0
-    buf = b
+    pos = 0
     while True:  # one iteration per concatenated stream
         d = make()
-        while True:  # bounded chunks within the stream
+        while True:  # bounded chunks within the stream; INPUT is fed in
+            # bounded memoryview slices too (round-13 review: re-slicing
+            # the remaining tail per output chunk was O(n^2) memcpy)
+            if kind == "gz":
+                feed = d.unconsumed_tail
+                if not feed:
+                    feed = mv[pos : pos + _INFLATE_CHUNK]
+                    pos += len(feed)
+            elif d.needs_input:
+                feed = mv[pos : pos + _INFLATE_CHUNK]
+                pos += len(feed)
+            else:
+                feed = b""
             try:
-                chunk = d.decompress(buf, _INFLATE_CHUNK)
+                chunk = d.decompress(feed, _INFLATE_CHUNK)
             except Exception as exc:
                 raise ValueError(
                     f"tar.{kind}: corrupt compressed stream: {exc}"
@@ -703,28 +723,23 @@ def maybe_decompress_tar(b: bytes) -> bytes:
             if d.eof:
                 break
             if kind == "gz":
-                if not d.unconsumed_tail:
+                if not d.unconsumed_tail and pos >= n:
                     raise ValueError("tar.gz: truncated gzip stream")
-                buf = d.unconsumed_tail
-            else:
-                if d.needs_input:
-                    raise ValueError(f"tar.{kind}: truncated compressed stream")
-                buf = b""
-        rest = d.unused_data
-        if not rest:
+            elif d.needs_input and pos >= n:
+                raise ValueError(f"tar.{kind}: truncated compressed stream")
+        pos -= len(d.unused_data)  # rewind to the true end of this stream
+        if pos >= n:
             return b"".join(parts)
-        if kind == "xz" and not any(rest):
+        if kind == "xz" and not any(mv[pos:]):
             # xz stream padding: NUL bytes in 4-byte multiples
-            if len(rest) % 4:
+            if (n - pos) % 4:
                 raise ValueError("tar.xz: stream padding not a multiple of 4")
             return b"".join(parts)
-        next_kind, _ = _sniff_tar_codec(rest)
-        if next_kind != kind:
+        if bytes(mv[pos : pos + len(magic)]) != magic:
             raise ValueError(
                 f"tar.{kind}: trailing bytes after the compressed stream "
                 "(garbage, not a concatenated member)"
             )
-        buf = rest
 
 
 def parse_tar_any(b: bytes) -> list[dict]:

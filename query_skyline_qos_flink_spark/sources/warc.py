@@ -59,11 +59,18 @@ def _gzip_members(b: bytes):
         parts: list[bytes] = []
         produced = 0
         pos = off
+        # ramped feed: members are usually far smaller than the 1 MiB
+        # chunk (a crawl page is ~15-50 KB compressed), and zlib copies
+        # each feed's post-EOF remainder into unused_data — a small
+        # first feed bounds that per-member copy tax while big members
+        # still ramp to full-size feeds within a few iterations
+        feed_size = 1 << 16
         while True:
             feed = d.unconsumed_tail
             if not feed:
-                feed = mv[pos : pos + _INFLATE_CHUNK]
+                feed = mv[pos : pos + feed_size]
                 pos += len(feed)
+                feed_size = min(feed_size * 4, _INFLATE_CHUNK)
             try:
                 chunk = d.decompress(feed, _INFLATE_CHUNK)
             except zlib.error as exc:

@@ -339,6 +339,40 @@ def test_zip64_roundtrip_and_strictness():
         ar.parse_zip_members(bytes(zb))
 
 
+def test_zip_name_encoding_cp437_vs_efs():
+    """APPNOTE APPENDIX D: names decode CP437 unless the EFS flag
+    (general-purpose bit 11) declares UTF-8.  Round-trip a non-ASCII
+    EFS name through our writer (which sets the flag) and hand-build a
+    flag-0 entry with a high CP437 byte."""
+    import io
+    import struct
+    import zipfile
+
+    name = "ünïcode/naïve-é.txt"
+    z = ar.write_zip([(name, b"x")])
+    got = ar.parse_zip_members(z)
+    assert got[0]["name"] == name
+    # stdlib zipfile agrees on our EFS output
+    assert zipfile.ZipFile(io.BytesIO(z)).namelist() == [name]
+    # stdlib-written non-ASCII (sets EFS itself) parses identically
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr(name, b"y")
+    assert ar.parse_zip_members(buf.getvalue())[0]["name"] == name
+
+    # flag-0 entry with byte 0x82: CP437 'é', NOT utf-8
+    legacy = bytearray(ar.write_zip([("e?.txt", b"z")], deflate=False))
+    raw_name = b"e\x82.txt"
+    for sig, name_off, flag_off in ((b"PK\x03\x04", 30, 6), (b"PK\x01\x02", 46, 8)):
+        at = legacy.find(sig)
+        struct.pack_into("<H", legacy, at + flag_off, 0)  # clear EFS
+        legacy[at + name_off : at + name_off + len(raw_name)] = raw_name
+    got = ar.parse_zip_members(bytes(legacy))
+    assert got[0]["name"] == "eé.txt"
+    # stdlib zipfile decodes the same way
+    assert zipfile.ZipFile(io.BytesIO(bytes(legacy))).namelist() == ["eé.txt"]
+
+
 def test_round13_review_regressions(monkeypatch):
     """Round-13 review findings: honest-declaration zip bombs hit the
     absolute ceilings, masked EOCD disk fields require the EOCD64
