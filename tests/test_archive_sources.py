@@ -339,6 +339,62 @@ def test_zip64_roundtrip_and_strictness():
         ar.parse_zip_members(bytes(zb))
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1,
+                max_size=160,
+            ),
+            st.binary(min_size=0, max_size=300),
+            st.sampled_from(["pax", "gnu"]),  # per-member carriage mode
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=10_000), max_size=3),
+)
+def test_tar_mixed_modes_and_gzip_splits_property(members, splits):
+    """A single tar may mix pax and GNU long-name carriage member by
+    member (real archives do), and a .tar.gz may split its stream into
+    gzip members at ARBITRARY byte boundaries (pigz/bgzf do) — both must
+    walk identically to the plain archive."""
+    import gzip
+
+    blob = bytearray()
+    for i, (name, body, mode) in enumerate(members):
+        nb = name.encode()
+        if len(nb) > 100:
+            if mode == "pax":
+                recs = ar.pax_record("path", name)
+                blob += ar._tar_block(f"PaxHeaders.0/{i}".encode(), len(recs), ord("x"))
+                blob += ar._pad512(recs)
+            else:
+                blob += ar._tar_block(b"././@LongLink", len(nb) + 1, ord("L"))
+                blob += ar._pad512(nb + b"\x00")
+            nb = nb[:100]
+        blob += ar._tar_block(nb, len(body), 0x30)
+        blob += ar._pad512(body)
+    blob += bytes(1024)
+    t = bytes(blob)
+    want = [(n, b) for n, b, _ in members]
+    assert [(m["name"], m["body"]) for m in ar.parse_tar_members(t)] == want
+
+    # split the stream at the hypothesis-chosen cut points -> one gzip
+    # member per piece; the walk must see ONE logical stream
+    cuts = sorted({min(c, len(t) - 1) for c in splits})
+    pieces, prev = [], 0
+    for c in cuts:
+        if c > prev:
+            pieces.append(t[prev:c])
+            prev = c
+    pieces.append(t[prev:])
+    gz = b"".join(gzip.compress(p) for p in pieces)
+    assert [(m["name"], m["body"]) for m in ar.parse_tar_any(gz)] == want
+
+
 def test_zip_name_encoding_cp437_vs_efs():
     """APPNOTE APPENDIX D: names decode CP437 unless the EFS flag
     (general-purpose bit 11) declares UTF-8.  Round-trip a non-ASCII
