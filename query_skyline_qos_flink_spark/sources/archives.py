@@ -521,6 +521,17 @@ def parse_tar_members(b: bytes) -> list[dict]:
             raise ValueError(f"tar: member data out of bounds at byte {off}")
         data = b[data_at : data_at + size]
 
+        if typeflag in (b"S", b"M", b"D"):
+            # data-bearing GNU formats this walk does not reassemble:
+            # sparse members ('S', in-archive data != real size, possibly
+            # with unchecksummed map-continuation blocks), multi-volume
+            # continuations ('M', the member's data lives across files),
+            # dump directories ('D').  Silently skipping them would drop
+            # member CONTENT — fail fast at a declared seam instead.
+            raise ValueError(
+                f"tar: GNU typeflag {typeflag!r} (sparse/multi-volume/"
+                "dumpdir) is a declared seam"
+            )
         if typeflag in (b"x", b"g"):
             recs = _pax_records(data, data_at)
             if typeflag == b"g":
@@ -572,7 +583,9 @@ def parse_tar_members(b: bytes) -> list[dict]:
                         f"tar: member {name!r} pax-size data out of bounds"
                     )
                 data = b[data_at : data_at + size]
-            if typeflag in (b"0", b"\x00"):
+            # '7' (contiguous file) is a regular file per POSIX: "most
+            # implementations should treat this type as a regular file"
+            if typeflag in (b"0", b"\x00", b"7"):
                 members.append(
                     {"name": name, "size": size, "offset": off, "body": data}
                 )

@@ -70,6 +70,27 @@ def test_tar_roundtrip_and_strictness():
         ar.parse_tar_members(t[:-700])  # terminator cut
 
 
+def test_tar_typeflags():
+    """'7' (contiguous) is a regular file per POSIX; data-bearing GNU
+    formats (sparse 'S', multi-volume 'M', dumpdir 'D') fail fast at a
+    declared seam instead of silently dropping member content; plain
+    metadata types (dir, symlink) stay skipped."""
+    hdr7 = ar._tar_block(b"contig", 4, ord("7"))
+    blocks = bytes(hdr7) + ar._pad512(b"data") + bytes(1024)
+    got = ar.parse_tar_members(blocks)
+    assert [(m["name"], m["body"]) for m in got] == [("contig", b"data")]
+    for flag in (b"S", b"M", b"D"):
+        hdr = ar._tar_block(b"gnuthing", 4, flag[0])
+        with pytest.raises(ValueError, match="declared seam"):
+            ar.parse_tar_members(bytes(hdr) + ar._pad512(b"data") + bytes(1024))
+    # a directory entry is metadata: skipped, not raised
+    d = ar._tar_block(b"somedir/", 0, ord("5"))
+    got = ar.parse_tar_members(
+        bytes(d) + bytes(ar._tar_block(b"f", 2, 0x30)) + ar._pad512(b"ok") + bytes(1024)
+    )
+    assert [(m["name"], m["body"]) for m in got] == [("f", b"ok")]
+
+
 _LONG = "deep/" + "n" * 140 + "/leaf.txt"
 
 
