@@ -195,12 +195,112 @@ def write_warc_record(
     return co.compress(raw) + co.flush()
 
 
+def dechunk_http(payload: bytes) -> bytes:
+    """Remove RFC 7230 chunked transfer framing: ``hex-size[;ext] CRLF
+    data CRLF`` repeated, a ``0`` chunk, optional trailer header lines,
+    final CRLF.  Strict: malformed size lines, misplaced CRLFs, or a
+    missing terminator raise — chunk framing left in page text would
+    poison every downstream text operator silently."""
+    out = []
+    pos = 0
+    total = 0
+    while True:
+        nl = payload.find(CRLF, pos)
+        if nl < 0:
+            raise ValueError("http: truncated chunk-size line")
+        size_tok = payload[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"http: bad chunk size {size_tok[:20]!r}") from None
+        pos = nl + 2
+        if size == 0:
+            break
+        total += size
+        if total > MAX_MEMBER_BYTES:
+            raise ValueError(
+                f"http: chunked payload exceeds the {MAX_MEMBER_BYTES}-byte ceiling"
+            )
+        if pos + size + 2 > len(payload):
+            raise ValueError("http: truncated chunk data")
+        out.append(payload[pos : pos + size])
+        if payload[pos + size : pos + size + 2] != CRLF:
+            raise ValueError("http: chunk data not CRLF-terminated")
+        pos += size + 2
+    # optional trailer header lines, then the terminating CRLF
+    while True:
+        nl = payload.find(CRLF, pos)
+        if nl < 0:
+            raise ValueError("http: truncated chunk trailer")
+        line = payload[pos:nl]
+        pos = nl + 2
+        if not line:
+            break
+        if b":" not in line:
+            raise ValueError(f"http: malformed trailer line {line[:40]!r}")
+    if pos != len(payload):
+        raise ValueError("http: bytes after the chunked terminator")
+    return b"".join(out)
+
+
+def decode_content_encoding(payload: bytes, encoding: str) -> bytes:
+    """Decode an HTTP ``Content-Encoding``: gzip/x-gzip and deflate
+    (zlib-wrapped per the RFC, with the raw-deflate fallback real
+    servers ship) via bounded chunked inflation; identity passes
+    through; br/zstd raise at a declared seam (no stdlib codec)."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return payload
+    if enc in ("gzip", "x-gzip", "deflate"):
+        attempts = (
+            [zlib.MAX_WBITS | 16] if enc != "deflate" else [zlib.MAX_WBITS, -zlib.MAX_WBITS]
+        )
+        last = None
+        for wbits in attempts:
+            d = zlib.decompressobj(wbits=wbits)
+            parts, total = [], 0
+            buf = payload
+            try:
+                while True:
+                    chunk = d.decompress(buf, _INFLATE_CHUNK)
+                    total += len(chunk)
+                    if total > MAX_MEMBER_BYTES:
+                        raise ValueError(
+                            f"http: {enc} payload inflates past the "
+                            f"{MAX_MEMBER_BYTES}-byte ceiling"
+                        )
+                    parts.append(chunk)
+                    if d.eof:
+                        break
+                    if not d.unconsumed_tail:
+                        raise ValueError(f"http: truncated {enc} payload")
+                    buf = d.unconsumed_tail
+                if d.unused_data:
+                    raise ValueError(
+                        f"http: trailing bytes after the {enc} payload"
+                    )
+            except ValueError as exc:
+                if "ceiling" in str(exc):
+                    raise  # a bomb is a bomb under either deflate framing
+                last = exc
+                continue
+            except zlib.error as exc:
+                last = exc
+                continue
+            return b"".join(parts)
+        raise ValueError(f"http: corrupt {enc} payload: {last}")
+    raise ValueError(f"http: content-encoding {encoding!r} is a declared seam")
+
+
 def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
     """Split a WARC ``response`` record body into ``(status,
     content_type, payload)`` per the HTTP/1.x message layout (status
-    line, CRLF headers, blank line, payload).  Strict: a malformed
-    status line or header block raises — the WET-extraction step must
-    never hand a half-parsed page downstream as page text."""
+    line, CRLF headers, blank line, payload) — with chunked transfer
+    framing removed and gzip/deflate content-encodings decoded, so the
+    payload is the actual page bytes (real crawl responses ship both).
+    Strict: a malformed status line, header block, or chunk framing
+    raises — the WET-extraction step must never hand a half-parsed page
+    downstream as page text."""
     line_end = body.find(CRLF)
     if line_end < 0:
         raise ValueError("http: truncated status line")
@@ -209,6 +309,8 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
         raise ValueError(f"http: bad status line {body[:line_end][:40]!r}")
     status = int(parts[1])
     content_type = ""
+    transfer_encoding = ""
+    content_encoding = ""
     pos = line_end + 2
     while True:
         nl = body.find(CRLF, pos)
@@ -221,9 +323,21 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
         if b":" not in line:
             raise ValueError(f"http: malformed header line {line[:40]!r}")
         k, v = line.split(b":", 1)
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type":
             content_type = v.strip().decode("latin-1")
-    return status, content_type, body[pos:]
+        elif key == b"transfer-encoding":
+            transfer_encoding = v.strip().decode("latin-1").lower()
+        elif key == b"content-encoding":
+            content_encoding = v.strip().decode("latin-1")
+    payload = body[pos:]
+    if transfer_encoding and transfer_encoding != "identity":
+        if transfer_encoding != "chunked":
+            raise ValueError(
+                f"http: transfer-encoding {transfer_encoding!r} is a declared seam"
+            )
+        payload = dechunk_http(payload)
+    return status, content_type, decode_content_encoding(payload, content_encoding)
 
 
 WARC_SCHEMA = (

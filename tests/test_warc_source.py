@@ -118,6 +118,75 @@ def test_parse_http_response():
             warc.parse_http_response(bad)
 
 
+def test_http_chunked_and_content_encoding():
+    """Real crawl responses ship chunked transfer framing and gzip/
+    deflate content-encodings; the WET split must hand back the ACTUAL
+    page bytes, strictly."""
+    import gzip
+    import zlib
+
+    page = b"<html>" + b"x" * 5000 + b"</html>"
+    # chunked framing (with a chunk extension and a trailer header)
+    chunks = b""
+    for i in range(0, len(page), 1024):
+        piece = page[i : i + 1024]
+        chunks += f"{len(piece):x};ext=1\r\n".encode() + piece + b"\r\n"
+    chunked = chunks + b"0\r\nX-Trailer: t\r\n\r\n"
+    body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    assert warc.parse_http_response(body)[2] == page
+
+    # gzip and deflate content-encodings (and the raw-deflate fallback)
+    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gzip.compress(page)
+    assert warc.parse_http_response(body)[2] == page
+    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + zlib.compress(page)
+    assert warc.parse_http_response(body)[2] == page
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(page) + co.flush()
+    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw
+    assert warc.parse_http_response(body)[2] == page
+
+    # chunked + gzip compose (TE removed first, then CE decoded)
+    gz = gzip.compress(page)
+    framed = f"{len(gz):x}\r\n".encode() + gz + b"\r\n0\r\n\r\n"
+    body = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + framed
+    )
+    assert warc.parse_http_response(body)[2] == page
+
+    # strictness: malformed framing raises, never passes through
+    for bad_payload, msg in (
+        (b"zz\r\nxx\r\n0\r\n\r\n", "bad chunk size"),
+        (b"5\r\nabc", "truncated chunk data"),
+        (b"3\r\nabcXX0\r\n\r\n", "not CRLF-terminated"),
+        (b"3\r\nabc\r\n0\r\n\r\nJUNK", "after the chunked terminator"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            warc.parse_http_response(
+                b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + bad_payload
+            )
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnotgzip"
+        )
+    with pytest.raises(ValueError, match="declared seam"):
+        warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        )
+    # a content-encoding bomb hits the ceiling
+    import pytest as _pytest  # noqa: F401
+    big = gzip.compress(bytes(60_000_000))
+    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + big
+    import query_skyline_qos_flink_spark.sources.warc as wmod
+    old = wmod.MAX_MEMBER_BYTES
+    wmod.MAX_MEMBER_BYTES = 1_000_000
+    try:
+        with pytest.raises(ValueError, match="ceiling"):
+            warc.parse_http_response(body)
+    finally:
+        wmod.MAX_MEMBER_BYTES = old
+
+
 def test_read_warc_responses_fused(spark, tmp_path):
     d = str(tmp_path)
     http = (
