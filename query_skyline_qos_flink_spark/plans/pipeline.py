@@ -1090,10 +1090,34 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in pdf.sort_values("doc_id").itertuples():
             body = str(r.text).encode("utf-8")
             status = 404 if r.doc_id % 10 == 7 else 200
-            http = (
-                f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
-            ).encode() + body
+            # rotate the HTTP framing so the chunked-TE and gzip-CE
+            # decode paths run under the driver gate too — the oracle is
+            # framing-invariant (decoding restores the page bytes)
+            mode = r.doc_id % 3
+            if mode == 1:
+                framed = b"".join(
+                    f"{len(body[i:i + 700]):x}\r\n".encode()
+                    + body[i : i + 700] + b"\r\n"
+                    for i in range(0, len(body), 700)
+                ) + b"0\r\n\r\n"
+                http = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
+                    f"Transfer-Encoding: chunked\r\n\r\n"
+                ).encode() + framed
+            elif mode == 2:
+                import gzip
+
+                gz = gzip.compress(body)
+                http = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
+                    f"Content-Encoding: gzip\r\n"
+                    f"Content-Length: {len(gz)}\r\n\r\n"
+                ).encode() + gz
+            else:
+                http = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
             blob += warc_src.write_warc_record(
                 "request",
                 b"GET / HTTP/1.1\r\n\r\n",
