@@ -1049,9 +1049,11 @@ FROM documents WHERE text IS NOT NULL
     doc="WARC crawl extraction end to end (sources/warc.py): the harness "
     "writes the documents table out as spec-shaped .warc.gz files (one "
     "gzip member per record, interleaved request records, executor-side "
-    "one-file-per-group writes), then read_warc_responses scans them "
+    "one-file-per-group writes; responses rotate plain / chunked-TE / "
+    "gzip-CE framing by doc_id % 3), then read_warc_responses scans them "
     "back — binaryFile -> ONE fused Arrow pass doing record framing, "
-    "response filter and strict HTTP status/header/payload split — and "
+    "response filter and strict HTTP status/header/payload split (RFC "
+    "7230 dechunking + bounded content-encoding inflate) — and "
     "the gate pins per-document status, content-type, byte count and "
     "payload md5 against the closed-form documents oracle. This is the "
     "Common-Crawl WET-extraction shape; at 100 TB the parallel unit is "
