@@ -340,6 +340,91 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
     return status, content_type, decode_content_encoding(payload, content_encoding)
 
 
+def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
+    """Decode page bytes to text the way WET extractors do: BOM first
+    (UTF-8/16/32), then the ``charset=`` parameter of the Content-Type,
+    then an ASCII scan of the first 1024 bytes for an HTML
+    ``<meta charset>`` / http-equiv declaration, else UTF-8.  Decoding
+    is ``errors="replace"`` — page BODIES are lenient by design (crawl
+    text is dirty), while the WARC/HTTP FRAMING layers stay strict."""
+    import codecs
+    import re
+
+    for bom, enc in (
+        (codecs.BOM_UTF32_LE, "utf-32-le"), (codecs.BOM_UTF32_BE, "utf-32-be"),
+        (codecs.BOM_UTF8, "utf-8-sig"),
+        (codecs.BOM_UTF16_LE, "utf-16-le"), (codecs.BOM_UTF16_BE, "utf-16-be"),
+    ):
+        if payload.startswith(bom):
+            off = 0 if enc == "utf-8-sig" else len(bom)
+            return payload[off:].decode(enc, "replace")
+    charset = ""
+    m = re.search(r"charset=[\"']?([\w.:-]+)", content_type, re.I)
+    if m:
+        charset = m.group(1)
+    if not charset:
+        head = payload[:1024].decode("latin-1", "replace")
+        m = re.search(
+            r"<meta[^>]+charset=[\"']?([\w.:-]+)", head, re.I
+        )
+        if m:
+            charset = m.group(1)
+    if charset:
+        try:
+            codecs.lookup(charset)
+        except LookupError:
+            charset = ""
+    return payload.decode(charset or "utf-8", "replace")
+
+
+PAGES_SCHEMA = (
+    "path string, offset bigint, record_id string, target_uri string, "
+    "http_status int, content_type string, text string"
+)
+
+
+def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
+    """The full WET shape in ONE Arrow pass: WARC record walk → response
+    filter → strict HTTP split (dechunk + content-encoding decode) →
+    charset-aware byte decode → ``html_to_text`` for HTML content types
+    (other text/* payloads pass through as decoded text; non-text
+    payloads yield NULL text).  Page bytes never cross the Python
+    boundary twice."""
+    import pandas as pd
+
+    from ..operators.text import html_to_text
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for path_, r in _iter_file_records(batches):
+            if r["warc_type"] != "response":
+                continue
+            status, ctype, payload = parse_http_response(r["body"])
+            base = ctype.split(";", 1)[0].strip().lower()
+            if base in ("text/html", "application/xhtml+xml"):
+                text = html_to_text(decode_page_bytes(payload, ctype))
+            elif base.startswith("text/"):
+                text = decode_page_bytes(payload, ctype)
+            else:
+                text = None
+            rows.append(
+                (path_, r["offset"], r["record_id"], r["target_uri"],
+                 status, ctype, text)
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "offset", "record_id", "target_uri",
+                    "http_status", "content_type", "text",
+                ],
+            )
+
+    return _scan_files(spark, path, pattern).mapInPandas(
+        extract, schema=PAGES_SCHEMA
+    )
+
+
 WARC_SCHEMA = (
     "path string, offset bigint, warc_type string, record_id string, "
     "target_uri string, content_type string, content_length bigint, body binary"

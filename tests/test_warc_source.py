@@ -239,6 +239,64 @@ def test_read_warc_spark_scan(spark, tmp_path):
 # ---------------------------------------------------- HTML -> text (WET) ----
 
 
+def test_decode_page_bytes_charsets():
+    """BOM > Content-Type charset > meta charset > utf-8 fallback, all
+    errors-replace (page bodies are lenient; framing is strict)."""
+    import codecs
+
+    assert warc.decode_page_bytes("héllo".encode("utf-8")) == "héllo"
+    assert warc.decode_page_bytes(codecs.BOM_UTF8 + "héllo".encode("utf-8")) == "héllo"
+    assert warc.decode_page_bytes(
+        codecs.BOM_UTF16_LE + "héllo".encode("utf-16-le")
+    ) == "héllo"
+    assert warc.decode_page_bytes(
+        "héllo".encode("latin-1"), "text/html; charset=ISO-8859-1"
+    ) == "héllo"
+    # meta charset wins over the utf-8 fallback
+    page = b'<html><meta charset="iso-8859-1"><body>caf\xe9</body></html>'
+    assert "café" in warc.decode_page_bytes(page)
+    # unknown charset name degrades to utf-8/replace, never raises
+    assert warc.decode_page_bytes(b"abc", "text/html; charset=not-a-charset") == "abc"
+    # invalid utf-8 bytes replace, never raise
+    assert "�" in warc.decode_page_bytes(b"\xff\xfe\xff bad")
+
+
+def test_read_warc_pages_fused(spark, tmp_path):
+    """read_warc_pages: response filter + HTTP split + charset decode +
+    html_to_text in one pass; non-text payloads yield NULL text."""
+    d = str(tmp_path)
+    html = '<html><body><h1>T</h1><p>Olá page</p></body></html>'
+    blob = warc.write_warc_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + html.encode("utf-8"),
+        record_id="<urn:1>", target_uri="https://x/1",
+        content_type="application/http;msgtype=response",
+    )
+    blob += warc.write_warc_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nplain body",
+        record_id="<urn:2>", target_uri="https://x/2",
+        content_type="application/http;msgtype=response",
+    )
+    blob += warc.write_warc_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG...",
+        record_id="<urn:3>", target_uri="https://x/3",
+        content_type="application/http;msgtype=response",
+    )
+    blob += warc.write_warc_record(
+        "request", b"GET / HTTP/1.1\r\n\r\n", record_id="<urn:req>",
+    )
+    with open(os.path.join(d, "p.warc.gz"), "wb") as f:
+        f.write(blob)
+    rows = {r["record_id"]: r for r in warc.read_warc_pages(spark, d).collect()}
+    assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>"}
+    assert rows["<urn:1>"]["text"] == "T\nOlá page"
+    assert rows["<urn:2>"]["text"] == "plain body"
+    assert rows["<urn:3>"]["text"] is None
+
+
 def test_html_to_text_visible_content():
     from query_skyline_qos_flink_spark.operators.text import html_to_text
 
