@@ -1067,6 +1067,7 @@ FROM documents WHERE text IS NOT NULL
     "result so the tmpdir can be removed before returning",
 )
 def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
     import os
     import shutil
     import tempfile
@@ -1107,8 +1108,6 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"Transfer-Encoding: chunked\r\n\r\n"
                 ).encode() + framed
             elif mode == 2:
-                import gzip
-
                 gz = gzip.compress(body)
                 http = (
                     f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"

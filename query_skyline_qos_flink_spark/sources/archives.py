@@ -572,6 +572,14 @@ def parse_tar_members(b: bytes) -> list[dict]:
             eff = dict(g_over)
             if x_over is not None:
                 eff.update(x_over)
+            if any(k.startswith("GNU.sparse.") for k in eff):
+                # pax-format sparse members are typeflag '0' with
+                # GNU.sparse.* records and a data run holding the sparse
+                # MAP plus packed fragments — returning it as the body
+                # would be silent content corruption, same as old-GNU 'S'
+                raise ValueError(
+                    "tar: pax GNU.sparse member is a declared seam"
+                )
             if "size" in eff:
                 if not eff["size"].isdigit():
                     raise ValueError(

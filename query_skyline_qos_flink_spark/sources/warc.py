@@ -25,6 +25,8 @@ records.
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -209,10 +211,14 @@ def dechunk_http(payload: bytes) -> bytes:
         if nl < 0:
             raise ValueError("http: truncated chunk-size line")
         size_tok = payload[pos:nl].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
-            raise ValueError(f"http: bad chunk size {size_tok[:20]!r}") from None
+        # int(x, 16) is lenient ('-b', '0x5', '5_0' all parse) — a
+        # negative size would wrap the slice below and leak framing
+        # bytes into the payload (round-13 review); hex digits only
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
+            raise ValueError(f"http: bad chunk size {size_tok[:20]!r}")
+        size = int(size_tok, 16)
         pos = nl + 2
         if size == 0:
             break
@@ -340,6 +346,15 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
     return status, content_type, decode_content_encoding(payload, content_encoding)
 
 
+_BOMS = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"), (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"), (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+_CHARSET_PARAM_RE = re.compile(r"charset=[\"']?([\w.:-]+)", re.I)
+_META_CHARSET_RE = re.compile(r"<meta[^>]+charset=[\"']?([\w.:-]+)", re.I)
+
+
 def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
     """Decode page bytes to text the way WET extractors do: BOM first
     (UTF-8/16/32), then the ``charset=`` parameter of the Content-Type,
@@ -347,26 +362,17 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
     ``<meta charset>`` / http-equiv declaration, else UTF-8.  Decoding
     is ``errors="replace"`` — page BODIES are lenient by design (crawl
     text is dirty), while the WARC/HTTP FRAMING layers stay strict."""
-    import codecs
-    import re
-
-    for bom, enc in (
-        (codecs.BOM_UTF32_LE, "utf-32-le"), (codecs.BOM_UTF32_BE, "utf-32-be"),
-        (codecs.BOM_UTF8, "utf-8-sig"),
-        (codecs.BOM_UTF16_LE, "utf-16-le"), (codecs.BOM_UTF16_BE, "utf-16-be"),
-    ):
+    for bom, enc in _BOMS:
         if payload.startswith(bom):
             off = 0 if enc == "utf-8-sig" else len(bom)
             return payload[off:].decode(enc, "replace")
     charset = ""
-    m = re.search(r"charset=[\"']?([\w.:-]+)", content_type, re.I)
+    m = _CHARSET_PARAM_RE.search(content_type)
     if m:
         charset = m.group(1)
     if not charset:
         head = payload[:1024].decode("latin-1", "replace")
-        m = re.search(
-            r"<meta[^>]+charset=[\"']?([\w.:-]+)", head, re.I
-        )
+        m = _META_CHARSET_RE.search(head)
         if m:
             charset = m.group(1)
     if charset:
@@ -375,6 +381,23 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
         except LookupError:
             charset = ""
     return payload.decode(charset or "utf-8", "replace")
+
+
+def _iter_http_responses(batches):
+    """Shared WET-side walk for the response-shaped readers: WARC record
+    iteration + response filter + strict HTTP split, yielding
+    ``(path, record, status, content_type, payload)``.  Only records
+    whose WARC Content-Type declares an HTTP message are parsed —
+    ``response`` records are not necessarily HTTP (DNS captures ship as
+    ``text/dns`` response records in Heritrix-lineage crawls), and one
+    of those must not kill the file's whole task."""
+    for path, rec in _iter_file_records(batches):
+        if rec["warc_type"] != "response":
+            continue
+        if not rec["content_type"].lower().startswith("application/http"):
+            continue
+        status, ctype, payload = parse_http_response(rec["body"])
+        yield path, rec, status, ctype, payload
 
 
 PAGES_SCHEMA = (
@@ -396,10 +419,7 @@ def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         rows = []
-        for path_, r in _iter_file_records(batches):
-            if r["warc_type"] != "response":
-                continue
-            status, ctype, payload = parse_http_response(r["body"])
+        for path_, r, status, ctype, payload in _iter_http_responses(batches):
             base = ctype.split(";", 1)[0].strip().lower()
             if base in ("text/html", "application/xhtml+xml"):
                 text = html_to_text(decode_page_bytes(payload, ctype))
@@ -486,17 +506,15 @@ RESPONSES_SCHEMA = (
 def read_warc_responses(spark, path: str, pattern: str = "*.warc*"):
     """The WET-extraction shape, fused into ONE Arrow pass: WARC record
     explosion + ``response``-type filter + HTTP split, so page payloads
-    cross the Python boundary exactly once.  Non-response records
-    (request/metadata/warcinfo) are dropped inside the batch.  Shares
-    the scan and record walk with :func:`read_warc`."""
+    cross the Python boundary exactly once.  Non-response and non-HTTP
+    records (request/metadata/warcinfo, DNS captures) are dropped
+    inside the batch.  Shares the scan, record walk, and HTTP split
+    with :func:`read_warc` / :func:`read_warc_pages`."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         rows = []
-        for path, r in _iter_file_records(batches):
-            if r["warc_type"] != "response":
-                continue
-            status, ctype, payload = parse_http_response(r["body"])
+        for path, r, status, ctype, payload in _iter_http_responses(batches):
             rows.append(
                 (path, r["offset"], r["record_id"], r["target_uri"],
                  status, ctype, payload)

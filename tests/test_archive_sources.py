@@ -83,6 +83,18 @@ def test_tar_typeflags():
         hdr = ar._tar_block(b"gnuthing", 4, flag[0])
         with pytest.raises(ValueError, match="declared seam"):
             ar.parse_tar_members(bytes(hdr) + ar._pad512(b"data") + bytes(1024))
+    # pax-format sparse (typeflag '0' + GNU.sparse.* records) is the
+    # SAME content-corruption hazard as old-GNU 'S': fail fast
+    recs = ar.pax_record("GNU.sparse.realsize", "100000") + ar.pax_record("size", "4")
+    blocks = (
+        bytes(ar._tar_block(b"pax_x", len(recs), ord("x")))
+        + ar._pad512(recs)
+        + bytes(ar._tar_block(b"sparse_file", 4, 0x30))
+        + ar._pad512(b"data")
+        + bytes(1024)
+    )
+    with pytest.raises(ValueError, match="GNU.sparse"):
+        ar.parse_tar_members(blocks)
     # a directory entry is metadata: skipped, not raised
     d = ar._tar_block(b"somedir/", 0, ord("5"))
     got = ar.parse_tar_members(

@@ -118,7 +118,7 @@ def test_parse_http_response():
             warc.parse_http_response(bad)
 
 
-def test_http_chunked_and_content_encoding():
+def test_http_chunked_and_content_encoding(monkeypatch):
     """Real crawl responses ship chunked transfer framing and gzip/
     deflate content-encodings; the WET split must hand back the ACTUAL
     page bytes, strictly."""
@@ -174,17 +174,18 @@ def test_http_chunked_and_content_encoding():
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
         )
     # a content-encoding bomb hits the ceiling
-    import pytest as _pytest  # noqa: F401
     big = gzip.compress(bytes(60_000_000))
     body = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + big
-    import query_skyline_qos_flink_spark.sources.warc as wmod
-    old = wmod.MAX_MEMBER_BYTES
-    wmod.MAX_MEMBER_BYTES = 1_000_000
-    try:
-        with pytest.raises(ValueError, match="ceiling"):
-            warc.parse_http_response(body)
-    finally:
-        wmod.MAX_MEMBER_BYTES = old
+    monkeypatch.setattr(warc, "MAX_MEMBER_BYTES", 1_000_000)
+    with pytest.raises(ValueError, match="ceiling"):
+        warc.parse_http_response(body)
+
+    # negative / prefixed / underscored chunk sizes are malformed, not
+    # python-int-lenient (round-13 review: '-b' wrapped the slice and
+    # leaked framing bytes into the payload)
+    for tok in (b"-b", b"0x5", b"5_0", b"+5", b""):
+        with pytest.raises(ValueError, match="bad chunk size"):
+            warc.dechunk_http(tok + b"\r\nZZZZZZ\r\n\r\n0\r\n\r\n")
 
 
 def test_read_warc_responses_fused(spark, tmp_path):
@@ -197,6 +198,7 @@ def test_read_warc_responses_fused(spark, tmp_path):
     ) + warc.write_warc_record(
         "response", http, record_id="<urn:resp:1>",
         target_uri="https://example.org/p",
+        content_type="application/http;msgtype=response",
     )
     with open(os.path.join(d, "f.warc.gz"), "wb") as f:
         f.write(blob)
@@ -288,10 +290,20 @@ def test_read_warc_pages_fused(spark, tmp_path):
     blob += warc.write_warc_record(
         "request", b"GET / HTTP/1.1\r\n\r\n", record_id="<urn:req>",
     )
+    # a NON-HTTP response record (DNS capture, Heritrix-lineage crawls):
+    # must be SKIPPED, not parsed as an HTTP message (no status line)
+    blob += warc.write_warc_record(
+        "response",
+        b"20260816 x.example. IN A 192.0.2.1\n",
+        record_id="<urn:dns>", target_uri="dns:x.example",
+        content_type="text/dns",
+    )
     with open(os.path.join(d, "p.warc.gz"), "wb") as f:
         f.write(blob)
     rows = {r["record_id"]: r for r in warc.read_warc_pages(spark, d).collect()}
     assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>"}
+    resp_ids = {r["record_id"] for r in warc.read_warc_responses(spark, d).collect()}
+    assert resp_ids == {"<urn:1>", "<urn:2>", "<urn:3>"}
     assert rows["<urn:1>"]["text"] == "T\nOlá page"
     assert rows["<urn:2>"]["text"] == "plain body"
     assert rows["<urn:3>"]["text"] is None
