@@ -1144,13 +1144,17 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if n_files == 0:
         raise RuntimeError("warc fixture: no files written")
-    resp = warc_src.read_warc_responses(spark, workdir, pattern="*.warc.gz")
-    out = resp.select(
+    # the PAGES reader (responses + charset-aware byte decode): the
+    # fixture's text/plain;charset=utf-8 payloads decode losslessly, so
+    # the oracle is reader-invariant while the gate additionally
+    # certifies decode_page_bytes on real fixture bytes
+    pages = warc_src.read_warc_pages(spark, workdir, pattern="*.warc.gz")
+    out = pages.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1).cast("bigint").alias("doc_id"),
         F.col("http_status").cast("bigint").alias("http_status"),
         F.col("content_type"),
-        F.octet_length("payload").cast("bigint").alias("n_bytes"),
-        F.md5("payload").alias("body_md5"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("body_md5"),
     )
     # materialize the doc-capped result, then drop the fixture files —
     # returning the lazy scan would pin the tmpdir for the caller's
