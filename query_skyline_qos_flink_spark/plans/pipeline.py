@@ -1050,7 +1050,7 @@ FROM documents WHERE text IS NOT NULL
     "writes the documents table out as spec-shaped .warc.gz files (one "
     "gzip member per record, interleaved request records, executor-side "
     "one-file-per-group writes; responses rotate plain / chunked-TE / "
-    "gzip-CE framing by doc_id % 3), then read_warc_responses scans them "
+    "gzip-CE framing by doc_id % 3), then read_warc_pages scans them "
     "back — binaryFile -> ONE fused Arrow pass doing record framing, "
     "response filter and strict HTTP status/header/payload split (RFC "
     "7230 dechunking + bounded content-encoding inflate) — and "
