@@ -1039,12 +1039,21 @@ _WARC_CTYPE = "text/plain; charset=utf-8"
 @register(
     "x_warc_extract",
     f"""
+WITH d AS (
+  -- mirror decode_page_bytes' utf-8-sig semantics: a text whose utf-8
+  -- bytes begin EF BB BF is BOM-stripped ONCE by the reader (WHATWG:
+  -- the BOM outranks the declared charset), so the oracle strips one
+  -- leading U+FEFF too — byte-exact for every other input
+  SELECT doc_id,
+         CASE WHEN left(text, 1) = chr(65279) THEN substr(text, 2)
+              ELSE text END AS page
+  FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
        '{_WARC_CTYPE}' AS content_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS body_md5
-FROM documents WHERE text IS NOT NULL
+       CAST(octet_length(encode(page)) AS BIGINT) AS n_bytes,
+       md5(page) AS body_md5
+FROM d
 """.strip(),
     doc="WARC crawl extraction end to end (sources/warc.py): the harness "
     "writes the documents table out as spec-shaped .warc.gz files (one "

@@ -377,24 +377,45 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
             charset = m.group(1)
     if charset:
         try:
-            codecs.lookup(charset)
+            # stdlib resolves non-text codec names too (hex, zlib,
+            # rot13): those raise at DECODE time even with 'replace',
+            # so a declared charset must also be a text encoding
+            if not getattr(codecs.lookup(charset), "_is_text_encoding", True):
+                charset = ""
         except LookupError:
             charset = ""
-    return payload.decode(charset or "utf-8", "replace")
+    try:
+        return payload.decode(charset or "utf-8", "replace")
+    except (LookupError, ValueError):
+        # belt and braces for exotic codecs: page BODIES never raise
+        return payload.decode("utf-8", "replace")
 
 
 def _iter_http_responses(batches):
     """Shared WET-side walk for the response-shaped readers: WARC record
     iteration + response filter + strict HTTP split, yielding
-    ``(path, record, status, content_type, payload)``.  Only records
-    whose WARC Content-Type declares an HTTP message are parsed —
+    ``(path, record, status, content_type, payload)``.
+
+    A record is parsed as HTTP when its WARC Content-Type declares
+    ``application/http``, or when that header is absent/generic
+    (``application/octet-stream``, the field is only recommended by the
+    spec and minimal writers omit it) and the body starts with an HTTP
+    status line.  Records DECLARING another type are skipped — WARC
     ``response`` records are not necessarily HTTP (DNS captures ship as
-    ``text/dns`` response records in Heritrix-lineage crawls), and one
-    of those must not kill the file's whole task."""
+    ``text/dns`` in Heritrix-lineage crawls), and one of those must not
+    kill the file's whole task — as are unlabeled non-HTTP bodies,
+    which cannot be split."""
     for path, rec in _iter_file_records(batches):
         if rec["warc_type"] != "response":
             continue
-        if not rec["content_type"].lower().startswith("application/http"):
+        ct = rec["content_type"].lower()
+        if not (
+            ct.startswith("application/http")
+            or (
+                ct in ("", "application/octet-stream")
+                and rec["body"][:5] == b"HTTP/"
+            )
+        ):
             continue
         status, ctype, payload = parse_http_response(rec["body"])
         yield path, rec, status, ctype, payload

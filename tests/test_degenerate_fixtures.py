@@ -37,6 +37,8 @@ _DEGEN_DOCS = [
     (8, "the quick brown fox visits https://ex.com and a@b.co today "
         "with plenty of ordinary words to keep shingles alive", "en",
         "news", 113),                             # exact dup of 7
+    (9, "﻿BOM-prefixed text survives the pipeline", "en", "web",
+        40),  # leading U+FEFF: the WARC reader BOM-strips (oracle mirrors)
 ]
 
 _DIM = 64

@@ -261,6 +261,14 @@ def test_decode_page_bytes_charsets():
     assert warc.decode_page_bytes(b"abc", "text/html; charset=not-a-charset") == "abc"
     # invalid utf-8 bytes replace, never raise
     assert "�" in warc.decode_page_bytes(b"\xff\xfe\xff bad")
+    # a declared charset that is a stdlib NON-TEXT codec (hex, zlib,
+    # rot13 resolve via codecs.lookup but raise at decode) degrades to
+    # utf-8/replace instead of killing the task (round-13 review)
+    for cs in ("hex", "zlib", "base64", "rot13"):
+        assert warc.decode_page_bytes(b"abc", f"text/html; charset={cs}") == "abc"
+        assert "abc" in warc.decode_page_bytes(
+            b'<meta charset="' + cs.encode() + b'">abc'
+        )
 
 
 def test_read_warc_pages_fused(spark, tmp_path):
@@ -298,12 +306,21 @@ def test_read_warc_pages_fused(spark, tmp_path):
         record_id="<urn:dns>", target_uri="dns:x.example",
         content_type="text/dns",
     )
+    # an UNLABELED response (generic default content type) whose body IS
+    # an HTTP message: sniffed and parsed (the WARC Content-Type header
+    # is only recommended; minimal writers omit it)
+    blob += warc.write_warc_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nsniffed",
+        record_id="<urn:4>", target_uri="https://x/4",
+    )
     with open(os.path.join(d, "p.warc.gz"), "wb") as f:
         f.write(blob)
     rows = {r["record_id"]: r for r in warc.read_warc_pages(spark, d).collect()}
-    assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>"}
+    assert set(rows) == {"<urn:1>", "<urn:2>", "<urn:3>", "<urn:4>"}
+    assert rows["<urn:4>"]["text"] == "sniffed"
     resp_ids = {r["record_id"] for r in warc.read_warc_responses(spark, d).collect()}
-    assert resp_ids == {"<urn:1>", "<urn:2>", "<urn:3>"}
+    assert resp_ids == {"<urn:1>", "<urn:2>", "<urn:3>", "<urn:4>"}
     assert rows["<urn:1>"]["text"] == "T\nOlá page"
     assert rows["<urn:2>"]["text"] == "plain body"
     assert rows["<urn:3>"]["text"] is None
