@@ -102,6 +102,53 @@ def test_warc_gzip_bomb_ceilings(monkeypatch):
         warc.parse_warc_records(bomb)
 
 
+def test_http_framing_roundtrip_property():
+    """Hypothesis: any payload, chunk-split at arbitrary boundaries and
+    wrapped in any supported content-encoding, round-trips through
+    parse_http_response byte-exactly."""
+    import gzip
+    import zlib
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=4000),
+        cuts=st.lists(st.integers(min_value=1, max_value=4000), max_size=4),
+        chunked=st.booleans(),
+        ce=st.sampled_from(["", "gzip", "deflate", "deflate-raw"]),
+    )
+    def run(payload, cuts, chunked, ce):
+        if ce == "gzip":
+            body, ce_hdr = gzip.compress(payload), "gzip"
+        elif ce == "deflate":
+            body, ce_hdr = zlib.compress(payload), "deflate"
+        elif ce == "deflate-raw":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body, ce_hdr = co.compress(payload) + co.flush(), "deflate"
+        else:
+            body, ce_hdr = payload, ""
+        headers = b"HTTP/1.1 200 OK\r\nContent-Type: x/y\r\n"
+        if ce_hdr:
+            headers += f"Content-Encoding: {ce_hdr}\r\n".encode()
+        if chunked:
+            pieces, prev = [], 0
+            for c in sorted({min(c, len(body)) for c in cuts}):
+                if c > prev:
+                    pieces.append(body[prev:c])
+                    prev = c
+            pieces.append(body[prev:])
+            framed = b"".join(
+                f"{len(p):x}\r\n".encode() + p + b"\r\n" for p in pieces if p
+            ) + b"0\r\n\r\n"
+            headers += b"Transfer-Encoding: chunked\r\n"
+            body = framed
+        status, ctype, got = warc.parse_http_response(headers + b"\r\n" + body)
+        assert (status, ctype, got) == (200, "x/y", payload)
+
+    run()
+
+
 def test_parse_http_response():
     body = b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>page</html>"
     status, ctype, payload = warc.parse_http_response(body)
