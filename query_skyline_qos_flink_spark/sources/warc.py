@@ -355,6 +355,18 @@ _CHARSET_PARAM_RE = re.compile(r"charset=[\"']?([\w.:-]+)", re.I)
 _META_CHARSET_RE = re.compile(r"<meta[^>]+charset=[\"']?([\w.:-]+)", re.I)
 
 
+def _usable_charset(name: str) -> str:
+    """A declared charset is usable only if it resolves AND is a text
+    encoding — stdlib resolves non-text codec names too (hex, zlib,
+    rot13), which raise at decode time even with ``errors='replace'``."""
+    try:
+        if getattr(codecs.lookup(name), "_is_text_encoding", True):
+            return name
+    except LookupError:
+        pass
+    return ""
+
+
 def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
     """Decode page bytes to text the way WET extractors do: BOM first
     (UTF-8/16/32), then the ``charset=`` parameter of the Content-Type,
@@ -369,21 +381,14 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
     charset = ""
     m = _CHARSET_PARAM_RE.search(content_type)
     if m:
-        charset = m.group(1)
+        charset = _usable_charset(m.group(1))
     if not charset:
+        # an unknown/non-text declared charset falls THROUGH to the meta
+        # scan (round-13 review) rather than straight to the fallback
         head = payload[:1024].decode("latin-1", "replace")
         m = _META_CHARSET_RE.search(head)
         if m:
-            charset = m.group(1)
-    if charset:
-        try:
-            # stdlib resolves non-text codec names too (hex, zlib,
-            # rot13): those raise at DECODE time even with 'replace',
-            # so a declared charset must also be a text encoding
-            if not getattr(codecs.lookup(charset), "_is_text_encoding", True):
-                charset = ""
-        except LookupError:
-            charset = ""
+            charset = _usable_charset(m.group(1))
     try:
         return payload.decode(charset or "utf-8", "replace")
     except (LookupError, ValueError):
@@ -409,15 +414,17 @@ def _iter_http_responses(batches):
         if rec["warc_type"] != "response":
             continue
         ct = rec["content_type"].lower()
-        if not (
-            ct.startswith("application/http")
-            or (
-                ct in ("", "application/octet-stream")
-                and rec["body"][:5] == b"HTTP/"
-            )
+        declared = ct.startswith("application/http")
+        if not declared and not (
+            ct in ("", "application/octet-stream") and rec["body"][:5] == b"HTTP/"
         ):
             continue
-        status, ctype, payload = parse_http_response(rec["body"])
+        try:
+            status, ctype, payload = parse_http_response(rec["body"])
+        except ValueError:
+            if declared:
+                raise  # a labeled HTTP record that does not parse is corrupt
+            continue  # the sniff was a guess; a non-parsing guess is skipped
         yield path, rec, status, ctype, payload
 
 

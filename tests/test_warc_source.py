@@ -316,6 +316,11 @@ def test_decode_page_bytes_charsets():
         assert "abc" in warc.decode_page_bytes(
             b'<meta charset="' + cs.encode() + b'">abc'
         )
+    # ...and a bogus declared charset falls THROUGH to a valid meta
+    # charset instead of straight to utf-8/replace (round-13 review)
+    page = b'<meta charset="windows-1251">' + "привет".encode("cp1251")
+    assert "привет" in warc.decode_page_bytes(page, "text/html; charset=hex")
+    assert "привет" in warc.decode_page_bytes(page, "text/html; charset=no-such")
 
 
 def test_read_warc_pages_fused(spark, tmp_path):
@@ -360,6 +365,14 @@ def test_read_warc_pages_fused(spark, tmp_path):
         "response",
         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nsniffed",
         record_id="<urn:4>", target_uri="https://x/4",
+    )
+    # an unlabeled body that merely STARTS with 'HTTP/' but is not a
+    # parseable message (LF-only headers): the sniff was a guess, so it
+    # is skipped — it must NOT kill the file's task (round-13 review)
+    blob += warc.write_warc_record(
+        "response",
+        b"HTTP/2 is the successor to HTTP/1.1, says this text blob",
+        record_id="<urn:notes>", target_uri="https://x/notes",
     )
     with open(os.path.join(d, "p.warc.gz"), "wb") as f:
         f.write(blob)
