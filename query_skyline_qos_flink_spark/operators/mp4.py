@@ -81,11 +81,106 @@ def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
     return timescale, duration
 
 
+def _parse_mdhd(b: bytes, s: int, e: int) -> tuple[int, int]:
+    ver, o = _fullbox(b, s, e)
+    if ver == 1:
+        if o + 28 > e:
+            raise ValueError("mp4: truncated mdhd v1")
+        timescale = struct.unpack_from(">I", b, o + 16)[0]
+        duration = struct.unpack_from(">Q", b, o + 20)[0]
+    elif ver == 0:
+        if o + 16 > e:
+            raise ValueError("mp4: truncated mdhd v0")
+        timescale = struct.unpack_from(">I", b, o + 8)[0]
+        duration = struct.unpack_from(">I", b, o + 12)[0]
+    else:
+        raise ValueError(f"mp4: unknown mdhd version {ver}")
+    if timescale == 0:
+        raise ValueError("mp4: mdhd timescale must be positive")
+    return timescale, duration
+
+
+def _track_id(b: bytes, ts: int, te: int) -> int:
+    """track_ID from a trak's tkhd (version-dependent offset)."""
+    tkhd = _find(b, ts, te, b"tkhd")
+    if tkhd is None:
+        raise ValueError("mp4: trak without tkhd")
+    s, e = tkhd
+    ver, o = _fullbox(b, s, e)
+    at = o + (16 if ver == 1 else 8)
+    if at + 4 > e:
+        raise ValueError("mp4: truncated tkhd")
+    return struct.unpack_from(">I", b, at)[0]
+
+
+def _tfhd_fields(b: bytes, s: int, e: int) -> tuple[int, int | None, bool]:
+    """(track_ID, default_sample_duration or None, duration_is_empty)
+    from a traf's tfhd, per the 14496-12 flag-ordered optional fields."""
+    if s + 8 > e:
+        raise ValueError("mp4: truncated tfhd")
+    flags = int.from_bytes(b[s + 1 : s + 4], "big")
+    track_id = struct.unpack_from(">I", b, s + 4)[0]
+    at = s + 8
+    if flags & 0x000001:  # base_data_offset (u64)
+        at += 8
+    if flags & 0x000002:  # sample_description_index
+        at += 4
+    default_dur = None
+    if flags & 0x000008:
+        if at + 4 > e:
+            raise ValueError("mp4: truncated tfhd default_sample_duration")
+        default_dur = struct.unpack_from(">I", b, at)[0]
+    return track_id, default_dur, bool(flags & 0x010000)
+
+
+def _trun_duration(
+    b: bytes, s: int, e: int, default_dur: int | None, where: int
+) -> int:
+    """Total duration (media timescale units) of one trun box."""
+    if s + 8 > e:
+        raise ValueError(f"mp4: truncated trun at byte {where}")
+    flags = int.from_bytes(b[s + 1 : s + 4], "big")
+    count = struct.unpack_from(">I", b, s + 4)[0]
+    at = s + 8
+    if flags & 0x000001:  # data_offset
+        at += 4
+    if flags & 0x000004:  # first_sample_flags
+        at += 4
+    per_sample = (
+        (4 if flags & 0x000100 else 0)  # duration
+        + (4 if flags & 0x000200 else 0)  # size
+        + (4 if flags & 0x000400 else 0)  # flags
+        + (4 if flags & 0x000800 else 0)  # composition offset
+    )
+    if at + count * per_sample > e:
+        raise ValueError(f"mp4: trun samples out of bounds at byte {where}")
+    if flags & 0x000100:
+        total = 0
+        for i in range(count):
+            total += struct.unpack_from(">I", b, at + i * per_sample)[0]
+        return total
+    if default_dur is None:
+        raise ValueError(
+            f"mp4: trun at byte {where} has no per-sample durations and "
+            "no tfhd/trex default_sample_duration"
+        )
+    return count * default_dur
+
+
 def parse_mp4_meta(b: bytes) -> dict:
     """Top-level walk: ``ftyp`` brand + ``moov`` movie header + per-track
     handler kinds.  Returns ``brand n_tracks n_video n_audio timescale
-    duration_ms``."""
+    duration_ms n_fragments``.
+
+    Fragmented files (fMP4/DASH/CMAF: ``moov`` carries ``mvex``/``trex``
+    defaults and zero durations, media arrives in ``moof``+``mdat``
+    fragments) are summed exactly: per track, every ``trun``'s sample
+    durations (explicit, or the ``tfhd``/``trex`` default) accumulate in
+    the track's ``mdhd`` media timescale, and ``duration_ms`` is the
+    longest track's total.  An unfragmented file reports the ``mvhd``
+    movie duration as before."""
     brand, moov = None, None
+    moofs = []
     for t, s, e in _walk_boxes(b, 0, len(b)):
         if t == b"ftyp":
             if e - s < 8:
@@ -93,6 +188,8 @@ def parse_mp4_meta(b: bytes) -> dict:
             brand = b[s : s + 4].decode("latin-1")
         elif t == b"moov":
             moov = (s, e)
+        elif t == b"moof":
+            moofs.append((s, e))
     if brand is None:
         raise ValueError("mp4: missing ftyp box")
     if moov is None:
@@ -102,6 +199,7 @@ def parse_mp4_meta(b: bytes) -> dict:
         raise ValueError("mp4: moov without mvhd")
     timescale, duration = _parse_mvhd(b, *mvhd)
     n_tracks = n_video = n_audio = 0
+    media = {}  # track_id -> (mdhd_timescale, mdhd_duration)
     for t, s, e in _walk_boxes(b, *moov):
         if t != b"trak":
             continue
@@ -120,15 +218,64 @@ def parse_mp4_meta(b: bytes) -> dict:
             n_video += 1
         elif kind == b"soun":
             n_audio += 1
+        mdhd = _find(b, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: mdia without mdhd")
+        media[_track_id(b, s, e)] = _parse_mdhd(b, *mdhd)
     if n_tracks == 0:
         raise ValueError("mp4: moov without tracks")
+    if len(media) != n_tracks:
+        raise ValueError("mp4: duplicate track_IDs across traks")
+
+    if moofs:
+        # trex defaults live under moov/mvex, one per track
+        trex_dur: dict[int, int] = {}
+        mvex = _find(b, *moov, b"mvex")
+        if mvex is not None:
+            for t, s, e in _walk_boxes(b, *mvex):
+                if t != b"trex":
+                    continue
+                _ver, o = _fullbox(b, s, e)
+                if o + 16 > e:
+                    raise ValueError("mp4: truncated trex")
+                tid = struct.unpack_from(">I", b, o)[0]
+                trex_dur[tid] = struct.unpack_from(">I", b, o + 8)[0]
+        frag_units: dict[int, int] = {}
+        for ms, me in moofs:
+            for t, s, e in _walk_boxes(b, ms, me):
+                if t != b"traf":
+                    continue
+                tfhd = _find(b, s, e, b"tfhd")
+                if tfhd is None:
+                    raise ValueError("mp4: traf without tfhd")
+                tid, default_dur, empty = _tfhd_fields(b, *tfhd)
+                if tid not in media:
+                    raise ValueError(
+                        f"mp4: moof references unknown track_ID {tid}"
+                    )
+                if empty:
+                    continue
+                if default_dur is None:
+                    default_dur = trex_dur.get(tid)
+                for tt, ts_, te_ in _walk_boxes(b, s, e):
+                    if tt == b"trun":
+                        frag_units[tid] = frag_units.get(tid, 0) + _trun_duration(
+                            b, ts_, te_, default_dur, ts_
+                        )
+        duration_ms = 0
+        for tid, (mts, mdur) in media.items():
+            total = mdur + frag_units.get(tid, 0)
+            duration_ms = max(duration_ms, total * 1000 // mts)
+    else:
+        duration_ms = duration * 1000 // timescale
     return {
         "brand": brand,
         "n_tracks": n_tracks,
         "n_video": n_video,
         "n_audio": n_audio,
         "timescale": timescale,
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": duration_ms,
+        "n_fragments": len(moofs),
     }
 
 
@@ -167,3 +314,67 @@ def write_mp4(
         traks.append(_box(b"trak", tkhd + mdia))
     moov = _box(b"moov", mvhd + b"".join(traks))
     return ftyp + moov + _box(b"mdat", b"")
+
+
+def write_fmp4(
+    n_tracks: int,
+    timescale: int,
+    fragments: list[list[tuple[int, list[int] | int]]],
+    trex_default: int = 0,
+    first_video: bool = True,
+) -> bytes:
+    """Fragmented-MP4 fixture twin of the ``moof`` walk in
+    :func:`parse_mp4_meta`: an init ``moov`` (mvhd/mdhd durations 0,
+    ``mvex``/``trex`` defaults) followed by one ``moof``+``mdat`` pair
+    per fragment.  Each fragment is a list of ``(track_id, samples)``
+    where ``samples`` is a list of explicit per-sample durations (trun
+    flag 0x100) or an int count that leans on the trex/tfhd default;
+    odd track_ids additionally carry the default in ``tfhd`` to exercise
+    that source too."""
+    if n_tracks < 1:
+        raise ValueError("mp4: at least one track")
+    ftyp = _box(b"ftyp", b"iso5mp42" + struct.pack(">I", 512))
+    mvhd = _box(
+        b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, 0) + bytes(76)
+    )
+    traks, trexes = [], []
+    for i in range(n_tracks):
+        vide = (i % 2 == 0) == first_video
+        kind = b"vide" if vide else b"soun"
+        hdlr = _box(b"hdlr", bytes(4) + bytes(4) + kind + bytes(12) + b"t\x00")
+        mdhd = _box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, 0))
+        mdia = _box(b"mdia", mdhd + hdlr)
+        tkhd = _box(b"tkhd", bytes(4) + struct.pack(">IIII", 0, 0, i + 1, 0) + bytes(64))
+        traks.append(_box(b"trak", tkhd + mdia))
+        trexes.append(
+            _box(b"trex", bytes(4) + struct.pack(">IIIII", i + 1, 1, trex_default, 0, 0))
+        )
+    mvex = _box(b"mvex", b"".join(trexes))
+    out = ftyp + _box(b"moov", mvhd + b"".join(traks) + mvex)
+    for seq, frag in enumerate(fragments, 1):
+        trafs = b""
+        for track_id, samples in frag:
+            tfhd_flags, tfhd_body = 0x020000, struct.pack(">I", track_id)
+            if track_id % 2 == 1 and isinstance(samples, int):
+                # odd tracks carry the default in tfhd (flag 0x8)
+                tfhd_flags |= 0x000008
+                tfhd_body += struct.pack(">I", trex_default)
+            tfhd = _box(
+                b"tfhd", bytes((0,)) + tfhd_flags.to_bytes(3, "big") + tfhd_body
+            )
+            if isinstance(samples, int):
+                trun = _box(
+                    b"trun",
+                    bytes(4) + struct.pack(">I", samples),
+                )
+            else:
+                trun = _box(
+                    b"trun",
+                    bytes((0,)) + (0x000100).to_bytes(3, "big")
+                    + struct.pack(">I", len(samples))
+                    + b"".join(struct.pack(">I", d) for d in samples),
+                )
+            trafs += _box(b"traf", tfhd + trun)
+        mfhd = _box(b"mfhd", bytes(4) + struct.pack(">I", seq))
+        out += _box(b"moof", mfhd + trafs) + _box(b"mdat", b"\x00" * 8)
+    return out

@@ -1168,7 +1168,12 @@ def synth_container_payload(key: int) -> bytes:
     * class 3 — MP4 (operators/mp4.py): ``1 + k%3`` alternating
       vide/soun tracks (video-first iff ``(k//2)%2 == 0``), movie
       timescale 600 (even ``k``, mvhd v0) or 90000 (odd ``k``, mvhd v1),
-      duration ``(2 + k%5) * timescale + k%7`` units.
+      duration ``(2 + k%5) * timescale + k%7`` units.  ``k%4 == 3``
+      ships the FRAGMENTED form (init moov + 2 moof fragments mixing
+      explicit trun durations with trex/tfhd defaults) whose per-track
+      total equals the same closed form — (1+k%5)·ts + k%7 explicit
+      plus 2·(ts//2) defaulted = (2+k%5)·ts + k%7 — so the oracle is
+      layout-invariant while the moof walk rides the gate.
     * class 4 — WebM (operators/webm.py): ``1 + k%3`` alternating
       video/audio TrackEntries (video-first iff ``(k//2)%2 == 0``),
       Duration ``1500 + (k%7)*500`` ms at the default 1e6 ns
@@ -1221,6 +1226,24 @@ def synth_container_payload(key: int) -> bytes:
         from . import mp4
 
         ts = 600 if k % 2 == 0 else 90000
+        if k % 4 == 3:
+            # fragmented (fMP4/DASH) variant: init moov with zero
+            # durations + two moof fragments per track — frag 1 carries
+            # explicit per-sample durations, frag 2 leans on the
+            # trex/tfhd default, so all three duration sources rotate
+            # through the gate; per-track total is
+            # (1 + k%5)*ts + k%7 + (1 + k%2)*(ts//2)
+            n = 1 + k % 3
+            return mp4.write_fmp4(
+                n_tracks=n,
+                timescale=ts,
+                fragments=[
+                    [(tid, [(1 + k % 5) * ts, k % 7]) for tid in range(1, n + 1)],
+                    [(tid, 1 + k % 2) for tid in range(1, n + 1)],
+                ],
+                trex_default=ts // 2,
+                first_video=(k // 2) % 2 == 0,
+            )
         return mp4.write_mp4(
             n_tracks=1 + k % 3,
             timescale=ts,

@@ -254,6 +254,59 @@ def test_mp4_strictness_and_unknown_box_skip():
     assert mp4.parse_mp4_meta(b + free + large)["n_tracks"] == 2
 
 
+def test_mp4_fragmented_duration():
+    """fMP4/DASH: moov durations are 0 and media arrives in moof+mdat
+    fragments; duration is the exact per-track trun sum (explicit
+    per-sample durations, tfhd defaults, and trex defaults all
+    exercised), in the track's mdhd timescale."""
+    f = mp4.write_fmp4(2, 1000, [
+        [(1, [100, 200, 300]), (2, 4)],   # track1 explicit 600; track2 4x250
+        [(1, 2)],                          # track1 2x250 via tfhd default
+    ], trex_default=250)
+    m = mp4.parse_mp4_meta(f)
+    assert m["n_fragments"] == 2 and m["n_tracks"] == 2
+    assert m["duration_ms"] == 1100  # max(track1: 600+500, track2: 1000)
+    # unfragmented files keep reporting the mvhd duration and 0 fragments
+    assert mp4.parse_mp4_meta(mp4.write_mp4(1, 600, 1234))["n_fragments"] == 0
+
+    # a trun with neither per-sample durations nor any default raises
+    # (strip the mvex box so the trex default disappears)
+    import struct
+
+    g = mp4.write_fmp4(2, 1000, [[(2, 3)]], trex_default=7)
+    # rebuild without mvex: find moov, re-emit its children minus mvex
+    moov_at = g.find(b"moov") - 4
+    moov_size = struct.unpack_from(">I", g, moov_at)[0]
+    moov_body = g[moov_at + 8 : moov_at + moov_size]
+    out, off = b"", 0
+    while off < len(moov_body):
+        bs = struct.unpack_from(">I", moov_body, off)[0]
+        if moov_body[off + 4 : off + 8] != b"mvex":
+            out += moov_body[off : off + bs]
+        off += bs
+    rebuilt = (
+        g[:moov_at]
+        + struct.pack(">I", 8 + len(out)) + b"moov" + out
+        + g[moov_at + moov_size :]
+    )
+    # track_id 2 is odd->even here: id 2 has no tfhd default in the
+    # writer, so with mvex gone there is no duration source at all
+    with pytest.raises(ValueError, match="no per-sample durations|no tfhd/trex"):
+        mp4.parse_mp4_meta(rebuilt)
+    # a moof referencing an unknown track raises
+    h = bytearray(mp4.write_fmp4(1, 1000, [[(1, [50])]]))
+    tfhd_at = h.find(b"tfhd")
+    struct.pack_into(">I", h, tfhd_at + 8, 99)  # track_ID field
+    with pytest.raises(ValueError, match="unknown track_ID"):
+        mp4.parse_mp4_meta(bytes(h))
+    # duration-is-empty traf contributes nothing
+    e = bytearray(mp4.write_fmp4(1, 1000, [[(1, [500])]]))
+    tfhd_at = e.find(b"tfhd")
+    flags = int.from_bytes(e[tfhd_at + 5 : tfhd_at + 8], "big") | 0x010000
+    e[tfhd_at + 5 : tfhd_at + 8] = flags.to_bytes(3, "big")
+    assert mp4.parse_mp4_meta(bytes(e))["duration_ms"] == 0
+
+
 # --------------------------------------------------------------- WebM ----
 
 
