@@ -62,42 +62,41 @@ def _fullbox(b: bytes, s: int, e: int):
     return b[s], s + 4
 
 
-def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
+def _parse_header_box(b: bytes, s: int, e: int, name: str) -> tuple[int, int]:
+    """``(timescale, duration)`` of an mvhd/mdhd — the two boxes share
+    the identical version-dependent layout."""
     ver, o = _fullbox(b, s, e)
     if ver == 1:
         if o + 28 > e:
-            raise ValueError("mp4: truncated mvhd v1")
+            raise ValueError(f"mp4: truncated {name} v1")
         timescale = struct.unpack_from(">I", b, o + 16)[0]
         duration = struct.unpack_from(">Q", b, o + 20)[0]
     elif ver == 0:
         if o + 16 > e:
-            raise ValueError("mp4: truncated mvhd v0")
+            raise ValueError(f"mp4: truncated {name} v0")
         timescale = struct.unpack_from(">I", b, o + 8)[0]
         duration = struct.unpack_from(">I", b, o + 12)[0]
     else:
-        raise ValueError(f"mp4: unknown mvhd version {ver}")
+        raise ValueError(f"mp4: unknown {name} version {ver}")
     if timescale == 0:
-        raise ValueError("mp4: mvhd timescale must be positive")
+        raise ValueError(f"mp4: {name} timescale must be positive")
     return timescale, duration
+
+
+def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
+    return _parse_header_box(b, s, e, "mvhd")
 
 
 def _parse_mdhd(b: bytes, s: int, e: int) -> tuple[int, int]:
-    ver, o = _fullbox(b, s, e)
-    if ver == 1:
-        if o + 28 > e:
-            raise ValueError("mp4: truncated mdhd v1")
-        timescale = struct.unpack_from(">I", b, o + 16)[0]
-        duration = struct.unpack_from(">Q", b, o + 20)[0]
-    elif ver == 0:
-        if o + 16 > e:
-            raise ValueError("mp4: truncated mdhd v0")
-        timescale = struct.unpack_from(">I", b, o + 8)[0]
-        duration = struct.unpack_from(">I", b, o + 12)[0]
-    else:
-        raise ValueError(f"mp4: unknown mdhd version {ver}")
-    if timescale == 0:
-        raise ValueError("mp4: mdhd timescale must be positive")
-    return timescale, duration
+    return _parse_header_box(b, s, e, "mdhd")
+
+
+# Sanity bound on a defaults-only trun's sample_count: the samples live
+# in mdat so the count itself costs no box bytes, and without it a
+# corrupt 0xFFFFFFFF count silently yields a ~34-year duration where the
+# explicit-duration path fails fast.  Real muxers emit <10k samples per
+# trun; 2^24 is far beyond any legitimate fragment.
+MAX_TRUN_SAMPLES = 1 << 24
 
 
 def _track_id(b: bytes, ts: int, te: int) -> int:
@@ -141,6 +140,11 @@ def _trun_duration(
         raise ValueError(f"mp4: truncated trun at byte {where}")
     flags = int.from_bytes(b[s + 1 : s + 4], "big")
     count = struct.unpack_from(">I", b, s + 4)[0]
+    if count > MAX_TRUN_SAMPLES:
+        raise ValueError(
+            f"mp4: trun at byte {where} declares {count} samples, past the "
+            f"{MAX_TRUN_SAMPLES} sanity bound"
+        )
     at = s + 8
     if flags & 0x000001:  # data_offset
         at += 4
@@ -245,7 +249,13 @@ def parse_mp4_meta(b: bytes) -> dict:
             for t, s, e in _walk_boxes(b, ms, me):
                 if t != b"traf":
                     continue
-                tfhd = _find(b, s, e, b"tfhd")
+                # one pass over the traf's children: tfhd + trun ranges
+                tfhd, truns = None, []
+                for tt, ts_, te_ in _walk_boxes(b, s, e):
+                    if tt == b"tfhd":
+                        tfhd = (ts_, te_)
+                    elif tt == b"trun":
+                        truns.append((ts_, te_))
                 if tfhd is None:
                     raise ValueError("mp4: traf without tfhd")
                 tid, default_dur, empty = _tfhd_fields(b, *tfhd)
@@ -257,11 +267,10 @@ def parse_mp4_meta(b: bytes) -> dict:
                     continue
                 if default_dur is None:
                     default_dur = trex_dur.get(tid)
-                for tt, ts_, te_ in _walk_boxes(b, s, e):
-                    if tt == b"trun":
-                        frag_units[tid] = frag_units.get(tid, 0) + _trun_duration(
-                            b, ts_, te_, default_dur, ts_
-                        )
+                for ts_, te_ in truns:
+                    frag_units[tid] = frag_units.get(tid, 0) + _trun_duration(
+                        b, ts_, te_, default_dur, ts_
+                    )
         duration_ms = 0
         for tid, (mts, mdur) in media.items():
             total = mdur + frag_units.get(tid, 0)
@@ -281,6 +290,21 @@ def parse_mp4_meta(b: bytes) -> dict:
 
 def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _fixture_trak(
+    i: int, timescale: int, duration_units: int, first_video: bool
+) -> bytes:
+    """One alternating vide/soun fixture trak (shared by both writers)."""
+    vide = (i % 2 == 0) == first_video
+    kind = b"vide" if vide else b"soun"
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + kind + bytes(12) + b"t\x00")
+    mdhd = _box(
+        b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration_units)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr)
+    tkhd = _box(b"tkhd", bytes(4) + struct.pack(">IIII", 0, 0, i + 1, 0) + bytes(64))
+    return _box(b"trak", tkhd + mdia)
 
 
 def write_mp4(
@@ -303,15 +327,10 @@ def write_mp4(
     else:
         body = bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration_units) + bytes(76)
     mvhd = _box(b"mvhd", body)
-    traks = []
-    for i in range(n_tracks):
-        vide = (i % 2 == 0) == first_video
-        kind = b"vide" if vide else b"soun"
-        hdlr = _box(b"hdlr", bytes(4) + bytes(4) + kind + bytes(12) + b"t\x00")
-        mdhd = _box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration_units))
-        mdia = _box(b"mdia", mdhd + hdlr)
-        tkhd = _box(b"tkhd", bytes(4) + struct.pack(">IIII", 0, 0, i + 1, 0) + bytes(64))
-        traks.append(_box(b"trak", tkhd + mdia))
+    traks = [
+        _fixture_trak(i, timescale, duration_units, first_video)
+        for i in range(n_tracks)
+    ]
     moov = _box(b"moov", mvhd + b"".join(traks))
     return ftyp + moov + _box(b"mdat", b"")
 
@@ -339,13 +358,7 @@ def write_fmp4(
     )
     traks, trexes = [], []
     for i in range(n_tracks):
-        vide = (i % 2 == 0) == first_video
-        kind = b"vide" if vide else b"soun"
-        hdlr = _box(b"hdlr", bytes(4) + bytes(4) + kind + bytes(12) + b"t\x00")
-        mdhd = _box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, 0))
-        mdia = _box(b"mdia", mdhd + hdlr)
-        tkhd = _box(b"tkhd", bytes(4) + struct.pack(">IIII", 0, 0, i + 1, 0) + bytes(64))
-        traks.append(_box(b"trak", tkhd + mdia))
+        traks.append(_fixture_trak(i, timescale, 0, first_video))
         trexes.append(
             _box(b"trex", bytes(4) + struct.pack(">IIIII", i + 1, 1, trex_default, 0, 0))
         )

@@ -305,6 +305,13 @@ def test_mp4_fragmented_duration():
     flags = int.from_bytes(e[tfhd_at + 5 : tfhd_at + 8], "big") | 0x010000
     e[tfhd_at + 5 : tfhd_at + 8] = flags.to_bytes(3, "big")
     assert mp4.parse_mp4_meta(bytes(e))["duration_ms"] == 0
+    # a defaults-only trun with a corrupt astronomical count hits the
+    # sanity bound instead of silently reporting a ~34-year duration
+    c = bytearray(mp4.write_fmp4(1, 1000, [[(1, 3)]], trex_default=250))
+    trun_at = c.find(b"trun")
+    struct.pack_into(">I", c, trun_at + 8, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sanity bound"):
+        mp4.parse_mp4_meta(bytes(c))
 
 
 # --------------------------------------------------------------- WebM ----
