@@ -99,3 +99,51 @@ def test_tiff_roundtrip_property(h, w, spp, rps, le, seed):
     b = mm.encode_tiff(arr, little_endian=le, rows_per_strip=rps)
     gh, gw, gc, out = mm.decode_tiff(b)
     assert (gh, gw, gc) == (h, w, spp) and (out == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_tracks=st.integers(min_value=1, max_value=3),
+    timescale=st.sampled_from([600, 1000, 90000]),
+    trex_default=st.integers(min_value=0, max_value=5000),
+    frags=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),  # track_id (clamped)
+                st.one_of(
+                    st.integers(min_value=0, max_value=50),  # default count
+                    st.lists(
+                        st.integers(min_value=0, max_value=100_000),
+                        min_size=1,
+                        max_size=6,
+                    ),  # explicit durations
+                ),
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_fmp4_duration_property(n_tracks, timescale, trex_default, frags):
+    """Fragmented-MP4 duration is the exact per-track sum of trun sample
+    durations (explicit, tfhd-default, or trex-default), floored to ms
+    in the mdhd timescale — for ANY fragment layout."""
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    frags = [
+        [(min(tid, n_tracks), samples) for tid, samples in frag] for frag in frags
+    ]
+    b = mp4.write_fmp4(n_tracks, timescale, frags, trex_default=trex_default)
+    totals = {tid: 0 for tid in range(1, n_tracks + 1)}
+    for frag in frags:
+        for tid, samples in frag:
+            if isinstance(samples, int):
+                totals[tid] += samples * trex_default
+            else:
+                totals[tid] += sum(samples)
+    want = max(t * 1000 // timescale for t in totals.values())
+    m = mp4.parse_mp4_meta(b)
+    assert m["duration_ms"] == want
+    assert m["n_fragments"] == len(frags)
