@@ -613,7 +613,10 @@ FROM m
     "OpusHead headers with granule-exact durations, operators/ogg.py), "
     "PCM16 WAV (RIFF via the real decode_audio path), MP4 (ISO-BMFF "
     "box walk: ftyp brand, mvhd v0/v1 timescale-exact duration, "
-    "per-trak hdlr kinds, operators/mp4.py) and WebM (EBML varint "
+    "per-trak hdlr kinds; every 4th payload is FRAGMENTED fMP4/DASH — "
+    "mvex/trex defaults, tfhd overrides, exact trun duration sums — "
+    "with a layout-invariant closed form, operators/mp4.py) and WebM "
+    "(EBML varint "
     "element walk incl. the unknown-size Segment escape, float "
     "Duration, TrackEntry kinds, operators/webm.py); emits codec "
     "identity, "
