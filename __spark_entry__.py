@@ -41,62 +41,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 13
-# Round-13 window: the 45 entries whose latest driver row is round 10
-# (computed MECHANICALLY from the union of CORRECTNESS_r01..r12.json;
-# matches the round-12 verdict's own mechanical count and the round-12
-# worksheet below) hit the hard staleness bound and take the front.
-# The 5 fill slots go to entries whose plans or results this round
-# touches or re-adjudicates: x_warc_extract carries the new bounded
-# .warc.gz inflate guard (ADVICE item 1) through its code path,
-# x_multimodal_meta's mp3 class rides the ID3v1-trim retry fix
-# (ADVICE item 2), x_ann_ivf re-gates after its fresh-session A/B
-# probe (verdict item 4; x_minhash_lsh_pairs, the other mover, is
-# already in the must-gate front), newborn x_archive_extract holds the
-# slot originally planned for x_token_stats (see the fill-slot note in
-# the list), and x_simhash_pairs is pulled forward from the round-11
-# cohort — with x_quantiles_interp retired, the round-14 must-gate
-# load flattens from 45 to 42 (the worksheet below is authoritative).
+_ROTATED_FOR = 14
+# Round-14 window: the 42 live entries whose latest driver row is
+# round 11 (computed MECHANICALLY from the union of
+# CORRECTNESS_r01..r13.json; matches both the round-13 verdict's
+# mechanical recount and the round-13 worksheet) hit the hard
+# staleness bound and take the front.  The 8 fill slots go to entries
+# whose code paths this round touches: x_archive_extract gates the
+# new .tar.zst envelope class (libzstd ctypes bridge, verdict item 2)
+# plus the ADVICE tar-prefix/zip64 fixes, x_warc_extract gates the new
+# brotli content-encoding class (%3 → %4 framing rotation, verdict
+# item 3) plus the per-file-yield memory fix (item 4),
+# x_multimodal_meta's mp3 class and x_audio_features ride the ID3v1
+# trim-retry reorder (ADVICE item 4), and four round-12-cohort skyline
+# queries (s22/s23/s28/s29) re-gate any skyline-path mitigation from
+# the anti_3d bimodality root-cause (item 5) while flattening the
+# round-15 must-gate load from 48 to 44.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 10, at the bound for round 13
-    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
-    "m1_partition_stats", "r10_percentiles", "r11_asof_join",
-    "r12_range_join", "r13_regional_revenue", "r14_subquery_avg",
-    "r20_recursive_cte", "r21_unpivot_measures", "r3_window_running",
-    "r4_semi_anti_join", "r7_json_extract", "r9_sessionize",
-    "s10_snapshot_10000", "s14_stream_dedup", "s15_stream_join",
-    "s18_stream_upsert", "s1_skyline_2d", "s20_stream_dedup_watermark",
-    "s24_dynamic_skyline", "s26_skycube", "s27_reverse_skyline",
-    "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
-    "s5_skyline_part", "s6_skyline_events_ts", "s7_skyline_filtered",
-    "s8_skyline_groupwise", "s9_twophase_angle", "s9_twophase_dim",
-    "s9_twophase_grid", "x_bigram_lm_score", "x_bm25_topk",
-    "x_cdc_dedup", "x_corpus_shuffle", "x_dedup_clusters_lsh",
-    "x_dedup_sweep", "x_knn_int8_rerank", "x_minhash_lsh_pairs",
-    "x_semantic_dedup", "x_triangle_count", "x_url_dedup",
-    # fills: plans/results this round touches (see header comment);
-    # newborn x_archive_extract (gated zip64 + pax/GNU long-name fixture
-    # rotation, verdict items 2-3) took x_token_stats's slot mid-round —
-    # x_token_stats returns to its round-11 staleness cohort, offset by
-    # x_quantiles_interp retiring to the anchor set in the same commit
-    "x_warc_extract", "x_multimodal_meta", "x_ann_ivf",
-    "x_archive_extract", "x_simhash_pairs",
+    # stale: last driver row round 11, at the bound for round 14
+    "r15_grouping_sets", "r16_lag_delta", "r17_pivot_priority",
+    "r18_ntile_deciles", "r19_range_frame", "r1_agg_pricing_summary",
+    "r22_topn_per_group", "r23_salted_skew_join", "r24_event_funnel",
+    "r25_cohort_retention", "r2_join_topk_revenue", "r5_rollup_counts",
+    "r6_orders_by_year", "r8_setops_nations", "s12_stream_replay_3d",
+    "s16_stream_session", "s17_stream_static_dedup",
+    "s19_stream_interval_join", "s21_stream_scrub", "s25_stream_skyband",
+    "s30_prob_skyline", "s31_thick_skyline", "s32_stream_cdc_dedup",
+    "s33_grouped_skyband", "s34_skycube_4d", "s35_stream_cdc_watermark",
+    "x_char_entropy", "x_clean_text", "x_datapipe_prep",
+    "x_domain_stats", "x_embed_centroids", "x_embed_gram",
+    "x_fuzzy_match", "x_image_resize", "x_jpeg_ahash_dedup",
+    "x_langid", "x_pii_scrub", "x_pmi_pairs",
+    "x_tfidf_topterms", "x_token_stats", "x_winnow_pairs",
+    "x_zorder_stats",
+    # fills: code paths this round touches (see header comment)
+    "x_archive_extract", "x_warc_extract", "x_multimodal_meta",
+    "x_audio_features", "s22_skyband", "s23_top_dominating",
+    "s28_kdominant_skyline", "s29_skyline_layers",
 ]
-# Round-14 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 14: every entry whose latest driver
-#   row is round 11 and which sits outside this round-13 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-13
-#   artifact lands (at round-13 session end: 45 round-11 rows minus
-#   the 2 round-11 fills above, x_ann_ivf and x_simhash_pairs, minus
-#   x_quantiles_interp which retired to the anchor set = 42), plus any
-#   round-13 registration that missed the round-13 window (none as of
-#   session end: the only newborn, x_archive_extract, sits in the
-#   window via the swap below).
-# * Round-13 mid-round changes a round-14 rotation must know about:
-#   newborn x_archive_extract took x_token_stats's fill slot (so
-#   x_token_stats is back in the round-11 staleness cohort counted
-#   above); x_quantiles_interp is RETIRED (anchor-gated, no staleness
-#   obligation).
+# Round-15 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 15: every entry whose latest driver
+#   row is round 12 and which sits outside this round-14 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-14
+#   artifact lands (at round-14 rotation time: 48 round-12 rows minus
+#   the 5 round-12 fills above, x_audio_features / s22_skyband /
+#   s23_top_dominating / s28_kdominant_skyline / s29_skyline_layers,
+#   = 43), plus any round-14 registration that misses the round-14
+#   window.
+# * Round-14 mid-round changes a round-15 rotation must know about:
+#   record them here as they happen (newborn registrations, retires,
+#   fill-slot swaps).
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
