@@ -1062,7 +1062,9 @@ FROM d
     "writes the documents table out as spec-shaped .warc.gz files (one "
     "gzip member per record, interleaved request records, executor-side "
     "one-file-per-group writes; responses rotate plain / chunked-TE / "
-    "gzip-CE framing by doc_id % 3), then read_warc_pages scans them "
+    "gzip-CE / brotli-CE framing by doc_id % 4 — the br class decodes "
+    "through the libbrotli ctypes bridge and degrades to plain framing "
+    "when the library is absent), then read_warc_pages scans them "
     "back — binaryFile -> ONE fused Arrow pass doing record framing, "
     "response filter and strict HTTP status/header/payload split (RFC "
     "7230 dechunking + bounded content-encoding inflate) — and "
@@ -1086,6 +1088,7 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from ..sources import native_codecs
     from ..sources import warc as warc_src
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text").where(
@@ -1098,6 +1101,10 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(got {n_docs}); run it at a smaller sf"
         )
     workdir = tempfile.mkdtemp(prefix="warc_extract_")
+    # resolved driver-side so every executor frames the same class set;
+    # the br class needs the encoder for the fixture AND the decoder for
+    # the read-back, so both gate it
+    br_ok = native_codecs.brotli_available() and native_codecs.brotli_encoder_available()
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
@@ -1105,10 +1112,13 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in pdf.sort_values("doc_id").itertuples():
             body = str(r.text).encode("utf-8")
             status = 404 if r.doc_id % 10 == 7 else 200
-            # rotate the HTTP framing so the chunked-TE and gzip-CE
-            # decode paths run under the driver gate too — the oracle is
-            # framing-invariant (decoding restores the page bytes)
-            mode = r.doc_id % 3
+            # rotate the HTTP framing so the chunked-TE and gzip-CE /
+            # brotli-CE decode paths run under the driver gate too — the
+            # oracle is framing-invariant (decoding restores the page
+            # bytes); without libbrotli the br class degrades to plain
+            mode = r.doc_id % 4
+            if mode == 3 and not br_ok:
+                mode = 0
             if mode == 1:
                 framed = b"".join(
                     f"{len(body[i:i + 700]):x}\r\n".encode()
@@ -1126,6 +1136,13 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"Content-Encoding: gzip\r\n"
                     f"Content-Length: {len(gz)}\r\n\r\n"
                 ).encode() + gz
+            elif mode == 3:
+                br = native_codecs.brotli_compress(body)
+                http = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
+                    f"Content-Encoding: br\r\n"
+                    f"Content-Length: {len(br)}\r\n\r\n"
+                ).encode() + br
             else:
                 http = (
                     f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
@@ -1198,9 +1215,10 @@ FROM documents WHERE text IS NOT NULL
     "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures), "
     "odd file ids as tar with >100-byte member paths carried via pax "
     "extended headers or old-GNU longname blocks (alternating, so both "
-    "long-name routes rotate through the gate; one pax and one gnu file "
-    "additionally ride gzip/xz envelopes through the magic-sniffed "
-    "compressed-tar path) — then read_zip/read_tar "
+    "long-name routes rotate through the gate; three of the four tar "
+    "files additionally ride gzip/xz/zstd envelopes through the "
+    "magic-sniffed compressed-tar path — zstd via the libzstd ctypes "
+    "bridge, skipped when the library is absent) — then read_zip/read_tar "
     "scan them back (binaryFile -> mapInPandas member explosion, "
     "central-directory/checksummed-header walks, CRC verify) and the "
     "gate pins per-document archive kind, byte count and payload md5 "
@@ -1219,6 +1237,7 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..sources import archives as ar_src
+    from ..sources import native_codecs
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("text").isNotNull()
@@ -1231,6 +1250,8 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     workdir = tempfile.mkdtemp(prefix="archive_extract_")
     deep = "d" * 120  # member paths past the 100-byte ustar field
+    # resolved driver-side so every executor writes the same class set
+    zstd_ok = native_codecs.zstd_available()
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
@@ -1246,9 +1267,9 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 members, long_names="pax" if fid % 4 == 1 else "gnu"
             )
             ext = "tar"
-            # two of the four tar files ride a compressed envelope so the
-            # sniffed decompress paths sit under the driver gate too (the
-            # oracle is envelope-invariant: same members either way)
+            # three of the four tar files ride a compressed envelope so
+            # the sniffed decompress paths sit under the driver gate too
+            # (the oracle is envelope-invariant: same members either way)
             if fid == 5:
                 import gzip
 
@@ -1257,6 +1278,8 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import lzma
 
                 blob, ext = lzma.compress(blob), "tar.xz"
+            elif fid == 3 and zstd_ok:
+                blob, ext = native_codecs.zstd_compress(blob), "tar.zst"
         with open(os.path.join(workdir, f"part-{fid:03d}.{ext}"), "wb") as f:
             f.write(blob)
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})

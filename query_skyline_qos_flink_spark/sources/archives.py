@@ -26,6 +26,8 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+from . import native_codecs
+
 _EOCD_SIG = b"PK\x05\x06"
 _EOCD64_SIG = b"PK\x06\x06"
 _EOCD64_LOC_SIG = b"PK\x06\x07"
@@ -687,17 +689,26 @@ def _sniff_tar_codec(b: bytes):
         import lzma
 
         return "xz", lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-    if b[:4] == b"\x28\xb5\x2f\xfd":
-        # declared seam, not a mis-walk: no stdlib zstd codec on 3.11
-        # (compression.zstd arrives in 3.14) and no bundled library
-        raise ValueError("tar.zst: zstd is a declared seam (no stdlib codec)")
+    if native_codecs.is_zstd_magic(b[:4]):
+        # no stdlib zstd codec on 3.11 (compression.zstd arrives in
+        # 3.14) — decode via the libzstd ctypes bridge; without the
+        # library the seam raise stays (availability is environmental)
+        if not native_codecs.zstd_available():
+            raise ValueError(
+                "tar.zst: zstd requires the libzstd shared library "
+                "(no stdlib codec; library not found)"
+            )
+        return "zst", native_codecs.ZstdDecompressor
     return None, None
 
 
 def maybe_decompress_tar(b: bytes) -> bytes:
-    """Transparent .tar.gz / .tar.bz2 / .tar.xz envelope removal, sniffed
-    by magic (gzip ``1f 8b``, bzip2 ``BZh``, xz ``fd 37 7a 58 5a 00``) —
-    the three compressions stdlib decodes and real corpus drops ship.
+    """Transparent .tar.gz / .tar.bz2 / .tar.xz / .tar.zst envelope
+    removal, sniffed by magic (gzip ``1f 8b``, bzip2 ``BZh``, xz
+    ``fd 37 7a 58 5a 00``, zstd ``28 b5 2f fd``) — the three stdlib
+    compressions plus zstd via the libzstd ctypes bridge
+    (:mod:`.native_codecs`); ``.tar.zst`` is the default packaging for
+    modern ML corpus drops.
 
     Inflation is chunked against ``MAX_TAR_BYTES`` (a compressed tar
     declares no trustworthy output size, so a bomb must hit a ceiling,
@@ -709,7 +720,12 @@ def maybe_decompress_tar(b: bytes) -> bytes:
     kind, make = _sniff_tar_codec(b)
     if kind is None:
         return b
-    magic = {"gz": b"\x1f\x8b", "bz2": b"BZh", "xz": b"\xfd7zXZ\x00"}[kind]
+    magic = {
+        "gz": b"\x1f\x8b",
+        "bz2": b"BZh",
+        "xz": b"\xfd7zXZ\x00",
+        "zst": native_codecs.ZSTD_MAGIC,
+    }[kind]
     mv = memoryview(b)
     n = len(b)
     parts, total = [], 0
@@ -756,7 +772,13 @@ def maybe_decompress_tar(b: bytes) -> bytes:
             if (n - pos) % 4:
                 raise ValueError("tar.xz: stream padding not a multiple of 4")
             return b"".join(parts)
-        if bytes(mv[pos : pos + len(magic)]) != magic:
+        nxt = bytes(mv[pos : pos + max(len(magic), 4)])
+        ok = (
+            native_codecs.is_zstd_magic(nxt)  # skippable frames count too
+            if kind == "zst"
+            else nxt.startswith(magic)
+        )
+        if not ok:
             raise ValueError(
                 f"tar.{kind}: trailing bytes after the compressed stream "
                 "(garbage, not a concatenated member)"

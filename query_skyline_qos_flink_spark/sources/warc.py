@@ -30,6 +30,8 @@ import re
 import zlib
 from collections.abc import Iterator
 
+from . import native_codecs
+
 CRLF = b"\r\n"
 
 # Decompression ceilings (round-12 ADVICE): gzip carries no trustworthy
@@ -252,11 +254,33 @@ def dechunk_http(payload: bytes) -> bytes:
 def decode_content_encoding(payload: bytes, encoding: str) -> bytes:
     """Decode an HTTP ``Content-Encoding``: gzip/x-gzip and deflate
     (zlib-wrapped per the RFC, with the raw-deflate fallback real
-    servers ship) via bounded chunked inflation; identity passes
-    through; br/zstd raise at a declared seam (no stdlib codec)."""
+    servers ship) via bounded chunked inflation; ``br`` (RFC 7932) and
+    ``zstd`` (RFC 8878) via the libbrotli/libzstd ctypes bridges in
+    :mod:`.native_codecs` — real crawl responses ship br constantly —
+    with the same output ceiling; identity passes through.  Without
+    the shared libraries the br/zstd branches raise (environmental
+    availability, same contract as the libwebp bridge)."""
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return payload
+    if enc == "br":
+        if not native_codecs.brotli_available():
+            raise ValueError(
+                "http: content-encoding br requires the libbrotlidec "
+                "shared library (no stdlib codec; library not found)"
+            )
+        return native_codecs.brotli_decompress_bounded(
+            payload, MAX_MEMBER_BYTES, what="http: br"
+        )
+    if enc == "zstd":
+        if not native_codecs.zstd_available():
+            raise ValueError(
+                "http: content-encoding zstd requires the libzstd "
+                "shared library (no stdlib codec; library not found)"
+            )
+        return native_codecs.zstd_decompress_bounded(
+            payload, MAX_MEMBER_BYTES, what="http: zstd"
+        )
     if enc in ("gzip", "x-gzip", "deflate"):
         attempts = (
             [zlib.MAX_WBITS | 16] if enc != "deflate" else [zlib.MAX_WBITS, -zlib.MAX_WBITS]
@@ -295,7 +319,7 @@ def decode_content_encoding(payload: bytes, encoding: str) -> bytes:
                 continue
             return b"".join(parts)
         raise ValueError(f"http: corrupt {enc} payload: {last}")
-    raise ValueError(f"http: content-encoding {encoding!r} is a declared seam")
+    raise ValueError(f"http: unsupported content-encoding {encoding!r}")
 
 
 def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
@@ -396,10 +420,23 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
         return payload.decode("utf-8", "replace")
 
 
-def _iter_http_responses(batches):
-    """Shared WET-side walk for the response-shaped readers: WARC record
-    iteration + response filter + strict HTTP split, yielding
-    ``(path, record, status, content_type, payload)``.
+def _iter_files(batches):
+    """Shared per-file iteration for all three readers: yields
+    ``(path, content_bytes)`` one WARC file at a time so each reader
+    emits ONE output frame per file — record/page rows must never
+    accumulate across the files of an Arrow batch (the
+    ``archives.py`` yield shape: at the real task shape of 3–4 × ~1 GB
+    ``.warc.gz``, ≤4 GiB decompressed each, cross-file accumulation
+    multiplies peak executor memory by files-per-task)."""
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            yield row["path"], bytes(row["content"])
+
+
+def _http_responses_in_file(path, content: bytes):
+    """Shared WET-side walk for the response-shaped readers, one file at
+    a time: WARC record iteration + response filter + strict HTTP split,
+    yielding ``(path, record, status, content_type, payload)``.
 
     A record is parsed as HTTP when its WARC Content-Type declares
     ``application/http``, or when that header is absent/generic
@@ -410,7 +447,7 @@ def _iter_http_responses(batches):
     ``text/dns`` in Heritrix-lineage crawls), and one of those must not
     kill the file's whole task — as are unlabeled non-HTTP bodies,
     which cannot be split."""
-    for path, rec in _iter_file_records(batches):
+    for rec in parse_warc_records(content):
         if rec["warc_type"] != "response":
             continue
         ct = rec["content_type"].lower()
@@ -446,27 +483,32 @@ def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
     from ..operators.text import html_to_text
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows = []
-        for path_, r, status, ctype, payload in _iter_http_responses(batches):
-            base = ctype.split(";", 1)[0].strip().lower()
-            if base in ("text/html", "application/xhtml+xml"):
-                text = html_to_text(decode_page_bytes(payload, ctype))
-            elif base.startswith("text/"):
-                text = decode_page_bytes(payload, ctype)
-            else:
-                text = None
-            rows.append(
-                (path_, r["offset"], r["record_id"], r["target_uri"],
-                 status, ctype, text)
-            )
-        if rows:
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "offset", "record_id", "target_uri",
-                    "http_status", "content_type", "text",
-                ],
-            )
+        for fpath, content in _iter_files(batches):
+            # one output frame per file: page rows never accumulate
+            # across the files of the Arrow batch
+            rows = []
+            for path_, r, status, ctype, payload in _http_responses_in_file(
+                fpath, content
+            ):
+                base = ctype.split(";", 1)[0].strip().lower()
+                if base in ("text/html", "application/xhtml+xml"):
+                    text = html_to_text(decode_page_bytes(payload, ctype))
+                elif base.startswith("text/"):
+                    text = decode_page_bytes(payload, ctype)
+                else:
+                    text = None
+                rows.append(
+                    (path_, r["offset"], r["record_id"], r["target_uri"],
+                     status, ctype, text)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "offset", "record_id", "target_uri",
+                        "http_status", "content_type", "text",
+                    ],
+                )
 
     return _scan_files(spark, path, pattern).mapInPandas(
         extract, schema=PAGES_SCHEMA
@@ -490,15 +532,6 @@ def _scan_files(spark, path: str, pattern: str):
     )
 
 
-def _iter_file_records(batches):
-    """Shared per-file record walk for both readers: yields
-    ``(path, record_dict)`` across every file of every Arrow batch."""
-    for pdf in batches:
-        for _, row in pdf.iterrows():
-            for rec in parse_warc_records(bytes(row["content"])):
-                yield row["path"], rec
-
-
 def read_warc(spark, path: str, pattern: str = "*.warc*"):
     """WARC file scan → one DataFrame row per record.
 
@@ -515,12 +548,15 @@ def read_warc(spark, path: str, pattern: str = "*.warc*"):
     ]
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows = [
-            (path, *[rec[c] for c in cols[1:]])
-            for path, rec in _iter_file_records(batches)
-        ]
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
+        for fpath, content in _iter_files(batches):
+            # one output frame per file (see _iter_files): record bodies
+            # never accumulate across the files of the Arrow batch
+            rows = [
+                (fpath, *[rec[c] for c in cols[1:]])
+                for rec in parse_warc_records(content)
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return _scan_files(spark, path, pattern).mapInPandas(explode, schema=WARC_SCHEMA)
 
@@ -541,20 +577,24 @@ def read_warc_responses(spark, path: str, pattern: str = "*.warc*"):
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows = []
-        for path, r, status, ctype, payload in _iter_http_responses(batches):
-            rows.append(
+        for fpath, content in _iter_files(batches):
+            # one output frame per file: payloads never accumulate
+            # across the files of the Arrow batch
+            rows = [
                 (path, r["offset"], r["record_id"], r["target_uri"],
                  status, ctype, payload)
-            )
-        if rows:
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "offset", "record_id", "target_uri",
-                    "http_status", "content_type", "payload",
-                ],
-            )
+                for path, r, status, ctype, payload in _http_responses_in_file(
+                    fpath, content
+                )
+            ]
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "offset", "record_id", "target_uri",
+                        "http_status", "content_type", "payload",
+                    ],
+                )
 
     return _scan_files(spark, path, pattern).mapInPandas(
         extract, schema=RESPONSES_SCHEMA

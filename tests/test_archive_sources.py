@@ -284,9 +284,18 @@ def test_tar_compressed_envelopes(spark, tmp_path):
         assert [(m["name"], m["body"]) for m in got] == _MEMBERS
     # plain bytes pass straight through
     assert [(m["name"], m["body"]) for m in ar.parse_tar_any(t)] == _MEMBERS
-    # zstd is a DECLARED seam with a clear error, not a ustar mis-walk
-    with pytest.raises(ValueError, match="zstd is a declared seam"):
-        ar.parse_tar_any(b"\x28\xb5\x2f\xfd" + t)
+    # zstd decodes through the libzstd bridge (round 14); a magic-only
+    # prefix over tar bytes is a CORRUPT frame, not a ustar mis-walk
+    import query_skyline_qos_flink_spark.sources.native_codecs as nc
+
+    if nc.zstd_available():
+        with pytest.raises(ValueError, match="tar.zst: corrupt"):
+            ar.parse_tar_any(b"\x28\xb5\x2f\xfd" + t)
+        got = ar.parse_tar_any(nc.zstd_compress(t))
+        assert [(m["name"], m["body"]) for m in got] == _MEMBERS
+    else:
+        with pytest.raises(ValueError, match="libzstd"):
+            ar.parse_tar_any(b"\x28\xb5\x2f\xfd" + t)
     # concatenated gzip members decode as ONE stream (pigz/bgzf shape)
     half = len(t) // 2
     two = gzip.compress(t[:half]) + gzip.compress(t[half:])

@@ -216,9 +216,19 @@ def test_http_chunked_and_content_encoding(monkeypatch):
         warc.parse_http_response(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnotgzip"
         )
-    with pytest.raises(ValueError, match="declared seam"):
+    # br decodes through the libbrotli bridge (round 14); garbage bytes
+    # are a truncated/corrupt stream, and the token is only a hard error
+    # when the library is absent
+    import query_skyline_qos_flink_spark.sources.native_codecs as nc
+
+    br_err = "http: br: .*(corrupt|truncated)" if nc.brotli_available() else "libbrotlidec"
+    with pytest.raises(ValueError, match=br_err):
         warc.parse_http_response(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        )
+    with pytest.raises(ValueError, match="unsupported content-encoding"):
+        warc.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nxxxx"
         )
     # a content-encoding bomb hits the ceiling
     big = gzip.compress(bytes(60_000_000))
