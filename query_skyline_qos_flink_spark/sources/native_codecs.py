@@ -298,6 +298,11 @@ def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") ->
     parts: list[bytes] = []
     total = 0
     pos = 0
+    # output pulls ramp from ~4x the compressed size up to the 1 MiB
+    # chunk: HTTP payloads are typically sub-KB per record, and a
+    # zero-filled 1 MiB ctypes buffer per record is a ~40 µs memset tax
+    # (measured 3x on the 500k-record crawl probe, round 14)
+    out_chunk = min(_DEC_CHUNK, max(4096, 4 * n))
     while pos < n:  # one iteration per concatenated frame
         if not is_zstd_magic(bytes(mv[pos : pos + 4])):
             raise ValueError(
@@ -310,7 +315,8 @@ def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") ->
             if d.needs_input:
                 feed = mv[pos : pos + _DEC_CHUNK]
                 pos += len(feed)
-            chunk = d.decompress(feed, _DEC_CHUNK)
+            chunk = d.decompress(feed, out_chunk)
+            out_chunk = min(_DEC_CHUNK, out_chunk * 8)
             total += len(chunk)
             if total > max_out:
                 raise ValueError(
@@ -351,10 +357,13 @@ def brotli_decompress_bounded(payload: bytes, max_out: int, what: str = "brotli"
         total_out = ctypes.c_size_t(0)
         parts: list[bytes] = []
         total = 0
+        # same output-pull ramp as zstd_decompress_bounded: per-record
+        # crawl payloads must not pay a 1 MiB zeroed-buffer memset each
+        out_chunk = min(_DEC_CHUNK, max(4096, 4 * len(payload)))
         while True:
-            buf = ctypes.create_string_buffer(_DEC_CHUNK)
+            buf = ctypes.create_string_buffer(out_chunk)
             next_out = ctypes.cast(buf, p8)
-            avail_out = ctypes.c_size_t(_DEC_CHUNK)
+            avail_out = ctypes.c_size_t(out_chunk)
             res = lib.BrotliDecoderDecompressStream(
                 state,
                 ctypes.byref(avail_in),
@@ -363,7 +372,8 @@ def brotli_decompress_bounded(payload: bytes, max_out: int, what: str = "brotli"
                 ctypes.byref(next_out),
                 ctypes.byref(total_out),
             )
-            produced = _DEC_CHUNK - avail_out.value
+            produced = out_chunk - avail_out.value
+            out_chunk = min(_DEC_CHUNK, out_chunk * 8)
             total += produced
             if total > max_out:
                 raise ValueError(
