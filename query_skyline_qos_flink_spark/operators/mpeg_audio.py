@@ -306,6 +306,17 @@ def write_mp3(
     return bytes(out)
 
 
+class _FrameWalkError(ValueError):
+    """A frame-walk failure that knows WHERE it failed, so the ID3v1
+    trim retry can tell tag-boundary failures from genuine corruption
+    earlier in the stream (round-13 ADVICE: the trimmed retry's error
+    must not mask the original failure location)."""
+
+    def __init__(self, msg: str, offset: int):
+        super().__init__(msg)
+        self.offset = offset
+
+
 def _walk(b: bytes):
     """Shared frame walk for meta and decode (one copy of the tag-trim
     and consistency rules): returns ``(meta, audio_frames)`` where
@@ -320,15 +331,20 @@ def _walk(b: bytes):
         frames, off = [], start
         first = None
         while off < end:
-            hdr = parse_frame_header(b, off)
+            try:
+                hdr = parse_frame_header(b, off)
+            except ValueError as exc:
+                raise _FrameWalkError(str(exc), off) from None
             if first is None:
                 first = hdr
             elif (hdr["version"], hdr["layer"], hdr["sample_rate"], hdr["n_channels"]) != (
                 first["version"], first["layer"], first["sample_rate"], first["n_channels"]
             ):
-                raise ValueError(f"mp3: stream parameters changed at byte {off}")
+                raise _FrameWalkError(
+                    f"mp3: stream parameters changed at byte {off}", off
+                )
             if off + hdr["frame_length"] > end:
-                raise ValueError(f"mp3: truncated frame at byte {off}")
+                raise _FrameWalkError(f"mp3: truncated frame at byte {off}", off)
             frames.append((off, hdr))
             off += hdr["frame_length"]
         return frames
@@ -339,10 +355,15 @@ def _walk(b: bytes):
         # bytes can also fall mid-frame of valid audio — trimming
         # unconditionally would then fail-closed reject a legitimate
         # stream as truncated (round-12 ADVICE).  Walk untrimmed first;
-        # only a failing walk treats the trailer as a tag.
+        # retry trimmed ONLY when the failure sits at/after the trailer
+        # boundary — a failure before end-128 is genuine corruption the
+        # tag cannot explain, and the trimmed retry's error would
+        # misreport its location (round-13 ADVICE).
         try:
             frames = walk_to(end)
-        except ValueError:
+        except _FrameWalkError as exc:
+            if exc.offset < end - 128:
+                raise
             end -= 128
             frames = walk_to(end)
     else:

@@ -62,18 +62,35 @@ def _zip64_extra(extra: bytes, need: list[str], name: str) -> dict[str, int]:
             if vals is not None:
                 raise ValueError(f"zip: member {name!r} duplicate zip64 extra")
             want = sum(width[k] for k in need)
-            if flen != want:
-                raise ValueError(
-                    f"zip: member {name!r} zip64 extra holds {flen} bytes but "
-                    f"the masked fields need {want}"
-                )
-            vals, vat = {}, at
-            for k in need:
-                if width[k] == 8:
-                    vals[k] = struct.unpack_from("<Q", extra, vat)[0]
+            if flen == want:
+                # spec layout: exactly the masked fields, packed in order
+                vals, vat = {}, at
+                for k in need:
+                    if width[k] == 8:
+                        vals[k] = struct.unpack_from("<Q", extra, vat)[0]
+                    else:
+                        vals[k] = struct.unpack_from("<I", extra, vat)[0]
+                    vat += width[k]
+            else:
+                # widespread spec violation stdlib zipfile tolerates:
+                # writers that emit a fixed-order PREFIX of all four
+                # zip64 fields regardless of masking.  Accept when the
+                # prefix covers every masked field, reading only those.
+                full_off = {"size": 0, "csize": 8, "lho": 16, "disk": 24}
+                if flen in (8, 16, 24, 28) and all(
+                    full_off[k] + width[k] <= flen for k in need
+                ):
+                    vals = {
+                        k: struct.unpack_from(
+                            "<Q" if width[k] == 8 else "<I", extra, at + full_off[k]
+                        )[0]
+                        for k in need
+                    }
                 else:
-                    vals[k] = struct.unpack_from("<I", extra, vat)[0]
-                vat += width[k]
+                    raise ValueError(
+                        f"zip: member {name!r} zip64 extra holds {flen} bytes "
+                        f"but the masked fields need {want}"
+                    )
         at += flen
     if at != len(extra):
         raise ValueError(f"zip: member {name!r} trailing junk in the extra area")
@@ -206,6 +223,22 @@ def parse_zip_members(b: bytes) -> list[dict]:
         or 0xFFFFFFFF in (cd_size, cd_off)
     )
     has_loc = at >= 20 and b[at - 20 : at - 16] == _EOCD64_LOC_SIG
+    if has_loc and not masked:
+        # a valid non-zip64 archive whose bytes before the EOCD (e.g.
+        # the last central-directory file comment) happen to end with
+        # the locator signature must not be routed into the zip64 path.
+        # With no masked field vouching for zip64, commit only when the
+        # 16 bytes after the signature look like a locator at all —
+        # single-disk fields, or an offset that lands on a real EOCD64
+        # record.  A GENUINELY corrupt locator (plausible fields, bad
+        # offset) still fails closed below.
+        loc_disk, probe_off, n_disks = struct.unpack_from("<IQI", b, at - 16)
+        plausible = loc_disk == 0 and n_disks == 1
+        points_at_record = (
+            probe_off + 4 <= at - 20 and b[probe_off : probe_off + 4] == _EOCD64_SIG
+        )
+        if not plausible and not points_at_record:
+            has_loc = False
     if masked or has_loc:
         if not has_loc:
             raise ValueError("zip: zip64 markers in the EOCD but no EOCD64 locator")
@@ -558,8 +591,12 @@ def parse_tar_members(b: bytes) -> list[dict]:
                 longlink = val
         else:
             name = hdr[:100].split(b"\x00")[0].decode("utf-8", "surrogateescape")
-            # ustar prefix field: a 155-byte path prefix joined with '/'
-            if hdr[257:262] == b"ustar":
+            # ustar prefix field: a 155-byte path prefix joined with '/'.
+            # Gated on the exact POSIX magic+version — old-GNU headers
+            # ('ustar  ') store atime/ctime at offset 345, and honoring
+            # the prefix there would silently prepend octal digits to
+            # member names (e.g. tar --incremental output)
+            if hdr[257:263] == b"ustar\x00":
                 prefix = hdr[345:500].split(b"\x00")[0].decode(
                     "utf-8", "surrogateescape"
                 )

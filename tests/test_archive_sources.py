@@ -8,6 +8,7 @@ explosion end to end.
 from __future__ import annotations
 
 import os
+import struct
 import zlib
 
 import pytest
@@ -664,3 +665,54 @@ def test_fourth_review_regressions():
     # but it must be ValueError)
     with pytest.raises(ValueError):
         ar.parse_zip_members(bytes(tail_sig))
+
+
+def test_round14_advice_regressions():
+    """Round-13 ADVICE items: old-GNU prefix gating, zip64 locator
+    false-positive, and full-prefix zip64 extras."""
+    # (1) old-GNU magic ('ustar  ') stores atime/ctime at the POSIX
+    # prefix offset — octal digits there must NOT be joined into names
+    hdr = ar._tar_block(b"plain.txt", 4, 0x30)
+    hdr[257:265] = b"ustar  \x00"
+    hdr[345:357] = b"13737496104 "[:12]
+    hdr[148:156] = b" " * 8
+    hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+    got = ar.parse_tar_members(bytes(hdr) + ar._pad512(b"data") + bytes(1024))
+    assert [m["name"] for m in got] == ["plain.txt"]
+    # ...while the exact POSIX magic still honors a real prefix
+    hdr2 = ar._tar_block(b"leaf.txt", 4, 0x30)
+    hdr2[345:351] = b"prefix"
+    hdr2[148:156] = b" " * 8
+    hdr2[148:156] = f"{sum(hdr2):06o}\x00 ".encode()
+    got2 = ar.parse_tar_members(bytes(hdr2) + ar._pad512(b"data") + bytes(1024))
+    assert [m["name"] for m in got2] == ["prefix/leaf.txt"]
+    # (2) a non-zip64 archive with the EOCD64-locator signature in the
+    # slack bytes before the EOCD (e.g. the tail of a file comment) must
+    # not be routed into the zip64 path: no masked field vouches for it
+    # and the bogus locator offset points at no EOCD64 record
+    z = ar.write_zip([("a.txt", b"hello"), ("b.txt", b"world")])
+    eocd_at = z.rfind(b"PK\x05\x06")
+    fake = z[:eocd_at] + b"PK\x06\x07" + b"\xee" * 16 + z[eocd_at:]
+    assert [m["name"] for m in ar.parse_zip_members(fake)] == ["a.txt", "b.txt"]
+    # ...but masked EOCD fields still fail closed on a broken locator
+    masked = bytearray(fake)
+    struct.pack_into("<I", masked, len(masked) - 6, 0xFFFFFFFF)  # mask cd_off
+    with pytest.raises(ValueError, match="zip"):
+        ar.parse_zip_members(bytes(masked))
+    # ...and a PLAUSIBLE locator (single-disk fields) with a corrupt
+    # offset is genuine zip64 corruption, not a comment coincidence
+    plaus = z[:eocd_at] + b"PK\x06\x07" + struct.pack("<IQI", 0, 7, 1) + z[eocd_at:]
+    with pytest.raises(ValueError, match="EOCD64 record missing"):
+        ar.parse_zip_members(plaus)
+    # (3) spec-violating writers emit a fixed-order PREFIX of all four
+    # zip64 fields regardless of masking; read the masked ones in place
+    full = struct.pack("<HH", 1, 28) + struct.pack("<QQQI", 111, 222, 333, 0)
+    assert ar._zip64_extra(full, ["lho"], "m") == {"lho": 333}
+    assert ar._zip64_extra(full, ["size", "csize", "lho"], "m") == {
+        "size": 111, "csize": 222, "lho": 333,
+    }
+    # a prefix too short to cover the masked field still raises
+    with pytest.raises(ValueError, match="zip64 extra holds 16"):
+        ar._zip64_extra(struct.pack("<HH", 1, 16) + bytes(16), ["lho"], "m")
+    with pytest.raises(ValueError, match="zip64 extra holds 12"):
+        ar._zip64_extra(struct.pack("<HH", 1, 12) + bytes(12), ["lho"], "m")

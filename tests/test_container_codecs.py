@@ -98,6 +98,34 @@ def test_mp3_id3_and_trailing_strictness():
     assert ma.parse_mp3_meta(bytes(tag) + bytes(10) + b)["n_frames"] == 5
 
 
+def test_mp3_early_corruption_not_retried_as_tag_trim(monkeypatch):
+    """round-13 ADVICE: when the untrimmed walk fails BEFORE end-128,
+    the failure is genuine corruption the ID3v1 trailer cannot explain —
+    re-raise it directly (single walk, original offset) instead of
+    paying a second trimmed walk whose error could misattribute the
+    location."""
+    b = ma.write_mp3(5)
+    corrupt = bytearray(b + b"TAG" + bytes(125))
+    frame_len = ma.parse_frame_header(b, 0)["frame_length"]
+    corrupt[frame_len] = 0x00  # kill frame 2's sync byte, far before end-128
+    calls = []
+    real = ma.parse_frame_header
+
+    def counting(buf, off=0):
+        calls.append(off)
+        return real(buf, off)
+
+    monkeypatch.setattr(ma, "parse_frame_header", counting)
+    with pytest.raises(ValueError, match=f"at byte {frame_len}"):
+        ma.parse_mp3_meta(bytes(corrupt))
+    # one walk only: offsets strictly increasing, no restart at 0
+    assert calls == sorted(set(calls)), "trimmed retry re-walked from the start"
+    # ...while a failure AT the trailer boundary still retries trimmed
+    calls.clear()
+    assert ma.parse_mp3_meta(b + b"TAG" + bytes(125))["n_frames"] == 5
+    assert calls.count(0) == 2  # untrimmed walk + the legitimate trimmed retry
+
+
 def test_mp3_xing_crosscheck_and_param_change():
     b = bytearray(ma.write_mp3(6, xing=True))
     meta = ma.parse_mp3_meta(bytes(b))
