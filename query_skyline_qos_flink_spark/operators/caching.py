@@ -39,24 +39,60 @@ def _caller_scope() -> str:
 
 
 def _unpersist(scope: str, df: DataFrame) -> None:
-    try:
-        df.unpersist(blocking=False)
-    except Exception:  # pragma: no cover - session already stopped
-        pass
+    # a plan-twin registered under ANOTHER scope shares this entry's
+    # CacheManager slot — dropping the blocks would yank the cache out
+    # from under the live twin, so release only the registry slot then
+    entry = (scope, df)
+    twin_alive = any(
+        e != entry and _same_semantics(d, df) for e in _ORDER if (d := e[1]) is not None
+    )
+    if not twin_alive:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     q = _PERSISTED.get(scope)
     if q is not None and df in q:
         q.remove(df)
         if not q:
             del _PERSISTED[scope]
-    entry = (scope, df)
     if entry in _ORDER:
         _ORDER.remove(entry)
 
 
+def _same_semantics(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return a.sameSemantics(b)
+    except Exception:  # pragma: no cover - Connect / stopped session
+        return False
+
+
 def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
-    df = df.persist()
     scope = scope or _caller_scope()
-    _PERSISTED.setdefault(scope, []).append(df)
+    # Spark's CacheManager dedupes persist() by logical plan: two
+    # semantically identical frames share ONE cache entry.  Registering
+    # a plan-twin as a new FIFO entry would make the later eviction
+    # unpersist that shared entry out from under the NEWEST caller —
+    # measured round 14: bench.py's repeated skyline reps lost the
+    # phase-1 cache after _KEEP_PER_SCOPE reps and re-ran the Arrow
+    # kernel 3x per query (the "bimodality" of skyline_anti_3d_1m,
+    # 1.9 s -> 8-27 s).  Refresh the existing entry to MRU instead.
+    q = _PERSISTED.setdefault(scope, [])
+    for old in q:
+        try:
+            same = df.sameSemantics(old)
+        except Exception:  # pragma: no cover - Connect / stopped session
+            same = False
+        if same:
+            q.remove(old)
+            q.append(old)
+            entry = (scope, old)
+            if entry in _ORDER:
+                _ORDER.remove(entry)
+            _ORDER.append(entry)
+            return old.persist()  # re-pin in case an outside unpersist raced
+    df = df.persist()
+    q.append(df)
     _ORDER.append((scope, df))
     while len(_PERSISTED.get(scope, ())) > _KEEP_PER_SCOPE:
         _unpersist(scope, _PERSISTED[scope][0])

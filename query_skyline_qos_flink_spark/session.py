@@ -34,6 +34,24 @@ def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> Spar
         # dispatches on whichever dtype actually arrives.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if not os.environ.get("SPARK_GRAFT_NO_PRELOAD_DAEMON"):
+        # Pre-import the Arrow/pandas stack ONCE per executor in the
+        # python-worker daemon; forked workers inherit it copy-on-write
+        # (see spark_daemon.py — a 32-worker import storm costs ~20 s of
+        # CPU that otherwise contends with running kernels; preloaded
+        # forks measure 0.06 s with zero import CPU).  The executor-side
+        # interpreter must be able to import the package, so export it
+        # onto PYTHONPATH before the JVM (which inherits this env) starts.
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + existing if existing else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "query_skyline_qos_flink_spark.spark_daemon",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
