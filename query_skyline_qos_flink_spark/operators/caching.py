@@ -90,7 +90,10 @@ def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
             if entry in _ORDER:
                 _ORDER.remove(entry)
             _ORDER.append(entry)
-            return old.persist()  # re-pin in case an outside unpersist raced
+            lvl = old.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                old.persist()  # re-pin: an outside unpersist raced us
+            return old
     df = df.persist()
     q.append(df)
     _ORDER.append((scope, df))

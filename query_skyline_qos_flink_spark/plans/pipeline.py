@@ -1215,10 +1215,12 @@ FROM documents WHERE text IS NOT NULL
     "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures), "
     "odd file ids as tar with >100-byte member paths carried via pax "
     "extended headers or old-GNU longname blocks (alternating, so both "
-    "long-name routes rotate through the gate; three of the four tar "
-    "files additionally ride gzip/xz/zstd envelopes through the "
-    "magic-sniffed compressed-tar path — zstd via the libzstd ctypes "
-    "bridge, skipped when the library is absent) — then read_zip/read_tar "
+    "long-name routes rotate through the gate; the four tar files ride "
+    "gzip/xz/zstd/lz4 envelopes through the magic-sniffed compressed-tar "
+    "path — zstd/lz4 via the libzstd/liblz4 ctypes bridges, each "
+    "degrading to plain tar when its library is absent; the plain-tar "
+    "file path stays pytest-gated via the roundtrip property suite and "
+    "stdlib-tarfile conformance tests) — then read_zip/read_tar "
     "scan them back (binaryFile -> mapInPandas member explosion, "
     "central-directory/checksummed-header walks, CRC verify) and the "
     "gate pins per-document archive kind, byte count and payload md5 "
@@ -1252,6 +1254,7 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     deep = "d" * 120  # member paths past the 100-byte ustar field
     # resolved driver-side so every executor writes the same class set
     zstd_ok = native_codecs.zstd_available()
+    lz4_ok = native_codecs.lz4_available()
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
@@ -1267,8 +1270,8 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 members, long_names="pax" if fid % 4 == 1 else "gnu"
             )
             ext = "tar"
-            # three of the four tar files ride a compressed envelope so
-            # the sniffed decompress paths sit under the driver gate too
+            # the four tar files each ride a compressed envelope so the
+            # sniffed decompress paths sit under the driver gate too
             # (the oracle is envelope-invariant: same members either way)
             if fid == 5:
                 import gzip
@@ -1280,6 +1283,8 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob, ext = lzma.compress(blob), "tar.xz"
             elif fid == 3 and zstd_ok:
                 blob, ext = native_codecs.zstd_compress(blob), "tar.zst"
+            elif fid == 1 and lz4_ok:
+                blob, ext = native_codecs.lz4_compress(blob), "tar.lz4"
         with open(os.path.join(workdir, f"part-{fid:03d}.{ext}"), "wb") as f:
             f.write(blob)
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})

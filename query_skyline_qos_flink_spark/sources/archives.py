@@ -736,16 +736,28 @@ def _sniff_tar_codec(b: bytes):
                 "(no stdlib codec; library not found)"
             )
         return "zst", native_codecs.ZstdDecompressor
+    if b[:4] == native_codecs.LZ4_MAGIC:
+        if not native_codecs.lz4_available():
+            raise ValueError(
+                "tar.lz4: lz4 requires the liblz4 shared library "
+                "(no stdlib codec; library not found)"
+            )
+        return "lz4", native_codecs.Lz4Decompressor
+    if b[:4] == native_codecs.LZ4_LEGACY_MAGIC:
+        # the pre-frame-format `lz4c` container: no length/checksum
+        # framing, liblz4's frame API refuses it — fail fast with the
+        # real reason instead of a ustar checksum mis-walk
+        raise ValueError("tar.lz4: legacy lz4c framing is not supported")
     return None, None
 
 
 def maybe_decompress_tar(b: bytes) -> bytes:
-    """Transparent .tar.gz / .tar.bz2 / .tar.xz / .tar.zst envelope
-    removal, sniffed by magic (gzip ``1f 8b``, bzip2 ``BZh``, xz
-    ``fd 37 7a 58 5a 00``, zstd ``28 b5 2f fd``) — the three stdlib
-    compressions plus zstd via the libzstd ctypes bridge
-    (:mod:`.native_codecs`); ``.tar.zst`` is the default packaging for
-    modern ML corpus drops.
+    """Transparent .tar.gz / .tar.bz2 / .tar.xz / .tar.zst / .tar.lz4
+    envelope removal, sniffed by magic (gzip ``1f 8b``, bzip2 ``BZh``,
+    xz ``fd 37 7a 58 5a 00``, zstd ``28 b5 2f fd``, lz4 frame
+    ``04 22 4d 18``) — the three stdlib compressions plus zstd/lz4 via
+    the libzstd/liblz4 ctypes bridges (:mod:`.native_codecs`);
+    ``.tar.zst`` is the default packaging for modern ML corpus drops.
 
     Inflation is chunked against ``MAX_TAR_BYTES`` (a compressed tar
     declares no trustworthy output size, so a bomb must hit a ceiling,
@@ -762,6 +774,7 @@ def maybe_decompress_tar(b: bytes) -> bytes:
         "bz2": b"BZh",
         "xz": b"\xfd7zXZ\x00",
         "zst": native_codecs.ZSTD_MAGIC,
+        "lz4": native_codecs.LZ4_MAGIC,
     }[kind]
     mv = memoryview(b)
     n = len(b)
@@ -810,11 +823,12 @@ def maybe_decompress_tar(b: bytes) -> bytes:
                 raise ValueError("tar.xz: stream padding not a multiple of 4")
             return b"".join(parts)
         nxt = bytes(mv[pos : pos + max(len(magic), 4)])
-        ok = (
-            native_codecs.is_zstd_magic(nxt)  # skippable frames count too
-            if kind == "zst"
-            else nxt.startswith(magic)
-        )
+        if kind == "zst":  # skippable frames count as concatenated members
+            ok = native_codecs.is_zstd_magic(nxt)
+        elif kind == "lz4":
+            ok = native_codecs.is_lz4_magic(nxt)
+        else:
+            ok = nxt.startswith(magic)
         if not ok:
             raise ValueError(
                 f"tar.{kind}: trailing bytes after the compressed stream "

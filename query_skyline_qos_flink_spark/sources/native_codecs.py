@@ -1,12 +1,13 @@
-"""ctypes bridges to the system ``libzstd`` and ``libbrotli`` shared
-libraries — the zstd (RFC 8878) and brotli (RFC 7932) byte-stream codecs.
+"""ctypes bridges to the system ``libzstd``, ``libbrotli`` and
+``liblz4`` shared libraries — the zstd (RFC 8878), brotli (RFC 7932)
+and lz4-frame byte-stream codecs.
 
-Python 3.11 ships no stdlib codec for either format
-(``compression.zstd`` arrives in 3.14), but both libraries are on every
-production host that handles modern corpus drops: ``.tar.zst`` is the
-default packaging for ML data releases, and real Common Crawl HTTP
-responses ship ``Content-Encoding: br`` constantly.  This module binds
-the libraries' stable C APIs the same way
+Python 3.11 ships no stdlib codec for any of them (``compression.zstd``
+arrives in 3.14), but the libraries are on every production host that
+handles modern corpus drops: ``.tar.zst`` is the default packaging for
+ML data releases, ``.tar.lz4`` its speed-optimized sibling, and real
+Common Crawl HTTP responses ship ``Content-Encoding: br`` constantly.
+This module binds the libraries' stable C APIs the same way
 :mod:`..operators.libwebp_bridge` binds libwebp — plain C types, no
 version-fragile structs beyond zstd's documented in/out buffer triples,
 lazy per-process load so Arrow-batch UDF workers each bind once.
@@ -35,6 +36,7 @@ from functools import lru_cache
 _ZSTD_CANDIDATES = ("libzstd.so.1", "libzstd.so", "libzstd.1.dylib", "libzstd.dylib")
 _BROTLI_DEC_CANDIDATES = ("libbrotlidec.so.1", "libbrotlidec.so", "libbrotlidec.1.dylib")
 _BROTLI_ENC_CANDIDATES = ("libbrotlienc.so.1", "libbrotlienc.so", "libbrotlienc.1.dylib")
+_LZ4_CANDIDATES = ("liblz4.so.1", "liblz4.so", "liblz4.1.dylib", "liblz4.dylib")
 
 #: zstd frame magics: one regular frame magic plus the 16 skippable-frame
 #: magics (RFC 8878 §3.1.2) — pzstd / the seekable format append
@@ -46,11 +48,28 @@ _ZSTD_SKIPPABLE_TAIL = b"\x2a\x4d\x18"
 
 def is_zstd_magic(prefix: bytes) -> bool:
     """True when ``prefix`` starts a zstd frame (regular or skippable)."""
-    return prefix[:4] == ZSTD_MAGIC or (
+    return prefix[:4] == ZSTD_MAGIC or _is_skippable_magic(prefix)
+
+
+def _is_skippable_magic(prefix: bytes) -> bool:
+    # the 16 skippable-frame magics are SHARED between the zstd and lz4
+    # frame formats (both specs reserve 0x184D2A50-5F little-endian)
+    return (
         len(prefix) >= 4
         and 0x50 <= prefix[0] <= 0x5F
         and prefix[1:4] == _ZSTD_SKIPPABLE_TAIL
     )
+
+
+#: LZ4 frame magic (the modern frame format, RFC-less but published as
+#: the lz4_Frame_format spec; the legacy ``lz4c`` magic is 02 21 4C 18).
+LZ4_MAGIC = b"\x04\x22\x4d\x18"
+LZ4_LEGACY_MAGIC = b"\x02\x21\x4c\x18"
+
+
+def is_lz4_magic(prefix: bytes) -> bool:
+    """True when ``prefix`` starts a modern lz4 frame (or skippable)."""
+    return prefix[:4] == LZ4_MAGIC or _is_skippable_magic(prefix)
 
 
 def _load(candidates, libname):
@@ -172,6 +191,55 @@ def _brotli_enc():
     except AttributeError:
         return None
     return lib
+
+
+@lru_cache(maxsize=1)
+def _lz4():
+    lib = _load(_LZ4_CANDIDATES, "lz4")
+    if lib is None:
+        return None
+    try:
+        lib.LZ4F_isError.restype = ctypes.c_uint
+        lib.LZ4F_isError.argtypes = [ctypes.c_size_t]
+        lib.LZ4F_getErrorName.restype = ctypes.c_char_p
+        lib.LZ4F_getErrorName.argtypes = [ctypes.c_size_t]
+        lib.LZ4F_createDecompressionContext.restype = ctypes.c_size_t
+        lib.LZ4F_createDecompressionContext.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_uint,
+        ]
+        lib.LZ4F_freeDecompressionContext.restype = ctypes.c_size_t
+        lib.LZ4F_freeDecompressionContext.argtypes = [ctypes.c_void_p]
+        lib.LZ4F_decompress.restype = ctypes.c_size_t
+        lib.LZ4F_decompress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p,
+        ]
+        lib.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+        lib.LZ4F_compressFrameBound.argtypes = [ctypes.c_size_t, ctypes.c_void_p]
+        lib.LZ4F_compressFrame.restype = ctypes.c_size_t
+        lib.LZ4F_compressFrame.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+    except AttributeError:
+        return None
+    return lib
+
+
+_LZ4F_VERSION = 100  # LZ4F_VERSION of the stable frame ABI
+
+
+def lz4_available() -> bool:
+    """True when a usable liblz4 with the frame API is loadable."""
+    return _lz4() is not None
 
 
 def zstd_available() -> bool:
@@ -330,6 +398,100 @@ def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") ->
                 raise ValueError(f"{what}: truncated zstd frame")
         pos -= len(d.unused_data)  # rewind to the true end of this frame
     return b"".join(parts)
+
+
+class Lz4Decompressor:
+    """One lz4 frame, stdlib-decompressobj protocol (the shape
+    :class:`ZstdDecompressor` speaks — see its docstring).  One instance
+    decodes ONE frame so the caller's concatenation loop stays in
+    charge; ``LZ4F_decompress`` stops consuming at the frame boundary
+    (returns 0), which maps directly onto ``eof`` + ``unused_data``.
+    Skippable frames are consumed by the library as output-less frames.
+    """
+
+    def __init__(self):
+        lib = _lz4()
+        if lib is None:
+            raise RuntimeError("liblz4 shared library not available")
+        self._lib = lib
+        dctx = ctypes.c_void_p()
+        rc = lib.LZ4F_createDecompressionContext(ctypes.byref(dctx), _LZ4F_VERSION)
+        if lib.LZ4F_isError(rc):
+            raise RuntimeError("liblz4: create decompression context failed")
+        self._dctx = dctx
+        self._in = b""
+        self.eof = False
+        self.unused_data = b""
+
+    def __del__(self):
+        self.close()
+
+    def close(self) -> None:
+        dctx, self._dctx = self._dctx, None
+        if dctx:
+            self._lib.LZ4F_freeDecompressionContext(dctx)
+
+    @property
+    def needs_input(self) -> bool:
+        return not self.eof and not self._in
+
+    def decompress(self, data=b"", max_length: int = -1) -> bytes:
+        if self.eof:
+            raise EOFError("lz4: decompress() called after frame end")
+        if self._dctx is None:
+            raise ValueError("lz4: decompressor is closed")
+        if data:
+            src = bytes(data)
+            self._in = self._in + src if self._in else src
+        src = self._in
+        cap = max_length if max_length >= 0 else (1 << 20)
+        dst = ctypes.create_string_buffer(cap) if cap else None
+        lib = self._lib
+        base = ctypes.cast(ctypes.c_char_p(src), ctypes.c_void_p)
+        pos = 0
+        produced = 0
+        while True:
+            if not src and not self.eof:
+                break
+            dst_sz = ctypes.c_size_t(cap - produced)
+            src_sz = ctypes.c_size_t(len(src) - pos)
+            srcp = ctypes.c_void_p((base.value or 0) + pos) if src else None
+            dstp = (
+                ctypes.c_void_p(ctypes.addressof(dst) + produced) if dst else None
+            )
+            ret = lib.LZ4F_decompress(
+                self._dctx, dstp, ctypes.byref(dst_sz), srcp, ctypes.byref(src_sz), None
+            )
+            if lib.LZ4F_isError(ret):
+                name = lib.LZ4F_getErrorName(ret).decode("ascii", "replace")
+                raise ValueError(f"lz4: corrupt frame: {name}")
+            pos += src_sz.value
+            produced += dst_sz.value
+            if ret == 0:  # frame fully decoded
+                self.eof = True
+                self.unused_data = src[pos:]
+                self._in = b""
+                break
+            if pos >= len(src) or produced >= cap:
+                self._in = src[pos:]
+                break
+            if src_sz.value == 0 and dst_sz.value == 0:
+                raise ValueError("lz4: decoder made no progress")
+        return dst.raw[:produced] if dst else b""
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """One-shot lz4 frame (fixtures + conformance tests only)."""
+    lib = _lz4()
+    if lib is None:
+        raise RuntimeError("liblz4 shared library not available")
+    bound = lib.LZ4F_compressFrameBound(len(data), None)
+    out = ctypes.create_string_buffer(bound)
+    n = lib.LZ4F_compressFrame(out, bound, data, len(data), None)
+    if lib.LZ4F_isError(n):
+        name = lib.LZ4F_getErrorName(n).decode("ascii", "replace")
+        raise ValueError(f"lz4: compress failed: {name}")
+    return out.raw[:n]
 
 
 #: BrotliDecoderResult values (stable ABI since brotli 1.0).

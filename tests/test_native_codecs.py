@@ -250,3 +250,98 @@ def test_parse_http_response_br_end_to_end():
     status, ctype, payload = w.parse_http_response(http)
     assert status == 200
     assert payload == page
+
+
+# ---- lz4 (round 14: liblz4.so.1 found in-sandbox next to zstd/brotli) ----
+
+lz4_only = pytest.mark.skipif(not nc.lz4_available(), reason="no liblz4")
+lz4_cli_only = pytest.mark.skipif(shutil.which("lz4") is None, reason="no lz4 CLI")
+
+
+def test_lz4_conformance_target_present():
+    """liblz4.so.1 ships in this sandbox alongside libzstd — same
+    no-silent-degrade contract as test_conformance_targets_present."""
+    assert nc.lz4_available()
+
+
+@lz4_only
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=4096))
+def test_lz4_roundtrip_property(data):
+    tar_blob = nc.lz4_compress(data)
+    d = nc.Lz4Decompressor()
+    out, pos = bytearray(), 0
+    while not d.eof:
+        feed = b""
+        if d.needs_input:
+            feed = tar_blob[pos : pos + 37]
+            pos += len(feed)
+            if not feed:
+                raise AssertionError("ran out of input before frame end")
+        out += d.decompress(feed, 256)
+    assert bytes(out) == data
+    assert d.unused_data == b"" and pos == len(tar_blob)
+
+
+@lz4_only
+@lz4_cli_only
+def test_lz4_cli_cross_conformance():
+    data = b"lz4 cli conformance " * 4096
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.bin")
+        with open(p, "wb") as f:
+            f.write(data)
+        # CLI compress -> bridge decode
+        subprocess.run(["lz4", "-q", "-9", p, p + ".lz4"], check=True)
+        with open(p + ".lz4", "rb") as f:
+            blob = f.read()
+        got = ar.maybe_decompress_tar(blob)  # sniffed lz4 envelope
+        assert got == data
+        # bridge compress -> CLI decode
+        q = os.path.join(td, "y.lz4")
+        with open(q, "wb") as f:
+            f.write(nc.lz4_compress(data))
+        subprocess.run(["lz4", "-q", "-d", q, q[:-4] + ".out"], check=True)
+        with open(q[:-4] + ".out", "rb") as f:
+            assert f.read() == data
+
+
+@lz4_only
+def test_tar_lz4_envelope_roundtrip_and_strictness():
+    members = [
+        ("corpus/" + "m" * 120 + f"/doc-{i}.txt", f"body {i} ".encode() * 25)
+        for i in range(5)
+    ]
+    tar = ar.write_tar(members, long_names="gnu")
+    blob = nc.lz4_compress(tar)
+    got = ar.parse_tar_any(blob)
+    assert [(m["name"], bytes(m["body"])) for m in got] == members
+    # concatenated frames and trailing skippable frames are legal
+    two = nc.lz4_compress(tar[:512]) + nc.lz4_compress(tar[512:])
+    assert ar.maybe_decompress_tar(two) == tar
+    skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"SKIPTAB!"
+    assert ar.maybe_decompress_tar(blob + skip) == tar
+    with pytest.raises(ValueError, match="truncated"):
+        ar.maybe_decompress_tar(blob[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        ar.maybe_decompress_tar(blob + b"garbage")
+    with pytest.raises(ValueError, match="legacy lz4c"):
+        ar.parse_tar_any(nc.LZ4_LEGACY_MAGIC + tar)
+
+
+@lz4_only
+def test_lz4_bomb_hits_ceiling(monkeypatch):
+    monkeypatch.setattr(ar, "MAX_TAR_BYTES", 1 << 20)
+    with pytest.raises(ValueError, match="ceiling"):
+        ar.maybe_decompress_tar(nc.lz4_compress(bytes(4 << 20)))
+
+
+@lz4_only
+def test_lz4_decompress_after_eof_raises():
+    d = nc.Lz4Decompressor()
+    blob = nc.lz4_compress(b"xy")
+    while not d.eof:
+        d.decompress(blob if d.needs_input else b"", 64)
+        blob = b""
+    with pytest.raises(EOFError):
+        d.decompress(b"", 1)
