@@ -1064,7 +1064,10 @@ FROM d
     "one-file-per-group writes; responses rotate plain / chunked-TE / "
     "gzip-CE / brotli-CE framing by doc_id % 4 — the br class decodes "
     "through the libbrotli ctypes bridge and degrades to plain framing "
-    "when the library is absent), then read_warc_pages scans them "
+    "when the library is absent; two of the eight files ship as IIPC "
+    ".warc.zst instead — one zstd frame per record, and one of those "
+    "additionally packed against a leading dictionary skippable frame "
+    "whose frames genuinely reference it), then read_warc_pages scans "
     "back — binaryFile -> ONE fused Arrow pass doing record framing, "
     "response filter and strict HTTP status/header/payload split (RFC "
     "7230 dechunking + bounded content-encoding inflate) — and "
@@ -1105,10 +1108,42 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the br class needs the encoder for the fixture AND the decoder for
     # the read-back, so both gate it
     br_ok = native_codecs.brotli_available() and native_codecs.brotli_encoder_available()
+    zst_ok = native_codecs.zstd_available()
+    # raw-content dictionary for the fid-2 .warc.zst class: heavy overlap
+    # with the record scaffolding so the frames genuinely REFERENCE it
+    # (a dictless decode of those frames must fail, proving the gate
+    # drives the dictionary path, not a coincidentally-decodable twin)
+    warc_dict = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:>\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Target-URI: "
+        b"https://fixture.invalid/\r\nContent-Type: application/http;"
+        b"msgtype=response\r\nContent-Length: \r\n\r\nHTTP/1.1 200 X\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\nContent-Length: \r\n"
+    ) * 4
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
+        # fid 6: IIPC .warc.zst, one zstd frame per record; fid 2: same
+        # plus the leading dictionary skippable frame, frames compressed
+        # against it.  Both degrade to .warc.gz without libzstd.
+        zst_file = zst_ok and fid in (2, 6)
+        use_dict = zst_ok and fid == 2
         blob = bytearray()
+        if use_dict:
+            blob += (
+                b"\x5d\x2a\x4d\x18"
+                + len(warc_dict).to_bytes(4, "little")
+                + warc_dict
+            )
+
+        def pack(warc_type, payload, **kw):
+            if not zst_file:
+                return warc_src.write_warc_record(warc_type, payload, **kw)
+            raw = warc_src.write_warc_record(warc_type, payload, codec="plain", **kw)
+            if use_dict:
+                return native_codecs.zstd_compress_with_dict(raw, warc_dict)
+            return native_codecs.zstd_compress(raw)
+
         for r in pdf.sort_values("doc_id").itertuples():
             body = str(r.text).encode("utf-8")
             status = 404 if r.doc_id % 10 == 7 else 200
@@ -1148,20 +1183,21 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
                     f"Content-Length: {len(body)}\r\n\r\n"
                 ).encode() + body
-            blob += warc_src.write_warc_record(
+            blob += pack(
                 "request",
                 b"GET / HTTP/1.1\r\n\r\n",
                 record_id=f"<urn:req:{r.doc_id}>",
                 target_uri=f"https://fixture.invalid/{r.doc_id}",
             )
-            blob += warc_src.write_warc_record(
+            blob += pack(
                 "response",
                 http,
                 record_id=f"<urn:doc:{r.doc_id}>",
                 target_uri=f"https://fixture.invalid/{r.doc_id}",
                 content_type="application/http;msgtype=response",
             )
-        with open(os.path.join(workdir, f"part-{fid:03d}.warc.gz"), "wb") as f:
+        ext = "warc.zst" if zst_file else "warc.gz"
+        with open(os.path.join(workdir, f"part-{fid:03d}.{ext}"), "wb") as f:
             f.write(blob)
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
 
@@ -1177,7 +1213,7 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture's text/plain;charset=utf-8 payloads decode losslessly, so
     # the oracle is reader-invariant while the gate additionally
     # certifies decode_page_bytes on real fixture bytes
-    pages = warc_src.read_warc_pages(spark, workdir, pattern="*.warc.gz")
+    pages = warc_src.read_warc_pages(spark, workdir, pattern="*.warc.*")
     out = pages.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1).cast("bigint").alias("doc_id"),
         F.col("http_status").cast("bigint").alias("http_status"),

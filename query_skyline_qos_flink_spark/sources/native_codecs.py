@@ -136,6 +136,27 @@ def _zstd():
         ]
         lib.ZSTD_compressBound.restype = ctypes.c_size_t
         lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_DCtx_loadDictionary.restype = ctypes.c_size_t
+        lib.ZSTD_DCtx_loadDictionary.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+        lib.ZSTD_createCCtx.argtypes = []
+        lib.ZSTD_freeCCtx.restype = ctypes.c_size_t
+        lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+        lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+        lib.ZSTD_compress_usingDict.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+        ]
     except AttributeError:
         return None
     return lib
@@ -268,9 +289,13 @@ class ZstdDecompressor:
     caller's loop, same as the stdlib codecs.  A skippable frame is
     consumed by libzstd as an output-less frame of its own, so it also
     terminates an instance with ``eof`` set and no output.
+
+    ``dict_data`` loads a decompression dictionary (raw-content or
+    structured) before the frame — the ``.warc.zst`` IIPC packaging
+    carries one in a leading skippable frame.
     """
 
-    def __init__(self):
+    def __init__(self, dict_data: bytes | None = None):
         lib = _zstd()
         if lib is None:
             raise RuntimeError("libzstd shared library not available")
@@ -278,6 +303,16 @@ class ZstdDecompressor:
         self._dctx = lib.ZSTD_createDCtx()
         if not self._dctx:
             raise RuntimeError("libzstd: ZSTD_createDCtx failed")
+        if dict_data:
+            self._dict = dict_data  # keep the buffer alive: loadDictionary
+            # defaults to by-reference (ZSTD_dlm_byRef is NOT the default,
+            # it copies — but pinning costs nothing and is version-proof)
+            rc = lib.ZSTD_DCtx_loadDictionary(self._dctx, dict_data, len(dict_data))
+            if lib.ZSTD_isError(rc):
+                name = lib.ZSTD_getErrorName(rc).decode("ascii", "replace")
+                lib.ZSTD_freeDCtx(self._dctx)
+                self._dctx = None
+                raise ValueError(f"zstd: bad dictionary: {name}")
         self._in = b""
         self.eof = False
         self.unused_data = b""
@@ -350,6 +385,29 @@ def zstd_compress(data: bytes, level: int = 3) -> bytes:
         name = lib.ZSTD_getErrorName(n).decode("ascii", "replace")
         raise ValueError(f"zstd: compress failed: {name}")
     return out.raw[:n]
+
+
+def zstd_compress_with_dict(data: bytes, dict_data: bytes, level: int = 3) -> bytes:
+    """One zstd frame compressed against a dictionary (fixture twin of
+    the ``.warc.zst`` dictionary read path)."""
+    lib = _zstd()
+    if lib is None:
+        raise RuntimeError("libzstd shared library not available")
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise RuntimeError("libzstd: ZSTD_createCCtx failed")
+    try:
+        bound = lib.ZSTD_compressBound(len(data))
+        out = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, out, bound, data, len(data), dict_data, len(dict_data), level
+        )
+        if lib.ZSTD_isError(n):
+            name = lib.ZSTD_getErrorName(n).decode("ascii", "replace")
+            raise ValueError(f"zstd: dict compress failed: {name}")
+        return out.raw[:n]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
 
 
 _DEC_CHUNK = 1 << 20

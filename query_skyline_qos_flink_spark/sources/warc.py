@@ -102,23 +102,110 @@ def _gzip_members(b: bytes):
         off = pos - len(d.unused_data)
 
 
-def parse_warc_records(b: bytes) -> list[dict]:
-    """Parse a WARC payload (plain or gzip) into record dicts:
+def _zstd_members(b: bytes):
+    """Yield ``(frame_offset, decompressed_bytes)`` per zstd frame — the
+    ``.warc.zst`` packaging (IIPC/wget2: one frame per record or block,
+    frame offsets are the resumable split points).  A LEADING skippable
+    frame with the dictionary magic ``5D 2A 4D 18`` carries the
+    compression dictionary (raw, or itself a zstd frame), loaded into
+    every subsequent frame's decoder; other skippable frames are
+    ignored.  Same per-member/per-file ceilings as the gzip walk."""
+    if not native_codecs.zstd_available():
+        raise ValueError(
+            "warc.zst: zstd requires the libzstd shared library "
+            "(no stdlib codec; library not found)"
+        )
+    mv = memoryview(b)
+    n = len(b)
+    pos = 0
+    dict_data: bytes | None = None
+    first = True
+    total_file = 0
+    while pos < n:
+        head = bytes(mv[pos : pos + 8])
+        if len(head) < 4:
+            raise ValueError(f"warc.zst: {len(head)} trailing bytes at byte {pos}")
+        if head[:4] != native_codecs.ZSTD_MAGIC:
+            if not native_codecs.is_zstd_magic(head):
+                raise ValueError(
+                    f"warc.zst: trailing bytes at byte {pos} are not a zstd frame"
+                )
+            # skippable frame: 4-byte magic + 4-byte little-endian size
+            if len(head) < 8:
+                raise ValueError(f"warc.zst: truncated skippable frame at byte {pos}")
+            size = int.from_bytes(head[4:8], "little")
+            if pos + 8 + size > n:
+                raise ValueError(f"warc.zst: truncated skippable frame at byte {pos}")
+            if first and head[0] == 0x5D:
+                # the IIPC dictionary frame (magic 0x184D2A5D), only
+                # meaningful at the very start of the file
+                content = bytes(mv[pos + 8 : pos + 8 + size])
+                if content[:4] == native_codecs.ZSTD_MAGIC:
+                    content = native_codecs.zstd_decompress_bounded(
+                        content, MAX_MEMBER_BYTES, what="warc.zst dictionary"
+                    )
+                dict_data = content
+            pos += 8 + size
+            first = False
+            continue
+        frame_off = pos
+        d = native_codecs.ZstdDecompressor(dict_data=dict_data)
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            feed = b""
+            if d.needs_input:
+                feed = mv[pos : pos + _INFLATE_CHUNK]
+                pos += len(feed)
+            chunk = d.decompress(feed, _INFLATE_CHUNK)
+            total += len(chunk)
+            total_file += len(chunk)
+            if total > MAX_MEMBER_BYTES:
+                raise ValueError(
+                    f"warc.zst: frame at byte {frame_off} inflates past "
+                    f"the {MAX_MEMBER_BYTES}-byte ceiling"
+                )
+            if total_file > MAX_FILE_BYTES:
+                raise ValueError(
+                    f"warc.zst: file inflates past the "
+                    f"{MAX_FILE_BYTES}-byte ceiling"
+                )
+            if chunk:
+                parts.append(chunk)
+            if d.eof:
+                break
+            if d.needs_input and pos >= n:
+                raise ValueError(
+                    f"warc.zst: truncated zstd frame at byte {frame_off}"
+                )
+        pos -= len(d.unused_data)  # rewind to the true frame end
+        first = False
+        if parts:
+            yield frame_off, b"".join(parts)
 
-    ``offset`` (byte offset of the record / gzip member in the file —
-    the resumable split point), ``warc_type``, ``record_id``,
+
+def parse_warc_records(b: bytes) -> list[dict]:
+    """Parse a WARC payload (plain, ``.warc.gz``, or ``.warc.zst``) into
+    record dicts:
+
+    ``offset`` (byte offset of the record / gzip member / zstd frame in
+    the file — the resumable split point), ``warc_type``, ``record_id``,
     ``target_uri``, ``content_type``, ``content_length``, ``body``.
     Header names are case-insensitive per the spec; values are taken
     verbatim."""
+    compressed = True
     if b[:2] == b"\x1f\x8b":
-        chunks = list(_gzip_members(b))
+        chunks = _gzip_members(b)
+    elif native_codecs.is_zstd_magic(b[:4]):
+        chunks = _zstd_members(b)
     else:
-        chunks = [(0, b)]
+        chunks = iter([(0, b)])
+        compressed = False
     records = []
     for base_off, data in chunks:
         off = 0
         while off < len(data):
-            records.append(_parse_one(data, off, base_off if b[:2] == b"\x1f\x8b" else off))
+            records.append(_parse_one(data, off, base_off if compressed else off))
             off = records[-1].pop("_next")
     return records
 
@@ -177,9 +264,16 @@ def write_warc_record(
     target_uri: str = "",
     content_type: str = "application/octet-stream",
     gzip_member: bool = True,
+    codec: str | None = None,
 ) -> bytes:
-    """One spec-shaped record, optionally as its own gzip member (the
-    standard ``.warc.gz`` packaging)."""
+    """One spec-shaped record, packaged per ``codec``: ``"gzip"`` = its
+    own gzip member (the standard ``.warc.gz``), ``"zstd"`` = its own
+    zstd frame (the IIPC ``.warc.zst``), ``"plain"`` = raw.  The legacy
+    ``gzip_member`` flag maps to gzip/plain when ``codec`` is unset."""
+    if codec is None:
+        codec = "gzip" if gzip_member else "plain"
+    if codec not in ("gzip", "zstd", "plain"):
+        raise ValueError(f"warc: unknown record codec {codec!r}")
     headers = [
         b"WARC/1.1",
         b"WARC-Type: " + warc_type.encode(),
@@ -193,8 +287,10 @@ def write_warc_record(
         b"Content-Length: " + str(len(body)).encode(),
     ]
     raw = CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
-    if not gzip_member:
+    if codec == "plain":
         return raw
+    if codec == "zstd":
+        return native_codecs.zstd_compress(raw)
     co = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS | 16)
     return co.compress(raw) + co.flush()
 

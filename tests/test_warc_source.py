@@ -429,3 +429,80 @@ def test_extract_html_text_spark(spark):
     )
     rows = {r["doc_id"]: r["text"] for r in extract_html_text(df).collect()}
     assert rows == {1: "alpha", 2: None, 3: "plain"}
+
+
+def _zrec(i, codec="zstd", body=b"hi"):
+    http = (
+        b"HTTP/1.1 200 X\r\nContent-Type: text/plain\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return warc.write_warc_record(
+        "response", http, record_id=f"<urn:doc:{i}>",
+        target_uri=f"https://x/{i}",
+        content_type="application/http;msgtype=response", codec=codec,
+    )
+
+
+zstd_only = pytest.mark.skipif(
+    not __import__(
+        "query_skyline_qos_flink_spark.sources.native_codecs", fromlist=["x"]
+    ).zstd_available(),
+    reason="no libzstd",
+)
+
+
+@zstd_only
+def test_warc_zst_frame_per_record():
+    """IIPC .warc.zst: one zstd frame per record, frame offsets are the
+    split points; whole-file single-frame packaging also parses."""
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    blob = b"".join(_zrec(i) for i in range(5))
+    recs = warc.parse_warc_records(blob)
+    assert [r["record_id"] for r in recs] == [f"<urn:doc:{i}>" for i in range(5)]
+    offs = [r["offset"] for r in recs]
+    assert offs == sorted(offs) and len(set(offs)) == 5 and offs[0] == 0
+    # whole-file single frame (plain records, zstd'd as one)
+    plain = b"".join(_zrec(i, codec="plain") for i in range(3))
+    assert len(warc.parse_warc_records(nc.zstd_compress(plain))) == 3
+    # truncation and trailing garbage raise
+    with pytest.raises(ValueError, match="truncated"):
+        warc.parse_warc_records(blob[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        warc.parse_warc_records(blob + b"xx")
+
+
+@zstd_only
+def test_warc_zst_dictionary_frame():
+    """The leading 5D 2A 4D 18 skippable frame carries the dictionary
+    (raw or itself zstd-compressed); frames compressed against it MUST
+    decode with it and MUST fail without it (proving the dictionary is
+    load-bearing, not decorative)."""
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    dict_data = (b"Lorem ipsum dolor sit amet, consectetur adipiscing " * 30)[:1200]
+    body = dict_data[50:900]
+    raw = _zrec(0, codec="plain", body=body)
+    frame = nc.zstd_compress_with_dict(raw, dict_data)
+    skip = b"\x5d\x2a\x4d\x18" + len(dict_data).to_bytes(4, "little") + dict_data
+    recs = warc.parse_warc_records(skip + frame)
+    assert len(recs) == 1 and body in recs[0]["body"]
+    # compressed-dictionary variant
+    cdict = nc.zstd_compress(dict_data)
+    skip_c = b"\x5d\x2a\x4d\x18" + len(cdict).to_bytes(4, "little") + cdict
+    assert len(warc.parse_warc_records(skip_c + frame)) == 1
+    # the dictionary is load-bearing
+    with pytest.raises(ValueError, match="corrupt"):
+        warc.parse_warc_records(frame)
+    # a truncated skippable frame raises
+    with pytest.raises(ValueError, match="skippable"):
+        warc.parse_warc_records(skip[: len(skip) - 4] )
+
+
+@zstd_only
+def test_read_warc_zst_spark_scan(spark, tmp_path):
+    blob = b"".join(_zrec(i) for i in range(8))
+    (tmp_path / "a.warc.zst").write_bytes(blob)
+    got = warc.read_warc_responses(spark, str(tmp_path), "*.warc.zst").collect()
+    assert sorted(r.record_id for r in got) == [f"<urn:doc:{i}>" for i in range(8)]
+    assert all(r.http_status == 200 for r in got)
