@@ -56,7 +56,8 @@ _ROTATED_FOR = 14
 # trim-retry reorder (ADVICE item 4), and four round-12-cohort skyline
 # queries (s22/s23/s28/s29) re-gate any skyline-path mitigation from
 # the anti_3d bimodality root-cause (item 5) while flattening the
-# round-15 must-gate load from 48 to 44.
+# round-15 must-gate load from 48 to 43 (48 round-12 rows minus the
+# 5 round-12 fills below — matches the worksheet).
 _DRIVER_PRIORITY = [
     # stale: last driver row round 11, at the bound for round 14
     "r15_grouping_sets", "r16_lag_delta", "r17_pivot_priority",

@@ -726,17 +726,36 @@ def _sniff_tar_codec(b: bytes):
         import lzma
 
         return "xz", lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-    if native_codecs.is_zstd_magic(b[:4]):
+    probe = b[:4]
+    if native_codecs._is_skippable_magic(probe):
+        # the 16 skippable-frame magics are SHARED between the zstd and
+        # lz4 frame specs, so a leading skippable frame says nothing
+        # about the codec (round-14 review: dispatching it to zstd
+        # rejected valid skippable-prefixed .tar.lz4) — walk past the
+        # skippables and dispatch on the first REGULAR frame magic
+        pos = 0
+        while (
+            len(b) - pos >= 8
+            and native_codecs._is_skippable_magic(b[pos : pos + 4])
+        ):
+            nxt = pos + 8 + int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if nxt > len(b):
+                break  # truncated skippable: let the chosen codec report it
+            pos = nxt
+        probe = b[pos : pos + 4] or probe
+    if probe == native_codecs.ZSTD_MAGIC or native_codecs._is_skippable_magic(probe):
         # no stdlib zstd codec on 3.11 (compression.zstd arrives in
         # 3.14) — decode via the libzstd ctypes bridge; without the
-        # library the seam raise stays (availability is environmental)
+        # library the seam raise stays (availability is environmental).
+        # A skippable-only payload defaults here: both codecs decode it
+        # to the same empty output.
         if not native_codecs.zstd_available():
             raise ValueError(
                 "tar.zst: zstd requires the libzstd shared library "
                 "(no stdlib codec; library not found)"
             )
         return "zst", native_codecs.ZstdDecompressor
-    if b[:4] == native_codecs.LZ4_MAGIC:
+    if probe == native_codecs.LZ4_MAGIC:
         if not native_codecs.lz4_available():
             raise ValueError(
                 "tar.lz4: lz4 requires the liblz4 shared library "

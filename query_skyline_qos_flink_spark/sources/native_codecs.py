@@ -329,6 +329,20 @@ class ZstdDecompressor:
     def needs_input(self) -> bool:
         return not self.eof and not self._in
 
+    def reset(self) -> None:
+        """Re-arm after ``eof`` for the next concatenated frame on the
+        SAME context: libzstd auto-resets the dctx at frame boundaries
+        and a loaded dictionary is sticky across frames (both verified
+        against libzstd 1.5.7), so per-frame walkers (one frame per
+        WARC record) skip the ~28 µs create/free per frame.  Leftover
+        ``unused_data`` is NOT carried over — the caller owns the
+        between-frames bookkeeping, same as a fresh instance."""
+        if self._dctx is None:
+            raise ValueError("zstd: decompressor is closed")
+        self.eof = False
+        self._in = b""
+        self.unused_data = b""
+
     def decompress(self, data=b"", max_length: int = -1) -> bytes:
         if self.eof:
             raise EOFError("zstd: decompress() called after frame end")
@@ -550,6 +564,47 @@ def lz4_compress(data: bytes) -> bytes:
         name = lib.LZ4F_getErrorName(n).decode("ascii", "replace")
         raise ValueError(f"lz4: compress failed: {name}")
     return out.raw[:n]
+
+
+def lz4_decompress_bounded(payload: bytes, max_out: int, what: str = "lz4") -> bytes:
+    """Decode a complete lz4 payload — one or more concatenated frames,
+    skippable frames included — with a hard output ceiling.  Truncation,
+    trailing garbage, and inflate-past-ceiling raise ``ValueError``."""
+    mv = memoryview(payload)
+    n = len(payload)
+    if not is_lz4_magic(payload[:4]):
+        raise ValueError(f"{what}: not an lz4 frame (bad magic)")
+    parts: list[bytes] = []
+    total = 0
+    pos = 0
+    out_chunk = min(_DEC_CHUNK, max(4096, 4 * n))
+    while pos < n:  # one iteration per concatenated frame
+        if not is_lz4_magic(bytes(mv[pos : pos + 4])):
+            raise ValueError(
+                f"{what}: trailing bytes after the lz4 frame "
+                "(garbage, not a concatenated frame)"
+            )
+        d = Lz4Decompressor()
+        while True:
+            feed = b""
+            if d.needs_input:
+                feed = mv[pos : pos + _DEC_CHUNK]
+                pos += len(feed)
+            chunk = d.decompress(feed, out_chunk)
+            out_chunk = min(_DEC_CHUNK, out_chunk * 8)
+            total += len(chunk)
+            if total > max_out:
+                raise ValueError(
+                    f"{what}: payload inflates past the {max_out}-byte ceiling"
+                )
+            if chunk:
+                parts.append(chunk)
+            if d.eof:
+                break
+            if d.needs_input and pos >= n:
+                raise ValueError(f"{what}: truncated lz4 frame")
+        pos -= len(d.unused_data)
+    return b"".join(parts)
 
 
 #: BrotliDecoderResult values (stable ABI since brotli 1.0).

@@ -121,6 +121,7 @@ def _zstd_members(b: bytes):
     dict_data: bytes | None = None
     first = True
     total_file = 0
+    decoder: "native_codecs.ZstdDecompressor | None" = None
     while pos < n:
         head = bytes(mv[pos : pos + 8])
         if len(head) < 4:
@@ -149,15 +150,33 @@ def _zstd_members(b: bytes):
             first = False
             continue
         frame_off = pos
-        d = native_codecs.ZstdDecompressor(dict_data=dict_data)
+        # one context for the whole file: the dctx auto-resets per frame
+        # and the dictionary is sticky, so frame-per-record files skip
+        # the per-frame create/free (see ZstdDecompressor.reset)
+        if decoder is None:
+            decoder = native_codecs.ZstdDecompressor(dict_data=dict_data)
+        else:
+            decoder.reset()
+        d = decoder
         parts: list[bytes] = []
         total = 0
+        # both sides RAMP per frame: with one frame per record, a fixed
+        # 1 MiB feed slice (copied into the decoder, and copied back out
+        # as unused_data past the frame end) plus a fixed zero-filled
+        # 1 MiB output buffer cost ~520 us per tiny record — 57x the
+        # gzip member walk (round-14 review; same tax as the CE decode
+        # ramp fix).  Tiny frames stay in the 4 KiB regime; big frames
+        # reach the 1 MiB chunks within three pulls.
+        feed_size = 4096
+        out_pull = 4096
         while True:
             feed = b""
             if d.needs_input:
-                feed = mv[pos : pos + _INFLATE_CHUNK]
+                feed = mv[pos : pos + feed_size]
                 pos += len(feed)
-            chunk = d.decompress(feed, _INFLATE_CHUNK)
+                feed_size = min(feed_size * 8, _INFLATE_CHUNK)
+            chunk = d.decompress(feed, out_pull)
+            out_pull = min(out_pull * 8, _INFLATE_CHUNK)
             total += len(chunk)
             total_file += len(chunk)
             if total > MAX_MEMBER_BYTES:

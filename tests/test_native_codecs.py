@@ -345,3 +345,44 @@ def test_lz4_decompress_after_eof_raises():
         blob = b""
     with pytest.raises(EOFError):
         d.decompress(b"", 1)
+
+
+@lz4_only
+def test_lz4_decompress_bounded_and_skippable_prefix_dispatch():
+    """Round-14 review: the 16 skippable-frame magics are shared between
+    the zstd and lz4 frame specs, so the tar-envelope sniff must
+    dispatch on the first REGULAR frame magic, not the skippable."""
+    data = b"payload " * 300
+    blob = nc.lz4_compress(data)
+    assert nc.lz4_decompress_bounded(blob, CEILING) == data
+    skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"SEEKTAB!"
+    assert nc.lz4_decompress_bounded(skip + blob + skip, CEILING) == data
+    with pytest.raises(ValueError, match="truncated"):
+        nc.lz4_decompress_bounded(blob[:-3], CEILING)
+    with pytest.raises(ValueError, match="ceiling"):
+        nc.lz4_decompress_bounded(nc.lz4_compress(bytes(4 << 20)), 1 << 20)
+    # skippable-prefixed envelopes dispatch to the right codec
+    tar = ar.write_tar([("a.txt", b"hello " * 40)])
+    assert ar.maybe_decompress_tar(skip + nc.lz4_compress(tar)) == tar
+    if nc.zstd_available():
+        assert ar.maybe_decompress_tar(skip + nc.zstd_compress(tar)) == tar
+    assert ar.maybe_decompress_tar(skip + skip + nc.lz4_compress(tar)) == tar
+
+
+@zstd_only
+def test_zstd_decompressor_reset_reuses_context():
+    """reset() re-arms one dctx for the next frame (auto-reset + sticky
+    dictionary verified against libzstd 1.5.7) — the per-frame walker's
+    fast path for frame-per-record .warc.zst files."""
+    dict_data = (b"shared dictionary content " * 50)[:1024]
+    bodies = [dict_data[i : i + 600] for i in (10, 60, 110)]
+    frames = [nc.zstd_compress_with_dict(x, dict_data) for x in bodies]
+    d = nc.ZstdDecompressor(dict_data=dict_data)
+    for body, frame in zip(bodies, frames):
+        out = bytearray()
+        blob = frame
+        while not d.eof:
+            out += d.decompress(blob if d.needs_input else b"", 4096)
+            blob = b""
+        assert bytes(out) == body
+        d.reset()

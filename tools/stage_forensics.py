@@ -48,16 +48,36 @@ def _iter_lines(path: str):
         files = [os.path.join(path, f) for f in parts]
     else:
         files = [path]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for f in files:
         with open(f, "rb") as fh:
             data = fh.read()
         if data[:4] == b"\x28\xb5\x2f\xfd":
-            sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             from query_skyline_qos_flink_spark.sources.native_codecs import (
                 zstd_decompress_bounded,
             )
 
             data = zstd_decompress_bounded(data, 16 << 30, what="eventlog")
+        elif data[:4] == b"\x04\x22\x4d\x18":
+            from query_skyline_qos_flink_spark.sources.native_codecs import (
+                lz4_decompress_bounded,
+            )
+
+            data = lz4_decompress_bounded(data, 16 << 30, what="eventlog")
+        elif data[:2] == b"\x1f\x8b":
+            import gzip
+
+            data = gzip.decompress(data)
+        elif data[:1] not in (b"{", b"[", b"", b"\n", b" "):
+            # an unsupported compression codec (e.g. snappy) must fail
+            # loudly — silently yielding zero parseable lines would read
+            # as "no slow stages", the exact failure mode this tool
+            # exists to prevent (round-14 review)
+            raise ValueError(
+                f"{f}: not JSON lines and not a zstd/lz4/gzip stream "
+                f"(magic {data[:4].hex()}) — unsupported "
+                "spark.eventLog.compression.codec?"
+            )
         for line in data.splitlines():
             if line:
                 yield line
