@@ -742,7 +742,14 @@ def _sniff_tar_codec(b: bytes):
             if nxt > len(b):
                 break  # truncated skippable: let the chosen codec report it
             pos = nxt
-        probe = b[pos : pos + 4] or probe
+        nxt4 = b[pos : pos + 4]
+        # a skippable prefix followed by neither codec's magic (e.g. a
+        # download truncated inside the regular frame's magic) must NOT
+        # fall through to the plain-ustar walk and die on a misleading
+        # header error — keep the zstd dispatch so the codec reports
+        # the actual truncation/garbage (round-14 review, 2nd pass)
+        if nxt4 == native_codecs.LZ4_MAGIC or nxt4 == native_codecs.ZSTD_MAGIC:
+            probe = nxt4
     if probe == native_codecs.ZSTD_MAGIC or native_codecs._is_skippable_magic(probe):
         # no stdlib zstd codec on 3.11 (compression.zstd arrives in
         # 3.14) — decode via the libzstd ctypes bridge; without the

@@ -336,9 +336,14 @@ class ZstdDecompressor:
         against libzstd 1.5.7), so per-frame walkers (one frame per
         WARC record) skip the ~28 µs create/free per frame.  Leftover
         ``unused_data`` is NOT carried over — the caller owns the
-        between-frames bookkeeping, same as a fresh instance."""
+        between-frames bookkeeping, same as a fresh instance.  Only
+        legal at a frame boundary: a mid-frame reset would leave the C
+        context mid-frame while the python flags said "fresh", decoding
+        the next frame's magic as the old frame's continuation."""
         if self._dctx is None:
             raise ValueError("zstd: decompressor is closed")
+        if not self.eof:
+            raise ValueError("zstd: reset() is only legal after frame end")
         self.eof = False
         self._in = b""
         self.unused_data = b""
@@ -427,29 +432,33 @@ def zstd_compress_with_dict(data: bytes, dict_data: bytes, level: int = 3) -> by
 _DEC_CHUNK = 1 << 20
 
 
-def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") -> bytes:
-    """Decode a complete zstd payload — one or more concatenated frames,
-    skippable frames included — with a hard output ceiling.  Truncation,
-    trailing garbage, and inflate-past-ceiling raise ``ValueError``."""
+def _decompress_frames_bounded(
+    payload: bytes, max_out: int, what: str, label: str, is_magic, make
+) -> bytes:
+    """Shared bounded walker behind ``zstd_decompress_bounded`` and
+    ``lz4_decompress_bounded``: decode a complete payload of one or more
+    concatenated frames (skippable frames included) with a hard output
+    ceiling.  Truncation, trailing garbage, and inflate-past-ceiling
+    raise ``ValueError``.  Output pulls ramp from ~4x the compressed
+    size up to the 1 MiB chunk: HTTP payloads are typically sub-KB per
+    record, and a zero-filled 1 MiB ctypes buffer per record is a
+    ~40 µs memset tax (measured 3x on the 500k-record crawl probe,
+    round 14)."""
     mv = memoryview(payload)
     n = len(payload)
-    if not is_zstd_magic(payload[:4]):
-        raise ValueError(f"{what}: not a zstd frame (bad magic)")
+    if not is_magic(payload[:4]):
+        raise ValueError(f"{what}: not a {label} frame (bad magic)")
     parts: list[bytes] = []
     total = 0
     pos = 0
-    # output pulls ramp from ~4x the compressed size up to the 1 MiB
-    # chunk: HTTP payloads are typically sub-KB per record, and a
-    # zero-filled 1 MiB ctypes buffer per record is a ~40 µs memset tax
-    # (measured 3x on the 500k-record crawl probe, round 14)
     out_chunk = min(_DEC_CHUNK, max(4096, 4 * n))
     while pos < n:  # one iteration per concatenated frame
-        if not is_zstd_magic(bytes(mv[pos : pos + 4])):
+        if not is_magic(bytes(mv[pos : pos + 4])):
             raise ValueError(
-                f"{what}: trailing bytes after the zstd frame "
+                f"{what}: trailing bytes after the {label} frame "
                 "(garbage, not a concatenated frame)"
             )
-        d = ZstdDecompressor()
+        d = make()
         while True:
             feed = b""
             if d.needs_input:
@@ -467,9 +476,16 @@ def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") ->
             if d.eof:
                 break
             if d.needs_input and pos >= n:
-                raise ValueError(f"{what}: truncated zstd frame")
+                raise ValueError(f"{what}: truncated {label} frame")
         pos -= len(d.unused_data)  # rewind to the true end of this frame
     return b"".join(parts)
+
+
+def zstd_decompress_bounded(payload: bytes, max_out: int, what: str = "zstd") -> bytes:
+    """Bounded multi-frame zstd decode (see ``_decompress_frames_bounded``)."""
+    return _decompress_frames_bounded(
+        payload, max_out, what, "zstd", is_zstd_magic, ZstdDecompressor
+    )
 
 
 class Lz4Decompressor:
@@ -567,44 +583,10 @@ def lz4_compress(data: bytes) -> bytes:
 
 
 def lz4_decompress_bounded(payload: bytes, max_out: int, what: str = "lz4") -> bytes:
-    """Decode a complete lz4 payload — one or more concatenated frames,
-    skippable frames included — with a hard output ceiling.  Truncation,
-    trailing garbage, and inflate-past-ceiling raise ``ValueError``."""
-    mv = memoryview(payload)
-    n = len(payload)
-    if not is_lz4_magic(payload[:4]):
-        raise ValueError(f"{what}: not an lz4 frame (bad magic)")
-    parts: list[bytes] = []
-    total = 0
-    pos = 0
-    out_chunk = min(_DEC_CHUNK, max(4096, 4 * n))
-    while pos < n:  # one iteration per concatenated frame
-        if not is_lz4_magic(bytes(mv[pos : pos + 4])):
-            raise ValueError(
-                f"{what}: trailing bytes after the lz4 frame "
-                "(garbage, not a concatenated frame)"
-            )
-        d = Lz4Decompressor()
-        while True:
-            feed = b""
-            if d.needs_input:
-                feed = mv[pos : pos + _DEC_CHUNK]
-                pos += len(feed)
-            chunk = d.decompress(feed, out_chunk)
-            out_chunk = min(_DEC_CHUNK, out_chunk * 8)
-            total += len(chunk)
-            if total > max_out:
-                raise ValueError(
-                    f"{what}: payload inflates past the {max_out}-byte ceiling"
-                )
-            if chunk:
-                parts.append(chunk)
-            if d.eof:
-                break
-            if d.needs_input and pos >= n:
-                raise ValueError(f"{what}: truncated lz4 frame")
-        pos -= len(d.unused_data)
-    return b"".join(parts)
+    """Bounded multi-frame lz4 decode (see ``_decompress_frames_bounded``)."""
+    return _decompress_frames_bounded(
+        payload, max_out, what, "lz4", is_lz4_magic, Lz4Decompressor
+    )
 
 
 #: BrotliDecoderResult values (stable ABI since brotli 1.0).

@@ -85,3 +85,48 @@ def test_analyze_zstd_rolling_dir(tmp_path):
     rows = {r["stage"]: r for r in analyze(str(d))}
     assert set(rows) == {1, 2}
     assert rows[1]["flags"] == ["python-wait"]
+
+
+@pytest.mark.skipif(not nc.zstd_available(), reason="no libzstd")
+def test_analyze_handles_gzip_lz4_skippable_and_rejects_unknown(tmp_path):
+    """Round-14 review (2nd pass): gzip and lz4 logs decode (bounded),
+    a skippable-prefixed zstd log (pzstd shape) decodes, and an
+    unsupported binary codec raises instead of yielding zero stages."""
+    import gzip as _gzip
+
+    payload = b"\n".join(_log_lines()) + b"\n"
+    g = tmp_path / "gz_log"
+    g.write_bytes(_gzip.compress(payload))
+    assert {r["stage"] for r in analyze(str(g))} == {1, 2}
+    skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"SEEKTAB!"
+    z = tmp_path / "pzstd_log"
+    z.write_bytes(skip + nc.zstd_compress(payload))
+    assert {r["stage"] for r in analyze(str(z))} == {1, 2}
+    if nc.lz4_available():
+        l4 = tmp_path / "lz4_log"
+        l4.write_bytes(nc.lz4_compress(payload))
+        assert {r["stage"] for r in analyze(str(l4))} == {1, 2}
+    bad = tmp_path / "snappy_log"
+    bad.write_bytes(b"\x82SNAPPY\x00" + payload)
+    with pytest.raises(ValueError, match="unsupported"):
+        analyze(str(bad))
+
+
+@pytest.mark.skipif(not nc.zstd_available(), reason="no libzstd")
+def test_zstd_reset_mid_frame_rejected():
+    d = nc.ZstdDecompressor()
+    blob = nc.zstd_compress(b"x" * 100_000)
+    d.decompress(blob[:50], 16)  # mid-frame
+    with pytest.raises(ValueError, match="only legal after frame end"):
+        d.reset()
+
+
+@pytest.mark.skipif(not nc.zstd_available(), reason="no libzstd")
+def test_sniff_truncated_skippable_prefix_stays_codec_routed():
+    """A skippable prefix followed by a truncated regular magic must be
+    reported by the codec layer, not mis-walked as a plain tar."""
+    from query_skyline_qos_flink_spark.sources import archives as ar
+
+    skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"SEEKTAB!"
+    with pytest.raises(ValueError, match="tar.zst"):
+        ar.maybe_decompress_tar(skip + b"\x28\xb5")

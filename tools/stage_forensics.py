@@ -49,25 +49,42 @@ def _iter_lines(path: str):
     else:
         files = [path]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    ceiling = 16 << 30
     for f in files:
         with open(f, "rb") as fh:
             data = fh.read()
         if data[:4] == b"\x28\xb5\x2f\xfd":
-            from query_skyline_qos_flink_spark.sources.native_codecs import (
-                zstd_decompress_bounded,
-            )
-
-            data = zstd_decompress_bounded(data, 16 << 30, what="eventlog")
+            data = nc.zstd_decompress_bounded(data, ceiling, what="eventlog")
         elif data[:4] == b"\x04\x22\x4d\x18":
-            from query_skyline_qos_flink_spark.sources.native_codecs import (
-                lz4_decompress_bounded,
-            )
-
-            data = lz4_decompress_bounded(data, 16 << 30, what="eventlog")
+            data = nc.lz4_decompress_bounded(data, ceiling, what="eventlog")
+        elif nc._is_skippable_magic(data[:4]):
+            # the 16 skippable-frame magics are shared between the zstd
+            # and lz4 frame specs (pzstd prepends one), so try both
+            try:
+                data = nc.zstd_decompress_bounded(data, ceiling, what="eventlog")
+            except ValueError:
+                data = nc.lz4_decompress_bounded(data, ceiling, what="eventlog")
         elif data[:2] == b"\x1f\x8b":
-            import gzip
+            # bounded, like the codec-bridge paths: gzip allows ~1032x
+            # inflation, a one-shot gzip.decompress could OOM the box
+            import zlib
 
-            data = gzip.decompress(data)
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            parts, total, buf = [], 0, data
+            while True:
+                chunk = d.decompress(buf, 1 << 20)
+                total += len(chunk)
+                if total > ceiling:
+                    raise ValueError(f"{f}: gzip log inflates past {ceiling} bytes")
+                parts.append(chunk)
+                if d.eof:
+                    break
+                if not d.unconsumed_tail:
+                    raise ValueError(f"{f}: truncated gzip event log")
+                buf = d.unconsumed_tail
+            data = b"".join(parts)
         elif data[:1] not in (b"{", b"[", b"", b"\n", b" "):
             # an unsupported compression codec (e.g. snappy) must fail
             # loudly — silently yielding zero parseable lines would read
