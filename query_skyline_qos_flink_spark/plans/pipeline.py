@@ -1248,7 +1248,9 @@ FROM documents WHERE text IS NOT NULL
     doc="Archive-packaged corpus extraction end to end (sources/"
     "archives.py): the harness writes the documents table out as strict "
     "spec-shaped archives — even file ids as ZIP (every 4th FORCED zip64, "
-    "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures), "
+    "so the EOCD64/locator + 0x0001-extra walk runs on real fixtures; "
+    "fid 2 uses the APPNOTE method-93 zstd member compression via the "
+    "libzstd bridge), "
     "odd file ids as tar with >100-byte member paths carried via pax "
     "extended headers or old-GNU longname blocks (alternating, so both "
     "long-name routes rotate through the gate; the four tar files ride "
@@ -1300,7 +1302,11 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in pdf.sort_values("doc_id").itertuples()
         ]
         if fid % 2 == 0:
-            blob, ext = ar_src.write_zip(members, zip64=fid % 4 == 0), "zip"
+            if fid == 2 and zstd_ok:
+                # zstd member method (APPNOTE 93) rides the driver gate
+                blob, ext = ar_src.write_zip(members, method=93), "zip"
+            else:
+                blob, ext = ar_src.write_zip(members, zip64=fid % 4 == 0), "zip"
         else:
             blob = ar_src.write_tar(
                 members, long_names="pax" if fid % 4 == 1 else "gnu"

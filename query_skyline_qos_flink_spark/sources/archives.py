@@ -104,15 +104,35 @@ def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
     (round-12 review: a zip bomb must raise, never materialize unbounded
     output before the size check).  Methods per APPNOTE 4.4.5: 0 stored,
     8 deflate, 12 bzip2, 14 LZMA (version/propsize header + raw LZMA1
-    properties byte and dict size, APPNOTE 5.8)."""
+    properties byte and dict size, APPNOTE 5.8), 93 zstd (one frame,
+    APPNOTE 6.3.8+ — modern 7-Zip/libarchive emit it), 95 XZ."""
     if method == 0:
         return raw
+    if method == 93:
+        if not native_codecs.zstd_available():
+            raise ValueError(
+                f"zip: member {name!r} is zstd-compressed (method 93) and "
+                "the libzstd shared library is not available"
+            )
+        try:
+            return native_codecs.zstd_decompress_bounded(
+                raw, size, what=f"zip: member {name!r}"
+            )
+        except ValueError as exc:
+            msg = str(exc)
+            if not msg.startswith("zip: member"):
+                msg = f"zip: member {name!r} corrupt zstd stream: {msg}"
+            raise ValueError(msg) from None
     if method == 8:
         d = zlib.decompressobj(wbits=-15)
     elif method == 12:
         import bz2
 
         d = bz2.BZ2Decompressor()
+    elif method == 95:
+        import lzma
+
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
     else:  # method == 14
         import lzma
 
@@ -159,9 +179,12 @@ def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
             raise ValueError(
                 f"zip: member {name!r} trailing bytes inside its csize span"
             )
-    elif method == 12:
+    elif method in (12, 95):
         if not d.eof:
-            raise ValueError(f"zip: member {name!r} bzip2 stream truncated")
+            raise ValueError(
+                f"zip: member {name!r} "
+                f"{'bzip2' if method == 12 else 'xz'} stream truncated"
+            )
         if d.unused_data:
             raise ValueError(
                 f"zip: member {name!r} trailing bytes inside its csize span"
@@ -315,7 +338,7 @@ def parse_zip_members(b: bytes) -> list[dict]:
         off += 46 + name_len + extra_len + comment_len2
         if flags & 0x1:
             raise ValueError(f"zip: member {name!r} is encrypted")
-        if method not in (0, 8, 12, 14):
+        if method not in (0, 8, 12, 14, 93, 95):
             raise ValueError(f"zip: member {name!r} method {method} unsupported")
         if lho + 30 > len(b) or b[lho : lho + 4] != _LOCAL_SIG:
             raise ValueError(f"zip: member {name!r} local header missing")
@@ -358,7 +381,10 @@ def parse_zip_members(b: bytes) -> list[dict]:
 
 
 def write_zip(
-    members: list[tuple[str, bytes]], deflate: bool = True, zip64: bool = False
+    members: list[tuple[str, bytes]],
+    deflate: bool = True,
+    zip64: bool = False,
+    method: int | None = None,
 ) -> bytes:
     """Spec-shaped ZIP writer (the fixture twin of
     :func:`parse_zip_members`).
@@ -381,12 +407,20 @@ def write_zip(
                 "extras, which this fixture writer does not emit"
             )
         crc = zlib.crc32(body) & 0xFFFFFFFF
-        if deflate:
+        m = method if method is not None else (8 if deflate else 0)
+        if m == 8:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             raw = co.compress(body) + co.flush()
-            method = 8
+        elif m == 93:  # zstd, APPNOTE 6.3.8+ (modern 7-Zip/libarchive emit it)
+            raw = native_codecs.zstd_compress(body)
+        elif m == 95:  # XZ
+            import lzma
+
+            raw = lzma.compress(body, format=lzma.FORMAT_XZ)
+        elif m == 0:
+            raw = body
         else:
-            raw, method = body, 0
+            raise ValueError(f"write_zip: unsupported method {m}")
         if len(raw) >= 0xFFFFFFFF:  # deflate can EXPAND past the body guard
             raise ValueError(
                 "write_zip: >= 4 GiB member bodies need local-header zip64 "
@@ -394,21 +428,21 @@ def write_zip(
             )
         lho = len(out)
         out += _LOCAL_SIG + struct.pack(
-            "<HHHHHIIIHH", 20, 0x800, method, 0, 0, crc, len(raw), len(body),
+            "<HHHHHIIIHH", 20, 0x800, m, 0, 0, crc, len(raw), len(body),
             len(nb), 0,  # 0x800: names are UTF-8 (EFS flag, APPENDIX D)
         )
         out += nb + raw
         if zip64 or len(raw) >= 0xFFFFFFFF or len(body) >= 0xFFFFFFFF or lho >= 0xFFFFFFFF:
             extra = struct.pack("<HHQQQ", 0x0001, 24, len(body), len(raw), lho)
             cd += _CD_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", 45, 45, 0x800, method, 0, 0, crc,
+                "<HHHHHHIIIHHHHHII", 45, 45, 0x800, m, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
                 0xFFFFFFFF,
             )
             cd += nb + extra
         else:
             cd += _CD_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", 20, 20, 0x800, method, 0, 0, crc, len(raw),
+                "<HHHHHHIIIHHHHHII", 20, 20, 0x800, m, 0, 0, crc, len(raw),
                 len(body), len(nb), 0, 0, 0, 0, 0, lho,
             )
             cd += nb

@@ -716,3 +716,42 @@ def test_round14_advice_regressions():
         ar._zip64_extra(struct.pack("<HH", 1, 16) + bytes(16), ["lho"], "m")
     with pytest.raises(ValueError, match="zip64 extra holds 12"):
         ar._zip64_extra(struct.pack("<HH", 1, 12) + bytes(12), ["lho"], "m")
+
+
+def test_zip_zstd_and_xz_members():
+    """APPNOTE methods 93 (zstd, one frame) and 95 (XZ): roundtrip via
+    the writer twin, declared-size bomb bound, corrupt-stream error
+    naming the member."""
+    import lzma
+
+    import query_skyline_qos_flink_spark.sources.native_codecs as nc
+
+    members = [("a.txt", b"zstd member " * 100), ("b/c.bin", bytes(range(256)) * 3), ("e", b"")]
+    if nc.zstd_available():
+        z = ar.write_zip(members, method=93)
+        got = ar.parse_zip_members(z)
+        assert [(m["name"], m["body"]) for m in got] == members
+        assert all(m["method"] == 93 for m in got)
+        # corrupt payload byte -> member-named codec error, never silence
+        zb = bytearray(ar.write_zip([("x", b"hello " * 50)], method=93))
+        zb[40] ^= 0xFF
+        with pytest.raises(ValueError, match="zip: member 'x'"):
+            ar.parse_zip_members(bytes(zb))
+        # a member whose frame inflates past its declared size raises
+        honest = ar.write_zip([("y", b"Q" * 10_000)], method=93)
+        shrunk = bytearray(honest)
+        cd_at = shrunk.rfind(b"PK\x01\x02")
+        struct.pack_into("<I", shrunk, cd_at + 24, 100)  # declared size 100
+        with pytest.raises(ValueError, match="ceiling|size|CRC"):
+            ar.parse_zip_members(bytes(shrunk))
+    z = ar.write_zip(members, method=95)
+    got = ar.parse_zip_members(z)
+    assert [(m["name"], m["body"]) for m in got] == members
+    assert all(m["method"] == 95 for m in got)
+    # truncated xz stream
+    raw = lzma.compress(b"body " * 100, format=lzma.FORMAT_XZ)
+    with pytest.raises(ValueError, match="corrupt stream|truncated"):
+        ar._decompress_member(raw[:-5], 500, 95, "t")
+    # unsupported methods still refuse loudly
+    with pytest.raises(ValueError, match="unsupported"):
+        ar.write_zip([("q", b"x")], method=42)
