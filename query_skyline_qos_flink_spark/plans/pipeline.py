@@ -1062,9 +1062,10 @@ FROM d
     "writes the documents table out as spec-shaped .warc.gz files (one "
     "gzip member per record, interleaved request records, executor-side "
     "one-file-per-group writes; responses rotate plain / chunked-TE / "
-    "gzip-CE / brotli-CE framing by doc_id % 4 — the br class decodes "
-    "through the libbrotli ctypes bridge and degrades to plain framing "
-    "when the library is absent; two of the eight files ship as IIPC "
+    "gzip-CE / brotli-CE / combined chunked+br framing by doc_id % 5 — "
+    "the br classes decode through the libbrotli ctypes bridge and "
+    "degrade to their br-less shapes when the library is absent; two "
+    "of the eight files ship as IIPC "
     ".warc.zst instead — one zstd frame per record, and one of those "
     "additionally packed against a leading dictionary skippable frame "
     "whose frames genuinely reference it), then read_warc_pages scans "
@@ -1147,22 +1148,29 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in pdf.sort_values("doc_id").itertuples():
             body = str(r.text).encode("utf-8")
             status = 404 if r.doc_id % 10 == 7 else 200
-            # rotate the HTTP framing so the chunked-TE and gzip-CE /
-            # brotli-CE decode paths run under the driver gate too — the
-            # oracle is framing-invariant (decoding restores the page
-            # bytes); without libbrotli the br class degrades to plain
-            mode = r.doc_id % 4
-            if mode == 3 and not br_ok:
-                mode = 0
-            if mode == 1:
+            # rotate the HTTP framing so the chunked-TE, gzip-CE /
+            # brotli-CE, and combined TE+CE decode paths run under the
+            # driver gate too — the oracle is framing-invariant
+            # (decoding restores the page bytes); without libbrotli the
+            # br classes degrade to their br-less shapes
+            mode = r.doc_id % 5
+            if not br_ok:
+                mode = {3: 0, 4: 1}.get(mode, mode)
+            if mode in (1, 4):
+                payload = body
+                ce_hdr = ""
+                if mode == 4:
+                    # real crawls ship chunked TE and a CE together
+                    payload = native_codecs.brotli_compress(body)
+                    ce_hdr = "Content-Encoding: br\r\n"
                 framed = b"".join(
-                    f"{len(body[i:i + 700]):x}\r\n".encode()
-                    + body[i : i + 700] + b"\r\n"
-                    for i in range(0, len(body), 700)
+                    f"{len(payload[i:i + 700]):x}\r\n".encode()
+                    + payload[i : i + 700] + b"\r\n"
+                    for i in range(0, len(payload), 700)
                 ) + b"0\r\n\r\n"
                 http = (
                     f"HTTP/1.1 {status} X\r\nContent-Type: {_WARC_CTYPE}\r\n"
-                    f"Transfer-Encoding: chunked\r\n\r\n"
+                    f"{ce_hdr}Transfer-Encoding: chunked\r\n\r\n"
                 ).encode() + framed
             elif mode == 2:
                 gz = gzip.compress(body)

@@ -406,6 +406,41 @@ def zstd_compress(data: bytes, level: int = 3) -> bytes:
     return out.raw[:n]
 
 
+def zstd_train_dict(samples: list[bytes], dict_size: int = 16 << 10) -> bytes:
+    """Train a zstd dictionary from sample payloads (ZDICT), for
+    dictionary-compressed shard packing (the ``.warc.zst`` IIPC shape:
+    many small similar records compress dramatically better against a
+    corpus-trained dictionary).  Needs enough distinct samples for
+    ZDICT's cover algorithm — ~100+ in practice; raises ``ValueError``
+    with the library's reason otherwise."""
+    lib = _zstd()
+    if lib is None:
+        raise RuntimeError("libzstd shared library not available")
+    try:
+        lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+        lib.ZDICT_trainFromBuffer.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_uint,
+        ]
+        lib.ZDICT_isError.restype = ctypes.c_uint
+        lib.ZDICT_isError.argtypes = [ctypes.c_size_t]
+        lib.ZDICT_getErrorName.restype = ctypes.c_char_p
+        lib.ZDICT_getErrorName.argtypes = [ctypes.c_size_t]
+    except AttributeError:
+        raise RuntimeError("libzstd build lacks the ZDICT trainer") from None
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    out = ctypes.create_string_buffer(dict_size)
+    n = lib.ZDICT_trainFromBuffer(out, dict_size, blob, sizes, len(samples))
+    if lib.ZDICT_isError(n):
+        name = lib.ZDICT_getErrorName(n).decode("ascii", "replace")
+        raise ValueError(f"zstd: dictionary training failed: {name}")
+    return out.raw[:n]
+
+
 def zstd_compress_with_dict(data: bytes, dict_data: bytes, level: int = 3) -> bytes:
     """One zstd frame compressed against a dictionary (fixture twin of
     the ``.warc.zst`` dictionary read path)."""

@@ -374,7 +374,15 @@ def decode_content_encoding(payload: bytes, encoding: str) -> bytes:
     :mod:`.native_codecs` — real crawl responses ship br constantly —
     with the same output ceiling; identity passes through.  Without
     the shared libraries the br/zstd branches raise (environmental
-    availability, same contract as the libwebp bridge)."""
+    availability, same contract as the libwebp bridge).
+
+    A comma-separated list (RFC 9110 §8.4.1: encodings listed in the
+    order APPLIED, e.g. ``gzip, br`` = gzip first then br) is undone in
+    reverse order; each layer is bounded independently."""
+    if "," in encoding:
+        for layer in reversed(encoding.split(",")):
+            payload = decode_content_encoding(payload, layer)
+        return payload
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return payload

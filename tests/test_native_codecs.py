@@ -386,3 +386,36 @@ def test_zstd_decompressor_reset_reuses_context():
             blob = b""
         assert bytes(out) == body
         d.reset()
+
+
+@zstd_only
+def test_zstd_trained_dictionary_end_to_end():
+    """ZDICT training -> dict compress -> .warc.zst dictionary frame ->
+    parse_warc_records: the full dictionary-compressed shard shape, with
+    a STRUCTURED (trained) dictionary rather than raw content."""
+    from query_skyline_qos_flink_spark.sources import warc as w
+
+    rng_docs = [
+        (f"common prefix record {i % 7} with shared structure "
+         f"and a unique tail {i}").encode() * 4
+        for i in range(200)
+    ]
+    d = nc.zstd_train_dict(rng_docs, dict_size=8 << 10)
+    assert len(d) > 0
+    body = rng_docs[0]
+    plain = nc.zstd_compress(body)
+    with_dict = nc.zstd_compress_with_dict(body, d)
+    assert len(with_dict) < len(plain)  # the dictionary earns its keep
+    rec = w.write_warc_record(
+        "response",
+        b"HTTP/1.1 200 X\r\nContent-Length: %d\r\n\r\n" % len(body) + body,
+        record_id="<urn:d:0>", content_type="application/http;msgtype=response",
+        codec="plain",
+    )
+    frame = nc.zstd_compress_with_dict(rec, d)
+    skip = b"\x5d\x2a\x4d\x18" + len(d).to_bytes(4, "little") + d
+    recs = w.parse_warc_records(skip + frame)
+    assert len(recs) == 1 and body in recs[0]["body"]
+    # a structured dict carries a dictID: dictless decode MUST fail fast
+    with pytest.raises(ValueError, match="corrupt|Dictionary"):
+        w.parse_warc_records(frame)

@@ -506,3 +506,37 @@ def test_read_warc_zst_spark_scan(spark, tmp_path):
     got = warc.read_warc_responses(spark, str(tmp_path), "*.warc.zst").collect()
     assert sorted(r.record_id for r in got) == [f"<urn:doc:{i}>" for i in range(8)]
     assert all(r.http_status == 200 for r in got)
+
+
+def test_content_encoding_list_decodes_in_reverse():
+    """RFC 9110 §8.4.1: a comma-separated Content-Encoding lists the
+    codings in application order, so decoding undoes them in reverse;
+    each layer keeps its own bound."""
+    import gzip
+    import zlib
+
+    page = b"layered page " * 200
+    # applied gzip then deflate -> header "gzip, deflate"
+    layered = zlib.compress(gzip.compress(page))
+    assert warc.decode_content_encoding(layered, "gzip, deflate") == page
+    assert warc.decode_content_encoding(page, "identity, identity") == page
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    if nc.brotli_available() and nc.brotli_encoder_available():
+        layered = gzip.compress(nc.brotli_compress(page))
+        assert warc.decode_content_encoding(layered, "br, gzip") == page
+        # wrong order is corrupt, not silently wrong
+        with pytest.raises(ValueError):
+            warc.decode_content_encoding(layered, "gzip, br")
+        # full response with chunked TE + br CE together (the real-crawl
+        # combination x_warc_extract's mode-4 class drives)
+        blob = nc.brotli_compress(page)
+        framed = b"".join(
+            f"{len(blob[i:i+100]):x}\r\n".encode() + blob[i:i+100] + b"\r\n"
+            for i in range(0, len(blob), 100)
+        ) + b"0\r\n\r\n"
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + framed
+        )
+        assert warc.parse_http_response(body)[2] == page
