@@ -1,0 +1,150 @@
+"""Custom Python DataSource: ``spark.read.format("warc")``.
+
+The Spark-4-native connector surface over the WARC layer in
+:mod:`.warc` (Python DataSource API, SPARK-44076), so plain SQL/
+DataFrame consumers can scan crawls without importing this package's
+reader helpers:
+
+    spark.read.format("warc")
+         .option("path", "/data/crawl")          # dir or single file
+         .option("pattern", "*.warc.gz")          # glob within a dir
+         .option("view", "pages")                 # records|responses|pages
+         .load()
+
+Partition planning is driver-side from a file LISTING (name + size
+only); each task opens exactly its one file and runs the same strict
+record walk / HTTP split / charset decode as ``read_warc*`` — one
+output batch per file, so record bodies never accumulate across files
+(the round-14 memory-shape rule).  The parallel unit is the WARC file,
+Common Crawl's own sharding (~100k files/crawl ≫ any cluster's task
+slots), exactly like the ``binaryFile`` readers.
+
+Filesystem seam: tasks read with ``open()``, so paths must be visible
+to executors (local disk, NFS, fuse mounts).  For object stores keep
+using ``read_warc*`` — their ``binaryFile`` scan goes through Hadoop's
+filesystem connectors.  This is a deliberate scope line, not an
+accident: the Python DataSource API hands partitions a plain Python
+runtime with no Hadoop classpath.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+RECORDS_SCHEMA = (
+    "path string, offset bigint, warc_type string, record_id string, "
+    "target_uri string, content_type string, content_length bigint, body binary"
+)
+RESPONSES_SCHEMA = (
+    "path string, offset bigint, record_id string, target_uri string, "
+    "http_status int, content_type string, payload binary"
+)
+PAGES_SCHEMA = (
+    "path string, offset bigint, record_id string, target_uri string, "
+    "http_status int, content_type string, text string"
+)
+
+_VIEWS = {
+    "records": RECORDS_SCHEMA,
+    "responses": RESPONSES_SCHEMA,
+    "pages": PAGES_SCHEMA,
+}
+
+
+class _WarcFile(InputPartition):
+    def __init__(self, path: str, size: int):
+        self.path, self.size = path, size
+
+
+class WarcDataSource(DataSource):
+    """Options: path (file or directory), pattern (glob within a
+    directory, default ``*.warc*``), view (``records`` | ``responses``
+    | ``pages``, default ``records``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        view = self.options.get("view", "records")
+        if view not in _VIEWS:
+            raise ValueError(f"warc: unknown view {view!r} (records/responses/pages)")
+        return _VIEWS[view]
+
+    def reader(self, schema) -> "WarcReader":
+        return WarcReader(self.options)
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc: the 'path' option is required")
+        self.pattern = options.get("pattern", "*.warc*")
+        self.view = options.get("view", "records")
+        if self.view not in _VIEWS:
+            raise ValueError(
+                f"warc: unknown view {self.view!r} (records/responses/pages)"
+            )
+
+    def partitions(self):
+        # listing only — no file bytes move until tasks run
+        if os.path.isfile(self.path):
+            files = [self.path]
+        elif os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if fnmatch.fnmatch(f, self.pattern)
+            )
+        else:
+            raise ValueError(f"warc: path {self.path!r} is neither file nor dir")
+        if not files:
+            raise ValueError(
+                f"warc: no files matching {self.pattern!r} under {self.path!r}"
+            )
+        return [_WarcFile(p, os.path.getsize(p)) for p in files]
+
+    def read(self, partition: _WarcFile):
+        # task-side import: runs in the executor's python worker
+        from . import warc as w
+
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        path = partition.path
+        if self.view == "records":
+            for r in w.parse_warc_records(content):
+                yield (
+                    path, r["offset"], r["warc_type"], r["record_id"],
+                    r["target_uri"], r["content_type"], r["content_length"],
+                    r["body"],
+                )
+            return
+        for _p, r, status, ctype, payload in w._http_responses_in_file(path, content):
+            if self.view == "responses":
+                yield (
+                    path, r["offset"], r["record_id"], r["target_uri"],
+                    status, ctype, payload,
+                )
+            else:  # pages
+                base = ctype.split(";", 1)[0].strip().lower()
+                if base in ("text/html", "application/xhtml+xml"):
+                    from ..operators.text import html_to_text
+
+                    text = html_to_text(w.decode_page_bytes(payload, ctype))
+                elif base.startswith("text/"):
+                    text = w.decode_page_bytes(payload, ctype)
+                else:
+                    text = None
+                yield (
+                    path, r["offset"], r["record_id"], r["target_uri"],
+                    status, ctype, text,
+                )
+
+
+def register(spark) -> None:
+    """Register the ``warc`` format on this session."""
+    spark.dataSource.register(WarcDataSource)

@@ -1,0 +1,88 @@
+"""WARC Python DataSource (sources/warc_datasource.py): format
+registration, the three views, per-file partitioning, and parity with
+the binaryFile readers over identical fixture bytes."""
+
+from __future__ import annotations
+
+import pytest
+
+from query_skyline_qos_flink_spark.sources import warc, warc_datasource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def registered(spark):
+    warc_datasource.register(spark)
+
+
+def _write_fixture(tmp_path, n_files=3, recs_per_file=4):
+    for f in range(n_files):
+        blob = b""
+        for i in range(recs_per_file):
+            doc = f * 100 + i
+            body = f"<html><body>page {doc}</body></html>".encode()
+            http = (
+                b"HTTP/1.1 200 X\r\nContent-Type: text/html\r\nContent-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            )
+            blob += warc.write_warc_record(
+                "request", b"GET / HTTP/1.1\r\n\r\n", record_id=f"<urn:req:{doc}>"
+            )
+            blob += warc.write_warc_record(
+                "response", http, record_id=f"<urn:doc:{doc}>",
+                target_uri=f"https://x/{doc}",
+                content_type="application/http;msgtype=response",
+            )
+        (tmp_path / f"part-{f}.warc.gz").write_bytes(blob)
+    return str(tmp_path)
+
+
+def test_records_view_and_partitioning(spark, tmp_path):
+    d = _write_fixture(tmp_path)
+    df = spark.read.format("warc").option("path", d).load()
+    assert df.count() == 3 * 4 * 2  # requests + responses
+    assert df.rdd.getNumPartitions() == 3  # one partition per file
+    assert set(df.columns) == {
+        "path", "offset", "warc_type", "record_id", "target_uri",
+        "content_type", "content_length", "body",
+    }
+
+
+def test_responses_and_pages_views(spark, tmp_path):
+    d = _write_fixture(tmp_path)
+    resp = (
+        spark.read.format("warc").option("path", d)
+        .option("view", "responses").load()
+    )
+    rows = resp.collect()
+    assert len(rows) == 12 and all(r.http_status == 200 for r in rows)
+    pages = (
+        spark.read.format("warc").option("path", d)
+        .option("view", "pages").load()
+    )
+    got = {r.record_id: r.text for r in pages.collect()}
+    assert got["<urn:doc:102>"] == "page 102"  # html_to_text ran
+
+
+def test_parity_with_binaryfile_readers(spark, tmp_path):
+    d = _write_fixture(tmp_path)
+    via_ds = (
+        spark.read.format("warc").option("path", d).option("view", "pages")
+        .load().select("record_id", "http_status", "text")
+    )
+    via_bf = warc.read_warc_pages(spark, d).select(
+        "record_id", "http_status", "text"
+    )
+    assert sorted(map(tuple, via_ds.collect())) == sorted(map(tuple, via_bf.collect()))
+
+
+def test_single_file_and_errors(spark, tmp_path):
+    d = _write_fixture(tmp_path, n_files=1)
+    one = str(tmp_path / "part-0.warc.gz")
+    df = spark.read.format("warc").option("path", one).load()
+    assert df.count() == 8
+    with pytest.raises(Exception, match="view"):
+        spark.read.format("warc").option("path", d).option("view", "bogus").load()
+    with pytest.raises(Exception, match="no files matching"):
+        spark.read.format("warc").option("path", d).option(
+            "pattern", "*.nope"
+        ).load().count()
