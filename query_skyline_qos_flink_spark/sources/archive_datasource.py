@@ -1,0 +1,99 @@
+"""Custom Python DataSource: ``spark.read.format("archive")``.
+
+The :mod:`.warc_datasource` twin for archive-packaged corpora:
+
+    spark.read.format("archive")
+         .option("path", "/data/drop")            # dir or single file
+         .option("pattern", "*.tar*")              # glob within a dir
+         .option("kind", "auto")                   # auto|zip|tar
+         .load()
+
+One ``InputPartition`` per archive file (driver-side listing only);
+each task opens its file and runs the strict member walks in
+:mod:`.archives` — ZIP central-directory (stored/deflate/bzip2/LZMA/
+zstd/XZ members, zip64) or ustar/pax (long names, gzip/bzip2/xz/zstd/
+lz4 envelopes) — yielding one row per regular-file member.  ``auto``
+dispatches per file on the ZIP local-header magic vs everything-else
+(tar's magic sits at byte 257, and compressed-tar envelopes are
+sniffed inside the tar path anyway).
+
+Same filesystem seam as the warc datasource: ``open()``-based tasks
+need executor-visible paths; object stores stay on the ``binaryFile``
+readers (``read_zip`` / ``read_tar``).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .archives import ARCHIVE_SCHEMA
+
+_KINDS = ("auto", "zip", "tar")
+
+
+class _ArchiveFile(InputPartition):
+    def __init__(self, path: str, size: int):
+        self.path, self.size = path, size
+
+
+class ArchiveDataSource(DataSource):
+    """Options: path (file or directory), pattern (glob within a
+    directory, default ``*``), kind (``auto`` | ``zip`` | ``tar``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "archive"
+
+    def schema(self) -> str:
+        return ARCHIVE_SCHEMA
+
+    def reader(self, schema) -> "ArchiveReader":
+        return ArchiveReader(self.options)
+
+
+class ArchiveReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("archive: the 'path' option is required")
+        self.pattern = options.get("pattern", "*")
+        self.kind = options.get("kind", "auto")
+        if self.kind not in _KINDS:
+            raise ValueError(f"archive: unknown kind {self.kind!r} (auto/zip/tar)")
+
+    def partitions(self):
+        if os.path.isfile(self.path):
+            files = [self.path]
+        elif os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if fnmatch.fnmatch(f, self.pattern)
+            )
+        else:
+            raise ValueError(f"archive: path {self.path!r} is neither file nor dir")
+        if not files:
+            raise ValueError(
+                f"archive: no files matching {self.pattern!r} under {self.path!r}"
+            )
+        return [_ArchiveFile(p, os.path.getsize(p)) for p in files]
+
+    def read(self, partition: _ArchiveFile):
+        from . import archives as ar
+
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        kind = self.kind
+        if kind == "auto":
+            kind = "zip" if content[:4] == b"PK\x03\x04" else "tar"
+        parse = ar.parse_zip_members if kind == "zip" else ar.parse_tar_any
+        for m in parse(content):
+            yield (partition.path, m["name"], m["offset"], m["size"], m["body"])
+
+
+def register(spark) -> None:
+    """Register the ``archive`` format on this session."""
+    spark.dataSource.register(ArchiveDataSource)
