@@ -32,7 +32,12 @@ from __future__ import annotations
 import fnmatch
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 RECORDS_SCHEMA = (
     "path string, offset bigint, warc_type string, record_id string, "
@@ -77,6 +82,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> "WarcReader":
         return WarcReader(self.options)
 
+    def streamReader(self, schema) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 class WarcReader(DataSourceReader):
     def __init__(self, options):
@@ -109,40 +117,93 @@ class WarcReader(DataSourceReader):
         return [_WarcFile(p, os.path.getsize(p)) for p in files]
 
     def read(self, partition: _WarcFile):
-        # task-side import: runs in the executor's python worker
-        from . import warc as w
+        yield from _emit_file_rows(partition.path, self.view)
 
-        with open(partition.path, "rb") as fh:
-            content = fh.read()
-        path = partition.path
-        if self.view == "records":
-            for r in w.parse_warc_records(content):
-                yield (
-                    path, r["offset"], r["warc_type"], r["record_id"],
-                    r["target_uri"], r["content_type"], r["content_length"],
-                    r["body"],
-                )
-            return
-        for _p, r, status, ctype, payload in w._http_responses_in_file(path, content):
-            if self.view == "responses":
-                yield (
-                    path, r["offset"], r["record_id"], r["target_uri"],
-                    status, ctype, payload,
-                )
-            else:  # pages
-                base = ctype.split(";", 1)[0].strip().lower()
-                if base in ("text/html", "application/xhtml+xml"):
-                    from ..operators.text import html_to_text
 
-                    text = html_to_text(w.decode_page_bytes(payload, ctype))
-                elif base.startswith("text/"):
-                    text = w.decode_page_bytes(payload, ctype)
-                else:
-                    text = None
-                yield (
-                    path, r["offset"], r["record_id"], r["target_uri"],
-                    status, ctype, text,
-                )
+def _emit_file_rows(path: str, view: str):
+    """Task-side row emission shared by the batch and stream readers:
+    one file, one strict walk, rows per the requested view."""
+    from . import warc as w
+
+    with open(path, "rb") as fh:
+        content = fh.read()
+    if view == "records":
+        for r in w.parse_warc_records(content):
+            yield (
+                path, r["offset"], r["warc_type"], r["record_id"],
+                r["target_uri"], r["content_type"], r["content_length"],
+                r["body"],
+            )
+        return
+    for _p, r, status, ctype, payload in w._http_responses_in_file(path, content):
+        if view == "responses":
+            yield (
+                path, r["offset"], r["record_id"], r["target_uri"],
+                status, ctype, payload,
+            )
+        else:  # pages
+            base = ctype.split(";", 1)[0].strip().lower()
+            if base in ("text/html", "application/xhtml+xml"):
+                from ..operators.text import html_to_text
+
+                text = html_to_text(w.decode_page_bytes(payload, ctype))
+            elif base.startswith("text/"):
+                text = w.decode_page_bytes(payload, ctype)
+            else:
+                text = None
+            yield (
+                path, r["offset"], r["record_id"], r["target_uri"],
+                status, ctype, text,
+            )
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Directory-tailing crawl ingestion:
+    ``spark.readStream.format("warc")`` picks up WARC files that landed
+    since the last committed offset, one executor-side partition per
+    new file.  Offsets are high-water marks over the lexicographically
+    sorted listing — the crawl-drop shape where shard names increase
+    monotonically (``part-000…``); a file that sorts BELOW an already
+    committed name is ignored, the same contract as Spark's file source
+    without ``latestFirst``.  Offsets are tiny JSON dicts (one
+    filename), so checkpoints stay O(1) regardless of how many files
+    ever streamed."""
+
+    def __init__(self, options):
+        self._opts = WarcReader(options)  # shares path/pattern/view checks
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def _listing(self) -> list[str]:
+        r = self._opts
+        if os.path.isdir(r.path):
+            return sorted(
+                os.path.join(r.path, f)
+                for f in os.listdir(r.path)
+                if fnmatch.fnmatch(f, r.pattern)
+            )
+        if os.path.isfile(r.path):
+            return [r.path]
+        return []
+
+    def latestOffset(self) -> dict:
+        files = self._listing()
+        return {"upto": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("upto", ""), end.get("upto", "")
+        return [
+            _WarcFile(p, os.path.getsize(p))
+            for p in self._listing()
+            if lo < p <= hi
+        ]
+
+    def read(self, partition: _WarcFile):
+        yield from _emit_file_rows(partition.path, self._opts.view)
+
+    def commit(self, end: dict) -> None:
+        pass  # the offset dict itself is the whole state
 
 
 def register(spark) -> None:

@@ -86,3 +86,47 @@ def test_single_file_and_errors(spark, tmp_path):
         spark.read.format("warc").option("path", d).option(
             "pattern", "*.nope"
         ).load().count()
+
+
+def test_streaming_directory_tail(spark, tmp_path):
+    """readStream.format('warc'): files landing between micro-batches
+    are picked up exactly once; the offset is a filename high-water
+    mark, so restarts from the checkpoint never re-emit."""
+    d = tmp_path / "landing"
+    d.mkdir()
+
+    def drop(f, docs):
+        blob = b""
+        for i in docs:
+            body = f"page {i}".encode()
+            http = (
+                b"HTTP/1.1 200 X\r\nContent-Type: text/plain\r\nContent-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            )
+            blob += warc.write_warc_record(
+                "response", http, record_id=f"<urn:doc:{i}>",
+                content_type="application/http;msgtype=response",
+            )
+        (d / f"part-{f:04d}.warc.gz").write_bytes(blob)
+
+    drop(0, [0, 1])
+    q = (
+        spark.readStream.format("warc")
+        .option("path", str(d)).option("view", "responses")
+        .load()
+        .writeStream.format("memory").queryName("warc_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM warc_tail").first()[0] == 2
+        drop(1, [2, 3, 4])
+        q.processAllAvailable()
+        got = spark.sql("SELECT record_id FROM warc_tail").collect()
+        assert sorted(r.record_id for r in got) == [f"<urn:doc:{i}>" for i in range(5)]
+        # nothing new -> nothing re-emitted
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM warc_tail").first()[0] == 5
+    finally:
+        q.stop()
