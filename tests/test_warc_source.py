@@ -540,3 +540,57 @@ def test_content_encoding_list_decodes_in_reverse():
             b"Transfer-Encoding: chunked\r\n\r\n" + framed
         )
         assert warc.parse_http_response(body)[2] == page
+
+
+@zstd_only
+def test_warc_zst_arbitrary_frame_grouping_property():
+    """Hypothesis: any record list, partitioned into zstd frames at any
+    boundaries (wget2 groups several records per frame by size), parses
+    back to the same records with frame offsets as split points."""
+    from hypothesis import given, settings, strategies as st
+
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        bodies=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8),
+        cuts=st.lists(st.integers(min_value=1, max_value=7), max_size=3),
+        with_dict=st.booleans(),
+    )
+    def run(bodies, cuts, with_dict):
+        recs = [
+            warc.write_warc_record(
+                "resource", body, record_id=f"<urn:r:{i}>", codec="plain"
+            )
+            for i, body in enumerate(bodies)
+        ]
+        # partition record list into contiguous frame groups
+        bounds = sorted({min(c, len(recs)) for c in cuts})
+        groups, prev = [], 0
+        for c in bounds:
+            if c > prev:
+                groups.append(recs[prev:c])
+                prev = c
+        groups.append(recs[prev:])
+        dict_data = b"shared warc dictionary " * 20 if with_dict else None
+        blob = b""
+        if dict_data:
+            blob += (
+                b"\x5d\x2a\x4d\x18" + len(dict_data).to_bytes(4, "little") + dict_data
+            )
+        for g in groups:
+            if not g:
+                continue
+            raw = b"".join(g)
+            blob += (
+                nc.zstd_compress_with_dict(raw, dict_data)
+                if dict_data
+                else nc.zstd_compress(raw)
+            )
+        got = warc.parse_warc_records(blob)
+        assert [r["record_id"] for r in got] == [f"<urn:r:{i}>" for i in range(len(bodies))]
+        assert [r["body"] for r in got] == list(bodies)
+        offs = [r["offset"] for r in got]
+        assert offs == sorted(offs)
+
+    run()
