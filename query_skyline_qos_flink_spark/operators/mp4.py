@@ -391,3 +391,206 @@ def write_fmp4(
         mfhd = _box(b"mfhd", bytes(4) + struct.pack(">I", seq))
         out += _box(b"moof", mfhd + trafs) + _box(b"mdat", b"\x00" * 8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# HEIF still images (ISO 23008-12): AVIF / HEIC metadata
+# ---------------------------------------------------------------------------
+
+#: ftyp brands that mark an ISO-BMFF STILL IMAGE (HEIF family) rather
+#: than a movie: AV1-coded (avif/avis), HEVC-coded (heic/heix/hevc),
+#: and the codec-agnostic structural brand mif1.
+HEIF_BRANDS = ("avif", "avis", "heic", "heix", "hevc", "mif1")
+
+
+def parse_heif_meta(b: bytes) -> dict:
+    """Metadata walk for HEIF-family still images (AVIF/HEIC) — the
+    image twin of :func:`parse_mp4_meta`: ``ftyp`` brand, ``meta`` item
+    table (``pitm`` primary item, ``iinf``/``infe`` item types), and
+    the PRIMARY item's pixel dimensions resolved through the property
+    association table (``iprp``/``ipco``/``ipma`` → ``ispe``), per
+    ISO 23008-12.  Returns ``brand primary_item item_type n_items
+    width height``.  Strict: a missing/malformed item table or an
+    unresolvable primary ispe raises — sample DECODE (AV1/HEVC) is out
+    of scope, exactly like the A/V containers' spectral layers.
+    """
+    brand = None
+    meta_span = None
+    for t, s, e in _walk_boxes(b, 0, len(b)):
+        if t == b"ftyp":
+            if e - s < 4:
+                raise ValueError("heif: truncated ftyp")
+            brand = b[s : s + 4].decode("latin-1")
+        elif t == b"meta":
+            _ver, o = _fullbox(b, s, e)
+            meta_span = (o, e)
+    if brand is None:
+        raise ValueError("heif: missing ftyp box")
+    if brand not in HEIF_BRANDS:
+        raise ValueError(f"heif: {brand!r} is not a HEIF image brand")
+    if meta_span is None:
+        raise ValueError("heif: missing meta box")
+    ms, me = meta_span
+
+    pitm = _find(b, ms, me, b"pitm")
+    if pitm is None:
+        raise ValueError("heif: missing pitm (primary item)")
+    ver, o = _fullbox(b, *pitm)
+    if ver == 0:
+        if o + 2 > pitm[1]:
+            raise ValueError("heif: truncated pitm")
+        primary = struct.unpack_from(">H", b, o)[0]
+    else:
+        if o + 4 > pitm[1]:
+            raise ValueError("heif: truncated pitm")
+        primary = struct.unpack_from(">I", b, o)[0]
+
+    iinf = _find(b, ms, me, b"iinf")
+    if iinf is None:
+        raise ValueError("heif: missing iinf (item table)")
+    ver, o = _fullbox(b, *iinf)
+    if ver == 0:
+        n_items = struct.unpack_from(">H", b, o)[0]
+        o += 2
+    else:
+        n_items = struct.unpack_from(">I", b, o)[0]
+        o += 4
+    item_types: dict[int, str] = {}
+    seen = 0
+    for t, s, e in _walk_boxes(b, o, iinf[1]):
+        if t != b"infe":
+            raise ValueError(f"heif: unexpected {t!r} inside iinf")
+        iv, io = _fullbox(b, s, e)
+        if iv < 2:
+            raise ValueError("heif: infe version < 2 not used by HEIF")
+        if iv == 2:
+            iid = struct.unpack_from(">H", b, io)[0]
+            io += 2
+        else:
+            iid = struct.unpack_from(">I", b, io)[0]
+            io += 4
+        io += 2  # item_protection_index
+        if io + 4 > e:
+            raise ValueError("heif: truncated infe item_type")
+        item_types[iid] = b[io : io + 4].decode("latin-1")
+        seen += 1
+    if seen != n_items:
+        raise ValueError(f"heif: iinf declares {n_items} items, holds {seen}")
+    if primary not in item_types:
+        raise ValueError(f"heif: primary item {primary} not in the item table")
+
+    iprp = _find(b, ms, me, b"iprp")
+    if iprp is None:
+        raise ValueError("heif: missing iprp (item properties)")
+    ipco = _find(b, iprp[0], iprp[1], b"ipco")
+    ipma = _find(b, iprp[0], iprp[1], b"ipma")
+    if ipco is None or ipma is None:
+        raise ValueError("heif: missing ipco/ipma")
+    props = list(_walk_boxes(b, *ipco))  # 1-based indexing per spec
+
+    ver, o = _fullbox(b, *ipma)
+    flags = int.from_bytes(b[ipma[0] + 1 : ipma[0] + 4], "big")
+    wide = flags & 1  # 15-bit property indices
+    n_entries = struct.unpack_from(">I", b, o)[0]
+    o += 4
+    assoc: dict[int, list[int]] = {}
+    for _ in range(n_entries):
+        if ver < 1:
+            iid = struct.unpack_from(">H", b, o)[0]
+            o += 2
+        else:
+            iid = struct.unpack_from(">I", b, o)[0]
+            o += 4
+        cnt = b[o]
+        o += 1
+        idxs = []
+        for _ in range(cnt):
+            if wide:
+                v = struct.unpack_from(">H", b, o)[0]
+                o += 2
+                idxs.append(v & 0x7FFF)
+            else:
+                idxs.append(b[o] & 0x7F)
+                o += 1
+        assoc[iid] = idxs
+    if o > ipma[1]:
+        raise ValueError("heif: ipma overruns its box")
+
+    width = height = None
+    for idx in assoc.get(primary, []):
+        if not 1 <= idx <= len(props):
+            raise ValueError(f"heif: ipma property index {idx} out of range")
+        t, s, e = props[idx - 1]
+        if t == b"ispe":
+            _v, io = _fullbox(b, s, e)
+            if io + 8 > e:
+                raise ValueError("heif: truncated ispe")
+            width, height = struct.unpack_from(">II", b, io)
+            break
+    if width is None:
+        raise ValueError("heif: primary item has no ispe association")
+    return {
+        "brand": brand,
+        "primary_item": primary,
+        "item_type": item_types[primary],
+        "n_items": n_items,
+        "width": width,
+        "height": height,
+    }
+
+
+def write_heif(
+    brand: str = "avif",
+    width: int = 640,
+    height: int = 480,
+    n_items: int = 1,
+    primary: int = 1,
+    wide_ipma: bool = False,
+    v1_ids: bool = False,
+) -> bytes:
+    """HEIF shell writer (fixture twin of :func:`parse_heif_meta`): the
+    item/property tables with per-item ``ispe`` boxes — every non-primary
+    item gets DIFFERENT dimensions, so a parser that grabs the first
+    ispe instead of resolving the ``ipma`` association is caught.
+    ``wide_ipma`` exercises 15-bit property indices (flags&1), ``v1_ids``
+    the 32-bit item-id forms of pitm/infe/ipma.  Sample data is an
+    opaque mdat stub — decode is out of scope."""
+    item_type = {"avif": b"av01", "avis": b"av01"}.get(brand, b"hvc1")
+    full0 = bytes(4)
+    ftyp = _box(b"ftyp", brand.encode("latin-1") + bytes(4) + b"mif1")
+    hdlr = _box(b"hdlr", full0 + bytes(4) + b"pict" + bytes(12) + b"\x00")
+    if v1_ids:
+        pitm = _box(b"pitm", b"\x01" + bytes(3) + struct.pack(">I", primary))
+    else:
+        pitm = _box(b"pitm", full0 + struct.pack(">H", primary))
+    infes = b""
+    for i in range(1, n_items + 1):
+        if v1_ids:
+            body = b"\x03" + bytes(3) + struct.pack(">I", i) + bytes(2)
+        else:
+            body = b"\x02" + bytes(3) + struct.pack(">H", i) + bytes(2)
+        infes += _box(b"infe", body + item_type + b"\x00")
+    if v1_ids:
+        iinf = _box(b"iinf", b"\x01" + bytes(3) + struct.pack(">I", n_items) + infes)
+    else:
+        iinf = _box(b"iinf", full0 + struct.pack(">H", n_items) + infes)
+    # one ispe per item: property i belongs to item i
+    ipco = b""
+    for i in range(1, n_items + 1):
+        w, h = (width, height) if i == primary else (16 * i, 9 * i)
+        ipco += _box(b"ispe", full0 + struct.pack(">II", w, h))
+    ipco = _box(b"ipco", ipco)
+    ver = 1 if v1_ids else 0
+    flags = 1 if wide_ipma else 0
+    ipma_body = bytes([ver]) + flags.to_bytes(3, "big")
+    ipma_body += struct.pack(">I", n_items)
+    for i in range(1, n_items + 1):
+        ipma_body += struct.pack(">I", i) if v1_ids else struct.pack(">H", i)
+        ipma_body += b"\x01"  # one association
+        if wide_ipma:
+            ipma_body += struct.pack(">H", 0x8000 | i)  # essential bit set
+        else:
+            ipma_body += bytes([0x80 | i])
+    iprp = _box(b"iprp", ipco + _box(b"ipma", ipma_body))
+    meta = _box(b"meta", full0 + hdlr + pitm + iinf + iprp)
+    return ftyp + meta + _box(b"mdat", b"\x00" * 16)

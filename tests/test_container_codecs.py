@@ -714,3 +714,101 @@ def test_third_review_regressions():
     collision[4:8] = b"ftyp"  # corrupt size -> RIFF branch must own it
     with pytest.raises(ValueError, match="avi:"):
         mm.sniff_container_meta(bytes(collision))
+
+
+def test_heif_meta_roundtrip_matrix():
+    """AVIF/HEIC still-image metadata (ISO 23008-12): brand x ipma
+    index-width x item-id-width matrix; the primary item's dimensions
+    resolve through the ipma ASSOCIATION (non-primary items carry
+    different ispe boxes, so a first-ispe grabber fails)."""
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    for brand in ("avif", "heic", "mif1"):
+        for wide in (False, True):
+            for v1 in (False, True):
+                b = mp4.write_heif(
+                    brand, 1920, 1080, n_items=3, primary=2,
+                    wide_ipma=wide, v1_ids=v1,
+                )
+                m = mp4.parse_heif_meta(b)
+                assert (m["brand"], m["primary_item"], m["n_items"]) == (brand, 2, 3)
+                assert (m["width"], m["height"]) == (1920, 1080)
+                assert m["item_type"] == ("av01" if brand == "avif" else "hvc1")
+
+
+def test_heif_meta_strictness():
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    good = mp4.write_heif("avif", 64, 48, n_items=2, primary=1)
+    assert mp4.parse_heif_meta(good)["width"] == 64
+    # a movie brand is not an image
+    with pytest.raises(ValueError, match="not a HEIF image brand"):
+        mp4.parse_heif_meta(mp4.write_mp4(n_tracks=1, timescale=600, duration_units=600))
+    # surgical removals: drop whole sub-boxes (shrinking the enclosing
+    # meta box size so the walk still tiles) and expect named failures
+    import struct as _s
+
+    def drop(box):
+        at = good.find(box)
+        assert at > 0
+        size = int.from_bytes(good[at - 4 : at], "big")
+        start = at - 4
+        cut = bytearray(good[:start] + good[start + size :])
+        meta_at = cut.find(b"meta") - 4
+        meta_size = int.from_bytes(cut[meta_at : meta_at + 4], "big")
+        _s.pack_into(">I", cut, meta_at, meta_size - size)
+        if box == b"ipma":  # iprp encloses ipma: shrink it too
+            iprp_at = cut.find(b"iprp") - 4
+            iprp_size = int.from_bytes(cut[iprp_at : iprp_at + 4], "big")
+            _s.pack_into(">I", cut, iprp_at, iprp_size - size)
+        return bytes(cut)
+
+    with pytest.raises(ValueError, match="missing pitm"):
+        mp4.parse_heif_meta(drop(b"pitm"))
+    with pytest.raises(ValueError, match="missing iinf"):
+        mp4.parse_heif_meta(drop(b"iinf"))
+    with pytest.raises(ValueError, match="missing ipco/ipma"):
+        mp4.parse_heif_meta(drop(b"ipma"))
+    # item-count mismatch
+    bad = bytearray(good)
+    iinf_at = bad.find(b"iinf")
+    _s.pack_into(">H", bad, iinf_at + 8, 7)  # declare 7 items, hold 2
+    with pytest.raises(ValueError, match="declares 7 items"):
+        mp4.parse_heif_meta(bytes(bad))
+    # primary item missing from the table
+    bad = bytearray(good)
+    pitm_at = bad.find(b"pitm")
+    _s.pack_into(">H", bad, pitm_at + 8, 99)
+    with pytest.raises(ValueError, match="primary item 99"):
+        mp4.parse_heif_meta(bytes(bad))
+    # truncated ispe body
+    bad = bytearray(good)
+    ispe_at = bad.find(b"ispe")
+    _s.pack_into(">I", bad, ispe_at - 4, 12)  # shrink box below 8-byte dims
+    with pytest.raises(ValueError, match="mp4: box|truncated ispe|tile"):
+        mp4.parse_heif_meta(bytes(bad))
+
+
+def test_heif_meta_dims_property():
+    from hypothesis import given, settings, strategies as st
+
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=2**31 - 1),
+        h=st.integers(min_value=1, max_value=2**31 - 1),
+        n=st.integers(min_value=1, max_value=6),
+        wide=st.booleans(),
+        v1=st.booleans(),
+    )
+    def run(w, h, n, wide, v1):
+        primary = 1 + (w + h) % n
+        b = mp4.write_heif("avif", w, h, n_items=n, primary=primary,
+                           wide_ipma=wide, v1_ids=v1)
+        m = mp4.parse_heif_meta(b)
+        assert (m["width"], m["height"], m["n_items"], m["primary_item"]) == (
+            w, h, n, primary,
+        )
+
+    run()
