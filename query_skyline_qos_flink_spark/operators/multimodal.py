@@ -1283,6 +1283,16 @@ def sniff_container_meta(payload: bytes) -> tuple:
     if payload[:4] != b"RIFF" and payload[4:8] == b"ftyp":
         from . import mp4
 
+        brand = payload[8:12].decode("latin-1", "replace")
+        if brand in mp4.HEIF_BRANDS:
+            # ISO-BMFF STILL IMAGE (AVIF/HEIC): route to the HEIF item
+            # walk — parse_mp4_meta would mis-report it as a trackless
+            # movie.  A/V columns carry image-shaped zeros (a caller
+            # filtering audio by n_channels > 0 naturally excludes
+            # images); n_units is the item count and duration_ms
+            # repurposes nothing — dimensions live in parse_heif_meta.
+            h = mp4.parse_heif_meta(payload)
+            return (h["brand"], 0, 0, h["n_items"], 0, 0)
         m = mp4.parse_mp4_meta(payload)
         return (
             "mp4", m["n_audio"], m["timescale"],

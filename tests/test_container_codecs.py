@@ -812,3 +812,17 @@ def test_heif_meta_dims_property():
         )
 
     run()
+
+
+def test_sniff_routes_heif_images():
+    """sniff_container_meta must route HEIF brands to the item walk, not
+    mis-parse them as trackless movies; A/V columns carry image zeros."""
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    b = mp4.write_heif("avif", 320, 200, n_items=2)
+    assert mm.sniff_container_meta(b) == ("avif", 0, 0, 2, 0, 0)
+    b = mp4.write_heif("heic", 64, 64)
+    assert mm.sniff_container_meta(b)[0] == "heic"
+    # a real movie still routes to the mp4 walk
+    mv = mp4.write_mp4(n_tracks=2, timescale=600, duration_units=1200)
+    assert mm.sniff_container_meta(mv)[0] == "mp4"
