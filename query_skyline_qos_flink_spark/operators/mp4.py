@@ -398,9 +398,14 @@ def write_fmp4(
 # ---------------------------------------------------------------------------
 
 #: ftyp brands that mark an ISO-BMFF STILL IMAGE (HEIF family) rather
-#: than a movie: AV1-coded (avif/avis), HEVC-coded (heic/heix/hevc),
-#: and the codec-agnostic structural brand mif1.
-HEIF_BRANDS = ("avif", "avis", "heic", "heix", "hevc", "mif1")
+#: than a movie: AV1-coded (avif), HEVC-coded (heic/heix/heim/heis),
+#: and the codec-agnostic structural brand mif1.  The SEQUENCE brands
+#: (avis, hevc/hevx, msf1) are deliberately absent: image sequences are
+#: track-based (moov) per ISO 23008-12 §7 and need not carry an item
+#: table at all — they belong to :func:`parse_mp4_meta`'s movie walk
+#: (round-14 review: routing them here killed valid animated AVIFs on
+#: a missing-meta error).
+HEIF_BRANDS = ("avif", "heic", "heix", "heim", "heis", "mif1")
 
 
 def parse_heif_meta(b: bytes) -> dict:
@@ -449,6 +454,9 @@ def parse_heif_meta(b: bytes) -> dict:
     if iinf is None:
         raise ValueError("heif: missing iinf (item table)")
     ver, o = _fullbox(b, *iinf)
+    cnt_w = 2 if ver == 0 else 4
+    if o + cnt_w > iinf[1]:
+        raise ValueError("heif: truncated iinf entry count")
     if ver == 0:
         n_items = struct.unpack_from(">H", b, o)[0]
         o += 2
@@ -463,6 +471,9 @@ def parse_heif_meta(b: bytes) -> dict:
         iv, io = _fullbox(b, s, e)
         if iv < 2:
             raise ValueError("heif: infe version < 2 not used by HEIF")
+        id_w = 2 if iv == 2 else 4
+        if io + id_w + 2 > e:
+            raise ValueError("heif: truncated infe item id")
         if iv == 2:
             iid = struct.unpack_from(">H", b, io)[0]
             io += 2
@@ -491,30 +502,43 @@ def parse_heif_meta(b: bytes) -> dict:
     ver, o = _fullbox(b, *ipma)
     flags = int.from_bytes(b[ipma[0] + 1 : ipma[0] + 4], "big")
     wide = flags & 1  # 15-bit property indices
+    ipma_end = ipma[1]
+    # every read below is bounds-checked against the BOX end (the module
+    # contract: malformed input raises ValueError, never escapes as
+    # IndexError/struct.error after an unbounded spin — round-14 review);
+    # each entry costs >= 3 bytes, so a crafted count fails immediately
+    if o + 4 > ipma_end:
+        raise ValueError("heif: truncated ipma entry count")
     n_entries = struct.unpack_from(">I", b, o)[0]
     o += 4
+    if n_entries * 3 > ipma_end - o:
+        raise ValueError(
+            f"heif: ipma declares {n_entries} entries, box holds "
+            f"{ipma_end - o} bytes"
+        )
     assoc: dict[int, list[int]] = {}
     for _ in range(n_entries):
+        id_w = 2 if ver < 1 else 4
+        if o + id_w + 1 > ipma_end:
+            raise ValueError("heif: truncated ipma entry")
         if ver < 1:
             iid = struct.unpack_from(">H", b, o)[0]
-            o += 2
         else:
             iid = struct.unpack_from(">I", b, o)[0]
-            o += 4
+        o += id_w
         cnt = b[o]
         o += 1
+        idx_w = 2 if wide else 1
+        if o + cnt * idx_w > ipma_end:
+            raise ValueError("heif: ipma associations overrun the box")
         idxs = []
         for _ in range(cnt):
             if wide:
-                v = struct.unpack_from(">H", b, o)[0]
-                o += 2
-                idxs.append(v & 0x7FFF)
+                idxs.append(struct.unpack_from(">H", b, o)[0] & 0x7FFF)
             else:
                 idxs.append(b[o] & 0x7F)
-                o += 1
+            o += idx_w
         assoc[iid] = idxs
-    if o > ipma[1]:
-        raise ValueError("heif: ipma overruns its box")
 
     width = height = None
     for idx in assoc.get(primary, []):
@@ -555,7 +579,7 @@ def write_heif(
     ``wide_ipma`` exercises 15-bit property indices (flags&1), ``v1_ids``
     the 32-bit item-id forms of pitm/infe/ipma.  Sample data is an
     opaque mdat stub — decode is out of scope."""
-    item_type = {"avif": b"av01", "avis": b"av01"}.get(brand, b"hvc1")
+    item_type = {"avif": b"av01"}.get(brand, b"hvc1")
     full0 = bytes(4)
     ftyp = _box(b"ftyp", brand.encode("latin-1") + bytes(4) + b"mif1")
     hdlr = _box(b"hdlr", full0 + bytes(4) + b"pict" + bytes(12) + b"\x00")

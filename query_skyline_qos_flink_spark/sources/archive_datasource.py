@@ -24,12 +24,12 @@ readers (``read_zip`` / ``read_tar``).
 
 from __future__ import annotations
 
-import fnmatch
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .archives import ARCHIVE_SCHEMA
+from .warc_datasource import list_files
 
 _KINDS = ("auto", "zip", "tar")
 
@@ -65,16 +65,7 @@ class ArchiveReader(DataSourceReader):
             raise ValueError(f"archive: unknown kind {self.kind!r} (auto/zip/tar)")
 
     def partitions(self):
-        if os.path.isfile(self.path):
-            files = [self.path]
-        elif os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if fnmatch.fnmatch(f, self.pattern)
-            )
-        else:
-            raise ValueError(f"archive: path {self.path!r} is neither file nor dir")
+        files = list_files(self.path, self.pattern)
         if not files:
             raise ValueError(
                 f"archive: no files matching {self.pattern!r} under {self.path!r}"
@@ -88,7 +79,12 @@ class ArchiveReader(DataSourceReader):
             content = fh.read()
         kind = self.kind
         if kind == "auto":
-            kind = "zip" if content[:4] == b"PK\x03\x04" else "tar"
+            # a local header OR a bare EOCD (valid zero-member zip) both
+            # mean ZIP — the EOCD-anchored walk handles empty archives
+            # the tar path would reject with a misleading header error.
+            # Prefixed/self-extracting zips have no sniffable prefix at
+            # all: use the explicit kind="zip" override for those.
+            kind = "zip" if content[:4] in (b"PK\x03\x04", b"PK\x05\x06") else "tar"
         parse = ar.parse_zip_members if kind == "zip" else ar.parse_tar_any
         for m in parse(content):
             yield (partition.path, m["name"], m["offset"], m["size"], m["body"])

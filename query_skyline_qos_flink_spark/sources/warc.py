@@ -482,7 +482,11 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
         elif key == b"transfer-encoding":
             transfer_encoding = v.strip().decode("latin-1").lower()
         elif key == b"content-encoding":
-            content_encoding = v.strip().decode("latin-1")
+            # RFC 9110 §5.3: repeated header lines are equivalent to one
+            # comma-joined list — keeping only the last line would undo
+            # one layer and hand compressed bytes downstream as text
+            ce = v.strip().decode("latin-1")
+            content_encoding = f"{content_encoding}, {ce}" if content_encoding else ce
     payload = body[pos:]
     if transfer_encoding and transfer_encoding != "identity":
         if transfer_encoding != "chunked":
@@ -594,6 +598,21 @@ PAGES_SCHEMA = (
 )
 
 
+def page_text(payload: bytes, ctype: str) -> str | None:
+    """The WET text step shared by ``read_warc_pages`` and the ``warc``
+    DataSource's pages view: charset-aware byte decode, ``html_to_text``
+    for HTML content types, pass-through for other text/*, NULL for
+    non-text payloads."""
+    from ..operators.text import html_to_text
+
+    base = ctype.split(";", 1)[0].strip().lower()
+    if base in ("text/html", "application/xhtml+xml"):
+        return html_to_text(decode_page_bytes(payload, ctype))
+    if base.startswith("text/"):
+        return decode_page_bytes(payload, ctype)
+    return None
+
+
 def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
     """The full WET shape in ONE Arrow pass: WARC record walk → response
     filter → strict HTTP split (dechunk + content-encoding decode) →
@@ -603,8 +622,6 @@ def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
     boundary twice."""
     import pandas as pd
 
-    from ..operators.text import html_to_text
-
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for fpath, content in _iter_files(batches):
             # one output frame per file: page rows never accumulate
@@ -613,13 +630,7 @@ def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
             for path_, r, status, ctype, payload in _http_responses_in_file(
                 fpath, content
             ):
-                base = ctype.split(";", 1)[0].strip().lower()
-                if base in ("text/html", "application/xhtml+xml"):
-                    text = html_to_text(decode_page_bytes(payload, ctype))
-                elif base.startswith("text/"):
-                    text = decode_page_bytes(payload, ctype)
-                else:
-                    text = None
+                text = page_text(payload, ctype)
                 rows.append(
                     (path_, r["offset"], r["record_id"], r["target_uri"],
                      status, ctype, text)

@@ -39,24 +39,32 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-RECORDS_SCHEMA = (
-    "path string, offset bigint, warc_type string, record_id string, "
-    "target_uri string, content_type string, content_length bigint, body binary"
-)
-RESPONSES_SCHEMA = (
-    "path string, offset bigint, record_id string, target_uri string, "
-    "http_status int, content_type string, payload binary"
-)
-PAGES_SCHEMA = (
-    "path string, offset bigint, record_id string, target_uri string, "
-    "http_status int, content_type string, text string"
-)
+# one source of truth with the binaryFile readers (round-14 review:
+# re-declared schema strings drift silently from the parity promise)
+from .warc import PAGES_SCHEMA, RESPONSES_SCHEMA, WARC_SCHEMA
 
 _VIEWS = {
-    "records": RECORDS_SCHEMA,
+    "records": WARC_SCHEMA,
     "responses": RESPONSES_SCHEMA,
     "pages": PAGES_SCHEMA,
 }
+
+
+def list_files(path: str, pattern: str) -> list[str]:
+    """Driver-side listing shared by the batch/stream readers here and
+    the archive DataSource: regular FILES matching the glob, sorted —
+    subdirectories (checkpoint dirs, nested shards) must never become
+    partitions, they would crash task-side ``open()``."""
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            p
+            for f in os.listdir(path)
+            if fnmatch.fnmatch(f, pattern)
+            and os.path.isfile(p := os.path.join(path, f))
+        )
+    raise ValueError(f"path {path!r} is neither file nor dir")
 
 
 class _WarcFile(InputPartition):
@@ -100,16 +108,7 @@ class WarcReader(DataSourceReader):
 
     def partitions(self):
         # listing only — no file bytes move until tasks run
-        if os.path.isfile(self.path):
-            files = [self.path]
-        elif os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if fnmatch.fnmatch(f, self.pattern)
-            )
-        else:
-            raise ValueError(f"warc: path {self.path!r} is neither file nor dir")
+        files = list_files(self.path, self.pattern)
         if not files:
             raise ValueError(
                 f"warc: no files matching {self.pattern!r} under {self.path!r}"
@@ -141,19 +140,10 @@ def _emit_file_rows(path: str, view: str):
                 path, r["offset"], r["record_id"], r["target_uri"],
                 status, ctype, payload,
             )
-        else:  # pages
-            base = ctype.split(";", 1)[0].strip().lower()
-            if base in ("text/html", "application/xhtml+xml"):
-                from ..operators.text import html_to_text
-
-                text = html_to_text(w.decode_page_bytes(payload, ctype))
-            elif base.startswith("text/"):
-                text = w.decode_page_bytes(payload, ctype)
-            else:
-                text = None
+        else:  # pages — same text step as read_warc_pages (one code path)
             yield (
                 path, r["offset"], r["record_id"], r["target_uri"],
-                status, ctype, text,
+                status, ctype, w.page_text(payload, ctype),
             )
 
 
@@ -167,32 +157,47 @@ class WarcStreamReader(DataSourceStreamReader):
     committed name is ignored, the same contract as Spark's file source
     without ``latestFirst``.  Offsets are tiny JSON dicts (one
     filename), so checkpoints stay O(1) regardless of how many files
-    ever streamed."""
+    ever streamed.  The watermark is kept MONOTONE within a session (a
+    transient empty listing — NFS hiccup — never regresses the offset
+    and never re-emits), and ``partitions`` plans nothing for a
+    regressed range; the contract this O(1) design cannot cover is
+    files DELETED across a restart and later re-created below the
+    high-water mark — landing directories must be append-only, which
+    crawl drops are."""
 
     def __init__(self, options):
         self._opts = WarcReader(options)  # shares path/pattern/view checks
+        self._high_water = ""
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
 
     def _listing(self) -> list[str]:
         r = self._opts
-        if os.path.isdir(r.path):
-            return sorted(
-                os.path.join(r.path, f)
-                for f in os.listdir(r.path)
-                if fnmatch.fnmatch(f, r.pattern)
-            )
-        if os.path.isfile(r.path):
-            return [r.path]
-        return []
+        try:
+            return list_files(r.path, r.pattern)
+        except ValueError:
+            return []  # directory not created yet / transiently absent
 
     def latestOffset(self) -> dict:
         files = self._listing()
-        return {"upto": files[-1] if files else ""}
+        # monotone: a transient empty/short listing (NFS hiccup,
+        # retention delete) must never REGRESS the offset — a smaller
+        # offset would re-plan already-committed files on recovery
+        # (round-14 review)
+        if files and files[-1] > self._high_water:
+            self._high_water = files[-1]
+        return {"upto": self._high_water}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
+        # keep the session watermark at least at the committed offset
+        # (recovery path: partitions() sees the checkpointed start
+        # before latestOffset could learn it from a listing)
+        if lo > self._high_water:
+            self._high_water = lo
+        if hi <= lo:
+            return []  # regressed/no-op range: plan nothing, re-emit nothing
         return [
             _WarcFile(p, os.path.getsize(p))
             for p in self._listing()

@@ -68,3 +68,15 @@ def test_kind_override_and_errors(spark, tmp_path):
         spark.read.format("archive").option("path", d).option(
             "pattern", "*.nope"
         ).load().count()
+
+
+def test_auto_dispatch_empty_zip_and_subdir_skip(spark, tmp_path):
+    d, _ = _write_fixture(tmp_path)
+    # a valid zero-member zip starts with the EOCD signature
+    (tmp_path / "empty.zip").write_bytes(ar.write_zip([]))
+    (tmp_path / "nested.zip").mkdir()  # directory matching the glob
+    df = (
+        spark.read.format("archive").option("path", d)
+        .option("pattern", "*.zip").load()
+    )
+    assert df.count() == 3  # a.zip's members; empty.zip adds none, no crash

@@ -826,3 +826,29 @@ def test_sniff_routes_heif_images():
     # a real movie still routes to the mp4 walk
     mv = mp4.write_mp4(n_tracks=2, timescale=600, duration_units=1200)
     assert mm.sniff_container_meta(mv)[0] == "mp4"
+
+
+def test_heif_ipma_bounds_and_sequence_brands():
+    """Round-14 review (3rd pass): crafted ipma counts must raise
+    ValueError (never IndexError after an unbounded spin), and the
+    SEQUENCE brands (avis/hevc, track-based per ISO 23008-12 §7) must
+    not be routed into the still-image item walk."""
+    import struct as _s
+
+    from query_skyline_qos_flink_spark.operators import mp4
+
+    good = bytearray(mp4.write_heif("avif", 64, 48, n_items=2))
+    ipma_at = good.find(b"ipma")
+    _s.pack_into(">I", good, ipma_at + 8, 0x00FFFFFF)  # entry_count bomb
+    with pytest.raises(ValueError, match="ipma declares"):
+        mp4.parse_heif_meta(bytes(good))
+    # sequence brands are not still images...
+    assert "avis" not in mp4.HEIF_BRANDS and "hevc" not in mp4.HEIF_BRANDS
+    with pytest.raises(ValueError, match="not a HEIF image brand"):
+        mp4.parse_heif_meta(b"\x00\x00\x00\x14ftypavis\x00\x00\x00\x00mif1")
+    # ...and the sniff sends an avis MOVIE to the track walk, not the
+    # item walk (an animated AVIF is moov-based and has no meta box)
+    seq = bytearray(mp4.write_mp4(n_tracks=1, timescale=600, duration_units=600))
+    at = seq.find(b"ftyp") + 4
+    seq[at : at + 4] = b"avis"
+    assert mm.sniff_container_meta(bytes(seq))[0] == "mp4"

@@ -130,3 +130,22 @@ def test_sniff_truncated_skippable_prefix_stays_codec_routed():
     skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"SEEKTAB!"
     with pytest.raises(ValueError, match="tar.zst"):
         ar.maybe_decompress_tar(skip + b"\x28\xb5")
+
+
+def test_concatenated_gzip_members_all_decode(tmp_path):
+    """Appended gzip logs (gzip -c >>) carry concatenated members; the
+    bounded decode must walk them all, and trailing garbage raises."""
+    import gzip as _gzip
+
+    lines = _log_lines()
+    half = len(lines) // 2
+    p = tmp_path / "appended_log"
+    p.write_bytes(
+        _gzip.compress(b"\n".join(lines[:half]) + b"\n")
+        + _gzip.compress(b"\n".join(lines[half:]) + b"\n")
+    )
+    assert {r["stage"] for r in analyze(str(p))} == {1, 2}
+    bad = tmp_path / "trailing"
+    bad.write_bytes(_gzip.compress(b"{}") + b"garbage")
+    with pytest.raises(ValueError, match="trailing"):
+        analyze(str(bad))

@@ -130,3 +130,27 @@ def test_streaming_directory_tail(spark, tmp_path):
         assert spark.sql("SELECT count(*) FROM warc_tail").first()[0] == 5
     finally:
         q.stop()
+
+
+def test_listing_skips_subdirectories(spark, tmp_path):
+    d = _write_fixture(tmp_path, n_files=2)
+    (tmp_path / "part-junk.warc.gz").mkdir()  # a DIRECTORY matching the glob
+    df = spark.read.format("warc").option("path", d).load()
+    assert df.rdd.getNumPartitions() == 2  # the subdir never became a task
+
+
+def test_stream_offset_monotone_on_empty_listing(tmp_path):
+    """A transient empty listing must not regress the offset (and so
+    never re-emits committed files)."""
+    from query_skyline_qos_flink_spark.sources.warc_datasource import WarcStreamReader
+
+    r = WarcStreamReader({"path": str(tmp_path), "pattern": "*.warc.gz"})
+    (tmp_path / "part-0001.warc.gz").write_bytes(
+        warc.write_warc_record("resource", b"x", record_id="<urn:r:1>")
+    )
+    hi = r.latestOffset()
+    assert hi["upto"].endswith("part-0001.warc.gz")
+    (tmp_path / "part-0001.warc.gz").unlink()  # listing goes empty
+    assert r.latestOffset() == hi  # monotone, no regression
+    # a regressed/no-op range plans nothing
+    assert r.partitions(hi, {"upto": ""}) == []

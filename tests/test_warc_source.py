@@ -594,3 +594,21 @@ def test_warc_zst_arbitrary_frame_grouping_property():
         assert offs == sorted(offs)
 
     run()
+
+
+def test_repeated_content_encoding_headers_join():
+    """RFC 9110 §5.3: repeated Content-Encoding lines are one list —
+    keeping only the last line hands compressed bytes downstream."""
+    import gzip
+
+    from query_skyline_qos_flink_spark.sources import native_codecs as nc
+
+    if not (nc.brotli_available() and nc.brotli_encoder_available()):
+        pytest.skip("no libbrotli")
+    page = b"double encoded page " * 50
+    layered = gzip.compress(nc.brotli_compress(page))  # br applied, then gzip
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + layered
+    )
+    assert warc.parse_http_response(body)[2] == page

@@ -68,22 +68,31 @@ def _iter_lines(path: str):
                 data = nc.lz4_decompress_bounded(data, ceiling, what="eventlog")
         elif data[:2] == b"\x1f\x8b":
             # bounded, like the codec-bridge paths: gzip allows ~1032x
-            # inflation, a one-shot gzip.decompress could OOM the box
+            # inflation, a one-shot gzip.decompress could OOM the box.
+            # Concatenated members are legal (appended `gzip -c >>` logs,
+            # pigz) and must ALL decode — stopping at the first eof would
+            # silently truncate the forensics (round-14 review).
             import zlib
 
-            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
             parts, total, buf = [], 0, data
-            while True:
-                chunk = d.decompress(buf, 1 << 20)
-                total += len(chunk)
-                if total > ceiling:
-                    raise ValueError(f"{f}: gzip log inflates past {ceiling} bytes")
-                parts.append(chunk)
-                if d.eof:
-                    break
-                if not d.unconsumed_tail:
-                    raise ValueError(f"{f}: truncated gzip event log")
-                buf = d.unconsumed_tail
+            while buf:
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                while True:
+                    chunk = d.decompress(buf, 1 << 20)
+                    total += len(chunk)
+                    if total > ceiling:
+                        raise ValueError(
+                            f"{f}: gzip log inflates past {ceiling} bytes"
+                        )
+                    parts.append(chunk)
+                    if d.eof:
+                        break
+                    if not d.unconsumed_tail:
+                        raise ValueError(f"{f}: truncated gzip event log")
+                    buf = d.unconsumed_tail
+                buf = d.unused_data
+                if buf and buf[:2] != b"\x1f\x8b":
+                    raise ValueError(f"{f}: trailing bytes after the gzip log")
             data = b"".join(parts)
         elif data[:1] not in (b"{", b"[", b"", b"\n", b" "):
             # an unsupported compression codec (e.g. snappy) must fail
