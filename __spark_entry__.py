@@ -90,8 +90,11 @@ _DRIVER_PRIORITY = [
 #   = 43), plus any round-14 registration that misses the round-14
 #   window.
 # * Round-14 mid-round changes a round-15 rotation must know about:
-#   record them here as they happen (newborn registrations, retires,
-#   fill-slot swaps).
+#   NONE — no registrations, no retires, no fill-slot swaps (registry
+#   stays at exactly 140).  The round's new codec/packaging classes
+#   (tar.zst/tar.lz4/zip-method-93 in x_archive_extract; br-CE,
+#   combined TE+CE, and .warc.zst files in x_warc_extract) ride
+#   EXISTING gated queries, so the staleness math is unchanged.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
