@@ -26,10 +26,15 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .archives import ARCHIVE_SCHEMA
-from .warc_datasource import list_files
+from .warc_datasource import FileTailStreamReader, list_files
 
 _KINDS = ("auto", "zip", "tar")
 
@@ -52,6 +57,9 @@ class ArchiveDataSource(DataSource):
 
     def reader(self, schema) -> "ArchiveReader":
         return ArchiveReader(self.options)
+
+    def streamReader(self, schema) -> "ArchiveStreamReader":
+        return ArchiveStreamReader(self.options)
 
 
 class ArchiveReader(DataSourceReader):
@@ -88,6 +96,22 @@ class ArchiveReader(DataSourceReader):
         parse = ar.parse_zip_members if kind == "zip" else ar.parse_tar_any
         for m in parse(content):
             yield (partition.path, m["name"], m["offset"], m["size"], m["body"])
+
+
+class ArchiveStreamReader(FileTailStreamReader):
+    """Directory-tailing archive ingestion for
+    ``spark.readStream.format("archive")`` (offset contract in the
+    base class): each newly landed archive becomes one partition whose
+    members explode through the same strict walks as the batch
+    reader."""
+
+    def __init__(self, options):
+        self._opts = ArchiveReader(options)  # shares path/pattern/kind checks
+        self._path, self._pattern = self._opts.path, self._opts.pattern
+        self._high_water = ""
+
+    def read(self, partition):
+        yield from self._opts.read(partition)
 
 
 def register(spark) -> None:

@@ -147,9 +147,9 @@ def _emit_file_rows(path: str, view: str):
             )
 
 
-class WarcStreamReader(DataSourceStreamReader):
-    """Directory-tailing crawl ingestion:
-    ``spark.readStream.format("warc")`` picks up WARC files that landed
+class FileTailStreamReader(DataSourceStreamReader):
+    """Generic directory-tailing stream reader shared by the ``warc``
+    and ``archive`` formats: each micro-batch picks up files that landed
     since the last committed offset, one executor-side partition per
     new file.  Offsets are high-water marks over the lexicographically
     sorted listing — the crawl-drop shape where shard names increase
@@ -163,19 +163,18 @@ class WarcStreamReader(DataSourceStreamReader):
     regressed range; the contract this O(1) design cannot cover is
     files DELETED across a restart and later re-created below the
     high-water mark — landing directories must be append-only, which
-    crawl drops are."""
+    crawl drops are.  Subclasses set ``_path``/``_pattern`` and
+    implement ``read``."""
 
-    def __init__(self, options):
-        self._opts = WarcReader(options)  # shares path/pattern/view checks
-        self._high_water = ""
+    _path: str
+    _pattern: str
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
 
     def _listing(self) -> list[str]:
-        r = self._opts
         try:
-            return list_files(r.path, r.pattern)
+            return list_files(self._path, self._pattern)
         except ValueError:
             return []  # directory not created yet / transiently absent
 
@@ -185,16 +184,16 @@ class WarcStreamReader(DataSourceStreamReader):
         # retention delete) must never REGRESS the offset — a smaller
         # offset would re-plan already-committed files on recovery
         # (round-14 review)
-        if files and files[-1] > self._high_water:
+        if files and files[-1] > getattr(self, "_high_water", ""):
             self._high_water = files[-1]
-        return {"upto": self._high_water}
+        return {"upto": getattr(self, "_high_water", "")}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
         # keep the session watermark at least at the committed offset
         # (recovery path: partitions() sees the checkpointed start
         # before latestOffset could learn it from a listing)
-        if lo > self._high_water:
+        if lo > getattr(self, "_high_water", ""):
             self._high_water = lo
         if hi <= lo:
             return []  # regressed/no-op range: plan nothing, re-emit nothing
@@ -204,11 +203,22 @@ class WarcStreamReader(DataSourceStreamReader):
             if lo < p <= hi
         ]
 
-    def read(self, partition: _WarcFile):
-        yield from _emit_file_rows(partition.path, self._opts.view)
-
     def commit(self, end: dict) -> None:
         pass  # the offset dict itself is the whole state
+
+
+class WarcStreamReader(FileTailStreamReader):
+    """Directory-tailing crawl ingestion for
+    ``spark.readStream.format("warc")`` (see the base class for the
+    offset contract)."""
+
+    def __init__(self, options):
+        self._opts = WarcReader(options)  # shares path/pattern/view checks
+        self._path, self._pattern = self._opts.path, self._opts.pattern
+        self._high_water = ""
+
+    def read(self, partition: _WarcFile):
+        yield from _emit_file_rows(partition.path, self._opts.view)
 
 
 def register(spark) -> None:

@@ -80,3 +80,32 @@ def test_auto_dispatch_empty_zip_and_subdir_skip(spark, tmp_path):
         .option("pattern", "*.zip").load()
     )
     assert df.count() == 3  # a.zip's members; empty.zip adds none, no crash
+
+
+def test_streaming_archive_tail(spark, tmp_path):
+    """readStream.format('archive'): archives landing between batches
+    are exploded exactly once (shared FileTailStreamReader contract)."""
+    land = tmp_path / "drop"
+    land.mkdir()
+    mk = lambda f: [(f"doc-{f}-{i}.txt", f"b{f}{i}".encode()) for i in range(2)]
+    (land / "part-0000.tar").write_bytes(ar.write_tar(mk(0)))
+    q = (
+        spark.readStream.format("archive").option("path", str(land))
+        .load()
+        .writeStream.format("memory").queryName("arch_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM arch_tail").first()[0] == 2
+        (land / "part-0001.zip").write_bytes(ar.write_zip(mk(1)))
+        q.processAllAvailable()
+        got = spark.sql("SELECT member FROM arch_tail").collect()
+        assert sorted(r.member for r in got) == [
+            "doc-0-0.txt", "doc-0-1.txt", "doc-1-0.txt", "doc-1-1.txt",
+        ]
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM arch_tail").first()[0] == 4
+    finally:
+        q.stop()
