@@ -34,14 +34,9 @@ from pyspark.sql.datasource import (
 )
 
 from .archives import ARCHIVE_SCHEMA
-from .warc_datasource import FileTailStreamReader, list_files
+from .warc_datasource import FilePartition, FileTailStreamReader, list_files
 
 _KINDS = ("auto", "zip", "tar")
-
-
-class _ArchiveFile(InputPartition):
-    def __init__(self, path: str, size: int):
-        self.path, self.size = path, size
 
 
 class ArchiveDataSource(DataSource):
@@ -78,9 +73,9 @@ class ArchiveReader(DataSourceReader):
             raise ValueError(
                 f"archive: no files matching {self.pattern!r} under {self.path!r}"
             )
-        return [_ArchiveFile(p, os.path.getsize(p)) for p in files]
+        return [FilePartition(p, os.path.getsize(p)) for p in files]
 
-    def read(self, partition: _ArchiveFile):
+    def read(self, partition: FilePartition):
         from . import archives as ar
 
         with open(partition.path, "rb") as fh:
@@ -108,7 +103,6 @@ class ArchiveStreamReader(FileTailStreamReader):
     def __init__(self, options):
         self._opts = ArchiveReader(options)  # shares path/pattern/kind checks
         self._path, self._pattern = self._opts.path, self._opts.pattern
-        self._high_water = ""
 
     def read(self, partition):
         yield from self._opts.read(partition)

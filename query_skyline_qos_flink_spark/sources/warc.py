@@ -480,7 +480,14 @@ def parse_http_response(body: bytes) -> tuple[int, str, bytes]:
         if key == b"content-type":
             content_type = v.strip().decode("latin-1")
         elif key == b"transfer-encoding":
-            transfer_encoding = v.strip().decode("latin-1").lower()
+            # RFC 9110 §5.3: repeated lines join into one list — keeping
+            # only the last would let 'TE: gzip' + 'TE: chunked' dechunk
+            # and hand gzip bytes downstream as page text instead of
+            # hitting the non-chunked-TE seam below (round-14 review)
+            te = v.strip().decode("latin-1").lower()
+            transfer_encoding = (
+                f"{transfer_encoding}, {te}" if transfer_encoding else te
+            )
         elif key == b"content-encoding":
             # RFC 9110 §5.3: repeated header lines are equivalent to one
             # comma-joined list — keeping only the last line would undo
@@ -598,16 +605,26 @@ PAGES_SCHEMA = (
 )
 
 
+_html_to_text = None
+
+
 def page_text(payload: bytes, ctype: str) -> str | None:
     """The WET text step shared by ``read_warc_pages`` and the ``warc``
     DataSource's pages view: charset-aware byte decode, ``html_to_text``
     for HTML content types, pass-through for other text/*, NULL for
-    non-text payloads."""
-    from ..operators.text import html_to_text
+    non-text payloads.  The html_to_text binding is cached after the
+    first call: this runs per RESPONSE ROW on the WET hot path, and
+    operators.text pulls pyspark.sql eagerly — neither per-row import
+    machinery nor an unconditional module-level pull is right for this
+    otherwise pure-bytes module."""
+    global _html_to_text
+    if _html_to_text is None:
+        from ..operators.text import html_to_text
 
+        _html_to_text = html_to_text
     base = ctype.split(";", 1)[0].strip().lower()
     if base in ("text/html", "application/xhtml+xml"):
-        return html_to_text(decode_page_bytes(payload, ctype))
+        return _html_to_text(decode_page_bytes(payload, ctype))
     if base.startswith("text/"):
         return decode_page_bytes(payload, ctype)
     return None

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
 
 # one source of truth with the binaryFile readers (round-14 review:
 # re-declared schema strings drift silently from the parity promise)
+from . import warc as w
 from .warc import PAGES_SCHEMA, RESPONSES_SCHEMA, WARC_SCHEMA
 
 _VIEWS = {
@@ -67,7 +68,10 @@ def list_files(path: str, pattern: str) -> list[str]:
     raise ValueError(f"path {path!r} is neither file nor dir")
 
 
-class _WarcFile(InputPartition):
+class FilePartition(InputPartition):
+    """One file = one partition (shared by the warc and archive
+    formats, batch and streaming alike)."""
+
     def __init__(self, path: str, size: int):
         self.path, self.size = path, size
 
@@ -113,17 +117,15 @@ class WarcReader(DataSourceReader):
             raise ValueError(
                 f"warc: no files matching {self.pattern!r} under {self.path!r}"
             )
-        return [_WarcFile(p, os.path.getsize(p)) for p in files]
+        return [FilePartition(p, os.path.getsize(p)) for p in files]
 
-    def read(self, partition: _WarcFile):
+    def read(self, partition: FilePartition):
         yield from _emit_file_rows(partition.path, self.view)
 
 
 def _emit_file_rows(path: str, view: str):
     """Task-side row emission shared by the batch and stream readers:
     one file, one strict walk, rows per the requested view."""
-    from . import warc as w
-
     with open(path, "rb") as fh:
         content = fh.read()
     if view == "records":
@@ -159,8 +161,10 @@ class FileTailStreamReader(DataSourceStreamReader):
     filename), so checkpoints stay O(1) regardless of how many files
     ever streamed.  The watermark is kept MONOTONE within a session (a
     transient empty listing — NFS hiccup — never regresses the offset
-    and never re-emits), and ``partitions`` plans nothing for a
-    regressed range; the contract this O(1) design cannot cover is
+    and never re-emits), and ``partitions`` FAILS LOUDLY on a regressed
+    range (a regressed end can only come from an offset log poisoned
+    before a restart; planning an empty batch would commit it and
+    re-emit every file); the contract this O(1) design cannot cover is
     files DELETED across a restart and later re-created below the
     high-water mark — landing directories must be append-only, which
     crawl drops are.  Subclasses set ``_path``/``_pattern`` and
@@ -168,6 +172,7 @@ class FileTailStreamReader(DataSourceStreamReader):
 
     _path: str
     _pattern: str
+    _high_water: str = ""  # session watermark; instances shadow on write
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
@@ -184,21 +189,32 @@ class FileTailStreamReader(DataSourceStreamReader):
         # retention delete) must never REGRESS the offset — a smaller
         # offset would re-plan already-committed files on recovery
         # (round-14 review)
-        if files and files[-1] > getattr(self, "_high_water", ""):
+        if files and files[-1] > self._high_water:
             self._high_water = files[-1]
-        return {"upto": getattr(self, "_high_water", "")}
+        return {"upto": self._high_water}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
         # keep the session watermark at least at the committed offset
         # (recovery path: partitions() sees the checkpointed start
         # before latestOffset could learn it from a listing)
-        if lo > getattr(self, "_high_water", ""):
+        if lo > self._high_water:
             self._high_water = lo
-        if hi <= lo:
-            return []  # regressed/no-op range: plan nothing, re-emit nothing
+        if hi < lo:
+            # a REGRESSED end can only come from a pre-session offset
+            # log poisoned by a transient empty listing before restart;
+            # planning [] would commit the regressed offset and re-emit
+            # every file next batch — fail the batch loudly instead
+            # (round-14 review, 4th pass)
+            raise ValueError(
+                f"stream offset regressed ({hi!r} < committed {lo!r}): "
+                "the landing directory listing went backwards — restart "
+                "the query once the directory is visible again"
+            )
+        if hi == lo:
+            return []  # no-op range
         return [
-            _WarcFile(p, os.path.getsize(p))
+            FilePartition(p, os.path.getsize(p))
             for p in self._listing()
             if lo < p <= hi
         ]
@@ -215,9 +231,8 @@ class WarcStreamReader(FileTailStreamReader):
     def __init__(self, options):
         self._opts = WarcReader(options)  # shares path/pattern/view checks
         self._path, self._pattern = self._opts.path, self._opts.pattern
-        self._high_water = ""
 
-    def read(self, partition: _WarcFile):
+    def read(self, partition: FilePartition):
         yield from _emit_file_rows(partition.path, self._opts.view)
 
 

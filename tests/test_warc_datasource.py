@@ -152,5 +152,9 @@ def test_stream_offset_monotone_on_empty_listing(tmp_path):
     assert hi["upto"].endswith("part-0001.warc.gz")
     (tmp_path / "part-0001.warc.gz").unlink()  # listing goes empty
     assert r.latestOffset() == hi  # monotone, no regression
-    # a regressed/no-op range plans nothing
-    assert r.partitions(hi, {"upto": ""}) == []
+    # a no-op range plans nothing; a REGRESSED range fails loudly (it
+    # can only come from a poisoned pre-restart offset log — planning
+    # [] would commit it and re-emit everything next batch)
+    assert r.partitions(hi, hi) == []
+    with pytest.raises(ValueError, match="offset regressed"):
+        r.partitions(hi, {"upto": ""})
