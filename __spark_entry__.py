@@ -41,60 +41,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 14
-# Round-14 window: the 42 live entries whose latest driver row is
-# round 11 (computed MECHANICALLY from the union of
-# CORRECTNESS_r01..r13.json; matches both the round-13 verdict's
-# mechanical recount and the round-13 worksheet) hit the hard
-# staleness bound and take the front.  The 8 fill slots go to entries
-# whose code paths this round touches: x_archive_extract gates the
-# new .tar.zst envelope class (libzstd ctypes bridge, verdict item 2)
-# plus the ADVICE tar-prefix/zip64 fixes, x_warc_extract gates the new
-# brotli content-encoding class (%3 → %4 framing rotation, verdict
-# item 3) plus the per-file-yield memory fix (item 4),
-# x_multimodal_meta's mp3 class and x_audio_features ride the ID3v1
-# trim-retry reorder (ADVICE item 4), and four round-12-cohort skyline
-# queries (s22/s23/s28/s29) re-gate any skyline-path mitigation from
-# the anti_3d bimodality root-cause (item 5) while flattening the
-# round-15 must-gate load from 48 to 43 (48 round-12 rows minus the
-# 5 round-12 fills below — matches the worksheet).
+_ROTATED_FOR = 15
+# Round-15 window: the 43 live entries whose latest driver row is
+# round 12 (computed MECHANICALLY from the union of
+# CORRECTNESS_r01..r14.json; matches the round-14 verdict's mechanical
+# recount AND the round-14 worksheet, both said 43) hit the hard
+# staleness bound and take the front.  The 7 fill slots go to entries
+# whose code paths this round touches: x_multimodal_meta gates the new
+# HEIF/AVIF still-image fixture class (verdict item 5); the three
+# s9_twophase_* variants plus m1_partition_stats re-gate the
+# persist-lifecycle A/B of the s9_twophase_dim mover (item 3 — they
+# share the phase-1 persist double-use the round-14 MRU refresh
+# changed); x_dedup_clusters_lsh re-gates the checkpoint_rotate
+# storage-release path (caching.py:108, same file as item 3); and
+# x_cdc_dedup is the displaceable slot for the new streaming-
+# DataSource-tail registration (item 4 — the round-13 pattern: the
+# newborn takes this slot mid-round and x_cdc_dedup returns to its
+# r13 cohort).  Five of the seven fills are r13-cohort, flattening the
+# round-16 must-gate load from 47 to 42.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 11, at the bound for round 14
-    "r15_grouping_sets", "r16_lag_delta", "r17_pivot_priority",
-    "r18_ntile_deciles", "r19_range_frame", "r1_agg_pricing_summary",
-    "r22_topn_per_group", "r23_salted_skew_join", "r24_event_funnel",
-    "r25_cohort_retention", "r2_join_topk_revenue", "r5_rollup_counts",
-    "r6_orders_by_year", "r8_setops_nations", "s12_stream_replay_3d",
-    "s16_stream_session", "s17_stream_static_dedup",
-    "s19_stream_interval_join", "s21_stream_scrub", "s25_stream_skyband",
-    "s30_prob_skyline", "s31_thick_skyline", "s32_stream_cdc_dedup",
-    "s33_grouped_skyband", "s34_skycube_4d", "s35_stream_cdc_watermark",
-    "x_char_entropy", "x_clean_text", "x_datapipe_prep",
-    "x_domain_stats", "x_embed_centroids", "x_embed_gram",
-    "x_fuzzy_match", "x_image_resize", "x_jpeg_ahash_dedup",
-    "x_langid", "x_pii_scrub", "x_pmi_pairs",
-    "x_tfidf_topterms", "x_token_stats", "x_winnow_pairs",
-    "x_zorder_stats",
+    # stale: last driver row round 12, at the bound for round 15
+    "m2_strategy_stats", "r26_integrity_checks", "s11_stream_replay",
+    "s13_stream_window", "s36_stream_metrics", "x_ann_blocked",
+    "x_ann_multiprobe", "x_ann_recall", "x_bfs_hops",
+    "x_blocklist_filter", "x_bloom_prune_semi", "x_bpe_apply",
+    "x_bpe_train_k", "x_contamination", "x_coreness",
+    "x_cosine_neardup", "x_dedup_normalized", "x_doc_chunks",
+    "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
+    "x_heavy_hitters", "x_histogram", "x_hll_distinct",
+    "x_image_ahash_dedup", "x_image_neardup_pairs", "x_kmeans_iter",
+    "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
+    "x_ngram_topk", "x_pagerank", "x_pattern_counts",
+    "x_profile_columns", "x_quality_filter", "x_repetition",
+    "x_sample_stratified", "x_seq_packing", "x_snapshot_diff",
+    "x_span_dedup", "x_text_quality", "x_train_test_split",
+    "x_weighted_mix",
     # fills: code paths this round touches (see header comment)
-    "x_archive_extract", "x_warc_extract", "x_multimodal_meta",
-    "x_audio_features", "s22_skyband", "s23_top_dominating",
-    "s28_kdominant_skyline", "s29_skyline_layers",
+    "x_multimodal_meta", "s9_twophase_dim", "s9_twophase_grid",
+    "s9_twophase_angle", "m1_partition_stats", "x_dedup_clusters_lsh",
+    "x_cdc_dedup",
 ]
-# Round-15 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 15: every entry whose latest driver
-#   row is round 12 and which sits outside this round-14 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-14
-#   artifact lands (at round-14 rotation time: 48 round-12 rows minus
-#   the 5 round-12 fills above, x_audio_features / s22_skyband /
-#   s23_top_dominating / s28_kdominant_skyline / s29_skyline_layers,
-#   = 43), plus any round-14 registration that misses the round-14
-#   window.
-# * Round-14 mid-round changes a round-15 rotation must know about:
-#   NONE — no registrations, no retires, no fill-slot swaps (registry
-#   stays at exactly 140).  The round's new codec/packaging classes
-#   (tar.zst/tar.lz4/zip-method-93 in x_archive_extract; br-CE,
-#   combined TE+CE, and .warc.zst files in x_warc_extract) ride
-#   EXISTING gated queries, so the staleness math is unchanged.
+# Round-16 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 16: every entry whose latest driver
+#   row is round 13 and which sits outside this round-15 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-15
+#   artifact lands (at round-15 rotation time: 47 round-13 rows minus
+#   the 5 round-13 fills above, s9_twophase_dim / s9_twophase_grid /
+#   s9_twophase_angle / m1_partition_stats / x_dedup_clusters_lsh,
+#   = 42 — x_cdc_dedup only stays subtracted if it is NOT displaced
+#   mid-round by a newborn registration; if displaced, 43), plus any
+#   round-15 registration that misses the round-15 window.
+# * Round-15 mid-round changes a round-16 rotation must know about:
+#   s37_stream_warc_tail registered (displacing x_cdc_dedup back to
+#   its r13 cohort → 43 round-16 must-gates) and s26_skycube retired
+#   to an exact anchor (subsumed by s34_skycube_4d; r13 cohort −1
+#   → 42 net).  Registry stays at exactly 140.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
