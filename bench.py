@@ -114,6 +114,10 @@ CORPUS_QUERIES = [
 # at identical code.  The first rep's one-time codegen/AQE-compile cost
 # is naturally discarded by the median (it is almost always the max);
 # the rep lists adjudicate anything surprising.
+# FIXTURE-SYNTH suite entries: inputs are attach_synth_payload* media
+# fixtures encoded from scratch inside the first rep's workers (see the
+# corpus loop) — they get one untimed, recorded warm rep.
+FIXTURE_SYNTH_QUERIES = {"x_image_neardup_pairs", "x_jpeg_ahash_dedup"}
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
 # scale-path queries measured at both sfs -> their driving input table
 SCALING_QUERIES = {
@@ -351,10 +355,32 @@ def main() -> None:
         # median-of-3 for every suite entry (one agg semantics across the
         # headline map, r12): the first rep's one-time codegen/broadcast/
         # AQE-compile cost lands at the max and the median discards it.
+        #
+        # Fixture-synth queries get ONE untimed warm rep first (recorded
+        # as fixture_warm_s in the spreads block, never hidden): their
+        # inputs are attach_synth_payload* fixtures whose from-scratch
+        # ENCODES (progressive JPEG, VP8L) run inside the first rep's
+        # workers and then sit in per-worker lru caches — rep 1 was
+        # measuring fixture construction, not the operator (r14's
+        # x_image_neardup_pairs reps [23.1, 0.45, 0.34], a 67x spread for
+        # three straight rounds; root-caused r15, see SCALE.md).  A real
+        # deployment reads already-encoded bytes from storage, so the
+        # encode cost is bench-fixture-only; the decode+hash+join operator
+        # path is what the timed reps measure.
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
+            warm_s = None
+            if name in FIXTURE_SYNTH_QUERIES:
+                t0 = time.time()
+                try:
+                    spec.fn(spark, SF_DIR).count()
+                    warm_s = round(time.time() - t0, 3)
+                except Exception:
+                    pass  # the timed rep will record the real error
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(),
                   repeats=3, agg="median")
+            if warm_s is not None and name in spreads:
+                spreads[name]["fixture_warm_s"] = warm_s
 
         if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
                 and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):

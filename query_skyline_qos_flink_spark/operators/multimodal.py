@@ -1652,6 +1652,25 @@ def decode_wav_samples(payload: bytes):
     raise ValueError(f"WAV format tag {tag} unsupported (mp3/ogg need soundfile)")
 
 
+def _fanout_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread an id-only projection across cores before a per-row-expensive
+    synthesis ``mapInPandas``: small fixture tables often arrive as ONE
+    input split (sf0.1 documents is a single 584 KB parquet file), which
+    serializes the from-scratch encodes onto a single python worker — the
+    round-14 bench's 23 s `x_image_neardup_pairs` rep-1 was exactly this
+    shape (12.4 s synth + ~10 s decode, one task, 31 idle cores).  The
+    exchange carries only the 8-byte ids, so it is safe at any scale; a
+    table that already has >= defaultParallelism splits is left alone."""
+    out = df.select(id_col)
+    target = out.sparkSession.sparkContext.defaultParallelism
+    try:
+        if out.rdd.getNumPartitions() < target:
+            out = out.repartition(target)
+    except Exception:  # pragma: no cover - plan not RDD-convertible
+        pass
+    return out
+
+
 def attach_synth_payload(
     df: DataFrame,
     kind: str,
@@ -1685,7 +1704,7 @@ def attach_synth_payload(
                 {id_col: pdf[id_col], "payload": [gen(int(k)) for k in keys]}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=schema)
+    return _fanout_ids(df, id_col).mapInPandas(fn, schema=schema)
 
 
 def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1727,7 +1746,7 @@ def attach_synth_payload_twins(df: DataFrame, id_col: str = "doc_id") -> DataFra
                     payloads.append(synth_png_payload(key, flip_block=flip))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(fn, schema=schema)
+    return _fanout_ids(df, id_col).mapInPandas(fn, schema=schema)
 
 
 @_lru_cache(maxsize=4096)
