@@ -16,8 +16,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,7 +35,18 @@ def get_spark(app_name: str = "skyline-engine", cpus: int | None = None) -> Spar
         # dispatches on whichever dtype actually arrives.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    if not os.environ.get("SPARK_GRAFT_NO_PRELOAD_DAEMON"):
+    # The daemon override is gated on a local[*] master: the daemon
+    # module must be importable by the EXECUTOR-side interpreter at
+    # daemon launch, which holds trivially in local mode (same machine,
+    # PYTHONPATH exported below) but NOT for cluster deployments that
+    # ship the package via --py-files/--archives — those distribute code
+    # AFTER the daemon starts, so the override would fail python-worker
+    # startup cluster-wide.  On a cluster, install the package on the
+    # executor images (pip/conda) and set spark.python.daemon.module
+    # yourself; SPARK_GRAFT_NO_PRELOAD_DAEMON=1 opts local mode out too.
+    if master.startswith("local") and not os.environ.get(
+        "SPARK_GRAFT_NO_PRELOAD_DAEMON"
+    ):
         # Pre-import the Arrow/pandas stack ONCE per executor in the
         # python-worker daemon; forked workers inherit it copy-on-write
         # (see spark_daemon.py — a 32-worker import storm costs ~20 s of

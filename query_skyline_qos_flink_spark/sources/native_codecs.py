@@ -296,6 +296,11 @@ class ZstdDecompressor:
     """
 
     def __init__(self, dict_data: bytes | None = None):
+        # before anything that can raise: __del__ reads these, and a
+        # missing library / failed createDCtx must not turn the finalizer
+        # into "Exception ignored in __del__" noise
+        self._dctx = None
+        self._lib = None
         lib = _zstd()
         if lib is None:
             raise RuntimeError("libzstd shared library not available")
@@ -533,6 +538,8 @@ class Lz4Decompressor:
     """
 
     def __init__(self):
+        self._dctx = None  # __del__-safe before any raising call
+        self._lib = None
         lib = _lz4()
         if lib is None:
             raise RuntimeError("liblz4 shared library not available")

@@ -155,11 +155,17 @@ class FileTailStreamReader(DataSourceStreamReader):
     since the last committed offset, one executor-side partition per
     new file.  Offsets are high-water marks over the lexicographically
     sorted listing — the crawl-drop shape where shard names increase
-    monotonically (``part-000…``); a file that sorts BELOW an already
-    committed name is ignored, the same contract as Spark's file source
-    without ``latestFirst``.  Offsets are tiny JSON dicts (one
-    filename), so checkpoints stay O(1) regardless of how many files
-    ever streamed.  The watermark is kept MONOTONE within a session (a
+    monotonically (``part-000…``).  This is a STRICTER contract than
+    Spark's built-in file source (which tracks a seen-files map and
+    does pick up names that sort below ones already processed): here a
+    file landing BELOW an already committed name is never planned —
+    producers must write monotone names (atomic-rename with sortable
+    shard/timestamp prefixes).  The trade is deliberate: offsets are
+    tiny JSON dicts (one filename), so checkpoints stay O(1) regardless
+    of how many files ever streamed, where the seen-map design grows
+    with file count.  Out-of-order landings are not silent, though —
+    ``latestOffset`` WARNs once per offending file when a name appears
+    below the watermark that was not in the session's baseline listing.  The watermark is kept MONOTONE within a session (a
     transient empty listing — NFS hiccup — never regresses the offset
     and never re-emits), and ``partitions`` FAILS LOUDLY on a regressed
     range (a regressed end can only come from an offset log poisoned
@@ -173,6 +179,10 @@ class FileTailStreamReader(DataSourceStreamReader):
     _path: str
     _pattern: str
     _high_water: str = ""  # session watermark; instances shadow on write
+    # names at-or-below the watermark already accounted for (committed
+    # pre-restart, or planned this session) — DRIVER-memory only, never
+    # checkpointed, used solely to detect out-of-order landings
+    _accounted: frozenset[str] = frozenset()
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
@@ -185,12 +195,38 @@ class FileTailStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = self._listing()
+        # out-of-order landing detection: a name at-or-below the current
+        # watermark that was not in the session's baseline (the first
+        # listing after the watermark was learned) will NEVER be planned
+        # under the monotone contract — say so instead of silence.  One
+        # warning per file: _accounted absorbs it after the first report.
+        if self._high_water:
+            late = [
+                p for p in files if p <= self._high_water and p not in self._accounted
+            ]
+            if late:
+                import warnings
+
+                warnings.warn(
+                    f"{type(self).__name__}: {len(late)} file(s) landed at or "
+                    f"below the committed watermark {self._high_water!r} and "
+                    f"will not be streamed (monotone-naming contract): "
+                    f"{late[:3]}{'…' if len(late) > 3 else ''}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self._accounted = self._accounted | frozenset(late)
         # monotone: a transient empty/short listing (NFS hiccup,
         # retention delete) must never REGRESS the offset — a smaller
         # offset would re-plan already-committed files on recovery
         # (round-14 review)
         if files and files[-1] > self._high_water:
+            # everything up to the new watermark is about to be planned
+            # (or predates the session) — baseline it as accounted
             self._high_water = files[-1]
+            self._accounted = self._accounted | frozenset(
+                p for p in files if p <= self._high_water
+            )
         return {"upto": self._high_water}
 
     def partitions(self, start: dict, end: dict):
@@ -213,11 +249,12 @@ class FileTailStreamReader(DataSourceStreamReader):
             )
         if hi == lo:
             return []  # no-op range
-        return [
-            FilePartition(p, os.path.getsize(p))
-            for p in self._listing()
-            if lo < p <= hi
-        ]
+        planned = [p for p in self._listing() if lo < p <= hi]
+        # a file can land between latestOffset's listing and this one and
+        # still make the batch — account for it so the late-landing
+        # warning never fires for a file that WAS streamed
+        self._accounted = self._accounted | frozenset(planned)
+        return [FilePartition(p, os.path.getsize(p)) for p in planned]
 
     def commit(self, end: dict) -> None:
         pass  # the offset dict itself is the whole state

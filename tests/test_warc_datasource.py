@@ -158,3 +158,48 @@ def test_stream_offset_monotone_on_empty_listing(tmp_path):
     assert r.partitions(hi, hi) == []
     with pytest.raises(ValueError, match="offset regressed"):
         r.partitions(hi, {"upto": ""})
+
+
+def test_stream_warns_on_out_of_order_landing(tmp_path):
+    """A file landing BELOW the committed watermark is never planned
+    (monotone-naming contract, stricter than Spark's seen-map file
+    source) — but it must warn, once per file, instead of dropping
+    silently.  Files present when the watermark is first learned are
+    baseline-accounted (no restart warning burst), and a file actually
+    planned in a batch never warns."""
+    import warnings as _warnings
+
+    from query_skyline_qos_flink_spark.sources.warc_datasource import WarcStreamReader
+
+    r = WarcStreamReader({"path": str(tmp_path), "pattern": "*.warc.gz"})
+    rec = warc.write_warc_record("resource", b"x", record_id="<urn:r:1>")
+    (tmp_path / "part-0002.warc.gz").write_bytes(rec)
+    (tmp_path / "part-0005.warc.gz").write_bytes(rec)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # baseline listing must not warn
+        hi = r.latestOffset()
+    assert hi["upto"].endswith("part-0005.warc.gz")
+    # plan the initial range: both files stream, still no warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        parts = r.partitions({"upto": ""}, hi)
+    assert len(parts) == 2
+
+    # out-of-order landing below the watermark -> one warning, no plan
+    (tmp_path / "part-0003.warc.gz").write_bytes(rec)
+    with pytest.warns(RuntimeWarning, match="part-0003"):
+        assert r.latestOffset() == hi
+    # absorbed: the same file never warns twice
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert r.latestOffset() == hi
+
+    # a NEW high file still advances the offset and plans normally,
+    # without re-surfacing the dropped straggler
+    (tmp_path / "part-0006.warc.gz").write_bytes(rec)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        hi2 = r.latestOffset()
+        planned = [p.path for p in r.partitions(hi, hi2)]
+    assert hi2["upto"].endswith("part-0006.warc.gz")
+    assert len(planned) == 1 and planned[0].endswith("part-0006.warc.gz")
