@@ -54,11 +54,11 @@ _ROTATED_FOR = 15
 # share the phase-1 persist double-use the round-14 MRU refresh
 # changed); x_dedup_clusters_lsh re-gates the checkpoint_rotate
 # storage-release path (caching.py:108, same file as item 3); and
-# x_cdc_dedup is the displaceable slot for the new streaming-
-# DataSource-tail registration (item 4 — the round-13 pattern: the
-# newborn takes this slot mid-round and x_cdc_dedup returns to its
-# r13 cohort).  Five of the seven fills are r13-cohort, flattening the
-# round-16 must-gate load from 47 to 42.
+# s37_stream_warc_tail (registered mid-round per item 4, displacing the
+# x_cdc_dedup placeholder back to its r13 cohort — the round-13
+# pattern) gates the round-14 streaming-DataSource tail path end to
+# end.  Five of the seven fills are r13-cohort, flattening the
+# round-16 must-gate load (see worksheet below).
 _DRIVER_PRIORITY = [
     # stale: last driver row round 12, at the bound for round 15
     "m2_strategy_stats", "r26_integrity_checks", "s11_stream_replay",
@@ -79,23 +79,24 @@ _DRIVER_PRIORITY = [
     # fills: code paths this round touches (see header comment)
     "x_multimodal_meta", "s9_twophase_dim", "s9_twophase_grid",
     "s9_twophase_angle", "m1_partition_stats", "x_dedup_clusters_lsh",
-    "x_cdc_dedup",
+    "s37_stream_warc_tail",
 ]
 # Round-16 rotation worksheet (write it BEFORE touching the list):
 # * MUST take the front at round 16: every entry whose latest driver
 #   row is round 13 and which sits outside this round-15 window —
 #   compute mechanically from CORRECTNESS_r0*.json once the round-15
-#   artifact lands (at round-15 rotation time: 47 round-13 rows minus
-#   the 5 round-13 fills above, s9_twophase_dim / s9_twophase_grid /
-#   s9_twophase_angle / m1_partition_stats / x_dedup_clusters_lsh,
-#   = 42 — x_cdc_dedup only stays subtracted if it is NOT displaced
-#   mid-round by a newborn registration; if displaced, 43), plus any
-#   round-15 registration that misses the round-15 window.
-# * Round-15 mid-round changes a round-16 rotation must know about:
-#   s37_stream_warc_tail registered (displacing x_cdc_dedup back to
-#   its r13 cohort → 43 round-16 must-gates) and s26_skycube retired
-#   to an exact anchor (subsumed by s34_skycube_4d; r13 cohort −1
-#   → 42 net).  Registry stays at exactly 140.
+#   artifact lands.  At round-15 end: 47 round-13 rows, minus the 5
+#   round-13 fills above (s9_twophase_dim / s9_twophase_grid /
+#   s9_twophase_angle / m1_partition_stats / x_dedup_clusters_lsh),
+#   minus s26_skycube (r13-cohort, retired this round) = 41 round-16
+#   must-gates — x_cdc_dedup (displaced placeholder) is among them.
+#   Plus any round-15 registration that misses the round-15 window
+#   (none: s37_stream_warc_tail is in the window above).
+# * Round-15 mid-round changes already applied to the list above:
+#   s37_stream_warc_tail registered (displacing the x_cdc_dedup
+#   placeholder back to its r13 cohort) and s26_skycube retired to an
+#   exact anchor (subsumed by s34_skycube_4d).  Registry stays at
+#   exactly 140.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.

@@ -90,7 +90,6 @@ CORPUS_QUERIES = [
     "s23_top_dominating",
     "s24_dynamic_skyline",
     "s27_reverse_skyline",
-    "s26_skycube",
     "s34_skycube_4d",
     "s28_kdominant_skyline",
     "s29_skyline_layers",

@@ -1038,10 +1038,11 @@ retire(
 
 _WARC_CTYPE = "text/plain; charset=utf-8"
 
-
-@register(
-    "x_warc_extract",
-    f"""
+# ONE oracle mirror for every warc-pages gate (x_warc_extract and the
+# streaming s37_stream_warc_tail in plans/streaming_replay.py): the
+# fixtures frame the SAME page bytes, so the closed form is shared and
+# cannot drift between the batch and streaming readers.
+_WARC_PAGES_ORACLE = f"""
 WITH d AS (
   -- mirror decode_page_bytes' utf-8-sig semantics: a text whose utf-8
   -- bytes begin EF BB BF is BOM-stripped ONCE by the reader (WHATWG:
@@ -1057,7 +1058,12 @@ SELECT doc_id,
        CAST(octet_length(encode(page)) AS BIGINT) AS n_bytes,
        md5(page) AS body_md5
 FROM d
-""".strip(),
+""".strip()
+
+
+@register(
+    "x_warc_extract",
+    _WARC_PAGES_ORACLE,
     doc="WARC crawl extraction end to end (sources/warc.py): the harness "
     "writes the documents table out as spec-shaped .warc.gz files (one "
     "gzip member per record, interleaved request records, executor-side "

@@ -1285,3 +1285,149 @@ def s32(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("s32 stream cdc replay timed out after 600 s")
     return spark.sql(f"SELECT chunk_md5, chunk_len FROM {sink}")
+
+
+def _s37_oracle() -> str:
+    from .pipeline import _WARC_PAGES_ORACLE  # ONE mirror for both warc gates
+
+    return _WARC_PAGES_ORACLE
+
+
+@register(
+    "s37_stream_warc_tail",
+    _s37_oracle(),
+    doc="Directory-tailing crawl ingestion under the hard gate "
+    "(sources/warc_datasource.py FileTailStreamReader, round-14 "
+    "surface): the harness frames the documents table as plain-CL "
+    ".warc.gz shards (request records interleaved; status rotates 404 "
+    "at doc_id % 10 = 7) and lands them in TWO drops with "
+    "lexicographically increasing names — the monotone-naming contract "
+    "the O(1) filename high-water offset is built for.  Drop 1 streams "
+    "through spark.readStream.format('warc') view=pages into a parquet "
+    "snapshot via foreachBatch; the query then STOPS, drop 2 lands, and "
+    "a SECOND stream over the SAME checkpoint resumes from the "
+    "committed offset — so the gate drives the recovery path "
+    "(initialOffset -> committed watermark -> partitions(lo, hi]) as "
+    "well as the live tail; a re-emit of drop 1 would double those "
+    "doc_ids and fail the oracle hash.  The final snapshot is also "
+    "asserted row-identical (exceptAll both ways) to the BATCH "
+    "format('warc') read of the full directory — the snapshot-equals-"
+    "batch contract — before being projected to the same closed-form "
+    "documents oracle as x_warc_extract (shared _WARC_PAGES_ORACLE, "
+    "zero drift).  Harness fixture-write is driver-side and row-capped; "
+    "in production the landing dir is an object-store drop and only the "
+    "stream runs.",
+)
+def s37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import warc as warc_src
+    from ..sources import warc_datasource
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    pdf = d.orderBy("doc_id").limit(200_001).toPandas()
+    if len(pdf) > 200_000:
+        raise RuntimeError(
+            "s37_stream_warc_tail is a correctness harness with a "
+            "driver-side fixture write, capped at 200k docs; run it at a "
+            "smaller sf"
+        )
+    warc_datasource.register(spark)
+    workdir = tempfile.mkdtemp(prefix="s37_warc_tail_")
+    landing = os.path.join(workdir, "landing")
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(landing)
+
+    def write_shard(fid: int) -> None:
+        rows = pdf[pdf["doc_id"] % 8 == fid].sort_values("doc_id")
+        blob = bytearray()
+        for r in rows.itertuples():
+            body = str(r.text).encode("utf-8")
+            status = 404 if r.doc_id % 10 == 7 else 200
+            http = (
+                f"HTTP/1.1 {status} X\r\nContent-Type: "
+                f"text/plain; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            blob += warc_src.write_warc_record(
+                "request",
+                b"GET / HTTP/1.1\r\n\r\n",
+                record_id=f"<urn:req:{r.doc_id}>",
+                target_uri=f"https://fixture.invalid/{r.doc_id}",
+            )
+            blob += warc_src.write_warc_record(
+                "response",
+                http,
+                record_id=f"<urn:doc:{r.doc_id}>",
+                target_uri=f"https://fixture.invalid/{r.doc_id}",
+                content_type="application/http;msgtype=response",
+            )
+        with open(os.path.join(landing, f"part-{fid:04d}.warc.gz"), "wb") as f:
+            f.write(bytes(blob))
+
+    def run_tail_leg() -> None:
+        q = (
+            spark.readStream.format("warc")
+            .option("path", landing)
+            .option("pattern", "*.warc.gz")
+            .option("view", "pages")
+            .load()
+            .writeStream.foreachBatch(
+                lambda batch_df, _bid: batch_df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+    try:
+        for fid in range(4):  # drop 1
+            write_shard(fid)
+        run_tail_leg()
+        for fid in range(4, 8):  # drop 2: names sort ABOVE drop 1
+            write_shard(fid)
+        run_tail_leg()  # fresh stream, SAME checkpoint: recovery path
+
+        snapshot = spark.read.parquet(out_dir)
+        # snapshot-equals-batch: the streamed union must be row-identical
+        # to one batch DataSource read of the full landing directory
+        batch = (
+            spark.read.format("warc")
+            .option("path", landing)
+            .option("pattern", "*.warc.gz")
+            .option("view", "pages")
+            .load()
+        )
+        missing = batch.exceptAll(snapshot).count()
+        extra = snapshot.exceptAll(batch).count()
+        if missing or extra:
+            raise RuntimeError(
+                f"streamed snapshot diverges from batch read: "
+                f"{missing} missing, {extra} extra rows"
+            )
+        out = snapshot.select(
+            F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("http_status").cast("bigint").alias("http_status"),
+            F.col("content_type"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+            F.md5(F.encode("text", "UTF-8")).alias("body_md5"),
+        )
+        # materialize (row-capped input) so the tmpdir can be removed
+        # before returning — a lazy scan would pin it for the caller
+        res = out.toPandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    schema = (
+        "doc_id bigint, http_status bigint, content_type string, "
+        "n_bytes bigint, body_md5 string"
+    )
+    return spark.createDataFrame(res, schema=schema)

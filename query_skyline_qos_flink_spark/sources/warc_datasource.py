@@ -183,6 +183,11 @@ class FileTailStreamReader(DataSourceStreamReader):
     # pre-restart, or planned this session) — DRIVER-memory only, never
     # checkpointed, used solely to detect out-of-order landings
     _accounted: frozenset[str] = frozenset()
+    # the session's FIRST listing is the baseline and never warns: on
+    # checkpoint recovery the committed watermark arrives via
+    # partitions() BEFORE any listing, so everything below it at that
+    # point predates the session (committed files, not stragglers)
+    _baselined: bool = False
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
@@ -200,7 +205,12 @@ class FileTailStreamReader(DataSourceStreamReader):
         # listing after the watermark was learned) will NEVER be planned
         # under the monotone contract — say so instead of silence.  One
         # warning per file: _accounted absorbs it after the first report.
-        if self._high_water:
+        if not self._baselined:
+            self._accounted = self._accounted | frozenset(
+                p for p in files if p <= self._high_water
+            )
+            self._baselined = True
+        elif self._high_water:
             late = [
                 p for p in files if p <= self._high_water and p not in self._accounted
             ]

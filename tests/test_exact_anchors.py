@@ -23,6 +23,9 @@ x_warc_extract) — each retire() call in
 plans/ records which gated query subsumes it.  Retired in round 13:
 x_quantiles_interp (method twin of x_exact_quantiles over the same
 rows_at_global_ranks assembly; slot freed for x_archive_extract).
+Retired in round 15: s26_skycube (dimensional twin of s34_skycube_4d —
+same skycube lattice-reuse operator and labeled-subspace oracle at d=3
+of s34's d=4 dim set; slot freed for s37_stream_warc_tail).
 """
 
 from __future__ import annotations
@@ -63,6 +66,7 @@ def test_retired_anchor_population():
     registration that shadows a retired name must fail loudly."""
     assert sorted(corpus.RETIRED_ANCHORS) == [
         "s10_snapshot_1000",
+        "s26_skycube",
         "x_ann_bucketed",
         "x_bpe_pair_counts",
         "x_dedup_clusters",

@@ -695,13 +695,14 @@ PLAN_PIN_EXEMPT = {
         "s19_stream_interval_join", "s20_stream_dedup_watermark",
         "s21_stream_scrub", "s25_stream_skyband", "s32_stream_cdc_dedup",
         "s35_stream_cdc_watermark", "s36_stream_metrics",
+        "s37_stream_warc_tail",
     )},
     # skyline family representatives carry the pins
     **{n: _FAMILY_REP for n in (
         "s2_skyline_maxdir", "s3_skyline_3d", "s4_skyline_4d",
         "s5_skyline_part", "s6_skyline_events_ts", "s8_skyline_groupwise",
         "s9_twophase_angle", "s9_twophase_dim", "s9_twophase_grid",
-        "s10_snapshot_10000", "s24_dynamic_skyline", "s26_skycube",
+        "s10_snapshot_10000", "s24_dynamic_skyline",
         "m1_partition_stats", "m2_strategy_stats",
     )},
     # relational SQL surface
