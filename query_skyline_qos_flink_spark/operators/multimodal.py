@@ -1146,10 +1146,11 @@ def synth_wav_payload(key: int, sample_rate: int = 8000) -> bytes:
 
 @_lru_cache(maxsize=4096)
 def synth_container_payload(key: int) -> bytes:
-    """A/V CONTAINER fixture with closed-form truth — the crawl-side
-    sniff-and-route shape: ``key % 5`` rotates the container family and
-    every metadata field is an integer function of ``k = key // 5`` so
-    the x_multimodal_meta oracle states them without parsing anything.
+    """A/V+image CONTAINER fixture with closed-form truth — the
+    crawl-side sniff-and-route shape: ``key % 6`` rotates the container
+    family and every metadata field is an integer function of
+    ``k = key // 6`` so the x_multimodal_meta oracle states them
+    without parsing anything.
 
     * class 0 — MP3 (operators/mpeg_audio.py): CBR Layer III silence,
       sample rate ``[44100,48000,32000][k%3]`` (all MPEG-1), ``1 + k%2``
@@ -1179,11 +1180,33 @@ def synth_container_payload(key: int) -> bytes:
       Duration ``1500 + (k%7)*500`` ms at the default 1e6 ns
       TimestampScale; odd ``k`` writes the Segment with the all-ones
       unknown-size escape (the live-muxed real-world shape).
+    * class 5 — HEIF still image (operators/mp4.py, round-15): brand
+      ``avif`` (even ``k``) / ``heic`` (odd), ``1 + k%3`` items with
+      primary ``1 + k % (1 + k%3)`` — the primary ROTATES so the gate
+      certifies the ipma association walk, while the primary item's
+      ispe dims stay the closed form ``width 64 + (k%5)*16`` /
+      ``height 48 + (k%7)*12`` regardless of which item is primary
+      (non-primary items carry decoy dims).  ``k%4 == 2`` uses 15-bit
+      ipma property indices, ``k%3 == 1`` the 32-bit v1 item-id forms —
+      structural rotation the oracle never sees.
 
     Every output-relevant period divides ``lcm(2,3,4,5,7,10) = 420``, so
-    callers fold ids with ``key_mod = 5 * 420 = 2100`` and the lru_cache
+    callers fold ids with ``key_mod = 6 * 420 = 2520`` and the lru_cache
     covers the whole payload space."""
-    c, k = key % 5, key // 5
+    c, k = key % 6, key // 6
+    if c == 5:
+        from . import mp4
+
+        n_items = 1 + k % 3
+        return mp4.write_heif(
+            brand="avif" if k % 2 == 0 else "heic",
+            width=64 + (k % 5) * 16,
+            height=48 + (k % 7) * 12,
+            n_items=n_items,
+            primary=1 + k % n_items,
+            wide_ipma=k % 4 == 2,
+            v1_ids=k % 3 == 1,
+        )
     if c == 0:
         from . import mpeg_audio
 
@@ -1263,7 +1286,8 @@ def synth_container_payload(key: int) -> bytes:
 
 CONTAINER_META_SCHEMA = (
     "container string, n_channels bigint, sample_rate bigint, "
-    "n_units bigint, duration_ms bigint, bitrate_kbps bigint"
+    "n_units bigint, duration_ms bigint, bitrate_kbps bigint, "
+    "width bigint, height bigint"
 )
 
 
@@ -1275,8 +1299,10 @@ def sniff_container_meta(payload: bytes) -> tuple:
     MP3 audio frames / Ogg pages / WAV+FLAC sample frames / MP4 tracks;
     for MP4 ``n_channels`` is the audio-track count and ``sample_rate``
     the movie timescale; ``bitrate_kbps`` is the fmt byte-rate for WAV
-    and 0 for the VBR containers (FLAC/MP4).  Unknown magic raises
-    (crawl sniffing must route or fail, never guess)."""
+    and 0 for the VBR containers (FLAC/MP4); ``width``/``height`` are
+    the primary item's pixel dims for still-image families (HEIF/AVIF,
+    resolved ispe-through-ipma) and 0 for every A/V container.  Unknown
+    magic raises (crawl sniffing must route or fail, never guess)."""
     # the ftyp probe sits at offset 4, where RIFF stores its little-endian
     # size — a ~1.88 GB RIFF file (size 0x70797466 = 'ftyp') would collide,
     # so RIFF magic at offset 0 wins the dispatch (round-12 review)
@@ -1289,14 +1315,14 @@ def sniff_container_meta(payload: bytes) -> tuple:
             # walk — parse_mp4_meta would mis-report it as a trackless
             # movie.  A/V columns carry image-shaped zeros (a caller
             # filtering audio by n_channels > 0 naturally excludes
-            # images); n_units is the item count and duration_ms
-            # repurposes nothing — dimensions live in parse_heif_meta.
+            # images); n_units is the item count, and width/height are
+            # the PRIMARY item's ispe dims resolved through ipma.
             h = mp4.parse_heif_meta(payload)
-            return (h["brand"], 0, 0, h["n_items"], 0, 0)
+            return (h["brand"], 0, 0, h["n_items"], 0, 0, h["width"], h["height"])
         m = mp4.parse_mp4_meta(payload)
         return (
             "mp4", m["n_audio"], m["timescale"],
-            m["n_tracks"], m["duration_ms"], 0,
+            m["n_tracks"], m["duration_ms"], 0, 0, 0,
         )
     if payload[:4] == b"\x1aE\xdf\xa3":  # EBML header magic
         from . import webm
@@ -1304,7 +1330,7 @@ def sniff_container_meta(payload: bytes) -> tuple:
         m = webm.parse_webm_meta(payload)
         return (
             m["doctype"], m["n_audio"], m["timescale_ns"],
-            m["n_tracks"], m["duration_ms"], 0,
+            m["n_tracks"], m["duration_ms"], 0, 0, 0,
         )
     if payload[:4] == b"OggS":
         from . import ogg
@@ -1312,7 +1338,7 @@ def sniff_container_meta(payload: bytes) -> tuple:
         m = ogg.parse_ogg_meta(payload)
         return (
             f"ogg-{m['codec']}", m["n_channels"], m["sample_rate"],
-            m["n_pages"], m["duration_ms"], m["bitrate_kbps"],
+            m["n_pages"], m["duration_ms"], m["bitrate_kbps"], 0, 0,
         )
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
@@ -1322,12 +1348,12 @@ def sniff_container_meta(payload: bytes) -> tuple:
         m = mpeg_audio.parse_mp3_meta(payload)
         return (
             "mp3", m["n_channels"], m["sample_rate"],
-            m["n_frames"], m["duration_ms"], m["bitrate_kbps"],
+            m["n_frames"], m["duration_ms"], m["bitrate_kbps"], 0, 0,
         )
     if payload[:4] == b"fLaC":
         ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
         # lossless VBR: no fixed stream bitrate to report
-        return ("flac", ch, rate, n_frames, duration_ms, 0)
+        return ("flac", ch, rate, n_frames, duration_ms, 0, 0, 0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from . import avi
 
@@ -1336,14 +1362,14 @@ def sniff_container_meta(payload: bytes) -> tuple:
         # floored) — the AVI analog of a timescale
         return (
             "avi", m["n_audio"], 1_000_000 // m["usec_per_frame"],
-            m["total_frames"], m["duration_ms"], 0,
+            m["total_frames"], m["duration_ms"], 0, 0, 0,
         )
     if payload[:4] == b"RIFF":
         ch, rate, n_frames, duration_ms, _peak = decode_audio(payload)
         # true stream bitrate from the fmt chunk's byte-rate field (exact
         # for PCM and G.711; what a router budgets transfer on)
         byte_rate = _riff_fmt_byte_rate(payload)
-        return ("wav", ch, rate, n_frames, duration_ms, byte_rate * 8 // 1000)
+        return ("wav", ch, rate, n_frames, duration_ms, byte_rate * 8 // 1000, 0, 0)
     raise ValueError("container sniff: unrecognized magic bytes")
 
 
@@ -1385,6 +1411,7 @@ def extract_container_meta(
                 columns=[
                     "container", "n_channels", "sample_rate",
                     "n_units", "duration_ms", "bitrate_kbps",
+                    "width", "height",
                 ],
             )
             out.insert(0, id_col, pdf[id_col].to_numpy())

@@ -558,21 +558,24 @@ def x_ann_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_multimodal_meta",
     """
-WITH m AS (SELECT doc_id, doc_id % 5 AS c, (doc_id % 2100) // 5 AS k FROM documents)
+WITH m AS (SELECT doc_id, doc_id % 6 AS c, (doc_id % 2520) // 6 AS k FROM documents)
 SELECT doc_id,
   CASE c WHEN 0 THEN 'mp3' WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' WHEN 4 THEN 'webm'
+       WHEN 5 THEN CASE WHEN k % 2 = 0 THEN 'avif' ELSE 'heic' END
        ELSE CASE WHEN k % 2 = 0 THEN 'ogg-vorbis' ELSE 'ogg-opus' END END AS container,
   CAST(CASE c WHEN 0 THEN 1 + k % 2 WHEN 2 THEN 1
        WHEN 3 THEN CASE WHEN (k // 2) % 2 = 0
                    THEN (1 + k % 3) // 2 ELSE (2 + k % 3) // 2 END
        WHEN 4 THEN CASE WHEN (k // 2) % 2 = 0
                    THEN (1 + k % 3) // 2 ELSE (2 + k % 3) // 2 END
+       WHEN 5 THEN 0
        ELSE 1 + (k // 2) % 2 END AS BIGINT) AS n_channels,
   CAST(CASE c
        WHEN 0 THEN CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
        WHEN 2 THEN 8000
        WHEN 3 THEN CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END
        WHEN 4 THEN 1000000
+       WHEN 5 THEN 0
        ELSE CASE WHEN k % 2 = 1 THEN 48000 ELSE
             CASE k % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END
        END END AS BIGINT) AS sample_rate,
@@ -581,6 +584,7 @@ SELECT doc_id,
        WHEN 2 THEN 800 + ((4 * k) % 5) * 160
        WHEN 3 THEN 1 + k % 3
        WHEN 4 THEN 1 + k % 3
+       WHEN 5 THEN 1 + k % 3
        ELSE CASE WHEN k % 2 = 1 THEN 3
             ELSE 3 + k % 3 + CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END END
        END AS BIGINT) AS n_units,
@@ -591,6 +595,7 @@ SELECT doc_id,
        WHEN 3 THEN ((2 + k % 5) * CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END + k % 7)
             * 1000 // CASE WHEN k % 2 = 0 THEN 600 ELSE 90000 END
        WHEN 4 THEN 1500 + (k % 7) * 500
+       WHEN 5 THEN 0
        ELSE CASE WHEN k % 2 = 1 THEN 20 * (20 + k % 10)
             ELSE (2000 + (k % 5) * 800) * 1000 //
                  CASE k % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END
@@ -600,13 +605,16 @@ SELECT doc_id,
        WHEN 2 THEN 128
        WHEN 3 THEN 0
        WHEN 4 THEN 0
+       WHEN 5 THEN 0
        ELSE CASE WHEN k % 2 = 1 THEN 0 ELSE 64 + (k % 5) * 16 END
-       END AS BIGINT) AS bitrate_kbps
+       END AS BIGINT) AS bitrate_kbps,
+  CAST(CASE WHEN c = 5 THEN 64 + (k % 5) * 16 ELSE 0 END AS BIGINT) AS width,
+  CAST(CASE WHEN c = 5 THEN 48 + (k % 7) * 12 ELSE 0 END AS BIGINT) AS height
 FROM m
 """.strip(),
     doc="Multimodal container sniffing through the REAL container "
     "parsers — the crawl-side route/filter/measure step that needs no "
-    "sample decode: payload class rotates doc_id % 5 across MP3 (CBR "
+    "sample decode: payload class rotates doc_id % 6 across MP3 (CBR "
     "Layer III frame walk with ID3v2 skip and Xing/Info cross-check, "
     "operators/mpeg_audio.py), Ogg (CRC-verified page walk, packet "
     "reassembly incl. a forced continued-page class, Vorbis ident / "
@@ -615,12 +623,19 @@ FROM m
     "box walk: ftyp brand, mvhd v0/v1 timescale-exact duration, "
     "per-trak hdlr kinds; every 4th payload is FRAGMENTED fMP4/DASH — "
     "mvex/trex defaults, tfhd overrides, exact trun duration sums — "
-    "with a layout-invariant closed form, operators/mp4.py) and WebM "
+    "with a layout-invariant closed form, operators/mp4.py), WebM "
     "(EBML varint "
     "element walk incl. the unknown-size Segment escape, float "
-    "Duration, TrackEntry kinds, operators/webm.py); emits codec "
+    "Duration, TrackEntry kinds, operators/webm.py) and — round 15 — "
+    "HEIF/AVIF still images (ISO 23008-12 meta item walk: ftyp brand "
+    "routing, pitm/iinf item tables, primary ispe dims resolved "
+    "through the ipma association with a ROTATING primary item and "
+    "decoy dims on non-primary items, 15-bit property indices and "
+    "32-bit v1 item-id forms in the structural rotation, "
+    "operators/mp4.py::parse_heif_meta); emits codec "
     "identity, "
-    "channels, rate, native unit count, duration and bitrate, every "
+    "channels, rate, native unit count, duration, bitrate and, for "
+    "still images, primary width/height — every "
     "field pinned closed-form by the oracle from the synth formulas. "
     "The sample/spectral decode behind these containers stays the "
     "declared decode_fn seam (COVERAGE.md); MP3 digital silence — the "
@@ -631,7 +646,7 @@ FROM m
 )
 def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
-    pay = multimodal.attach_synth_payload(d, "container", key_mod=2100)
+    pay = multimodal.attach_synth_payload(d, "container", key_mod=2520)
     return multimodal.extract_container_meta(pay)
 
 

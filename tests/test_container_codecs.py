@@ -383,14 +383,20 @@ def test_webm_strictness_and_unknown_element_skip():
 def test_container_fixture_closed_form_full_key_space():
     """Every key of the folded fixture space parses back to exactly the
     integer formulas the x_multimodal_meta oracle states."""
-    for key in range(2100):
+    for key in range(2520):
         got = mm.sniff_container_meta(mm.synth_container_payload(key))
-        c, k = key % 5, key // 5
+        c, k = key % 6, key // 6
+        if c == 5:
+            brand = "avif" if k % 2 == 0 else "heic"
+            want = (brand, 0, 0, 1 + k % 3, 0, 0,
+                    64 + (k % 5) * 16, 48 + (k % 7) * 12)
+            assert got == want, (key, got, want)
+            continue
         if c == 0:
             sr = (44100, 48000, 32000)[k % 3]
             n = 8 + k % 7
             want = ("mp3", 1 + k % 2, sr, n, n * 1152 * 1000 // sr,
-                    (64, 96, 128, 160)[k % 4])
+                    (64, 96, 128, 160)[k % 4], 0, 0)
         elif c == 1:
             ch = 1 + (k // 2) % 2
             if k % 2 == 0:
@@ -398,24 +404,24 @@ def test_container_fixture_closed_form_full_key_space():
                 s = 2000 + (k % 5) * 800
                 want = ("ogg-vorbis", ch, rate,
                         3 + k % 3 + (1 if k % 4 == 2 else 0),
-                        s * 1000 // rate, 64 + (k % 5) * 16)
+                        s * 1000 // rate, 64 + (k % 5) * 16, 0, 0)
             else:
-                want = ("ogg-opus", ch, 48000, 3, 20 * (20 + k % 10), 0)
+                want = ("ogg-opus", ch, 48000, 3, 20 * (20 + k % 10), 0, 0, 0)
         elif c == 2:
             n = 800 + ((4 * k) % 5) * 160
-            want = ("wav", 1, 8000, n, n // 8, 128)
+            want = ("wav", 1, 8000, n, n // 8, 128, 0, 0)
         elif c == 3:
             nt = 1 + k % 3
             fv = (k // 2) % 2 == 0
             n_audio = nt // 2 if fv else (nt + 1) // 2
             ts = 600 if k % 2 == 0 else 90000
             dur = ((2 + k % 5) * ts + k % 7) * 1000 // ts
-            want = ("mp4", n_audio, ts, nt, dur, 0)
+            want = ("mp4", n_audio, ts, nt, dur, 0, 0, 0)
         else:
             nt = 1 + k % 3
             fv = (k // 2) % 2 == 0
             n_audio = nt // 2 if fv else (nt + 1) // 2
-            want = ("webm", n_audio, 1_000_000, nt, 1500 + (k % 7) * 500, 0)
+            want = ("webm", n_audio, 1_000_000, nt, 1500 + (k % 7) * 500, 0, 0, 0)
         assert got == want, (key, got, want)
 
 
@@ -640,7 +646,7 @@ def test_avi_strictness_and_sniff():
         ))
     # sniff dispatch: AVI wins over the generic RIFF/WAV branch
     got = mm.sniff_container_meta(b)
-    assert got == ("avi", 1, 1_000_000 // 33333, 10, 33333 * 10 // 1000, 0)
+    assert got == ("avi", 1, 1_000_000 // 33333, 10, 33333 * 10 // 1000, 0, 0, 0)
 
 
 @pytest.mark.parametrize("le", [True, False])
@@ -820,7 +826,7 @@ def test_sniff_routes_heif_images():
     from query_skyline_qos_flink_spark.operators import mp4
 
     b = mp4.write_heif("avif", 320, 200, n_items=2)
-    assert mm.sniff_container_meta(b) == ("avif", 0, 0, 2, 0, 0)
+    assert mm.sniff_container_meta(b) == ("avif", 0, 0, 2, 0, 0, 320, 200)
     b = mp4.write_heif("heic", 64, 64)
     assert mm.sniff_container_meta(b)[0] == "heic"
     # a real movie still routes to the mp4 walk
