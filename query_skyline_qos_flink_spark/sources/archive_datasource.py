@@ -88,7 +88,7 @@ class ArchiveReader(DataSourceReader):
             # Prefixed/self-extracting zips have no sniffable prefix at
             # all: use the explicit kind="zip" override for those.
             kind = "zip" if content[:4] in (b"PK\x03\x04", b"PK\x05\x06") else "tar"
-        parse = ar.parse_zip_members if kind == "zip" else ar.parse_tar_any
+        parse = ar.iter_zip_members if kind == "zip" else ar.iter_tar_any
         for m in parse(content):
             yield (partition.path, m["name"], m["offset"], m["size"], m["body"])
 

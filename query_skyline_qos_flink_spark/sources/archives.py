@@ -200,12 +200,14 @@ def _decompress_member(raw: bytes, size: int, method: int, name: str) -> bytes:
     return body
 
 
-def parse_zip_members(b: bytes) -> list[dict]:
-    """Central-directory walk: returns ``name method size csize crc32
+def iter_zip_members(b: bytes) -> Iterator[dict]:
+    """Central-directory walk: yields ``name method size csize crc32
     offset body`` per member, with the CRC of every decompressed body
     verified.  Raises on a missing/ambiguous EOCD, entry-count or
     signature mismatches, inconsistent zip64 records, and unsupported
-    methods."""
+    methods.  Streaming form (round-15 memory-shape probe): one member's
+    decompressed body is live at a time; the central-directory-consumed
+    strictness check runs at exhaustion."""
     # scan for EVERY EOCD candidate whose comment length reaches exactly
     # the end of the payload — an archive comment may itself contain the
     # signature bytes, and a crafted consistent fake near the end would
@@ -295,7 +297,7 @@ def parse_zip_members(b: bytes) -> list[dict]:
         raise ValueError("zip: split archives are not supported")
     if cd_off + cd_size > cd_end_bound:
         raise ValueError("zip: central directory overruns the EOCD")
-    members, off = [], cd_off
+    off = cd_off
     total_out = 0
     for _ in range(n_total):
         if off + 46 > len(b):
@@ -366,18 +368,21 @@ def parse_zip_members(b: bytes) -> list[dict]:
             raise ValueError(f"zip: member {name!r} size mismatch")
         if zlib.crc32(body) & 0xFFFFFFFF != crc:
             raise ValueError(f"zip: member {name!r} CRC mismatch")
-        members.append(
-            {
-                "name": name, "method": method, "size": size,
-                "csize": csize, "crc32": crc, "offset": lho, "body": body,
-            }
-        )
+        yield {
+            "name": name, "method": method, "size": size,
+            "csize": csize, "crc32": crc, "offset": lho, "body": body,
+        }
     if off != cd_off + cd_size:
         raise ValueError(
             f"zip: central directory consumed {off - cd_off} bytes but the "
             f"EOCD declares {cd_size}"
         )
-    return members
+
+
+def parse_zip_members(b: bytes) -> list[dict]:
+    """List form of :func:`iter_zip_members` (tests / small archives —
+    atomic: raises before returning anything on a malformed archive)."""
+    return list(iter_zip_members(b))
 
 
 def write_zip(
@@ -541,7 +546,7 @@ def _gnu_longdata(data: bytes, size: int, flag: bytes, off: int) -> str:
     return raw[:nul].decode("utf-8", "surrogateescape")
 
 
-def parse_tar_members(b: bytes) -> list[dict]:
+def iter_tar_members(b: bytes) -> Iterator[dict]:
     """POSIX ustar + pax walk: 512-byte blocks, octal (or GNU base-256)
     size fields, per-header CHECKSUM verification.  Long names arrive
     three ways and all are honored with the POSIX precedence
@@ -556,7 +561,7 @@ def parse_tar_members(b: bytes) -> list[dict]:
     otherwise silently lose ALL its members) raises — and an extension
     header with no following file header is a dangling error, never
     silently dropped."""
-    members, off = [], 0
+    off = 0
     g_over: dict[str, str] = {}  # pax 'g' globals, persist until overridden
     x_over: dict[str, str] | None = None  # pax 'x', applies to next file only
     longname: str | None = None  # GNU 'L', next file only
@@ -667,12 +672,15 @@ def parse_tar_members(b: bytes) -> list[dict]:
             # '7' (contiguous file) is a regular file per POSIX: "most
             # implementations should treat this type as a regular file"
             if typeflag in (b"0", b"\x00", b"7"):
-                members.append(
-                    {"name": name, "size": size, "offset": off, "body": data}
-                )
+                yield {"name": name, "size": size, "offset": off, "body": data}
             x_over, longname, longlink = None, None, None
         off = data_at + (size + 511) // 512 * 512
-    return members
+
+
+def parse_tar_members(b: bytes) -> list[dict]:
+    """List form of :func:`iter_tar_members` (tests / small archives —
+    atomic: raises before returning anything on a malformed archive)."""
+    return list(iter_tar_members(b))
 
 
 def _tar_block(name: bytes, size: int, typeflag: int) -> bytearray:
@@ -896,42 +904,46 @@ def maybe_decompress_tar(b: bytes) -> bytes:
             )
 
 
+def iter_tar_any(b: bytes) -> Iterator[dict]:
+    """:func:`iter_tar_members` with the compressed-envelope sniff."""
+    return iter_tar_members(maybe_decompress_tar(b))
+
+
 def parse_tar_any(b: bytes) -> list[dict]:
     """:func:`parse_tar_members` with the compressed-envelope sniff."""
     return parse_tar_members(maybe_decompress_tar(b))
 
 
 def _read_archive(spark, path: str, pattern: str, parse):
-    import pandas as pd
-
-    from .warc import _scan_files  # one binaryFile scan shared repo-wide
+    from .warc import _frames, _scan_files  # one binaryFile scan repo-wide
 
     files = _scan_files(spark, path, pattern)
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                # one output frame per archive so member bodies never
-                # accumulate across files within the Arrow batch
-                rows = [
-                    (row["path"], m["name"], m["offset"], m["size"], m["body"])
-                    for m in parse(bytes(row["content"]))
-                ]
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["path", "member", "offset", "size", "body"]
-                    )
+                # bounded frames flushed within the archive (warc._frames):
+                # member bodies never accumulate across files nor to a
+                # whole archive's size — with the iterator parsers, peak
+                # per task is the decompressed envelope + one frame
+                yield from _frames(
+                    (
+                        (row["path"], m["name"], m["offset"], m["size"], m["body"])
+                        for m in parse(bytes(row["content"]))
+                    ),
+                    ["path", "member", "offset", "size", "body"],
+                )
 
     return files.mapInPandas(explode, schema=ARCHIVE_SCHEMA)
 
 
 def read_zip(spark, path: str, pattern: str = "*.zip"):
     """ZIP archive scan → one row per member (see module docstring)."""
-    return _read_archive(spark, path, pattern, parse_zip_members)
+    return _read_archive(spark, path, pattern, iter_zip_members)
 
 
 def read_tar(spark, path: str, pattern: str = "*.tar*"):
     """ustar/pax archive scan → one row per regular-file member; plain,
     ``.tar.gz``, ``.tar.bz2`` and ``.tar.xz`` envelopes are sniffed by
     magic (pass ``pattern="*.tgz"`` for that spelling)."""
-    return _read_archive(spark, path, pattern, parse_tar_any)
+    return _read_archive(spark, path, pattern, iter_tar_any)

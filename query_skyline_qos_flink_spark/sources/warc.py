@@ -203,15 +203,21 @@ def _zstd_members(b: bytes):
             yield frame_off, b"".join(parts)
 
 
-def parse_warc_records(b: bytes) -> list[dict]:
-    """Parse a WARC payload (plain, ``.warc.gz``, or ``.warc.zst``) into
-    record dicts:
+def iter_warc_records(b: bytes) -> Iterator[dict]:
+    """Streaming walk of a WARC payload (plain, ``.warc.gz``, or
+    ``.warc.zst``), yielding record dicts one at a time:
 
     ``offset`` (byte offset of the record / gzip member / zstd frame in
     the file — the resumable split point), ``warc_type``, ``record_id``,
     ``target_uri``, ``content_type``, ``content_length``, ``body``.
     Header names are case-insensitive per the spec; values are taken
-    verbatim."""
+    verbatim.
+
+    This is the memory-shape-critical form (round-15 probe): at the real
+    task shape of ~1 GB decompressed per file, materializing all record
+    dicts at once holds the whole file's bodies IN ADDITION to the
+    consumer's own row accumulation — streaming keeps one record's body
+    live at a time."""
     compressed = True
     if b[:2] == b"\x1f\x8b":
         chunks = _gzip_members(b)
@@ -220,13 +226,18 @@ def parse_warc_records(b: bytes) -> list[dict]:
     else:
         chunks = iter([(0, b)])
         compressed = False
-    records = []
     for base_off, data in chunks:
         off = 0
         while off < len(data):
-            records.append(_parse_one(data, off, base_off if compressed else off))
-            off = records[-1].pop("_next")
-    return records
+            rec = _parse_one(data, off, base_off if compressed else off)
+            off = rec.pop("_next")
+            yield rec
+
+
+def parse_warc_records(b: bytes) -> list[dict]:
+    """List form of :func:`iter_warc_records` (tests / small payloads —
+    atomic: raises before returning anything on a malformed file)."""
+    return list(iter_warc_records(b))
 
 
 def _parse_one(data: bytes, off: int, report_off: int) -> dict:
@@ -556,15 +567,40 @@ def decode_page_bytes(payload: bytes, content_type: str = "") -> str:
 
 def _iter_files(batches):
     """Shared per-file iteration for all three readers: yields
-    ``(path, content_bytes)`` one WARC file at a time so each reader
-    emits ONE output frame per file — record/page rows must never
-    accumulate across the files of an Arrow batch (the
+    ``(path, content_bytes)`` one WARC file at a time — record/page rows
+    must never accumulate across the files of an Arrow batch (the
     ``archives.py`` yield shape: at the real task shape of 3–4 × ~1 GB
     ``.warc.gz``, ≤4 GiB decompressed each, cross-file accumulation
     multiplies peak executor memory by files-per-task)."""
     for pdf in batches:
         for _, row in pdf.iterrows():
             yield row["path"], bytes(row["content"])
+
+
+# ~2048 ×~50 KB crawl pages ≈ 100 MB per output frame — large enough to
+# amortize Arrow serialization, small enough that a task's live output
+# is one frame, not one FILE (round-15 probe: one-frame-per-file held
+# the whole ~1 GB of page text + its Arrow copy per task; worker VmHWM
+# read 8-11 GB at the 2-file shape, ~1.6 GB after chunking)
+_ROWS_PER_FRAME = 2048
+
+
+def _frames(row_iter, columns, rows_per_frame: int = _ROWS_PER_FRAME):
+    """Bounded-size output frames for the row generators: flush every
+    ``rows_per_frame`` rows.  Callers invoke this PER FILE (frames never
+    span files, preserving the round-14 no-cross-file-accumulation
+    rule), so executor peak output is max(frame, one record) instead of
+    the file's whole row set."""
+    import pandas as pd
+
+    rows = []
+    for r in row_iter:
+        rows.append(r)
+        if len(rows) >= rows_per_frame:
+            yield pd.DataFrame(rows, columns=columns)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=columns)
 
 
 def _http_responses_in_file(path, content: bytes):
@@ -581,7 +617,7 @@ def _http_responses_in_file(path, content: bytes):
     ``text/dns`` in Heritrix-lineage crawls), and one of those must not
     kill the file's whole task — as are unlabeled non-HTTP bodies,
     which cannot be split."""
-    for rec in parse_warc_records(content):
+    for rec in iter_warc_records(content):
         if rec["warc_type"] != "response":
             continue
         ct = rec["content_type"].lower()
@@ -637,29 +673,24 @@ def read_warc_pages(spark, path: str, pattern: str = "*.warc*"):
     (other text/* payloads pass through as decoded text; non-text
     payloads yield NULL text).  Page bytes never cross the Python
     boundary twice."""
-    import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [
+            "path", "offset", "record_id", "target_uri",
+            "http_status", "content_type", "text",
+        ]
         for fpath, content in _iter_files(batches):
-            # one output frame per file: page rows never accumulate
-            # across the files of the Arrow batch
-            rows = []
-            for path_, r, status, ctype, payload in _http_responses_in_file(
-                fpath, content
-            ):
-                text = page_text(payload, ctype)
-                rows.append(
+            # bounded frames, flushed within the file: page rows never
+            # accumulate across files NOR to a whole file's size
+            yield from _frames(
+                (
                     (path_, r["offset"], r["record_id"], r["target_uri"],
-                     status, ctype, text)
-                )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path", "offset", "record_id", "target_uri",
-                        "http_status", "content_type", "text",
-                    ],
-                )
+                     status, ctype, page_text(payload, ctype))
+                    for path_, r, status, ctype, payload in
+                    _http_responses_in_file(fpath, content)
+                ),
+                cols,
+            )
 
     return _scan_files(spark, path, pattern).mapInPandas(
         extract, schema=PAGES_SCHEMA
@@ -691,8 +722,6 @@ def read_warc(spark, path: str, pattern: str = "*.warc*"):
     ``mapInPandas`` so bodies never leave the Arrow batch until the
     caller projects them.  Filter/projection on the metadata columns is
     Catalyst-side from here on."""
-    import pandas as pd
-
     cols = [
         "path", "offset", "warc_type", "record_id",
         "target_uri", "content_type", "content_length", "body",
@@ -700,14 +729,16 @@ def read_warc(spark, path: str, pattern: str = "*.warc*"):
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for fpath, content in _iter_files(batches):
-            # one output frame per file (see _iter_files): record bodies
-            # never accumulate across the files of the Arrow batch
-            rows = [
-                (fpath, *[rec[c] for c in cols[1:]])
-                for rec in parse_warc_records(content)
-            ]
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            # bounded frames, flushed within the file (see _frames):
+            # record bodies never accumulate across files nor to a
+            # whole file's size
+            yield from _frames(
+                (
+                    (fpath, *[rec[c] for c in cols[1:]])
+                    for rec in iter_warc_records(content)
+                ),
+                cols,
+            )
 
     return _scan_files(spark, path, pattern).mapInPandas(explode, schema=WARC_SCHEMA)
 
@@ -725,27 +756,24 @@ def read_warc_responses(spark, path: str, pattern: str = "*.warc*"):
     records (request/metadata/warcinfo, DNS captures) are dropped
     inside the batch.  Shares the scan, record walk, and HTTP split
     with :func:`read_warc` / :func:`read_warc_pages`."""
-    import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [
+            "path", "offset", "record_id", "target_uri",
+            "http_status", "content_type", "payload",
+        ]
         for fpath, content in _iter_files(batches):
-            # one output frame per file: payloads never accumulate
-            # across the files of the Arrow batch
-            rows = [
-                (path, r["offset"], r["record_id"], r["target_uri"],
-                 status, ctype, payload)
-                for path, r, status, ctype, payload in _http_responses_in_file(
-                    fpath, content
-                )
-            ]
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path", "offset", "record_id", "target_uri",
-                        "http_status", "content_type", "payload",
-                    ],
-                )
+            # bounded frames, flushed within the file: payloads never
+            # accumulate across files nor to a whole file's size
+            yield from _frames(
+                (
+                    (path, r["offset"], r["record_id"], r["target_uri"],
+                     status, ctype, payload)
+                    for path, r, status, ctype, payload in
+                    _http_responses_in_file(fpath, content)
+                ),
+                cols,
+            )
 
     return _scan_files(spark, path, pattern).mapInPandas(
         extract, schema=RESPONSES_SCHEMA
