@@ -369,17 +369,24 @@ def main() -> None:
         for name in CORPUS_QUERIES:
             spec = corpus.REGISTRY[name]
             warm_s = None
+            warm_err = None
             if name in FIXTURE_SYNTH_QUERIES:
                 t0 = time.time()
                 try:
                     spec.fn(spark, SF_DIR).count()
                     warm_s = round(time.time() - t0, 3)
-                except Exception:
-                    pass  # the timed rep will record the real error
+                except Exception as exc:
+                    # keep the failure VISIBLE (the timed reps may still
+                    # pass with partially-warm caches — the next round
+                    # must see why rep 1 reads hot)
+                    warm_err = f"{type(exc).__name__}: {exc}"[:300]
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(),
                   repeats=3, agg="median")
-            if warm_s is not None and name in spreads:
-                spreads[name]["fixture_warm_s"] = warm_s
+            if name in spreads:
+                if warm_s is not None:
+                    spreads[name]["fixture_warm_s"] = warm_s
+                if warm_err is not None:
+                    spreads[name]["fixture_warm_error"] = warm_err
 
         if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
                 and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):

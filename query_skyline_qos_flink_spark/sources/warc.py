@@ -581,24 +581,39 @@ def _iter_files(batches):
 # amortize Arrow serialization, small enough that a task's live output
 # is one frame, not one FILE (round-15 probe: one-frame-per-file held
 # the whole ~1 GB of page text + its Arrow copy per task; worker VmHWM
-# read 8-11 GB at the 2-file shape, ~1.6 GB after chunking)
+# read 8.2 GB at the 2-file shape, 2.4 GB after chunking)
 _ROWS_PER_FRAME = 2048
+# ... and a BYTE bound so the frame-size contract survives large rows:
+# 2048 multi-MB archive members would be a multi-GB "frame" if only the
+# row count gated the flush (round-15 review)
+_BYTES_PER_FRAME = 64 << 20
 
 
-def _frames(row_iter, columns, rows_per_frame: int = _ROWS_PER_FRAME):
+def _frames(
+    row_iter,
+    columns,
+    rows_per_frame: int = _ROWS_PER_FRAME,
+    bytes_per_frame: int = _BYTES_PER_FRAME,
+):
     """Bounded-size output frames for the row generators: flush every
-    ``rows_per_frame`` rows.  Callers invoke this PER FILE (frames never
-    span files, preserving the round-14 no-cross-file-accumulation
-    rule), so executor peak output is max(frame, one record) instead of
-    the file's whole row set."""
+    ``rows_per_frame`` rows OR once the accumulated payload bytes
+    (``len`` of every str/bytes field) pass ``bytes_per_frame`` —
+    whichever comes first, so the bound holds for many small rows AND
+    few huge ones.  Callers invoke this PER FILE (frames never span
+    files, preserving the round-14 no-cross-file-accumulation rule), so
+    executor peak output is max(frame, one record) instead of the
+    file's whole row set."""
     import pandas as pd
 
     rows = []
+    nbytes = 0
     for r in row_iter:
         rows.append(r)
-        if len(rows) >= rows_per_frame:
+        nbytes += sum(len(v) for v in r if isinstance(v, (str, bytes)))
+        if len(rows) >= rows_per_frame or nbytes >= bytes_per_frame:
             yield pd.DataFrame(rows, columns=columns)
             rows = []
+            nbytes = 0
     if rows:
         yield pd.DataFrame(rows, columns=columns)
 

@@ -129,7 +129,9 @@ def _emit_file_rows(path: str, view: str):
     with open(path, "rb") as fh:
         content = fh.read()
     if view == "records":
-        for r in w.parse_warc_records(content):
+        # streaming walk (round-15 memory shape): record bodies must not
+        # all materialize at once on ~GB files — same rule as warc.py
+        for r in w.iter_warc_records(content):
             yield (
                 path, r["offset"], r["warc_type"], r["record_id"],
                 r["target_uri"], r["content_type"], r["content_length"],
@@ -179,15 +181,17 @@ class FileTailStreamReader(DataSourceStreamReader):
     _path: str
     _pattern: str
     _high_water: str = ""  # session watermark; instances shadow on write
-    # names at-or-below the watermark already accounted for (committed
-    # pre-restart, or planned this session) — DRIVER-memory only, never
-    # checkpointed, used solely to detect out-of-order landings
-    _accounted: frozenset[str] = frozenset()
-    # the session's FIRST listing is the baseline and never warns: on
-    # checkpoint recovery the committed watermark arrives via
-    # partitions() BEFORE any listing, so everything below it at that
-    # point predates the session (committed files, not stragglers)
-    _baselined: bool = False
+    # below-watermark names already accounted for (present at baseline,
+    # or planned this session) — DRIVER-memory only, never checkpointed,
+    # used solely to detect out-of-order landings.  ``None`` until the
+    # session's first listing: on checkpoint recovery the committed
+    # watermark arrives via partitions() BEFORE any listing, so
+    # everything below it at first sight predates the session (committed
+    # files, not stragglers) and must baseline silently.  Pruned to the
+    # current listing every trigger, so it is O(directory size) — the
+    # same order as the listing the design already takes per trigger —
+    # not O(every name ever seen); the CHECKPOINT state stays O(1).
+    _accounted: set[str] | None = None
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
@@ -200,20 +204,15 @@ class FileTailStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = self._listing()
-        # out-of-order landing detection: a name at-or-below the current
-        # watermark that was not in the session's baseline (the first
-        # listing after the watermark was learned) will NEVER be planned
-        # under the monotone contract — say so instead of silence.  One
-        # warning per file: _accounted absorbs it after the first report.
-        if not self._baselined:
-            self._accounted = self._accounted | frozenset(
-                p for p in files if p <= self._high_water
-            )
-            self._baselined = True
-        elif self._high_water:
-            late = [
-                p for p in files if p <= self._high_water and p not in self._accounted
-            ]
+        below = [p for p in files if p <= self._high_water]
+        if self._accounted is None:
+            self._accounted = set(below)  # session baseline: never warns
+        else:
+            # out-of-order landing detection: a name at-or-below the
+            # current watermark that was not at baseline and was never
+            # planned will NEVER be streamed under the monotone contract
+            # — say so instead of silence, once per file.
+            late = [p for p in below if p not in self._accounted]
             if late:
                 import warnings
 
@@ -225,27 +224,34 @@ class FileTailStreamReader(DataSourceStreamReader):
                     RuntimeWarning,
                     stacklevel=2,
                 )
-                self._accounted = self._accounted | frozenset(late)
+            # prune-and-replace: deleted names drop out (a delete+recreate
+            # below the watermark re-warns — landing dirs are append-only
+            # by contract), so the set tracks the live directory, bounded
+            # by listing size
+            self._accounted = set(below)
         # monotone: a transient empty/short listing (NFS hiccup,
         # retention delete) must never REGRESS the offset — a smaller
         # offset would re-plan already-committed files on recovery
         # (round-14 review)
         if files and files[-1] > self._high_water:
             # everything up to the new watermark is about to be planned
-            # (or predates the session) — baseline it as accounted
+            # (or predates the session) — account it
             self._high_water = files[-1]
-            self._accounted = self._accounted | frozenset(
-                p for p in files if p <= self._high_water
-            )
+            self._accounted.update(files)
         return {"upto": self._high_water}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
-        # keep the session watermark at least at the committed offset
-        # (recovery path: partitions() sees the checkpointed start
-        # before latestOffset could learn it from a listing)
-        if lo > self._high_water:
-            self._high_water = lo
+        # keep the session watermark at least at the batch END (recovery
+        # path: partitions() sees the checkpointed range before
+        # latestOffset could learn it from a listing).  Seeding from the
+        # START would let a transient empty listing right after a
+        # recovered batch commits at `hi` hand the engine an offset
+        # below the committed one, and the hi<lo guard below would kill
+        # the query on a regression that never happened (round-15
+        # review).
+        if hi > self._high_water:
+            self._high_water = hi
         if hi < lo:
             # a REGRESSED end can only come from a pre-session offset
             # log poisoned by a transient empty listing before restart;
@@ -263,7 +269,8 @@ class FileTailStreamReader(DataSourceStreamReader):
         # a file can land between latestOffset's listing and this one and
         # still make the batch — account for it so the late-landing
         # warning never fires for a file that WAS streamed
-        self._accounted = self._accounted | frozenset(planned)
+        if self._accounted is not None:
+            self._accounted.update(planned)
         return [FilePartition(p, os.path.getsize(p)) for p in planned]
 
     def commit(self, end: dict) -> None:

@@ -203,3 +203,43 @@ def test_stream_warns_on_out_of_order_landing(tmp_path):
         planned = [p.path for p in r.partitions(hi, hi2)]
     assert hi2["upto"].endswith("part-0006.warc.gz")
     assert len(planned) == 1 and planned[0].endswith("part-0006.warc.gz")
+
+
+def test_recovery_seeds_watermark_from_batch_end(tmp_path):
+    """On checkpoint-recovery replay, partitions(start, end) must seed
+    the session watermark from the batch END: seeding from the start
+    would let a transient empty listing right after the recovered batch
+    commits hand the engine an offset BELOW the committed one, and the
+    regression guard would kill a healthy query (round-15 review)."""
+    from query_skyline_qos_flink_spark.sources.warc_datasource import WarcStreamReader
+
+    r = WarcStreamReader({"path": str(tmp_path), "pattern": "*.warc.gz"})
+    rec = warc.write_warc_record("resource", b"x", record_id="<urn:r:1>")
+    for i in (1, 2):
+        (tmp_path / f"part-{i:04d}.warc.gz").write_bytes(rec)
+    lo = {"upto": str(tmp_path / "part-0001.warc.gz")}
+    hi = {"upto": str(tmp_path / "part-0002.warc.gz")}
+    assert len(r.partitions(lo, hi)) == 1  # recovery replay of (lo, hi]
+    (tmp_path / "part-0002.warc.gz").unlink()
+    (tmp_path / "part-0001.warc.gz").unlink()  # listing goes empty
+    assert r.latestOffset() == hi  # NOT lo: no regressed offset
+    assert r.partitions(hi, r.latestOffset()) == []
+
+
+def test_accounted_state_bounded_by_listing(tmp_path):
+    """The out-of-order-landing bookkeeping prunes to the live listing
+    every trigger — driver state is O(directory), not O(names ever
+    seen) (round-15 review)."""
+    from query_skyline_qos_flink_spark.sources.warc_datasource import WarcStreamReader
+
+    r = WarcStreamReader({"path": str(tmp_path), "pattern": "*.warc.gz"})
+    rec = warc.write_warc_record("resource", b"x", record_id="<urn:r:1>")
+    for i in range(5):
+        (tmp_path / f"part-{i:04d}.warc.gz").write_bytes(rec)
+    r.latestOffset()
+    r.latestOffset()
+    assert len(r._accounted) <= 5
+    for i in range(4):  # retention deletes old shards
+        (tmp_path / f"part-{i:04d}.warc.gz").unlink()
+    r.latestOffset()
+    assert len(r._accounted) <= 1

@@ -612,3 +612,17 @@ def test_repeated_content_encoding_headers_join():
         b"Content-Encoding: gzip\r\n\r\n" + layered
     )
     assert warc.parse_http_response(body)[2] == page
+
+
+def test_frames_flush_on_bytes_not_just_rows():
+    """_frames must bound the FRAME PAYLOAD, not just the row count: a
+    handful of multi-MB members would otherwise build a multi-GB frame
+    (round-15 review)."""
+    rows = [("p", i, b"x" * (20 << 20)) for i in range(10)]  # 10 x 20 MB
+    frames = list(warc._frames(iter(rows), ["a", "b", "c"]))
+    assert len(frames) >= 3  # 64 MB bound -> ~4 rows per frame
+    assert sum(len(f) for f in frames) == 10
+    # small rows still flush on the row bound
+    small = [("p", i, "t") for i in range(5000)]
+    frames = list(warc._frames(iter(small), ["a", "b", "c"]))
+    assert [len(f) for f in frames] == [2048, 2048, 904]
