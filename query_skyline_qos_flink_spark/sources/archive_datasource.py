@@ -34,7 +34,12 @@ from pyspark.sql.datasource import (
 )
 
 from .archives import ARCHIVE_SCHEMA
-from .warc_datasource import FilePartition, FileTailStreamReader, list_files
+from .warc_datasource import (
+    FilePartition,
+    FileTailStreamReader,
+    list_files,
+    require_local_path,
+)
 
 _KINDS = ("auto", "zip", "tar")
 
@@ -62,6 +67,7 @@ class ArchiveReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("archive: the 'path' option is required")
+        self.path = require_local_path(self.path, "archive")
         self.pattern = options.get("pattern", "*")
         self.kind = options.get("kind", "auto")
         if self.kind not in _KINDS:

@@ -24,13 +24,16 @@ to executors (local disk, NFS, fuse mounts).  For object stores keep
 using ``read_warc*`` — their ``binaryFile`` scan goes through Hadoop's
 filesystem connectors.  This is a deliberate scope line, not an
 accident: the Python DataSource API hands partitions a plain Python
-runtime with no Hadoop classpath.
+runtime with no Hadoop classpath.  The line is ENFORCED at plan time
+(round 15): a URL-scheme path (``s3a://`` …) fails reader construction
+with a routing hint instead of a task-side FileNotFoundError.
 """
 
 from __future__ import annotations
 
 import fnmatch
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -49,6 +52,30 @@ _VIEWS = {
     "responses": RESPONSES_SCHEMA,
     "pages": PAGES_SCHEMA,
 }
+
+
+_URL_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]+://")
+
+
+def require_local_path(path: str, fmt: str) -> str:
+    """Plan-time guard for the documented filesystem seam (module
+    docstring): these DataSources read with task-side ``open()``, so a
+    URL-scheme path (``s3a://``, ``hdfs://``, ``gs://`` …) must be
+    rejected when the query is PLANNED — before r14-15 it surfaced only
+    as a confusing task-side FileNotFoundError at first read.  A
+    ``file://`` prefix is unwrapped (it IS the local filesystem)."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if _URL_SCHEME_RE.match(path):
+        raise ValueError(
+            f"{fmt}: path {path!r} has a URL scheme, but this Python "
+            f"DataSource reads with task-side open() (local/NFS/fuse "
+            f"paths only — a deliberate scope line, see the module "
+            f"docstring); for object stores use the binaryFile-based "
+            f"read_{fmt}* readers, which go through Hadoop's filesystem "
+            f"connectors"
+        )
+    return path
 
 
 def list_files(path: str, pattern: str) -> list[str]:
@@ -103,6 +130,7 @@ class WarcReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc: the 'path' option is required")
+        self.path = require_local_path(self.path, "warc")
         self.pattern = options.get("pattern", "*.warc*")
         self.view = options.get("view", "records")
         if self.view not in _VIEWS:
