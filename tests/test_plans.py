@@ -569,12 +569,41 @@ def test_lsh_recall_no_cartesian_partial_agg(spark):
 
 
 def test_image_resize_single_scan_no_shuffle(spark):
-    """resize_images is scan + mapInPandas only: no Exchange anywhere —
-    the resize itself never shuffles (downstream groupBys would)."""
+    """resize_images never shuffles PAYLOADS: the only Exchange in the
+    x_image_resize plan is the deliberate id-only round-robin fan-out
+    BELOW the synthesis mapInPandas (round 15, multimodal._fanout_ids —
+    8-byte ids on the wire, spreading the per-row-expensive fixture
+    encode off the single input split); above synthesis the plan is
+    mapInPandas chains with no Exchange.  The pure operator keeps the
+    no-shuffle contract: resize_images over an already-payload-bearing
+    frame plans scan + MapInPandas only."""
     plan = _plan(spark, "x_image_resize")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+    # exactly one exchange, and it is the round-robin id fan-out (no
+    # hash/range/single-partition shuffle anywhere)
+    assert plan.count("Exchange") == 1
+    assert "Exchange RoundRobinPartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    # the operator itself, fed payloads directly: zero Exchange
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.multimodal import (
+        resize_images,
+        synth_png_payload,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "payload": [synth_png_payload(0),
+                                                    synth_png_payload(1)]})
+    )
+    op_plan = resize_images(
+        df, 8, 8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in op_plan
+    assert "Exchange" not in op_plan
 
 
 def test_bpe_iteration_plan_partial_agg_and_topk(spark):
