@@ -382,11 +382,13 @@ def main() -> None:
                     warm_err = f"{type(exc).__name__}: {exc}"[:300]
             timed(name, lambda spec=spec: spec.fn(spark, SF_DIR).count(),
                   repeats=3, agg="median")
-            if name in spreads:
-                if warm_s is not None:
-                    spreads[name]["fixture_warm_s"] = warm_s
-                if warm_err is not None:
-                    spreads[name]["fixture_warm_error"] = warm_err
+            if warm_s is not None and name in spreads:
+                spreads[name]["fixture_warm_s"] = warm_s
+            if warm_err is not None:
+                # record even when the timed reps ALSO failed (spreads
+                # entry absent): whether the warm rep failed the same
+                # way is adjudication evidence
+                spreads.setdefault(name, {})["fixture_warm_error"] = warm_err
 
         if not os.environ.get("BENCH_SKIP_SCALING") and os.path.isdir(SMALL_SF_DIR) \
                 and os.path.realpath(SMALL_SF_DIR) != os.path.realpath(SF_DIR):

@@ -57,22 +57,37 @@ _VIEWS = {
 _URL_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]+://")
 
 
+# the binaryFile-based fallbacks to name in the routing hint, per format
+_BINARYFILE_TWINS = {"warc": "read_warc*", "archive": "read_zip/read_tar"}
+
+
 def require_local_path(path: str, fmt: str) -> str:
     """Plan-time guard for the documented filesystem seam (module
     docstring): these DataSources read with task-side ``open()``, so a
     URL-scheme path (``s3a://``, ``hdfs://``, ``gs://`` …) must be
     rejected when the query is PLANNED — before r14-15 it surfaced only
     as a confusing task-side FileNotFoundError at first read.  A
-    ``file://`` prefix is unwrapped (it IS the local filesystem)."""
+    ``file:///`` prefix is unwrapped (it IS the local filesystem); the
+    RFC 8089 host-authority form ``file://host/path`` is rejected
+    rather than silently misread as a relative path."""
     if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+        rest = path[len("file://"):]
+        if rest and not rest.startswith("/"):
+            raise ValueError(
+                f"{fmt}: path {path!r} is a file URL with a host "
+                f"authority — only local file:///absolute/path URLs are "
+                f"supported (mount the remote filesystem and pass its "
+                f"local mount point)"
+            )
+        return rest or "/"
     if _URL_SCHEME_RE.match(path):
+        twins = _BINARYFILE_TWINS.get(fmt, "read_*")
         raise ValueError(
             f"{fmt}: path {path!r} has a URL scheme, but this Python "
             f"DataSource reads with task-side open() (local/NFS/fuse "
             f"paths only — a deliberate scope line, see the module "
             f"docstring); for object stores use the binaryFile-based "
-            f"read_{fmt}* readers, which go through Hadoop's filesystem "
+            f"{twins} readers, which go through Hadoop's filesystem "
             f"connectors"
         )
     return path
@@ -252,11 +267,17 @@ class FileTailStreamReader(DataSourceStreamReader):
                     RuntimeWarning,
                     stacklevel=2,
                 )
-            # prune-and-replace: deleted names drop out (a delete+recreate
-            # below the watermark re-warns — landing dirs are append-only
-            # by contract), so the set tracks the live directory, bounded
-            # by listing size
-            self._accounted = set(below)
+            # monotone UPDATE (a transient partial listing must not drop
+            # an accounted name — re-listing it later would false-warn
+            # about a file that WAS streamed), with a size horizon so
+            # retention-deleted names cannot grow the set unboundedly:
+            # prune to the live listing only when the set far exceeds it
+            # (after such a prune, a delete+recreate below the watermark
+            # may re-warn once — landing dirs are append-only by
+            # contract, so that is an anomaly worth re-flagging anyway)
+            self._accounted.update(below)
+            if len(self._accounted) > 4 * len(files) + 1024:
+                self._accounted = set(below)
         # monotone: a transient empty/short listing (NFS hiccup,
         # retention delete) must never REGRESS the offset — a smaller
         # offset would re-plan already-committed files on recovery

@@ -227,9 +227,14 @@ def test_recovery_seeds_watermark_from_batch_end(tmp_path):
 
 
 def test_accounted_state_bounded_by_listing(tmp_path):
-    """The out-of-order-landing bookkeeping prunes to the live listing
-    every trigger — driver state is O(directory), not O(names ever
-    seen) (round-15 review)."""
+    """The out-of-order-landing bookkeeping is horizon-bounded: it grows
+    monotonically (a transient partial listing must not drop an
+    accounted name and later false-warn about a streamed file) but
+    prunes to the live listing once it far exceeds it — driver state is
+    O(directory), not O(names ever seen) (round-15 review, both
+    passes)."""
+    import warnings as _warnings
+
     from query_skyline_qos_flink_spark.sources.warc_datasource import WarcStreamReader
 
     r = WarcStreamReader({"path": str(tmp_path), "pattern": "*.warc.gz"})
@@ -239,7 +244,16 @@ def test_accounted_state_bounded_by_listing(tmp_path):
     r.latestOffset()
     r.latestOffset()
     assert len(r._accounted) <= 5
-    for i in range(4):  # retention deletes old shards
-        (tmp_path / f"part-{i:04d}.warc.gz").unlink()
+    # transient partial listing: an accounted name vanishing must NOT
+    # drop it — its reappearance would otherwise false-warn
+    (tmp_path / "part-0002.warc.gz").unlink()
     r.latestOffset()
-    assert len(r._accounted) <= 1
+    assert str(tmp_path / "part-0002.warc.gz") in r._accounted
+    (tmp_path / "part-0002.warc.gz").write_bytes(rec)  # reappears
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        r.latestOffset()  # no false data-loss warning
+    # horizon prune: retention-deleted names cannot grow the set forever
+    r._accounted.update(f"/gone/part-{i:06d}" for i in range(3000))
+    r.latestOffset()
+    assert len(r._accounted) <= 5
