@@ -69,23 +69,56 @@ def exact_f32(arr: np.ndarray) -> np.ndarray | None:
     return f32 if (f32.astype(np.float64) == arr).all() else None
 
 
+class _ChunkScratch:
+    """Per-call scratch for :func:`_dom_chunk`: three bool planes sized
+    to the call's real (m_chunk, k_chunk) cap, handed to every chunk as
+    views.
+
+    Round-15 root cause for allocating these ONCE per kernel call: the
+    naive broadcast expressions (``A <= B`` per dim) materialized ~7
+    fresh 128 MB temporaries per chunk — at 32 concurrent workers that
+    is gigabytes/second of glibc ``mmap``/zero/``munmap``, and every
+    ``munmap`` triggers TLB-shootdown IPIs across all cores, so the
+    whole box episodically sank into 65-75% SYSTEM time (verify reps
+    1.5 s → 5-12 s, box-wide — even JVM stages crawled).  With ``out=``
+    comparisons into reused planes the steady-state allocation rate is
+    three buffers per kernel call."""
+
+    __slots__ = ("dom", "tmp", "neq")
+
+    def __init__(self, m: int, k: int):
+        self.dom = np.empty((m, k), dtype=bool)
+        self.tmp = np.empty((m, k), dtype=bool)
+        self.neq = np.empty((m, k), dtype=bool)
+
+
 def _dom_chunk(sky_t: np.ndarray, ks: int, ke: int, ss: np.ndarray,
                C_t: np.ndarray, alive: np.ndarray, cs: np.ndarray,
-               exact: bool) -> np.ndarray:
+               exact: bool, scratch: "_ChunkScratch | None" = None) -> np.ndarray:
     """(len(alive), ke-ks) bool: sky row dominates candidate row."""
     d = sky_t.shape[0]
+    a, k = alive.size, ke - ks
+    if scratch is None:
+        scratch = _ChunkScratch(a, k)
+    dom = scratch.dom[:a, :k]
+    tmp = scratch.tmp[:a, :k]
+    ca = cs[alive][:, None]
     if exact:
-        dom = ss[None, :] < cs[alive][:, None]
+        np.less(ss[None, :], ca, out=dom)
         for j in range(d):
-            np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
+            np.less_equal(sky_t[j][ks:ke][None, :], C_t[j][alive][:, None], out=tmp)
+            np.logical_and(dom, tmp, out=dom)
         return dom
-    dom = ss[None, :] <= cs[alive][:, None]
+    np.less_equal(ss[None, :], ca, out=dom)
     for j in range(d):
-        np.logical_and(dom, sky_t[j][ks:ke][None, :] <= C_t[j][alive][:, None], out=dom)
-    neq = np.zeros_like(dom)
+        np.less_equal(sky_t[j][ks:ke][None, :], C_t[j][alive][:, None], out=tmp)
+        np.logical_and(dom, tmp, out=dom)
+    neq = scratch.neq[:a, :k]
+    neq[:] = False
     for j in range(d):
-        np.logical_or(neq, sky_t[j][ks:ke][None, :] != C_t[j][alive][:, None], out=neq)
-    dom &= neq
+        np.not_equal(sky_t[j][ks:ke][None, :], C_t[j][alive][:, None], out=tmp)
+        np.logical_or(neq, tmp, out=neq)
+    np.logical_and(dom, neq, out=dom)
     return dom
 
 
@@ -100,6 +133,7 @@ def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
     if sky.shape[0] == 0 or m == 0:
         return out
     sky_t = np.ascontiguousarray(sky.T)
+    scratch = _ChunkScratch(min(m, _M_CHUNK), min(sky.shape[0], _K_CHUNK))
     for ms in range(0, m, _M_CHUNK):
         me = min(m, ms + _M_CHUNK)
         sub = np.zeros(me - ms, dtype=bool)
@@ -110,7 +144,8 @@ def dominated_mask(cand: np.ndarray, cand_sum: np.ndarray, sky: np.ndarray,
             if alive.size == 0:
                 break
             ke = min(ks + _K_CHUNK, sky.shape[0])
-            dom = _dom_chunk(sky_t, ks, ke, sky_sum[ks:ke], C_t, alive, cs, exact)
+            dom = _dom_chunk(sky_t, ks, ke, sky_sum[ks:ke], C_t, alive, cs, exact,
+                             scratch)
             sub[alive] |= dom.any(axis=1)
         out[ms:me] = sub
     return out
@@ -131,6 +166,9 @@ def dominated_mask_vs_sorted(cand: np.ndarray, cand_sum: np.ndarray,
     order = np.argsort(cand_sum, kind="stable")
     side = "left" if exact else "right"
     sky_t = np.ascontiguousarray(sky_sorted.T)
+    scratch = _ChunkScratch(
+        min(m, _M_CHUNK), min(sky_sorted.shape[0], _K_CHUNK)
+    )
     for ms in range(0, m, _M_CHUNK):
         sel = order[ms:ms + _M_CHUNK]
         C_t = np.ascontiguousarray(cand[sel].T)
@@ -144,28 +182,40 @@ def dominated_mask_vs_sorted(cand: np.ndarray, cand_sum: np.ndarray,
             if alive.size == 0:
                 break
             ke = min(ks + _K_CHUNK, kmax)
-            dom = _dom_chunk(sky_t, ks, ke, sky_sum_sorted[ks:ke], C_t, alive, cs, exact)
+            dom = _dom_chunk(sky_t, ks, ke, sky_sum_sorted[ks:ke], C_t, alive, cs,
+                             exact, scratch)
             sub[alive] |= dom.any(axis=1)
         out[sel] = sub
     return out
 
 
 def _intra_dominated(A: np.ndarray, As: np.ndarray, exact: bool) -> np.ndarray:
-    """Pairwise within one block: mask of rows dominated by another row."""
+    """Pairwise within one block: mask of rows dominated by another row.
+
+    Same ``out=``-into-scratch discipline as :func:`_dom_chunk` (the
+    blocks are ≤ ``_M_CHUNK`` square, so the planes are smaller, but the
+    per-dim comparison temporaries churn the allocator identically)."""
     d = A.shape[1]
+    n = A.shape[0]
     A_t = np.ascontiguousarray(A.T)
+    scratch = _ChunkScratch(n, n)
+    dom, tmp = scratch.dom, scratch.tmp
     if exact:
-        dom = As[:, None] < As[None, :]  # (l, k): sum_l < sum_k
+        np.less(As[:, None], As[None, :], out=dom)  # (l, k): sum_l < sum_k
         for j in range(d):
-            np.logical_and(dom, A_t[j][:, None] <= A_t[j][None, :], out=dom)
+            np.less_equal(A_t[j][:, None], A_t[j][None, :], out=tmp)
+            np.logical_and(dom, tmp, out=dom)
         return dom.any(axis=0)
-    dom = As[:, None] <= As[None, :]
+    np.less_equal(As[:, None], As[None, :], out=dom)
     for j in range(d):
-        np.logical_and(dom, A_t[j][:, None] <= A_t[j][None, :], out=dom)
-    neq = np.zeros_like(dom)
+        np.less_equal(A_t[j][:, None], A_t[j][None, :], out=tmp)
+        np.logical_and(dom, tmp, out=dom)
+    neq = scratch.neq
+    neq[:] = False
     for j in range(d):
-        np.logical_or(neq, A_t[j][:, None] != A_t[j][None, :], out=neq)
-    dom &= neq
+        np.not_equal(A_t[j][:, None], A_t[j][None, :], out=tmp)
+        np.logical_or(neq, tmp, out=neq)
+    np.logical_and(dom, neq, out=dom)
     return dom.any(axis=0)
 
 
