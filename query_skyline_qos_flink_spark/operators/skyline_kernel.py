@@ -333,19 +333,33 @@ def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray) -> np.ndarray:
     dimension and turns the pass memory-bound."""
     m, d = cand.shape
     counts = np.zeros(m, dtype=np.int64)
+    if m == 0 or sky.shape[0] == 0:
+        return counts
+    # per-CALL scratch planes, per-dim comparisons via out= (round-15
+    # allocator-churn discipline — see _ChunkScratch)
+    pa, pb = min(m, _M_CHUNK), min(sky.shape[0], _SKYBAND_CHUNK)
+    le_p = np.empty((pa, pb), dtype=bool)
+    eq_p = np.empty((pa, pb), dtype=bool)
+    tmp_p = np.empty((pa, pb), dtype=bool)
     for ms in range(0, m, _M_CHUNK):
         cc = cand[ms : ms + _M_CHUNK]
         sub = counts[ms : ms + _M_CHUNK]
         for ks in range(0, sky.shape[0], _SKYBAND_CHUNK):
             sc = sky[ks : ks + _SKYBAND_CHUNK]
-            le = np.ones((cc.shape[0], sc.shape[0]), dtype=bool)
-            eq = np.ones((cc.shape[0], sc.shape[0]), dtype=bool)
+            a, b = cc.shape[0], sc.shape[0]
+            le, eq, tmp = le_p[:a, :b], eq_p[:a, :b], tmp_p[:a, :b]
+            le[:] = True
+            eq[:] = True
             for j in range(d):
                 sj = sc[:, j][None, :]
                 cj = cc[:, j][:, None]
-                le &= sj <= cj
-                eq &= sj == cj
-            sub += (le & ~eq).sum(axis=1, dtype=np.int64)
+                np.less_equal(sj, cj, out=tmp)
+                np.logical_and(le, tmp, out=le)
+                np.equal(sj, cj, out=tmp)
+                np.logical_and(eq, tmp, out=eq)
+            np.logical_not(eq, out=eq)
+            np.logical_and(le, eq, out=le)
+            sub += le.sum(axis=1, dtype=np.int64)
     return counts
 
 
@@ -379,6 +393,10 @@ def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     vcounts = np.empty(vpts.shape[0], dtype=np.int64)
     vflags = np.empty(vpts.shape[0], dtype=bool)
     d = vpts.shape[1]
+    pb = min(vpts.shape[0], _BLOCK)
+    le_p = np.empty((pb, pb), dtype=bool)
+    eq_p = np.empty((pb, pb), dtype=bool)
+    tmp_p = np.empty((pb, pb), dtype=bool)
     for bs in range(0, vpts.shape[0], _BLOCK):
         blk = vpts[bs : bs + _BLOCK]
         m = blk.shape[0]
@@ -387,14 +405,20 @@ def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
             if sky is not None and sky.shape[0]
             else np.zeros(m, dtype=np.int64)
         )
-        # intra-block pairwise dominance (m <= _BLOCK keeps this small)
-        le = np.ones((m, m), dtype=bool)
-        eq = np.ones((m, m), dtype=bool)
+        # intra-block pairwise dominance via per-call scratch planes
+        # (round-15 allocator-churn discipline)
+        le, eq, tmp = le_p[:m, :m], eq_p[:m, :m], tmp_p[:m, :m]
+        le[:] = True
+        eq[:] = True
         for j in range(d):
             cj = blk[:, j]
-            le &= cj[:, None] <= cj[None, :]
-            eq &= cj[:, None] == cj[None, :]
-        dom = le & ~eq  # dom[a, b]: row a dominates row b
+            np.less_equal(cj[:, None], cj[None, :], out=tmp)
+            np.logical_and(le, tmp, out=le)
+            np.equal(cj[:, None], cj[None, :], out=tmp)
+            np.logical_and(eq, tmp, out=eq)
+        np.logical_not(eq, out=eq)
+        np.logical_and(le, eq, out=le)
+        dom = le  # dom[a, b]: row a dominates row b (view into scratch)
         flags = np.empty(m, dtype=bool)
         for i in range(m):
             c = base[i] + int(np.count_nonzero(dom[:i, i] & flags[:i]))
@@ -457,20 +481,38 @@ def count_refuters_vs(cand: np.ndarray, widths: np.ndarray, pts: np.ndarray) -> 
     pts = np.asarray(pts, dtype=np.float64)
     m, d = cand.shape
     counts = np.zeros(m, dtype=np.int64)
+    if m == 0 or pts.shape[0] == 0:
+        return counts
+    # per-CALL scratch planes (round-15 allocator-churn discipline).
+    # The naive form was the worst offender in the family: the |r - c|
+    # broadcast made a fresh FLOAT64 plane (8x the bool size) per dim
+    # per chunk on top of the two bool temporaries.
+    pa, pb = min(m, _M_CHUNK), min(pts.shape[0], _SKYBAND_CHUNK)
+    f_p = np.empty((pa, pb), dtype=np.float64)
+    le_p = np.empty((pa, pb), dtype=bool)
+    lt_p = np.empty((pa, pb), dtype=bool)
+    tmp_p = np.empty((pa, pb), dtype=bool)
     for ms in range(0, m, _M_CHUNK):
         cc = cand[ms : ms + _M_CHUNK]
         wc = widths[ms : ms + _M_CHUNK]
         sub = counts[ms : ms + _M_CHUNK]
         for ks in range(0, pts.shape[0], _SKYBAND_CHUNK):
             rc = pts[ks : ks + _SKYBAND_CHUNK]
-            le = np.ones((cc.shape[0], rc.shape[0]), dtype=bool)
-            lt = np.zeros((cc.shape[0], rc.shape[0]), dtype=bool)
+            a, b = cc.shape[0], rc.shape[0]
+            fj = f_p[:a, :b]
+            le, lt, tmp = le_p[:a, :b], lt_p[:a, :b], tmp_p[:a, :b]
+            le[:] = True
+            lt[:] = False
             for j in range(d):
-                dj = np.abs(rc[:, j][None, :] - cc[:, j][:, None])
+                np.subtract(rc[:, j][None, :], cc[:, j][:, None], out=fj)
+                np.abs(fj, out=fj)
                 wj = wc[:, j][:, None]
-                le &= dj <= wj
-                lt |= dj < wj
-            sub += (le & lt).sum(axis=1, dtype=np.int64)
+                np.less_equal(fj, wj, out=tmp)
+                np.logical_and(le, tmp, out=le)
+                np.less(fj, wj, out=tmp)
+                np.logical_or(lt, tmp, out=lt)
+            np.logical_and(le, lt, out=le)
+            sub += le.sum(axis=1, dtype=np.int64)
     return counts
 
 
@@ -518,19 +560,32 @@ def count_kdominators_vs(cand: np.ndarray, pts: np.ndarray, k: int) -> np.ndarra
     pts = np.asarray(pts, dtype=np.float64)
     m, d = cand.shape
     counts = np.zeros(m, dtype=np.int64)
+    if m == 0 or pts.shape[0] == 0:
+        return counts
+    # per-CALL scratch planes (round-15 allocator-churn discipline)
+    pa, pb = min(m, _M_CHUNK), min(pts.shape[0], _SKYBAND_CHUNK)
+    cnt_p = np.empty((pa, pb), dtype=np.int16)
+    lt_p = np.empty((pa, pb), dtype=bool)
+    tmp_p = np.empty((pa, pb), dtype=bool)
     for ms in range(0, m, _M_CHUNK):
         cc = cand[ms : ms + _M_CHUNK]
         sub = counts[ms : ms + _M_CHUNK]
         for ks in range(0, pts.shape[0], _SKYBAND_CHUNK):
             rc = pts[ks : ks + _SKYBAND_CHUNK]
-            le_cnt = np.zeros((cc.shape[0], rc.shape[0]), dtype=np.int16)
-            lt = np.zeros((cc.shape[0], rc.shape[0]), dtype=bool)
+            a, b = cc.shape[0], rc.shape[0]
+            le_cnt, lt, tmp = cnt_p[:a, :b], lt_p[:a, :b], tmp_p[:a, :b]
+            le_cnt[:] = 0
+            lt[:] = False
             for j in range(d):
                 rj = rc[:, j][None, :]
                 cj = cc[:, j][:, None]
-                le_cnt += rj <= cj
-                lt |= rj < cj
-            sub += ((le_cnt >= k) & lt).sum(axis=1, dtype=np.int64)
+                np.less_equal(rj, cj, out=tmp)
+                le_cnt += tmp
+                np.less(rj, cj, out=tmp)
+                np.logical_or(lt, tmp, out=lt)
+            np.greater_equal(le_cnt, k, out=tmp)
+            np.logical_and(tmp, lt, out=tmp)
+            sub += tmp.sum(axis=1, dtype=np.int64)
     return counts
 
 
