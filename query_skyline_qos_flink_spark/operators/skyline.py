@@ -808,6 +808,12 @@ def top_dominating(
         cand = bc.value
         m, d = cand.shape
         acc = np.zeros(m, dtype=np.int64)
+        # per-TASK scratch planes, comparisons via out= (round-15
+        # allocator-churn discipline — skyline_kernel._ChunkScratch)
+        pa = min(m, _M_CHUNK)
+        le_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+        eq_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+        tmp_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -818,14 +824,20 @@ def top_dominating(
                 pc = pts[ps : ps + _SKYBAND_CHUNK]
                 for ms in range(0, m, _M_CHUNK):
                     cc = cand[ms : ms + _M_CHUNK]
-                    le = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
-                    eq = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                    a, b = cc.shape[0], pc.shape[0]
+                    le, eq, tmp = le_p[:a, :b], eq_p[:a, :b], tmp_p[:a, :b]
+                    le[:] = True
+                    eq[:] = True
                     for j in range(d):
                         cj = cc[:, j][:, None]
                         pj = pc[:, j][None, :]
-                        le &= cj <= pj
-                        eq &= cj == pj
-                    acc[ms : ms + _M_CHUNK] += (le & ~eq).sum(axis=1, dtype=np.int64)
+                        np.less_equal(cj, pj, out=tmp)
+                        np.logical_and(le, tmp, out=le)
+                        np.equal(cj, pj, out=tmp)
+                        np.logical_and(eq, tmp, out=eq)
+                    np.logical_not(eq, out=eq)
+                    np.logical_and(le, eq, out=le)
+                    acc[ms : ms + _M_CHUNK] += le.sum(axis=1, dtype=np.int64)
         yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
 
     partials = prepped.mapInPandas(
@@ -1536,6 +1548,12 @@ def prob_skyline(
             omap = bc_map.value
             acc = np.zeros((len(omap), cand.shape[0]), dtype=np.int64)
             d = cand.shape[1]
+            # per-TASK scratch planes (round-15 allocator-churn
+            # discipline — skyline_kernel._ChunkScratch)
+            pa = min(cand.shape[0], _M_CHUNK)
+            le_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+            eq_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+            tmp_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -1550,14 +1568,21 @@ def prob_skyline(
                     oc = oidx[ps : ps + _SKYBAND_CHUNK]
                     for ms in range(0, cand.shape[0], _M_CHUNK):
                         cc = cand[ms : ms + _M_CHUNK]
-                        le = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
-                        eq = np.ones((cc.shape[0], pc.shape[0]), dtype=bool)
+                        a, b = cc.shape[0], pc.shape[0]
+                        le, eq, tmp = le_p[:a, :b], eq_p[:a, :b], tmp_p[:a, :b]
+                        le[:] = True
+                        eq[:] = True
                         for j in range(d):
                             cj = cc[:, j][:, None]
                             pj = pc[:, j][None, :]
-                            le &= pj <= cj  # scanned point <= candidate
-                            eq &= pj == cj
-                        dom = (le & ~eq).T  # (batch, cand-chunk)
+                            # scanned point <= candidate
+                            np.less_equal(pj, cj, out=tmp)
+                            np.logical_and(le, tmp, out=le)
+                            np.equal(pj, cj, out=tmp)
+                            np.logical_and(eq, tmp, out=eq)
+                        np.logical_not(eq, out=eq)
+                        np.logical_and(le, eq, out=le)
+                        dom = le.T  # (batch, cand-chunk) view
                         np.add.at(
                             acc[:, ms : ms + _M_CHUNK], oc, dom.astype(np.int64)
                         )
