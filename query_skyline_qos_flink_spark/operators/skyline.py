@@ -803,17 +803,15 @@ def top_dominating(
     bc = spark.sparkContext.broadcast(cand_arr)
 
     def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .skyline_kernel import _M_CHUNK
+        from .skyline_kernel import _ChunkScratch, _M_CHUNK
 
         cand = bc.value
         m, d = cand.shape
         acc = np.zeros(m, dtype=np.int64)
         # per-TASK scratch planes, comparisons via out= (round-15
-        # allocator-churn discipline — skyline_kernel._ChunkScratch)
-        pa = min(m, _M_CHUNK)
-        le_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
-        eq_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
-        tmp_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+        # allocator-churn discipline)
+        scratch = _ChunkScratch(min(m, _M_CHUNK), _SKYBAND_CHUNK)
+        le_p, eq_p, tmp_p = scratch.dom, scratch.neq, scratch.tmp
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1541,7 +1539,7 @@ def prob_skyline(
             )
         bc_cand = spark.sparkContext.broadcast(cand_arr)
         bc_map = spark.sparkContext.broadcast(obj_map)
-        from .skyline_kernel import _M_CHUNK, _SKYBAND_CHUNK
+        from .skyline_kernel import _ChunkScratch, _M_CHUNK, _SKYBAND_CHUNK
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cand = bc_cand.value
@@ -1549,11 +1547,9 @@ def prob_skyline(
             acc = np.zeros((len(omap), cand.shape[0]), dtype=np.int64)
             d = cand.shape[1]
             # per-TASK scratch planes (round-15 allocator-churn
-            # discipline — skyline_kernel._ChunkScratch)
-            pa = min(cand.shape[0], _M_CHUNK)
-            le_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
-            eq_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
-            tmp_p = np.empty((pa, _SKYBAND_CHUNK), dtype=bool)
+            # discipline)
+            scratch = _ChunkScratch(min(cand.shape[0], _M_CHUNK), _SKYBAND_CHUNK)
+            le_p, eq_p, tmp_p = scratch.dom, scratch.neq, scratch.tmp
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -1582,10 +1578,10 @@ def prob_skyline(
                             np.logical_and(eq, tmp, out=eq)
                         np.logical_not(eq, out=eq)
                         np.logical_and(le, eq, out=le)
-                        dom = le.T  # (batch, cand-chunk) view
-                        np.add.at(
-                            acc[:, ms : ms + _M_CHUNK], oc, dom.astype(np.int64)
-                        )
+                        # np.add.at accepts the bool view directly (adds
+                        # 0/1) — the astype(int64) copy was an 8x-larger
+                        # fresh plane per chunk (round-15 review, pass 3)
+                        np.add.at(acc[:, ms : ms + _M_CHUNK], oc, le.T)
             nz = np.nonzero(acc)
             yield pd.DataFrame(
                 {"__obj_idx": nz[0], "__cand_idx": nz[1], "__cnt": acc[nz]}

@@ -323,7 +323,8 @@ def skyline_mask_brute(points: np.ndarray) -> np.ndarray:
 _SKYBAND_CHUNK = 8192
 
 
-def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray) -> np.ndarray:
+def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray,
+                         scratch: "_ChunkScratch | None" = None) -> np.ndarray:
     """Exact count of ``sky`` rows dominating each ``cand`` row.
 
     Chunked on BOTH sides so the boolean comparison matrices stay
@@ -336,18 +337,17 @@ def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray) -> np.ndarray:
     if m == 0 or sky.shape[0] == 0:
         return counts
     # per-CALL scratch planes, per-dim comparisons via out= (round-15
-    # allocator-churn discipline — see _ChunkScratch)
-    pa, pb = min(m, _M_CHUNK), min(sky.shape[0], _SKYBAND_CHUNK)
-    le_p = np.empty((pa, pb), dtype=bool)
-    eq_p = np.empty((pa, pb), dtype=bool)
-    tmp_p = np.empty((pa, pb), dtype=bool)
+    # allocator-churn discipline); callers in a loop (skyband_mask's
+    # forward pass) hoist and pass one _ChunkScratch instead
+    if scratch is None:
+        scratch = _ChunkScratch(min(m, _M_CHUNK), min(sky.shape[0], _SKYBAND_CHUNK))
     for ms in range(0, m, _M_CHUNK):
         cc = cand[ms : ms + _M_CHUNK]
         sub = counts[ms : ms + _M_CHUNK]
         for ks in range(0, sky.shape[0], _SKYBAND_CHUNK):
             sc = sky[ks : ks + _SKYBAND_CHUNK]
             a, b = cc.shape[0], sc.shape[0]
-            le, eq, tmp = le_p[:a, :b], eq_p[:a, :b], tmp_p[:a, :b]
+            le, eq, tmp = scratch.dom[:a, :b], scratch.neq[:a, :b], scratch.tmp[:a, :b]
             le[:] = True
             eq[:] = True
             for j in range(d):
@@ -394,20 +394,21 @@ def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     vflags = np.empty(vpts.shape[0], dtype=bool)
     d = vpts.shape[1]
     pb = min(vpts.shape[0], _BLOCK)
-    le_p = np.empty((pb, pb), dtype=bool)
-    eq_p = np.empty((pb, pb), dtype=bool)
-    tmp_p = np.empty((pb, pb), dtype=bool)
+    # ONE scratch for the whole forward pass: the intra-block planes
+    # (<= _BLOCK square) and every _count_dominators_vs call (<= _BLOCK x
+    # _SKYBAND_CHUNK) slice the same buffers — without the hoist the
+    # n/_BLOCK calls each re-mmap ~3 x 16-50 MB planes (round-15 review)
+    scratch = _ChunkScratch(pb, max(pb, min(vpts.shape[0], _SKYBAND_CHUNK)))
     for bs in range(0, vpts.shape[0], _BLOCK):
         blk = vpts[bs : bs + _BLOCK]
         m = blk.shape[0]
         base = (
-            _count_dominators_vs(blk, sky)
+            _count_dominators_vs(blk, sky, scratch)
             if sky is not None and sky.shape[0]
             else np.zeros(m, dtype=np.int64)
         )
-        # intra-block pairwise dominance via per-call scratch planes
-        # (round-15 allocator-churn discipline)
-        le, eq, tmp = le_p[:m, :m], eq_p[:m, :m], tmp_p[:m, :m]
+        # intra-block pairwise dominance via the hoisted scratch planes
+        le, eq, tmp = scratch.dom[:m, :m], scratch.neq[:m, :m], scratch.tmp[:m, :m]
         le[:] = True
         eq[:] = True
         for j in range(d):
