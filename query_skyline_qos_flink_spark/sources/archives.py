@@ -819,7 +819,7 @@ def _sniff_tar_codec(b: bytes):
     return None, None
 
 
-def maybe_decompress_tar(b: bytes) -> bytes:
+def maybe_decompress_tar(b: bytes) -> bytes | bytearray:
     """Transparent .tar.gz / .tar.bz2 / .tar.xz / .tar.zst / .tar.lz4
     envelope removal, sniffed by magic (gzip ``1f 8b``, bzip2 ``BZh``,
     xz ``fd 37 7a 58 5a 00``, zstd ``28 b5 2f fd``, lz4 frame
@@ -833,7 +833,13 @@ def maybe_decompress_tar(b: bytes) -> bytes:
     Concatenated streams are decoded per each format's own spec (all
     three define the concatenation as one logical stream; gzip's pigz/
     bgzf and xz's stream padding make this routine in the wild), but
-    non-stream trailing garbage raises.  A truncated stream raises."""
+    non-stream trailing garbage raises.  A truncated stream raises.
+
+    Returns a ``bytearray`` for decompressed envelopes (round-15 memory
+    shape: accumulating chunks into one growing buffer peaks at ~1.1x
+    the output where the old parts-list + join held 2x at return; the
+    tar walk is bytes/bytearray-agnostic) and the input ``bytes``
+    unchanged for plain tars."""
     kind, make = _sniff_tar_codec(b)
     if kind is None:
         return b
@@ -846,7 +852,8 @@ def maybe_decompress_tar(b: bytes) -> bytes:
     }[kind]
     mv = memoryview(b)
     n = len(b)
-    parts, total = [], 0
+    buf = bytearray()
+    total = 0
     pos = 0
     while True:  # one iteration per concatenated stream
         d = make()
@@ -874,7 +881,7 @@ def maybe_decompress_tar(b: bytes) -> bytes:
                 raise ValueError(
                     f"tar.{kind}: inflates past the {MAX_TAR_BYTES}-byte ceiling"
                 )
-            parts.append(chunk)
+            buf += chunk
             if d.eof:
                 break
             if kind == "gz":
@@ -884,12 +891,12 @@ def maybe_decompress_tar(b: bytes) -> bytes:
                 raise ValueError(f"tar.{kind}: truncated compressed stream")
         pos -= len(d.unused_data)  # rewind to the true end of this stream
         if pos >= n:
-            return b"".join(parts)
+            return buf
         if kind == "xz" and not any(mv[pos:]):
             # xz stream padding: NUL bytes in 4-byte multiples
             if (n - pos) % 4:
                 raise ValueError("tar.xz: stream padding not a multiple of 4")
-            return b"".join(parts)
+            return buf
         nxt = bytes(mv[pos : pos + max(len(magic), 4)])
         if kind == "zst":  # skippable frames count as concatenated members
             ok = native_codecs.is_zstd_magic(nxt)
