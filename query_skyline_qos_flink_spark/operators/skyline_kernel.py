@@ -334,7 +334,7 @@ def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray,
     """Exact count of ``sky`` rows dominating each ``cand`` row.
 
     Chunked on BOTH sides so the boolean comparison matrices stay
-    cache-sized (~_M_CHUNK x _SKYBAND_CHUNK ≈ 32 MB) regardless of how
+    cache-sized (_M_CHUNK x _SKYBAND_CHUNK = 16 MB after the r15 retune) regardless of how
     large either side grows — a single-side chunking at band sizes in the
     tens of thousands allocates multi-hundred-MB temporaries per
     dimension and turns the pass memory-bound."""

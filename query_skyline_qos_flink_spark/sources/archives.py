@@ -546,7 +546,7 @@ def _gnu_longdata(data: bytes, size: int, flag: bytes, off: int) -> str:
     return raw[:nul].decode("utf-8", "surrogateescape")
 
 
-def iter_tar_members(b: bytes) -> Iterator[dict]:
+def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
     """POSIX ustar + pax walk: 512-byte blocks, octal (or GNU base-256)
     size fields, per-header CHECKSUM verification.  Long names arrive
     three ways and all are honored with the POSIX precedence
@@ -677,9 +677,14 @@ def iter_tar_members(b: bytes) -> Iterator[dict]:
         off = data_at + (size + 511) // 512 * 512
 
 
-def parse_tar_members(b: bytes) -> list[dict]:
+def parse_tar_members(b: bytes | bytearray) -> list[dict]:
     """List form of :func:`iter_tar_members` (tests / small archives —
-    atomic: raises before returning anything on a malformed archive)."""
+    atomic: raises before returning anything on a malformed archive).
+
+    Member ``body`` values mirror the input buffer type: ``bytes`` for
+    plain tars, ``bytearray`` slices when the envelope came through
+    :func:`maybe_decompress_tar` — consumers needing hashable bodies
+    must ``bytes()`` them."""
     return list(iter_tar_members(b))
 
 

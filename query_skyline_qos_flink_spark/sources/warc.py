@@ -609,7 +609,9 @@ def _frames(
     nbytes = 0
     for r in row_iter:
         rows.append(r)
-        nbytes += sum(len(v) for v in r if isinstance(v, (str, bytes)))
+        nbytes += sum(
+            len(v) for v in r if isinstance(v, (str, bytes, bytearray, memoryview))
+        )
         if len(rows) >= rows_per_frame or nbytes >= bytes_per_frame:
             yield pd.DataFrame(rows, columns=columns)
             rows = []

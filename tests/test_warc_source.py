@@ -626,3 +626,10 @@ def test_frames_flush_on_bytes_not_just_rows():
     small = [("p", i, "t") for i in range(5000)]
     frames = list(warc._frames(iter(small), ["a", "b", "c"]))
     assert [len(f) for f in frames] == [2048, 2048, 904]
+    # bytearray bodies (compressed tar envelopes return bytearray slices
+    # since r15) must count toward the byte bound too — round-15 review
+    # pass 4 reproduced the counter silently skipping them
+    ba = [("p", i, bytearray(20 << 20)) for i in range(10)]
+    frames = list(warc._frames(iter(ba), ["a", "b", "c"]))
+    assert len(frames) >= 3
+    assert sum(len(f) for f in frames) == 10
