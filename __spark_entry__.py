@@ -41,62 +41,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 15
-# Round-15 window: the 43 live entries whose latest driver row is
-# round 12 (computed MECHANICALLY from the union of
-# CORRECTNESS_r01..r14.json; matches the round-14 verdict's mechanical
-# recount AND the round-14 worksheet, both said 43) hit the hard
-# staleness bound and take the front.  The 7 fill slots go to entries
-# whose code paths this round touches: x_multimodal_meta gates the new
-# HEIF/AVIF still-image fixture class (verdict item 5); the three
-# s9_twophase_* variants plus m1_partition_stats re-gate the
-# persist-lifecycle A/B of the s9_twophase_dim mover (item 3 — they
-# share the phase-1 persist double-use the round-14 MRU refresh
-# changed); x_dedup_clusters_lsh re-gates the checkpoint_rotate
-# storage-release path (caching.py:108, same file as item 3); and
-# s37_stream_warc_tail (registered mid-round per item 4, displacing the
-# x_cdc_dedup placeholder back to its r13 cohort — the round-13
-# pattern) gates the round-14 streaming-DataSource tail path end to
-# end.  Five of the seven fills are r13-cohort, flattening the
-# round-16 must-gate load (see worksheet below).
+_ROTATED_FOR = 16
+# Round-16 window: the 41 live entries whose latest driver row is
+# round 13 (computed MECHANICALLY from the union of
+# CORRECTNESS_r01..r15.json; matches the round-15 verdict's mechanical
+# recount AND the round-15 worksheet, both said 41) hit the hard
+# staleness bound and take the front.  The 9 fill slots go to r14-cohort
+# entries whose code paths this round touches: s30_prob_skyline gets the
+# verdict-item-3 solo stage-forensics pass (and a scratch-plane audit of
+# its probability kernel), and s34_skycube_4d / s31_thick_skyline /
+# x_jpeg_ahash_dedup were the other official-artifact movers in r15's
+# elevated bench window — all four re-gate correctness alongside the
+# forensics; x_warc_extract / x_archive_extract gate the reader stack
+# the ADVICE fixes touch (lz4 finalizer guard in native_codecs.py, the
+# below-watermark warning in warc_datasource.py); s29_skyline_layers is
+# the remaining iterative entry from the verdict's expensive-plan audit
+# (shares the broadcast anti-join peel with the skyline family);
+# s35_stream_cdc_watermark re-gates the late-r15 watermark-seeded-from-
+# recovered-batch-END review fix; and x_audio_features re-gates the
+# audio container path adjudicated by the round-16 shared-library
+# rescan (verdict item 5).
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 12, at the bound for round 15
-    "m2_strategy_stats", "r26_integrity_checks", "s11_stream_replay",
-    "s13_stream_window", "s36_stream_metrics", "x_ann_blocked",
-    "x_ann_multiprobe", "x_ann_recall", "x_bfs_hops",
-    "x_blocklist_filter", "x_bloom_prune_semi", "x_bpe_apply",
-    "x_bpe_train_k", "x_contamination", "x_coreness",
-    "x_cosine_neardup", "x_dedup_normalized", "x_doc_chunks",
-    "x_embed_quantize8", "x_exact_quantiles", "x_gif_frame_colors",
-    "x_heavy_hitters", "x_histogram", "x_hll_distinct",
-    "x_image_ahash_dedup", "x_image_neardup_pairs", "x_kmeans_iter",
-    "x_kmv_distinct", "x_labelprop", "x_lsh_recall",
-    "x_ngram_topk", "x_pagerank", "x_pattern_counts",
-    "x_profile_columns", "x_quality_filter", "x_repetition",
-    "x_sample_stratified", "x_seq_packing", "x_snapshot_diff",
-    "x_span_dedup", "x_text_quality", "x_train_test_split",
-    "x_weighted_mix",
+    # stale: last driver row round 13, at the bound for round 16
+    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
+    "r10_percentiles", "r11_asof_join", "r12_range_join",
+    "r13_regional_revenue", "r14_subquery_avg", "r20_recursive_cte",
+    "r21_unpivot_measures", "r3_window_running", "r4_semi_anti_join",
+    "r7_json_extract", "r9_sessionize", "s10_snapshot_10000",
+    "s14_stream_dedup", "s15_stream_join", "s18_stream_upsert",
+    "s1_skyline_2d", "s20_stream_dedup_watermark", "s24_dynamic_skyline",
+    "s27_reverse_skyline", "s2_skyline_maxdir", "s3_skyline_3d",
+    "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
+    "s7_skyline_filtered", "s8_skyline_groupwise", "x_ann_ivf",
+    "x_bigram_lm_score", "x_bm25_topk", "x_cdc_dedup",
+    "x_corpus_shuffle", "x_dedup_sweep", "x_knn_int8_rerank",
+    "x_minhash_lsh_pairs", "x_semantic_dedup", "x_simhash_pairs",
+    "x_triangle_count", "x_url_dedup",
     # fills: code paths this round touches (see header comment)
-    "x_multimodal_meta", "s9_twophase_dim", "s9_twophase_grid",
-    "s9_twophase_angle", "m1_partition_stats", "x_dedup_clusters_lsh",
-    "s37_stream_warc_tail",
+    "s30_prob_skyline", "s34_skycube_4d", "s31_thick_skyline",
+    "x_jpeg_ahash_dedup", "x_warc_extract", "x_archive_extract",
+    "s29_skyline_layers", "s35_stream_cdc_watermark", "x_audio_features",
 ]
-# Round-16 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 16: every entry whose latest driver
-#   row is round 13 and which sits outside this round-15 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-15
-#   artifact lands.  At round-15 end: 47 round-13 rows, minus the 5
-#   round-13 fills above (s9_twophase_dim / s9_twophase_grid /
-#   s9_twophase_angle / m1_partition_stats / x_dedup_clusters_lsh),
-#   minus s26_skycube (r13-cohort, retired this round) = 41 round-16
-#   must-gates — x_cdc_dedup (displaced placeholder) is among them.
-#   Plus any round-15 registration that misses the round-15 window
-#   (none: s37_stream_warc_tail is in the window above).
-# * Round-15 mid-round changes already applied to the list above:
-#   s37_stream_warc_tail registered (displacing the x_cdc_dedup
-#   placeholder back to its r13 cohort) and s26_skycube retired to an
-#   exact anchor (subsumed by s34_skycube_4d).  Registry stays at
-#   exactly 140.
+# Round-17 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 17: every entry whose latest driver
+#   row is round 14 and which sits outside this round-16 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-16
+#   artifact lands.  At round-16 start: 49 round-14 rows, minus the 9
+#   round-14 fills above (s30_prob_skyline / s34_skycube_4d /
+#   s31_thick_skyline / x_jpeg_ahash_dedup / x_warc_extract /
+#   x_archive_extract / s29_skyline_layers / s35_stream_cdc_watermark /
+#   x_audio_features) = 40 round-17 must-gates, leaving 10 fill slots.
+#   Plus any round-16 registration that misses the round-16 window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
