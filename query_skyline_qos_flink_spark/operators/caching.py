@@ -105,6 +105,51 @@ def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
     return df
 
 
+def persist_balanced(
+    df: DataFrame, scope: str | None = None
+) -> tuple[DataFrame, int]:
+    """Persist and materialize ``df``, then re-persist it round-robin
+    across ``defaultParallelism`` when the cache is PROVABLY skewed —
+    the cached-input variant of :func:`..operators.fanout.
+    fanout_narrow_scan` for operators that scan a persisted projection
+    repeatedly with per-row-expensive kernels (prob_skyline's counting
+    scans, the skycube's subspace passes).  Returns ``(frame, rows)``.
+
+    A single-row-group source file caches as ONE populated partition
+    (measured round 16: ``[0, 35645, 0]`` for s30's input at sf0.1), so
+    every downstream ``mapInPandas`` runs on one core.  The probe is
+    scale-safe by construction: it short-circuits when the cache already
+    has ``>= 4x cores`` partitions (a real cluster scan — per-partition
+    stats would cost a collect proportional to partition count, and the
+    pathology can't exist), and otherwise measures the true per-partition
+    row counts with one codegen aggregation over the materialized cache
+    (~ms).  Rebalance fires only when the fullest partition holds more
+    than 4x its fair share, i.e. when the critical path provably wastes
+    >= 75% of the cores; both the skewed and balanced entries stay
+    registered so repeat calls MRU-hit the balanced cache."""
+    from pyspark.sql import functions as F
+
+    scope = scope or _caller_scope()
+    cached = persist_bounded(df, scope)
+    n = cached.count()
+    sc = cached.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if target <= 1 or n < 2 * target:
+        return cached, n
+    try:
+        nparts = cached.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - Connect session
+        return cached, n
+    if nparts >= 4 * target:
+        return cached, n
+    per_part = cached.groupBy(F.spark_partition_id().alias("__pid")).count().collect()
+    if max(r["count"] for r in per_part) * target <= 4 * n:
+        return cached, n
+    bal = persist_bounded(cached.repartition(target), scope)
+    bal.count()
+    return bal, n
+
+
 def checkpoint_rotate(df: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One round of the iterative-fixpoint checkpoint lifecycle: eagerly
     ``localCheckpoint`` the new round's plan, then free the superseded

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .fanout import fanout_narrow_scan as _fanout
 from .partitioners import partition_id
 from .skyline import _grouped_skyline, _merge_survivors, _prep
 
@@ -117,7 +118,9 @@ def skyline_partition_stats(
             for pid_val in pend:
                 yield compact(pid_val)
 
-        pre = prepped.mapInPandas(_prune_batches, schema=prepped.schema)
+        # the pre-prune's parallelism is the scan's split count — fan out
+        # a provably single-split input first (operators/fanout.py)
+        pre = _fanout(prepped).mapInPandas(_prune_batches, schema=prepped.schema)
     local = pre.groupBy("pid").applyInPandas(
         _grouped_skyline(prep_cols), schema=prepped.schema
     )

@@ -46,8 +46,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .caching import persist_balanced as _persist_balanced
 from .caching import persist_bounded as _persist
 from .caching import release_local_checkpoint
+from .fanout import fanout_narrow_scan as _fanout
 from .joins import null_safe_semi_join
 from .skyline_kernel import dominated_mask_vs_sorted, exact_f32, skyline_mask, sums_exact
 
@@ -358,7 +360,10 @@ def skyline(
         return res.select(*out_cols)
 
     local = _local_skyline_iter(prep_cols)
-    phase1 = prepped.mapInPandas(local, schema=prepped.schema)
+    # phase-1 parallelism = input splits; a single-row-group source file
+    # has exactly one effective split, so prove-and-fan-out first
+    # (operators/fanout.py — conditional, driver-side, no job)
+    phase1 = _fanout(prepped).mapInPandas(local, schema=prepped.schema)
     return _merge_survivors(phase1, prep_cols).select(*out_cols)
 
 
@@ -599,7 +604,9 @@ def skyband(
         if cur is not None and not cur.empty:
             yield cur
 
-    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    phase1 = _persist(
+        _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
+    )
     n = phase1.count()
     if n > _VERIFY_MAX_ROWS:
         return _chunked_skyband_verify(
@@ -838,7 +845,7 @@ def top_dominating(
                     acc[ms : ms + _M_CHUNK] += le.sum(axis=1, dtype=np.int64)
         yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
 
-    partials = prepped.mapInPandas(
+    partials = _fanout(prepped).mapInPandas(
         partial_counts, schema="__cand_idx long, __partial long"
     )
     totals = (
@@ -866,7 +873,9 @@ def _collect_verified_candidates(prepped, local_fn, prep_cols, op_name):
     guard, and collect the candidates as an Arrow table + dim matrix.
     Returns ``(phase1, cand_tbl, cand_arr)``; ``cand_tbl`` is ``None``
     when there are no candidates."""
-    phase1 = _persist(prepped.mapInPandas(local_fn, schema=prepped.schema))
+    phase1 = _persist(
+        _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
+    )
     n_cand = phase1.count()
     if n_cand == 0:
         return phase1, None, None
@@ -896,7 +905,9 @@ def _broadcast_partial_counts(prepped, prep_cols, count_batch, m, total_col):
             acc += count_batch(pdf[prep_cols].to_numpy(dtype=np.float64))
         yield pd.DataFrame({"__cand_idx": np.arange(m), "__partial": acc})
 
-    partials = prepped.mapInPandas(partial, schema="__cand_idx long, __partial long")
+    partials = _fanout(prepped).mapInPandas(
+        partial, schema="__cand_idx long, __partial long"
+    )
     return partials.groupBy("__cand_idx").agg(F.sum("__partial").alias(total_col))
 
 
@@ -1319,7 +1330,11 @@ def skycube(
     # should run skyline() per subspace instead.
     out_cols = df.columns
     valid, _ = _prep(df, dims)
-    df = _persist(valid.select(*out_cols))
+    # balanced persist: this universe cache feeds the full-space skyline
+    # AND the fused all-subspace tagging scan — a single-row-group source
+    # caches as one populated partition (round-16 forensics; see
+    # caching.persist_balanced)
+    df, _ = _persist_balanced(valid.select(*out_cols))
     full = _persist(skyline(df, dims))
     out = full.select(F.lit(label(names)).alias(label_col), *df.columns)
     if len(nd) < 2:
@@ -1492,7 +1507,11 @@ def prob_skyline(
         notnull = cond if notnull is None else (notnull & cond)
     df = df.where(notnull)
     prepped, prep_cols = _prep(df, dims)
-    prepped = _persist(prepped)
+    # balanced persist: this cache feeds BOTH counting scans, the skyband
+    # call, and the phase-2 semi-join — a single-row-group source caches
+    # as one populated partition and serializes all of them onto one core
+    # (round-16 forensics: [0, 35645, 0] at sf0.1, 9:1 stage stragglers)
+    prepped, _ = _persist_balanced(prepped)
 
     sizes = _persist(prepped.groupBy(*obj_cols).agg(F.count(F.lit(1)).alias("__n")))
     n_obj = sizes.count()
@@ -1702,7 +1721,10 @@ def thick_skyline(
     dimcols = [c for c, _ in nd]
     out_cols = df.columns
     prepped, prep_cols = _prep(df, dims)
-    base = prepped.select(*out_cols)  # NULL/NaN-dim rows excluded
+    # NULL/NaN-dim rows excluded; fan out a provably single-split scan —
+    # the epsilon band-join below is a broadcast nested loop RIDING this
+    # side, so its parallelism is exactly the scan's split count
+    base = _fanout(prepped.select(*out_cols))
 
     sky = _persist(skyline(df, dims))
     n_sky = sky.count()
