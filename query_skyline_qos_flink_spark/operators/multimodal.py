@@ -559,15 +559,16 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, "object"]:
     return hh, ww, cc, arr
 
 
-def _jpeg_precision(payload: bytes) -> int:
-    """Sample precision from the first SOF marker (8 on any parse
-    trouble — the caller's decoder will raise the real error)."""
+def _jpeg_sof(payload: bytes) -> tuple[int, int]:
+    """(SOF marker, sample precision) from the first SOF segment
+    ((0xC0, 8) on any parse trouble — the caller's decoder will raise
+    the real error)."""
     import struct as _struct
 
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
-            return 8
+            return 0xC0, 8
         marker = payload[pos + 1]
         if marker == 0xFF:
             pos += 1
@@ -576,12 +577,18 @@ def _jpeg_precision(payload: bytes) -> int:
             pos += 2
             continue
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return payload[pos + 4] if pos + 4 < len(payload) else 8
+            return marker, payload[pos + 4] if pos + 4 < len(payload) else 8
         if pos + 4 > len(payload):
-            return 8
+            return 0xC0, 8
         (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
         pos += 2 + ln
-    return 8
+    return 0xC0, 8
+
+
+def _jpeg_precision(payload: bytes) -> int:
+    """Sample precision from the first SOF marker (8 on any parse
+    trouble)."""
+    return _jpeg_sof(payload)[1]
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
@@ -624,7 +631,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         # stay on the builtin decoder even under the pillow backend
         # (r12 review: the 12-bit fixture class crashed pillow-backend
         # deployments mid-task)
-        if backend == "pillow" and _jpeg_precision(payload) == 8:
+        # 12-bit and arithmetic-coded (SOF9) streams stay on the builtin
+        # decoder even under the pillow backend: Pillow's JPEG plugin is
+        # 8-bit Huffman-only
+        sof_marker, sof_prec = _jpeg_sof(payload)
+        if backend == "pillow" and sof_prec == 8 and sof_marker != 0xC9:
             return _decode_image_pillow(payload)
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -2683,6 +2694,60 @@ def _encode_baseline_entropy(comps, restart_interval: int = 0,
     return wtr.flush()
 
 
+def _encode_arith_entropy(comps, restart_interval: int = 0) -> bytes:
+    """Interleaved single-scan SEQUENTIAL ARITHMETIC (SOF9) entropy
+    coding over the MCU grid — the same traversal as
+    :func:`_encode_baseline_entropy` with the T.81 Annex D QM coder
+    (operators/jpeg_arith.py) in place of Huffman.  Conditioning table
+    ids follow the quant-table assignment (0 = luma, 1 = chroma) with
+    the default L/U/Kx conditioning; a restart flushes the coder, emits
+    RSTn and restarts with zeroed statistics, per the standard."""
+    from .jpeg_arith import (
+        ACModel,
+        ArithEncoder,
+        DCModel,
+        _FIXED_BIN,
+        encode_ac_block,
+        encode_dc_diff,
+    )
+
+    def fresh():
+        return (
+            ArithEncoder(),
+            {tq: DCModel() for _hi, _vi, tq, _c in comps},
+            {tq: ACModel() for _hi, _vi, tq, _c in comps},
+            bytearray([_FIXED_BIN]),
+        )
+
+    enc, dcm, acm, fixed = fresh()
+    out = bytearray()
+    pred = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    mcuy = comps[0][3].shape[0] // comps[0][1]
+    mcux = comps[0][3].shape[1] // comps[0][0]
+    mcu_i, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                enc, dcm, acm, fixed = fresh()
+                pred = [0] * len(comps)
+                dc_ctx = [0] * len(comps)
+            mcu_i += 1
+            for ci, (hi, vi, tq, coef) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = coef[my * vi + v, mx * hi + hh]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        dc_ctx[ci] = encode_dc_diff(enc, dcm[tq], dc_ctx[ci], diff)
+                        encode_ac_block(enc, acm[tq], fixed, zz)
+    out += enc.flush()
+    return bytes(out)
+
+
 def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
                               restart_interval: int = 0):
     """Progressive (SOF2) entropy coding following libjpeg's DEFAULT
@@ -2909,7 +2974,8 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
 
 
 def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
-                restart_interval: int = 0, precision: int = 8) -> bytes:
+                restart_interval: int = 0, precision: int = 8,
+                arithmetic: bool = False) -> bytes:
     """REAL JPEG encoder: 8-bit greyscale ``(h, w)`` or RGB ``(h, w, 3)``
     ndarray -> JFIF bytes (Annex K quant + Huffman tables).
 
@@ -2933,6 +2999,8 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
         raise ValueError("encode_jpeg precision must be 8 or 12")
     if precision == 12 and progressive:
         raise ValueError("12-bit progressive JPEG not supported here")
+    if arithmetic and progressive:
+        raise ValueError("progressive arithmetic (SOF10) not supported here")
     h, w, grey, comps = _jpeg_quantized_components(pix, subsample, precision)
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -2963,7 +3031,9 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
     sof = _struct.pack(">BHHB", precision, h, w, nc)
     for ci, (hi, vi, tq, _coef) in enumerate(comps):
         sof += bytes([ci + 1, (hi << 4) | vi, tq])
-    if progressive:
+    if arithmetic:
+        sof_marker = 0xFFC9  # sequential arithmetic (8- or 12-bit)
+    elif progressive:
         sof_marker = 0xFFC2
     elif precision == 12:
         sof_marker = 0xFFC1  # extended sequential
@@ -2975,7 +3045,15 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
         bits, vals = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    if precision == 12:
+    if arithmetic:
+        # DAC: default conditioning, stated explicitly (L=0,U=1; Kx=5)
+        from .jpeg_arith import DEFAULT_AC_KX, DEFAULT_DC_L, DEFAULT_DC_U
+
+        dac = bytes([0x00, (DEFAULT_DC_U << 4) | DEFAULT_DC_L, 0x10, DEFAULT_AC_KX])
+        if not grey:
+            dac += bytes([0x01, (DEFAULT_DC_U << 4) | DEFAULT_DC_L, 0x11, DEFAULT_AC_KX])
+        out += seg(0xFFCC, dac)
+    elif precision == 12:
         out += dht(0, 0, _HUFF_DC_12) + dht(1, 0, _HUFF_AC_12)
         if not grey:
             out += dht(0, 1, _HUFF_DC_12) + dht(1, 1, _HUFF_AC_12)
@@ -3000,7 +3078,10 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
             sos += bytes([ci + 1, (tq << 4) | tq])
         sos += b"\x00\x3f\x00"
         out += seg(0xFFDA, sos)
-        out += _encode_baseline_entropy(comps, restart_interval, precision)
+        if arithmetic:
+            out += _encode_arith_entropy(comps, restart_interval)
+        else:
+            out += _encode_baseline_entropy(comps, restart_interval, precision)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -3221,6 +3302,62 @@ def _decode_ac_refine(rdr, hac, out, ss, se, al, eobrun):
     return eobrun
 
 
+def _decode_arith_scan(payload, pos, coefs, units, td_ta, pred,
+                       dc_cond, ac_cond, restart_interval, total_units):
+    """Sequential arithmetic (SOF9) scan body: walk the MCU units with
+    the T.81 Annex F entropy layer (operators/jpeg_arith.py), honoring
+    restart markers (each restart re-initializes the coder and zeroes
+    every statistics area, DC predictor and DC context, per the
+    standard).  Returns the position of the terminating marker."""
+    from .jpeg_arith import (
+        ACModel,
+        ArithDecoder,
+        DCModel,
+        DEFAULT_AC_KX,
+        DEFAULT_DC_L,
+        DEFAULT_DC_U,
+        _FIXED_BIN,
+        decode_ac_block,
+        decode_dc_diff,
+    )
+
+    def fresh_models():
+        dcm = {
+            td: DCModel(*dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U)))
+            for td, _ta in td_ta.values()
+        }
+        acm = {ta: ACModel(ac_cond.get(ta, DEFAULT_AC_KX)) for _td, ta in td_ta.values()}
+        return dcm, acm, bytearray([_FIXED_BIN])
+
+    dec = ArithDecoder(payload, pos)
+    dcm, acm, fixed = fresh_models()
+    dc_ctx = {ci: 0 for ci in pred}
+    unit_i = 0
+    for unit in units:
+        for ci, by, bx in unit:
+            out = coefs[ci][by, bx]
+            td, ta = td_ta[ci]
+            diff, dc_ctx[ci] = decode_dc_diff(dec, dcm[td], dc_ctx[ci])
+            pred[ci] += diff
+            out[0] = pred[ci]
+            decode_ac_block(dec, acm[ta], fixed, out)
+        unit_i += 1
+        if restart_interval and unit_i % restart_interval == 0 and unit_i < total_units:
+            mp = dec.marker_pos
+            if (
+                mp + 1 >= len(payload)
+                or payload[mp] != 0xFF
+                or not 0xD0 <= payload[mp + 1] <= 0xD7
+            ):
+                raise ValueError("arithmetic JPEG: expected restart marker")
+            dec = ArithDecoder(payload, mp + 2)
+            dcm, acm, fixed = fresh_models()
+            for ci in pred:
+                pred[ci] = 0
+                dc_ctx[ci] = 0
+    return dec.marker_pos
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL JPEG decoder (numpy + struct): returns (height, width,
     channels, ndarray[h, w, c] uint8).
@@ -3247,6 +3384,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     frame = None
     precision = 8
     progressive = False
+    arith = False
+    # DAC conditioning (T.81 B.2.4.3); defaults apply when absent
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     restart_interval = 0
     coefs = None
     geom = None
@@ -3296,7 +3437,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 vals = list(data[off + 17 : off + 17 + nv])
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline/extended, SOF2 progressive, SOF9 arithmetic
+            # sequential (round-16 seam closure, operators/jpeg_arith.py)
             prec, h, w, nc = _struct.unpack(">BHHB", data[:6])
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit JPEG supported")
@@ -3304,6 +3447,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 raise ValueError("baseline SOF0 is 8-bit-only (T.81)")
             precision = prec
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             comps = []
             for ci in range(nc):
                 cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
@@ -3314,8 +3458,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
             frame = (h, w, comps)
             geom = _jpeg_geometry(h, w, comps)
             coefs = None
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (lossless/arithmetic/hierarchical) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG SOF (lossless/hierarchical/progressive-"
+                "arithmetic); sequential arithmetic (SOF9) is supported"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 2 <= len(data):
+                tc, tb = data[off] >> 4, data[off] & 0x0F
+                cs = data[off + 1]
+                if tc == 0:
+                    l_val, u_val = cs & 0x0F, cs >> 4
+                    if not (0 <= l_val <= u_val <= 15):
+                        raise ValueError("JPEG DAC: DC conditioning out of range")
+                    dc_cond[tb] = (l_val, u_val)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("JPEG DAC: AC Kx out of range")
+                    ac_cond[tb] = cs
+                off += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
@@ -3357,7 +3519,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                     raise ValueError("progressive JPEG: AC scan must be single-component")
                 if ss > se or se > 63:
                     raise ValueError("progressive JPEG: bad spectral band")
-            rdr = _JpegBitReader(payload, pos)
             scan_cis = [ci for ci, _td, _ta in scan]
             td_ta = {ci: (td, ta) for ci, td, ta in scan}
             pred = {ci: 0 for ci in scan_cis}
@@ -3369,6 +3530,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 if len(scan_cis) == 1
                 else mcux * mcuy
             )
+            if arith:
+                pos = _decode_arith_scan(
+                    payload, pos, coefs, units, td_ta, pred,
+                    dc_cond, ac_cond, restart_interval, total_units,
+                )
+                scans_done += 1
+                break  # sequential: the single interleaved scan is all
+            rdr = _JpegBitReader(payload, pos)
             for unit in units:
                 try:
                     for ci, by, bx in unit:
@@ -3463,13 +3632,16 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     :func:`synth_png_payload` (values 192/64 instead of 255/0).
 
     The ENCODING rotates by key class so the oracle-gated ahash queries
-    drive every decode path the codec supports: ``key % 4 == 1`` is a
-    4:2:0-subsampled baseline COLOR file, ``key % 4 == 3`` a 4:2:0
-    PROGRESSIVE color file, ``key % 4 == 2`` a 12-BIT extended-
+    drive every decode path the codec supports: ``key % 5 == 1`` is a
+    4:2:0-subsampled baseline COLOR file, ``key % 5 == 3`` a 4:2:0
+    PROGRESSIVE color file, ``key % 5 == 2`` a 12-BIT extended-
     sequential (SOF1) greyscale file with the pattern on the ``<<4``
     grid (decodes back to uint8 via the documented ``>> 4`` downshift —
     exactly the pattern, since DC-only blocks on that grid quantize
-    losslessly), the rest 8-bit greyscale baseline.  The color variants
+    losslessly), ``key % 5 == 4`` a 4:2:0 ARITHMETIC-coded (SOF9)
+    color file (round-16 seam closure, operators/jpeg_arith.py — the
+    T.81 QM coder conformance-tested against the system libjpeg), the
+    rest 8-bit greyscale baseline.  The color variants
     carry R=G=B, so Y equals the pattern exactly and both chroma planes
     are the constant 128 (DC-only, exactly representable, and invariant
     under subsampling) — every variant reconstructs within ±1 grey
@@ -3483,10 +3655,12 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     import numpy as np
 
     pix = _md5_block_pixels(key, flip_block, on=192, off=64, block_px=block_px)
-    variant = key % 4
-    if variant in (1, 3):
+    variant = key % 5
+    if variant in (1, 3, 4):
         rgb = np.stack([pix, pix, pix], axis=-1)
-        return encode_jpeg(rgb, subsample="420", progressive=variant == 3)
+        return encode_jpeg(
+            rgb, subsample="420", progressive=variant == 3, arithmetic=variant == 4
+        )
     if variant == 2:
         return encode_jpeg(pix.astype(np.uint16) << 4, precision=12)
     return encode_jpeg(pix)

@@ -2720,12 +2720,16 @@ SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(count(*) AS BIGINT) AS n_doc
 FROM documents GROUP BY doc_id % 40
 """.strip(),
     doc="Image dedup through the REAL JPEG codec (from-scratch Annex-K "
-    "encoder + general Huffman/IDCT decoder, "
+    "encoder + general Huffman/arithmetic/IDCT decoder, "
     "operators/multimodal.py::encode_jpeg/decode_jpeg): synthesize a "
     "64x64 JPEG per doc (payload class = doc_id % 40) whose ENCODING "
     "rotates by class — greyscale baseline, 4:2:0-subsampled color "
-    "(class % 4 == 1), progressive 4:2:0 color with the libjpeg default "
-    "10-scan script (class % 4 == 3) — decode, compute the 64-bit "
+    "(class % 5 == 1), 12-bit SOF1 (class % 5 == 2), progressive 4:2:0 "
+    "color with the libjpeg default "
+    "10-scan script (class % 5 == 3), 4:2:0 ARITHMETIC-coded SOF9 "
+    "(class % 5 == 4; T.81 QM coder, operators/jpeg_arith.py, "
+    "conformance-tested against the system libjpeg) — decode, compute "
+    "the 64-bit "
     "average-hash, group documents by hash. The synth pattern is "
     "8x8-block-constant, JPEG-block-aligned and constant-chroma, so "
     "only DC coefficients survive the FDCT under every encoding and "

@@ -195,17 +195,19 @@ def test_422_and_restart_intervals_decode_identical():
 
 
 def test_synth_payload_rotates_encodings():
-    """The fixture contract behind x_jpeg_ahash_dedup: key % 4 == 1 emits
-    a baseline 4:2:0 color stream, key % 4 == 3 a progressive 4:2:0
-    color stream, key % 4 == 2 a 12-bit extended-sequential (SOF1)
-    greyscale stream, the rest 8-bit greyscale baseline — and every
-    variant still decodes to the md5 block pattern (asserted by
-    test_synth_payload_bits_closed_form, whose key sweep covers all
-    variants)."""
+    """The fixture contract behind x_jpeg_ahash_dedup: key % 5 == 1 emits
+    a baseline 4:2:0 color stream, key % 5 == 3 a progressive 4:2:0
+    color stream, key % 5 == 2 a 12-bit extended-sequential (SOF1)
+    greyscale stream, key % 5 == 4 an ARITHMETIC-coded (SOF9) 4:2:0
+    color stream (round-16 seam closure), the rest 8-bit greyscale
+    baseline — and every variant still decodes to the md5 block pattern
+    (asserted by test_synth_payload_bits_closed_form, whose key sweep
+    covers all variants)."""
     p_grey = synth_jpeg_payload(0)
     p_420 = synth_jpeg_payload(1)
     p_12 = synth_jpeg_payload(2)
     p_prog = synth_jpeg_payload(3)
+    p_arith = synth_jpeg_payload(4)
     assert p_grey.find(b"\xff\xc0") > 0 and p_grey[p_grey.find(b"\xff\xc0") + 9] == 1
     sof = p_420.find(b"\xff\xc0")
     assert sof > 0 and p_420[sof + 9] == 3 and p_420[sof + 11] == 0x22
@@ -213,6 +215,10 @@ def test_synth_payload_rotates_encodings():
     assert sof12 > 0 and p_12[sof12 + 4] == 12  # SOF1, precision byte 12
     assert p_12.find(b"\xff\xdb") > 0 and p_12[p_12.find(b"\xff\xdb") + 4] == 0x10
     assert p_prog.find(b"\xff\xc2") > 0 and p_prog.count(b"\xff\xda") >= 4
+    sof9 = p_arith.find(b"\xff\xc9")
+    assert sof9 > 0 and p_arith[sof9 + 9] == 3 and p_arith[sof9 + 11] == 0x22
+    assert p_arith.find(b"\xff\xcc") > 0  # DAC conditioning segment
+    assert p_arith.find(b"\xff\xc4") < 0  # no Huffman tables
 
 
 def test_synth_payload_bits_closed_form():
