@@ -210,7 +210,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, "object"]:
     fourth byte is returned as alpha verbatim), bottom-up and top-down
     (negative height) row orders, and the 4-byte row stride padding.
     RLE and BITFIELDS compressions raise ``ValueError`` — rare in data
-    payloads and an external-decoder seam like arithmetic JPEG."""
+    payloads, a declared external-decoder seam."""
     import struct as _struct
 
     import numpy as np
@@ -278,8 +278,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, "object"]:
     strip layout (RowsPerStrip + StripOffsets/StripByteCounts, SHORT or
     LONG).  Returns (height, width, channels, ndarray[h, w, c] uint8).
     LZW/PackBits/JPEG-in-TIFF compression, tiles, planar=2 and other
-    bit depths raise — external-decoder seam, same policy as arithmetic
-    JPEG."""
+    bit depths raise — a declared external-decoder seam."""
     import struct as _struct
 
     import numpy as np
@@ -610,8 +609,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     to :func:`decode_tiff` (baseline uncompressed, both byte orders,
     any strip layout); ICO/CUR favicons to
     :func:`decode_ico` (largest entry, PNG or headerless DIB + AND
-    mask).  Arithmetic-coded
-    JPEG, RLE/bitfields BMP and compressed/tiled TIFF still need an
+    mask).  Arithmetic-coded JPEG (SOF9) decodes natively through the
+    T.81 QM coder (``operators/jpeg_arith.py``, round-16 seam closure);
+    RLE/bitfields BMP and compressed/tiled TIFF still need an
     external decoder (e.g.
     pillow) — pass your own ``decode_fn`` for those.  Raises
     ``ValueError`` on unrecognized or unsupported payloads.
@@ -2346,7 +2346,10 @@ def extract_gif_frame_colors(
 # spectral selection + successive approximation (DC/AC first and
 # refinement scans, EOBn run codes), and 12-BIT extended-sequential
 # precision (16-bit DQT, 2048 level shift, >>4 downshift to the uint8
-# contract).  Arithmetic coding, lossless and hierarchical SOFs raise
+# contract), plus SEQUENTIAL ARITHMETIC (SOF9) entropy coding through
+# the T.81 Annex D/F QM coder (operators/jpeg_arith.py, conformance-
+# tested against the system libjpeg, round 16).  Lossless, hierarchical
+# and progressive-arithmetic SOFs raise
 # ValueError (external-decoder integration points).  The encoder uses the Annex K
 # quantization + Huffman tables (plus a spec-valid static AC table
 # carrying the progressive-only EOBn symbols), so any standard decoder
@@ -3369,9 +3372,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     scans, EOBn run codes), canonical Huffman tables from DHT, restart
     markers — at 8- OR 12-bit sample precision (12-bit: 16-bit DQT
     entries, 2048 level shift; output is downshifted to the uint8
-    contract, samples >> 4).  Arithmetic coding, lossless and
-    hierarchical SOFs raise ValueError (external-decoder integration
-    points)."""
+    contract, samples >> 4) — plus sequential ARITHMETIC (SOF9) streams
+    through the T.81 QM coder (``operators/jpeg_arith.py``).  Lossless,
+    hierarchical and progressive-arithmetic (SOF10) SOFs raise
+    ValueError (external-decoder integration points)."""
     import struct as _struct
 
     import numpy as np
