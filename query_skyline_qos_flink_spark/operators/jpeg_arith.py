@@ -392,10 +392,14 @@ def encode_dc_diff(enc: ArithEncoder, model: DCModel, ctx: int, diff: int) -> in
 
 
 def decode_ac_block(
-    dec: ArithDecoder, model: ACModel, fixed: bytearray, out, ss: int = 1, se: int = 63
+    dec: ArithDecoder, model: ACModel, fixed: bytearray, out,
+    ss: int = 1, se: int = 63, al: int = 0
 ) -> None:
     """Decode the AC coefficients of one block into ``out`` (zigzag
-    order, indices ``ss..se``)."""
+    order, indices ``ss..se``).  ``al`` is the successive-approximation
+    point transform of a progressive FIRST scan (G.2.2: the sequential
+    model over point-transformed values, stored ``<< al``); 0 for
+    sequential scans."""
     st = model.stats
     kx = model.kx
     k = ss
@@ -427,33 +431,38 @@ def decode_ac_block(
             if dec.decode(st, i):
                 v |= mask
             mask >>= 1
-        v += 1
+        v = (v + 1) << al
         out[k] = -v if sign else v
         k += 1
 
 
 def encode_ac_block(
-    enc: ArithEncoder, model: ACModel, fixed: bytearray, zz, ss: int = 1, se: int = 63
+    enc: ArithEncoder, model: ACModel, fixed: bytearray, zz,
+    ss: int = 1, se: int = 63, al: int = 0
 ) -> None:
-    """Encode the AC coefficients ``zz[ss..se]`` (zigzag order)."""
+    """Encode the AC coefficients ``zz[ss..se]`` (zigzag order); ``al``
+    as in :func:`decode_ac_block` (magnitudes code ``|v| >> al``,
+    truncation toward zero per G.1.2.2)."""
     st = model.stats
     kx = model.kx
+    tval = [0] * (se + 1)
+    for k in range(ss, se + 1):
+        tval[k] = abs(int(zz[k])) >> al
     ke = se
-    while ke >= ss and zz[ke] == 0:
+    while ke >= ss and tval[ke] == 0:
         ke -= 1
     k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.code(st, base, 0)  # not EOB yet
-        while zz[k] == 0:
+        while tval[k] == 0:
             enc.code(st, base + 1, 0)
             k += 1
             base += 3
         enc.code(st, base + 1, 1)
-        v = int(zz[k])
-        sign = 1 if v < 0 else 0
+        sign = 1 if int(zz[k]) < 0 else 0
         enc.code(fixed, 0, sign)
-        sz = (-v if sign else v) - 1
+        sz = tval[k] - 1
         i = base + 2
         if sz == 0:
             enc.code(st, i, 0)
@@ -480,3 +489,78 @@ def encode_ac_block(
         k += 1
     if ke < se:
         enc.code(st, 3 * (k - 1), 1)  # EOB
+
+
+def decode_ac_refine(
+    dec: ArithDecoder, model: ACModel, fixed: bytearray, out, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (G.2.3): one adaptive correction bit per
+    previously-visible coefficient (bin ``base+2``), newly-visible
+    coefficients via the zero-run bin (``base+1``) with a fixed-state
+    sign, and an EOB decision (bin ``base``) only past EOBx — the last
+    previously-visible index, scanned over 1..``se`` like the sequential
+    band walk (the block may hold other-band coefficients below ``ss``
+    from earlier scans of the progression)."""
+    st = model.stats
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= 1 and out[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB
+        while True:
+            c = int(out[k])
+            if c != 0:
+                if dec.decode(st, base + 2):
+                    out[k] = c + (p1 if c >= 0 else m1)
+                break
+            if dec.decode(st, base + 1):
+                out[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            base += 3
+            if k > se:
+                raise ValueError("arithmetic JPEG: AC refine run past band end")
+        k += 1
+
+
+def encode_ac_refine(
+    enc: ArithEncoder, model: ACModel, fixed: bytearray, zz, ss: int, se: int, al: int
+) -> None:
+    """Mirror of :func:`decode_ac_refine`: ``ah = al + 1`` defines the
+    previously-visible set (``|v| >> ah != 0``); EOBx scans 1..``se``
+    over that set, matching the decoder's walk of its reconstruction."""
+    st = model.stats
+    ah = al + 1
+    kex = se
+    while kex >= 1 and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    last_new = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(zz[k])) >> al) == 1:
+            last_new = k
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if k > last_new:
+                enc.code(st, base, 1)  # EOB
+                return
+            enc.code(st, base, 0)
+        while True:
+            v = int(zz[k])
+            if (abs(v) >> ah) != 0:  # previously visible: correction bit
+                enc.code(st, base + 2, (abs(v) >> al) & 1)
+                break
+            if (abs(v) >> al) != 0:  # newly visible (necessarily == 1)
+                enc.code(st, base + 1, 1)
+                enc.code(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.code(st, base + 1, 0)
+            k += 1
+            base += 3
+        k += 1

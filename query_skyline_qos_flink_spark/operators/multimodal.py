@@ -2346,10 +2346,11 @@ def extract_gif_frame_colors(
 # spectral selection + successive approximation (DC/AC first and
 # refinement scans, EOBn run codes), and 12-BIT extended-sequential
 # precision (16-bit DQT, 2048 level shift, >>4 downshift to the uint8
-# contract), plus SEQUENTIAL ARITHMETIC (SOF9) entropy coding through
-# the T.81 Annex D/F QM coder (operators/jpeg_arith.py, conformance-
-# tested against the system libjpeg, round 16).  Lossless, hierarchical
-# and progressive-arithmetic SOFs raise
+# contract), plus ARITHMETIC entropy coding — sequential SOF9 AND
+# progressive SOF10 (Annex G.2 models) — through the T.81 Annex D/F QM
+# coder (operators/jpeg_arith.py, conformance-tested entropy-exact
+# against the system libjpeg in both directions, round 16).  Lossless
+# and hierarchical SOFs raise
 # ValueError (external-decoder integration points).  The encoder uses the Annex K
 # quantization + Huffman tables (plus a spec-valid static AC table
 # carrying the progressive-only EOBn symbols), so any standard decoder
@@ -2751,6 +2752,132 @@ def _encode_arith_entropy(comps, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+def _prog_scan_script(grey: bool, n_comps: int):
+    """libjpeg's default ``jpeg_simple_progression`` scan script, shared
+    by the Huffman (SOF2) and arithmetic (SOF10) progressive encoders."""
+    if grey or n_comps == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+    ]
+
+
+def _encode_arith_progressive_scans(comps, grey: bool, h: int, w: int,
+                                    restart_interval: int = 0):
+    """Progressive ARITHMETIC (SOF10) entropy coding over the same
+    default scan script as the Huffman progressive encoder, with the
+    Annex G.2 models (operators/jpeg_arith.py): DC first = sequential
+    DC model over point-transformed diffs, DC refinement = one
+    fixed-state bit per block, AC first = sequential AC model on
+    ``|v| >> Al`` magnitudes, AC refinement = the G.2.3 correction-bit
+    model.  Statistics are fresh per scan and per restart, per the
+    standard.  Returns ``(sos_header_payload, entropy_bytes)`` pairs."""
+    from .jpeg_arith import (
+        ACModel,
+        ArithEncoder,
+        DCModel,
+        _FIXED_BIN,
+        encode_ac_block,
+        encode_ac_refine,
+        encode_dc_diff,
+    )
+
+    mcuy = comps[0][3].shape[0] // comps[0][1]
+    mcux = comps[0][3].shape[1] // comps[0][0]
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+
+    def sos_payload(comp_ids, ss, se, ah, al):
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 0 else 1
+            b += bytes([cid + 1, (t << 4) | t])
+        return b + bytes([ss, se, (ah << 4) | al])
+
+    def ni_grid(ci):
+        hi, vi = comps[ci][0], comps[ci][1]
+        return (-(-(-(-(h * vi) // vmax)) // 8), -(-(-(-(w * hi) // hmax)) // 8))
+
+    def fresh():
+        return (
+            ArithEncoder(),
+            {tq: DCModel() for _hi, _vi, tq, _c in comps},
+            {tq: ACModel() for _hi, _vi, tq, _c in comps},
+            bytearray([_FIXED_BIN]),
+        )
+
+    def dc_scan(out, cis, ah, al):
+        enc, dcm, acm, fixed = fresh()
+        pred = {ci: 0 for ci in cis}
+        dc_ctx = {ci: 0 for ci in cis}
+        mcu_i, rst = 0, 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    out += enc.flush()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    enc, dcm, acm, fixed = fresh()
+                    pred = {ci: 0 for ci in cis}
+                    dc_ctx = {ci: 0 for ci in cis}
+                mcu_i += 1
+                for ci in cis:
+                    hi, vi, tq, coef = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc = int(coef[my * vi + v, mx * hi + hh, 0])
+                            if ah == 0:  # DC first at point transform al
+                                dv = dc >> al
+                                dc_ctx[ci] = encode_dc_diff(
+                                    enc, dcm[tq], dc_ctx[ci], dv - pred[ci]
+                                )
+                                pred[ci] = dv
+                            else:  # DC refinement: fixed-state bit
+                                enc.code(fixed, 0, (dc >> al) & 1)
+        out += enc.flush()
+
+    def ac_scan(out, ci, ss, se, ah, al):
+        enc, _dcm, acm, fixed = fresh()
+        _hi, _vi, tq, coef = comps[ci]
+        nby, nbx = ni_grid(ci)
+        blk_i, rst = 0, 0
+        for byi in range(nby):
+            for bxi in range(nbx):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    out += enc.flush()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    enc, _dcm2, acm, fixed = fresh()
+                blk_i += 1
+                zz = coef[byi, bxi]
+                if ah == 0:
+                    encode_ac_block(enc, acm[tq], fixed, zz, ss, se, al)
+                else:
+                    encode_ac_refine(enc, acm[tq], fixed, zz, ss, se, al)
+        out += enc.flush()
+
+    scans = []
+    for cis, ss, se, ah, al in _prog_scan_script(grey, len(comps)):
+        body = bytearray()
+        if ss == 0:
+            dc_scan(body, cis, ah, al)
+        else:
+            ac_scan(body, cis[0], ss, se, ah, al)
+        scans.append((sos_payload(cis, ss, se, ah, al), bytes(body)))
+    return scans
+
+
 def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
                               restart_interval: int = 0):
     """Progressive (SOF2) entropy coding following libjpeg's DEFAULT
@@ -2943,24 +3070,7 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
                         eobrun, pend = flush_eobrun(wtr, eobrun, pend)
         flush_eobrun(wtr, eobrun, pend)
 
-    # libjpeg jpeg_simple_progression scripts
-    if grey or len(comps) == 1:
-        script = [
-            ([0], 0, 0, 0, 1),
-            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
-            ([0], 1, 63, 2, 1),
-            ([0], 0, 0, 1, 0),
-            ([0], 1, 63, 1, 0),
-        ]
-    else:
-        script = [
-            ([0, 1, 2], 0, 0, 0, 1),
-            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
-            ([0], 6, 63, 0, 2),
-            ([0], 1, 63, 2, 1),
-            ([0, 1, 2], 0, 0, 1, 0),
-            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
-        ]
+    script = _prog_scan_script(grey, len(comps))
     scans = []
     for cis, ss, se, ah, al in script:
         wtr = _JpegBitWriter()
@@ -3002,8 +3112,8 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
         raise ValueError("encode_jpeg precision must be 8 or 12")
     if precision == 12 and progressive:
         raise ValueError("12-bit progressive JPEG not supported here")
-    if arithmetic and progressive:
-        raise ValueError("progressive arithmetic (SOF10) not supported here")
+    if arithmetic and progressive and precision == 12:
+        raise ValueError("12-bit progressive JPEG not supported here")
     h, w, grey, comps = _jpeg_quantized_components(pix, subsample, precision)
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -3035,7 +3145,8 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
     for ci, (hi, vi, tq, _coef) in enumerate(comps):
         sof += bytes([ci + 1, (hi << 4) | vi, tq])
     if arithmetic:
-        sof_marker = 0xFFC9  # sequential arithmetic (8- or 12-bit)
+        # sequential SOF9 (8- or 12-bit) / progressive SOF10
+        sof_marker = 0xFFCA if progressive else 0xFFC9
     elif progressive:
         sof_marker = 0xFFC2
     elif precision == 12:
@@ -3070,9 +3181,10 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
     if restart_interval:
         out += seg(0xFFDD, _struct.pack(">H", restart_interval))
     if progressive:
-        for sos_payload, entropy in _encode_progressive_scans(
-            comps, grey, h, w, restart_interval
-        ):
+        scan_fn = (
+            _encode_arith_progressive_scans if arithmetic else _encode_progressive_scans
+        )
+        for sos_payload, entropy in scan_fn(comps, grey, h, w, restart_interval):
             out += seg(0xFFDA, sos_payload)
             out += entropy
     else:
@@ -3306,12 +3418,18 @@ def _decode_ac_refine(rdr, hac, out, ss, se, al, eobrun):
 
 
 def _decode_arith_scan(payload, pos, coefs, units, td_ta, pred,
-                       dc_cond, ac_cond, restart_interval, total_units):
-    """Sequential arithmetic (SOF9) scan body: walk the MCU units with
-    the T.81 Annex F entropy layer (operators/jpeg_arith.py), honoring
-    restart markers (each restart re-initializes the coder and zeroes
-    every statistics area, DC predictor and DC context, per the
-    standard).  Returns the position of the terminating marker."""
+                       dc_cond, ac_cond, restart_interval, total_units,
+                       ss=0, se=63, ah=0, al=0, progressive=False):
+    """Arithmetic scan body — sequential (SOF9) or progressive (SOF10):
+    walk the scan's units with the T.81 Annex F entropy layer
+    (operators/jpeg_arith.py), honoring restart markers (each restart
+    re-initializes the coder and zeroes every statistics area, DC
+    predictor and DC context, per the standard; statistics are likewise
+    fresh per scan).  Progressive scan types follow Annex G.2: DC first
+    = the sequential DC model over point-transformed diffs, DC
+    refinement = one fixed-state bit per block, AC first = the
+    sequential AC model storing ``<< al``, AC refinement = the G.2.3
+    correction-bit model.  Returns the terminating marker position."""
     from .jpeg_arith import (
         ACModel,
         ArithDecoder,
@@ -3321,6 +3439,7 @@ def _decode_arith_scan(payload, pos, coefs, units, td_ta, pred,
         DEFAULT_DC_U,
         _FIXED_BIN,
         decode_ac_block,
+        decode_ac_refine,
         decode_dc_diff,
     )
 
@@ -3340,10 +3459,22 @@ def _decode_arith_scan(payload, pos, coefs, units, td_ta, pred,
         for ci, by, bx in unit:
             out = coefs[ci][by, bx]
             td, ta = td_ta[ci]
-            diff, dc_ctx[ci] = decode_dc_diff(dec, dcm[td], dc_ctx[ci])
-            pred[ci] += diff
-            out[0] = pred[ci]
-            decode_ac_block(dec, acm[ta], fixed, out)
+            if not progressive:
+                diff, dc_ctx[ci] = decode_dc_diff(dec, dcm[td], dc_ctx[ci])
+                pred[ci] += diff
+                out[0] = pred[ci]
+                decode_ac_block(dec, acm[ta], fixed, out)
+            elif ss == 0 and ah == 0:  # DC first
+                diff, dc_ctx[ci] = decode_dc_diff(dec, dcm[td], dc_ctx[ci])
+                pred[ci] += diff
+                out[0] = pred[ci] << al
+            elif ss == 0:  # DC refinement: one fixed-state bit
+                if dec.decode(fixed, 0):
+                    out[0] = int(out[0]) | (1 << al)
+            elif ah == 0:  # AC first
+                decode_ac_block(dec, acm[ta], fixed, out, ss, se, al)
+            else:  # AC refinement
+                decode_ac_refine(dec, acm[ta], fixed, out, ss, se, al)
         unit_i += 1
         if restart_interval and unit_i % restart_interval == 0 and unit_i < total_units:
             mp = dec.marker_pos
@@ -3372,10 +3503,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
     scans, EOBn run codes), canonical Huffman tables from DHT, restart
     markers — at 8- OR 12-bit sample precision (12-bit: 16-bit DQT
     entries, 2048 level shift; output is downshifted to the uint8
-    contract, samples >> 4) — plus sequential ARITHMETIC (SOF9) streams
-    through the T.81 QM coder (``operators/jpeg_arith.py``).  Lossless,
-    hierarchical and progressive-arithmetic (SOF10) SOFs raise
-    ValueError (external-decoder integration points)."""
+    contract, samples >> 4) — plus ARITHMETIC streams, both sequential
+    (SOF9) and progressive (SOF10, Annex G.2 models), through the T.81
+    QM coder (``operators/jpeg_arith.py``).  Lossless and hierarchical
+    SOFs raise ValueError (external-decoder integration points)."""
     import struct as _struct
 
     import numpy as np
@@ -3441,17 +3572,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 vals = list(data[off + 17 : off + 17 + nv])
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline/extended, SOF2 progressive, SOF9 arithmetic
-            # sequential (round-16 seam closure, operators/jpeg_arith.py)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline/extended, SOF2 progressive, SOF9/10
+            # arithmetic sequential/progressive (round-16 seam closure,
+            # operators/jpeg_arith.py)
             prec, h, w, nc = _struct.unpack(">BHHB", data[:6])
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit JPEG supported")
             if prec == 12 and marker == 0xC0:
                 raise ValueError("baseline SOF0 is 8-bit-only (T.81)")
             precision = prec
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             comps = []
             for ci in range(nc):
                 cid, samp, tq = data[6 + ci * 3 : 9 + ci * 3]
@@ -3462,10 +3594,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
             frame = (h, w, comps)
             geom = _jpeg_geometry(h, w, comps)
             coefs = None
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG SOF (lossless/hierarchical/progressive-"
-                "arithmetic); sequential arithmetic (SOF9) is supported"
+                "unsupported JPEG SOF (lossless/hierarchical); sequential "
+                "and progressive arithmetic (SOF9/SOF10) are supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
@@ -3538,9 +3670,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, "object"]:
                 pos = _decode_arith_scan(
                     payload, pos, coefs, units, td_ta, pred,
                     dc_cond, ac_cond, restart_interval, total_units,
+                    ss, se, ah, al, progressive,
                 )
                 scans_done += 1
-                break  # sequential: the single interleaved scan is all
+                if not progressive:
+                    break  # sequential: the single interleaved scan is all
+                continue  # progressive: on to the next scan's markers
             rdr = _JpegBitReader(payload, pos)
             for unit in units:
                 try:
@@ -3642,9 +3777,10 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     sequential (SOF1) greyscale file with the pattern on the ``<<4``
     grid (decodes back to uint8 via the documented ``>> 4`` downshift —
     exactly the pattern, since DC-only blocks on that grid quantize
-    losslessly), ``key % 5 == 4`` a 4:2:0 ARITHMETIC-coded (SOF9)
-    color file (round-16 seam closure, operators/jpeg_arith.py — the
-    T.81 QM coder conformance-tested against the system libjpeg), the
+    losslessly), ``key % 5 == 4`` a 4:2:0 ARITHMETIC-coded color file —
+    sequential SOF9 for odd keys, progressive SOF10 for even (round-16
+    seam closure, operators/jpeg_arith.py — the T.81 QM coder
+    conformance-tested against the system libjpeg), the
     rest 8-bit greyscale baseline.  The color variants
     carry R=G=B, so Y equals the pattern exactly and both chroma planes
     are the constant 128 (DC-only, exactly representable, and invariant
@@ -3663,7 +3799,10 @@ def synth_jpeg_payload(key: int, block_px: int = 8, flip_block: int | None = Non
     if variant in (1, 3, 4):
         rgb = np.stack([pix, pix, pix], axis=-1)
         return encode_jpeg(
-            rgb, subsample="420", progressive=variant == 3, arithmetic=variant == 4
+            rgb,
+            subsample="420",
+            progressive=variant == 3 or (variant == 4 and key % 2 == 0),
+            arithmetic=variant == 4,
         )
     if variant == 2:
         return encode_jpeg(pix.astype(np.uint16) << 4, precision=12)

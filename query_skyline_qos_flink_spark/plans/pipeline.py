@@ -2726,8 +2726,9 @@ FROM documents GROUP BY doc_id % 40
     "rotates by class — greyscale baseline, 4:2:0-subsampled color "
     "(class % 5 == 1), 12-bit SOF1 (class % 5 == 2), progressive 4:2:0 "
     "color with the libjpeg default "
-    "10-scan script (class % 5 == 3), 4:2:0 ARITHMETIC-coded SOF9 "
-    "(class % 5 == 4; T.81 QM coder, operators/jpeg_arith.py, "
+    "10-scan script (class % 5 == 3), 4:2:0 ARITHMETIC-coded "
+    "(class % 5 == 4: sequential SOF9 / progressive SOF10 by key "
+    "parity; T.81 QM coder, operators/jpeg_arith.py, "
     "conformance-tested against the system libjpeg) — decode, compute "
     "the 64-bit "
     "average-hash, group documents by hash. The synth pattern is "

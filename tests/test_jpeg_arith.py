@@ -211,15 +211,52 @@ def test_arithmetic_compresses_tighter_than_huffman(shim):
     assert len(a) < 0.95 * len(h)
 
 
-def test_progressive_arithmetic_still_raises():
-    """SOF10 remains a declared seam — must fail loudly, not garble."""
-    a = bytearray(encode_jpeg(np.zeros((16, 16), dtype=np.uint8), arithmetic=True))
-    i = bytes(a).find(b"\xff\xc9")
-    a[i + 1] = 0xCA
-    with pytest.raises(ValueError, match="progressive-\narithmetic|progressive-arith|unsupported JPEG SOF"):
-        decode_jpeg(bytes(a))
-    with pytest.raises(ValueError, match="progressive arithmetic"):
-        encode_jpeg(np.zeros((16, 16), dtype=np.uint8), arithmetic=True, progressive=True)
+def test_progressive_arithmetic_roundtrip_twins():
+    """SOF10 (progressive arithmetic, Annex G.2 models): our arithmetic
+    and Huffman progressive twins carry identical coefficients, so OUR
+    decoder must read them to identical pixels — covers DC first/refine,
+    AC first (point-transformed sequential model) and the G.2.3 AC
+    correction-bit model across the default 10-scan script."""
+    rng = np.random.default_rng(23)
+    grey = rng.integers(0, 256, (80, 56), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    cases = [
+        (
+            encode_jpeg(grey, progressive=True, arithmetic=True),
+            encode_jpeg(grey, progressive=True),
+        ),
+        (
+            encode_jpeg(rgb, subsample="420", progressive=True, arithmetic=True),
+            encode_jpeg(rgb, subsample="420", progressive=True),
+        ),
+        (
+            encode_jpeg(rgb, subsample="420", progressive=True, arithmetic=True,
+                        restart_interval=3),
+            encode_jpeg(rgb, subsample="420", progressive=True, restart_interval=3),
+        ),
+    ]
+    for i, (a, h) in enumerate(cases):
+        assert a.find(b"\xff\xca") > 0 and a.find(b"\xff\xc4") < 0
+        _, _, _, pa = decode_jpeg(a)
+        _, _, _, ph = decode_jpeg(h)
+        assert np.array_equal(pa, ph), f"case {i}"
+
+
+@needs_shim
+def test_progressive_arithmetic_libjpeg_both_directions(shim):
+    """SOF10 conformance: our decoder reads libjpeg's progressive-
+    arithmetic output entropy-exactly, and libjpeg reads ours."""
+    encode, decode = shim
+    rng = np.random.default_rng(31)
+    rgb = np.ascontiguousarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8))
+    # theirs -> ours
+    _, _, _, ph = decode_jpeg(encode(rgb, arith=False, prog=True))
+    _, _, _, pa = decode_jpeg(encode(rgb, arith=True, prog=True))
+    assert np.array_equal(ph, pa)
+    # ours -> theirs
+    ours_a = encode_jpeg(rgb, subsample="420", progressive=True, arithmetic=True)
+    ours_h = encode_jpeg(rgb, subsample="420", progressive=True)
+    assert np.array_equal(decode(ours_a), decode(ours_h))
 
 
 def test_misaligned_restart_raises():
@@ -246,14 +283,16 @@ def test_dac_validation():
         decode_jpeg(bytes(a))
 
 
-def test_fixture_class4_is_arithmetic_and_decodes():
-    """The rotating ahash fixture's new class: key % 5 == 4 emits SOF9
-    and still reconstructs the md5 block pattern (the closed-form oracle
+@pytest.mark.parametrize("key,marker", [(9, b"\xff\xc9"), (4, b"\xff\xca")])
+def test_fixture_class4_is_arithmetic_and_decodes(key, marker):
+    """The rotating ahash fixture's new class: key % 5 == 4 emits
+    sequential SOF9 (odd keys) or progressive SOF10 (even keys) and
+    still reconstructs the md5 block pattern (the closed-form oracle
     contract of x_jpeg_ahash_dedup)."""
     import hashlib
 
-    p = synth_jpeg_payload(9)  # 9 % 5 == 4
-    assert p.find(b"\xff\xc9") > 0
+    p = synth_jpeg_payload(key)
+    assert p.find(marker) > 0 and p.find(b"\xff\xc4") < 0
     h, w, c, arr = decode_jpeg(p)
     assert (h, w, c) == (64, 64, 3)
     grey = arr.astype(np.float64).mean(axis=2)
@@ -261,4 +300,4 @@ def test_fixture_class4_is_arithmetic_and_decodes():
     v = 0
     for b in (blocks >= blocks.mean()).flatten():
         v = (v << 1) | int(b)
-    assert v == int(hashlib.md5(b"img9").hexdigest()[:16], 16)
+    assert v == int(hashlib.md5(f"img{key}".encode()).hexdigest()[:16], 16)

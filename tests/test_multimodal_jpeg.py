@@ -215,10 +215,12 @@ def test_synth_payload_rotates_encodings():
     assert sof12 > 0 and p_12[sof12 + 4] == 12  # SOF1, precision byte 12
     assert p_12.find(b"\xff\xdb") > 0 and p_12[p_12.find(b"\xff\xdb") + 4] == 0x10
     assert p_prog.find(b"\xff\xc2") > 0 and p_prog.count(b"\xff\xda") >= 4
-    sof9 = p_arith.find(b"\xff\xc9")
-    assert sof9 > 0 and p_arith[sof9 + 9] == 3 and p_arith[sof9 + 11] == 0x22
+    # key 4 is even -> progressive SOF10; key 9 odd -> sequential SOF9
+    sof10 = p_arith.find(b"\xff\xca")
+    assert sof10 > 0 and p_arith[sof10 + 9] == 3 and p_arith[sof10 + 11] == 0x22
     assert p_arith.find(b"\xff\xcc") > 0  # DAC conditioning segment
     assert p_arith.find(b"\xff\xc4") < 0  # no Huffman tables
+    assert synth_jpeg_payload(9).find(b"\xff\xc9") > 0
 
 
 def test_synth_payload_bits_closed_form():
