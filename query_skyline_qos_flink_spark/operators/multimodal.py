@@ -648,8 +648,23 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         return decode_tiff(payload)
     if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return decode_ico(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # AVIF/HEIC still image: the pixel layer is an AV1/HEVC
+        # bitstream — decoded through the system libheif when present
+        # (operators/libheif_bridge.py, the lossy-VP8/libwebp pattern);
+        # the container METADATA layer parses without it (mp4.py)
+        from . import libheif_bridge
+
+        if libheif_bridge.available():
+            return libheif_bridge.decode_heif(payload)
+        raise ValueError(
+            "HEIF/AVIF pixel decode needs the system libheif "
+            "(container metadata parses via operators/mp4.py)"
+        )
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG, JPEG, WebP, BMP, TIFF or ICO (bad signature)")
+        raise ValueError(
+            "not a PNG, JPEG, WebP, BMP, TIFF, ICO or HEIF (bad signature)"
+        )
     # IHDR is mandatory-first (PNG §11.2.2): byte 24 is the bit depth.
     # Pillow's PNG modes for depth 1 ('1') and 16 ('I'/'I;16') fall
     # outside the normalized L/LA/RGB/RGBA contract, so non-8-bit
@@ -1793,7 +1808,10 @@ def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
     ``key % 6 == 2`` emits the md5 block pattern as a LOSSLESS WebP
     (VP8L; 2 colors -> color-indexing transform with 8-pixel bundling),
     ``key % 6 == 4`` as a LOSSY-VP8 WebP (system libwebp, quality 90 —
-    falling back to VP8L when the library is absent), ``key % 6 == 5``
+    falling back to VP8L when the library is absent), ``key % 6 == 3``
+    as an AVIF still (system libheif + AV1 lossless, round-16 bridge —
+    exact for the R=G=B block-constant pattern; falling back to PNG
+    when the library is absent), ``key % 6 == 5``
     as a 24-bit uncompressed BMP, everything else as the PNG of
     :func:`synth_png_payload`.  The aHash bit pattern is identical
     under every class: WebP decodes to RGBA whose channel mean is a
@@ -1810,6 +1828,13 @@ def synth_image_payload(key: int, flip_block: int | None = None) -> bytes:
 
         pix = _md5_block_pixels(key, flip_block, on=255, off=0)
         return encode_webp(pix)
+    if cls == 3:
+        from . import libheif_bridge
+
+        if libheif_bridge.available():
+            pix = _md5_block_pixels(key, flip_block, on=255, off=0)
+            return libheif_bridge.encode_avif(pix, lossless=True)
+        return synth_png_payload(key, flip_block=flip_block)
     if cls == 4:
         from . import libwebp_bridge
         from .webp import encode_webp

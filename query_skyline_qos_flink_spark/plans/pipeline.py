@@ -2654,7 +2654,10 @@ FROM documents GROUP BY doc_id % 50
 """.strip(),
     doc="Image near-dup dedup through the REAL image codecs (PNG; "
     "lossless WebP/VP8L for key classes doc_id % 50 with class % 6 == 2 "
-    "— color-indexing transform, 8-pixel bundling; LOSSY-VP8 WebP via "
+    "— color-indexing transform, 8-pixel bundling; AVIF via the system "
+    "libheif AV1-lossless for class % 6 == 3 (round-16 bridge, "
+    "operators/libheif_bridge.py; PNG fallback when absent); LOSSY-VP8 "
+    "WebP via "
     "the system libwebp for class % 6 == 4, quality 90; 24-bit BMP for "
     "class % 6 == 5): synthesize a "
     "64x64 greyscale PNG per doc (payload class = doc_id % 50, so ~N/50 "
