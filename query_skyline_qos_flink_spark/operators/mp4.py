@@ -416,8 +416,9 @@ def parse_heif_meta(b: bytes) -> dict:
     association table (``iprp``/``ipco``/``ipma`` → ``ispe``), per
     ISO 23008-12.  Returns ``brand primary_item item_type n_items
     width height``.  Strict: a missing/malformed item table or an
-    unresolvable primary ispe raises — sample DECODE (AV1/HEVC) is out
-    of scope, exactly like the A/V containers' spectral layers.
+    unresolvable primary ispe raises — sample DECODE (AV1/HEVC) lives
+    in ``operators/libheif_bridge.py`` (system-library bridge, round
+    16), not here; this walker stays dependency-free.
     """
     brand = None
     meta_span = None
