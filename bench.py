@@ -499,14 +499,19 @@ def main() -> None:
     finally:
         burns.append(_calib_burn())  # post-suite probe: elevation can
         print(f"# calib burn (post): {burns[-1]}s", file=sys.stderr)
-        # start or lift MID-run; two samples bound the window
-        med_burn = sorted(burns)[len(burns) // 2] if burns else None
+        # start or lift MID-run; two samples bound the window.  Judge
+        # elevation by the MIN burn: the r15 pattern was WHOLE-session
+        # elevation (both samples high → still flagged), while the
+        # post-suite burn alone can read high purely from the suite's
+        # own thermal/contention wake — flagging on that would mislabel
+        # a quiet run (both raw samples stay in the artifact either way)
+        min_burn = min(burns) if burns else None
         calib = {
             "burn_s": burns,
             "ref_s": _CALIB_REF_S,
             "elev_pct": (
-                round((med_burn / _CALIB_REF_S - 1.0) * 100)
-                if med_burn
+                round((min_burn / _CALIB_REF_S - 1.0) * 100)
+                if min_burn
                 else None
             ),
         }
@@ -520,7 +525,7 @@ def main() -> None:
             # the artifact SAYS it sampled a hot window — r15's 57.9 s vs
             # 44.5 s floor had to be adjudicated after the fact instead
             calib["elevated"] = True
-            print(f"# SESSION ELEVATED: calib burn {med_burn}s is "
+            print(f"# SESSION ELEVATED: calib burn {min_burn}s is "
                   f"{calib['elev_pct']}% over the {_CALIB_REF_S}s floor ref",
                   file=sys.stderr)
         total = round(sum(timings.values()), 3)

@@ -631,11 +631,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
         # stay on the builtin decoder even under the pillow backend
         # (r12 review: the 12-bit fixture class crashed pillow-backend
         # deployments mid-task)
-        # 12-bit and arithmetic-coded (SOF9) streams stay on the builtin
-        # decoder even under the pillow backend: Pillow's JPEG plugin is
-        # 8-bit Huffman-only
+        # 12-bit and arithmetic-coded (SOF9/SOF10) streams stay on the
+        # builtin decoder even under the pillow backend: Pillow's JPEG
+        # plugin is 8-bit Huffman-only
         sof_marker, sof_prec = _jpeg_sof(payload)
-        if backend == "pillow" and sof_prec == 8 and sof_marker != 0xC9:
+        if backend == "pillow" and sof_prec == 8 and sof_marker not in (0xC9, 0xCA):
             return _decode_image_pillow(payload)
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -2832,7 +2832,7 @@ def _encode_arith_progressive_scans(comps, grey: bool, h: int, w: int,
 
     def ni_grid(ci):
         hi, vi = comps[ci][0], comps[ci][1]
-        return (-(-(-(-(h * vi) // vmax)) // 8), -(-(-(-(w * hi) // hmax)) // 8))
+        return _ni_block_grid(h, w, hi, vi, hmax, vmax)
 
     def fresh():
         return (
@@ -2937,10 +2937,7 @@ def _encode_progressive_scans(comps, grey: bool, h: int, w: int,
     def ni_grid(ci):
         # non-interleaved block grid EXCLUDES MCU padding (T.81 A.2.2)
         hi, vi = comps[ci][0], comps[ci][1]
-        return (
-            -(-(-(-(h * vi) // vmax)) // 8),
-            -(-(-(-(w * hi) // hmax)) // 8),
-        )
+        return _ni_block_grid(h, w, hi, vi, hmax, vmax)
 
     def flush_eobrun(wtr, eobrun, pend):
         if eobrun > 0:
@@ -3137,8 +3134,6 @@ def encode_jpeg(pix, subsample: str = "444", progressive: bool = False,
         raise ValueError("encode_jpeg precision must be 8 or 12")
     if precision == 12 and progressive:
         raise ValueError("12-bit progressive JPEG not supported here")
-    if arithmetic and progressive and precision == 12:
-        raise ValueError("12-bit progressive JPEG not supported here")
     h, w, grey, comps = _jpeg_quantized_components(pix, subsample, precision)
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -3305,6 +3300,17 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _ni_block_grid(h, w, hi, vi, hmax, vmax):
+    """Non-interleaved block grid ``(ni_by, ni_bx)`` for one component:
+    ns=1 scans exclude MCU padding blocks (T.81 A.2.2/A.2.3).  The ONE
+    home of this formula — the decoder geometry and both progressive
+    encoders (Huffman and arithmetic) all call it, so it cannot drift."""
+    return (
+        -(-(-(-(h * vi) // vmax)) // 8),
+        -(-(-(-(w * hi) // hmax)) // 8),
+    )
+
+
 def _jpeg_geometry(h, w, comps):
     """Frame geometry: (hmax, vmax, mcux, mcuy, per-comp dict) where each
     comp carries its MCU-padded block grid (interleaved scans) and its
@@ -3316,12 +3322,11 @@ def _jpeg_geometry(h, w, comps):
     mcuy = -(-h // (8 * vmax))
     geo = []
     for _cid, hi, vi, _tq in comps:
-        cw = -(-(w * hi) // hmax)
-        ch = -(-(h * vi) // vmax)
+        ni_by, ni_bx = _ni_block_grid(h, w, hi, vi, hmax, vmax)
         geo.append({
             "hi": hi, "vi": vi,
             "pad_bx": mcux * hi, "pad_by": mcuy * vi,
-            "ni_bx": -(-cw // 8), "ni_by": -(-ch // 8),
+            "ni_bx": ni_bx, "ni_by": ni_by,
         })
     return hmax, vmax, mcux, mcuy, geo
 
