@@ -493,13 +493,15 @@ def _tar_num(field: bytes) -> int:
     return _tar_octal(field)
 
 
-def _pax_records(data: bytes, at_byte: int) -> dict[str, str]:
+def _pax_record_pairs(data: bytes, at_byte: int) -> list[tuple[str, str]]:
     """Strict pax extended-header record parse per POSIX.1-2001:
     ``"%d %s=%s\\n" % (length, keyword, value)`` where *length* counts
     the ENTIRE record including its own digits, the space, and the
-    trailing newline.  Later records override earlier ones (the spec's
-    stated precedence); any malformed record raises."""
-    recs: dict[str, str] = {}
+    trailing newline.  Returns the records IN ORDER with repeats kept —
+    the GNU sparse 0.0 format encodes its map as repeated
+    ``GNU.sparse.offset``/``numbytes`` keys, which a dict would swallow.
+    Any malformed record raises."""
+    recs: list[tuple[str, str]] = []
     at = 0
     while at < len(data):
         sp = data.find(b" ", at, at + 20)
@@ -525,9 +527,15 @@ def _pax_records(data: bytes, at_byte: int) -> dict[str, str]:
             raise ValueError(
                 f"tar: pax keyword is not UTF-8 at byte {at_byte + at}"
             ) from None
-        recs[key] = body[eq + 1 :].decode("utf-8", "surrogateescape")
+        recs.append((key, body[eq + 1 :].decode("utf-8", "surrogateescape")))
         at += reclen
     return recs
+
+
+def _pax_records(data: bytes, at_byte: int) -> dict[str, str]:
+    """Dict view of :func:`_pax_record_pairs` — later records override
+    earlier ones (the spec's stated precedence)."""
+    return dict(_pax_record_pairs(data, at_byte))
 
 
 def _gnu_longdata(data: bytes, size: int, flag: bytes, off: int) -> str:
@@ -546,6 +554,186 @@ def _gnu_longdata(data: bytes, size: int, flag: bytes, off: int) -> str:
     return raw[:nul].decode("utf-8", "surrogateescape")
 
 
+# Sparse reconstruction ceiling: a sparse member IS a declared-size
+# bomb vector (a 4 KiB data run can declare a terabyte hole), so the
+# reconstructed real size hits the same per-member bound the zip reader
+# enforces, never executor memory.
+MAX_SPARSE_MEMBER_BYTES = 1 << 30
+
+
+def _sparse_expand(frag, entries, realsize: int, name: str) -> bytearray:
+    """Reassemble a sparse member: place each packed data fragment at its
+    mapped offset in a zero-filled buffer of the member's real size.
+    Strict: entries must be in-bounds and consume the packed run exactly
+    (a zero-length trailing entry — GNU's explicit end-of-file-hole
+    marker — is fine)."""
+    if realsize > MAX_SPARSE_MEMBER_BYTES:
+        raise ValueError(
+            f"tar: sparse member {name!r} declares {realsize} real bytes, "
+            f"over the {MAX_SPARSE_MEMBER_BYTES}-byte member ceiling"
+        )
+    out = bytearray(realsize)
+    pos = 0
+    for o, n in entries:
+        if o < 0 or n < 0 or o + n > realsize:
+            raise ValueError(
+                f"tar: sparse map entry ({o}, {n}) outside member {name!r} "
+                f"real size {realsize}"
+            )
+        if pos + n > len(frag):
+            raise ValueError(
+                f"tar: sparse member {name!r} packed data shorter than its map"
+            )
+        out[o : o + n] = frag[pos : pos + n]
+        pos += n
+    if any(frag[pos:]):
+        raise ValueError(
+            f"tar: sparse member {name!r} has non-zero packed data past its map"
+        )
+    return out
+
+
+def _old_gnu_sparse(b, off: int, hdr, size: int, name: str):
+    """Old-GNU sparse member (typeflag 'S'): 4 map entries inline at
+    header offset 386, ``isextended`` at 482 chaining 512-byte
+    extension blocks of 21 entries each (NOT checksummed headers —
+    they sit between the header and the packed data), real size at
+    483.  Returns ``(body, realsize, data_at)`` with ``body`` the
+    reconstructed real content."""
+    if hdr[257:265] != b"ustar  \x00":
+        raise ValueError(
+            f"tar: sparse member {name!r} without the old-GNU magic"
+        )
+    entries: list[tuple[int, int]] = []
+
+    def take(raw) -> bool:
+        """Parse 24-byte map slots; False when the terminator slot hit."""
+        for at in range(0, len(raw) - 23, 24):
+            if raw[at] == 0:  # empty slot terminates the map
+                return False
+            entries.append(
+                (_tar_num(raw[at : at + 12]), _tar_num(raw[at + 12 : at + 24]))
+            )
+        return True
+
+    more = take(hdr[386:482]) and hdr[482] != 0
+    realsize = _tar_num(hdr[483:495])
+    data_at = off + 512
+    while more:
+        if data_at + 512 > len(b):
+            raise ValueError(
+                f"tar: sparse member {name!r} extension block out of bounds"
+            )
+        blk = b[data_at : data_at + 512]
+        data_at += 512
+        more = take(blk[:504]) and blk[504] != 0
+    if data_at + size > len(b):
+        raise ValueError(f"tar: sparse member {name!r} data out of bounds")
+    body = _sparse_expand(b[data_at : data_at + size], entries, realsize, name)
+    return body, realsize, data_at
+
+
+def _pax_sparse_member(eff: dict, pairs, data, name: str):
+    """PAX-format GNU sparse member (typeflag '0' + ``GNU.sparse.*``
+    records): all three wire formats —
+
+    * **1.0** (``GNU.sparse.major=1``): the map rides at the FRONT of
+      the data run as newline-terminated decimals (count, then
+      offset/size pairs), padded to a 512 boundary; real size in
+      ``GNU.sparse.realsize``;
+    * **0.1**: comma-separated ``GNU.sparse.map``;
+    * **0.0**: repeated ``GNU.sparse.offset``/``numbytes`` record pairs
+      (order-preserved via :func:`_pax_record_pairs`).
+
+    Returns ``(body, realsize, real_name)`` — ``GNU.sparse.name``
+    carries the true member name (the header name is mangled, e.g.
+    ``GNUSparseFile.<pid>/<name>``)."""
+    real_name = eff.get("GNU.sparse.name", name)
+
+    def intrec(key: str) -> int:
+        val = eff.get(key, "")
+        if not val.isdigit():
+            raise ValueError(
+                f"tar: sparse member {real_name!r}: bad {key} record {val!r}"
+            )
+        return int(val)
+
+    if eff.get("GNU.sparse.major") == "1":
+        if eff.get("GNU.sparse.minor") not in (None, "0"):
+            raise ValueError(
+                f"tar: sparse member {real_name!r}: unknown GNU.sparse "
+                f"version 1.{eff.get('GNU.sparse.minor')}"
+            )
+        realsize = intrec("GNU.sparse.realsize")
+        at = 0
+
+        def rdnum() -> int:
+            nonlocal at
+            nl = data.find(b"\n", at, at + 21)
+            if nl < 0 or not data[at:nl].isdigit():
+                raise ValueError(
+                    f"tar: sparse member {real_name!r}: malformed 1.0 map"
+                )
+            v = int(data[at:nl])
+            at = nl + 1
+            return v
+
+        count = rdnum()
+        if count > (len(data) + 1) // 4:  # each entry needs >= 4 bytes
+            raise ValueError(
+                f"tar: sparse member {real_name!r}: 1.0 map count {count} "
+                "larger than the data run could hold"
+            )
+        entries = [(rdnum(), rdnum()) for _ in range(count)]
+        frag_at = (at + 511) // 512 * 512
+        if any(data[at:frag_at]):
+            raise ValueError(
+                f"tar: sparse member {real_name!r}: non-zero 1.0 map padding"
+            )
+        frag = data[frag_at:]
+    else:
+        if "GNU.sparse.map" in eff:  # 0.1
+            parts = eff["GNU.sparse.map"].split(",")
+            if len(parts) % 2:
+                raise ValueError(
+                    f"tar: sparse member {real_name!r}: odd 0.1 map length"
+                )
+            if not all(p.isdigit() for p in parts):
+                raise ValueError(
+                    f"tar: sparse member {real_name!r}: non-numeric 0.1 map"
+                )
+            entries = [
+                (int(parts[i]), int(parts[i + 1])) for i in range(0, len(parts), 2)
+            ]
+        else:  # 0.0: repeated offset/numbytes pairs, in record order
+            numblocks = intrec("GNU.sparse.numblocks")
+            entries = []
+            pend_off: int | None = None
+            for key, val in pairs:
+                if key == "GNU.sparse.offset":
+                    if pend_off is not None or not val.isdigit():
+                        raise ValueError(
+                            f"tar: sparse member {real_name!r}: malformed 0.0 map"
+                        )
+                    pend_off = int(val)
+                elif key == "GNU.sparse.numbytes":
+                    if pend_off is None or not val.isdigit():
+                        raise ValueError(
+                            f"tar: sparse member {real_name!r}: malformed 0.0 map"
+                        )
+                    entries.append((pend_off, int(val)))
+                    pend_off = None
+            if pend_off is not None or len(entries) != numblocks:
+                raise ValueError(
+                    f"tar: sparse member {real_name!r}: 0.0 map has "
+                    f"{len(entries)} entries, numblocks says {numblocks}"
+                )
+        realsize = intrec("GNU.sparse.size")
+        frag = data
+    body = _sparse_expand(frag, entries, realsize, real_name)
+    return body, realsize, real_name
+
+
 def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
     """POSIX ustar + pax walk: 512-byte blocks, octal (or GNU base-256)
     size fields, per-header CHECKSUM verification.  Long names arrive
@@ -555,7 +743,12 @@ def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
     ``g`` global, strict ``"len key=value\\n"`` records), GNU longname /
     longlink blocks (``L``/``K``), and the ustar 155-byte prefix field.
     A pax ``size`` record overrides the header size for the following
-    member's data run.  The two-zero-block terminator is required (a tar
+    member's data run.  GNU SPARSE members reassemble to their real
+    content (round 16): old-GNU typeflag ``S`` (inline + chained
+    extension map blocks) and all three pax formats (0.0 repeated
+    records, 0.1 ``GNU.sparse.map``, 1.0 map-in-data), real size
+    capped by ``MAX_SPARSE_MEMBER_BYTES`` — a sparse map is a
+    declared-size bomb vector.  The two-zero-block terminator is required (a tar
     that just stops is truncated), only zero padding may follow it —
     trailing garbage (or a second concatenated archive, which would
     otherwise silently lose ALL its members) raises — and an extension
@@ -564,6 +757,7 @@ def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
     off = 0
     g_over: dict[str, str] = {}  # pax 'g' globals, persist until overridden
     x_over: dict[str, str] | None = None  # pax 'x', applies to next file only
+    x_pairs: list[tuple[str, str]] = []  # ordered 'x' records (sparse 0.0 map)
     longname: str | None = None  # GNU 'L', next file only
     longlink: str | None = None  # GNU 'K', next file only
     while True:
@@ -595,25 +789,26 @@ def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
             raise ValueError(f"tar: member data out of bounds at byte {off}")
         data = b[data_at : data_at + size]
 
-        if typeflag in (b"S", b"M", b"D"):
+        if typeflag in (b"M", b"D"):
             # data-bearing GNU formats this walk does not reassemble:
-            # sparse members ('S', in-archive data != real size, possibly
-            # with unchecksummed map-continuation blocks), multi-volume
-            # continuations ('M', the member's data lives across files),
-            # dump directories ('D').  Silently skipping them would drop
-            # member CONTENT — fail fast at a declared seam instead.
+            # multi-volume continuations ('M', the member's data lives
+            # across files) and dump directories ('D').  Silently
+            # skipping them would drop member CONTENT — fail fast at a
+            # declared seam instead.  (Sparse 'S' members reassemble
+            # below as of round 16.)
             raise ValueError(
-                f"tar: GNU typeflag {typeflag!r} (sparse/multi-volume/"
+                f"tar: GNU typeflag {typeflag!r} (multi-volume/"
                 "dumpdir) is a declared seam"
             )
         if typeflag in (b"x", b"g"):
-            recs = _pax_records(data, data_at)
+            pairs = _pax_record_pairs(data, data_at)
             if typeflag == b"g":
-                g_over.update(recs)
+                g_over.update(dict(pairs))
             else:
                 if x_over is not None:
                     raise ValueError(f"tar: consecutive pax 'x' headers at byte {off}")
-                x_over = recs
+                x_over = dict(pairs)
+                x_pairs = pairs
         elif typeflag in (b"L", b"K"):
             val = _gnu_longdata(data, size, typeflag, data_at)
             if typeflag == b"L":
@@ -650,14 +845,39 @@ def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
             eff = dict(g_over)
             if x_over is not None:
                 eff.update(x_over)
+            if typeflag == b"S":
+                # old-GNU sparse: reassemble the real content (round 16)
+                body, realsize, sp_data_at = _old_gnu_sparse(b, off, hdr, size, name)
+                yield {"name": name, "size": realsize, "offset": off, "body": body}
+                x_over, longname, longlink = None, None, None
+                x_pairs = []
+                off = sp_data_at + (size + 511) // 512 * 512
+                continue
             if any(k.startswith("GNU.sparse.") for k in eff):
-                # pax-format sparse members are typeflag '0' with
-                # GNU.sparse.* records and a data run holding the sparse
-                # MAP plus packed fragments — returning it as the body
-                # would be silent content corruption, same as old-GNU 'S'
-                raise ValueError(
-                    "tar: pax GNU.sparse member is a declared seam"
+                # pax-format sparse member: typeflag '0' with
+                # GNU.sparse.* records; the data run holds packed
+                # fragments (1.0: prefixed by the map) — reassemble
+                # the real content (round 16)
+                if "size" in eff and eff["size"].isdigit():
+                    size = int(eff["size"])
+                    if data_at + size > len(b):
+                        raise ValueError(
+                            f"tar: member {name!r} pax-size data out of bounds"
+                        )
+                    data = b[data_at : data_at + size]
+                body, realsize, real_name = _pax_sparse_member(
+                    eff, x_pairs, data, name
                 )
+                yield {
+                    "name": real_name,
+                    "size": realsize,
+                    "offset": off,
+                    "body": body,
+                }
+                x_over, longname, longlink = None, None, None
+                x_pairs = []
+                off = data_at + (size + 511) // 512 * 512
+                continue
             if "size" in eff:
                 if not eff["size"].isdigit():
                     raise ValueError(
@@ -674,6 +894,7 @@ def iter_tar_members(b: bytes | bytearray) -> Iterator[dict]:
             if typeflag in (b"0", b"\x00", b"7"):
                 yield {"name": name, "size": size, "offset": off, "body": data}
             x_over, longname, longlink = None, None, None
+            x_pairs = []
         off = data_at + (size + 511) // 512 * 512
 
 

@@ -72,20 +72,28 @@ def test_tar_roundtrip_and_strictness():
 
 
 def test_tar_typeflags():
-    """'7' (contiguous) is a regular file per POSIX; data-bearing GNU
-    formats (sparse 'S', multi-volume 'M', dumpdir 'D') fail fast at a
-    declared seam instead of silently dropping member content; plain
-    metadata types (dir, symlink) stay skipped."""
+    """'7' (contiguous) is a regular file per POSIX; the data-bearing GNU
+    formats this walk does NOT reassemble (multi-volume 'M', dumpdir
+    'D') fail fast at a declared seam instead of silently dropping
+    member content (sparse 'S' reassembles as of round 16 —
+    tests/test_tar_sparse.py — so a malformed one raises its own
+    diagnostic, never a silent drop); plain metadata types (dir,
+    symlink) stay skipped."""
     hdr7 = ar._tar_block(b"contig", 4, ord("7"))
     blocks = bytes(hdr7) + ar._pad512(b"data") + bytes(1024)
     got = ar.parse_tar_members(blocks)
     assert [(m["name"], m["body"]) for m in got] == [("contig", b"data")]
-    for flag in (b"S", b"M", b"D"):
+    for flag in (b"M", b"D"):
         hdr = ar._tar_block(b"gnuthing", 4, flag[0])
         with pytest.raises(ValueError, match="declared seam"):
             ar.parse_tar_members(bytes(hdr) + ar._pad512(b"data") + bytes(1024))
-    # pax-format sparse (typeflag '0' + GNU.sparse.* records) is the
-    # SAME content-corruption hazard as old-GNU 'S': fail fast
+    # an 'S' member without the old-GNU magic is malformed, not a seam —
+    # but it still RAISES rather than returning corrupt content
+    hdr = ar._tar_block(b"gnuthing", 4, ord("S"))
+    with pytest.raises(ValueError, match="old-GNU magic"):
+        ar.parse_tar_members(bytes(hdr) + ar._pad512(b"data") + bytes(1024))
+    # pax-format sparse with a malformed record set (realsize but no
+    # map) must also raise, never yield the packed run as content
     recs = ar.pax_record("GNU.sparse.realsize", "100000") + ar.pax_record("size", "4")
     blocks = (
         bytes(ar._tar_block(b"pax_x", len(recs), ord("x")))
