@@ -1282,7 +1282,11 @@ FROM documents WHERE text IS NOT NULL
     "libzstd bridge), "
     "odd file ids as tar with >100-byte member paths carried via pax "
     "extended headers or old-GNU longname blocks (alternating, so both "
-    "long-name routes rotate through the gate; the four tar files ride "
+    "long-name routes rotate through the gate; files 5 and 7 write "
+    "every member in a GNU SPARSE representation — old-GNU 'S' inline "
+    "maps and pax 1.0 map-in-data respectively (round 16, "
+    "representation-invariant oracle: reassembly must equal the exact "
+    "member bytes); the four tar files ride "
     "gzip/xz/zstd/lz4 envelopes through the magic-sniffed compressed-tar "
     "path — zstd/lz4 via the libzstd/liblz4 ctypes bridges, each "
     "degrading to plain tar when its library is absent; the plain-tar "
@@ -1337,8 +1341,14 @@ def x_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 blob, ext = ar_src.write_zip(members, zip64=fid % 4 == 0), "zip"
         else:
+            # fid 5/7 additionally write every member in a GNU SPARSE
+            # representation (old-GNU 'S' / pax 1.0) so the round-16
+            # sparse reassembly rides the driver gate — the oracle is
+            # representation-invariant (same reassembled bytes)
             blob = ar_src.write_tar(
-                members, long_names="pax" if fid % 4 == 1 else "gnu"
+                members,
+                long_names="pax" if fid % 4 == 1 else "gnu",
+                sparse={5: "gnu", 7: "pax10"}.get(fid),
             )
             ext = "tar"
             # the four tar files each ride a compressed envelope so the

@@ -564,7 +564,16 @@ MAX_SPARSE_MEMBER_BYTES = 1 << 30
 def _sparse_expand(frag, entries, realsize: int, name: str) -> bytearray:
     """Reassemble a sparse member: place each packed data fragment at its
     mapped offset in a zero-filled buffer of the member's real size.
-    Strict: entries must be in-bounds and consume the packed run exactly
+
+    Fragment CONSUMPTION is per-fragment whole 512-byte blocks — the
+    defining implementation's reader semantics, established empirically
+    against GNU tar 1.34 (its extractor sources fragment i+1 from the
+    block boundary after fragment i).  GNU's own maps are always
+    filesystem-extent-granular (every entry a 512 multiple), so block
+    and contiguous reads coincide on every GNU-produced archive; the
+    distinction only bites foreign producers, and mirroring the GNU
+    reader is the interoperable choice.  Strict: entries in-bounds,
+    inter-fragment block padding zero, nothing non-zero past the map
     (a zero-length trailing entry — GNU's explicit end-of-file-hole
     marker — is fine)."""
     if realsize > MAX_SPARSE_MEMBER_BYTES:
@@ -585,8 +594,13 @@ def _sparse_expand(frag, entries, realsize: int, name: str) -> bytearray:
                 f"tar: sparse member {name!r} packed data shorter than its map"
             )
         out[o : o + n] = frag[pos : pos + n]
-        pos += n
-    if any(frag[pos:]):
+        step = -(-n // 512) * 512
+        if any(frag[pos + n : min(pos + step, len(frag))]):
+            raise ValueError(
+                f"tar: sparse member {name!r} has non-zero fragment padding"
+            )
+        pos += step
+    if any(frag[min(pos, len(frag)) :]):
         raise ValueError(
             f"tar: sparse member {name!r} has non-zero packed data past its map"
         )
@@ -939,20 +953,37 @@ def pax_record(key: str, value: str) -> bytes:
     return str(len(body) + digits).encode() + body
 
 
-def write_tar(members: list[tuple[str, bytes]], long_names: str = "pax") -> bytes:
+def write_tar(
+    members: list[tuple[str, bytes]],
+    long_names: str = "pax",
+    sparse: str | None = None,
+) -> bytes:
     """ustar/pax writer (fixture twin of :func:`parse_tar_members`).
 
     Names longer than the 100-byte ustar field are carried per
     ``long_names``: ``"pax"`` (POSIX.1-2001 ``x`` extended header with a
     ``path`` record — what GNU/BSD tar emit by default), ``"gnu"``
     (old-GNU ``L`` longname block), or ``"error"`` (raise, the pre-pax
-    strict-ustar behavior)."""
+    strict-ustar behavior).
+
+    ``sparse`` writes every member in a GNU SPARSE representation whose
+    reassembly equals the body exactly (fragments split mid-body, no
+    holes — spec-valid and what the reader must reproduce byte-for-byte):
+    ``"gnu"`` = old-GNU typeflag ``S`` inline map, ``"pax10"`` = pax
+    1.0 with the decimal map leading the data run.  Fixture use: it
+    puts the round-16 sparse reassembly path under the oracle-gated
+    archive queries without external tooling."""
     if long_names not in ("pax", "gnu", "error"):
         raise ValueError(f"tar: unknown long_names mode {long_names!r}")
+    if sparse not in (None, "gnu", "pax10"):
+        raise ValueError(f"tar: unknown sparse mode {sparse!r}")
     out = bytearray()
     for i, (name, body) in enumerate(members):
         nb = name.encode("utf-8")
-        if len(nb) > 100:
+        if len(nb) > 100 and sparse != "pax10":
+            # (pax-1.0 sparse members skip this: GNU.sparse.name carries
+            # the full name inside the ONE x-header below — a second
+            # consecutive 'x' block would be malformed)
             if long_names == "error":
                 raise ValueError("tar: name longer than the ustar field")
             if long_names == "pax":
@@ -963,8 +994,45 @@ def write_tar(members: list[tuple[str, bytes]], long_names: str = "pax") -> byte
                 out += _tar_block(b"././@LongLink", len(nb) + 1, ord("L"))
                 out += _pad512(nb + b"\x00")
             nb = nb[:100]
-        out += _tar_block(nb, len(body), 0x30)
-        out += _pad512(body)
+        if sparse is None:
+            out += _tar_block(nb, len(body), 0x30)
+            out += _pad512(body)
+            continue
+        # non-final fragments must be 512 multiples: GNU's reader sources
+        # each fragment from a block boundary (see _sparse_expand)
+        split = (len(body) // 2 // 512) * 512
+        entries = (
+            [(0, split), (split, len(body) - split)] if split else [(0, len(body))]
+        )
+        if sparse == "gnu":
+            hdr = _tar_block(nb, len(body), ord("S"))
+            hdr[257:265] = b"ustar  \x00"  # old-GNU magic for 'S'
+            at = 386
+            for o, n in entries:
+                hdr[at : at + 12] = f"{o:011o}\x00".encode()
+                hdr[at + 12 : at + 24] = f"{n:011o}\x00".encode()
+                at += 24
+            hdr[483:495] = f"{len(body):011o}\x00".encode()
+            hdr[148:156] = b" " * 8
+            hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+            out += hdr
+            out += _pad512(body)
+        else:  # pax 1.0
+            map_txt = f"{len(entries)}\n".encode() + b"".join(
+                f"{o}\n{n}\n".encode() for o, n in entries
+            )
+            run = _pad512(map_txt) + body
+            recs = (
+                pax_record("GNU.sparse.major", "1")
+                + pax_record("GNU.sparse.minor", "0")
+                + pax_record("GNU.sparse.name", name)
+                + pax_record("GNU.sparse.realsize", str(len(body)))
+                + pax_record("size", str(len(run)))
+            )
+            out += _tar_block(f"PaxHeaders.0/sp{i}".encode(), len(recs), ord("x"))
+            out += _pad512(recs)
+            out += _tar_block(b"GNUSparseFile.0/" + nb[:84], len(run), 0x30)
+            out += _pad512(run)
     out += bytes(1024)
     return bytes(out)
 

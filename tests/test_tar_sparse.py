@@ -200,6 +200,43 @@ def test_multivolume_still_fails_fast():
         parse_tar_members(tar)
 
 
+@pytest.mark.parametrize("mode", ["gnu", "pax10"])
+def test_writer_sparse_modes_roundtrip(mode):
+    """write_tar's fixture sparse modes (the x_archive_extract gate path):
+    reassembly equals the exact member bytes, long names included."""
+    deep = "p" * 120
+    members = [
+        (f"corpus/{deep}/a.txt", b"alpha body \x00 with a NUL"),
+        ("b.txt", b""),
+        ("c.txt", b"x"),
+        ("d.txt", bytes(range(256)) * 7),
+    ]
+    blob = archives.write_tar(members, long_names="pax", sparse=mode)
+    got = {m["name"]: bytes(m["body"]) for m in parse_tar_members(blob)}
+    assert got == {name: body for name, body in members}
+
+
+@pytest.mark.parametrize("mode", ["gnu", "pax10"])
+def test_writer_sparse_readable_by_gnu_tar(tmp_path, mode):
+    """The writer's sparse streams are spec-valid: the system GNU tar
+    must extract them to the same bytes."""
+    if not _gnu_tar_available():
+        pytest.skip("GNU tar binary not present")
+    members = [("f1.bin", b"hello sparse world" * 100), ("f2.bin", b"tiny")]
+    blob = archives.write_tar(members, sparse=mode)
+    tarf = tmp_path / "w.tar"
+    tarf.write_bytes(blob)
+    outdir = tmp_path / "x"
+    outdir.mkdir()
+    subprocess.run(
+        ["tar", "-x", "-f", str(tarf), "-C", str(outdir)],
+        check=True,
+        capture_output=True,
+    )
+    for name, body in members:
+        assert (outdir / name).read_bytes() == body
+
+
 def test_pax_sparse_00_map_mismatch_raises():
     recs = b""
     for kv in (
