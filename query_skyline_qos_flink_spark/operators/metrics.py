@@ -79,6 +79,11 @@ def skyline_partition_stats(
     # exact (parity-tested), only the physical plan differs.  Measured
     # at sf0.1 (6M rows, P=8): direct 1.4 s (m1) / 3.2 s (m2) vs
     # pre-pruned 3.0 / 5.5 — the crossover is parallelism, not size.
+    # Re-measured round 16 AFTER the scan fan-out fix (the original
+    # numbers had the prune pass single-cored by the one-split scan):
+    # warm direct 1.5-1.7 / 3.8-4.1 vs pruned 2.3-2.7 / 4.1-4.6 — the
+    # prune's extra full Arrow pass still loses at local[32]; the
+    # adjudication stands.
     pre = prepped
     spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
     if spark_parallelism > _PRUNE_PARALLELISM_FACTOR * num_partitions:
