@@ -1899,6 +1899,36 @@ def _synth_jpeg_twin(key: int, cls: int, flip_block: int | None) -> bytes:
     return encode_jpeg(rgb, subsample="420", progressive=cls == 3)
 
 
+def _ahash_uncached(payload: bytes, grid: int, decode_fn) -> tuple[int, int, int]:
+    """One payload's (ahash, width, height) — the kernel behind
+    :func:`image_ahash`'s content-addressed memoization."""
+    import numpy as np
+
+    h, w, _c, arr = decode_fn(payload)
+    grey = arr.astype(np.float64).mean(axis=2)
+    by, bx = max(h // grid, 1), max(w // grid, 1)
+    hh, ww = (h // by) * by, (w // bx) * bx
+    blocks = (
+        grey[:hh, :ww]
+        .reshape(hh // by, by, ww // bx, bx)
+        .mean(axis=(1, 3))[:grid, :grid]
+    )
+    bits = (blocks >= blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return np.uint64(v).astype(np.int64).item(), w, h
+
+
+@_lru_cache(maxsize=4096)
+def _ahash_core(payload: bytes, grid: int) -> tuple[int, int, int]:
+    """Worker-level LRU over the DEFAULT decode path (decode_image is a
+    deterministic module function, safe to key by content).  4096
+    distinct payloads x typical crawl-image sizes stays comfortably
+    inside a python worker's memory; eviction just re-decodes."""
+    return _ahash_uncached(payload, grid, decode_image)
+
+
 def image_ahash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1919,36 +1949,27 @@ def image_ahash(
 
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, ahash bigint, width bigint, height bigint"
+    # content-addressed memoization: identical payloads hash identically,
+    # and duplicate payloads are the NORM in dedup-shaped workloads.  The
+    # default decode path uses the WORKER-level LRU (_ahash_core — round
+    # 16: after the round-robin fan-out every partition sees every
+    # duplicate class, so a batch-local cache re-decoded each class once
+    # per task; ~24 s CPU/rep on the jpeg fixture, mostly arithmetic-
+    # class decodes, collapses to one decode per class per worker); a
+    # custom decode_fn gets a per-call cache (its semantics are the
+    # caller's, not safe to key globally).
+    if decode_fn is decode_image:
+        core = _ahash_core
+    else:
+        core = _lru_cache(maxsize=4096)(
+            lambda bp, g, _fn=decode_fn: _ahash_uncached(bp, g, _fn)
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            # duplicate payloads are the NORM in dedup-shaped workloads:
-            # decode + hash each distinct payload once per batch (bounded
-            # memory — the cache dies with the batch)
-            cache: dict[bytes, tuple[int, int, int]] = {}
-            for p in pdf[payload_col]:
-                bp = bytes(p)
-                row = cache.get(bp)
-                if row is None:
-                    h, w, c, arr = decode_fn(bp)
-                    grey = arr.astype(np.float64).mean(axis=2)
-                    by, bx = max(h // grid, 1), max(w // grid, 1)
-                    hh, ww = (h // by) * by, (w // bx) * bx
-                    blocks = (
-                        grey[:hh, :ww]
-                        .reshape(hh // by, by, ww // bx, bx)
-                        .mean(axis=(1, 3))[:grid, :grid]
-                    )
-                    bits = (blocks >= blocks.mean()).flatten()
-                    v = 0
-                    for b in bits:
-                        v = (v << 1) | int(b)
-                    row = (np.uint64(v).astype(np.int64).item(), w, h)
-                    cache[bp] = row
-                rows.append(row)
+            rows = [core(bytes(p), grid) for p in pdf[payload_col]]
             out = pd.DataFrame(rows, columns=["ahash", "width", "height"])
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
