@@ -105,6 +105,34 @@ def test_qe_table_matches_the_standard_via_libjpeg():
         assert ((v >> 7) & 1) == sw, f"SWITCH mismatch at state {i}"
 
 
+def test_coder_roundtrip_property():
+    """Hypothesis: ANY decision sequence over ANY bin assignment
+    roundtrips exactly — the coder pair is inverse by construction,
+    including carry/stuffing/flush edge cases the seeded trials may
+    miss."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 7)),
+            min_size=0,
+            max_size=600,
+        )
+    )
+    def roundtrip(seq):
+        enc = jpeg_arith.ArithEncoder()
+        st_e = jpeg_arith._new_stats(8)
+        for b, i in seq:
+            enc.code(st_e, i, b)
+        data = enc.flush() + b"\xff\xd9"
+        dec = jpeg_arith.ArithDecoder(data, 0)
+        st_d = jpeg_arith._new_stats(8)
+        assert [dec.decode(st_d, i) for _b, i in seq] == [b for b, _i in seq]
+
+    roundtrip()
+
+
 def test_coder_roundtrip_random_bits():
     """The bare QM coder: random decision sequences over shared adapting
     bins roundtrip exactly (encoder and decoder walk identical state)."""

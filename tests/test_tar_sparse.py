@@ -116,6 +116,23 @@ def test_sparse_member_alongside_plain_members(tmp_path):
     assert bytes(members["sp.bin"]["body"]) == want
 
 
+@pytest.mark.parametrize("mode", ["gnu", "pax10"])
+def test_writer_sparse_roundtrip_property(mode):
+    """Hypothesis: arbitrary member bodies (incl. NULs, empty, >512-block
+    spans) roundtrip byte-exactly through the sparse writer + reader."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=3000), min_size=1, max_size=4))
+    def roundtrip(bodies):
+        members = [(f"m{i}.bin", b) for i, b in enumerate(bodies)]
+        blob = archives.write_tar(members, sparse=mode)
+        got = [(m["name"], bytes(m["body"])) for m in parse_tar_members(blob)]
+        assert got == members
+
+    roundtrip()
+
+
 # ---- hand-built fixtures: error paths + ceiling, environment-free ----
 
 
