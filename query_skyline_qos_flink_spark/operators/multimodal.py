@@ -1920,15 +1920,6 @@ def _ahash_uncached(payload: bytes, grid: int, decode_fn) -> tuple[int, int, int
     return np.uint64(v).astype(np.int64).item(), w, h
 
 
-@_lru_cache(maxsize=4096)
-def _ahash_core(payload: bytes, grid: int) -> tuple[int, int, int]:
-    """Worker-level LRU over the DEFAULT decode path (decode_image is a
-    deterministic module function, safe to key by content).  4096
-    distinct payloads x typical crawl-image sizes stays comfortably
-    inside a python worker's memory; eviction just re-decodes."""
-    return _ahash_uncached(payload, grid, decode_image)
-
-
 def image_ahash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1945,31 +1936,32 @@ def image_ahash(
 
     mapInPandas over Arrow binary batches; one scan, no shuffle — the
     downstream groupBy shuffles only (id, hash) pairs."""
-    import numpy as np
-
     id_field = df.schema[id_col]
     schema = f"{id_col} {id_field.dataType.simpleString()}, ahash bigint, width bigint, height bigint"
     # content-addressed memoization: identical payloads hash identically,
     # and duplicate payloads are the NORM in dedup-shaped workloads.  The
-    # default decode path uses the WORKER-level LRU (_ahash_core — round
-    # 16: after the round-robin fan-out every partition sees every
-    # duplicate class, so a batch-local cache re-decoded each class once
-    # per task; ~24 s CPU/rep on the jpeg fixture, mostly arithmetic-
-    # class decodes, collapses to one decode per class per worker); a
-    # custom decode_fn gets a per-call cache (its semantics are the
-    # caller's, not safe to key globally).
-    if decode_fn is decode_image:
-        core = _ahash_core
-    else:
-        core = _lru_cache(maxsize=4096)(
-            lambda bp, g, _fn=decode_fn: _ahash_uncached(bp, g, _fn)
-        )
-
+    # cache is TASK-scoped (built inside fn, so it spans every batch of
+    # one partition but dies with the task): after the round-robin
+    # fan-out every partition sees every duplicate class, so a
+    # batch-local cache re-decoded each class once per BATCH; task scope
+    # collapses that to once per task while every invocation still pays
+    # its own decodes (no cross-run or cross-rep memo — a worker-level
+    # LRU would make repeated benchmarks read hot).
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[bytes, tuple[int, int, int]] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = [core(bytes(p), grid) for p in pdf[payload_col]]
+            rows = []
+            for p in pdf[payload_col]:
+                bp = bytes(p)
+                row = cache.get(bp)
+                if row is None:
+                    row = _ahash_uncached(bp, grid, decode_fn)
+                    if len(cache) >= 4096:  # bounded: evict oldest insert
+                        cache.pop(next(iter(cache)))
+                    cache[bp] = row
+                rows.append(row)
             out = pd.DataFrame(rows, columns=["ahash", "width", "height"])
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
