@@ -1218,19 +1218,103 @@ def skyline_layers(
     layer i the skyline of what remains after peeling layers < i —
     the standard way to rank beyond the first dominance tier.
 
-    Each layer is one full :func:`skyline` pass (whatever physical
-    strategy fits the arity), and peeling is an anti-join on the layer's
-    distinct dim tuples: rows sharing a survivor's dim values are
-    mutually non-dominating, so they sit in the same layer by definition
-    — value-equality peeling is exact, no row identity needed.  The
-    anti-join side is broadcast while the layer stays under
-    ``_BROADCAST_SURVIVOR_MAX`` rows (the same bound the 2-D semi-join
-    uses); an oversized layer falls back to a plain shuffled anti-join
-    instead of an oversized broadcast.  Rows with NULL/NaN dims are
-    excluded, as everywhere in the family.  Total cost: ``n_layers``
-    skyline passes over a shrinking persisted remainder."""
+    Scale shape — ONE full pass, not ``n_layers`` of them (round 16;
+    the former per-layer skyline-then-anti-join loop paid ~4 driver
+    actions and two shuffles per layer, ~12 sequential jobs for 3
+    layers — pure fixed job latency on any input that fits the verify
+    bound, and n_layers full scans besides):
+
+    1. **Local K-peel.** One ``mapInPandas`` pass computes each input
+       partition's own first-``n_layers`` onion layers incrementally
+       (:func:`..skyline_kernel.onion_layers`) and keeps only rows with
+       local layer <= n_layers.  Exact superset of the answer: a point's
+       local layer never exceeds its global layer (a subset has fewer
+       dominators), so every row of global layer <= K survives.
+       Incremental maintenance is sound because a dropped row
+       (local layer > K) only dominates rows whose local layer is
+       larger still — removing it never changes a survivor's layer.
+    2. **Exact layering of the candidate set.**  The candidates (bounded
+       by ``_VERIFY_MAX_ROWS``, like every filter-then-verify member of
+       the family) are collected once as Arrow and layered exactly with
+       the same kernel.  Within the candidate set every true dominator
+       of a low-layer point is present: if some dominator q of p were
+       peeled locally past K, q's partition holds a dominance chain
+       d_1 > d_2 > ... > d_K > q of local layers 1..K (standard onion
+       property) — all candidates, all dominating p by transitivity —
+       so p's candidate-relative layer is already > K.  By induction,
+       candidate-relative layer == global layer for every row whose
+       candidate-relative layer <= K, and rows of global layer <= K are
+       exactly the rows reported (with the correct layer).
+    3. Rows with candidate layer <= n_layers re-enter Spark via the
+       Arrow table (type-exact, see :func:`_keyed_candidates`).
+
+    Value-equal rows land in the same layer (ties never dominate), the
+    same contract as the old value-equality peel.  Rows with NULL/NaN
+    dims are excluded, as everywhere in the family.  An oversized
+    candidate set falls back to the per-layer peel loop
+    (:func:`_skyline_layers_peel`)."""
+    from .skyline_kernel import onion_layers
+
     if n_layers < 1:
         raise ValueError(f"skyline_layers: n_layers must be >= 1, got {n_layers}")
+    out_cols = df.columns
+    spark = df.sparkSession
+    prepped, prep_cols = _prep(df, dims)
+
+    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            allrows = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            pts = allrows[prep_cols].to_numpy(dtype=np.float64)
+            lay = onion_layers(pts, n_layers)
+            keep = lay > 0
+            cur = allrows if keep.all() else allrows.loc[keep]
+        if cur is not None and not cur.empty:
+            yield cur
+
+    phase1 = _persist(_fanout(prepped).mapInPandas(local_fn, schema=prepped.schema))
+    n_cand = phase1.count()
+    if n_cand > _VERIFY_MAX_ROWS:
+        return _skyline_layers_peel(df, dims, n_layers, layer_col)
+    import pyarrow as pa
+
+    cand_tbl = phase1.toArrow()
+    if cand_tbl.num_rows == 0:
+        return (
+            phase1.limit(0)
+            .withColumn(layer_col, F.lit(0).cast("int"))
+            .select(*out_cols, layer_col)
+        )
+    cand_arr = np.ascontiguousarray(
+        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
+    glay = onion_layers(cand_arr, n_layers)
+    keep = glay > 0
+    kept = cand_tbl.filter(pa.array(keep)).append_column(
+        layer_col, pa.array(glay[keep].astype(np.int32), pa.int32())
+    )
+    return spark.createDataFrame(kept).select(*out_cols, layer_col)
+
+
+def _skyline_layers_peel(
+    df: DataFrame,
+    dims: Sequence,
+    n_layers: int,
+    layer_col: str = "layer",
+) -> DataFrame:
+    """Per-layer peel loop — the oversized-candidate fallback for
+    :func:`skyline_layers`.  Each layer is one full :func:`skyline` pass
+    (whatever physical strategy fits the arity), and peeling is an
+    anti-join on the layer's distinct dim tuples: rows sharing a
+    survivor's dim values are mutually non-dominating, so they sit in
+    the same layer by definition — value-equality peeling is exact, no
+    row identity needed.  The anti-join side is broadcast while the
+    layer stays under ``_BROADCAST_SURVIVOR_MAX`` rows; an oversized
+    layer falls back to a plain shuffled anti-join instead of an
+    oversized broadcast.  Total cost: ``n_layers`` skyline passes over
+    a shrinking persisted remainder."""
     dimcols = [c for c, _ in _norm_dims(dims)]
     out: DataFrame | None = None
     remaining = df

@@ -281,6 +281,28 @@ def skyline_mask(points: np.ndarray) -> np.ndarray:
     return keep
 
 
+def onion_layers(points: np.ndarray, max_layers: int) -> np.ndarray:
+    """1-based onion-peel layer per row, up to ``max_layers``.
+
+    ``layers[i] = L`` iff row i is in the skyline of the rows remaining
+    after peeling layers ``< L`` (Chomicki et al.'s iterated skyline);
+    ``0`` for rows peeled past ``max_layers`` and for NaN rows.  Each
+    peel is one :func:`skyline_mask` pass over the remaining rows, so
+    total cost is ``O(max_layers * n * |layer|)`` — never quadratic in
+    ``n`` unless the data is one long dominance chain."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    layers = np.zeros(n, dtype=np.int64)
+    remaining = np.flatnonzero(~np.isnan(pts).any(axis=1))
+    for layer in range(1, max_layers + 1):
+        if remaining.size == 0:
+            break
+        mask = skyline_mask(pts[remaining])
+        layers[remaining[mask]] = layer
+        remaining = remaining[~mask]
+    return layers
+
+
 def skyline_update(sky: np.ndarray | None, batch: np.ndarray) -> np.ndarray:
     """Merge ``batch`` into an existing skyline ``sky`` (or None) and return
     the new skyline array.  Used by the streaming/incremental path:

@@ -111,3 +111,44 @@ class TestSkyband:
             if prev is not None:
                 assert (m | ~prev).all()  # k-skybands nest: prev ⊆ current
             prev = m
+
+
+class TestOnionLayers:
+    def test_matches_iterated_brute_peel(self):
+        from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+            onion_layers,
+            skyline_mask_brute,
+        )
+
+        rng = np.random.default_rng(29)
+        for trial in range(30):
+            n = int(rng.integers(1, 400))
+            d = int(rng.integers(2, 5))
+            kmax = int(rng.integers(1, 5))
+            if trial % 3 == 0:
+                pts = rng.integers(0, 8, size=(n, d)).astype(float)  # ties
+            elif trial % 3 == 1:
+                pts = rng.normal(size=(n, d))
+            else:
+                pts = rng.normal(size=(n, d))
+                pts[rng.random(n) < 0.15] = np.nan
+            got = onion_layers(pts, kmax)
+            exp = np.zeros(n, dtype=np.int64)
+            remaining = np.flatnonzero(~np.isnan(pts).any(axis=1))
+            for layer in range(1, kmax + 1):
+                if remaining.size == 0:
+                    break
+                mask = skyline_mask_brute(pts[remaining])
+                exp[remaining[mask]] = layer
+                remaining = remaining[~mask]
+            assert (got == exp).all()
+
+    def test_layer_one_is_skyline(self):
+        from query_skyline_qos_flink_spark.operators.skyline_kernel import (
+            onion_layers,
+            skyline_mask,
+        )
+
+        rng = np.random.default_rng(31)
+        pts = rng.normal(size=(600, 3))
+        assert ((onion_layers(pts, 4) == 1) == skyline_mask(pts)).all()

@@ -261,17 +261,17 @@ def test_kdominant_counting_scan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_skyline_layers_peels_with_broadcast_anti_join(spark):
-    """Peeling must anti-join on the layer's (bounded) distinct dim tuples
-    via broadcast — never a shuffle of the remaining input on float dims."""
+def test_skyline_layers_single_pass_no_joins(spark):
+    """Round 16: the layered result comes from ONE local K-peel pass plus
+    a driver-side exact layering of the bounded candidate set — no
+    per-layer anti-join loop, no shuffle of the input on float dims, no
+    window.  (The peel loop survives only as the oversized-candidate
+    fallback, exercised by its own parity test.)"""
     plan = _plan(spark, "s29_skyline_layers")
     assert "CartesianProduct" not in plan
-    bhj_anti = [
-        l for l in plan.splitlines()
-        if "BroadcastHashJoin" in l and "LeftAnti" in l
-    ]
-    assert bhj_anti, "expected broadcast anti-join peeling"
     assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # candidates re-enter as a LocalTableScan
+    assert "Window" not in plan
 
 
 def test_exact_quantiles_single_window_no_join(spark):

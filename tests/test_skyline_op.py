@@ -936,3 +936,39 @@ def test_partition_stats_scan_side_prune_route_parity(spark, monkeypatch):
     assert plan.count("MapInPandas") >= 1
     pruned = pruned_df.toPandas().set_index("pid").sort_index()
     assert pruned.equals(direct)
+
+
+def test_skyline_layers_single_pass_matches_peel_fallback(spark):
+    """Round 16: the single-pass (local K-peel + exact candidate layering)
+    plan must return exactly what the per-layer peel loop returns — ties,
+    NaN policy, max dims and all."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators.skyline import (
+        _skyline_layers_peel,
+        skyline_layers,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 12, n).astype(float),  # heavy ties
+            "y": rng.normal(size=n),
+            "z": rng.integers(0, 30, n).astype(float),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.05, "y"] = np.nan
+    df = spark.createDataFrame(pdf).repartition(5)
+    dims = [("x", "min"), ("y", "max"), ("z", "min")]
+    got = {
+        (r.rid, r.layer)
+        for r in skyline_layers(df, dims, n_layers=4).collect()
+    }
+    exp = {
+        (r.rid, r.layer)
+        for r in _skyline_layers_peel(df, dims, n_layers=4).collect()
+    }
+    assert got == exp
