@@ -18,6 +18,7 @@ when the session-wide total exceeds it.
 from __future__ import annotations
 
 import inspect
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -25,6 +26,10 @@ _PERSISTED: dict[str, list[DataFrame]] = {}
 _ORDER: list[tuple[str, DataFrame]] = []  # global FIFO across scopes
 _KEEP_PER_SCOPE = 4
 _KEEP_GLOBAL = 16
+# Registry mutations are multi-step (scan-then-remove-then-append); driver
+# threads submitting independent jobs (guide §2.6 overlap — m2 runs its two
+# strategy pipelines concurrently) must not interleave them.
+_LOCK = threading.RLock()
 
 
 def _caller_scope() -> str:
@@ -69,6 +74,11 @@ def _same_semantics(a: DataFrame, b: DataFrame) -> bool:
 
 def persist_bounded(df: DataFrame, scope: str | None = None) -> DataFrame:
     scope = scope or _caller_scope()
+    with _LOCK:
+        return _persist_bounded_locked(df, scope)
+
+
+def _persist_bounded_locked(df: DataFrame, scope: str) -> DataFrame:
     # Spark's CacheManager dedupes persist() by logical plan: two
     # semantically identical frames share ONE cache entry.  Registering
     # a plan-twin as a new FIFO entry would make the later eviction

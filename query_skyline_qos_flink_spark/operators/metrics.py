@@ -64,6 +64,13 @@ def skyline_partition_stats(
     pid = partition_id(strategy, dim_names, num_partitions, domain_col)
     tagged = df.withColumn("pid", pid)
     prepped, prep_cols = _prep(tagged, dims)
+    # The whole pipeline downstream (local kernel, merge, count joins)
+    # reads ONLY (pid, prep dims): project before the exchange and the
+    # Python boundary (guide §2.3/§4.1) — the input's payload columns
+    # (13 of lineitem's 16 here) would otherwise cross the pid shuffle
+    # AND the Arrow boundary twice for no reason.  Output is counts, so
+    # no original column survives anyway.
+    prepped = prepped.select("pid", *prep_cols)
     # The exact local phase is groupBy(pid).applyInPandas over exactly
     # ``num_partitions`` groups — P tasks no matter how many executors,
     # each funneling 1/P of the INPUT.  That is fine when the session's

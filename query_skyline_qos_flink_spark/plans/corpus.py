@@ -993,13 +993,36 @@ FROM sizes s LEFT JOIN surv v ON s.pid = v.pid
 )
 def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _persist_corpus(load(spark, sf_dir, "lineitem"))
-    out = None
-    for st in ("dim", "grid"):
-        stats = skyline_partition_stats(
-            li, ["l_extendedprice", "l_discount"], strategy=st, num_partitions=8
-        ).select(F.lit(st).alias("strategy"), "pid", "local_size", "survivors")
-        out = stats if out is None else out.unionByName(stats)
-    return out
+    li.count()  # materialize the shared cache ONCE before the threads fork
+    # Overlap the two independent strategy pipelines (guide §2.6): each
+    # stats build is a chain of small driver-blocking actions (the eager
+    # local-phase checkpoint, the merge's persist/count, the verify
+    # broadcast pull) whose jobs are only 8-32 tasks wide — run them from
+    # two driver threads so the second strategy's local phase back-fills
+    # the cores the first one's actions leave idle.  Result is unchanged:
+    # the union below fixes the plan order, and each pipeline is
+    # independent (the persist registry is lock-guarded).
+    from pyspark import InheritableThread
+
+    results: dict[str, DataFrame] = {}
+    errors: dict[str, BaseException] = {}
+
+    def build(st: str) -> None:
+        try:
+            results[st] = skyline_partition_stats(
+                li, ["l_extendedprice", "l_discount"], strategy=st, num_partitions=8
+            ).select(F.lit(st).alias("strategy"), "pid", "local_size", "survivors")
+        except BaseException as exc:  # noqa: BLE001 - re-raised on the caller
+            errors[st] = exc
+
+    threads = [InheritableThread(target=build, args=(st,)) for st in ("dim", "grid")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise next(iter(errors.values()))
+    return results["dim"].unionByName(results["grid"])
 
 
 @register(
