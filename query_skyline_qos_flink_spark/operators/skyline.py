@@ -1581,6 +1581,8 @@ def prob_skyline(
     (/root/reference/java/org.main/FlinkSkyline.java:110-174)."""
     import math
 
+    import pyarrow as pa
+
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"prob_skyline: threshold must be in (0, 1], got {threshold}")
     obj_cols = list(obj_cols)
@@ -1597,8 +1599,7 @@ def prob_skyline(
     # (round-16 forensics: [0, 35645, 0] at sf0.1, 9:1 stage stragglers)
     prepped, _ = _persist_balanced(prepped)
 
-    sizes = _persist(prepped.groupBy(*obj_cols).agg(F.count(F.lit(1)).alias("__n")))
-    n_obj = sizes.count()
+    sizes = prepped.groupBy(*obj_cols).agg(F.count(F.lit(1)).alias("__n"))
 
     def empty_result() -> DataFrame:
         return sizes.limit(0).select(
@@ -1607,6 +1608,12 @@ def prob_skyline(
             F.lit(0.0).alias(prob_col),
         )
 
+    # ONE action materializes the object-size table AND yields the object
+    # count (round 16: the former persist + count() + toArrow() pair paid
+    # an extra job for a number the Arrow table already carries; the
+    # table is read driver-side only, so the persist bought nothing)
+    sz_tbl = sizes.toArrow()
+    n_obj = sz_tbl.num_rows
     if n_obj == 0:
         return empty_result()
     if n_obj > _VERIFY_MAX_ROWS:
@@ -1614,7 +1621,6 @@ def prob_skyline(
             f"prob_skyline: {n_obj} objects (> {_VERIFY_MAX_ROWS}); "
             "pre-aggregate or filter the object universe"
         )
-    sz_tbl = sizes.toArrow()
     sz_pdf = sz_tbl.to_pandas()
     sz_pdf["__obj_idx"] = np.arange(len(sz_pdf), dtype=np.int64)
     obj_map = sz_pdf[obj_cols + ["__obj_idx"]]
@@ -1632,8 +1638,26 @@ def prob_skyline(
     # re-preps internally, and _prep is idempotent over these columns
     band = skyband(prepped, dims, k_band, count_col="__D")
 
-    def counting_scan(cand_arr) -> DataFrame:
-        """Sparse (obj, candidate) dominator-count triples from one scan."""
+    def instance_probs_arr(cand_tbl) -> tuple[np.ndarray, np.ndarray]:
+        """``(pr, own_idx)`` per row of a collected prepped-schema Arrow
+        candidate table, via ONE distributed action (round 16): the
+        counting scan's sparse (obj, candidate) triples flow straight
+        through the factor join and the per-candidate aggregate, and the
+        aggregate (<= one row per candidate, the family's bounded-collect
+        class) is pulled once; probabilities assemble driver-side in
+        numpy.  The former shape re-entered the candidates as a keyed
+        DataFrame and assembled per-instance probabilities through a
+        second broadcast-join pipeline — three extra jobs per phase for
+        rows that were already sitting on the driver."""
+        cand_pdf = cand_tbl.to_pandas()
+        cand_arr = np.ascontiguousarray(
+            cand_pdf[prep_cols].to_numpy(dtype=np.float64)
+        )
+        own_idx = (
+            cand_pdf[obj_cols]
+            .merge(obj_map, on=obj_cols, how="left")["__obj_idx"]
+            .to_numpy(dtype=np.int64)
+        )
         m = cand_arr.shape[0]
         if n_obj * m > 200_000_000:
             raise ValueError(
@@ -1641,6 +1665,7 @@ def prob_skyline(
                 "2e8 per-task bound; filter the object universe"
             )
         bc_cand = spark.sparkContext.broadcast(cand_arr)
+        bc_own = spark.sparkContext.broadcast(own_idx)
         bc_map = spark.sparkContext.broadcast(obj_map)
         from .skyline_kernel import _ChunkScratch, _M_CHUNK, _SKYBAND_CHUNK
 
@@ -1685,6 +1710,11 @@ def prob_skyline(
                         # 0/1) — the astype(int64) copy was an 8x-larger
                         # fresh plane per chunk (round-15 review, pass 3)
                         np.add.at(acc[:, ms : ms + _M_CHUNK], oc, le.T)
+            # the own-object exclusion ("product over OTHER objects")
+            # zeroes at the source — the former post-sum __own_idx
+            # anti-filter needed the candidates re-broadcast as a keyed
+            # DataFrame just to know each candidate's owner
+            acc[bc_own.value, np.arange(acc.shape[1])] = 0
             nz = np.nonzero(acc)
             yield pd.DataFrame(
                 {"__obj_idx": nz[0], "__cand_idx": nz[1], "__cnt": acc[nz]}
@@ -1693,49 +1723,32 @@ def prob_skyline(
         partials = prepped.mapInPandas(
             fn, schema="__obj_idx long, __cand_idx long, __cnt long"
         )
-        return partials.groupBy("__obj_idx", "__cand_idx").agg(
-            F.sum("__cnt").alias("__cnt")
-        )
-
-    def instance_probs(cand_df: DataFrame) -> DataFrame:
-        """Per-instance skyline probabilities for a candidate set given as
-        prepped-schema rows; returns the candidate rows + ``__pr``."""
-        cand_tbl = cand_df.toArrow()
-        if cand_tbl.num_rows == 0:
-            return None
-        cand_arr = np.ascontiguousarray(
-            cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
-        )
-        cand_keyed = _persist(_keyed_candidates(spark, cand_tbl))
-        own = (
-            cand_keyed.select("__cand_idx", *obj_cols)
-            .join(F.broadcast(spark.createDataFrame(obj_map)), obj_cols)
-            .select("__cand_idx", F.col("__obj_idx").alias("__own_idx"))
-        )
-        triples = counting_scan(cand_arr)
-        fac = (
-            triples.join(F.broadcast(sizes_idx), "__obj_idx")
-            .join(F.broadcast(own), "__cand_idx")
-            .where(F.col("__obj_idx") != F.col("__own_idx"))
-            .withColumn(
-                "__factor", F.lit(1.0) - F.col("__cnt") / F.col("__n")
+        agg_pdf = (
+            partials.groupBy("__obj_idx", "__cand_idx")
+            .agg(F.sum("__cnt").alias("__cnt"))
+            .join(F.broadcast(sizes_idx), "__obj_idx")
+            .withColumn("__factor", F.lit(1.0) - F.col("__cnt") / F.col("__n"))
+            .groupBy("__cand_idx")
+            .agg(
+                F.min("__factor").alias("__mn"),
+                F.sum(
+                    F.when(F.col("__factor") > 0, F.log("__factor"))
+                ).alias("__slog"),
             )
+            .toPandas()
         )
-        agg = fac.groupBy("__cand_idx").agg(
-            F.min("__factor").alias("__mn"),
-            F.sum(
-                F.when(F.col("__factor") > 0, F.log("__factor"))
-            ).alias("__slog"),
-        )
-        # the agg side is candidate-bounded (<= _VERIFY_MAX_ROWS rows of 3
-        # numerics) — broadcast it so the probability assembly never
-        # shuffles the candidate rows on __cand_idx
-        return cand_keyed.join(F.broadcast(agg), "__cand_idx", "left").withColumn(
-            "__pr",
-            F.when(F.col("__mn") <= 0, F.lit(0.0)).otherwise(
-                F.exp(F.coalesce(F.col("__slog"), F.lit(0.0)))
-            ),
-        )
+        pr = np.ones(m, dtype=np.float64)
+        if len(agg_pdf):
+            ci = agg_pdf["__cand_idx"].to_numpy(dtype=np.int64)
+            mn = agg_pdf["__mn"].to_numpy(dtype=np.float64)
+            slog = agg_pdf["__slog"].to_numpy(dtype=np.float64)
+            # __slog is NULL exactly when every factor <= 0 (then __mn <= 0
+            # selects the 0.0 branch); exp matches Spark's EXP (both are
+            # IEEE double exp, and the 6-dp contract absorbs ulp noise)
+            pr[ci] = np.where(
+                mn <= 0, 0.0, np.exp(np.where(np.isnan(slog), 0.0, slog))
+            )
+        return pr, own_idx
 
     # Two-phase schedule, MEASURED against the "fused single scan over
     # all instances of skyband-owner objects" alternative and kept: the
@@ -1745,35 +1758,55 @@ def prob_skyline(
     # 5.4 s vs 8.1 s at sf0.1 (the fused path's owners' instance set is
     # ~3x the skyband, and phase 2's survivors are ~100x smaller).
     band_prepped, _ = _prep(band.drop("__D"), dims)
-    pr_a = instance_probs(band_prepped)
-    if pr_a is None:
+    cand_tbl = band_prepped.toArrow()
+    if cand_tbl.num_rows == 0:
         return empty_result()
-    surv = (
-        pr_a.where(F.col("__pr") >= t_eff)
-        .select(*obj_cols)
-        .distinct()
-    )
-    # persist: the guard count and instance_probs' toArrow() would
-    # otherwise run the semi-join twice
-    phase_b_cand = _persist(prepped.join(F.broadcast(surv), obj_cols, "leftsemi"))
-    n_cand_b = phase_b_cand.count()
-    if n_cand_b == 0:
+    pr_a, own_a = instance_probs_arr(cand_tbl)
+    surv_obj = np.unique(own_a[pr_a >= t_eff])
+    if surv_obj.size == 0:
         return empty_result()
+    # the phase-2 row bound is exact from the size table — no count job,
+    # and the guard fires BEFORE anything is collected
+    n_arr = sz_pdf["__n"].to_numpy(dtype=np.int64)
+    n_cand_b = int(n_arr[surv_obj].sum())
     if n_cand_b > _VERIFY_MAX_ROWS:
         raise ValueError(
             f"prob_skyline: phase-2 candidate set has {n_cand_b} rows "
             f"(> {_VERIFY_MAX_ROWS}); raise the threshold"
         )
-    pr_b = instance_probs(phase_b_cand)
-    res = (
-        pr_b.groupBy(*obj_cols)
-        .agg(F.sum("__pr").alias("__sp"))
-        .join(F.broadcast(sizes), obj_cols)
-        .withColumn(prob_col, F.round(F.col("__sp") / F.col("__n"), 6))
-        .where(F.col(prob_col) >= threshold)
+    surv_keys = spark.createDataFrame(
+        sz_tbl.filter(pa.array(np.isin(sz_pdf["__obj_idx"].to_numpy(), surv_obj)))
+        .select(obj_cols)
     )
-    return res.select(
-        *obj_cols, F.col("__n").cast("bigint").alias(count_col), prob_col
+    cand_tbl2 = prepped.join(F.broadcast(surv_keys), obj_cols, "leftsemi").toArrow()
+    pr_b, own_b = instance_probs_arr(cand_tbl2)
+    # exact object probabilities, assembled driver-side: sum of instance
+    # probabilities over the object's instances / instance count, rounded
+    # with the same HALF_UP-at-6dp semantics Spark's round() applies
+    # (BigDecimal.valueOf(double) == Decimal(repr(double)), both shortest
+    # round-trip decimal forms)
+    sums = np.zeros(n_obj, dtype=np.float64)
+    np.add.at(sums, own_b, pr_b)
+    raw = sums / n_arr
+    from decimal import ROUND_HALF_UP, Decimal
+
+    grain = Decimal("0.000001")
+    pobj = np.fromiter(
+        (
+            float(Decimal(repr(v)).quantize(grain, rounding=ROUND_HALF_UP))
+            for v in raw
+        ),
+        dtype=np.float64,
+        count=n_obj,
+    )
+    sel = pobj >= threshold
+    if not sel.any():
+        return empty_result()
+    res_tbl = sz_tbl.filter(pa.array(sel)).append_column(
+        prob_col, pa.array(pobj[sel], pa.float64())
+    )
+    return spark.createDataFrame(res_tbl).select(
+        *obj_cols, F.col("__n").cast("bigint").alias(count_col), F.col(prob_col)
     )
 
 
