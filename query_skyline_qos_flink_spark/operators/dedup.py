@@ -469,19 +469,23 @@ def connected_components(
                 "vid",
                 # least() ignores the NULL from vertices with no in-edges
                 F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"),
+                # the label changes exactly when a strictly smaller
+                # neighbor min arrived — computing the flag HERE makes
+                # the convergence check a filter-count over the fresh
+                # checkpoint instead of a second labels-vs-labels join
+                # + shuffle per round (round 16; same semantics as the
+                # old new-vs-old diff by definition of least())
+                (F.col("nlbl") < F.col("lbl")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        # the convergence diff (not the new checkpoint's materialization)
-        # was the old checkpoint's last reader, so this site cannot use
-        # caching.checkpoint_rotate — release explicitly AFTER the diff,
-        # keeping storage O(1) in rounds
+        changed = new_labels.where(F.col("__chg")).count()
+        # the convergence count (not the new checkpoint's
+        # materialization) was the old checkpoint's last reader under
+        # the former diff-join shape; with the inline flag the new
+        # checkpoint no longer reads the old labels after its own
+        # materialization, but releasing AFTER the count keeps the
+        # ordering obviously safe either way
         _release_ckpt(labels)
         labels = new_labels
         if changed == 0:
