@@ -874,24 +874,32 @@ def semantic_dedup(
       components (ann_ivf's seed-cell rule): a pure column expression,
       2^coarse_bits cells;
     * candidate pairs = same-cell pairs with integer squared L2 over the
-      codes <= ``radius`` — ONE equi-join on the cell id, never all-pairs
-      (like SemDeDup, near-dups are sought within a cluster only: recall
-      across cell boundaries is traded for never comparing across cells);
-    * min-label connected components over the pair graph
-      (:func:`~.dedup.connected_components` — diameter-bounded rounds, one
-      shuffle each);
+      codes <= ``radius``; because the pair rule is same-cell-only, every
+      connected component lives INSIDE one cell (like SemDeDup, near-dups
+      are sought within a cluster only: recall across cell boundaries is
+      traded for never comparing across cells);
+    * min-label connected components — computed per cell in the SAME pass
+      that finds the pairs: one ``applyInPandas`` kernel per cell runs a
+      chunked int64 GEMM (``||a||^2 + ||b||^2 - 2ab``, exact: int8-ranged
+      codes cannot overflow) and a union-find over the under-radius pairs.
+      The cell-locality invariant is what makes this exact — no edge ever
+      crosses a kernel group, so local min-label union-find IS the global
+      min-label CC;
     * retention rollup: a component's smallest id is kept, everything else
       in it is the semantic-duplicate budget, reported per group.
 
-    At 100 TB: the quadratic term is per-cell (sum of cell_size^2 work
-    inside one equi-join) — ``coarse_bits`` is the knob that keeps cells
-    bounded (production: 16-20 bits -> 65k-1M cells), and AQE splits
-    skewed cells since the join is a plain shuffle equi-join.  Everything
-    else is map-side or key-partitioned; nothing collects to the driver
-    but the per-round convergence count.
+    At 100 TB: the quadratic term is per-cell (sum of cell_size^2 GEMM
+    work) — ``coarse_bits`` is the knob that keeps cells bounded
+    (production: 16-20 bits -> 65k-1M cells).  One shuffle total (the
+    cell groupBy; the old equi-join + iterative CC paid the same cell
+    shuffle TWICE for the join sides plus 2 jobs and a label shuffle per
+    CC round).  Kernel memory is bounded: the GEMM runs in row blocks
+    (block x cell_size, never cell_size^2 at once) and union-find state
+    is O(cell_size).  A pathologically hot cell binds to one task (the
+    join path could AQE-split it); that is the same coarse_bits sizing
+    contract the pair join already relied on for its per-cell quadratic
+    work.  Nothing collects to the driver.
     """
-    from .caching import persist_bounded as _persist
-    from .dedup import connected_components
     from .quantize import with_int8_codes
 
     df = valid_vectors(df, vec_col)
@@ -901,36 +909,74 @@ def semantic_dedup(
         # F.get is 0-based and NULL (-> bit 0) past the vector's end, so
         # short vectors still land in a well-defined cell
         cell = cell + F.when(F.get("q8", i) < 0, F.lit(1 << i)).otherwise(F.lit(0))
-    cc = _persist(
-        coded.select(
-            F.col(id_col), F.col(group_col), F.col("q8"), cell.alias("__cell")
+    cc = coded.select(
+        F.col(id_col).cast("long").alias("__vid"),
+        F.col(group_col).cast("bigint").alias("__grp"),
+        F.col("q8"),
+        cell.alias("__cell"),
+    )
+    radius = int(radius)
+
+    def cell_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__vid"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:  # path compression
+                parent[i], i = root, parent[i]
+            return root
+
+        codes = pdf["q8"].to_numpy()
+        # ragged guard (the old explicit size-equality predicate): codes
+        # only pair within a length group.  A NULL-bearing code never
+        # pairs either (the old fold went NULL -> predicate dropped it).
+        lens = np.array(
+            [
+                len(c) if c is not None and not pd.isna(np.asarray(c, dtype=object)).any() else -1
+                for c in codes
+            ]
         )
-    )
-    a = cc.select(
-        F.col(id_col).alias("id_a"), F.col("q8").alias("__qa"), F.col("__cell")
-    )
-    b = cc.select(
-        F.col(id_col).alias("id_b"), F.col("q8").alias("__qb"), F.col("__cell")
-    )
-    pairs = (
-        a.join(b, "__cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        # ragged guard: zip_with pads the shorter code with NULLs, which
-        # would NULL the whole fold and silently DROP the pair, while the
-        # DuckDB oracle's list_sum skips NULLs and could keep it — pin
-        # both engines to the same rule: unequal-length codes never pair
-        .where(F.size("__qa") == F.size("__qb"))
-        .where(_int_sq_l2_fold(F.col("__qa"), F.col("__qb")) <= F.lit(int(radius)))
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(pairs, cc.select(id_col), id_col=id_col)
-    return (
-        cc.join(comp, id_col)
-        .groupBy(F.col(group_col).cast("bigint").alias(group_col))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.sum(
-                F.when(F.col(id_col) == F.col("canonical_id"), 1).otherwise(0)
-            ).cast("bigint").alias("n_kept"),
+        for length in np.unique(lens):
+            if length <= 0:
+                continue
+            idx = np.flatnonzero(lens == length)
+            if idx.size < 2:
+                continue
+            A = np.stack([np.asarray(codes[i], dtype=np.int64) for i in idx])
+            sq = (A * A).sum(axis=1)
+            # row-blocked exact int64 GEMM: bounds the distance plane at
+            # block x m instead of m^2
+            block = max(1, (1 << 22) // max(1, int(A.shape[0])))
+            for s in range(0, A.shape[0], block):
+                e = min(s + block, A.shape[0])
+                d2 = sq[s:e, None] + sq[None, :] - 2 * (A[s:e] @ A.T)
+                bi, bj = np.nonzero(d2 <= radius)
+                for i, j in zip(bi + s, bj):
+                    if i < j:
+                        ri, rj = find(idx[i]), find(idx[j])
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        canon = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(canon, roots, ids)
+        return pd.DataFrame(
+            {
+                "__grp": pdf["__grp"].to_numpy(),
+                "__vid": ids,
+                "canonical_id": canon[roots],
+            }
         )
+
+    labeled = cc.groupBy("__cell").applyInPandas(
+        cell_components, schema="__grp long, __vid long, canonical_id long"
+    )
+    return labeled.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("__vid") == F.col("canonical_id"), 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
     )
