@@ -363,8 +363,9 @@ def ann_ivf(
       most once since assignment is unique); exact integer L2 top-k with
       the (dist, n_id) tie contract.
 
-    The centroid table is ``2^coarse_bits`` rows — collected to the
-    driver once (a tiny agg job) and inlined as a LITERAL array, so
+    The centroid table is ``2^coarse_bits`` rows — per-partition integer
+    partial sums collected once (one exchange-free job; the driver merges
+    <= cells x partitions tiny rows) and inlined as a LITERAL array, so
     nearest-centroid assignment is a pure scan-side expression
     (``sort_array`` over per-centroid integer distances): no crossJoin
     row expansion and no per-id window shuffle, which at n×cells rows
@@ -384,44 +385,59 @@ def ann_ivf(
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
     )
-    cell = F.lit(0)
-    for i in range(coarse_bits):
-        cell = cell + F.when(
-            F.element_at(F.col("__qv"), i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
 
-    base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv")).withColumn(
-        "__seed", cell
-    )
-    # element-wise integer sums as ONE parsed array-of-aggregates
-    # expression: the unrolled per-component F.sum/F.floor column builds
-    # cost ~3 py4j round trips per dim (~1.3 s of pure driver chatter at
-    # dim=64, measured), which dwarfed the actual 16-group agg job
-    sums_sql = (
-        "array(" + ",".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim)) + ")"
-    )
-    cent = (
-        base.groupBy("__seed")
-        .agg(F.count(F.lit(1)).alias("__n"), F.expr(sums_sql).alias("__sums"))
-        .select(
-            F.col("__seed").alias("__cell"),
-            # same arithmetic as the unrolled form: one double division
-            # per component (exact for |sum| < 2^53), floored to BIGINT
-            F.expr("transform(__sums, s -> CAST(floor(s / __n) AS BIGINT))").alias("__c"),
-        )
-    )
+    base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
 
-    # the centroid table is tiny by construction (<= 2^coarse_bits rows):
-    # materialize it driver-side and inline as a literal so assignment
-    # never joins or windows — ties (equal distance) break to the
-    # smallest cell id via the (dist, cell) struct sort order.  A cell
-    # whose members all have NULL at some component yields a NULL centroid
-    # entry that cannot be a literal (and whose distance is undefined) —
-    # drop such cells rather than crash; vectors assigned elsewhere.
-    cent_rows = sorted(
-        (r for r in cent.collect() if all(v is not None for v in r["__c"])),
-        key=lambda r: r["__cell"],
-    )
+    # per-partition partial centroid sums, merged driver-side: ONE
+    # collect job with no exchange.  The previous 2^coarse_bits-group
+    # groupBy paid an AQE exchange materialization (a second job + stage
+    # round trip per call) to move <= cells x partitions tiny rows — the
+    # partials are the same rows, so merging them in numpy is the same
+    # integer arithmetic without the shuffle.  Seed-cell assignment
+    # happens inside the kernel (sign bits of the first coarse_bits
+    # components), so the seed column never materializes JVM-side.
+    n_cells = 1 << coarse_bits
+    powers = np.asarray([1 << i for i in range(coarse_bits)], dtype=np.int64)
+
+    def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_acc = np.zeros(n_cells, dtype=np.int64)
+        s_acc = np.zeros((n_cells, dim), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["__qv"].to_numpy()).astype(np.int64)
+            seeds = ((A[:, :coarse_bits] >= 0) @ powers).astype(np.int64)
+            np.add.at(n_acc, seeds, 1)
+            np.add.at(s_acc, seeds, A)
+        hit = np.flatnonzero(n_acc)
+        if hit.size:  # an all-empty partition yields nothing: pandas
+            # would type the empty list column float64, which Arrow
+            # cannot cast to array<long>
+            yield pd.DataFrame(
+                {
+                    "cell": hit,
+                    "n": n_acc[hit],
+                    "sums": [s_acc[c] for c in hit],
+                }
+            )
+
+    import math
+
+    cells_n = np.zeros(n_cells, dtype=np.int64)
+    cells_s = np.zeros((n_cells, dim), dtype=np.int64)
+    for r in base.select("__qv").mapInPandas(
+        partial_sums, schema="cell long, n long, sums array<long>"
+    ).collect():
+        cells_n[r["cell"]] += r["n"]
+        cells_s[r["cell"]] += np.asarray(r["sums"], dtype=np.int64)
+    # floored mean, identical arithmetic to the previous SQL form
+    # CAST(floor(s / n) AS BIGINT): int64 sums are exact under any
+    # partial-merge order, and float(s)/float(n) is the same IEEE double
+    # division (|sum| < 2^53) the JVM evaluated
+    cent_rows = [
+        (int(c), [int(math.floor(float(s) / float(cells_n[c]))) for s in cells_s[c]])
+        for c in np.flatnonzero(cells_n)
+    ]
     if not cent_rows:
         raise ValueError(
             "ann_ivf: no usable centroid cells (empty input or every cell "
@@ -434,10 +450,9 @@ def ann_ivf(
     # BIGINT so the integer-L2 fold never overflows int32.
     cent_sql = "array(" + ",".join(
         "named_struct('c', {c}, 'v', array({v}))".format(
-            c=int(r["__cell"]),
-            v=",".join(f"{int(v)}L" for v in r["__c"]),
+            c=c, v=",".join(f"{int(v)}L" for v in vec)
         )
-        for r in cent_rows
+        for c, vec in cent_rows
     ) + ")"
     cent_lit = F.expr(cent_sql)
 
@@ -457,7 +472,7 @@ def ann_ivf(
             "__cell", F.explode(F.transform(F.slice(dists, 1, keep_ranks), lambda s: s["c"]))
         )
 
-    base_a = ranked_cells(base.drop("__seed"), 1)
+    base_a = ranked_cells(base, 1)
     q = query_df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
     probes = ranked_cells(q, n_probes).withColumnsRenamed(
         {"__id": "q_id", "__qv": "__pq"}
