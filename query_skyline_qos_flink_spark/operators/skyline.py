@@ -58,6 +58,19 @@ _PREP = "__sk_"
 # Max survivor rows for the broadcast-verify merge; above this, run a
 # tree-merge round first (and as a last resort a single-task merge).
 _VERIFY_MAX_ROWS = 400_000
+# Candidate sets at or below this row count finish DRIVER-side: the same
+# chunked numpy kernels the distributed verify broadcasts run once on the
+# driver over the already-collected matrix, and the result re-enters Spark
+# as a local relation.  The distributed verify pass exists to spread
+# O(n x m) comparison volume across cores, but at m <= this bound the
+# whole candidate-vs-candidate block is <= ~2.7e8 boolean ops (~0.2 s on
+# one core) while the distributed form pays 1-2 extra driver round-trips
+# plus a python-worker broadcast pass per call — pure fixed latency at
+# bench scale and wasted scheduling at cluster scale (guide §1.2: remove
+# passes before tuning them).  Results are identical: same kernel, same
+# duplicate-retention policy (the skyline-merge monoid).  Larger sets keep
+# the existing broadcast / tree-merge / chunked paths unchanged.
+_DRIVER_VERIFY_MAX_ROWS = 16_384
 _TREE_FANOUT = 32
 # Max 2-D survivor rows to broadcast into the final semi-join (row = two
 # doubles + group keys; 2M rows ≈ tens of MB — well inside executor memory,
@@ -379,7 +392,33 @@ def _merge_survivors(local_df: DataFrame, prep_cols: list[str]) -> DataFrame:
         n = cur.count()
         if n > _VERIFY_MAX_ROWS:
             return _chunked_broadcast_verify(cur, prep_cols, n)
+    if n <= _DRIVER_VERIFY_MAX_ROWS:
+        # driver-side merge: the survivor matrix this small would be
+        # collected for the broadcast anyway — run the identical kernel
+        # once on the driver and return a local relation, saving the
+        # dims-collect job and the python-worker verify pass
+        return _driver_verify_local(cur, prep_cols)
     return _broadcast_verify(cur, prep_cols)
+
+
+def _driver_verify_local(cur: DataFrame, prep_cols: list[str]) -> DataFrame:
+    """Collect the (bounded, cached) survivor frame once and finish the
+    global merge with the same local kernel the distributed verify ships:
+    ``SKY(survivors)`` via :func:`skyline_mask` equals the verify-vs-self
+    result by the skyline-merge monoid (self/duplicate pairs fail the
+    strict test in both).  The Arrow round-trip preserves Spark types
+    exactly (see :func:`_keyed_candidates`)."""
+    import pyarrow as pa
+
+    tbl = cur.toArrow()
+    if tbl.num_rows == 0:
+        return cur
+    arr = np.ascontiguousarray(
+        tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+    )
+    mask = skyline_mask(arr)
+    out_tbl = tbl if mask.all() else tbl.filter(pa.array(mask))
+    return cur.sparkSession.createDataFrame(out_tbl)
 
 
 def _uniform_chunk_col(n_chunks: int) -> Column:
@@ -613,6 +652,30 @@ def skyband(
             phase1, prep_cols, k, count_col, out_cols, n
         )
     spark = phase1.sparkSession
+    if n <= _DRIVER_VERIFY_MAX_ROWS:
+        # driver-side verify (see _DRIVER_VERIFY_MAX_ROWS): dominator
+        # counts against the candidate union are exact for true members
+        # (B1) and exclusion-certifying for false survivors (B3) whether
+        # the O(m^2) counting block runs broadcast in every task or once
+        # on the driver over the matrix the broadcast would ship anyway.
+        # One collect replaces the dims-collect job + the python-worker
+        # verify pass, and the result re-enters as a local relation.
+        import pyarrow as pa
+
+        tbl = phase1.toArrow()
+        if tbl.num_rows == 0:
+            return phase1.select(*out_cols).withColumn(
+                count_col, F.lit(0).cast("long")
+            )
+        arr = np.ascontiguousarray(
+            tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
+        counts = _count_dominators_vs(arr, arr)
+        keep = counts < k
+        out_tbl = (tbl if keep.all() else tbl.filter(pa.array(keep))).append_column(
+            count_col, pa.array(counts[keep], pa.int64())
+        )
+        return spark.createDataFrame(out_tbl).select(*out_cols, count_col)
     cand_pdf = phase1.select(*prep_cols).toPandas()
     cand_arr = np.ascontiguousarray(cand_pdf.to_numpy(dtype=np.float64))
     bc = spark.sparkContext.broadcast(cand_arr)
@@ -869,14 +932,21 @@ def top_dominating(
 
 def _collect_verified_candidates(prepped, local_fn, prep_cols, op_name):
     """Shared filter-then-verify phase-1 assembly: run the local thinning
-    ``mapInPandas``, persist + count, apply the ``_VERIFY_MAX_ROWS``
-    guard, and collect the candidates as an Arrow table + dim matrix.
-    Returns ``(phase1, cand_tbl, cand_arr)``; ``cand_tbl`` is ``None``
-    when there are no candidates."""
-    phase1 = _persist(
-        _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
-    )
-    n_cand = phase1.count()
+    ``mapInPandas``, collect the candidates as an Arrow table + dim
+    matrix, and apply the ``_VERIFY_MAX_ROWS`` guard.  Returns
+    ``(phase1, cand_tbl, cand_arr)``; ``cand_tbl`` is ``None`` when there
+    are no candidates.
+
+    The guard is applied POST-collect (round 16): these operators RAISE
+    past the bound — there is no graceful fallback to protect — so the
+    separate persist + count() job bought only a politer error for the
+    failure path while charging every successful call a driver round
+    trip.  ``spark.driver.maxResultSize`` still hard-bounds a runaway
+    pull; phase-1 outputs here are thin projections by construction
+    (callers project to keys + dims before the local pass)."""
+    phase1 = _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
+    cand_tbl = phase1.toArrow()
+    n_cand = cand_tbl.num_rows
     if n_cand == 0:
         return phase1, None, None
     if n_cand > _VERIFY_MAX_ROWS:
@@ -884,7 +954,6 @@ def _collect_verified_candidates(prepped, local_fn, prep_cols, op_name):
             f"{op_name}: candidate set has {n_cand} rows "
             f"(> {_VERIFY_MAX_ROWS}); raise pool_size or partition count"
         )
-    cand_tbl = phase1.toArrow()
     cand_arr = np.ascontiguousarray(
         cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
     )

@@ -208,9 +208,15 @@ def test_hll_distinct_no_cartesian_beyond_scalar(spark):
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
 
 
-def test_skyband_rides_scan_no_preshuffle(spark):
+def test_skyband_rides_scan_no_preshuffle(spark, monkeypatch):
     """Phase 1 of the skyband must consume the scan directly (no exchange
-    between FileScan and the local-band mapInPandas)."""
+    between FileScan and the local-band mapInPandas).  Since r16 the
+    default (small-candidate) path finishes driver-side and its final plan
+    is a local relation; the phase-1 shape is asserted on the distributed
+    fallback, forced by zeroing the driver-verify gate."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    monkeypatch.setattr(sky, "_DRIVER_VERIFY_MAX_ROWS", -1)
     plan = _plan(spark, "s22_skyband")
     scan_to_python = plan.index("MapInPandas") if "MapInPandas" in plan else -1
     assert scan_to_python >= 0
@@ -218,6 +224,12 @@ def test_skyband_rides_scan_no_preshuffle(spark):
     # the verify stage reads the persisted candidates, not a reshuffle of
     # the input: no hash exchange on the dim columns anywhere
     assert "Exchange hashpartitioning(__sk_" not in plan
+    # and the default driver-side path produces a plan with NO exchange
+    # at all (the whole result is a collected local relation)
+    monkeypatch.undo()
+    plan = _plan(spark, "s22_skyband")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_top_dominating_counting_scan_shape(spark):

@@ -928,12 +928,20 @@ def test_partition_stats_scan_side_prune_route_parity(spark, monkeypatch):
         df, ["v0", "v1"], strategy="dim", num_partitions=8, domain=1000.0
     ).toPandas().set_index("pid").sort_index()
     monkeypatch.setattr(M, "_PRUNE_PARALLELISM_FACTOR", 0)
+    # the route actually engaged: the pre-prune is the ONLY _fanout call
+    # site in skyline_partition_stats (the former probe grepped the final
+    # plan for MapInPandas, but since r16 the merge finishes driver-side
+    # and the prune pass itself runs under the eager checkpoint — neither
+    # appears in the final plan)
+    calls = []
+    real_fanout = M._fanout
+    monkeypatch.setattr(
+        M, "_fanout", lambda frame: calls.append(1) or real_fanout(frame)
+    )
     pruned_df = M.skyline_partition_stats(
         df, ["v0", "v1"], strategy="dim", num_partitions=8, domain=1000.0
     )
-    # the route actually engaged: a mapInPandas stage precedes the exchange
-    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") >= 1
+    assert calls, "scan-side pre-prune route did not engage"
     pruned = pruned_df.toPandas().set_index("pid").sort_index()
     assert pruned.equals(direct)
 
@@ -972,3 +980,43 @@ def test_skyline_layers_single_pass_matches_peel_fallback(spark):
         for r in _skyline_layers_peel(df, dims, n_layers=4).collect()
     }
     assert got == exp
+
+
+def test_driver_verify_gate_parity(spark, monkeypatch):
+    """Round 16: candidate sets at or below _DRIVER_VERIFY_MAX_ROWS finish
+    driver-side (same kernels, local-relation result).  Both sides of the
+    gate must produce identical rows for skyline AND skyband — including
+    duplicates, ties, max dims and NaN policy."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "x": rng.integers(0, 40, n).astype(float),  # ties + duplicates
+            "y": rng.normal(size=n),
+            "z": rng.integers(0, 9, n).astype(float),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.04, "y"] = np.nan
+    df = spark.createDataFrame(pdf).repartition(7)
+    dims = [("x", "min"), ("y", "max"), ("z", "min")]
+
+    sky_driver = sorted(tuple(r) for r in sky.skyline(df, dims).collect())
+    band_driver = sorted(
+        tuple(r) for r in sky.skyband(df, dims, k=3).collect()
+    )
+    # driver path actually engaged at the default gate for this size
+    assert n <= sky._DRIVER_VERIFY_MAX_ROWS
+
+    monkeypatch.setattr(sky, "_DRIVER_VERIFY_MAX_ROWS", 0)
+    sky_dist = sorted(tuple(r) for r in sky.skyline(df, dims).collect())
+    band_dist = sorted(
+        tuple(r) for r in sky.skyband(df, dims, k=3).collect()
+    )
+    assert sky_driver == sky_dist
+    assert band_driver == band_dist
