@@ -71,6 +71,40 @@ _VERIFY_MAX_ROWS = 400_000
 # duplicate-retention policy (the skyline-merge monoid).  Larger sets keep
 # the existing broadcast / tree-merge / chunked paths unchanged.
 _DRIVER_VERIFY_MAX_ROWS = 16_384
+# Whole-input driver fast path for the filter-then-verify family
+# (skyband, top_dominating, reverse/k-dominant, prob_skyline): when the
+# optimizer's own size estimate says the prepared input is small, collect
+# it ONCE and run the identical kernels on the driver instead of paying
+# the family's 3-8 driver round-trips (local pass + candidate collect +
+# counting scan + assembly joins — measured 25 jobs / 51 stages for one
+# warm s30 call, ~60 ms of driver gap per job).  The distributed shape is
+# unchanged above the gates: the BYTES gate reads
+# ``optimizedPlan().stats().sizeInBytes`` (driver-side, no job — file
+# size for a parquet scan, so a 100 TB input can never probe-collect),
+# and the ROWS gate re-checks the actual collected count, falling back to
+# the distributed path when the estimate lied.  Scale-adaptive by data
+# size, not by core count (the driver fallback at cluster scale is the
+# same code it is locally).
+_DRIVER_INPUT_MAX_BYTES = 256 << 20
+_DRIVER_INPUT_MAX_ROWS = 65_536
+
+
+def _collect_small_input(prepped: DataFrame, cols: Sequence[str]):
+    """Collect ``cols`` of ``prepped`` as a pyarrow Table when the plan's
+    size estimate fits the driver gate; None (no job when the estimate is
+    large) otherwise.  See ``_DRIVER_INPUT_MAX_BYTES``."""
+    try:
+        est = int(
+            prepped._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - Connect / exotic plan
+        return None
+    if est > _DRIVER_INPUT_MAX_BYTES:
+        return None
+    tbl = prepped.select(*cols).toArrow()
+    if tbl.num_rows > _DRIVER_INPUT_MAX_ROWS:
+        return None
+    return tbl
 _TREE_FANOUT = 32
 # Max 2-D survivor rows to broadcast into the final semi-join (row = two
 # doubles + group keys; 2M rows ≈ tens of MB — well inside executor memory,
@@ -610,6 +644,13 @@ def skyband(
         )
         return res.select(*out_cols, count_col)
 
+    # (A whole-input driver fast path — collect everything, one
+    # skyband_mask forward pass — was A/B-probed here round 16 and
+    # REVERTED: the local thinning kernel parallelizes across the scan,
+    # and at s22's shape the single-core whole-input pass measured
+    # 0.57-0.75 s vs 0.44-0.52 s for the distributed-thin +
+    # driver-verify composition below.)
+
     # buffer-and-compact rather than filter-per-Arrow-batch: the running
     # band can be tens of thousands of rows (unlike a skyline), so
     # re-running the forward pass every ~10k-row Arrow batch repays
@@ -854,11 +895,17 @@ def top_dominating(
     if k < 1:
         raise ValueError(f"top_dominating: k must be >= 1, got {k}")
     out_cols = df.columns
-    band = skyband(df, dims, k)  # candidates, with their original columns
+    spark = df.sparkSession
     prepped, prep_cols = _prep(df, dims)
+
+    # (A whole-input driver fast path was A/B-probed here round 16 and
+    # REVERTED: the skyband thinning + counting kernels are the real work
+    # at this operator's shapes and they parallelize across the scan —
+    # single-core whole-input measured 1.4-1.6 s vs 1.1-1.4 s distributed
+    # at s23's shape.)
+    band = skyband(df, dims, k)  # candidates, with their original columns
     band_prepped, _ = _prep(band.drop("n_dominators"), dims)
 
-    spark = df.sparkSession
     cand_tbl = band_prepped.toArrow()
     if cand_tbl.num_rows == 0:  # empty input -> empty result with the contract schema
         empty = band.drop("n_dominators").limit(0)
@@ -943,8 +990,11 @@ def _collect_verified_candidates(prepped, local_fn, prep_cols, op_name):
     failure path while charging every successful call a driver round
     trip.  ``spark.driver.maxResultSize`` still hard-bounds a runaway
     pull; phase-1 outputs here are thin projections by construction
-    (callers project to keys + dims before the local pass)."""
-    phase1 = _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
+    (callers project to keys + dims before the local pass).  The persist
+    stays (registered, no count job — the collect materializes it): a
+    session re-running the same call plan-twins into the cached phase 1
+    instead of re-paying the thinning pass."""
+    phase1 = _persist(_fanout(prepped).mapInPandas(local_fn, schema=prepped.schema))
     cand_tbl = phase1.toArrow()
     n_cand = cand_tbl.num_rows
     if n_cand == 0:
@@ -1127,6 +1177,43 @@ def reverse_skyline(
         if not out.empty:
             yield out
 
+    # whole-input driver fast path (see _DRIVER_INPUT_MAX_BYTES): one
+    # collect; the same pool-thin-verify sequence runs once on the driver
+    # (one global pool == the single-partition execution of the local
+    # pass, a certified superset either way; the exact verify decides)
+    tbl = _collect_small_input(prepped, prepped.columns)
+    if tbl is not None:
+        import pyarrow as pa
+
+        pts = np.ascontiguousarray(
+            tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
+        n_rows = pts.shape[0]
+        if n_rows == 0:
+            return df.sparkSession.createDataFrame(tbl).select(*out_cols)
+        ids = np.arange(n_rows, dtype=np.int64)
+        if n_rows > pool_size:
+            score = _rank_sum(np.abs(pts - q[None, :]))
+            keep_pool = np.argpartition(score, pool_size)[:pool_size]
+            pool_pts = np.ascontiguousarray(pts[keep_pool])
+            pool_ids = ids[keep_pool]
+        else:
+            pool_pts, pool_ids = pts, ids
+        w_all = np.abs(q[None, :] - pts)
+        thin_counts = count_refuters_vs(pts, w_all, pool_pts)
+        self_thin = (np.isin(ids, pool_ids) & (w_all > 0).any(axis=1)).astype(
+            np.int64
+        )
+        cand_mask = (thin_counts - self_thin) <= 0
+        cand = np.ascontiguousarray(pts[cand_mask])
+        w_cand = np.abs(q[None, :] - cand)
+        totals = count_refuters_vs(cand, w_cand, pts)
+        self_c = (w_cand > 0).any(axis=1).astype(np.int64)
+        final = np.zeros(n_rows, dtype=bool)
+        final[np.nonzero(cand_mask)[0][totals == self_c]] = True
+        out_tbl = tbl if final.all() else tbl.filter(pa.array(final))
+        return df.sparkSession.createDataFrame(out_tbl).select(*out_cols)
+
     phase1, cand_tbl, cand_arr = _collect_verified_candidates(
         prepped, local_fn, prep_cols, "reverse_skyline"
     )
@@ -1254,6 +1341,11 @@ def kdominant_skyline(
         if not out.empty:
             yield out
 
+    # (A whole-input driver fast path was A/B-probed here round 16 and
+    # REVERTED: pool-thinning + k-dominator counting dominate at this
+    # operator's shapes and parallelize across the scan — single-core
+    # whole-input measured 1.9-2.0 s vs 1.5-1.6 s distributed at s28's
+    # shape.)
     phase1, cand_tbl, cand_arr = _collect_verified_candidates(
         prepped, local_fn, prep_cols, "kdominant_skyline"
     )
@@ -1662,11 +1754,14 @@ def prob_skyline(
         notnull = cond if notnull is None else (notnull & cond)
     df = df.where(notnull)
     prepped, prep_cols = _prep(df, dims)
-    # balanced persist: this cache feeds BOTH counting scans, the skyband
-    # call, and the phase-2 semi-join — a single-row-group source caches
-    # as one populated partition and serializes all of them onto one core
-    # (round-16 forensics: [0, 35645, 0] at sf0.1, 9:1 stage stragglers)
-    prepped, _ = _persist_balanced(prepped)
+    # persist + count: the cache feeds every downstream read and the count
+    # gates the whole-input driver path; the balance probe (round-16
+    # forensics: a single-row-group source caches as ONE populated
+    # partition, [0, 35645, 0] at sf0.1) moves to the distributed branch —
+    # the driver path reads the cache exactly twice driver-side and cannot
+    # straggle, so probing partition skew for it was three wasted jobs
+    prepped = _persist(prepped)
+    n_rows = prepped.count()
 
     sizes = prepped.groupBy(*obj_cols).agg(F.count(F.lit(1)).alias("__n"))
 
@@ -1677,11 +1772,22 @@ def prob_skyline(
             F.lit(0.0).alias(prob_col),
         )
 
-    # ONE action materializes the object-size table AND yields the object
-    # count (round 16: the former persist + count() + toArrow() pair paid
-    # an extra job for a number the Arrow table already carries; the
-    # table is read driver-side only, so the persist bought nothing)
-    sz_tbl = sizes.toArrow()
+    # Whole-input driver path (see _DRIVER_INPUT_MAX_BYTES): ONE collect
+    # of the cached projection feeds the size table (a type-exact pyarrow
+    # group_by over the collected obj columns), the band, and both
+    # counting phases — no further jobs.  Distributed path: the size
+    # table comes from the Spark aggregate as before.
+    driver_small = n_rows <= _DRIVER_INPUT_MAX_ROWS
+    if driver_small:
+        tbl = prepped.toArrow()
+        sz_tbl = (
+            tbl.select(obj_cols)
+            .group_by(obj_cols)
+            .aggregate([([], "count_all")])
+            .rename_columns(list(obj_cols) + ["__n"])
+        )
+    else:
+        sz_tbl = sizes.toArrow()
     n_obj = sz_tbl.num_rows
     if n_obj == 0:
         return empty_result()
@@ -1693,7 +1799,6 @@ def prob_skyline(
     sz_pdf = sz_tbl.to_pandas()
     sz_pdf["__obj_idx"] = np.arange(len(sz_pdf), dtype=np.int64)
     obj_map = sz_pdf[obj_cols + ["__obj_idx"]]
-    sizes_idx = spark.createDataFrame(sz_pdf[["__obj_idx", "__n"]])
     max_n = int(sz_pdf["__n"].max())
 
     # the output contract includes objects whose ROUNDED probability
@@ -1703,6 +1808,120 @@ def prob_skyline(
     # decides membership
     t_eff = max(threshold - 6e-7, 1e-12)
     k_band = int(math.floor(max_n * math.log(1.0 / t_eff))) + max_n + 1
+    n_arr = sz_pdf["__n"].to_numpy(dtype=np.int64)
+
+    def _assemble(pr_b: np.ndarray, own_b: np.ndarray) -> DataFrame:
+        """Exact object probabilities -> thresholded output rows (shared
+        by the distributed and whole-input-driver paths): sum of instance
+        probabilities / instance count, rounded with the same
+        HALF_UP-at-6dp semantics Spark's round() applies
+        (BigDecimal.valueOf(double) == Decimal(repr(double)), both
+        shortest round-trip decimal forms)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        sums = np.zeros(n_obj, dtype=np.float64)
+        np.add.at(sums, own_b, pr_b)
+        raw = sums / n_arr
+        grain = Decimal("0.000001")
+        pobj = np.fromiter(
+            (
+                float(Decimal(repr(v)).quantize(grain, rounding=ROUND_HALF_UP))
+                for v in raw
+            ),
+            dtype=np.float64,
+            count=n_obj,
+        )
+        sel = pobj >= threshold
+        if not sel.any():
+            return empty_result()
+        res_tbl = sz_tbl.filter(pa.array(sel)).append_column(
+            prob_col, pa.array(pobj[sel], pa.float64())
+        )
+        return spark.createDataFrame(res_tbl).select(
+            *obj_cols, F.col("__n").cast("bigint").alias(count_col), F.col(prob_col)
+        )
+
+    # Whole-input driver fast path: at these volumes BOTH counting scans
+    # plus the band fit one driver pass of the identical kernels
+    # (measured: the distributed composition costs 25 jobs / 51 stages
+    # per warm call at sf0.1, nearly all driver gap; whole-input A/B
+    # 2.5 s vs 2.7-4.1 s same-session).  The dense (objects x candidates)
+    # count block is bounded before each phase; past the bound the
+    # distributed path below runs unchanged.
+    if driver_small:
+        from .skyline_kernel import _ChunkScratch, _M_CHUNK, _SKYBAND_CHUNK, skyband_mask
+
+        pts = np.ascontiguousarray(
+            tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
+        oidx = (
+            tbl.select(obj_cols)
+            .to_pandas()
+            .merge(obj_map, on=obj_cols, how="left")["__obj_idx"]
+            .to_numpy(dtype=np.int64)
+        )
+
+        def _probs_for(cand_sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            # same chunked counting block as the distributed scan's fn(),
+            # run once over the collected matrix; same own-object zeroing,
+            # same factor fold (min factor <= 0 -> 0, else exp(sum ln) —
+            # float-order noise absorbed by the 6-dp contract either way)
+            cand = np.ascontiguousarray(pts[cand_sel])
+            mm = cand.shape[0]
+            acc = np.zeros((n_obj, mm), dtype=np.int64)
+            d_dims = cand.shape[1]
+            scratch = _ChunkScratch(min(mm, _M_CHUNK), _SKYBAND_CHUNK)
+            le_p, eq_p, tmp_p = scratch.dom, scratch.neq, scratch.tmp
+            for ps in range(0, pts.shape[0], _SKYBAND_CHUNK):
+                pc = pts[ps : ps + _SKYBAND_CHUNK]
+                oc = oidx[ps : ps + _SKYBAND_CHUNK]
+                for ms in range(0, mm, _M_CHUNK):
+                    cc = cand[ms : ms + _M_CHUNK]
+                    a, b = cc.shape[0], pc.shape[0]
+                    le, eq, tmp = le_p[:a, :b], eq_p[:a, :b], tmp_p[:a, :b]
+                    le[:] = True
+                    eq[:] = True
+                    for j in range(d_dims):
+                        cj = cc[:, j][:, None]
+                        pj = pc[:, j][None, :]
+                        np.less_equal(pj, cj, out=tmp)
+                        np.logical_and(le, tmp, out=le)
+                        np.equal(pj, cj, out=tmp)
+                        np.logical_and(eq, tmp, out=eq)
+                    np.logical_not(eq, out=eq)
+                    np.logical_and(le, eq, out=le)
+                    np.add.at(acc[:, ms : ms + _M_CHUNK], oc, le.T)
+            own = oidx[cand_sel]
+            acc[own, np.arange(mm)] = 0
+            nzo, nzc = np.nonzero(acc)
+            factor = 1.0 - acc[nzo, nzc] / n_arr[nzo]
+            mn = np.ones(mm, dtype=np.float64)
+            np.minimum.at(mn, nzc, factor)
+            pos = factor > 0
+            slog = np.zeros(mm, dtype=np.float64)
+            np.add.at(slog, nzc[pos], np.log(factor[pos]))
+            pr = np.where(mn <= 0, 0.0, np.exp(slog))
+            return pr, own
+
+        band_mask, _ = skyband_mask(pts, k_band)
+        m_a = int(band_mask.sum())
+        if m_a == 0:
+            return empty_result()
+        if n_obj * m_a <= 20_000_000:
+            pr_a, own_a = _probs_for(band_mask)
+            surv = np.unique(own_a[pr_a >= t_eff])
+            if surv.size == 0:
+                return empty_result()
+            sel_b = np.isin(oidx, surv)
+            if n_obj * int(sel_b.sum()) <= 20_000_000:
+                pr_b, own_b = _probs_for(sel_b)
+                return _assemble(pr_b, own_b)
+        # count block too large for one driver plane: distributed path
+
+    sizes_idx = spark.createDataFrame(sz_pdf[["__obj_idx", "__n"]])
+    # distributed path: balance the cache before the heavy scans (the
+    # round-16 forensics single-row-group pathology; see persist_balanced)
+    prepped, _ = _persist_balanced(prepped)
     # scan the persisted prepped projection, not the raw input — skyband
     # re-preps internally, and _prep is idempotent over these columns
     band = skyband(prepped, dims, k_band, count_col="__D")
@@ -1836,7 +2055,6 @@ def prob_skyline(
         return empty_result()
     # the phase-2 row bound is exact from the size table — no count job,
     # and the guard fires BEFORE anything is collected
-    n_arr = sz_pdf["__n"].to_numpy(dtype=np.int64)
     n_cand_b = int(n_arr[surv_obj].sum())
     if n_cand_b > _VERIFY_MAX_ROWS:
         raise ValueError(
@@ -1849,34 +2067,7 @@ def prob_skyline(
     )
     cand_tbl2 = prepped.join(F.broadcast(surv_keys), obj_cols, "leftsemi").toArrow()
     pr_b, own_b = instance_probs_arr(cand_tbl2)
-    # exact object probabilities, assembled driver-side: sum of instance
-    # probabilities over the object's instances / instance count, rounded
-    # with the same HALF_UP-at-6dp semantics Spark's round() applies
-    # (BigDecimal.valueOf(double) == Decimal(repr(double)), both shortest
-    # round-trip decimal forms)
-    sums = np.zeros(n_obj, dtype=np.float64)
-    np.add.at(sums, own_b, pr_b)
-    raw = sums / n_arr
-    from decimal import ROUND_HALF_UP, Decimal
-
-    grain = Decimal("0.000001")
-    pobj = np.fromiter(
-        (
-            float(Decimal(repr(v)).quantize(grain, rounding=ROUND_HALF_UP))
-            for v in raw
-        ),
-        dtype=np.float64,
-        count=n_obj,
-    )
-    sel = pobj >= threshold
-    if not sel.any():
-        return empty_result()
-    res_tbl = sz_tbl.filter(pa.array(sel)).append_column(
-        prob_col, pa.array(pobj[sel], pa.float64())
-    )
-    return spark.createDataFrame(res_tbl).select(
-        *obj_cols, F.col("__n").cast("bigint").alias(count_col), F.col(prob_col)
-    )
+    return _assemble(pr_b, own_b)
 
 
 def thick_skyline(

@@ -241,15 +241,24 @@ def test_top_dominating_counting_scan_shape(spark):
     assert "Exchange hashpartitioning(__cand_idx" in plan
 
 
-def test_reverse_skyline_counting_scan_shape(spark):
+def test_reverse_skyline_counting_scan_shape(spark, monkeypatch):
     """Refuter counting is a mapInPandas over the scan + one tiny aggregate
     on candidate index, with both assembly joins broadcast — never a
-    quadratic join against the corpus."""
+    quadratic join against the corpus.  Since r16 the small-input default
+    finishes driver-side (local-relation plan); the distributed shape is
+    asserted with the whole-input gate forced off."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    monkeypatch.setattr(sky, "_DRIVER_INPUT_MAX_BYTES", -1)
     plan = _plan(spark, "s27_reverse_skyline")
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning(__cand_idx" in plan
     assert "SortMergeJoin" not in plan  # totals/self joins stay broadcast
+    # default (driver) path: no exchange at all in the final plan
+    monkeypatch.undo()
+    plan = _plan(spark, "s27_reverse_skyline")
+    assert "Exchange" not in plan and "CartesianProduct" not in plan
 
 
 def test_bm25_topk_is_take_ordered_with_broadcast_df(spark):

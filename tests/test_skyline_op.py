@@ -1020,3 +1020,56 @@ def test_driver_verify_gate_parity(spark, monkeypatch):
     )
     assert sky_driver == sky_dist
     assert band_driver == band_dist
+
+
+def test_whole_input_driver_path_parity(spark, monkeypatch):
+    """Round 16: the whole-input driver fast path (plan-stats-gated collect
+    + identical kernels on the driver) must match the distributed
+    composition row for row on every filter-then-verify operator."""
+    import numpy as np
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    rng = np.random.default_rng(99)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "obj": rng.integers(0, 700, n),
+            "x": rng.integers(0, 50, n).astype(float),
+            "y": rng.normal(size=n),
+            "z": rng.integers(0, 7, n).astype(float),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.03, "y"] = np.nan
+    df = spark.createDataFrame(pdf).repartition(6)
+    dims = [("x", "min"), ("y", "max"), ("z", "min")]
+
+    def runs():
+        return {
+            "skyband": sorted(tuple(r) for r in sky.skyband(df, dims, k=4).collect()),
+            "topdom": sorted(
+                tuple(r)
+                for r in sky.top_dominating(df, dims, k=3, tie_cols=["rid"]).collect()
+            ),
+            "reverse": sorted(
+                tuple(r)
+                for r in sky.reverse_skyline(df, dims, [25.0, 0.0, 3.0]).collect()
+            ),
+            "kdom": sorted(
+                tuple(r) for r in sky.kdominant_skyline(df, dims, k=2).collect()
+            ),
+            "prob": sorted(
+                tuple(r)
+                for r in sky.prob_skyline(df, dims, ["obj"], 0.3).collect()
+            ),
+        }
+
+    driver = runs()
+    monkeypatch.setattr(sky, "_DRIVER_INPUT_MAX_BYTES", -1)
+    monkeypatch.setattr(sky, "_DRIVER_INPUT_MAX_ROWS", -1)
+    monkeypatch.setattr(sky, "_DRIVER_VERIFY_MAX_ROWS", -1)
+    dist = runs()
+    for op in driver:
+        assert driver[op] == dist[op], op
