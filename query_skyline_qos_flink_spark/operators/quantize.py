@@ -37,16 +37,16 @@ _D = "double"
 INT8_MAX = 127
 
 
-def _abs_max(vec) -> F.Column:
-    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast(_D))))
-
-
 def corpus_maxabs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """1-row DataFrame with the corpus-wide max |component| (``__maxabs``).
 
     A pure max-of-max — exact, order-insensitive, map-side combinable."""
     return df.where(F.col(vec_col).isNotNull()).agg(
-        F.max(_abs_max(F.col(vec_col))).alias("__maxabs")
+        F.max(
+            F.expr(
+                f"array_max(transform(`{vec_col}`, x -> abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("__maxabs")
     )
 
 
@@ -68,21 +68,15 @@ def with_int8_codes(
 
     df = valid_vectors(df, vec_col)
     scale = corpus_maxabs(df, vec_col)
-    code = F.transform(
-        F.col(vec_col),
-        lambda x: F.greatest(
-            F.lit(-INT8_MAX).cast("long"),
-            F.floor(x.cast(_D) * F.lit(float(INT8_MAX)) / F.col("__maxabs")).cast("long"),
-        ),
+    code = F.expr(
+        f"transform(`{vec_col}`, x -> greatest(CAST({-INT8_MAX} AS BIGINT), "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {float(INT8_MAX)!r}D / __maxabs) "
+        "AS BIGINT)))"
     )
+    zeros = F.expr(f"transform(`{vec_col}`, x -> CAST(0 AS BIGINT))")
     return (
         df.crossJoin(F.broadcast(scale))
-        .withColumn(
-            out_col,
-            F.when(F.col("__maxabs") > 0, code).otherwise(
-                F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))
-            ),
-        )
+        .withColumn(out_col, F.when(F.col("__maxabs") > 0, code).otherwise(zeros))
         .drop("__maxabs")
     )
 
@@ -99,9 +93,13 @@ def int8_stats(
     return coded.select(
         F.col(id_col),
         F.size(q8).cast("bigint").alias("n_dims"),
-        F.size(F.filter(q8, lambda c: F.abs(c) == INT8_MAX)).cast("bigint").alias("n_sat"),
-        F.aggregate(q8, F.lit(0).cast("long"), lambda a, c: a + c).alias("sum_code"),
-        F.aggregate(q8, F.lit(0).cast("long"), lambda a, c: a + c * c).alias("l2sq_code"),
+        F.expr(f"CAST(size(filter(q8, c -> abs(c) = {INT8_MAX})) AS BIGINT)").alias(
+            "n_sat"
+        ),
+        F.expr("aggregate(q8, CAST(0 AS BIGINT), (a, c) -> a + c)").alias("sum_code"),
+        F.expr("aggregate(q8, CAST(0 AS BIGINT), (a, c) -> a + c * c)").alias(
+            "l2sq_code"
+        ),
     )
 
 
@@ -133,10 +131,9 @@ def knn_int8(
         .select(
             "q_id",
             F.col(id_col).alias("n_id"),
-            F.aggregate(
-                F.zip_with("__qq8", "q8", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(zip_with(__qq8, q8, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             ).alias("dist"),
         )
         # ragged code pair -> zip_with NULL-pads -> NULL dist, which
@@ -180,7 +177,7 @@ def knn_int8_rerank(
         ne.join(F.broadcast(cand), "n_id")
         .join(F.broadcast(qe), "q_id")
         .select(
-            "q_id", "n_id", _sq_l2_fold(F.col("__qe"), F.col("__ne")).alias("dist")
+            "q_id", "n_id", _sq_l2_fold("__qe", "__ne").alias("dist")
         )
         # NULL dist = ragged pair; drop, never rank (see knn_int8)
         .where(F.col("dist").isNotNull())

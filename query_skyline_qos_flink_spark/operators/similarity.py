@@ -30,25 +30,38 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _D = "double"
 
+# Expression builders emit ONE SQL string parsed by a single F.expr call.
+# The former python-lambda forms (F.aggregate over F.zip_with etc.) cost
+# dozens of py4j round trips per expression — profiled round 16 at ~1.0 s
+# of the 2.6 s warm x_ann_ivf call (1,452 py4j round trips, almost all
+# expression construction).  The parsed trees are the same Catalyst
+# functions, so results are bit-identical.
 
-def _sq_l2_fold(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast(_D) - y.cast(_D)) * (x.cast(_D) - y.cast(_D))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    diff = "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {diff} * {diff}), "
+        "0.0D, (acc, x) -> acc + x)"
     )
 
 
-def _dot_fold(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast(_D) * y.cast(_D)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sq_l2_fold(a: str, b: str):
+    return F.expr(_sq_l2_sql(a, b))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
     )
 
 
-def _norm_fold(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast(_D) * x.cast(_D)))
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)))"
+    )
 
 
 def valid_vectors(df: DataFrame, vec_col: str, nonzero: bool = False) -> DataFrame:
@@ -59,21 +72,22 @@ def valid_vectors(df: DataFrame, vec_col: str, nonzero: bool = False) -> DataFra
     ``nonzero=True`` (cosine-based ops, where a zero-norm vector makes
     the similarity undefined and ANSI division-by-zero would kill the
     job), all-zero vectors are excluded too.  Pure column predicates —
-    rides the scan."""
+    rides the scan.
+
+    NULL components are excluded with the same rationale as NaN: a NULL
+    poisons the distance fold to NULL, which Spark's ASC window ranks
+    FIRST while DuckDB's unnest-sum skips the term and ranks by a
+    fabricated real distance — the one cross-engine divergence the NaN
+    clause alone does not close."""
+    v = f"`{vec_col}`"
     cond = (
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) > 0)
-        & ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
-        # NULL components are excluded with the same rationale as NaN: a
-        # NULL poisons the distance fold to NULL, which Spark's ASC window
-        # ranks FIRST while DuckDB's unnest-sum skips the term and ranks
-        # by a fabricated real distance — the one cross-engine divergence
-        # the NaN clause alone does not close.
-        & ~F.exists(vec_col, lambda x: x.isNull())
+        f"{v} IS NOT NULL AND size({v}) > 0"
+        f" AND NOT exists({v}, x -> isnan(CAST(x AS DOUBLE)))"
+        f" AND NOT exists({v}, x -> x IS NULL)"
     )
     if nonzero:
-        cond = cond & F.exists(vec_col, lambda x: x != 0)
-    return df.where(cond)
+        cond += f" AND exists({v}, x -> x != 0)"
+    return df.where(F.expr(cond))
 
 
 def knn_exact_fold(
@@ -95,7 +109,7 @@ def knn_exact_fold(
         .select(
             "q_id",
             F.col(id_col).alias("n_id"),
-            _sq_l2_fold(F.col("__q"), F.col(vec_col)).alias("dist"),
+            _sq_l2_fold("__q", f"`{vec_col}`").alias("dist"),
         )
         # ragged pair -> zip_with NULL-pads -> NULL dist, which Spark's
         # ASC window puts FIRST (DuckDB puts NULLs last): drop the pair
@@ -181,14 +195,19 @@ def knn_blocked(
     )
 
 
-def bucket_code(vec_col, n_bits: int = 8):
-    """Deterministic sign-bit bucket: bit i set iff vec[i] >= 0."""
-    code = F.lit(0)
-    for i in range(n_bits):
-        code = code + F.when(
-            F.element_at(vec_col, i + 1).cast(_D) >= 0.0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return code
+def bucket_code(vec_col: str, n_bits: int = 8):
+    """Deterministic sign-bit bucket: bit i set iff vec[i] >= 0.
+    ``vec_col`` is a column NAME; the whole code is one parsed expr."""
+    return F.expr(_bucket_code_sql(f"`{vec_col}`", n_bits))
+
+
+def _bucket_code_sql(vec_sql: str, n_bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) >= 0.0D "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"0 + {terms}"
 
 
 def ann_bucketed(
@@ -220,9 +239,9 @@ def ann_bucketed(
     base = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__e"),
-        bucket_code(F.col(vec_col), n_bits).alias("__bkt"),
+        bucket_code(vec_col, n_bits).alias("__bkt"),
     )
-    qcode = bucket_code(F.col(vec_col), n_bits)
+    qcode = bucket_code(vec_col, n_bits)
     if n_probes > 1:
         flips = [
             qcode.bitwiseXOR(F.lit(1 << i))
@@ -239,7 +258,7 @@ def ann_bucketed(
     pairs = (
         base.join(F.broadcast(q), "__bkt")
         .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", _sq_l2_fold(F.col("__q"), F.col("__e")).alias("dist"))
+        .select("q_id", "n_id", _sq_l2_fold("__q", "__e").alias("dist"))
         # NULL dist = ragged pair; drop, never rank (see knn_exact_fold)
         .where(F.col("dist").isNotNull())
     )
@@ -251,8 +270,8 @@ def ann_bucketed(
 
 
 def _cos_micro_select(pairs: DataFrame, threshold: float) -> DataFrame:
-    cos = _dot_fold(F.col("__va"), F.col("__vb")) / (
-        _norm_fold(F.col("__va")) * _norm_fold(F.col("__vb"))
+    cos = F.expr(
+        f"{_dot_sql('__va', '__vb')} / ({_norm_sql('__va')} * {_norm_sql('__vb')})"
     )
     return (
         pairs.withColumn("__cos", cos)
@@ -309,7 +328,7 @@ def cosine_pairs_bucketed(
     property-tested against :func:`cosine_pairs`.  Bucket skew at scale is
     bounded by raising ``n_bits`` (2^n_bits buckets) and is AQE-splittable
     since the join is a plain equi shuffle."""
-    code = bucket_code(F.col(vec_col), n_bits)
+    code = bucket_code(vec_col, n_bits)
     df = valid_vectors(df, vec_col, nonzero=True)
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), code.alias("__cb")
@@ -324,11 +343,15 @@ def cosine_pairs_bucketed(
     return _cos_micro_select(cand, threshold)
 
 
-def _int_sq_l2_fold(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _int_sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
+
+
+def _int_sq_l2_fold(a: str, b: str):
+    return F.expr(_int_sq_l2_sql(a, b))
 
 
 def ann_ivf(
@@ -382,8 +405,9 @@ def ann_ivf(
     """
     df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
     query_df = valid_vectors(query_df, vec_col).where(F.size(vec_col) == dim)
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    qv = F.expr(
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
     )
 
     base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
@@ -454,22 +478,24 @@ def ann_ivf(
         )
         for c, vec in cent_rows
     ) + ")"
-    cent_lit = F.expr(cent_sql)
+
+    dists_sql = (
+        f"sort_array(transform({cent_sql}, s -> "
+        f"struct({_int_sq_l2_sql('__qv', 's.v')} AS d, s.c AS c)))"
+    )
 
     def ranked_cells(vdf: DataFrame, keep_ranks: int) -> DataFrame:
-        dists = F.sort_array(
-            F.transform(
-                cent_lit,
-                lambda s: F.struct(
-                    _int_sq_l2_fold(F.col("__qv"), s["v"]).alias("d"),
-                    s["c"].alias("c"),
-                ),
-            )
-        )
+        # one parsed expression per variant (see the module-top note on
+        # py4j round-trip cost of lambda-built trees)
         if keep_ranks == 1:
-            return vdf.withColumn("__cell", F.element_at(dists, 1)["c"])
+            return vdf.withColumn(
+                "__cell", F.expr(f"element_at({dists_sql}, 1).c")
+            )
         return vdf.withColumn(
-            "__cell", F.explode(F.transform(F.slice(dists, 1, keep_ranks), lambda s: s["c"]))
+            "__cell",
+            F.explode(
+                F.expr(f"transform(slice({dists_sql}, 1, {keep_ranks}), s -> s.c)")
+            ),
         )
 
     base_a = ranked_cells(base, 1)
@@ -483,7 +509,7 @@ def ann_ivf(
         .select(
             "q_id",
             F.col("__id").alias("n_id"),
-            _int_sq_l2_fold(F.col("__pq"), F.col("__qv")).alias("dist"),
+            _int_sq_l2_fold("__pq", "__qv").alias("dist"),
         )
         # NULL dist = ragged pair; drop, never rank (see knn_exact_fold)
         .where(F.col("dist").isNotNull())
@@ -518,8 +544,9 @@ def knn_exact_quantized(
     final per-query top-k."""
     df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
     query_df = valid_vectors(query_df, vec_col).where(F.size(vec_col) == dim)
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    qv = F.expr(
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
     )
     base = df.select(F.col(id_col).alias("n_id"), qv.alias("__qv"))
     q = query_df.select(F.col(id_col).alias("q_id"), qv.alias("__pq"))
@@ -527,7 +554,7 @@ def knn_exact_quantized(
         base.crossJoin(F.broadcast(q))
         .where(F.col("n_id") != F.col("q_id"))
         .select(
-            "q_id", "n_id", _int_sq_l2_fold(F.col("__pq"), F.col("__qv")).alias("dist")
+            "q_id", "n_id", _int_sq_l2_fold("__pq", "__qv").alias("dist")
         )
     )
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
@@ -630,8 +657,9 @@ def kmeans_iter(
     from .caching import persist_bounded as _persist
 
     df = valid_vectors(df, vec_col).where(F.size(vec_col) == dim)
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast(_D) * scale).cast("long")
+    qv = F.expr(
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
     )
     base = _persist(df.select(F.col(id_col).alias("__id"), qv.alias("__qv")))
 
@@ -648,19 +676,12 @@ def kmeans_iter(
     spark = df.sparkSession
     empty = spark.createDataFrame([], "cid bigint, n_pts bigint, inertia bigint")
 
-    def nearest(cent_lit) -> F.Column:
-        """(dist, cid) struct of the nearest literal centroid."""
-        return F.element_at(
-            F.sort_array(
-                F.transform(
-                    cent_lit,
-                    lambda s: F.struct(
-                        _int_sq_l2_fold(F.col("__qv"), s["v"]).alias("d"),
-                        s["c"].alias("c"),
-                    ),
-                )
-            ),
-            1,
+    def nearest(cent_sql: str) -> F.Column:
+        """(dist, cid) struct of the nearest literal centroid — one parsed
+        expression (see the module-top note on lambda-tree py4j cost)."""
+        return F.expr(
+            f"element_at(sort_array(transform({cent_sql}, s -> "
+            f"struct({_int_sq_l2_sql('__qv', 's.v')} AS d, s.c AS c))), 1)"
         )
 
     cent_lit = None
@@ -689,8 +710,8 @@ def kmeans_iter(
             )
             for r in cent_rows
         ) + ")"
-        cent_lit = F.expr(cent_sql)
-        asg = nearest(cent_lit)["c"]
+        cent_lit = cent_sql
+        asg = nearest(cent_sql)["c"]
     if cent_lit is None:  # n_iters == 0: report the seed partition, no inertia
         return (
             base.withColumn("__cid", asg)

@@ -1580,11 +1580,37 @@ def skycube(
     # caches as one populated partition (round-16 forensics; see
     # caching.persist_balanced)
     df, _ = _persist_balanced(valid.select(*out_cols))
-    full = _persist(skyline(df, dims))
+    spark = df.sparkSession
+    prepped, prep_cols = _prep(df, dims)
+
+    # Full-space skyline with the collected rows kept: the keysets below
+    # need the full skyline's dim values driver-side anyway, so when the
+    # phase-1 survivor set is bounded, finish the merge on the driver
+    # (same kernel, see _driver_verify_local) and reuse ONE collect for
+    # the result rows, n_full, AND the keyset source — the former
+    # skyline() + count() + toPandas() sequence paid three extra jobs
+    # for data already in hand.
+    full_tbl = None
+    local = _local_skyline_iter(prep_cols)
+    phase1 = _persist(_fanout(prepped).mapInPandas(local, schema=prepped.schema))
+    n_surv = phase1.count()
+    if n_surv <= _DRIVER_VERIFY_MAX_ROWS:
+        import pyarrow as pa
+
+        tbl = phase1.toArrow()
+        arr = np.ascontiguousarray(
+            tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
+        mask = skyline_mask(arr)
+        full_tbl = tbl if mask.all() else tbl.filter(pa.array(mask))
+        full = spark.createDataFrame(full_tbl.select(out_cols))
+        n_full = full_tbl.num_rows
+    else:
+        full = _persist(_merge_survivors(phase1, prep_cols).select(*out_cols))
+        n_full = full.count()
     out = full.select(F.lit(label(names)).alias(label_col), *df.columns)
     if len(nd) < 2:
         return out
-    n_full = full.count()
     # collect gate scales with what actually gets BROADCAST, not just the
     # collected rows: all 2^d - 2 proper-subspace keysets ship together,
     # and their total is bounded by n_full * sum(|U|) * 8 bytes
@@ -1608,8 +1634,11 @@ def skycube(
             )
         return out
 
-    spark = df.sparkSession
-    full_pdf = full.select(*names).toPandas()
+    full_pdf = (
+        full_tbl.select(names).to_pandas()
+        if full_tbl is not None
+        else full.select(*names).toPandas()
+    )
     masks: list[tuple[str, list[str], list[int]]] = []
     keysets: dict[str, pd.DataFrame] = {}
     for mask in range(1, (1 << len(nd)) - 1):
@@ -1620,7 +1649,6 @@ def skycube(
         keysets[lbl] = full_pdf[sub_names].drop_duplicates()
     bc = spark.sparkContext.broadcast((masks, keysets))
 
-    prepped, prep_cols = _prep(df, dims)
     schema = prepped.select(
         F.lit("").alias(label_col), *prepped.columns
     ).schema
@@ -1668,6 +1696,32 @@ def skycube(
     # an evicted survivor partition may recompute the scan, and the
     # driver can re-ship an unpersisted broadcast but not a destroyed one
     bc.unpersist(blocking=False)
+    total_surv = sum(counts.values())
+    if total_surv <= _DRIVER_VERIFY_MAX_ROWS:
+        # all labels' survivors together fit the driver gate: one collect
+        # of the cached survivor frame, per-label merges with the same
+        # kernel (rows are already padded on non-subspace dims, so the
+        # full-dim kernel is subspace dominance, as in the grouped path)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        surv_tbl = surv.toArrow()
+        parts = []
+        lbls = surv_tbl.column(label_col)
+        for lbl, _, _ in masks:
+            if not counts.get(lbl):
+                continue
+            sub = surv_tbl.filter(pc.equal(lbls, lbl))
+            m = skyline_mask(
+                sub.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+            )
+            parts.append(sub if m.all() else sub.filter(pa.array(m)))
+        if parts:
+            merged_tbl = pa.concat_tables(parts)
+            out = out.unionByName(
+                spark.createDataFrame(merged_tbl).select(label_col, *out_cols)
+            )
+        return out
     small = [lbl for lbl, _, _ in masks if counts.get(lbl, 0) <= _VERIFY_MAX_ROWS]
     if small:
         merged = (

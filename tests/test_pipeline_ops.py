@@ -155,7 +155,7 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
 
     # n_probes=1 is exactly the old single-bucket behavior: same-bucket
     # candidates only, and every multi-probe candidate pair is Hamming<=1
-    codes = similarity.bucket_code(F.col("embedding"), 8)
+    codes = similarity.bucket_code("embedding", 8)
     code_of = dict(
         df.select("vec_id", codes.alias("c")).toPandas().itertuples(index=False)
     )
