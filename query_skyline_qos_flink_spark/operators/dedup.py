@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from .caching import persist_bounded as _persist
 from .caching import release_local_checkpoint as _release_ckpt
+from .fanout import fanout_narrow_scan as _fanout
 from .joins import null_safe_semi_join
-from .text import tokens, word_shingles
+from .text import TOKEN_RE, tokens
 
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -74,24 +75,33 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     # split, and the per-doc tokenize+shingle+md5 expressions are the
     # dominant cost
     df = df.select(id_col, text_col)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if df.rdd.getNumPartitions() < target:
-            # persist boundary: without it Catalyst pushes the expensive
-            # projection BELOW the round-robin exchange (to shrink shuffle
-            # volume) and the shingling runs on the single scan task anyway
-            df = _persist(df.repartition(target))
-    except Exception:  # pragma: no cover
-        pass
-    # stage the token array as a real projected column: inlining tokens()
-    # into word_shingles' transform lambda makes Catalyst re-evaluate the
-    # split per shingle (no CSE across lambda scopes)
-    staged = df.select(
-        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
+    fdf = _fanout(df)
+    if fdf is not df:
+        # persist boundary: without it Catalyst pushes the expensive
+        # projection BELOW the round-robin exchange (to shrink shuffle
+        # volume) and the shingling runs on the single scan task anyway.
+        # The split probe is fanout_narrow_scan (file metadata, no job) —
+        # the former df.rdd.getNumPartitions() probe converted the plan
+        # to a JavaRDD on every call, a measurable py4j round-trip tax.
+        df = _persist(fdf)
+    # stage the token array as a real projected column: inlining the
+    # tokenizer into the shingle transform makes Catalyst re-evaluate the
+    # split per shingle (no CSE across lambda scopes).  Single parsed
+    # expressions per select (see similarity.py's module-top note on the
+    # py4j cost of lambda-built trees).
+    staged = df.selectExpr(
+        f"`{id_col}` AS __id",
+        f"filter(split(lower(`{text_col}`), '{TOKEN_RE}'), x -> x != '') AS __tok",
     )
-    return staged.select(
-        "__id", word_shingles(F.col("__tok"), k).alias("__sh")
-    ).where(F.size("__sh") > 0)
+    sh_sql = (
+        f"CASE WHEN size(__tok) >= {k} THEN array_distinct(transform("
+        f"sequence(0, size(__tok) - {k}), i -> concat_ws(' ', "
+        f"slice(__tok, i + 1, {k})))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        staged.selectExpr("__id", f"{sh_sql} AS __sh")
+        .where(F.expr("size(__sh) > 0"))
+    )
 
 
 def jaccard_pairs(
@@ -138,22 +148,19 @@ def _jaccard_from_shingles(
     return out.select("id_a", "id_b", "common", "n_a", "n_b", "jac")
 
 
-def minhash_signature_cols(sh_col, perms: int = MINHASH_PERMS) -> list:
-    """One min-hash column per permutation: min md5 hex of seed-prefixed
-    shingles (fixed-width lowercase hex => lexicographic min == numeric
-    min; identical in duckdb).
+def _minhash_signature_sql(sh_sql: str, j: int) -> str:
+    """Permutation ``j``'s min-hash: min md5 hex of seed-prefixed shingles
+    (fixed-width lowercase hex => lexicographic min == numeric min;
+    identical in duckdb)."""
+    return f"array_min(transform({sh_sql}, s -> md5(concat('{j}#', s))))"
 
-    NOTE the closure factory: a ``lambda s, j=j`` two-parameter lambda would
-    make ``transform`` pass the ARRAY INDEX as the second argument, silently
-    replacing the permutation seed with a stringified lambda-variable Column
-    whose id varies per plan construction — nondeterministic signatures."""
 
-    def perm_hash(j: int):
-        prefix = F.lit(f"{j}#")
-        return lambda s: F.md5(F.concat(prefix, s))
-
+def minhash_signature_cols(sh_col: str, perms: int = MINHASH_PERMS) -> list:
+    """One min-hash column per permutation over the named shingle column —
+    each a single parsed expression (the former lambda-built trees cost
+    dozens of py4j round trips per permutation)."""
     return [
-        F.array_min(F.transform(sh_col, perm_hash(j))).alias(f"__sig{j}")
+        F.expr(_minhash_signature_sql(f"`{sh_col}`", j)).alias(f"__sig{j}")
         for j in range(perms)
     ]
 
@@ -179,23 +186,27 @@ def lsh_candidates(
     (their members can still pair through their other bands).  ``None``
     keeps every bucket."""
     rows = perms // bands
-    sigs = sh.select("__id", *minhash_signature_cols(F.col("__sh"), perms))
-    band_cols = [
-        F.md5(
-            F.concat(
-                F.lit(f"{b}@"),
-                *[F.col(f"__sig{b * rows + r}") for r in range(rows)],
-            )
-        ).alias(f"__band{b}")
+    # ONE selectExpr computes every band key, with each permutation's
+    # min-hash inlined into its band's md5 (each signature belongs to
+    # exactly one band, so nothing is computed twice); a second selectExpr
+    # melts to (band index, band key) rows.  Two parsed round trips where
+    # the former Column-tree construction paid hundreds.
+    band_exprs = [
+        "md5(concat('{b}@', {sigs})) AS __band{b}".format(
+            b=b,
+            sigs=", ".join(
+                _minhash_signature_sql("__sh", b * rows + r) for r in range(rows)
+            ),
+        )
         for b in range(bands)
     ]
-    banded = sigs.select("__id", *band_cols)
-    melted = banded.select(
-        "__id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"__band{b}").alias("bk")) for b in range(bands)])
-        ).alias("e"),
-    ).select("__id", F.col("e.bi").alias("__bi"), F.col("e.bk").alias("__bk"))
+    banded = sh.selectExpr("__id", *band_exprs)
+    melt_sql = "explode(array({})) AS e".format(
+        ",".join(f"struct({b} AS bi, __band{b} AS bk)" for b in range(bands))
+    )
+    melted = banded.selectExpr("__id", melt_sql).selectExpr(
+        "__id", "e.bi AS __bi", "e.bk AS __bk"
+    )
     melted = drop_hot_keys(melted, ["__bi", "__bk"], max_band_df)
     a = melted.alias("a")
     b = melted.alias("b")

@@ -81,7 +81,7 @@ def test_minhash_signatures_deterministic_across_plans(spark, docs):
     sigs = []
     for _ in range(3):
         sh = dedup._with_shingles(docs, "doc_id", "text", 3)
-        df = sh.select("__id", *dedup.minhash_signature_cols(F.col("__sh"), 8))
+        df = sh.select("__id", *dedup.minhash_signature_cols("__sh", 8))
         sigs.append(sorted(map(tuple, df.collect())))
     assert sigs[0] == sigs[1] == sigs[2]
     # seeds must actually differ across permutations (not all-equal sigs)
