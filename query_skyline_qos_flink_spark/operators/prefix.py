@@ -115,20 +115,20 @@ def _range_bucketed(
     # sum on the same scan.)  NULL values: NULL >= bound is NULL -> every
     # indicator's otherwise(0) -> bucket 0, which sorts first — matching
     # NULLS FIRST rank order.
-    pid = F.lit(0)
-    for bnd in bounds:
-        pid = pid + F.when(
-            F.col(bucket_col).cast("double") >= F.lit(float(bnd)), 1
-        ).otherwise(0)
-    ranged = df.withColumn("__b", pid)
-    v = F.col(bucket_col).cast("double")
-    stats = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.when(v >= F.lit(float(b)), 1).otherwise(0)).alias(f"__ge{i}")
-            for i, b in enumerate(bounds)
-        ],
-    ).first()
+    # single parsed expressions (the per-boundary when-chains cost ~4 py4j
+    # round trips per term; at 31 boundaries x two expressions that was
+    # ~250 round trips per call — see similarity.py's module-top note)
+    vsql = f"CAST(`{bucket_col}` AS DOUBLE)"
+    terms = " + ".join(
+        f"(CASE WHEN {vsql} >= CAST('{float(bnd)!r}' AS DOUBLE) THEN 1 ELSE 0 END)" for bnd in bounds
+    )
+    ranged = df.withColumn("__b", F.expr(f"0 + {terms}" if bounds else "0"))
+    ge_terms = ", ".join(
+        f"SUM(CASE WHEN {vsql} >= CAST('{float(b)!r}' AS DOUBLE) THEN 1 ELSE 0 END) AS __ge{i}"
+        for i, b in enumerate(bounds)
+    )
+    struct_sql = f"struct(count(1) AS __n{', ' + ge_terms if ge_terms else ''})"
+    stats = df.agg(F.expr(struct_sql).alias("__s")).first()["__s"]
     total = int(stats["__n"])
     # offset of bucket b = rows strictly before it = rows below bound b-1
     # (NULL values fail every >= and land in bucket 0, NULLS FIRST)
@@ -137,10 +137,11 @@ def _range_bucketed(
 
 
 def _off_expr(offs: list[int]):
-    """Literal cumulative-offset lookup for a ``__b`` bucket column."""
-    return F.element_at(
-        F.array(*[F.lit(int(o)) for o in (offs or [0])]), F.col("__b") + 1
-    )
+    """Literal cumulative-offset lookup for a ``__b`` bucket column (one
+    parsed expression; a lit-by-lit array build costs 2 py4j round trips
+    per element)."""
+    arr = ",".join(str(int(o)) for o in (offs or [0]))
+    return F.expr(f"element_at(array({arr}), __b + 1)")
 
 
 def exact_prefix(df: DataFrame, sort_cols: Sequence[str], n: int) -> DataFrame:

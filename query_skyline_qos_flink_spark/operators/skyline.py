@@ -245,12 +245,11 @@ def _skyline_2d_relational(
         # optimizer/codegen walk over this subplan quadratic-ish and costs
         # ~4x the whole query's runtime at 32 buckets (measured).
         if bounds:
-            pid = F.size(
-                F.filter(
-                    F.array(*[F.lit(float(b)) for b in bounds]),
-                    lambda b: b < F.col(d0),
-                )
-            )
+            # one parsed expression (the lit-by-lit array + filter lambda
+            # cost ~2 py4j round trips per boundary — similarity.py's
+            # module-top note); CAST-from-repr round-trips each double
+            arr = ",".join(f"CAST('{float(b)!r}' AS DOUBLE)" for b in bounds)
+            pid = F.expr(f"size(filter(array({arr}), b -> b < `{d0}`))")
         else:
             pid = F.lit(0)
         ranged = grp.withColumn("__pid", pid)
@@ -271,8 +270,13 @@ def _skyline_2d_relational(
             prefix.append(run)
             if i in rmins:
                 run = rmins[i] if run is None else min(run, rmins[i])
-        off_lit = F.array(
-            *[F.lit(None).cast("double") if v is None else F.lit(float(v)) for v in prefix]
+        off_lit = F.expr(
+            "array({})".format(
+                ",".join(
+                    "CAST(NULL AS DOUBLE)" if v is None else f"CAST('{float(v)!r}' AS DOUBLE)"
+                    for v in prefix
+                )
+            )
         )
         # least() ignores NULLs: first range has no offset, first row of a
         # range has no local predecessor

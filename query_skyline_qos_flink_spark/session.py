@@ -73,7 +73,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session memo of the LAZY DataFrame handle for each (sf_dir, table):
+# spark.read.parquet() pays a driver-side file listing + footer/schema
+# read per call (~0.2 s measured — r13's six loads cost 1.25 s of its
+# 1.5 s warm build, round-16 cProfile), re-paid by every query build and
+# every bench rep.  Memoizing the handle is plan-level, NOT result
+# caching: the relation is unevaluated, every action still scans the
+# parquet files — the same class as Spark's own per-session file-index
+# cache (spark.sql.hive.filesourcePartitionFileCacheSize), made explicit
+# because each read.parquet() call builds a fresh InMemoryFileIndex.
+# Keyed weakly on the session so a stopped session's handles die with it.
+# Trade-off (same as Spark's listing cache): files ADDED to a table dir
+# mid-session are not picked up by cached handles; the fixture tables
+# are immutable and ad-hoc/temp paths get their own keys.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_TABLE_HANDLES: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str):
+    try:
+        cache = _TABLE_HANDLES.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - unweakrefable session proxy
+        cache = {}
+    key = (os.path.realpath(sf_dir), name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     # Defensive: sessions not built by get_spark() (the driver's vanilla
     # session) must still read parquet TIMESTAMP(NANOS) fixtures, which
     # rounds 1-3 shipped — without this runtime conf Spark refuses the
@@ -88,7 +114,9 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf locked down
         pass
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    cache[key] = df
+    return df
 
 
 def epoch_micros_sql(df: DataFrame, col: str = "ts") -> str:
