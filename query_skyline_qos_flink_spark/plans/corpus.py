@@ -994,6 +994,16 @@ FROM sizes s LEFT JOIN surv v ON s.pid = v.pid
 def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _persist_corpus(load(spark, sf_dir, "lineitem"))
     li.count()  # materialize the shared cache ONCE before the threads fork
+    # ONE data-derived domain for both strategies (r16): each
+    # skyline_partition_stats call with domain=None re-aggregates
+    # max(dim0) and re-broadcasts it into its local-phase plan — the same
+    # number both times.  One tiny agg over the materialized cache, then
+    # a literal, removes a full-input aggregate + crossJoin subplan from
+    # each strategy's checkpointed plan.  Identical pid math: the literal
+    # IS with_data_domain's value.
+    domain = float(
+        li.agg(F.max(F.col("l_extendedprice").cast("double"))).first()[0]
+    )
     # Overlap the two independent strategy pipelines (guide §2.6): each
     # stats build is a chain of small driver-blocking actions (the eager
     # local-phase checkpoint, the merge's persist/count, the verify
@@ -1010,7 +1020,11 @@ def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(st: str) -> None:
         try:
             results[st] = skyline_partition_stats(
-                li, ["l_extendedprice", "l_discount"], strategy=st, num_partitions=8
+                li,
+                ["l_extendedprice", "l_discount"],
+                strategy=st,
+                num_partitions=8,
+                domain=domain,
             ).select(F.lit(st).alias("strategy"), "pid", "local_size", "survivors")
         except BaseException as exc:  # noqa: BLE001 - re-raised on the caller
             errors[st] = exc
