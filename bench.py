@@ -171,9 +171,10 @@ SCALING_QUERIES = {
 # and every timed rep records its /proc/stat user/sys/steal split.  An
 # elevated window slows the burn and/or shows up as system/steal time;
 # identical code at a quiet hour reads ~_CALIB_REF_S.
-_CALIB_REF_S = 0.402  # floor burn, pinned r16 (min of 7: 0.402-0.421);
-# re-pin DOWNWARD if a future round's burn_s beats it — never raise it
-# to match an elevated session.
+_CALIB_REF_S = 0.396  # floor burn, re-pinned r16 final run (burn_s
+# [0.402, 0.396] at the 36.66 s suite total); re-pin DOWNWARD if a
+# future round's burn_s beats it — never raise it to match an elevated
+# session.
 
 
 def _calib_burn() -> float:

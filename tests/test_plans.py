@@ -382,11 +382,17 @@ def test_thick_skyline_broadcast_band_join_no_input_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_s34_skycube_fused_single_tagging_pass(spark):
+def test_s34_skycube_fused_single_tagging_pass(spark, monkeypatch):
     """The 4-D skycube's 14 proper subspaces must ride ONE mapInPandas
     tagging scan (per-label local skylines) into ONE grouped merge keyed
     on the subspace label — not 14 candidate semi-joins each with its own
-    scan — and nothing may go cartesian or sort-merge-join."""
+    scan — and nothing may go cartesian or sort-merge-join.  Since r16
+    the bounded default finishes the per-label merges driver-side (the
+    final plan is unions of local relations); the distributed grouped
+    merge is asserted with the driver gate forced off."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    monkeypatch.setattr(sky, "_DRIVER_VERIFY_MAX_ROWS", -1)
     plan = _plan(spark, "s34_skycube_4d")
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
@@ -395,6 +401,13 @@ def test_s34_skycube_fused_single_tagging_pass(spark):
     # the fused path replaces the per-subspace broadcast semi-joins: at
     # most the full-space skyline's own joins remain
     assert plan.count("LeftSemi") <= 2, plan.count("LeftSemi")
+    # default (driver-merge) plan: no cartesian/SMJ either, and the only
+    # python pass left in the FINAL plan is at most the tag scan itself
+    monkeypatch.undo()
+    plan = _plan(spark, "s34_skycube_4d")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_semantic_dedup_cell_equi_join_no_cartesian(spark):
