@@ -1745,6 +1745,27 @@ def skycube(
     return out
 
 
+def _scatter_obj_counts(
+    acc: np.ndarray, oc: np.ndarray, le: np.ndarray, tmp: np.ndarray, ms: int
+) -> None:
+    """``acc[oc, ms:ms+a] += le.T`` without ``np.add.at``: the ufunc
+    scatter walks 6.6M elements one at a time (~0.75 s per warm s30,
+    round-16 profile).  Sorting the scanned rows by object id and
+    summing each group with ``np.add.reduceat`` (C-contiguous segment
+    sums, int64 accumulator) does the same math at memory speed; group
+    leaders are unique, so the final fancy-row add never collides.
+    ``tmp`` is the caller's scratch plane (holds the column-permuted
+    copy of ``le``)."""
+    a, b = le.shape
+    order = np.argsort(oc, kind="stable")
+    so = oc[order]
+    starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+    perm = tmp[:a, :b]
+    np.take(le, order, axis=1, out=perm)
+    sums = np.add.reduceat(perm, starts, axis=1, dtype=np.int64)
+    acc[so[starts], ms : ms + a] += sums.T
+
+
 def prob_skyline(
     df: DataFrame,
     dims: Sequence,
@@ -1948,7 +1969,7 @@ def prob_skyline(
                         np.logical_and(eq, tmp, out=eq)
                     np.logical_not(eq, out=eq)
                     np.logical_and(le, eq, out=le)
-                    np.add.at(acc[:, ms : ms + _M_CHUNK], oc, le.T)
+                    _scatter_obj_counts(acc, oc, le, tmp, ms)
             own = oidx[cand_sel]
             acc[own, np.arange(mm)] = 0
             nzo, nzc = np.nonzero(acc)
@@ -2052,10 +2073,7 @@ def prob_skyline(
                             np.logical_and(eq, tmp, out=eq)
                         np.logical_not(eq, out=eq)
                         np.logical_and(le, eq, out=le)
-                        # np.add.at accepts the bool view directly (adds
-                        # 0/1) — the astype(int64) copy was an 8x-larger
-                        # fresh plane per chunk (round-15 review, pass 3)
-                        np.add.at(acc[:, ms : ms + _M_CHUNK], oc, le.T)
+                        _scatter_obj_counts(acc, oc, le, tmp, ms)
             # the own-object exclusion ("product over OTHER objects")
             # zeroes at the source — the former post-sum __own_idx
             # anti-filter needed the candidates re-broadcast as a keyed
