@@ -76,22 +76,35 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     # dominant cost
     df = df.select(id_col, text_col)
     fdf = _fanout(df)
+    if fdf is df:
+        # fanout_narrow_scan only proves under-splitting for LOCAL parquet
+        # scans; for non-file inputs (in-memory frames, JDBC/CSV) fall
+        # back to the old partition-count probe so a 1-2-partition source
+        # still fans the per-doc tokenize+shingle+md5 cost across cores.
+        # The df.rdd JavaRDD conversion is paid only on this rare path.
+        try:
+            target = df.sparkSession.sparkContext.defaultParallelism
+            if not df.inputFiles() and df.rdd.getNumPartitions() < target:
+                fdf = df.repartition(target)
+        except Exception:  # pragma: no cover - Connect session
+            pass
     if fdf is not df:
         # persist boundary: without it Catalyst pushes the expensive
         # projection BELOW the round-robin exchange (to shrink shuffle
         # volume) and the shingling runs on the single scan task anyway.
-        # The split probe is fanout_narrow_scan (file metadata, no job) —
-        # the former df.rdd.getNumPartitions() probe converted the plan
-        # to a JavaRDD on every call, a measurable py4j round-trip tax.
         df = _persist(fdf)
     # stage the token array as a real projected column: inlining the
     # tokenizer into the shingle transform makes Catalyst re-evaluate the
     # split per shingle (no CSE across lambda scopes).  Single parsed
     # expressions per select (see similarity.py's module-top note on the
-    # py4j cost of lambda-built trees).
+    # py4j cost of lambda-built trees).  The regex is escaped for SQL
+    # string-literal semantics (escapedStringLiterals=false processes
+    # backslashes), so a future TOKEN_RE with \\s-class atoms cannot
+    # silently change meaning inside the quoted literal.
+    tok_re = TOKEN_RE.replace("\\", "\\\\").replace("'", "\\'")
     staged = df.selectExpr(
         f"`{id_col}` AS __id",
-        f"filter(split(lower(`{text_col}`), '{TOKEN_RE}'), x -> x != '') AS __tok",
+        f"filter(split(lower(`{text_col}`), '{tok_re}'), x -> x != '') AS __tok",
     )
     sh_sql = (
         f"CASE WHEN size(__tok) >= {k} THEN array_distinct(transform("

@@ -207,7 +207,9 @@ def _bucket_code_sql(vec_sql: str, n_bits: int) -> str:
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(n_bits)
     )
-    return f"0 + {terms}"
+    # n_bits=0 (degenerate single-bucket config): the old Column loop
+    # returned lit(0); "0 + " would be a ParseException
+    return f"0 + {terms}" if terms else "0"
 
 
 def ann_bucketed(

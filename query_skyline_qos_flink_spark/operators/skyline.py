@@ -87,6 +87,13 @@ _DRIVER_VERIFY_MAX_ROWS = 16_384
 # same code it is locally).
 _DRIVER_INPUT_MAX_BYTES = 256 << 20
 _DRIVER_INPUT_MAX_ROWS = 65_536
+# Single-threaded kernel budget for a whole-input driver path, in element
+# comparisons (~1 s of numpy on one core): a path whose thinning or
+# verify block would exceed it falls back to the distributed shape, whose
+# identical kernels parallelize across the scan.  Calibrated to admit
+# s27's bench shape (20k rows x 4096 pool x 3 dims = 2.5e8, measured
+# ~0.3 s) while blocking the 65k^2-row pathological class (1.3e10).
+_DRIVER_KERNEL_MAX_OPS = 400_000_000
 
 
 def _collect_small_input(prepped: DataFrame, cols: Sequence[str]):
@@ -1184,7 +1191,12 @@ def reverse_skyline(
     # whole-input driver fast path (see _DRIVER_INPUT_MAX_BYTES): one
     # collect; the same pool-thin-verify sequence runs once on the driver
     # (one global pool == the single-partition execution of the local
-    # pass, a certified superset either way; the exact verify decides)
+    # pass, a certified superset either way; the exact verify decides).
+    # Work-gated (round-16 review finding): both the thinning and the
+    # exact-verify counting blocks run single-threaded here, so each is
+    # bounded by _DRIVER_KERNEL_MAX_OPS element comparisons — past either
+    # bound the distributed path below runs unchanged (the collect is
+    # wasted, but the bytes gate bounds it).
     tbl = _collect_small_input(prepped, prepped.columns)
     if tbl is not None:
         import pyarrow as pa
@@ -1192,31 +1204,33 @@ def reverse_skyline(
         pts = np.ascontiguousarray(
             tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
         )
-        n_rows = pts.shape[0]
+        n_rows, d_dims = pts.shape
         if n_rows == 0:
             return df.sparkSession.createDataFrame(tbl).select(*out_cols)
-        ids = np.arange(n_rows, dtype=np.int64)
-        if n_rows > pool_size:
-            score = _rank_sum(np.abs(pts - q[None, :]))
-            keep_pool = np.argpartition(score, pool_size)[:pool_size]
-            pool_pts = np.ascontiguousarray(pts[keep_pool])
-            pool_ids = ids[keep_pool]
-        else:
-            pool_pts, pool_ids = pts, ids
-        w_all = np.abs(q[None, :] - pts)
-        thin_counts = count_refuters_vs(pts, w_all, pool_pts)
-        self_thin = (np.isin(ids, pool_ids) & (w_all > 0).any(axis=1)).astype(
-            np.int64
-        )
-        cand_mask = (thin_counts - self_thin) <= 0
-        cand = np.ascontiguousarray(pts[cand_mask])
-        w_cand = np.abs(q[None, :] - cand)
-        totals = count_refuters_vs(cand, w_cand, pts)
-        self_c = (w_cand > 0).any(axis=1).astype(np.int64)
-        final = np.zeros(n_rows, dtype=bool)
-        final[np.nonzero(cand_mask)[0][totals == self_c]] = True
-        out_tbl = tbl if final.all() else tbl.filter(pa.array(final))
-        return df.sparkSession.createDataFrame(out_tbl).select(*out_cols)
+        if n_rows * min(n_rows, pool_size) * d_dims <= _DRIVER_KERNEL_MAX_OPS:
+            ids = np.arange(n_rows, dtype=np.int64)
+            if n_rows > pool_size:
+                score = _rank_sum(np.abs(pts - q[None, :]))
+                keep_pool = np.argpartition(score, pool_size)[:pool_size]
+                pool_pts = np.ascontiguousarray(pts[keep_pool])
+                pool_ids = ids[keep_pool]
+            else:
+                pool_pts, pool_ids = pts, ids
+            w_all = np.abs(q[None, :] - pts)
+            thin_counts = count_refuters_vs(pts, w_all, pool_pts)
+            self_thin = (np.isin(ids, pool_ids) & (w_all > 0).any(axis=1)).astype(
+                np.int64
+            )
+            cand_mask = (thin_counts - self_thin) <= 0
+            cand = np.ascontiguousarray(pts[cand_mask])
+            if cand.shape[0] * n_rows * d_dims <= _DRIVER_KERNEL_MAX_OPS:
+                w_cand = np.abs(q[None, :] - cand)
+                totals = count_refuters_vs(cand, w_cand, pts)
+                self_c = (w_cand > 0).any(axis=1).astype(np.int64)
+                final = np.zeros(n_rows, dtype=bool)
+                final[np.nonzero(cand_mask)[0][totals == self_c]] = True
+                out_tbl = tbl if final.all() else tbl.filter(pa.array(final))
+                return df.sparkSession.createDataFrame(out_tbl).select(*out_cols)
 
     phase1, cand_tbl, cand_arr = _collect_verified_candidates(
         prepped, local_fn, prep_cols, "reverse_skyline"
@@ -1856,9 +1870,15 @@ def prob_skyline(
     # group_by over the collected obj columns), the band, and both
     # counting phases — no further jobs.  Distributed path: the size
     # table comes from the Spark aggregate as before.
-    driver_small = n_rows <= _DRIVER_INPUT_MAX_ROWS
+    tbl = None
+    if n_rows <= _DRIVER_INPUT_MAX_ROWS:
+        # thin projection (only obj + prep columns are read driver-side)
+        # behind the bytes-estimate gate — a <=65k-row input can still be
+        # arbitrarily WIDE, and the path must never pull payload columns
+        # (round-16 review finding)
+        tbl = _collect_small_input(prepped, list(obj_cols) + list(prep_cols))
+    driver_small = tbl is not None
     if driver_small:
-        tbl = prepped.toArrow()
         sz_tbl = (
             tbl.select(obj_cols)
             .group_by(obj_cols)

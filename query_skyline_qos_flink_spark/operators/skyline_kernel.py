@@ -391,38 +391,6 @@ def _count_dominators_vs(cand: np.ndarray, sky: np.ndarray,
     return counts
 
 
-def count_dominated_vs(cand: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    """Exact count of ``pts`` rows each ``cand`` row DOMINATES — the
-    driver-side twin of top_dominating's distributed partial-count loop
-    (identical comparison semantics: <= on every dim, not all-equal).
-    Chunked on both sides like :func:`_count_dominators_vs`."""
-    m, d = cand.shape
-    counts = np.zeros(m, dtype=np.int64)
-    if m == 0 or pts.shape[0] == 0:
-        return counts
-    scratch = _ChunkScratch(min(m, _M_CHUNK), min(pts.shape[0], _SKYBAND_CHUNK))
-    for ms in range(0, m, _M_CHUNK):
-        cc = cand[ms : ms + _M_CHUNK]
-        sub = counts[ms : ms + _M_CHUNK]
-        for ps in range(0, pts.shape[0], _SKYBAND_CHUNK):
-            pc = pts[ps : ps + _SKYBAND_CHUNK]
-            a, b = cc.shape[0], pc.shape[0]
-            le, eq, tmp = scratch.dom[:a, :b], scratch.neq[:a, :b], scratch.tmp[:a, :b]
-            le[:] = True
-            eq[:] = True
-            for j in range(d):
-                cj = cc[:, j][:, None]
-                pj = pc[:, j][None, :]
-                np.less_equal(cj, pj, out=tmp)
-                np.logical_and(le, tmp, out=le)
-                np.equal(cj, pj, out=tmp)
-                np.logical_and(eq, tmp, out=eq)
-            np.logical_not(eq, out=eq)
-            np.logical_and(le, eq, out=le)
-            sub += le.sum(axis=1, dtype=np.int64)
-    return counts
-
-
 def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(mask, counts) over the input order: ``mask[i]`` iff point i has
     fewer than ``k`` dominators; ``counts[i]`` is the EXACT dominator

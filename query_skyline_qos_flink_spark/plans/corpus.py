@@ -1001,9 +1001,10 @@ def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a literal, removes a full-input aggregate + crossJoin subplan from
     # each strategy's checkpointed plan.  Identical pid math: the literal
     # IS with_data_domain's value.
-    domain = float(
-        li.agg(F.max(F.col("l_extendedprice").cast("double"))).first()[0]
-    )
+    mx = li.agg(F.max(F.col("l_extendedprice").cast("double"))).first()[0]
+    # empty/fully-NULL input: fall back to the per-call data-derived
+    # domain (NULL domain column), exactly the former graceful behavior
+    domain = float(mx) if mx is not None else None
     # Overlap the two independent strategy pipelines (guide §2.6): each
     # stats build is a chain of small driver-blocking actions (the eager
     # local-phase checkpoint, the merge's persist/count, the verify

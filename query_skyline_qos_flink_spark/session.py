@@ -92,14 +92,6 @@ _TABLE_HANDLES: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str):
-    try:
-        cache = _TABLE_HANDLES.setdefault(spark, {})
-    except TypeError:  # pragma: no cover - unweakrefable session proxy
-        cache = {}
-    key = (os.path.realpath(sf_dir), name)
-    df = cache.get(key)
-    if df is not None:
-        return df
     # Defensive: sessions not built by get_spark() (the driver's vanilla
     # session) must still read parquet TIMESTAMP(NANOS) fixtures, which
     # rounds 1-3 shipped — without this runtime conf Spark refuses the
@@ -109,13 +101,22 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     # which is session-timezone-dependent for timestamp_ntz fixtures.
     # get_spark() already pins UTC, but a vanilla (driver) session on a
     # non-UTC host would silently diverge from DuckDB's epoch_us oracle.
+    # Re-asserted on EVERY call (two ~1 ms conf sets), cache hit or miss:
+    # a mid-session timezone reset must not survive a memoized handle.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf locked down
         pass
-    df = spark.read.parquet(table_path(sf_dir, name))
-    cache[key] = df
+    try:
+        cache = _TABLE_HANDLES.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - unweakrefable session proxy
+        cache = {}
+    key = (os.path.realpath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        cache[key] = df
     return df
 
 
