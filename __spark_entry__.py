@@ -41,57 +41,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # that existed when the rotation was made (rounds < _ROTATED_FOR), so the
 # suite stays green after the driver appends this round's artifact.
 # Rotate (and bump the marker) as the FIRST commit of each round.
-_ROTATED_FOR = 16
-# Round-16 window: the 41 live entries whose latest driver row is
-# round 13 (computed MECHANICALLY from the union of
-# CORRECTNESS_r01..r15.json; matches the round-15 verdict's mechanical
-# recount AND the round-15 worksheet, both said 41) hit the hard
-# staleness bound and take the front.  The 9 fill slots go to r14-cohort
-# entries whose code paths this round touches: s30_prob_skyline gets the
-# verdict-item-3 solo stage-forensics pass (and a scratch-plane audit of
-# its probability kernel), and s34_skycube_4d / s31_thick_skyline /
-# x_jpeg_ahash_dedup were the other official-artifact movers in r15's
-# elevated bench window — all four re-gate correctness alongside the
-# forensics; x_warc_extract / x_archive_extract gate the reader stack
-# the ADVICE fixes touch (lz4 finalizer guard in native_codecs.py, the
-# below-watermark warning in warc_datasource.py); s29_skyline_layers is
-# the remaining iterative entry from the verdict's expensive-plan audit
-# (shares the broadcast anti-join peel with the skyline family);
-# s35_stream_cdc_watermark re-gates the late-r15 watermark-seeded-from-
-# recovered-batch-END review fix; and x_audio_features re-gates the
-# audio container path adjudicated by the round-16 shared-library
-# rescan (verdict item 5).
+_ROTATED_FOR = 17
+# Round-17 window: the 40 live entries whose latest driver row is
+# round 14 (computed MECHANICALLY from the union of
+# CORRECTNESS_r01..r16.json; matches the round-16 worksheet's predicted
+# "40 round-17 must-gates") hit the hard staleness bound and take the
+# front.  The 10 fill slots go to round-15-cohort entries whose code
+# paths this optimization round touches (VERDICT r16 "Next round" items):
+# x_bloom_prune_semi re-gates the one-pass (word, bits) bitmap build
+# (item 5); x_pagerank / x_labelprop / x_bfs_hops / x_coreness re-gate
+# graph.py after the fold-convergence-into-the-iteration treatment
+# (item 8); m1_partition_stats / m2_strategy_stats / x_seq_packing /
+# x_profile_columns / x_hll_distinct re-gate the cross-cutting py4j
+# expression-batching tranche (item 1) on its heaviest build paths.
+# Taking all 10 fills from the round-15 cohort also keeps round 18
+# satisfiable: 50 round-15 rows minus these 10 = 40 round-18 must-gates.
 _DRIVER_PRIORITY = [
-    # stale: last driver row round 13, at the bound for round 16
-    "e1_dedup_exact", "e2_knn_bruteforce", "e3_text_stats",
-    "r10_percentiles", "r11_asof_join", "r12_range_join",
-    "r13_regional_revenue", "r14_subquery_avg", "r20_recursive_cte",
-    "r21_unpivot_measures", "r3_window_running", "r4_semi_anti_join",
-    "r7_json_extract", "r9_sessionize", "s10_snapshot_10000",
-    "s14_stream_dedup", "s15_stream_join", "s18_stream_upsert",
-    "s1_skyline_2d", "s20_stream_dedup_watermark", "s24_dynamic_skyline",
-    "s27_reverse_skyline", "s2_skyline_maxdir", "s3_skyline_3d",
-    "s4_skyline_4d", "s5_skyline_part", "s6_skyline_events_ts",
-    "s7_skyline_filtered", "s8_skyline_groupwise", "x_ann_ivf",
-    "x_bigram_lm_score", "x_bm25_topk", "x_cdc_dedup",
-    "x_corpus_shuffle", "x_dedup_sweep", "x_knn_int8_rerank",
-    "x_minhash_lsh_pairs", "x_semantic_dedup", "x_simhash_pairs",
-    "x_triangle_count", "x_url_dedup",
-    # fills: code paths this round touches (see header comment)
-    "s30_prob_skyline", "s34_skycube_4d", "s31_thick_skyline",
-    "x_jpeg_ahash_dedup", "x_warc_extract", "x_archive_extract",
-    "s29_skyline_layers", "s35_stream_cdc_watermark", "x_audio_features",
+    # stale: last driver row round 14, at the bound for round 17
+    "r15_grouping_sets", "r16_lag_delta", "r17_pivot_priority",
+    "r18_ntile_deciles", "r19_range_frame", "r1_agg_pricing_summary",
+    "r22_topn_per_group", "r23_salted_skew_join", "r24_event_funnel",
+    "r25_cohort_retention", "r2_join_topk_revenue", "r5_rollup_counts",
+    "r6_orders_by_year", "r8_setops_nations", "s12_stream_replay_3d",
+    "s16_stream_session", "s17_stream_static_dedup",
+    "s19_stream_interval_join", "s21_stream_scrub", "s22_skyband",
+    "s23_top_dominating", "s25_stream_skyband", "s28_kdominant_skyline",
+    "s32_stream_cdc_dedup", "s33_grouped_skyband", "x_char_entropy",
+    "x_clean_text", "x_datapipe_prep", "x_domain_stats",
+    "x_embed_centroids", "x_embed_gram", "x_fuzzy_match",
+    "x_image_resize", "x_langid", "x_pii_scrub", "x_pmi_pairs",
+    "x_tfidf_topterms", "x_token_stats", "x_winnow_pairs",
+    "x_zorder_stats",
+    # fills: round-15 cohort, code paths this round touches (see header)
+    "x_bloom_prune_semi", "x_pagerank", "x_labelprop", "x_bfs_hops",
+    "x_coreness", "m1_partition_stats", "m2_strategy_stats",
+    "x_seq_packing", "x_profile_columns", "x_hll_distinct",
 ]
-# Round-17 rotation worksheet (write it BEFORE touching the list):
-# * MUST take the front at round 17: every entry whose latest driver
-#   row is round 14 and which sits outside this round-16 window —
-#   compute mechanically from CORRECTNESS_r0*.json once the round-16
-#   artifact lands.  At round-16 start: 49 round-14 rows, minus the 9
-#   round-14 fills above (s30_prob_skyline / s34_skycube_4d /
-#   s31_thick_skyline / x_jpeg_ahash_dedup / x_warc_extract /
-#   x_archive_extract / s29_skyline_layers / s35_stream_cdc_watermark /
-#   x_audio_features) = 40 round-17 must-gates, leaving 10 fill slots.
-#   Plus any round-16 registration that misses the round-16 window.
+# Round-18 rotation worksheet (write it BEFORE touching the list):
+# * MUST take the front at round 18: every entry whose latest driver
+#   row is round 15 and which sits outside this round-17 window —
+#   compute mechanically from CORRECTNESS_r0*.json once the round-17
+#   artifact lands.  At round-17 start: 50 round-15 rows, minus the 10
+#   round-15 fills above = 40 round-18 must-gates, leaving 10 fill
+#   slots.  Plus any round-17 registration that misses this window.
 # * Registry headroom: retire anchor twins (tests/test_exact_anchors.py
 #   pattern) BEFORE registering; test_rotation_capacity_for_next_round
 #   is the governor.
