@@ -30,7 +30,7 @@ from .caching import persist_bounded as _persist
 from .caching import release_local_checkpoint as _release_ckpt
 from .fanout import fanout_narrow_scan as _fanout
 from .joins import null_safe_semi_join
-from .text import TOKEN_RE, tokens
+from .text import TOKEN_RE, tokens_sql
 
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -334,10 +334,11 @@ def simhash64(
 
     Returns ``(id_col, out_col)`` — one row per distinct input row id.
     """
-    toks = tokens(F.col(text_col))
     # explode_outer keeps tokenless docs as a single null-token row, so they
     # surface with n=0 -> all vote conditions false -> simhash 0
-    tok = df.select(F.col(id_col), F.explode_outer(toks).alias("__t"))
+    tok = df.selectExpr(
+        f"`{id_col}`", f"explode_outer({tokens_sql(f'`{text_col}`')}) AS __t"
+    )
     h = F.md5(F.col("__t"))
     tokb = tok.select(
         id_col,

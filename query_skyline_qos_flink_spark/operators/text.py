@@ -32,13 +32,48 @@ LANG_LEXICON: dict[str, list[str]] = {
 STOPWORDS = sorted({w for ws in LANG_LEXICON.values() for w in ws})
 
 
-def tokens(col: Column) -> Column:
-    """Lowercased alnum tokens (empty strings removed)."""
+def _sql_re(pat: str) -> str:
+    """Escape a regex for embedding in a SQL string literal (Spark parses
+    backslash escapes inside quoted literals when
+    escapedStringLiterals=false, the default)."""
+    return pat.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def tokens_sql(col_expr: str) -> str:
+    """SQL fragment: lowercased alnum tokens of ``col_expr`` (empty strings
+    removed).  String form so callers can assemble ONE parsed expression —
+    the lambda-built ``F.filter(F.split(...))`` tree costs dozens of py4j
+    round trips per use (similarity.py's module-top note); this is the
+    identical Catalyst tree from one ``F.expr``."""
+    return f"filter(split(lower({col_expr}), '{_sql_re(TOKEN_RE)}'), x -> x != '')"
+
+
+def word_shingles_sql(toks_expr: str, k: int = 3) -> str:
+    """SQL fragment: distinct k-word shingles of a token-array expression
+    (empty array if < k tokens).  The string twin of the former
+    Column-lambda builder — same Catalyst functions."""
+    return (
+        f"CASE WHEN size({toks_expr}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({toks_expr}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks_expr}, i + 1, {k})))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alnum tokens (empty strings removed).  Accepts a column
+    NAME (one parsed expression — preferred) or a Column."""
+    if isinstance(col, str):
+        return F.expr(tokens_sql(f"`{col}`"))
     return F.filter(F.split(F.lower(col), TOKEN_RE), lambda x: x != "")
 
 
-def word_shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (empty if < k tokens)."""
+def word_shingles(toks: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (empty if < k tokens).
+    Accepts a SQL fragment naming/producing the array (preferred) or a
+    Column."""
+    if isinstance(toks, str):
+        return F.expr(word_shingles_sql(toks, k))
     return F.when(
         F.size(toks) >= k,
         F.array_distinct(
@@ -50,15 +85,17 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_STOP_ARR_SQL = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace / alnum / punctuation token counts per row."""
-    c = F.col(text_col)
-    toks = tokens(c)
-    return df.select(
+    c = f"`{text_col}`"
+    return df.selectExpr(
         *df.columns,
-        F.size(F.filter(F.split(c, WS_RE), lambda x: x != "")).cast("bigint").alias("n_ws"),
-        F.size(toks).cast("bigint").alias("n_alnum"),
-        F.regexp_count(c, F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
+        f"CAST(size(filter(split({c}, '{_sql_re(WS_RE)}'), x -> x != '')) AS BIGINT) AS n_ws",
+        f"CAST(size({tokens_sql(c)}) AS BIGINT) AS n_alnum",
+        f"CAST(regexp_count({c}, '{_sql_re(PUNCT_RE)}') AS BIGINT) AS n_punct",
     )
 
 
@@ -68,48 +105,46 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Integer numerators are exact; ratios are single IEEE divisions and the
     score is a fixed-order linear combination, so the duckdb oracle matches
     bit-for-bit."""
-    c = F.col(text_col)
-    toks = tokens(c)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    out = df.select(
+    c = f"`{text_col}`"
+    t = tokens_sql(c)
+    out = df.selectExpr(
         *df.columns,
-        F.length(c).cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-        ).cast("bigint").alias("sum_tok_len"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint").alias("n_stop"),
-        F.regexp_count(c, F.lit(PUNCT_RE)).cast("bigint").alias("n_punct"),
+        f"CAST(length({c}) AS BIGINT) AS n_chars",
+        f"CAST(size({t}) AS BIGINT) AS n_tok",
+        f"CAST(aggregate(transform({t}, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"
+        " AS sum_tok_len",
+        f"CAST(size(filter({t}, t -> array_contains({_STOP_ARR_SQL}, t))) AS BIGINT)"
+        " AS n_stop",
+        f"CAST(regexp_count({c}, '{_sql_re(PUNCT_RE)}') AS BIGINT) AS n_punct",
     )
-    nt = F.col("n_tok").cast("double")
-    return out.select(
+    return out.selectExpr(
         *out.columns,
-        F.when(F.col("n_tok") > 0, F.col("sum_tok_len") / nt).otherwise(F.lit(0.0)).alias("avg_tok_len"),
-        F.when(F.col("n_tok") > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0)).alias("stop_ratio"),
-        F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars").cast("double"))
-        .otherwise(F.lit(0.0)).alias("punct_ratio"),
+        "CASE WHEN n_tok > 0 THEN sum_tok_len / CAST(n_tok AS DOUBLE)"
+        " ELSE 0.0D END AS avg_tok_len",
+        "CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE)"
+        " ELSE 0.0D END AS stop_ratio",
+        "CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)"
+        " ELSE 0.0D END AS punct_ratio",
     )
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-lexicon language ID; 'und' (undetermined) when no lexicon
     token matches; ties break to the lexicographically smallest language."""
-    toks = tokens(F.col(text_col))
+    t = tokens_sql(f"`{text_col}`")
 
-    def contains(words):
-        arr = F.array(*[F.lit(w) for w in words])
-        return lambda t: F.array_contains(arr, t)
+    def score(words):
+        arr = ", ".join(f"'{w}'" for w in words)
+        return f"size(filter({t}, t -> array_contains(array({arr}), t)))"
 
-    scores = {
-        lang: F.size(F.filter(toks, contains(words))) for lang, words in LANG_LEXICON.items()
-    }
+    scores = {lang: score(words) for lang, words in LANG_LEXICON.items()}
     langs = sorted(LANG_LEXICON)  # lexicographic order drives tie-break
-    best = F.greatest(*[scores[lg] for lg in langs])
-    pred = F.lit("und")
+    best = "greatest(" + ", ".join(scores[lg] for lg in langs) + ")"
+    pred = "'und'"
     for lg in reversed(langs):
-        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.select(*df.columns, pred.alias(out_col))
+        pred = f"CASE WHEN {scores[lg]} = {best} THEN '{lg}' ELSE {pred} END"
+    pred = f"CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END"
+    return df.selectExpr(*df.columns, f"{pred} AS `{out_col}`")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -122,18 +157,19 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     # tokens staged as a projected column: inlined into the shingle
     # transform's lambda it would re-evaluate the split per shingle
-    staged = df.select(*df.columns, tokens(F.col(text_col)).alias("__ftok"))
-    sh = word_shingles(F.col("__ftok"), 3)
-    return staged.select(
+    staged = df.selectExpr(
+        *df.columns, f"{tokens_sql(f'`{text_col}`')} AS __ftok"
+    )
+    sh = word_shingles_sql("__ftok", 3)
+    return staged.selectExpr(
         *df.columns,
         # concat_ws SKIPS null args, so a NULL text would silently
         # fingerprint as md5('') — pin NULL-in -> NULL-out instead;
         # genuinely empty content (0 tokens) still hashes md5('')
-        F.when(
-            F.col(text_col).isNotNull(), F.md5(F.concat_ws(" ", "__ftok"))
-        ).alias("fp_md5"),
-        F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s))))
-        .otherwise(F.lit(None).cast("string")).alias("fp_minshingle"),
+        f"CASE WHEN `{text_col}` IS NOT NULL THEN md5(concat_ws(' ', __ftok)) END"
+        " AS fp_md5",
+        f"CASE WHEN size({sh}) > 0 THEN array_min(transform({sh}, s -> md5(s)))"
+        " ELSE CAST(NULL AS STRING) END AS fp_minshingle",
     )
 
 
@@ -143,22 +179,19 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     ``k`` tokens).  Integer numerators, one IEEE division — oracle-exact."""
     # tokens staged as a projected column (see fingerprint: inlining into
     # the shingle lambda re-evaluates the split per shingle)
-    staged = df.select(*df.columns, tokens(F.col(text_col)).alias("__rtok"))
-    toks = F.col("__rtok")
-    total = F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(F.lit(0))
-    distinct = F.size(word_shingles(toks, k))
-    out = staged.select(
-        *df.columns,
-        total.cast("bigint").alias("ngrams_total"),
-        distinct.cast("bigint").alias("ngrams_distinct"),
+    staged = df.selectExpr(
+        *df.columns, f"{tokens_sql(f'`{text_col}`')} AS __rtok"
     )
-    return out.select(
+    out = staged.selectExpr(
+        *df.columns,
+        f"CAST(CASE WHEN size(__rtok) >= {k} THEN size(__rtok) - {k - 1}"
+        " ELSE 0 END AS BIGINT) AS ngrams_total",
+        f"CAST(size({word_shingles_sql('__rtok', k)}) AS BIGINT) AS ngrams_distinct",
+    )
+    return out.selectExpr(
         *out.columns,
-        F.when(
-            F.col("ngrams_total") > 0,
-            (F.col("ngrams_total") - F.col("ngrams_distinct"))
-            / F.col("ngrams_total").cast("double"),
-        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+        "CASE WHEN ngrams_total > 0 THEN (ngrams_total - ngrams_distinct)"
+        " / CAST(ngrams_total AS DOUBLE) ELSE 0.0D END AS dup_ngram_ratio",
     )
 
 
@@ -178,19 +211,18 @@ DIGIT_RE = "[0-9]"
 def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document counts of emails, URLs and digit characters plus the
     digit ratio — the C4-family content filters as plain column exprs."""
-    c = F.col(text_col)
-    out = df.select(
+    c = f"`{text_col}`"
+    out = df.selectExpr(
         *df.columns,
-        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(c, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
-        F.regexp_count(c, F.lit(DIGIT_RE)).cast("bigint").alias("n_digits"),
-        F.length(c).cast("bigint").alias("n_chars"),
+        f"CAST(regexp_count({c}, '{_sql_re(EMAIL_RE)}') AS BIGINT) AS n_emails",
+        f"CAST(regexp_count({c}, '{_sql_re(URL_RE)}') AS BIGINT) AS n_urls",
+        f"CAST(regexp_count({c}, '{_sql_re(DIGIT_RE)}') AS BIGINT) AS n_digits",
+        f"CAST(length({c}) AS BIGINT) AS n_chars",
     )
-    return out.select(
+    return out.selectExpr(
         *out.columns,
-        F.when(
-            F.col("n_chars") > 0, F.col("n_digits") / F.col("n_chars").cast("double")
-        ).otherwise(F.lit(0.0)).alias("digit_ratio"),
+        "CASE WHEN n_chars > 0 THEN n_digits / CAST(n_chars AS DOUBLE)"
+        " ELSE 0.0D END AS digit_ratio",
     )
 
 
@@ -222,59 +254,51 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     and each threshold test is a single comparison, so the duckdb oracle
     matches bit-for-bit.  Pure codegen'd column exprs — at 100 TB this is
     a map-only pass that rides the scan (no shuffle, no Python)."""
-    c = F.col(text_col)
-    staged = df.select(*df.columns, tokens(c).alias("__qtok"))
-    toks = F.col("__qtok")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    c = f"`{text_col}`"
+    staged = df.selectExpr(*df.columns, f"{tokens_sql(c)} AS __qtok")
     k = 3
-    counted = staged.select(
+    counted = staged.selectExpr(
         *df.columns,
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-        ).cast("bigint").alias("__sum_tok_len"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        .cast("bigint").alias("n_stop"),
-        F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(F.lit(0))
-        .cast("bigint").alias("__ng_total"),
-        F.size(word_shingles(toks, k)).cast("bigint").alias("__ng_distinct"),
-        F.coalesce(F.regexp_count(c, F.lit(DIGIT_RE)), F.lit(0))
-        .cast("bigint").alias("__n_digits"),
-        F.length(c).cast("bigint").alias("__n_chars"),
+        "CAST(size(__qtok) AS BIGINT) AS n_tok",
+        "CAST(aggregate(transform(__qtok, t -> length(t)), 0, (a, x) -> a + x)"
+        " AS BIGINT) AS __sum_tok_len",
+        f"CAST(size(filter(__qtok, t -> array_contains({_STOP_ARR_SQL}, t)))"
+        " AS BIGINT) AS n_stop",
+        f"CAST(CASE WHEN size(__qtok) >= {k} THEN size(__qtok) - {k - 1}"
+        " ELSE 0 END AS BIGINT) AS __ng_total",
+        f"CAST(size({word_shingles_sql('__qtok', k)}) AS BIGINT) AS __ng_distinct",
+        f"CAST(coalesce(regexp_count({c}, '{_sql_re(DIGIT_RE)}'), 0) AS BIGINT)"
+        " AS __n_digits",
+        f"CAST(length({c}) AS BIGINT) AS __n_chars",
     )
-    nt = F.col("n_tok").cast("double")
-    ratios = counted.select(
+    ratios = counted.selectExpr(
         *df.columns,
         "n_tok",
         "n_stop",
-        F.when(F.col("n_tok") > 0, F.col("__sum_tok_len") / nt)
-        .otherwise(F.lit(0.0)).alias("avg_tok_len"),
-        F.when(
-            F.col("__ng_total") > 0,
-            (F.col("__ng_total") - F.col("__ng_distinct"))
-            / F.col("__ng_total").cast("double"),
-        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
-        F.when(
-            F.col("__n_chars") > 0, F.col("__n_digits") / F.col("__n_chars").cast("double")
-        ).otherwise(F.lit(0.0)).alias("digit_ratio"),
+        "CASE WHEN n_tok > 0 THEN __sum_tok_len / CAST(n_tok AS DOUBLE)"
+        " ELSE 0.0D END AS avg_tok_len",
+        "CASE WHEN __ng_total > 0 THEN (__ng_total - __ng_distinct)"
+        " / CAST(__ng_total AS DOUBLE) ELSE 0.0D END AS dup_ngram_ratio",
+        "CASE WHEN __n_chars > 0 THEN __n_digits / CAST(__n_chars AS DOUBLE)"
+        " ELSE 0.0D END AS digit_ratio",
     )
     reason = (
-        F.when(F.col("n_tok") < QUALITY_MIN_TOKENS, F.lit("too_few_tokens"))
-        .when(F.col("n_tok") > QUALITY_MAX_TOKENS, F.lit("too_many_tokens"))
-        .when(
-            (F.col("avg_tok_len") < QUALITY_MIN_AVG_TOK_LEN)
-            | (F.col("avg_tok_len") > QUALITY_MAX_AVG_TOK_LEN),
-            F.lit("avg_tok_len_range"),
-        )
-        .when(F.col("n_stop") < QUALITY_MIN_STOPWORDS, F.lit("too_few_stopwords"))
-        .when(F.col("dup_ngram_ratio") > QUALITY_MAX_DUP_NGRAM, F.lit("repetitive"))
-        .when(F.col("digit_ratio") > QUALITY_MAX_DIGIT_RATIO, F.lit("digit_heavy"))
-        .otherwise(F.lit(None).cast("string"))
+        f"CASE WHEN n_tok < {QUALITY_MIN_TOKENS} THEN 'too_few_tokens'"
+        f" WHEN n_tok > {QUALITY_MAX_TOKENS} THEN 'too_many_tokens'"
+        f" WHEN avg_tok_len < CAST('{QUALITY_MIN_AVG_TOK_LEN!r}' AS DOUBLE)"
+        f" OR avg_tok_len > CAST('{QUALITY_MAX_AVG_TOK_LEN!r}' AS DOUBLE)"
+        f" THEN 'avg_tok_len_range'"
+        f" WHEN n_stop < {QUALITY_MIN_STOPWORDS} THEN 'too_few_stopwords'"
+        f" WHEN dup_ngram_ratio > CAST('{QUALITY_MAX_DUP_NGRAM!r}' AS DOUBLE)"
+        f" THEN 'repetitive'"
+        f" WHEN digit_ratio > CAST('{QUALITY_MAX_DIGIT_RATIO!r}' AS DOUBLE)"
+        f" THEN 'digit_heavy'"
+        f" ELSE CAST(NULL AS STRING) END"
     )
-    return ratios.select(
+    return ratios.selectExpr(
         *ratios.columns,
-        reason.alias("reason"),
-        reason.isNull().alias("keep"),
+        f"{reason} AS reason",
+        f"({reason}) IS NULL AS keep",
     )
 
 
@@ -336,7 +360,9 @@ def tfidf_top_terms(
     never broadcast by hint; AQE may still choose to for small corpora),
     and a per-document window for the top-k.  All integers, all JVM.
     """
-    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    toks = df.selectExpr(
+        f"`{id_col}` AS __id", f"{tokens_sql(f'`{text_col}`')} AS __t"
+    )
     tf = (
         toks.select("__id", F.explode("__t").alias("term"))
         .groupBy("__id", "term")
@@ -370,13 +396,14 @@ def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") ->
     normalization — `fingerprint` owns the normalized form).  Pure
     codegen'd column expressions; the scrub order (urls -> emails -> ws)
     is part of the contract so oracle twins replay it exactly."""
-    c = F.col(text_col)
-    stripped = F.regexp_replace(F.regexp_replace(c, URL_RE, " "), EMAIL_RE, " ")
-    return df.select(
+    c = f"`{text_col}`"
+    url, email = _sql_re(URL_RE), _sql_re(EMAIL_RE)
+    stripped = f"regexp_replace(regexp_replace({c}, '{url}', ' '), '{email}', ' ')"
+    return df.selectExpr(
         *df.columns,
-        F.regexp_count(c, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
-        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.trim(F.regexp_replace(stripped, WS_RE, " ")).alias(out_col),
+        f"CAST(regexp_count({c}, '{url}') AS BIGINT) AS n_urls",
+        f"CAST(regexp_count({c}, '{email}') AS BIGINT) AS n_emails",
+        f"trim(regexp_replace({stripped}, '{_sql_re(WS_RE)}', ' ')) AS `{out_col}`",
     )
 
 
@@ -406,7 +433,9 @@ def dedup_spans(
     map-side-combined min(struct) winner per span, and
     reassembly is a map-side-combinable collect_list per doc."""
     k = int(span_tokens)
-    base = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    base = df.selectExpr(
+        f"`{id_col}`", f"{tokens_sql(f'`{text_col}`')} AS __toks"
+    )
     spans_sql = (
         f"CASE WHEN size(__toks) = 0 THEN cast(array() AS array<string>) "
         f"ELSE transform(sequence(0, (size(__toks) + {k - 1}) div {k} - 1), "
@@ -481,15 +510,15 @@ def pii_scrub(
     ``regexp_replace``): scan-parallel, no shuffle, no Python in the hot
     path — safe at 100 TB by construction."""
     pats = patterns if patterns is not None else PII_PATTERNS
-    c = F.col(text_col)
+    c = f"`{text_col}`"
     counts = [
-        F.regexp_count(c, F.lit(p)).cast("bigint").alias(f"n_{label}")
+        f"CAST(regexp_count({c}, '{_sql_re(p)}') AS BIGINT) AS `n_{label}`"
         for label, p in pats.items()
     ]
     scrub = c
     for label, p in pats.items():
-        scrub = F.regexp_replace(scrub, p, f"<{label.upper()}>")
-    return df.select(*df.columns, *counts, scrub.alias(out_col))
+        scrub = f"regexp_replace({scrub}, '{_sql_re(p)}', '<{label.upper()}>')"
+    return df.selectExpr(*df.columns, *counts, f"{scrub} AS `{out_col}`")
 
 
 def winnow_fingerprints(
@@ -606,7 +635,7 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
     global sort); the rank window runs over k rows.  A full BPE trainer
     iterates this with the winning pair merged into the vocab — that loop
     is driver-side orchestration of this exact plan."""
-    t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    t = df.selectExpr(f"explode({tokens_sql(f'`{text_col}`')}) AS w")
     vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     # guard single-char words: Spark's sequence(1, 0) yields [1, 0]
     # (descending), not the empty range DuckDB produces — without the
@@ -710,7 +739,7 @@ def _bpe_loop(
     releasing the returned state's checkpoint."""
     from .caching import checkpoint_rotate as _ckpt_rotate
 
-    t = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    t = df.selectExpr(f"explode({tokens_sql(f'`{text_col}`')}) AS w")
     vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
     cols = ["w"] if carry_word else []
@@ -769,7 +798,9 @@ def bpe_encode_stats(
     trained merges."""
     _, state = _bpe_loop(df, text_col, k, carry_word=True, apply_last=True)
     enc = state.select("w", F.size("syms").cast("bigint").alias("__n_sub"))
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    toks = df.selectExpr(
+        f"`{id_col}`", f"explode({tokens_sql(f'`{text_col}`')}) AS w"
+    )
     return (
         toks.join(enc, "w")
         .groupBy(id_col)
@@ -802,8 +833,8 @@ def pmi_top_pairs(
     ``transform``/``flatten`` expressions, no self-join of the exploded
     table); counts are map-side partial aggs.  Cross-engine float
     discipline: ranking on round(pmi*1e6), pmi emitted at 6 dp."""
-    t = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    t = df.selectExpr(
+        f"`{id_col}`", f"array_distinct({tokens_sql(f'`{text_col}`')}) AS toks"
     )
     t = t.where(F.size("toks") > 0)
     e = t.select(id_col, F.explode("toks").alias("term"))

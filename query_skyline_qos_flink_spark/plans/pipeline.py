@@ -728,9 +728,9 @@ FROM g GROUP BY bg ORDER BY df DESC, bg LIMIT 20
 )
 def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = d.select(
+    bg = d.selectExpr(
         "doc_id",
-        F.explode(text.word_shingles(text.tokens(F.col("text")), 2)).alias("bg"),
+        f"explode({text.word_shingles_sql(text.tokens_sql('text'), 2)}) AS bg",
     )
     agg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
     return agg.orderBy(F.col("df").desc(), F.col("bg")).limit(20)
@@ -2066,7 +2066,7 @@ HAVING count(*) * {_HH_K} > (SELECT count(*) FROM e)
 )
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    toks = d.selectExpr(f"explode({text.tokens_sql('text')}) AS term")
     return sketches.heavy_hitters_exact(toks, "term", k=_HH_K)
 
 
@@ -3093,8 +3093,8 @@ FROM r WHERE rnk <= 10
 def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", text.tokens(F.col("text")).alias("toks")
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{text.tokens_sql('text')} AS toks"
     )
     d = _persist(d.select("doc_id", "toks", F.size("toks").alias("dl")))
     n_docs, avgdl = d.select(F.count(F.lit(1)), F.avg("dl")).first()
@@ -3176,8 +3176,8 @@ FROM sc WHERE doc_id < 50
     "engine differences (same discipline as x_bm25_topk)",
 )
 def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", text.tokens(F.col("text")).alias("toks")
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{text.tokens_sql('text')} AS toks"
     )
     # greatest(..., 0): a zero/one-token doc (empty or punctuation-only
     # text) would otherwise pass a negative length to slice(), which Spark

@@ -1,10 +1,10 @@
-"""Dump ``explain("formatted")`` for declared queries to plans/r16/.
+"""Dump ``explain("formatted")`` for declared queries to plans/$PLANS_ROUND (default r17)/.
 
 Usage::
 
     python tools/dump_plans.py <tag> [query ...]
 
-Writes ``plans/r16/<name>_<tag>.txt`` for each query (default: every
+Writes ``plans/<round>/<name>_<tag>.txt`` for each query (default: every
 entry of bench.py's CORPUS_QUERIES).  ``tag`` is ``before``/``after``
 per the optimization-round deliverable.  Plans are captured from the
 same session config the bench uses (get_spark), at $SPARK_GRAFT_SF_DIR
@@ -30,7 +30,7 @@ from query_skyline_qos_flink_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r16")
+                       "plans", os.environ.get("PLANS_ROUND", "r17"))
 
 
 def main() -> None:
