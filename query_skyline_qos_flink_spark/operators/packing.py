@@ -49,9 +49,19 @@ def ordered_cumsum(
             )
         )
     )
-    pid = F.lit(0)
-    for b in bounds:  # ascending buckets: __pid order == order_col range order
-        pid = pid + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    # bucket id = number of boundaries strictly below order_col, as ONE
+    # parsed expression: the former lit-by-lit when().otherwise() chain
+    # cost ~4 py4j round trips per boundary (~150 trips at 32 ranges) and
+    # grew a 31-deep conditional Catalyst walks quadratically — the exact
+    # shape skyline.py's 2-D path and prefix._range_bucketed already
+    # replaced (round 16).  CAST-from-repr round-trips each double
+    # boundary exactly; ascending buckets preserved (__pid order ==
+    # order_col range order).
+    if bounds:
+        arr = ",".join(f"CAST('{float(b)!r}' AS DOUBLE)" for b in bounds)
+        pid = F.expr(f"size(filter(array({arr}), b -> b < `{order_col}`))")
+    else:
+        pid = F.lit(0)
     ranged = df.withColumn("__pid", pid)
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = ranged.withColumn(
