@@ -8,13 +8,19 @@ associative, commutative, idempotent monoid: ``SKY(A ∪ B) = SKY(SKY(A) ∪
 SKY(B))``.  This module picks a physical strategy the way Catalyst picks a
 join: by shape.
 
-* **d == 2 — pure relational plan, no Python.**  2-D skyline is "sort by
-  x, keep prefix-minima of y": ``groupBy(d0).min(d1)`` -> running strict-
-  predecessor min over the distinct d0 values -> broadcast semi-join back.
-  Whole-stage-codegen end to end, O(n log n), and the window runs over
-  *distinct* d0 values only.  The ungrouped running min is two-pass
-  range-partitioned (per-range local prefix-min + broadcast cross-range
-  offsets), so no single task ever sorts all distinct d0 values.
+* **d == 2 — frontier partials merged driver-side, exchange-free.**
+  2-D skyline is "sort by x, keep prefix-minima of y".  Ungrouped
+  (round 17): a ``mapInArrow`` pass over just the two dim columns emits
+  each partition's (d0, min-d1) frontier pairs (the frontier is a
+  skyline-merge monoid, so local frontiers compose exactly); one count
+  job gates a driver-side exact merge, and the survivors broadcast into
+  the final semi-join — NO hash exchange anywhere.  Past the gate (an
+  adversarial frontier-sized input) the pairs feed the former relational
+  plan: ``groupBy(d0).min(d1)`` -> two-pass range-partitioned running
+  strict-predecessor min (literal boundaries, per-range local
+  prefix-min + broadcast cross-range offsets — no single task ever
+  sorts all distinct d0 values) -> broadcast semi-join back.  Grouped:
+  the prefix-min window partitions by the group keys (parallel by key).
 
 * **d >= 3 — two-phase with broadcast-verify merge.**
   Phase 1 needs no shuffle at all: ``mapInPandas`` computes a local
@@ -117,6 +123,21 @@ _TREE_FANOUT = 32
 # doubles + group keys; 2M rows ≈ tens of MB — well inside executor memory,
 # vastly cheaper than shuffling the full input on float keys).
 _BROADCAST_SURVIVOR_MAX = 2_000_000
+# Max collected (d0, min-d1) frontier-pair rows for the ungrouped 2-D
+# driver merge (16 bytes/row -> 32 MB at the bound, well inside
+# maxResultSize).  The per-partition frontier pass bounds what reaches
+# the driver to the UNION of local frontiers, and the count gate (one
+# job over the persisted pairs) decides before anything is pulled; past
+# the gate the former relational machinery runs over the pairs — which
+# are a (usually much smaller) certified superset of the survivor set,
+# so the fallback only ever shrinks the exchange.  Scale-adaptive by
+# data, not cores: a 100 TB adversarial input (globally d0-sorted with
+# descending d1 — every row on its local frontier) fails the count gate
+# and keeps the distributed relational shape.
+_2D_FRONTIER_DRIVER_MAX_ROWS = 2_000_000
+# Compact cadence for the frontier partial's buffered pairs: bounds task
+# memory at ~64 MB of float64 pairs regardless of partition size.
+_2D_FRONTIER_COMPACT_ROWS = 4_000_000
 # Total bytes of the fused skycube's 2^d - 2 broadcast keysets (dim values
 # are 8-byte doubles); beyond this the cube falls back to the per-subspace
 # broadcast-semi-join loop, whose broadcasts are one subspace at a time.
@@ -191,6 +212,68 @@ def _grouped_skyline(prep_cols: list[str]):
     return fn
 
 
+def _frontier_2d(d0: np.ndarray, d1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact 2-D frontier of (d0, d1) pairs, both minimized: per distinct
+    d0 keep the min d1, then keep the pairs whose strict-predecessor
+    running min (in d0 order) exceeds their d1.  Pure comparisons and
+    mins — no arithmetic — so it is float-exact and matches the
+    relational ``groupBy(d0).min(d1)`` + strict-prefix-min plan bit for
+    bit.  The frontier is a skyline-merge monoid (``F(A ∪ B) =
+    F(F(A) ∪ F(B))``), which is what makes the per-partition partial +
+    driver merge below exact."""
+    n = d0.shape[0]
+    if n == 0:
+        return d0, d1
+    order = np.lexsort((d1, d0))  # by d0, ties by d1: first-per-d0 = min d1
+    d0s, d1s = d0[order], d1[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(d0s[1:], d0s[:-1], out=first[1:])
+    d0u, d1u = d0s[first], d1s[first]
+    pm = np.minimum.accumulate(d1u)
+    keep = np.empty(d0u.shape[0], dtype=bool)
+    keep[0] = True
+    np.greater(pm[:-1], d1u[1:], out=keep[1:])
+    return d0u[keep], d1u[keep]
+
+
+def _frontier_2d_partial(d0_name: str, d1_name: str):
+    """mapInArrow function: per-partition (d0, min-d1) frontier pairs.
+    Buffer-and-compact (the skyband cadence): the running frontier is
+    re-derived every ``_2D_FRONTIER_COMPACT_ROWS`` buffered rows, so task
+    state stays bounded while the pass still runs one vectorized kernel
+    per compaction instead of per Arrow batch."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        b0: list[np.ndarray] = []
+        b1: list[np.ndarray] = []
+        buffered = 0
+
+        def compact() -> None:
+            nonlocal b0, b1, buffered
+            f0, f1 = _frontier_2d(np.concatenate(b0), np.concatenate(b1))
+            b0, b1, buffered = [f0], [f1], f0.shape[0]
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            b0.append(np.asarray(batch.column(0), dtype=np.float64))
+            b1.append(np.asarray(batch.column(1), dtype=np.float64))
+            buffered += batch.num_rows
+            if buffered >= _2D_FRONTIER_COMPACT_ROWS:
+                compact()
+        if buffered:
+            compact()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(b0[0], pa.float64()), pa.array(b1[0], pa.float64())],
+                [d0_name, d1_name],
+            )
+
+    return fn
+
+
 def _skyline_2d_relational(
     prepped: DataFrame, prep_cols: list[str], group_by: Sequence[str] | None
 ) -> DataFrame:
@@ -207,12 +290,54 @@ def _skyline_2d_relational(
     back as offsets.  No stage ever holds more than one range's values."""
     d0, d1 = prep_cols
     keys = list(group_by or [])
-    # persist in BOTH branches: the aggregate is read by the window subplan
-    # AND bounds the broadcast decision below (survivors are a subset of
-    # its rows, one per distinct (keys, d0) — counting the cached aggregate
-    # is a near-free job, where counting the survivors themselves would
-    # materialize the whole window subplan twice).
-    grp = _persist(prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1")))
+    if not keys:
+        # Ungrouped (round 17): per-partition frontier partials merged
+        # driver-side — the ann_ivf centroid-partials pattern (guide §2.4:
+        # remove the exchange outright).  The former shape paid a full
+        # groupBy(d0) hash exchange over every distinct d0 (600k rows at
+        # the bench shape) plus a two-pass range-partitioned window and
+        # THREE driver actions; the frontier monoid (see _frontier_2d)
+        # means only local-frontier pairs ever leave a partition, one
+        # count job gates the pull, and the exact merge runs once on the
+        # driver.  Past the gate the pairs feed the former relational
+        # machinery unchanged (they are a certified superset of the
+        # survivors, so the exchange it pays is strictly smaller than
+        # before).  Final semi-join back is the same broadcast shape.
+        pairs = _persist(
+            _fanout(prepped)
+            .select(d0, d1)
+            .mapInArrow(
+                _frontier_2d_partial(d0, "__m1"),
+                schema=f"`{d0}` double, __m1 double",
+            )
+        )
+        n_pairs = pairs.count()
+        if n_pairs <= _2D_FRONTIER_DRIVER_MAX_ROWS:
+            import pyarrow as pa
+
+            tbl = pairs.toArrow()
+            f0, f1 = _frontier_2d(
+                tbl.column(0).to_numpy(zero_copy_only=False),
+                tbl.column(1).to_numpy(zero_copy_only=False),
+            )
+            surv = prepped.sparkSession.createDataFrame(
+                pa.table(
+                    {d0: pa.array(f0, pa.float64()), d1: pa.array(f1, pa.float64())}
+                )
+            )
+            if f0.shape[0] <= _BROADCAST_SURVIVOR_MAX:
+                surv = F.broadcast(surv)
+            return null_safe_semi_join(prepped, surv, eq_cols=[d0, d1])
+        # oversized-frontier fallback: the relational plan below, fed by
+        # the (already persisted, partition-deduplicated) pairs
+        grp = _persist(pairs.groupBy(d0).agg(F.min("__m1").alias("__m1")))
+    else:
+        # persist: the aggregate is read by the window subplan AND bounds
+        # the broadcast decision below (survivors are a subset of its
+        # rows, one per distinct (keys, d0) — counting the cached
+        # aggregate is a near-free job, where counting the survivors
+        # themselves would materialize the whole window subplan twice).
+        grp = _persist(prepped.groupBy(*keys, d0).agg(F.min(d1).alias("__m1")))
     if keys:
         w = Window.partitionBy(*keys).orderBy(d0)
         pm = F.min("__m1").over(w.rowsBetween(Window.unboundedPreceding, -1))

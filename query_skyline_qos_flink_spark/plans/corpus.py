@@ -405,10 +405,10 @@ _S24_SRC = (
     "dominates p' iff |p_i - q_i| <= |p'_i - q_i| on every dim, strictly "
     "on one — i.e. the ordinary skyline in the |p - q| transformed "
     "space. The transform is a scan-side expression, so the operator "
-    "reuses the whole 2-D relational skyline plan (groupBy-min + "
-    "range-bucketed prefix-min + broadcast semi-join) unchanged — "
-    "per-query-point skylines at 100 TB cost exactly one skyline pass "
-    "each, no new machinery",
+    "reuses the whole 2-D skyline plan (per-partition frontier partials "
+    "merged driver-side + broadcast semi-join; relational fallback past "
+    "the gate) unchanged — per-query-point skylines at 100 TB cost "
+    "exactly one skyline pass each, no new machinery",
 )
 def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(*_LI)

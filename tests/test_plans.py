@@ -28,6 +28,9 @@ def test_s1_scan_prunes_columns_and_broadcasts_semijoin(spark):
     assert "l_quantity" not in plan
     assert "BroadcastHashJoin" in plan  # survivor semi-join stays broadcast
     assert "CartesianProduct" not in plan
+    # round 17: frontier partials merged driver-side — the 600k-row
+    # groupBy(d0) exchange is gone from the default plan entirely
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_s7_filter_pushed_into_scan(spark):

@@ -177,11 +177,16 @@ def test_partition_stats_parallel_merge(spark):
     assert "SinglePartition" not in plan
 
 
-def test_2d_two_pass_prefix_min_many_range_partitions(spark):
-    """The ungrouped 2-D path must bucket the distinct d0 values into many
-    ranges via literal boundaries (no single-task sort over them, no
+def test_2d_two_pass_prefix_min_many_range_partitions(spark, monkeypatch):
+    """The ungrouped 2-D FALLBACK path (frontier-pair volume past the
+    driver-merge gate) must bucket the distinct d0 values into many ranges
+    via literal boundaries (no single-task sort over them, no
     cache/exchange-reuse dependency) and still match brute force when the
-    running min crosses many range boundaries."""
+    running min crosses many range boundaries.  The gate is forced off so
+    this pins the distributed shape (round-17 frontier default below)."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    monkeypatch.setattr(sky, "_2D_FRONTIER_DRIVER_MAX_ROWS", -1)
     rng = np.random.default_rng(42)
     # 20k distinct x values, anti-correlated-ish so survivors span ranges
     x = rng.permutation(20_000).astype(np.float64)
@@ -197,10 +202,42 @@ def test_2d_two_pass_prefix_min_many_range_partitions(spark):
     assert "rangepartitioning" not in plan  # no RangePartitioner dependency
 
 
-def test_2d_two_pass_correct_after_cache_eviction(spark):
+def test_2d_frontier_driver_merge_gate_parity(spark, monkeypatch):
+    """Gate parity for the round-17 ungrouped 2-D frontier fast path: the
+    default (per-partition frontier partials + driver merge) and the
+    forced relational fallback must return identical row sets, both equal
+    to brute force — and the default plan must carry NO hash exchange (the
+    exchange removal is the point)."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 3_000, size=8_000).astype(np.float64)
+    y = 3_000.0 - x + rng.integers(-300, 300, size=8_000)
+    pdf = pd.DataFrame({"x": x, "y": y, "rid": np.arange(8_000)})
+    df = spark.createDataFrame(pdf).repartition(8)
+    res = skyline(df, ["x", "y"])
+    got_default = sorted(map(tuple, res.select("x", "y", "rid").collect()))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    monkeypatch.setattr(sky, "_2D_FRONTIER_DRIVER_MAX_ROWS", -1)
+    got_fallback = sorted(
+        map(tuple, skyline(df, ["x", "y"]).select("x", "y", "rid").collect())
+    )
+    assert got_default == got_fallback
+    brute = _brute(pdf[["x", "y"]], ["x", "y"], [1, 1])
+    assert {(r[0], r[1]) for r in got_default} == brute
+
+
+def test_2d_two_pass_correct_after_cache_eviction(spark, monkeypatch):
     """Regression (round-3 review): the two-pass prefix-min must stay
     correct when every cached intermediate is dropped between actions —
-    the range-bucket assignment is literal-derived, not cache-fenced."""
+    the range-bucket assignment is literal-derived, not cache-fenced.
+    Forced onto the relational fallback (the frontier default's survivor
+    set is a local relation, immune to eviction by construction)."""
+    from query_skyline_qos_flink_spark.operators import skyline as sky
+
+    monkeypatch.setattr(sky, "_2D_FRONTIER_DRIVER_MAX_ROWS", -1)
     rng = np.random.default_rng(7)
     x = rng.permutation(5_000).astype(np.float64)
     y = 5_000.0 - x + rng.integers(-500, 500, size=5_000)
