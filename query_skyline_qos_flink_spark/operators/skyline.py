@@ -729,6 +729,46 @@ def skyline_with_pid(
     return final.select(*out_cols)
 
 
+def _skyband_local_fn(prep_cols: list[str], k: int, compact_rows: int = 250_000):
+    """Per-partition local k-skyband thinning (a certified SUPERSET of the
+    global band, kernel fact B2).  Buffer-and-compact rather than
+    filter-per-Arrow-batch: the running band can be tens of thousands of
+    rows (unlike a skyline), so re-running the forward pass every ~10k-row
+    Arrow batch repays O(|band|) per batch; compacting every ~250k
+    buffered rows runs the pass ~25x less often for the same bounded
+    memory.  Shared by :func:`skyband` and :func:`top_dominating` (the
+    latter consumes the candidates directly, round 17)."""
+    from .skyline_kernel import skyband_mask
+
+    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        total = 0
+
+        def compact() -> pd.DataFrame | None:
+            nonlocal buf, total
+            if not buf:
+                return None
+            allrows = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            pts = allrows[prep_cols].to_numpy(dtype=np.float64)
+            mask, _ = skyband_mask(pts, k)
+            cur = allrows if mask.all() else allrows.loc[mask]
+            buf, total = [cur], len(cur)
+            return cur
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.append(pdf)
+            total += len(pdf)
+            if total >= compact_rows:
+                compact()
+        cur = compact()
+        if cur is not None and not cur.empty:
+            yield cur
+
+    return local_fn
+
+
 def skyband(
     df: DataFrame,
     dims: Sequence,
@@ -797,42 +837,10 @@ def skyband(
     # and at s22's shape the single-core whole-input pass measured
     # 0.57-0.75 s vs 0.44-0.52 s for the distributed-thin +
     # driver-verify composition below.)
-
-    # buffer-and-compact rather than filter-per-Arrow-batch: the running
-    # band can be tens of thousands of rows (unlike a skyline), so
-    # re-running the forward pass every ~10k-row Arrow batch repays
-    # O(|band|) per batch; compacting every ~250k buffered rows runs the
-    # pass ~25x less often for the same bounded memory
-    compact_rows = 250_000
-
-    def local_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[pd.DataFrame] = []
-        total = 0
-
-        def compact() -> pd.DataFrame | None:
-            nonlocal buf, total
-            if not buf:
-                return None
-            allrows = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
-            pts = allrows[prep_cols].to_numpy(dtype=np.float64)
-            mask, _ = skyband_mask(pts, k)
-            cur = allrows if mask.all() else allrows.loc[mask]
-            buf, total = [cur], len(cur)
-            return cur
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            buf.append(pdf)
-            total += len(pdf)
-            if total >= compact_rows:
-                compact()
-        cur = compact()
-        if cur is not None and not cur.empty:
-            yield cur
-
     phase1 = _persist(
-        _fanout(prepped).mapInPandas(local_fn, schema=prepped.schema)
+        _fanout(prepped).mapInPandas(
+            _skyband_local_fn(prep_cols, k), schema=prepped.schema
+        )
     )
     n = phase1.count()
     if n > _VERIFY_MAX_ROWS:
@@ -1050,20 +1058,55 @@ def top_dominating(
     # at this operator's shapes and they parallelize across the scan —
     # single-core whole-input measured 1.4-1.6 s vs 1.1-1.4 s distributed
     # at s23's shape.)
-    band = skyband(df, dims, k)  # candidates, with their original columns
-    band_prepped, _ = _prep(band.drop("n_dominators"), dims)
+    #
+    # Candidates = the k-skyband, consumed DIRECTLY from the shared
+    # phase-1 thinning + one driver verify (round 17): the former
+    # ``skyband()`` call materialized the band as a local relation that
+    # this operator immediately re-prepped and re-collected — one extra
+    # job plus a full Spark->driver->Spark->driver round trip per call
+    # for data already in hand.  Identical candidate set: same local
+    # kernel, same driver-side dominator-count verify (B1/B3).
+    from .skyline_kernel import _count_dominators_vs
 
-    cand_tbl = band_prepped.toArrow()
+    phase1 = _persist(
+        _fanout(prepped).mapInPandas(
+            _skyband_local_fn(prep_cols, k), schema=prepped.schema
+        )
+    )
+    n_band = phase1.count()
+    if n_band <= _VERIFY_MAX_ROWS:
+        union_tbl = phase1.toArrow()  # cached — the count materialized it
+        if union_tbl.num_rows:
+            union_arr = np.ascontiguousarray(
+                union_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+            )
+            counts = _count_dominators_vs(union_arr, union_arr)
+            keep = counts < k
+            if keep.all():
+                cand_tbl, cand_arr = union_tbl, union_arr
+            else:
+                import pyarrow as pa
+
+                cand_tbl = union_tbl.filter(pa.array(keep))
+                cand_arr = np.ascontiguousarray(union_arr[keep])
+        else:
+            cand_tbl = union_tbl
+    else:  # oversized union: the chunked counting pipeline, then collect
+        band = _chunked_skyband_verify(
+            phase1, prep_cols, k, "n_dominators", df.columns, n_band
+        )
+        band_prepped, _ = _prep(band.drop("n_dominators"), dims)
+        cand_tbl = band_prepped.toArrow()
+        cand_arr = np.ascontiguousarray(
+            cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
     if cand_tbl.num_rows == 0:  # empty input -> empty result with the contract schema
-        empty = band.drop("n_dominators").limit(0)
+        empty = prepped.select(*out_cols).limit(0)
         return empty.select(
             *out_cols,
             F.lit(0).cast("long").alias(count_col),
             F.lit(0).cast("int").alias(rank_col),
         )
-    cand_arr = np.ascontiguousarray(
-        cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
-    )
     bc = spark.sparkContext.broadcast(cand_arr)
 
     def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
