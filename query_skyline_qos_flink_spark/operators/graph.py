@@ -137,6 +137,24 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+
+# Per-round vertex-state frames (labels, ranks, distances, corenesses)
+# are |V|-sized while the checkpointed adjacency they join is 2|E|-sized.
+# Below this vertex count the state side carries an explicit broadcast
+# hint, so every iteration joins WITHOUT exchanging (or sorting) the
+# adjacency — AQE cannot make that call itself here because checkpointed
+# RDD scans report unknown sizes, and the pre-execution plan was a full
+# SortMergeJoin with both sides exchanged, per round.  2M rows of two
+# longs is ~32 MB broadcast — executor-safe; bigger graphs keep the
+# unhinted shuffle join (AQE still converts at runtime when actual sizes
+# allow).  One count job per operator call prices the gate.
+_BCAST_VERTS_MAX = 2_000_000
+
+
+def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BCAST_VERTS_MAX else df
+
+
 def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007's community
     detection) made deterministic: every vertex starts as its own label;
@@ -158,12 +176,18 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     pagerank discipline); the final round stays un-truncated so callers
     see the real join+agg plan."""
     adj = _undirected_adj(edges)
-    labels = adj.select("v").distinct().select("v", F.col("v").alias("l"))
-    prev_ckpt: DataFrame | None = None
+    labels = (
+        adj.select("v").distinct().select("v", F.col("v").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    n_verts = labels.count()  # prices the per-round broadcast gate
+    prev_ckpt: DataFrame | None = labels
     for i in range(iterations):
         if i:
             labels = prev_ckpt = _ckpt_rotate(labels, prev_ckpt)
-        nbr = adj.join(labels.select(F.col("v").alias("n"), "l"), "n")
+        nbr = adj.join(
+            _maybe_bcast(labels.select(F.col("v").alias("n"), "l"), n_verts), "n"
+        )
         cnt = nbr.groupBy("v", "l").agg(F.count(F.lit(1)).alias("c"))
         # argmax by (count desc, label asc) as ONE min(struct) aggregate —
         # no per-vertex window, stays map-side combinable
@@ -203,12 +227,13 @@ def coreness_hindex(edges: DataFrame, rounds: int = 4) -> DataFrame:
     from pyspark.sql import Window
 
     adj = _undirected_adj(edges)
-    c = adj.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    prev_ckpt: DataFrame | None = None
+    c = adj.groupBy("v").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    n_verts = c.count()  # prices the per-round broadcast gate
+    prev_ckpt: DataFrame | None = c
     for i in range(rounds):
         if i:  # pagerank's rotation discipline; final round un-truncated
             c = prev_ckpt = _ckpt_rotate(c, prev_ckpt)
-        nbr = adj.join(c.select(F.col("v").alias("n"), "c"), "n")
+        nbr = adj.join(_maybe_bcast(c.select(F.col("v").alias("n"), "c"), n_verts), "n")
         rn = F.row_number().over(
             Window.partitionBy("v").orderBy(F.col("c").desc())
         )
@@ -258,17 +283,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
                 "dist"
             ),
         )
+        .localCheckpoint(eager=True)
     )
-    prev_ckpt: DataFrame | None = None
+    n_verts = d.count()  # prices the per-round broadcast gate
+    prev_ckpt: DataFrame | None = d
     for i in range(rounds):
         if i:  # pagerank's rotation discipline; final round un-truncated
             d = prev_ckpt = _ckpt_rotate(d, prev_ckpt)
         nd = (
-            adj.join(d.select(F.col("v").alias("n"), "dist"), "n")
+            adj.join(_maybe_bcast(d.select(F.col("v").alias("n"), "dist"), n_verts), "n")
             .groupBy("v")
             .agg((F.min("dist") + F.lit(1)).alias("nd"))
         )
-        d = d.join(nd, "v", "left").select(
+        d = d.join(_maybe_bcast(nd, n_verts), "v", "left").select(
             "v", F.least(F.col("dist"), F.coalesce("nd", F.lit(_BFS_INF))).alias("dist")
         )
     return d.where(F.col("dist") < _BFS_INF).select(
@@ -311,6 +338,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * 10_000
+    n_verts = verts.count()  # checkpointed above; prices the broadcast gate
     ranks = verts.select("v", F.lit(1_000_000).cast("bigint").alias("r"))
     prev_ckpt: DataFrame | None = None
     for i in range(iterations):
@@ -322,11 +350,11 @@ def pagerank(
             # the returned plan reads it)
             ranks = prev_ckpt = _ckpt_rotate(ranks, prev_ckpt)
         contrib = (
-            e_deg.join(ranks, e_deg["src"] == ranks["v"])
+            e_deg.join(_maybe_bcast(ranks, n_verts), e_deg["src"] == ranks["v"])
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.expr("r div deg")).alias("s"))
         )
-        ranks = verts.join(contrib, "v", "left").select(
+        ranks = verts.join(_maybe_bcast(contrib, n_verts), "v", "left").select(
             "v",
             (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100"))
             .cast("bigint")
