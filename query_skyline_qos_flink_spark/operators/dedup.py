@@ -78,13 +78,20 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     fdf = _fanout(df)
     if fdf is df:
         # fanout_narrow_scan only proves under-splitting for LOCAL parquet
-        # scans; for non-file inputs (in-memory frames, JDBC/CSV) fall
-        # back to the old partition-count probe so a 1-2-partition source
-        # still fans the per-doc tokenize+shingle+md5 cost across cores.
-        # The df.rdd JavaRDD conversion is paid only on this rare path.
+        # scans; when it declined AND the source is not local parquet
+        # (in-memory frames, JDBC, CSV/JSON files, object-store URIs —
+        # r16 ADVICE widened this from the former no-files-only check),
+        # fall back to the partition-count probe so a 1-2-partition
+        # source still fans the per-doc tokenize+shingle+md5 cost across
+        # cores.  The df.rdd JavaRDD conversion is paid only on this
+        # rare path; the common local-parquet path stays probe-free.
         try:
+            files = df.inputFiles()
+            local_parquet = bool(files) and all(
+                f.startswith("file:") and f.endswith(".parquet") for f in files
+            )
             target = df.sparkSession.sparkContext.defaultParallelism
-            if not df.inputFiles() and df.rdd.getNumPartitions() < target:
+            if not local_parquet and df.rdd.getNumPartitions() < target:
                 fdf = df.repartition(target)
         except Exception:  # pragma: no cover - Connect session
             pass

@@ -112,10 +112,22 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         cache = _TABLE_HANDLES.setdefault(spark, {})
     except TypeError:  # pragma: no cover - unweakrefable session proxy
         cache = {}
-    key = (os.path.realpath(sf_dir), name)
+    path = table_path(sf_dir, name)
+    # (size, mtime) in the key (r16 ADVICE): a table rewritten in place
+    # mid-session (fixture regeneration, dev loops) gets a fresh handle
+    # instead of a stale InMemoryFileIndex serving deleted files.  One
+    # stat() per call; directory tables key on the dir's own stat (adds/
+    # removes bump it; an in-place rewrite INSIDE an unchanged dir is
+    # still the documented immutable-fixtures trade-off).
+    try:
+        st = os.stat(path)
+        stamp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        stamp = None
+    key = (os.path.realpath(sf_dir), name, stamp)
     df = cache.get(key)
     if df is None:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         cache[key] = df
     return df
 
