@@ -285,6 +285,32 @@ def _frontier_2d_partial(d0_name: str, d1_name: str):
     return fn
 
 
+def _frontier_2d_collect(prepped: DataFrame, prep_cols: list[str]):
+    """Run the per-partition 2-D frontier partial pass; when the pair
+    volume fits ``_2D_FRONTIER_DRIVER_MAX_ROWS`` (one count job over the
+    persisted pairs decides), return ``(pairs_df, (d0, d1) float64
+    arrays)`` of the exact merged frontier; otherwise ``(pairs_df,
+    None)`` and the caller falls back to a distributed shape over the
+    pairs.  Shared by :func:`_skyline_2d_relational` and
+    :func:`thick_skyline` (which consumes the frontier tuples directly)."""
+    d0 = prep_cols[0]
+    pairs = _persist(
+        _fanout(prepped)
+        .select(*prep_cols)
+        .mapInArrow(
+            _frontier_2d_partial(d0, "__m1"),
+            schema=f"`{d0}` double, __m1 double",
+        )
+    )
+    if pairs.count() > _2D_FRONTIER_DRIVER_MAX_ROWS:
+        return pairs, None
+    tbl = pairs.toArrow()
+    return pairs, _frontier_2d(
+        tbl.column(0).to_numpy(zero_copy_only=False),
+        tbl.column(1).to_numpy(zero_copy_only=False),
+    )
+
+
 def _skyline_2d_relational(
     prepped: DataFrame, prep_cols: list[str], group_by: Sequence[str] | None
 ) -> DataFrame:
@@ -314,23 +340,11 @@ def _skyline_2d_relational(
         # machinery unchanged (they are a certified superset of the
         # survivors, so the exchange it pays is strictly smaller than
         # before).  Final semi-join back is the same broadcast shape.
-        pairs = _persist(
-            _fanout(prepped)
-            .select(d0, d1)
-            .mapInArrow(
-                _frontier_2d_partial(d0, "__m1"),
-                schema=f"`{d0}` double, __m1 double",
-            )
-        )
-        n_pairs = pairs.count()
-        if n_pairs <= _2D_FRONTIER_DRIVER_MAX_ROWS:
+        pairs, merged = _frontier_2d_collect(prepped, prep_cols)
+        if merged is not None:
             import pyarrow as pa
 
-            tbl = pairs.toArrow()
-            f0, f1 = _frontier_2d(
-                tbl.column(0).to_numpy(zero_copy_only=False),
-                tbl.column(1).to_numpy(zero_copy_only=False),
-            )
+            f0, f1 = merged
             surv = prepped.sparkSession.createDataFrame(
                 pa.table(
                     {d0: pa.array(f0, pa.float64()), d1: pa.array(f1, pa.float64())}
@@ -2378,6 +2392,47 @@ def prob_skyline(
     return _assemble(pr_b, own_b)
 
 
+def _thick_skyd_2d(df, nd, prepped, prep_cols, dimcols):
+    """2-D fast path for :func:`thick_skyline`'s distinct skyline dim
+    tuples: the merged frontier pairs ARE that set (every survivor's
+    tuple equals some frontier pair and every pair is realized by a
+    survivor), so when the frontier merge fits the driver gate the
+    ``skyline() -> persist -> count -> distinct`` passes are skipped
+    entirely and the tuples re-enter as a local relation (round 17).
+
+    Restricted to dim types double-exact (double/float/int/short/byte):
+    the pairs live in prepped (cast-to-double, max-negated) space, and
+    mapping them back must not collide values the generic path's
+    original-typed tuples would keep distinct (bigint past 2^53 or
+    decimals).  Returns None when the fast path doesn't apply — the
+    generic path is the behavior everywhere else."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    if len(nd) != 2:
+        return None
+    exact = (DoubleType, FloatType, IntegerType, ShortType, ByteType)
+    try:
+        if not all(isinstance(df.schema[c].dataType, exact) for c, _ in nd):
+            return None
+    except Exception:  # pragma: no cover - exotic schema lookup
+        return None
+    _pairs, merged = _frontier_2d_collect(prepped, prep_cols)
+    if merged is None:
+        return None
+    import pyarrow as pa
+
+    cols = {}
+    for arr, (c, direction) in zip(merged, nd):
+        cols[c] = pa.array(-arr if direction == "max" else arr, pa.float64())
+    return df.sparkSession.createDataFrame(pa.table(cols))
+
+
 def thick_skyline(
     df: DataFrame,
     dims: Sequence,
@@ -2411,14 +2466,16 @@ def thick_skyline(
     # side, so its parallelism is exactly the scan's split count
     base = _fanout(prepped.select(*out_cols))
 
-    sky = _persist(skyline(df, dims))
-    n_sky = sky.count()
-    skyd = sky.select(*dimcols).distinct()
-    if n_sky > _BROADCAST_SURVIVOR_MAX:
-        raise ValueError(
-            f"thick_skyline: skyline has {n_sky} rows "
-            f"(> {_BROADCAST_SURVIVOR_MAX}); too large to broadcast"
-        )
+    skyd = _thick_skyd_2d(df, nd, prepped, prep_cols, dimcols)
+    if skyd is None:
+        sky = _persist(skyline(df, dims))
+        n_sky = sky.count()
+        skyd = sky.select(*dimcols).distinct()
+        if n_sky > _BROADCAST_SURVIVOR_MAX:
+            raise ValueError(
+                f"thick_skyline: skyline has {n_sky} rows "
+                f"(> {_BROADCAST_SURVIVOR_MAX}); too large to broadcast"
+            )
     renamed = skyd.select(
         *[F.col(c).alias(f"__ts_{i}") for i, c in enumerate(dimcols)]
     )
