@@ -175,21 +175,40 @@ def _norm_dims(dims: Sequence) -> list[tuple[str, Direction]]:
 
 
 def _prep(df: DataFrame, dims: Sequence) -> tuple[DataFrame, list[str]]:
-    """Add minimized double columns __sk_i and drop NULL/NaN rows."""
+    """Add minimized double columns __sk_i and drop NULL/NaN rows.
+
+    One parsed projection + one parsed filter (round 17): the former
+    per-dim ``withColumn`` chain re-analyzed the growing plan once per
+    dim per call — every skyline-family operator pays _prep at least
+    once, several pay it twice (measured ~0.2 s/call on the fused
+    skycube's cached child).  Same Catalyst expressions."""
     nd = _norm_dims(dims)
+    if any(c.startswith(_PREP) for c in df.columns):
+        # defensive: an input already carrying __sk_* columns keeps the
+        # former withColumn REPLACE semantics (no internal caller does)
+        prep_cols = []
+        for i, (col, direction) in enumerate(nd):
+            name = f"{_PREP}{i}"
+            expr = F.col(col).cast("double")
+            if direction == "max":
+                expr = -expr
+            df = df.withColumn(name, expr)
+            prep_cols.append(name)
+        cond = None
+        for name in prep_cols:
+            c = F.col(name).isNotNull() & ~F.isnan(F.col(name))
+            cond = c if cond is None else (cond & c)
+        return df.where(cond), prep_cols
     prep_cols = []
+    exprs = list(df.columns)
+    conds = []
     for i, (col, direction) in enumerate(nd):
         name = f"{_PREP}{i}"
-        expr = F.col(col).cast("double")
-        if direction == "max":
-            expr = -expr
-        df = df.withColumn(name, expr)
+        src = f"CAST(`{col}` AS DOUBLE)"
+        exprs.append((f"-{src}" if direction == "max" else src) + f" AS `{name}`")
+        conds.append(f"(`{name}` IS NOT NULL AND NOT isnan(`{name}`))")
         prep_cols.append(name)
-    cond = None
-    for name in prep_cols:
-        c = F.col(name).isNotNull() & ~F.isnan(F.col(name))
-        cond = c if cond is None else (cond & c)
-    return df.where(cond), prep_cols
+    return df.selectExpr(*exprs).where(" AND ".join(conds)), prep_cols
 
 
 def _local_skyline_iter(prep_cols: list[str]):
