@@ -435,35 +435,36 @@ def skyband_mask(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
             if sky is not None and sky.shape[0]
             else np.zeros(m, dtype=np.int64)
         )
-        # intra-block pairwise dominance via the hoisted scratch planes
-        le, eq, tmp = scratch.dom[:m, :m], scratch.neq[:m, :m], scratch.tmp[:m, :m]
-        le[:] = True
-        eq[:] = True
-        for j in range(d):
-            cj = blk[:, j]
-            np.less_equal(cj[:, None], cj[None, :], out=tmp)
-            np.logical_and(le, tmp, out=le)
-            np.equal(cj[:, None], cj[None, :], out=tmp)
-            np.logical_and(eq, tmp, out=eq)
-        np.logical_not(eq, out=eq)
-        np.logical_and(le, eq, out=le)
-        dom = le  # dom[a, b]: row a dominates row b (view into scratch)
         flags = np.empty(m, dtype=bool)
-        # identical recurrence to the former per-row slice
-        # (c_i = base_i + |{j < i : dom[j,i] and flags_j}|), but the
-        # intra-block contributions are PUSHED forward when a row joins
-        # the band instead of re-scanned per row: non-members cost O(1)
-        # python work and only band members (few) pay a vectorized row
-        # add — the per-row `dom[:i, i] & flags[:i]` temporaries made
-        # this loop the whole kernel's hot spot (0.76 s of a warm s30
-        # at 35k rows, round-16 profile)
-        contrib = np.zeros(m, dtype=np.int64)
-        for i in range(m):
-            c = base[i] + contrib[i]
-            flags[i] = c < k
-            vcounts[bs + i] = c
-            if c < k and i + 1 < m:
-                contrib[i + 1 :] += dom[i, i + 1 :]
+        # identical recurrence (c_i = base_i + |{j < i : dom[j,i] and
+        # flags_j}|), iterated MEMBER-to-member (round 17): in
+        # dominance-compatible order contributions only flow FORWARD, so
+        # once the scan passes position p its running count is final —
+        # the next member is the first remaining position whose running
+        # count is < k (one vectorized scan), and only MEMBER rows pay a
+        # domination-row computation against the block tail.  The former
+        # shape built the full m x m intra-block dominance matrix per
+        # block (the kernel's hot spot at ~0.5 s of a warm s30 — band
+        # members are few, so almost all of that matrix was never read);
+        # the worst case (every row a member) costs what the old matrix
+        # did.  Counts and flags stay bit-identical to the per-row loop
+        # (parity-swept in tests).
+        c_run = base  # running counts; base is a fresh array per block
+        flags[:] = False
+        i = 0
+        while i < m:
+            rem = np.nonzero(c_run[i:] < k)[0]
+            if rem.size == 0:
+                break
+            j = i + int(rem[0])
+            flags[j] = True
+            if j + 1 < m:
+                tail = blk[j + 1 :]
+                strict = (blk[j] <= tail).all(axis=1)
+                strict &= ~(blk[j] == tail).all(axis=1)
+                c_run[j + 1 :] += strict
+            i = j + 1
+        vcounts[bs : bs + m] = c_run
         vflags[bs : bs + m] = flags
         newsky = blk[flags]
         if newsky.shape[0]:
