@@ -135,7 +135,7 @@ def bloom_prune(
     # call); the k broadcast joins and the conjunctive hit filter are
     # unchanged in shape.
     out = probe.selectExpr(
-        *probe.columns,
+        *("`" + c.replace("`", "``") + "`" for c in probe.columns),
         *(
             f"CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) AS BIGINT) AS __pos_{j}"
             for j in range(len(tables))

@@ -200,11 +200,13 @@ def _prep(df: DataFrame, dims: Sequence) -> tuple[DataFrame, list[str]]:
             cond = c if cond is None else (cond & c)
         return df.where(cond), prep_cols
     prep_cols = []
-    exprs = list(df.columns)
+    # backtick-quote passthrough names: a raw `a-b` would parse as SQL
+    # arithmetic (round-17 review finding)
+    exprs = ["`" + c.replace("`", "``") + "`" for c in df.columns]
     conds = []
     for i, (col, direction) in enumerate(nd):
         name = f"{_PREP}{i}"
-        src = f"CAST(`{col}` AS DOUBLE)"
+        src = f"CAST(`{col.replace('`', '``')}` AS DOUBLE)"
         exprs.append((f"-{src}" if direction == "max" else src) + f" AS `{name}`")
         conds.append(f"(`{name}` IS NOT NULL AND NOT isnan(`{name}`))")
         prep_cols.append(name)
@@ -1107,7 +1109,11 @@ def top_dominating(
         )
     )
     n_band = phase1.count()
-    if n_band <= _VERIFY_MAX_ROWS:
+    if n_band <= _DRIVER_VERIFY_MAX_ROWS:
+        # driver verify — the same gate skyband uses for this kernel (the
+        # O(n_band^2) count is single-threaded here; round-17 review
+        # caught the first cut of this refactor running it for unions up
+        # to _VERIFY_MAX_ROWS, 24x past the gate)
         union_tbl = phase1.toArrow()  # cached — the count materialized it
         if union_tbl.num_rows:
             union_arr = np.ascontiguousarray(
@@ -1124,6 +1130,27 @@ def top_dominating(
                 cand_arr = np.ascontiguousarray(union_arr[keep])
         else:
             cand_tbl = union_tbl
+    elif n_band <= _VERIFY_MAX_ROWS:
+        # distributed broadcast-verify (skyband's mid path): the counting
+        # block parallelizes across the cached union's partitions
+        cand_pdf = phase1.select(*prep_cols).toPandas()
+        union_arr = np.ascontiguousarray(cand_pdf.to_numpy(dtype=np.float64))
+        bc_u = spark.sparkContext.broadcast(union_arr)
+
+        def band_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ref = bc_u.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pts = pdf[prep_cols].to_numpy(dtype=np.float64)
+                out = pdf.loc[_count_dominators_vs(pts, ref) < k]
+                if not out.empty:
+                    yield out
+
+        cand_tbl = phase1.mapInPandas(band_verify, schema=phase1.schema).toArrow()
+        cand_arr = np.ascontiguousarray(
+            cand_tbl.select(prep_cols).to_pandas().to_numpy(dtype=np.float64)
+        )
     else:  # oversized union: the chunked counting pipeline, then collect
         band = _chunked_skyband_verify(
             phase1, prep_cols, k, "n_dominators", df.columns, n_band

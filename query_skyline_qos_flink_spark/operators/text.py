@@ -32,6 +32,14 @@ LANG_LEXICON: dict[str, list[str]] = {
 STOPWORDS = sorted({w for ws in LANG_LEXICON.values() for w in ws})
 
 
+def _qcols(df: DataFrame) -> list[str]:
+    """Backtick-quoted passthrough column names for selectExpr: a raw
+    name like ``a-b`` would otherwise parse as SQL arithmetic (round-17
+    review finding — the Column-API forms these selectExpr calls replaced
+    accepted arbitrary names)."""
+    return ["`" + c.replace("`", "``") + "`" for c in df.columns]
+
+
 def _sql_re(pat: str) -> str:
     """Escape a regex for embedding in a SQL string literal (Spark parses
     backslash escapes inside quoted literals when
@@ -92,7 +100,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace / alnum / punctuation token counts per row."""
     c = f"`{text_col}`"
     return df.selectExpr(
-        *df.columns,
+        *_qcols(df),
         f"CAST(size(filter(split({c}, '{_sql_re(WS_RE)}'), x -> x != '')) AS BIGINT) AS n_ws",
         f"CAST(size({tokens_sql(c)}) AS BIGINT) AS n_alnum",
         f"CAST(regexp_count({c}, '{_sql_re(PUNCT_RE)}') AS BIGINT) AS n_punct",
@@ -108,7 +116,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = f"`{text_col}`"
     t = tokens_sql(c)
     out = df.selectExpr(
-        *df.columns,
+        *_qcols(df),
         f"CAST(length({c}) AS BIGINT) AS n_chars",
         f"CAST(size({t}) AS BIGINT) AS n_tok",
         f"CAST(aggregate(transform({t}, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"
@@ -118,7 +126,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"CAST(regexp_count({c}, '{_sql_re(PUNCT_RE)}') AS BIGINT) AS n_punct",
     )
     return out.selectExpr(
-        *out.columns,
+        *_qcols(out),
         "CASE WHEN n_tok > 0 THEN sum_tok_len / CAST(n_tok AS DOUBLE)"
         " ELSE 0.0D END AS avg_tok_len",
         "CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE)"
@@ -144,7 +152,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     for lg in reversed(langs):
         pred = f"CASE WHEN {scores[lg]} = {best} THEN '{lg}' ELSE {pred} END"
     pred = f"CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END"
-    return df.selectExpr(*df.columns, f"{pred} AS `{out_col}`")
+    return df.selectExpr(*_qcols(df), f"{pred} AS `{out_col}`")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -158,11 +166,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     # tokens staged as a projected column: inlined into the shingle
     # transform's lambda it would re-evaluate the split per shingle
     staged = df.selectExpr(
-        *df.columns, f"{tokens_sql(f'`{text_col}`')} AS __ftok"
+        *_qcols(df), f"{tokens_sql(f'`{text_col}`')} AS __ftok"
     )
     sh = word_shingles_sql("__ftok", 3)
     return staged.selectExpr(
-        *df.columns,
+        *_qcols(df),
         # concat_ws SKIPS null args, so a NULL text would silently
         # fingerprint as md5('') — pin NULL-in -> NULL-out instead;
         # genuinely empty content (0 tokens) still hashes md5('')
@@ -180,16 +188,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     # tokens staged as a projected column (see fingerprint: inlining into
     # the shingle lambda re-evaluates the split per shingle)
     staged = df.selectExpr(
-        *df.columns, f"{tokens_sql(f'`{text_col}`')} AS __rtok"
+        *_qcols(df), f"{tokens_sql(f'`{text_col}`')} AS __rtok"
     )
     out = staged.selectExpr(
-        *df.columns,
+        *_qcols(df),
         f"CAST(CASE WHEN size(__rtok) >= {k} THEN size(__rtok) - {k - 1}"
         " ELSE 0 END AS BIGINT) AS ngrams_total",
         f"CAST(size({word_shingles_sql('__rtok', k)}) AS BIGINT) AS ngrams_distinct",
     )
     return out.selectExpr(
-        *out.columns,
+        *_qcols(out),
         "CASE WHEN ngrams_total > 0 THEN (ngrams_total - ngrams_distinct)"
         " / CAST(ngrams_total AS DOUBLE) ELSE 0.0D END AS dup_ngram_ratio",
     )
@@ -213,14 +221,14 @@ def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     digit ratio — the C4-family content filters as plain column exprs."""
     c = f"`{text_col}`"
     out = df.selectExpr(
-        *df.columns,
+        *_qcols(df),
         f"CAST(regexp_count({c}, '{_sql_re(EMAIL_RE)}') AS BIGINT) AS n_emails",
         f"CAST(regexp_count({c}, '{_sql_re(URL_RE)}') AS BIGINT) AS n_urls",
         f"CAST(regexp_count({c}, '{_sql_re(DIGIT_RE)}') AS BIGINT) AS n_digits",
         f"CAST(length({c}) AS BIGINT) AS n_chars",
     )
     return out.selectExpr(
-        *out.columns,
+        *_qcols(out),
         "CASE WHEN n_chars > 0 THEN n_digits / CAST(n_chars AS DOUBLE)"
         " ELSE 0.0D END AS digit_ratio",
     )
@@ -255,10 +263,10 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     matches bit-for-bit.  Pure codegen'd column exprs — at 100 TB this is
     a map-only pass that rides the scan (no shuffle, no Python)."""
     c = f"`{text_col}`"
-    staged = df.selectExpr(*df.columns, f"{tokens_sql(c)} AS __qtok")
+    staged = df.selectExpr(*_qcols(df), f"{tokens_sql(c)} AS __qtok")
     k = 3
     counted = staged.selectExpr(
-        *df.columns,
+        *_qcols(df),
         "CAST(size(__qtok) AS BIGINT) AS n_tok",
         "CAST(aggregate(transform(__qtok, t -> length(t)), 0, (a, x) -> a + x)"
         " AS BIGINT) AS __sum_tok_len",
@@ -272,7 +280,7 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"CAST(length({c}) AS BIGINT) AS __n_chars",
     )
     ratios = counted.selectExpr(
-        *df.columns,
+        *_qcols(df),
         "n_tok",
         "n_stop",
         "CASE WHEN n_tok > 0 THEN __sum_tok_len / CAST(n_tok AS DOUBLE)"
@@ -296,7 +304,7 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         f" ELSE CAST(NULL AS STRING) END"
     )
     return ratios.selectExpr(
-        *ratios.columns,
+        *_qcols(ratios),
         f"{reason} AS reason",
         f"({reason}) IS NULL AS keep",
     )
@@ -400,7 +408,7 @@ def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") ->
     url, email = _sql_re(URL_RE), _sql_re(EMAIL_RE)
     stripped = f"regexp_replace(regexp_replace({c}, '{url}', ' '), '{email}', ' ')"
     return df.selectExpr(
-        *df.columns,
+        *_qcols(df),
         f"CAST(regexp_count({c}, '{url}') AS BIGINT) AS n_urls",
         f"CAST(regexp_count({c}, '{email}') AS BIGINT) AS n_emails",
         f"trim(regexp_replace({stripped}, '{_sql_re(WS_RE)}', ' ')) AS `{out_col}`",
@@ -511,14 +519,20 @@ def pii_scrub(
     path — safe at 100 TB by construction."""
     pats = patterns if patterns is not None else PII_PATTERNS
     c = f"`{text_col}`"
+    # labels are caller-supplied: escape them for both the alias
+    # (backticks) and the replacement string literal (quotes/backslashes)
     counts = [
-        f"CAST(regexp_count({c}, '{_sql_re(p)}') AS BIGINT) AS `n_{label}`"
+        f"CAST(regexp_count({c}, '{_sql_re(p)}') AS BIGINT)"
+        f" AS `{('n_' + label).replace('`', '``')}`"
         for label, p in pats.items()
     ]
     scrub = c
     for label, p in pats.items():
-        scrub = f"regexp_replace({scrub}, '{_sql_re(p)}', '<{label.upper()}>')"
-    return df.selectExpr(*df.columns, *counts, f"{scrub} AS `{out_col}`")
+        scrub = (
+            f"regexp_replace({scrub}, '{_sql_re(p)}',"
+            f" '{_sql_re('<' + label.upper() + '>')}')"
+        )
+    return df.selectExpr(*_qcols(df), *counts, f"{scrub} AS `{out_col}`")
 
 
 def winnow_fingerprints(

@@ -124,11 +124,14 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         stamp = (st.st_size, st.st_mtime_ns)
     except OSError:
         stamp = None
-    key = (os.path.realpath(sf_dir), name, stamp)
-    df = cache.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[key] = df
+    key = (os.path.realpath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    # stamp changed: REPLACE the entry (keying on the stamp instead would
+    # accumulate one stale handle per rewrite — round-17 review finding)
+    df = spark.read.parquet(path)
+    cache[key] = (stamp, df)
     return df
 
 

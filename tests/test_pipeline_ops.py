@@ -1357,3 +1357,20 @@ def test_lsh_candidates_valve_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert "LeftSemi" in plan
+
+
+def test_text_ops_passthrough_column_with_special_name(spark):
+    """Round-17 regression: the batched selectExpr text builders must
+    backtick-quote passthrough column names (`a-b` parses as arithmetic)."""
+    import pandas as pd
+
+    from query_skyline_qos_flink_spark.operators import text
+
+    pdf = pd.DataFrame({"doc-id": [1, 2], "text": ["the cat", "und der hund"]})
+    df = spark.createDataFrame(pdf)
+    got = text.token_stats(df).collect()
+    assert {r["doc-id"] for r in got} == {1, 2}
+    ql = text.quality_filter(df)
+    assert "keep" in ql.columns and ql.count() == 2
+    lid = {r["doc-id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert lid[1] == "en" and lid[2] == "de"

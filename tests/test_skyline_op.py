@@ -1110,3 +1110,12 @@ def test_whole_input_driver_path_parity(spark, monkeypatch):
     dist = runs()
     for op in driver:
         assert driver[op] == dist[op], op
+
+
+def test_skyline_passthrough_column_with_special_name(spark):
+    """Round-17 regression: _prep's batched selectExpr must backtick-quote
+    passthrough column names — a raw `a-b` parses as SQL arithmetic."""
+    pdf = pd.DataFrame({"a-b": [10, 20, 30], "x": [1.0, 2.0, 3.0], "y": [3.0, 2.0, 1.0]})
+    res = skyline(spark.createDataFrame(pdf), ["x", "y"])
+    rows = sorted((r["a-b"], r["x"], r["y"]) for r in res.collect())
+    assert rows == [(10, 1.0, 3.0), (20, 2.0, 2.0), (30, 3.0, 1.0)]
